@@ -1,13 +1,365 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.sync.{SnapshotDiff, Snapshots}
+
+/** Driver contract — query registry + DuckDB oracle SQL.
+  *
+  * Every implemented operator from SURVEY.md §2C registers here twice: a
+  * Spark query (DataFrame program) and, unless oracle-exempt, equivalent
+  * ANSI SQL for DuckDB 1.0 over the same parquet tables. Column names and
+  * deterministic total ORDER BYs are aligned on both sides; doubles go
+  * through exact decimal accumulation (graft.ops.Det) so hashes are stable
+  * across engines and across shuffle orders.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Aggregates.pricingSummary(Tables.lineitem(spark, "/root/testdata/sf0.001"))
+
+  type Q = (SparkSession, String) => DataFrame
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, Q] = Map(
+    // --- scans / sources ---
+    "scan_parquet" -> ((s, d) => Scans.scanParquet(Tables.lineitem(s, d))),
+    "scan_csv_allstring" -> ((s, d) => Scans.scanCsvAllString(s, Tables.nation(s, d))),
+    "validate_reject" -> ((s, d) => Scans.validateReject(Tables.customer(s, d))),
+    "project_cast_string" -> ((s, d) => Scans.projectCastString(Tables.nation(s, d))),
+    "filter_pred" -> ((s, d) => Scans.filterPred(Tables.lineitem(s, d))),
+    // --- joins ---
+    "join_broadcast" -> ((s, d) => Joins.broadcastDim(Tables.nation(s, d), Tables.region(s, d))),
+    "join_sortmerge" -> ((s, d) => Joins.sortMerge(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "join_multiway" -> ((s, d) => Joins.multiwayStar(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d), Tables.nation(s, d))),
+    "join_left_semi" -> ((s, d) => Joins.leftSemi(Tables.customer(s, d), Tables.orders(s, d))),
+    "join_left_anti" -> ((s, d) => Joins.leftAnti(Tables.customer(s, d), Tables.orders(s, d))),
+    "join_outer" -> ((s, d) => Joins.fullOuter(Tables.customer(s, d))),
+    "join_theta_range" -> ((s, d) => Joins.thetaRange(Tables.events(s, d))),
+    "join_asof" -> ((s, d) => Joins.asOf(Tables.events(s, d), Tables.orders(s, d))),
+    // --- aggregation ---
+    "agg_hash_group" -> ((s, d) => Aggregates.pricingSummary(Tables.lineitem(s, d))),
+    "agg_count_distinct" -> ((s, d) => Aggregates.countDistinctCustomers(Tables.orders(s, d))),
+    "agg_approx_distinct" -> ((s, d) => Aggregates.approxDistinctCustomers(Tables.orders(s, d))),
+    "agg_rollup" -> ((s, d) => Aggregates.rollupRegionNation(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "agg_cube" -> ((s, d) => Aggregates.cubeSegmentPriority(Tables.customer(s, d), Tables.orders(s, d))),
+    "agg_grouping_sets" -> ((s, d) => Aggregates.groupingSetsGeo(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    // --- windows ---
+    "win_rank_topk" -> ((s, d) => Windows.rankTopK(Tables.orders(s, d))),
+    "win_lag_lead" -> ((s, d) => Windows.lagLead(Tables.events(s, d))),
+    "win_running_frame" -> ((s, d) => Windows.runningFrame(Tables.orders(s, d))),
+    "win_range_frame" -> ((s, d) => Windows.rangeFrame(Tables.events(s, d))),
+    "win_ntile" -> ((s, d) => Windows.ntileQuartiles(Tables.customer(s, d))),
+    // --- sort / limit / set ops ---
+    "sort_multi_key" -> ((s, d) => SetSort.multiKeySort(Tables.customer(s, d))),
+    "sort_limit_topk" -> ((s, d) => SetSort.topK(Tables.orders(s, d))),
+    "set_union" -> ((s, d) => SetSort.unionDistinct(Tables.customer(s, d), Tables.orders(s, d))),
+    "set_intersect" -> ((s, d) => SetSort.intersectKeys(Tables.customer(s, d), Tables.orders(s, d))),
+    "set_except" -> ((s, d) => SetSort.exceptKeys(Tables.customer(s, d), Tables.orders(s, d))),
+    // --- scalar function families ---
+    "fn_string" -> ((s, d) => ScalarFns.stringFns(Tables.part(s, d))),
+    "fn_date" -> ((s, d) => ScalarFns.dateFns(Tables.orders(s, d))),
+    "fn_math" -> ((s, d) => ScalarFns.mathFns(Tables.part(s, d))),
+    "fn_array" -> ((s, d) => ScalarFns.arrayFns(Tables.embeddings(s, d))),
+    "fn_map_json" -> ((s, d) => ScalarFns.mapJsonFns(Tables.events(s, d))),
+    // --- diff / sync engine ---
+    "diff_keyed" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      SnapshotDiff.diffKeyed(Snapshots.oldSnapshot(c), Snapshots.newSnapshot(c), "slno")
+        .orderBy("op", "slno", "col")
+    }),
+    "diff_positional" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      SnapshotDiff.diffPositional(Snapshots.bqSnapshot(c), Snapshots.sheetSnapshot(c), "slno")
+        .orderBy("pos", "col")
+    }),
+    "diff_apply_merge" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val old = Snapshots.oldSnapshot(c)
+      val neu = Snapshots.newSnapshot(c)
+      SnapshotDiff.applyChangeset(old, SnapshotDiff.diffKeyed(old, neu, "slno"), "slno")
+        .orderBy("slno")
+    }),
+    "agg_changeset_summary" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      SnapshotDiff.diffKeyed(Snapshots.oldSnapshot(c), Snapshots.newSnapshot(c), "slno")
+        .groupBy(col("op"), col("col"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("op", "col")
+    })
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+      | CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+      | COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Body of the keyed-diff changeset as a DuckDB SELECT (shared by
+    * diff_keyed and agg_changeset_summary). */
+  private val diffKeyedBody =
+    s"""WITH oldt AS (${Snapshots.oldSql}), newt AS (${Snapshots.newSql}),
+       |j AS (SELECT o.slno AS o_slno, n.slno AS n_slno,
+       |  o.name AS o_name, n.name AS n_name, o.acctbal AS o_acctbal, n.acctbal AS n_acctbal,
+       |  o.segment AS o_segment, n.segment AS n_segment
+       | FROM oldt o FULL OUTER JOIN newt n ON o.slno = n.slno)
+       |SELECT 'insert' AS op, n_slno AS slno, '' AS col, CAST(NULL AS VARCHAR) AS old_val,
+       |  concat_ws('|', n_name, n_acctbal, n_segment) AS new_val FROM j WHERE o_slno IS NULL
+       |UNION ALL
+       |SELECT 'delete', o_slno, '', concat_ws('|', o_name, o_acctbal, o_segment), CAST(NULL AS VARCHAR)
+       | FROM j WHERE n_slno IS NULL
+       |UNION ALL
+       |SELECT 'update', o_slno, 'name', o_name, n_name
+       | FROM j WHERE o_slno IS NOT NULL AND n_slno IS NOT NULL AND o_name <> n_name
+       |UNION ALL
+       |SELECT 'update', o_slno, 'acctbal', o_acctbal, n_acctbal
+       | FROM j WHERE o_slno IS NOT NULL AND n_slno IS NOT NULL AND o_acctbal <> n_acctbal
+       |UNION ALL
+       |SELECT 'update', o_slno, 'segment', o_segment, n_segment
+       | FROM j WHERE o_slno IS NOT NULL AND n_slno IS NOT NULL AND o_segment <> n_segment""".stripMargin
+
+  private val diffPositionalSql =
+    s"""WITH bq AS (${Snapshots.bqSql}), sheet AS (${Snapshots.sheetSql}),
+       |l1 AS (SELECT slno, name, acctbal, segment, row_number() OVER (ORDER BY slno) AS pos FROM bq),
+       |l2 AS (SELECT slno, name, acctbal, segment, row_number() OVER (ORDER BY slno) AS pos FROM sheet),
+       |j AS (SELECT l1.pos AS a_pos, l2.pos AS b_pos,
+       |  l1.slno AS a_slno, l2.slno AS b_slno, l1.name AS a_name, l2.name AS b_name,
+       |  l1.acctbal AS a_acctbal, l2.acctbal AS b_acctbal, l1.segment AS a_segment, l2.segment AS b_segment
+       | FROM l1 FULL OUTER JOIN l2 ON l1.pos = l2.pos)
+       |SELECT * FROM (
+       |SELECT CAST(a_pos AS BIGINT) AS pos, 'del_row' AS op, a_slno AS slno, '' AS col,
+       |  concat_ws('|', CAST(a_slno AS VARCHAR), a_name, a_acctbal, a_segment) AS old_val,
+       |  CAST(NULL AS VARCHAR) AS new_val FROM j WHERE b_pos IS NULL
+       |UNION ALL
+       |SELECT CAST(b_pos AS BIGINT), 'extra_row', b_slno, '', CAST(NULL AS VARCHAR),
+       |  concat_ws('|', CAST(b_slno AS VARCHAR), b_name, b_acctbal, b_segment)
+       | FROM j WHERE a_pos IS NULL
+       |UNION ALL
+       |SELECT CAST(a_pos AS BIGINT), 'diff', a_slno, 'slno', CAST(a_slno AS VARCHAR), CAST(b_slno AS VARCHAR)
+       | FROM j WHERE a_pos IS NOT NULL AND b_pos IS NOT NULL AND a_slno <> b_slno
+       |UNION ALL
+       |SELECT CAST(a_pos AS BIGINT), 'diff', a_slno, 'name', a_name, b_name
+       | FROM j WHERE a_pos IS NOT NULL AND b_pos IS NOT NULL AND a_name <> b_name
+       |UNION ALL
+       |SELECT CAST(a_pos AS BIGINT), 'diff', a_slno, 'acctbal', a_acctbal, b_acctbal
+       | FROM j WHERE a_pos IS NOT NULL AND b_pos IS NOT NULL AND a_acctbal <> b_acctbal
+       |UNION ALL
+       |SELECT CAST(a_pos AS BIGINT), 'diff', a_slno, 'segment', a_segment, b_segment
+       | FROM j WHERE a_pos IS NOT NULL AND b_pos IS NOT NULL AND a_segment <> b_segment
+       |) t ORDER BY pos, col""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys (sketches, hash-derived ops)
+    * are gated by ScalaTest instead. */
+  def oracleSql: Map[String, String] = Map(
+    "scan_parquet" ->
+      "SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "scan_csv_allstring" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name, CAST(n_regionkey AS VARCHAR) AS n_regionkey
+        |FROM nation ORDER BY nation.n_nationkey""".stripMargin,
+    "validate_reject" ->
+      """WITH dirty AS (
+        | SELECT CASE WHEN c_custkey % 101 = 7 THEN NULL ELSE c_custkey END AS slno,
+        |        CASE WHEN c_custkey % 97 = 3 THEN '' ELSE c_name END AS name,
+        |        c_mktsegment AS segment
+        | FROM customer)
+        |SELECT slno, name, segment,
+        | CASE WHEN slno IS NULL THEN 'slno' WHEN name = '' THEN 'name' ELSE 'segment' END AS bad_col
+        |FROM dirty WHERE slno IS NULL OR name = '' OR segment = ''
+        |ORDER BY COALESCE(slno, -1), name""".stripMargin,
+    "project_cast_string" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name, CAST(n_regionkey AS VARCHAR) AS n_regionkey
+        |FROM nation ORDER BY nation.n_nationkey""".stripMargin,
+    "filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1998-12-31 00:00:00'
+        | AND l_returnflag IN ('A','R') AND l_quantity BETWEEN 5.0 AND 24.0
+        | AND (l_linestatus = 'F' OR l_tax < 0.05) AND l_orderkey IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_broadcast" ->
+      "SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey",
+    "join_sortmerge" ->
+      """SELECT o_orderkey, l_linenumber, o_totalprice, l_extendedprice
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+    "join_multiway" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lines
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "join_left_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_left_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_outer" ->
+      """WITH o AS (SELECT c_custkey AS o_key, c_acctbal AS o_bal FROM customer WHERE c_custkey % 10 <> 3),
+        | n AS (SELECT c_custkey AS n_key, c_acctbal AS n_bal FROM customer WHERE c_custkey % 7 <> 2)
+        |SELECT COALESCE(o_key, n_key) AS slno,
+        | CAST(o_key IS NOT NULL AS BIGINT) AS in_old,
+        | CAST(n_key IS NOT NULL AS BIGINT) AS in_new
+        |FROM o FULL OUTER JOIN n ON o_key = n_key ORDER BY slno""".stripMargin,
+    "join_theta_range" ->
+      """WITH s AS (SELECT event_id AS s_id, value AS s_value FROM events
+        |  WHERE event_type = 'signup' AND event_id % 20 = 0),
+        | p AS (SELECT event_id AS p_id, value AS p_value FROM events WHERE event_type = 'purchase')
+        |SELECT s_id, COUNT(*) AS n_near, MIN(p_id) AS first_p
+        |FROM s JOIN p ON p_value BETWEEN s_value - 0.5 AND s_value + 0.5
+        |GROUP BY s_id ORDER BY s_id""".stripMargin,
+    "join_asof" ->
+      """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+        |  row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        | FROM e LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id, date_trunc('second', ts) AS ts_s, o_orderkey, o_orderdate
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "agg_hash_group" -> q1Sql,
+    "agg_count_distinct" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_custs,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+        | CAST(GROUPING(r_name) AS BIGINT) AS g_r, CAST(GROUPING(n_name) AS BIGINT) AS g_n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg, CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY CUBE(c_mktsegment, o_orderpriority)
+        |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_custs,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+        | CAST(GROUPING(r_name) AS BIGINT) AS g_r, CAST(GROUPING(n_name) AS BIGINT) AS g_n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "win_rank_topk" ->
+      """WITH t AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn, CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk
+        | FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC))
+        |SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk FROM t WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "win_lag_lead" ->
+      """SELECT user_id, event_id, value,
+        | lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+        | lead(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "win_running_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_total,
+        | COUNT(*) OVER w AS running_n
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_range_frame" ->
+      """WITH t AS (SELECT event_type, event_id, value,
+        |  CAST(CAST(value*100 AS DECIMAL(18,0)) AS BIGINT) AS value_cents FROM events)
+        |SELECT event_type, event_id, value_cents,
+        | COUNT(*) OVER w AS n_in_band,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_in_band
+        |FROM t WINDOW w AS (PARTITION BY event_type ORDER BY value_cents
+        |  RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, event_id""".stripMargin,
+    "win_ntile" ->
+      """SELECT c_custkey, c_acctbal,
+        | CAST(ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS BIGINT) AS quartile
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "sort_multi_key" ->
+      """SELECT CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE c_mktsegment END AS segment, c_acctbal, c_custkey
+        |FROM customer ORDER BY segment ASC NULLS FIRST, c_acctbal DESC, c_custkey ASC""".stripMargin,
+    "sort_limit_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "set_union" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY k""".stripMargin,
+    "set_intersect" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY k""".stripMargin,
+    "set_except" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY k""".stripMargin,
+    "fn_string" ->
+      """SELECT p_partkey,
+        | upper(p_name) AS name_upper, lower(p_brand) AS brand_lower,
+        | trim('  ' || p_type || '  ') AS type_trim,
+        | substring(p_type, 1, 5) AS type_pfx,
+        | concat_ws('/', p_brand, p_type) AS brand_type,
+        | CAST(length(p_name) AS BIGINT) AS name_len,
+        | regexp_replace(p_name, 'a', '@', 'g') AS name_repl,
+        | lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_pad,
+        | CAST(p_type LIKE '%BRASS%' AS BIGINT) AS is_brass,
+        | regexp_extract(p_name, '([a-z]+)', 1) AS first_word
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_date" ->
+      """SELECT o_orderkey,
+        | CAST(date_part('year', o_orderdate) AS BIGINT) AS y,
+        | CAST(date_part('month', o_orderdate) AS BIGINT) AS m,
+        | CAST(date_part('day', o_orderdate) AS BIGINT) AS d,
+        | CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002,
+        | CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus_2m,
+        | CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_math" ->
+      """SELECT p_partkey,
+        | CAST(round(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_r1,
+        | CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+        | CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+        | CAST(abs(p_size - 25) AS BIGINT) AS size_dev,
+        | pow(CAST(p_size AS DOUBLE), 2.0) AS size_sq,
+        | sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
+        | ((p_partkey % 7) + 7) % 7 AS key_mod7,
+        | CAST(sign(CAST(p_size - 25 AS DOUBLE)) AS BIGINT) AS size_sign
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_array" ->
+      """SELECT vec_id,
+        | CAST(len(embedding) AS BIGINT) AS dim,
+        | CAST(embedding[1] AS DOUBLE) AS first_elem,
+        | CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+        | round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 5) AS sum_all,
+        | CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_elem,
+        | CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS min_elem,
+        | CAST(list_sort(embedding, 'DESC')[2] AS DOUBLE) AS second_largest
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "fn_map_json" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        | CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+        | json_keys(props)[1] AS first_key
+        |FROM events ORDER BY event_id""".stripMargin,
+    "diff_keyed" ->
+      s"""SELECT * FROM ($diffKeyedBody) t ORDER BY op, slno, col""",
+    "diff_positional" -> diffPositionalSql,
+    "diff_apply_merge" ->
+      s"""SELECT * FROM (${Snapshots.newSql}) t ORDER BY slno""",
+    "agg_changeset_summary" ->
+      s"""SELECT op, col, COUNT(*) AS n FROM ($diffKeyedBody) t GROUP BY op, col ORDER BY op, col"""
+  )
 }

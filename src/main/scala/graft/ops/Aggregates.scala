@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators. All run as two-phase HashAggregate (partial
+  * map-side combine, final after shuffle) — free from Catalyst. Double
+  * measures go through Det.dsum/davg (exact decimal accumulation) so
+  * results are independent of shuffle/partial-agg order.
+  */
+object Aggregates {
+
+  /** TPC-H Q1-shaped pricing summary — the flagship (`SparkEntry.entry`).
+    * Scan → pushed filter → two-phase hash agg on 2 low-cardinality keys →
+    * tiny sort. The shape that must hold at 100 TB: the only shuffle is
+    * |groups| ≈ 6 rows of partial states per partition. */
+  def pricingSummary(lineitem: DataFrame): DataFrame = {
+    val discPrice = Det.price(col("l_extendedprice")) * Det.oneMinus(col("l_discount"))
+    lineitem
+      .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Det.dsum(col("l_quantity"), 2).as("sum_qty"),
+        Det.dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum(discPrice * Det.onePlus(col("l_tax"))).cast("double").as("sum_charge"),
+        Det.davg(col("l_quantity"), 2).as("avg_qty"),
+        Det.davg(col("l_extendedprice"), 2).as("avg_price"),
+        Det.davg(col("l_discount"), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Exact distinct aggregation — Catalyst expands to a two-phase
+    * distinct-then-count; the shuffle key is (group, distinct value). */
+  def countDistinctCustomers(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_custs"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  /** HLL-sketch distinct — constant memory per group regardless of
+    * cardinality; the 100 TB answer when exactness isn't required.
+    * Oracle-exempt (sketch ≠ exact); ScalaTest gates it within 5%. */
+  def approxDistinctCustomers(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderpriority"))
+      .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_custs"))
+      .orderBy("o_orderpriority")
+
+  private def custGeo(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+
+  /** ROLLUP region → nation: hierarchy totals in one pass (Expand + single
+    * shuffle, not three separate aggs). */
+  def rollupRegionNation(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    custGeo(customer, nation, region)
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_custs"),
+        Det.dsum(col("c_acctbal"), 2).as("sum_bal"),
+        grouping(col("r_name")).cast("long").as("g_r"),
+        grouping(col("n_name")).cast("long").as("g_n"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+
+  /** CUBE over two independent dims. */
+  def cubeSegmentPriority(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Det.dsum(col("o_totalprice"), 2).as("sum_price"),
+        grouping(col("c_mktsegment")).cast("long").as("g_seg"),
+        grouping(col("o_orderpriority")).cast("long").as("g_pri"))
+      .orderBy(col("c_mktsegment").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Explicit GROUPING SETS: (region), (nation), (grand total). */
+  def groupingSetsGeo(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    custGeo(customer, nation, region)
+      .groupingSets(
+        Seq(Seq(col("r_name")), Seq(col("n_name")), Seq.empty[org.apache.spark.sql.Column]),
+        col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_custs"),
+        Det.dsum(col("c_acctbal"), 2).as("sum_bal"),
+        grouping(col("r_name")).cast("long").as("g_r"),
+        grouping(col("n_name")).cast("long").as("g_n"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+}

@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Determinism helpers for cross-engine (Spark vs DuckDB oracle) and
+  * cross-run (shuffle-order) reproducibility of floating-point aggregates.
+  *
+  * A `sum(double)` depends on partial-aggregation order, which varies with
+  * task scheduling — the same query can hash differently run to run, let
+  * alone engine to engine. Casting each input to a fixed-scale DECIMAL
+  * first makes the sum exact and associative, hence order-independent; the
+  * final cast back to double is then a single deterministic conversion that
+  * both engines perform identically on the same exact decimal.
+  */
+object Det {
+
+  /** Order-independent sum of a double column: exact decimal accumulation,
+    * emitted as double. Mirror in SQL:
+    * `CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)`. */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  /** Order-independent mean: exact decimal sum divided by count, both sides
+    * double/bigint division — identical IEEE result in Spark and DuckDB.
+    * Mirror: `CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE) / COUNT(x)`. */
+  def davg(c: Column, scale: Int = 4): Column =
+    dsum(c, scale) / count(c)
+
+  /** TPC-H price inputs lifted to exact decimals so products like
+    * `price * (1 - discount) * (1 + tax)` are computed in decimal
+    * arithmetic, never rounded from a double — a double→decimal cast of
+    * the product rounds per-row and the two engines can disagree on ties.
+    * Mirror: `CAST(x AS DECIMAL(12,2))` / `CAST(x AS DECIMAL(3,2))`. */
+  def price(c: Column): Column = c.cast("decimal(12,2)")
+  def oneMinus(c: Column): Column = lit(1).cast("decimal(3,2)") - c.cast("decimal(3,2)")
+  def onePlus(c: Column): Column = lit(1).cast("decimal(3,2)") + c.cast("decimal(3,2)")
+}

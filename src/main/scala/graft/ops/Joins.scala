@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators. Strategy notes for 100 TB scale are on each method:
+  * broadcast for dims, sort-merge for fact-fact, semi/anti instead of
+  * DISTINCT-after-join, bounded build sides for non-equi joins.
+  */
+object Joins {
+
+  /** Small-dim equi-join: `broadcast()` pins BroadcastHashJoin so the
+    * 5-row region dim never shuffles the fact side. At cluster scale the
+    * dim is shipped once per executor, zero shuffle. */
+  def broadcastDim(nation: DataFrame, region: DataFrame): DataFrame =
+    nation
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy("n_nationkey")
+
+  /** Large-large equi-join: sort-merge hint — at 100 TB both sides exceed
+    * any broadcast threshold; SMJ shuffles both on the join key and
+    * streams. (AQE may still convert to shuffled-hash if one side is
+    * small at runtime; the hint documents intent at scale.) */
+  def sortMerge(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.hint("merge")
+      .join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
+      .select(col("o_orderkey"), col("l_linenumber"), col("o_totalprice"), col("l_extendedprice"))
+      .orderBy("o_orderkey", "l_linenumber")
+
+  /** 4-way star join: facts join on keys, dims broadcast; Catalyst's
+    * ReorderJoin + AQE pick the schedule. Revenue uses exact decimal
+    * accumulation (Det.dsum) so the shuffle order can't change the hash. */
+  def multiwayStar(customer: DataFrame, orders: DataFrame,
+                   lineitem: DataFrame, nation: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(Det.price(col("l_extendedprice")) * Det.oneMinus(col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("n_name")
+
+  /** EXISTS: left-semi join — no row multiplication, no post-join
+    * DISTINCT, the probe side short-circuits on first match. */
+  def leftSemi(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** NOT EXISTS: left-anti join — exactly the reference's delete-detection
+    * predicate (syncquill.py:101-107 deletes BQ rows absent from the
+    * sheet), set-based instead of one DML round-trip per row. */
+  def leftAnti(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** Full outer join on key — the backbone of the keyed snapshot diff
+    * (SURVEY §2C diff_keyed). Two key-derived subsets of customer stand in
+    * for old/new snapshots so both null sides are exercised. */
+  def fullOuter(customer: DataFrame): DataFrame = {
+    val old = customer.filter(col("c_custkey") % 10 =!= 3)
+      .select(col("c_custkey").as("o_key"), col("c_acctbal").as("o_bal"))
+    val neu = customer.filter(col("c_custkey") % 7 =!= 2)
+      .select(col("c_custkey").as("n_key"), col("c_acctbal").as("n_bal"))
+    old.join(neu, col("o_key") === col("n_key"), "full_outer")
+      .select(
+        coalesce(col("o_key"), col("n_key")).as("slno"),
+        col("o_key").isNotNull.cast("long").as("in_old"),
+        col("n_key").isNotNull.cast("long").as("in_new"))
+      .orderBy("slno")
+  }
+
+  /** Non-equi (theta/range) join: signup events paired with purchases in a
+    * value band. The build side is bounded by a deterministic key sample
+    * (event_id % 20 = 0) and broadcast — at 100 TB you never nested-loop
+    * two unbounded sides; you bound and broadcast one, or band-bucket both
+    * (join on floor(value/band) ± 1) to recover an equi-join. */
+  def thetaRange(events: DataFrame): DataFrame = {
+    val signups = events
+      .filter(col("event_type") === "signup" && col("event_id") % 20 === 0)
+      .select(col("event_id").as("s_id"), col("value").as("s_value"))
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("value").as("p_value"))
+    broadcast(signups)
+      .join(purchases, col("p_value").between(col("s_value") - 0.5, col("s_value") + 0.5))
+      .groupBy(col("s_id"))
+      .agg(count(lit(1)).as("n_near"), min(col("p_id")).as("first_p"))
+      .orderBy("s_id")
+  }
+
+  /** As-of join: for each event, the latest order (keyed user_id =
+    * o_custkey) with o_orderdate at-or-before the event timestamp.
+    * Spark has no native ASOF; the scalable formulation is an equi-join on
+    * the key (hash-partitioned, no replication) + inequality filter +
+    * per-event row_number to keep the latest. At 100 TB with heavy keys,
+    * the refinement is range-bucketing the time axis; for dimension-sized
+    * right sides, broadcast. */
+  def asOf(events: DataFrame, orders: DataFrame): DataFrame = {
+    val e = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = orders.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val joined = e.join(o,
+      col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"),
+      "left")
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("ts_s"),
+        col("o_orderkey"), col("o_orderdate"))
+      .orderBy("event_id")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, MapType, StringType}
+
+/** Scalar function families — all codegen'd built-ins (no UDFs in the hot
+  * path). One representative query per family; each stays inside
+  * WholeStageCodegen so the function cost is a per-row register op, not a
+  * virtual call.
+  */
+object ScalarFns {
+
+  /** String family on `part`. */
+  def stringFns(part: DataFrame): DataFrame =
+    part.select(
+      col("p_partkey"),
+      upper(col("p_name")).as("name_upper"),
+      lower(col("p_brand")).as("brand_lower"),
+      trim(concat(lit("  "), col("p_type"), lit("  "))).as("type_trim"),
+      substring(col("p_type"), 1, 5).as("type_pfx"),
+      concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+      length(col("p_name")).cast("long").as("name_len"),
+      regexp_replace(col("p_name"), "a", "@").as("name_repl"),
+      lpad(col("p_partkey").cast("string"), 8, "0").as("key_pad"),
+      col("p_type").like("%BRASS%").cast("long").as("is_brass"),
+      regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"))
+      .orderBy("p_partkey")
+
+  /** Date/time family on `orders`. */
+  def dateFns(orders: DataFrame): DataFrame =
+    orders.select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("y"),
+      month(col("o_orderdate")).cast("long").as("m"),
+      dayofmonth(col("o_orderdate")).cast("long").as("d"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+      datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).cast("long").as("days_to_2002"),
+      add_months(col("o_orderdate").cast("date"), 2).as("plus_2m"),
+      unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy("o_orderkey")
+
+  /** Math family on `part` (round on exact decimal, not raw double — the
+    * two engines disagree on double tie-breaking). */
+  def mathFns(part: DataFrame): DataFrame =
+    part.select(
+      col("p_partkey"),
+      round(col("p_retailprice").cast("decimal(18,2)"), 1).cast("double").as("price_r1"),
+      floor(col("p_retailprice")).as("price_floor"),
+      ceil(col("p_retailprice")).as("price_ceil"),
+      abs(col("p_size") - 25).cast("long").as("size_dev"),
+      pow(col("p_size").cast("double"), 2.0).as("size_sq"),
+      sqrt(col("p_size").cast("double")).as("size_sqrt"),
+      pmod(col("p_partkey"), lit(7)).as("key_mod7"),
+      signum((col("p_size") - 25).cast("double")).cast("long").as("size_sign"))
+      .orderBy("p_partkey")
+
+  /** Array family incl. higher-order functions on `embeddings`. Floats are
+    * widened to double before arithmetic; the fold is sequential in array
+    * order on both engines. */
+  def arrayFns(embeddings: DataFrame): DataFrame = {
+    val e = col("embedding")
+    embeddings.select(
+      col("vec_id"),
+      size(e).cast("long").as("dim"),
+      element_at(e, 1).cast("double").as("first_elem"),
+      size(filter(e, x => x > lit(0.0f))).cast("long").as("n_pos"),
+      round(aggregate(e, lit(0.0), (acc, x) => acc + x.cast("double")), 5).as("sum_all"),
+      array_max(e).cast("double").as("max_elem"),
+      array_min(e).cast("double").as("min_elem"),
+      element_at(sort_array(e, asc = false), 2).cast("double").as("second_largest"))
+      .orderBy("vec_id")
+  }
+
+  /** JSON/map family on `events.props`. */
+  def mapJsonFns(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+      size(from_json(col("props"), MapType(StringType, LongType))).cast("long").as("n_keys"),
+      element_at(map_keys(from_json(col("props"), MapType(StringType, LongType))), 1).as("first_key"))
+      .orderBy("event_id")
+}

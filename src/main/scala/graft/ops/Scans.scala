@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Source-scan and ingest-validation operators.
+  *
+  * Reference behaviors re-expressed Spark-first:
+  *  - syncquill.py:38-52 (`bigquery_data`): `SELECT *` + full driver
+  *    materialization → here a lazy columnar parquet scan with projection
+  *    pushed down (R3/R4).
+  *  - syncquill.py:60-76 (`google_sheets_data`): all-string sheet snapshot,
+  *    header row = schema → header CSV read with an explicit all-string
+  *    schema (R1).
+  *  - syncquill.py:54-58, 67-74: fail-fast validation — reject rows with a
+  *    missing key or any empty cell, reporting the first offending column
+  *    (R2). The reference exits on the FIRST bad row; a distributed engine
+  *    returns the full set of violations instead (strictly more useful,
+  *    same accept/reject decision).
+  */
+object Scans {
+
+  /** R3/R4: projection over a columnar scan. Column pruning reaches the
+    * parquet reader (see ReadSchema in explain). */
+  def scanParquet(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** R1: sheet-snapshot ingest. Round-trips `nation` through a header CSV
+    * (the stand-in for the Sheets API snapshot) and reads it back with an
+    * explicit all-`StringType` schema — the reference's "every cell is a
+    * string" domain (syncquill.py:110-111). Deterministic output order via
+    * the numeric key. */
+  def scanCsvAllString(spark: SparkSession, nation: DataFrame): DataFrame = {
+    val dir = sys.props("java.io.tmpdir") + "/graft_csv_nation"
+    val asString = nation.select(nation.columns.map(c => col(c).cast("string").as(c)).toIndexedSeq: _*)
+    asString.coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+    val schema = StructType(nation.columns.map(c => StructField(c, StringType)))
+    spark.read.option("header", "true").schema(schema).csv(dir)
+      .orderBy(col("n_nationkey").cast("int"))
+  }
+
+  /** R2: fail-fast validation over a deterministically dirtied snapshot of
+    * `customer` (the clean test tables have no violations, so we inject
+    * them with key-derived CASEs — same derivation in the oracle SQL).
+    * Emits offending rows plus the first bad column, like
+    * `get_empty_cell_name` (syncquill.py:54-58). */
+  def validateReject(customer: DataFrame): DataFrame = {
+    val dirty = customer.select(
+      when(col("c_custkey") % 101 === 7, lit(null)).otherwise(col("c_custkey")).as("slno"),
+      when(col("c_custkey") % 97 === 3, lit("")).otherwise(col("c_name")).as("name"),
+      col("c_mktsegment").as("segment"))
+    dirty
+      .filter(col("slno").isNull || col("name") === "" || col("segment") === "")
+      .withColumn("bad_col",
+        when(col("slno").isNull, lit("slno"))
+          .when(col("name") === "", lit("name"))
+          .otherwise(lit("segment")))
+      .orderBy(coalesce(col("slno"), lit(-1L)), col("name"))
+  }
+
+  /** R6: canonicalize every column to string before snapshot comparison
+    * (syncquill.py:112-113 stringifies both sides). */
+  def projectCastString(nation: DataFrame): DataFrame =
+    nation
+      .select(nation.columns.map(c => col(c).cast("string").as(c)).toIndexedSeq: _*)
+      .orderBy(col("n_nationkey").cast("int"))
+
+  /** Core predicate surface: conjunction/disjunction, BETWEEN, IN, LIKE,
+    * NULL tests — all pushed down to the parquet scan where possible. */
+  def filterPred(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(
+        col("l_shipdate").between(lit("1996-01-01").cast("timestamp"), lit("1998-12-31").cast("timestamp")) &&
+        col("l_returnflag").isin("A", "R") &&
+        col("l_quantity").between(5.0, 24.0) &&
+        (col("l_linestatus") === "F" || col("l_tax") < 0.05) &&
+        col("l_orderkey").isNotNull)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+}

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sorts, limits, top-k and set operations.
+  *
+  * The reference's only ordering is a client-side full sort of the BQ
+  * snapshot (syncquill.py:46); here sorts are distributed range-partitioned
+  * sorts, and sort+limit collapses to TakeOrderedAndProject (per-partition
+  * top-k, then k-way merge on the driver — no global sort at all).
+  * Its row-level add/delete detection (syncquill.py:117-123) is the EXCEPT
+  * family re-expressed set-based.
+  */
+object SetSort {
+
+  /** Multi-key sort with explicit null ordering (R5 generalized). Nulls
+    * are injected deterministically — the clean data has none. */
+  def multiKeySort(customer: DataFrame): DataFrame =
+    customer
+      .select(
+        when(col("c_custkey") % 13 === 0, lit(null)).otherwise(col("c_mktsegment")).as("segment"),
+        col("c_acctbal"), col("c_custkey"))
+      .orderBy(col("segment").asc_nulls_first, col("c_acctbal").desc, col("c_custkey").asc)
+
+  /** Global top-k: planner emits TakeOrderedAndProject — each partition
+    * keeps k rows, driver merges. O(k) memory regardless of input size. */
+  def topK(orders: DataFrame, k: Int = 100): DataFrame =
+    orders
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(k)
+
+  private def buildingCusts(customer: DataFrame): DataFrame =
+    customer.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+  private def urgentCusts(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("k"))
+
+  /** UNION (distinct). */
+  def unionDistinct(customer: DataFrame, orders: DataFrame): DataFrame =
+    buildingCusts(customer).union(urgentCusts(orders)).distinct().orderBy("k")
+
+  /** INTERSECT. */
+  def intersectKeys(customer: DataFrame, orders: DataFrame): DataFrame =
+    buildingCusts(customer).intersect(urgentCusts(orders)).orderBy("k")
+
+  /** EXCEPT — the set-based primitive behind row-level snapshot diff. */
+  def exceptKeys(customer: DataFrame, orders: DataFrame): DataFrame =
+    buildingCusts(customer).except(urgentCusts(orders)).orderBy("k")
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function operators. One shuffle on the partition key, then a
+  * per-partition sort; running aggregates use exact decimal accumulation so
+  * the emitted doubles don't depend on the engine's internal frame
+  * evaluation strategy (Spark accumulates incrementally, DuckDB uses
+  * segment trees — only exact arithmetic hashes identically on both).
+  */
+object Windows {
+
+  /** Top-3 orders per customer: row_number/rank/dense_rank with a total
+    * order (price desc, key asc tiebreak). At scale this is the
+    * shuffle-once top-k; for tiny k per huge partition count, AQE handles
+    * skew, or pre-aggregate with a partial top-k per map task. */
+  def rankTopK(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rnk", "drnk")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** lag/lead of event value per user. Window order is the unique
+    * event_id (monotone with ts in the generator) — ordering by a unique
+    * integer sidesteps ns-vs-µs timestamp truncation differences. */
+  def lagLead(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    events
+      .select(
+        col("user_id"), col("event_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Running total per customer with an explicit ROWS frame. */
+  def runningFrame(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").as("running_total"),
+        count(lit(1)).over(w).as("running_n"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** RANGE frame over a numeric ordering key: for each event, aggregate
+    * over all same-type events within [value-10, value]. The 2-decimal
+    * double is lifted to exact integer cents (decimal round, then bigint)
+    * so the RANGE boundary is integral and identical across engines. */
+  def rangeFrame(events: DataFrame): DataFrame = {
+    val cents = (col("value") * 100).cast("decimal(18,0)").cast("bigint")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value_cents"))
+      .rangeBetween(-1000L, Window.currentRow)
+    events
+      .withColumn("value_cents", cents)
+      .select(
+        col("event_type"), col("event_id"), col("value_cents"),
+        count(lit(1)).over(w).as("n_in_band"),
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("sum_in_band"))
+      .orderBy("event_type", "event_id")
+  }
+
+  /** ntile quartiles of customer balance (unique tiebreak key ⇒
+    * deterministic bucket edges). */
+  def ntileQuartiles(customer: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    customer
+      .select(
+        col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("c_custkey")
+  }
+}

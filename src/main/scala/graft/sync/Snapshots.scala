@@ -1,0 +1,88 @@
+package graft.sync
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic old/new snapshot fixtures derived from `customer`.
+  *
+  * The harness has no second copy of any table, so the "sheet" and "BQ"
+  * sides of the sync are derived from `customer` with key-driven
+  * perturbations (updates, deletes, inserts), in the reference's string
+  * value domain (syncquill.py:110-113: everything compared as str; numeric
+  * cells via fixed-scale decimal so both engines render identical text).
+  * The same derivations are mirrored verbatim in the oracle SQL.
+  */
+object Snapshots {
+
+  /** Canonical string-domain snapshot: (slno, name, acctbal, segment). */
+  def oldSnapshot(customer: DataFrame): DataFrame =
+    customer
+      .filter(col("c_custkey") % 50 =!= 49)
+      .select(
+        col("c_custkey").as("slno"),
+        col("c_name").as("name"),
+        col("c_acctbal").cast("decimal(18,2)").cast("string").as("acctbal"),
+        col("c_mktsegment").as("segment"))
+
+  /** Perturbed snapshot: drops keys ≡0 (mod 43), bumps acctbal for keys
+    * ≡0 (mod 7), rewrites segment for keys ≡0 (mod 11). Keys dropped from
+    * the OLD side (≡49 mod 50) reappear here → inserts. */
+  def newSnapshot(customer: DataFrame): DataFrame =
+    customer
+      .filter(col("c_custkey") % 43 =!= 0)
+      .select(
+        col("c_custkey").as("slno"),
+        col("c_name").as("name"),
+        (col("c_acctbal") + when(col("c_custkey") % 7 === 0, 100.0).otherwise(0.0))
+          .cast("decimal(18,2)").cast("string").as("acctbal"),
+        when(col("c_custkey") % 11 === 0, lit("CHANGED"))
+          .otherwise(col("c_mktsegment")).as("segment"))
+
+  /** Positional "sheet" side: mid-snapshot drops (≡55 mod 100) plus the
+    * same cell perturbations — exercises the reference's cascading
+    * positional mis-diff and the del_row tail. */
+  def sheetSnapshot(customer: DataFrame): DataFrame =
+    customer
+      .filter(col("c_custkey") % 100 =!= 55)
+      .select(
+        col("c_custkey").as("slno"),
+        col("c_name").as("name"),
+        (col("c_acctbal") + when(col("c_custkey") % 7 === 0, 100.0).otherwise(0.0))
+          .cast("decimal(18,2)").cast("string").as("acctbal"),
+        when(col("c_custkey") % 11 === 0, lit("CHANGED"))
+          .otherwise(col("c_mktsegment")).as("segment"))
+
+  /** Full (undropped) string-domain snapshot — positional list1 / BQ side. */
+  def bqSnapshot(customer: DataFrame): DataFrame =
+    customer.select(
+      col("c_custkey").as("slno"),
+      col("c_name").as("name"),
+      col("c_acctbal").cast("decimal(18,2)").cast("string").as("acctbal"),
+      col("c_mktsegment").as("segment"))
+
+  /** Shared oracle-SQL CTE bodies (DuckDB dialect) mirroring the above —
+    * single source of truth for every diff-family oracle. */
+  val oldSql: String =
+    """SELECT c_custkey AS slno, c_name AS name,
+      | CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS acctbal,
+      | c_mktsegment AS segment
+      |FROM customer WHERE c_custkey % 50 <> 49""".stripMargin
+
+  val newSql: String =
+    """SELECT c_custkey AS slno, c_name AS name,
+      | CAST(CAST(c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0.0 END AS DECIMAL(18,2)) AS VARCHAR) AS acctbal,
+      | CASE WHEN c_custkey % 11 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS segment
+      |FROM customer WHERE c_custkey % 43 <> 0""".stripMargin
+
+  val sheetSql: String =
+    """SELECT c_custkey AS slno, c_name AS name,
+      | CAST(CAST(c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0.0 END AS DECIMAL(18,2)) AS VARCHAR) AS acctbal,
+      | CASE WHEN c_custkey % 11 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS segment
+      |FROM customer WHERE c_custkey % 100 <> 55""".stripMargin
+
+  val bqSql: String =
+    """SELECT c_custkey AS slno, c_name AS name,
+      | CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS acctbal,
+      | c_mktsegment AS segment
+      |FROM customer""".stripMargin
+}

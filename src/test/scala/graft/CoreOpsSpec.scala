@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Per-operator sanity gates on sf0.001. The primary correctness gate is
+  * the driver's DuckDB hash-compare (tools/check.py locally); these specs
+  * pin the invariants the oracle can't express — sketch accuracy, plan
+  * shape, and smoke over every registered query.
+  */
+class CoreOpsSpec extends SparkSpec {
+
+  test("entry returns rows (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query runs and yields a stable schema") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      assert(df.count() >= 0, s"$name failed to execute")
+    }
+  }
+
+  test("every oracleSql key has a matching query") {
+    val qs = SparkEntry.queries.keySet
+    val missing = SparkEntry.oracleSql.keySet -- qs
+    assert(missing.isEmpty, s"oracleSql without query: $missing")
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val exact = ops.Aggregates.countDistinctCustomers(Tables.orders(spark, sfDir))
+      .select(col("o_orderpriority"), col("n_custs")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = ops.Aggregates.approxDistinctCustomers(Tables.orders(spark, sfDir))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex <= 0.05, s"$k: approx=$ap exact=$ex")
+    }
+  }
+
+  test("broadcast join plans a BroadcastHashJoin, no shuffle of the fact side") {
+    val plan = ops.Joins.broadcastDim(Tables.nation(spark, sfDir), Tables.region(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("sort+limit top-k plans TakeOrderedAndProject (no global sort)") {
+    val plan = ops.SetSort.topK(Tables.orders(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("parquet scan prunes columns (ReadSchema only requested cols)") {
+    val plan = ops.Scans.scanParquet(Tables.lineitem(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("l_orderkey") && !plan.contains("l_comment"), plan)
+  }
+
+  test("filter pushes predicates into the parquet scan") {
+    val plan = ops.Scans.filterPred(Tables.lineitem(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("IsNotNull"), plan)
+  }
+}
