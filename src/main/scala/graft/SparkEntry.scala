@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops._
 import graft.sync.{SnapshotDiff, Snapshots}
+import graft.llm.{Corpus, Dedup, Similarity, TextAnalysis}
+import graft.multimodal.Multimodal
 
 /** Driver contract — query registry + DuckDB oracle SQL.
   *
@@ -88,7 +90,30 @@ object SparkEntry {
         .groupBy(col("op"), col("col"))
         .agg(count(lit(1)).as("n"))
         .orderBy("op", "col")
-    })
+    }),
+    // --- LLM-pipeline: dedup ---
+    "dedup_exact" -> ((s, d) => Dedup.exact(Corpus.docCorpus(Tables.documents(s, d)))),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Corpus.docCorpus(Tables.documents(s, d)))),
+    "dedup_near_minhash" -> ((s, d) => Dedup.minhashCandidates(Corpus.docCorpus(Tables.documents(s, d)))),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(Corpus.docCorpus(Tables.documents(s, d)))),
+    "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(Corpus.vecCorpus(Tables.embeddings(s, d)))),
+    // --- LLM-pipeline: similarity search ---
+    "sim_cosine_pairs" -> ((s, d) => Similarity.cosinePairs(Tables.embeddings(s, d))),
+    "sim_topk_search" -> ((s, d) => Similarity.topkSearch(Tables.embeddings(s, d))),
+    "sim_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
+    // --- LLM-pipeline: text analysis ---
+    "text_tokenize_wordcount" -> ((s, d) => TextAnalysis.tokenizeWordcount(Tables.documents(s, d))),
+    "text_ngrams" -> ((s, d) => TextAnalysis.ngramCounts(Tables.documents(s, d))),
+    "text_stats_by_lang" -> ((s, d) => TextAnalysis.statsByLang(Tables.documents(s, d))),
+    "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(Tables.documents(s, d))),
+    "text_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "text_token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    // --- LLM-pipeline: multimodal ---
+    "mm_binary_meta" -> ((s, d) => Multimodal.binaryMeta(Tables.documents(s, d))),
+    "mm_decode_stub" -> ((s, d) => { implicit val sp: SparkSession = s
+      Multimodal.decodeSummary(Tables.documents(s, d)) })
   )
 
   // ---------------------------------------------------------------- oracle
@@ -360,6 +385,102 @@ object SparkEntry {
     "diff_apply_merge" ->
       s"""SELECT * FROM (${Snapshots.newSql}) t ORDER BY slno""",
     "agg_changeset_summary" ->
-      s"""SELECT op, col, COUNT(*) AS n FROM ($diffKeyedBody) t GROUP BY op, col ORDER BY op, col"""
+      s"""SELECT op, col, COUNT(*) AS n FROM ($diffKeyedBody) t GROUP BY op, col ORDER BY op, col""",
+    "dedup_exact" ->
+      s"""WITH corpus AS (${Corpus.docCorpusSql})
+         |SELECT doc_id, n_copies, n_chars FROM (
+         | SELECT doc_id, n_chars,
+         |  row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn,
+         |  count(*) OVER (PARTITION BY text) AS n_copies
+         | FROM corpus) t
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH corpus AS (${Corpus.docCorpusSql}),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(string_split(text,' '))-2),
+         |  i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])) AS shs
+         | FROM corpus),
+         |ex AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM sh),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n, count(*) AS inter
+         | FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2,3,4)
+         |SELECT a_id, b_id, round(CAST(inter AS DOUBLE)/(a_n + b_n - inter), 4) AS jaccard
+         |FROM p WHERE round(CAST(inter AS DOUBLE)/(a_n + b_n - inter), 4) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_embedding_cosine" ->
+      s"""WITH vc AS (${Corpus.vecCorpusSql})
+         |SELECT a_id, b_id, cos FROM (
+         | SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  round(list_dot_product(a.v,b.v)/(sqrt(list_dot_product(a.v,a.v))*sqrt(list_dot_product(b.v,b.v))), 4) + 0.0 AS cos
+         | FROM vc a JOIN vc b ON a.vec_id < b.vec_id) t
+         |WHERE cos >= 0.99 ORDER BY a_id, b_id""".stripMargin,
+    "sim_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id < 50)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        | round(list_dot_product(a.v,b.v)/(sqrt(list_dot_product(a.v,a.v))*sqrt(list_dot_product(b.v,b.v))), 4) + 0.0 AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id ORDER BY a_id, b_id""".stripMargin,
+    "sim_topk_search" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT v AS q_v FROM e WHERE vec_id = 0)
+        |SELECT vec_id, round(list_dot_product(e.v,q.q_v)/(sqrt(list_dot_product(e.v,e.v))*sqrt(list_dot_product(q.q_v,q.q_v))), 4) + 0.0 AS cos
+        |FROM e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "text_tokenize_wordcount" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents) t
+        |GROUP BY word ORDER BY n DESC, word ASC LIMIT 100""".stripMargin,
+    "text_ngrams" ->
+      """WITH tok AS (SELECT string_split(text,' ') AS t FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(len(t)-1), i -> t[i+1] || ' ' || t[i+2])) AS ngram FROM tok)
+        |SELECT ngram, count(*) AS n FROM bg GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 100""".stripMargin,
+    "text_stats_by_lang" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(SUM(n_chars) AS DOUBLE)/count(n_chars) AS avg_chars,
+        | count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_tfidf" ->
+      """WITH tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents) t GROUP BY 1,2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |r AS (SELECT doc_id, tf.term AS term, tf, df,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, tf.term ASC) AS BIGINT) AS rn
+        | FROM tf JOIN df USING(term))
+        |SELECT doc_id, term, tf, df,
+        | round(tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)/df), 4) AS score, rn
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "text_langid" ->
+      """WITH s AS (SELECT doc_id, lang AS lang_declared,
+        | round(CAST(len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und'))) AS DOUBLE)/len(string_split(text,' ')), 4) AS score_de,
+        | round(CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','is'))) AS DOUBLE)/len(string_split(text,' ')), 4) AS score_en,
+        | round(CAST(len(list_filter(string_split(text,' '), x -> x IN ('el','los','y','que'))) AS DOUBLE)/len(string_split(text,' ')), 4) AS score_es,
+        | round(CAST(len(list_filter(string_split(text,' '), x -> x IN ('le','la','et','les'))) AS DOUBLE)/len(string_split(text,' ')), 4) AS score_fr
+        | FROM documents)
+        |SELECT doc_id, lang_declared, score_de, score_en, score_es, score_fr,
+        | CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+        |  WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+        |  WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+        |  WHEN score_fr >= score_es THEN 'fr'
+        |  ELSE 'es' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tok FROM documents)
+        |SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens,
+        | round(CAST(len(list_distinct(tok)) AS DOUBLE)/len(tok), 4) AS uniq_ratio,
+        | round(least(CAST(len(tok) AS DOUBLE)/100.0, 1.0), 4) AS len_sat,
+        | round(CAST(len(list_filter(tok, x -> x IN ('the','a','of','is'))) AS DOUBLE)/len(tok), 4) AS stop_ratio,
+        | round(CAST(len(list_distinct(tok)) AS DOUBLE)/len(tok)*0.5
+        |   + least(CAST(len(tok) AS DOUBLE)/100.0, 1.0)*0.3
+        |   + (1.0 - CAST(len(list_filter(tok, x -> x IN ('the','a','of','is'))) AS DOUBLE)/len(tok))*0.2, 4) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+        | round(CAST(n_chars AS DOUBLE)/len(string_split(text,' ')), 4) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | md5(text) AS digest,
+        | lower(hex(encode(substring(text, 1, 8)))) AS prefix_hex
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

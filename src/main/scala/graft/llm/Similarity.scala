@@ -1,0 +1,112 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]` widened to
+  * double).
+  *
+  * Brute-force cosine top-k is the correctness baseline: broadcast the
+  * query side, compute cosine per row inside codegen, take a global top-k
+  * (TakeOrderedAndProject — O(k) memory per partition). The scale path is
+  * [[lshTopK]]: sign-random-projection buckets turn the scan into a
+  * bucket-equi-join probing only ~1/2^planes of the data per query
+  * (multiprobe widens recall).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product via HOFs — stays in codegen. Mirror SQL:
+    * `list_dot_product(a, b)`. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity in double arithmetic; mirror SQL:
+    * `list_dot_product(a,b)/(sqrt(list_dot_product(a,a))*sqrt(list_dot_product(b,b)))`. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def doubled(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  /** All-pairs cosine among the first `maxId` vectors, rounded to 4dp
+    * (both engines order by the ROUNDED value so the sort is identical). */
+  def cosinePairs(embeddings: DataFrame, maxId: Long = 50): DataFrame = {
+    val vs = doubled(embeddings).filter(col("vec_id") < maxId)
+    val a = vs.select(col("vec_id").as("a_id"), col("v").as("a_v"))
+    val b = vs.select(col("vec_id").as("b_id"), col("v").as("b_v"))
+    a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), (round(cosine(col("a_v"), col("b_v")), 4) + lit(0.0)).as("cos"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Brute-force top-k nearest neighbours of vector `queryId`. The query
+    * row is a 1-row broadcast; the candidate scan is embarrassingly
+    * parallel; sort+limit collapses to TakeOrderedAndProject. */
+  def topkSearch(embeddings: DataFrame, queryId: Long = 0, k: Int = 10): DataFrame = {
+    val vs = doubled(embeddings)
+    val q = vs.filter(col("vec_id") === queryId).select(col("v").as("q_v"))
+    vs.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), (round(cosine(col("v"), col("q_v")), 4) + lit(0.0)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes via splitmix64 of (plane,
+    * dim) — reproducible across runs/JVMs, no Math.random (SURVEY §7). */
+  private[llm] def hyperplanes(planes: Int, dims: Int): Array[Array[Double]] = {
+    def splitmix64(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(planes, dims) { (p, d) =>
+      val h = splitmix64(p.toLong * 1009L + d)
+      (h.toDouble / Long.MaxValue) // in [-1, 1]
+    }
+  }
+
+  /** Multi-table LSH (sign random projection) approximate top-k: L
+    * independent tables of `planes` hyperplanes each; bucket(t, v) = sign
+    * bits of dot(v, plane_{t,p}); candidates = union over tables of the
+    * query's bucket plus its Hamming-1 neighbours; exact cosine re-rank of
+    * the candidate set. At scale each (table, bucket) is a partition key —
+    * a query touches ~L·(planes+1)/2^planes of the data instead of all of
+    * it, and raising `planes` shrinks that fraction geometrically while
+    * extra tables buy recall back. Hash-derived buckets → oracle-exempt;
+    * LlmOpsSpec gates recall vs brute force. */
+  def lshTopK(embeddings: DataFrame, queryId: Long = 0, k: Int = 10,
+              planes: Int = 4, tables: Int = 3): DataFrame = {
+    val dims = 64
+    val vs = doubled(embeddings)
+
+    def planeDot(v: Column, t: Int, p: Int): Column = {
+      val hp = hyperplanes(tables * planes, dims)(t * planes + p)
+      aggregate(zip_with(v, typedLit(hp.toSeq), (x, w) => x * w), lit(0.0), (acc, x) => acc + x)
+    }
+    def bucketOf(v: Column, t: Int): Column =
+      (0 until planes).map(p => when(planeDot(v, t, p) > 0, 1L << p).otherwise(0L))
+        .reduce(_ + _)
+
+    // long form: one row per (vector, table) with that table's bucket id
+    val bucketed = vs.select(col("vec_id"), col("v"),
+      posexplode(array((0 until tables).map(t => bucketOf(col("v"), t)): _*)))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    val qRow = bucketed.filter(col("vec_id") === queryId)
+      .select(col("v").as("q_v"), col("table"), col("bucket").as("q_bucket"))
+    // multiprobe: per table, the query bucket + flip of each single bit
+    val probes = explode(array(
+      col("q_bucket") +: (0 until planes).map(p =>
+        col("q_bucket").bitwiseXOR(lit(1L << p))): _*))
+    val probed = qRow.select(col("q_v"), col("table"), probes.as("bucket"))
+    bucketed.filter(col("vec_id") =!= queryId)
+      .join(broadcast(probed), Seq("table", "bucket"))
+      .select(col("vec_id"), col("v"), col("q_v")).distinct() // union of candidates across tables
+      .select(col("vec_id"), (round(cosine(col("v"), col("q_v")), 4) + lit(0.0)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+}

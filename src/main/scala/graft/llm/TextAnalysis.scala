@@ -1,0 +1,134 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators: word/ngram frequency, per-language stats,
+  * tf-idf, language-ID heuristic, quality scoring, token counting and
+  * document fingerprinting — the text half of a training-data pipeline.
+  *
+  * Determinism: rankings are over integers (counts, document frequency,
+  * lexicographic tiebreaks), never raw doubles; emitted doubles are
+  * round(·, 4) of IEEE-identical expressions (SURVEY §7).
+  */
+object TextAnalysis {
+
+  /** Word frequency: tokenize → explode → count; top-100 by (count desc,
+    * word). Classic map-side-combinable aggregation — the shuffle carries
+    * one (word, partial count) pair per word per task, not tokens. */
+  def tokenizeWordcount(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(100)
+
+  /** Bigram frequency, top-100. */
+  def ngramCounts(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(TextOps.bigrams(TextOps.tokens(col("text")))).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram").asc)
+      .limit(100)
+
+  /** Per-language document stats (count, avg chars, distinct sources). */
+  def statsByLang(documents: DataFrame): DataFrame =
+    documents
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("n_chars")).cast("double") / count(col("n_chars"))).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+
+  /** tf-idf, top-3 terms per document. Ranking is by the integer triple
+    * (tf desc, df asc, term asc) — equivalent ordering to tf·ln(N/df) for
+    * a fixed N, but immune to cross-engine libm last-bit differences; the
+    * emitted score is round(tf·ln(N/df), 4). */
+  def tfidf(documents: DataFrame): DataFrame = {
+    val n = documents.count() // tiny scalar; at scale pass it in or use a broadcast agg
+    val tf = documents
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(df, "term")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 4).as("score"),
+        col("rn"))
+      .orderBy("doc_id", "rn")
+  }
+
+  private val stop = Map(
+    "en" -> Seq("the", "a", "of", "is"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "es" -> Seq("el", "los", "y", "que"))
+
+  /** Language-ID heuristic: stopword-hit ratio per language, argmax with
+    * fixed tiebreak order (en,de,fr,es), 'und' when nothing matches. A
+    * real pipeline swaps the word lists for char-n-gram profiles — the
+    * operator shape (per-row scoring, no shuffle) is identical. */
+  def langId(documents: DataFrame): DataFrame = {
+    val tok = TextOps.tokens(col("text"))
+    val nTok = size(tok)
+    val scored = documents.select(
+      col("doc_id") +: col("lang").as("lang_declared") +:
+        stop.toSeq.sortBy(_._1).map { case (l, words) =>
+          round(size(filter(tok, t => t.isin(words: _*))).cast("double") / nTok, 4).as(s"score_$l")
+        }: _*)
+    scored.withColumn("lang_pred",
+      when(greatest(col("score_en"), col("score_de"), col("score_fr"), col("score_es")) === 0, "und")
+        .when(col("score_en") >= col("score_de") && col("score_en") >= col("score_fr") && col("score_en") >= col("score_es"), "en")
+        .when(col("score_de") >= col("score_fr") && col("score_de") >= col("score_es"), "de")
+        .when(col("score_fr") >= col("score_es"), "fr")
+        .otherwise("es"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: unique-token ratio, length saturation, stopword
+    * ratio → weighted score. All per-row arithmetic, no shuffle. */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val tok = TextOps.tokens(col("text"))
+    val nTok = size(tok).cast("double")
+    val uniqRatio = size(array_distinct(tok)).cast("double") / nTok
+    val lenSat = least(nTok / lit(100.0), lit(1.0))
+    val stopRatio = size(filter(tok, t => t.isin("the", "a", "of", "is"))).cast("double") / nTok
+    documents.select(
+      col("doc_id"),
+      size(tok).cast("long").as("n_tokens"),
+      round(uniqRatio, 4).as("uniq_ratio"),
+      round(lenSat, 4).as("len_sat"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(uniqRatio * 0.5 + lenSat * 0.3 + (lit(1.0) - stopRatio) * 0.2, 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex token count
+    * (letter runs / digit runs / single punctuation) plus chars-per-token
+    * — the usual "how many tokens is this corpus" pipeline stat. */
+  def tokenCount(documents: DataFrame): DataFrame = {
+    val ws = size(TextOps.tokens(col("text"))).cast("long")
+    val re = regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")
+    documents.select(
+      col("doc_id"), ws.as("ws_tokens"), re.as("re_tokens"),
+      round(col("n_chars").cast("double") / ws, 4).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  /** Rolling polynomial fingerprint over the document's characters:
+    * fp = fold(acc·31 + code(char)) mod 1_000_000_007. Deterministic,
+    * order-sensitive (a true fingerprint, unlike a bag-of-words hash).
+    * Folded inside a HOF — no shuffle. Oracle-exempt (DuckDB 1.0 has no
+    * list fold); gated in TextAnalysisSpec. */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      aggregate(split(col("text"), ""), lit(0L),
+        (acc, ch) => pmod(acc * 31 + ascii(ch), lit(1000000007L))).as("fp"))
+      .orderBy("doc_id")
+}

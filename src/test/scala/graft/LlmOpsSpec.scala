@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Corpus, Dedup, Similarity, TextAnalysis}
+import graft.multimodal.Multimodal
+
+/** Correctness gates for the oracle-exempt LLM-tier operators (hash- and
+  * sketch-based ops DuckDB can't mirror bit-for-bit).
+  */
+class LlmOpsSpec extends SparkSpec {
+
+  private def documents = Tables.documents(spark, sfDir)
+  private def embeddings = Tables.embeddings(spark, sfDir)
+
+  /** The corpus's known duplicate pairs: (id, id+100000) exact copies and
+    * (id, id+200000) near copies. */
+  private def knownPairs(near: Boolean): Set[(Long, Long)] = {
+    val ids = documents.select("doc_id").collect().map(_.getLong(0))
+    if (near) ids.filter(_ % 10 == 5).map(i => (i, i + 200000L)).toSet
+    else ids.filter(_ % 7 == 0).map(i => (i, i + 100000L)).toSet
+  }
+
+  test("minhash candidates include all exact-dup pairs and most near-dup pairs") {
+    val cand = Dedup.minhashCandidates(Corpus.docCorpus(documents))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = knownPairs(near = false)
+    assert((exact -- cand).isEmpty, s"missed exact dups: ${exact -- cand}")
+    val near = knownPairs(near = true)
+    val recall = (near & cand).size.toDouble / near.size
+    assert(recall >= 0.8, s"near-dup recall $recall < 0.8")
+    assert(cand.forall { case (a, b) => a < b }, "unordered or self pairs")
+  }
+
+  test("minhash is deterministic across runs") {
+    val c1 = Dedup.minhashCandidates(Corpus.docCorpus(documents)).collect().toSeq
+    val c2 = Dedup.minhashCandidates(Corpus.docCorpus(documents)).collect().toSeq
+    assert(c1 === c2)
+  }
+
+  test("simhash: near-dups within small hamming distance, random pairs far") {
+    val fp = Dedup.simhash(Corpus.docCorpus(documents))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val near = knownPairs(near = true).toSeq.map { case (a, b) => hamming(fp(a), fp(b)) }
+    val exact = knownPairs(near = false).toSeq.map { case (a, b) => hamming(fp(a), fp(b)) }
+    assert(exact.forall(_ == 0), s"exact dup hamming nonzero: $exact")
+    val avgNear = near.sum.toDouble / near.size
+    // random doc pairs on a 48-bit simhash differ in ~24 bits
+    val ids = fp.keys.filter(_ < 100000).toSeq.sorted.take(40)
+    val rand = (for (a <- ids; b <- ids if a < b) yield hamming(fp(a), fp(b)))
+    val avgRand = rand.sum.toDouble / rand.size
+    assert(avgNear < avgRand / 2, s"near avg $avgNear not << random avg $avgRand")
+  }
+
+  test("lsh top-k achieves recall >= 0.5 vs brute force") {
+    val brute = Similarity.topkSearch(embeddings).collect().map(_.getLong(0)).toSet
+    val approx = Similarity.lshTopK(embeddings).collect().map(_.getLong(0)).toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall >= 0.5, s"LSH recall $recall < 0.5 (brute=$brute approx=$approx)")
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val fp = TextAnalysis.fingerprint(documents).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fp2 = TextAnalysis.fingerprint(documents).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp === fp2)
+    // distinct texts (no dups in raw documents) → fingerprints rarely collide
+    val nDistinct = fp.values.toSet.size
+    assert(nDistinct >= (fp.size * 0.99).toInt, s"too many collisions: $nDistinct/${fp.size}")
+  }
+
+  test("multimodal decode: typed batch pipeline preserves rows and schema") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val items = Multimodal.asMediaItems(documents)
+    val feats = Multimodal.decodeFeatures(items)
+    assert(feats.count() === documents.count())
+    val one = feats.filter(col("doc_id") === 0).collect().head
+    assert(one.feature.length === 8)
+    assert(Set("image", "audio", "video").contains(one.kind))
+    // deterministic stub: same input → same features
+    val again = Multimodal.decodeFeatures(items).filter(col("doc_id") === 0).collect().head
+    assert(one.feature.toSeq === again.feature.toSeq)
+  }
+
+  test("dedup_exact removes exactly the injected duplicates") {
+    val corpus = Corpus.docCorpus(documents)
+    val deduped = Dedup.exact(corpus)
+    val expectDups = knownPairs(near = false).size
+    assert(deduped.count() === corpus.count() - expectDups)
+    // survivors are the min doc_id per text: no survivor in the +100000 range
+    assert(deduped.filter(col("doc_id").between(100000, 199999)).count() === 0)
+  }
+}
