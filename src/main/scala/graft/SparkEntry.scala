@@ -6,6 +6,8 @@ import graft.ops._
 import graft.sync.{SnapshotDiff, Snapshots}
 import graft.llm.{Corpus, Dedup, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
+import graft.streaming.Streams
+import graft.functions.Udfs
 
 /** Driver contract — query registry + DuckDB oracle SQL.
   *
@@ -113,7 +115,15 @@ object SparkEntry {
     // --- LLM-pipeline: multimodal ---
     "mm_binary_meta" -> ((s, d) => Multimodal.binaryMeta(Tables.documents(s, d))),
     "mm_decode_stub" -> ((s, d) => { implicit val sp: SparkSession = s
-      Multimodal.decodeSummary(Tables.documents(s, d)) })
+      Multimodal.decodeSummary(Tables.documents(s, d)) }),
+    // --- streaming (batch-equivalent forms; true streaming in StreamingSpec) ---
+    "stream_tumbling_batch" -> ((s, d) => Streams.tumblingBatch(Tables.events(s, d))),
+    "stream_sliding_batch" -> ((s, d) => Streams.slidingBatch(Tables.events(s, d))),
+    "stream_session_batch" -> ((s, d) => Streams.sessionBatch(Tables.events(s, d))),
+    // --- UDF / UDAF / UDTF surface ---
+    "udf_scalar_norm" -> ((s, d) => Udfs.scalarNorm(s, Tables.part(s, d))),
+    "udaf_typed" -> ((s, d) => Udfs.typedUdaf(s, Tables.customer(s, d))),
+    "udtf_generator" -> ((s, d) => Udfs.tokenGenerator(Tables.documents(s, d)))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -481,6 +491,41 @@ object SparkEntry {
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | md5(text) AS digest,
         | lower(hex(encode(substring(text, 1, 8)))) AS prefix_hex
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "stream_tumbling_batch" ->
+      """SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "stream_sliding_batch" ->
+      """WITH e AS (SELECT *, CAST(to_timestamp(CAST(floor(epoch(ts)/1800)*1800 AS BIGINT)) AS TIMESTAMP) AS b FROM events),
+        |w AS (SELECT event_type, value, unnest([b, b - INTERVAL 30 MINUTE]) AS w_start FROM e)
+        |SELECT w_start, event_type, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "stream_session_batch" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+        |m AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 OR lag(ts_us) OVER w IS NULL
+        |   THEN 1 ELSE 0 END AS new_session
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |s AS (SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM m)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | min(ts_us) AS start_us, max(ts_us) AS end_us,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "udf_scalar_norm" ->
+      """SELECT p_partkey,
+        | nullif(lower(trim('  ' || p_type || '  ')), '') AS norm_udf,
+        | nullif(lower(trim('  ' || p_type || '  ')), '') AS norm_builtin
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "udaf_typed" ->
+      """SELECT c_mktsegment,
+        | CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT) * CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)/10000.0 AS sum_sq_bal,
+        | count(*) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "udtf_generator" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tok FROM documents WHERE doc_id < 50)
+        |SELECT doc_id, CAST(unnest(range(len(tok))) AS BIGINT) AS pos, unnest(tok) AS token
+        |FROM t ORDER BY doc_id, pos""".stripMargin
   )
 }

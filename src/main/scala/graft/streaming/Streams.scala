@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time windowed aggregations, written once against the unified
+  * DataFrame API so the SAME transformation runs in batch (oracle-checked)
+  * and under Structured Streaming (chunk-equivalence-checked in
+  * StreamingSpec with a watermark).
+  *
+  * Scale notes: tumbling/sliding aggs shuffle once on (window, key) with
+  * map-side partial aggregation; state size under streaming is
+  * |open windows × keys| and the watermark bounds "open". The session
+  * window's batch form needs a per-user sort (one shuffle on user_id);
+  * the streaming form uses Spark's native session_window state merging.
+  */
+object Streams {
+
+  /** 1-hour tumbling event-time windows per event_type: count + exact
+    * decimal sum. Works identically on a batch DF or a stream (add
+    * watermark upstream for streaming). */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Batch query wrapper with deterministic order. */
+  def tumblingBatch(events: DataFrame): DataFrame =
+    tumblingAgg(events).orderBy("w_start", "event_type")
+
+  /** 1-hour windows sliding every 30 minutes: each event lands in exactly
+    * two windows. */
+  def slidingBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+
+  /** Batch-equivalent session windows (30-minute gap) per user: lag-gap →
+    * cumulative session id → per-session stats. Timestamp math in integer
+    * microseconds for exact cross-engine parity. */
+  def sessionBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us")
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > gapUs, 1L)
+          .when(lag(col("ts_us"), 1).over(byUser).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Streaming tumbling agg with watermark — late rows beyond `delay` are
+    * dropped and their windows finalized (append mode emits a window only
+    * once its watermark passes). */
+  def streamingTumbling(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    tumblingAgg(events.withWatermark("ts", delay))
+
+  /** Streaming session windows via the native session_window state. */
+  def streamingSessions(events: DataFrame, gap: String = "30 minutes",
+                        delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n_events"))
+
+  /** Streaming dedup within the watermark horizon — the streaming form of
+    * exact dedup (state = keys seen inside the horizon, pruned as the
+    * watermark advances; unbounded-state-free). */
+  def streamingDedup(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+}

@@ -1,0 +1,110 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** True Structured Streaming gates (DuckDB has no streams — SURVEY §5.4):
+  * chunked-equivalence vs the batch form, watermark late-data drop, and
+  * dedup-within-watermark.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def loadEvents(): Seq[Ev] = {
+    Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id")
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+  }
+
+  test("streaming tumbling agg over ordered chunks == batch result") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val evs = loadEvents()
+    val stream = MemoryStream[Ev]
+    val query = Streams.streamingTumbling(stream.toDF())
+      .writeStream.format("memory").queryName("tumb").outputMode("complete").start()
+    try {
+      evs.grouped(math.max(1, evs.size / 5)).foreach { chunk =>
+        stream.addData(chunk); query.processAllAvailable()
+      }
+      val streamed = spark.table("tumb")
+        .select("w_start", "event_type", "n", "sum_value")
+        .orderBy("w_start", "event_type").collect().toSeq
+      val batch = Streams.tumblingBatch(Tables.events(spark, sfDir)).collect().toSeq
+      assert(streamed === batch)
+    } finally query.stop()
+  }
+
+  test("watermark drops events later than the delay") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+    val stream = MemoryStream[Ev]
+    val query = Streams.streamingTumbling(stream.toDF(), delay = "10 minutes")
+      .writeStream.format("memory").queryName("late").outputMode("append").start()
+    try {
+      stream.addData(Ev(1, t(0), 1, "click", 1.0), Ev(2, t(5), 1, "click", 1.0))
+      query.processAllAvailable()
+      // advance watermark far past the 10:00 window
+      stream.addData(Ev(3, t(180), 1, "click", 1.0))
+      query.processAllAvailable()
+      // late arrival into the long-closed 10:00 window → must be dropped
+      stream.addData(Ev(4, t(10), 1, "click", 1.0))
+      query.processAllAvailable()
+      stream.addData(Ev(5, t(360), 1, "click", 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("late")
+        .filter(col("w_start") === Timestamp.valueOf("2024-01-01 10:00:00"))
+        .select("n").collect()
+      assert(rows.length === 1 && rows.head.getLong(0) === 2L,
+        s"late row not dropped: ${rows.mkString}")
+    } finally query.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark emits each event_id once") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:${min}%02d:00")
+    val stream = MemoryStream[Ev]
+    val query = Streams.streamingDedup(stream.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      stream.addData(Ev(1, t(0), 1, "click", 1.0), Ev(2, t(1), 1, "view", 1.0))
+      query.processAllAvailable()
+      stream.addData(Ev(1, t(2), 1, "click", 1.0)) // duplicate id within horizon
+      query.processAllAvailable()
+      val n = spark.table("dedup").count()
+      assert(n === 2, s"expected 2 unique events, got $n")
+    } finally query.stop()
+  }
+
+  test("streaming session windows finalize to the batch lag-gap sessions") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val evs = loadEvents().take(2000)
+    val flushTs = new Timestamp(evs.map(_.ts.getTime).max + 6 * 3600 * 1000L)
+    val stream = MemoryStream[Ev]
+    val query = Streams.streamingSessions(stream.toDF())
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      evs.grouped(700).foreach { c => stream.addData(c); query.processAllAvailable() }
+      stream.addData(Ev(-1, flushTs, 999999L, "flush", 0.0))
+      query.processAllAvailable()
+      val streamed = spark.table("sess")
+        .filter(col("user_id") =!= 999999L)
+        .select(col("user_id"), unix_micros(col("s_start")).as("start_us"), col("n_events"))
+        .orderBy("user_id", "start_us").collect().toSeq
+      import spark.implicits._
+      val batch = Streams.sessionBatch(evs.toDF())
+        .select(col("user_id"), col("start_us"), col("n_events"))
+        .orderBy("user_id", "start_us").collect().toSeq
+      assert(streamed === batch)
+    } finally query.stop()
+  }
+}
