@@ -38,14 +38,25 @@ object Dedup {
   def ngramJaccard(corpus: DataFrame, threshold: Double = 0.5): DataFrame = {
     val withSh = corpus
       .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("shs"))
-      .withColumn("n_sh", size(col("shs")))
-    val ex = withSh.select(col("doc_id"), col("n_sh"), explode(col("shs")).as("sh"))
-    val a = ex.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("sh"))
-    val b = ex.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"), col("sh"))
-    a.join(b, Seq("sh"))
+    // Join on the 8-byte shingle hash, carrying ONLY (doc_id, hash) through
+    // the wide self-join shuffle; per-doc shingle counts re-attach after
+    // the pair aggregation via a broadcast-sized dimension. (64-bit
+    // collisions are ~2^-64 per pair — no effect at any realistic scale.)
+    // cache the compact (doc_id, hash) table: both self-join branches and
+    // the sizes dim reuse it instead of re-reading + re-shingling the
+    // corpus per branch (at scale: materialize the shingle table once)
+    val ex = withSh.select(col("doc_id"), explode(col("shs")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .persist()
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = ex.select(col("doc_id").as("a_id"), col("h"))
+    val b = ex.select(col("doc_id").as("b_id"), col("h"))
+    a.join(b, Seq("h"))
       .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
+      .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"))), "a_id")
+      .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"))), "b_id")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
@@ -61,14 +72,21 @@ object Dedup {
     * (candidates ⊇ exact+near dup pairs, no false self-pairs). */
   def minhashCandidates(corpus: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val numBands = numHashes / rowsPerBand
+    // explode shingles once and take the numHashes mins as MAP-SIDE partial
+    // aggregates — one shuffle of (doc, 16 longs). The nested-HOF
+    // alternative (array_min over transform per hash) gets inlined by
+    // CollapseProject and rebuilds the shingle array per hash function —
+    // O(numHashes) recomputation per row; this form is linear.
     val sig = corpus
-      .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("shs"))
-      .withColumn("sig", transform(sequence(lit(0), lit(numHashes - 1)), i =>
-        array_min(transform(col("shs"), s => xxhash64(i, s)))))
+      .select(col("doc_id"), explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+      .groupBy("doc_id")
+      .agg(min(xxhash64(lit(0), col("sh"))).as("h0"),
+        (1 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i")): _*)
     val banded = sig.select(col("doc_id"),
       posexplode(array((0 until numBands).map(bnd =>
-        xxhash64(slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand))): _*)))
+        xxhash64((bnd * rowsPerBand until (bnd + 1) * rowsPerBand).map(i => col(s"h$i")): _*)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")
+      .persist() // both sides of the bucket self-join reuse the signatures
     val l = banded.select(col("doc_id").as("a_id"), col("band"), col("band_sig"))
     val r = banded.select(col("doc_id").as("b_id"), col("band"), col("band_sig"))
     l.join(r, Seq("band", "band_sig"))
@@ -99,11 +117,14 @@ object Dedup {
     * (cosine ≥ 0.99 rounded to 4dp). All-pairs on the bounded corpus —
     * the scale path is LSH bucketing first. */
   def embeddingCosine(vecCorpus: DataFrame, threshold: Double = 0.99): DataFrame = {
-    val a = vecCorpus.select(col("vec_id").as("a_id"), col("v").as("a_v"))
-    val b = vecCorpus.select(col("vec_id").as("b_id"), col("v").as("b_v"))
+    import graft.functions.VectorExprs.{vecDot, vecNorm}
+    // norms once per vector; codegen'd dot per pair (graft.functions)
+    val withN = vecCorpus.withColumn("nrm", vecNorm(col("v")))
+    val a = withN.select(col("vec_id").as("a_id"), col("v").as("a_v"), col("nrm").as("a_n"))
+    val b = withN.select(col("vec_id").as("b_id"), col("v").as("b_v"), col("nrm").as("b_n"))
     a.crossJoin(b)
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cos", round(Similarity.cosine(col("a_v"), col("b_v")), 4))
+      .withColumn("cos", round(vecDot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")), 4))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), col("cos"))
       .orderBy("a_id", "b_id")

@@ -120,15 +120,15 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Rolling polynomial fingerprint over the document's characters:
-    * fp = fold(acc·31 + code(char)) mod 1_000_000_007. Deterministic,
-    * order-sensitive (a true fingerprint, unlike a bag-of-words hash).
-    * Folded inside a HOF — no shuffle. Oracle-exempt (DuckDB 1.0 has no
-    * list fold); gated in TextAnalysisSpec. */
+  /** Rolling polynomial fingerprint over the document's bytes:
+    * fp = fold(acc·31 + byte) mod 1_000_000_007. Deterministic,
+    * order-sensitive (a true fingerprint, unlike a bag-of-words hash);
+    * compiled single pass (graft.functions.RollingFingerprint), no
+    * shuffle. Oracle-exempt (DuckDB 1.0 has no list fold); gated in
+    * LlmOpsSpec. */
   def fingerprint(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
-      aggregate(split(col("text"), ""), lit(0L),
-        (acc, ch) => pmod(acc * 31 + ascii(ch), lit(1000000007L))).as("fp"))
+      graft.functions.TextExprs.rollingFingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 }

@@ -12,14 +12,14 @@ object TextOps {
   /** Whitespace tokens of the (already lowercase) document text. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word-k-gram shingles ("a b c" strings). Requires
-    * size(tokens) >= k (documents guarantee ~10+ tokens). */
+  /** Distinct word-k-gram shingles ("a b c" strings) — compiled
+    * expression (graft.functions.WordShingles): the HOF
+    * transform/element_at form evaluates interpreted per element and was
+    * the top cost of the Jaccard pipeline at sf0.1. */
   def shingles(tok: Column, k: Int): Column =
-    array_distinct(transform(sequence(lit(0), size(tok) - k), i =>
-      concat_ws(" ", (1 to k).map(j => element_at(tok, i + j)): _*)))
+    graft.functions.TextExprs.wordShingles(tok, k, distinct = true)
 
   /** Adjacent-pair bigrams (non-distinct — frequency-bearing). */
   def bigrams(tok: Column): Column =
-    transform(sequence(lit(0), size(tok) - 2), i =>
-      concat_ws(" ", element_at(tok, i + 1), element_at(tok, i + 2)))
+    graft.functions.TextExprs.wordShingles(tok, 2, distinct = false)
 }

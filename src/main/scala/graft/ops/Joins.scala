@@ -111,15 +111,19 @@ object Joins {
     val joined = e.join(o,
       col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"),
       "left")
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    // "latest" via max(struct(date, key)) — an ASSOCIATIVE aggregate, so
+    // the match set collapses map-side before the shuffle, vs the
+    // row_number-over-window form that materializes and sorts every
+    // (event × qualifying order) pair. Struct comparison (nulls smallest)
+    // gives the same rn=1 row incl. the unmatched-event null case.
     joined
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("event_id"), col("user_id"), col("ts"))
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
       .select(
         col("event_id"), col("user_id"),
         date_trunc("second", col("ts")).as("ts_s"),
-        col("o_orderkey"), col("o_orderdate"))
+        col("best.o_orderkey").as("o_orderkey"),
+        col("best.o_orderdate").as("o_orderdate"))
       .orderBy("event_id")
   }
 }
