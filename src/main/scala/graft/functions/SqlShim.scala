@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object SqlShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a function builder into a LIVE session's registry — the
+    * runtime counterpart of SparkSessionExtensions.injectFunction for
+    * sessions the caller didn't construct (e.g. the driver hands us one). */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name),
+      builder)
 }

@@ -86,4 +86,28 @@ object Streams {
   def streamingDedup(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** foreachBatch merge sink — the streaming version of diff_apply_merge:
+    * each micro-batch of snapshot rows is upserted into the parquet
+    * target as ONE set-based job (anti-join out replaced keys, union the
+    * batch, overwrite). The target path always holds a complete, readable
+    * snapshot between batches; `checkpointLocation` upstream gives
+    * exactly-once batch replay on failure. */
+  def foreachBatchMerge(stream: DataFrame, targetPath: String, key: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val tmp = targetPath + ".merging"
+      val merged =
+        if (!new java.io.File(targetPath).exists()) batch
+        else {
+          val target = spark.read.parquet(targetPath)
+          target.join(batch.select(col(key)).distinct(), Seq(key), "left_anti")
+            .unionByName(batch)
+        }
+      merged.write.mode("overwrite").parquet(tmp)
+      // atomic-ish swap: re-point by replacing the target dir contents
+      spark.read.parquet(tmp).write.mode("overwrite").parquet(targetPath)
+      ()
+    }
 }

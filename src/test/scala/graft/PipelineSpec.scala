@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sync.{PrettyPrint, Snapshots, SnapshotDiff, SyncPipeline}
+import graft.streaming.Streams
+
+case class Snap(slno: Long, name: String, acctbal: String, segment: String,
+                ts: Timestamp)
+
+/** End-to-end pipeline gates: the sync/upsert verbs against real parquet
+  * dirs, the ASCII changeset preview, the SQL extension functions, and
+  * the streaming foreachBatch merge sink.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft_pipe").toString
+
+  test("sync verb: diff + merge apply round-trips the source snapshot") {
+    val dir = tmpDir()
+    val c = Tables.customer(spark, sfDir)
+    val old = Snapshots.oldSnapshot(c)
+    val neu = Snapshots.newSnapshot(c)
+    old.write.mode("overwrite").parquet(s"$dir/target")
+    neu.write.mode("overwrite").parquet(s"$dir/source")
+
+    val r = SyncPipeline.sync(spark, s"$dir/source", s"$dir/target", "slno", preview = false)
+    assert(r.changes > 0 && r.inserts > 0 && r.deletes > 0 && r.updates > 0)
+    val next = spark.read.parquet(s"$dir/target.next")
+    assert(next.exceptAll(neu).count() === 0 && neu.exceptAll(next).count() === 0)
+  }
+
+  test("sync verb: no-op when source == target") {
+    val dir = tmpDir()
+    val old = Snapshots.oldSnapshot(Tables.customer(spark, sfDir))
+    old.write.mode("overwrite").parquet(s"$dir/target")
+    old.write.mode("overwrite").parquet(s"$dir/source")
+    val r = SyncPipeline.sync(spark, s"$dir/source", s"$dir/target", "slno", preview = false)
+    assert(r === SyncPipeline.SyncResult(0, 0, 0, 0))
+  }
+
+  test("upsert verb truncate-loads; validation rejects empty cells") {
+    val dir = tmpDir()
+    val neu = Snapshots.newSnapshot(Tables.customer(spark, sfDir))
+    neu.write.mode("overwrite").parquet(s"$dir/source")
+    SyncPipeline.upsert(spark, s"$dir/source", s"$dir/target", "slno")
+    assert(spark.read.parquet(s"$dir/target").count() === neu.count())
+
+    val dirty = neu.withColumn("segment",
+      when(col("slno") % 5 === 0, lit("")).otherwise(col("segment")))
+    dirty.write.mode("overwrite").parquet(s"$dir/dirty")
+    val e = intercept[IllegalArgumentException] {
+      SyncPipeline.upsert(spark, s"$dir/dirty", s"$dir/target2", "slno")
+    }
+    assert(e.getMessage.contains("validation failed"))
+  }
+
+  test("pretty-print renders the reference-style ASCII changeset table") {
+    val c = Tables.customer(spark, sfDir)
+    val changes = SnapshotDiff.diffKeyed(
+      Snapshots.oldSnapshot(c), Snapshots.newSnapshot(c), "slno")
+    val out = PrettyPrint.render(changes, maxRows = 10)
+    assert(out.contains("| op") && out.contains("slno") && out.startsWith("+-"))
+    assert(out.linesIterator.size >= 5)
+    val empty = PrettyPrint.render(changes.filter(col("op") === "nope"))
+    assert(empty === "No changes.\n")
+  }
+
+  test("GraftExtensions registers vec_dot/vec_norm/word_shingles/rolling_fingerprint in SQL") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       vec_norm(array(3.0d, 4.0d)) AS n,
+        |       word_shingles(array('a','b','c'), 2) AS sh,
+        |       rolling_fingerprint('abc') AS fp""".stripMargin).collect().head
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getDouble(1) === 5.0)
+    assert(r.getSeq[String](2) === Seq("a b", "b c"))
+    assert(r.getLong(3) === (('a' * 31L + 'b') * 31 + 'c') % 1000000007L)
+  }
+
+  test("foreachBatch merge sink upserts each micro-batch into the parquet target") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = tmpDir()
+    val target = s"$dir/merge_target"
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:${min}%02d:00")
+    val stream = MemoryStream[Snap]
+    val query = Streams.foreachBatchMerge(stream.toDF(), target, "slno")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      stream.addData(Snap(1, "a", "1.00", "S1", t(0)), Snap(2, "b", "2.00", "S1", t(1)))
+      query.processAllAvailable()
+      assert(spark.read.parquet(target).count() === 2)
+      // batch 2: update slno=2, insert slno=3
+      stream.addData(Snap(2, "b2", "2.50", "S2", t(2)), Snap(3, "c", "3.00", "S1", t(3)))
+      query.processAllAvailable()
+      val rows = spark.read.parquet(target).orderBy("slno").collect()
+      assert(rows.length === 3)
+      assert(rows(1).getAs[String]("name") === "b2")
+    } finally query.stop()
+  }
+}
