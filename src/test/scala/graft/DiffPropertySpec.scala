@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.sync.SnapshotDiff
+
+/** ScalaCheck algebra of the diff/merge engine on GENERATED snapshots
+  * (SURVEY §5.3): identity, round-trip, positional parity vs the literal
+  * compare_data port, and set-op complementarity. Deterministic seed;
+  * each case runs real (small) Spark jobs.
+  */
+class DiffPropertySpec extends SparkSpec {
+
+  private val cell: Gen[String] = Gen.chooseNum(0, 30).map(i => s"v$i")
+
+  /** Unique-key snapshot: subset of keys 0..25, two value columns. */
+  private val genSnapshot: Gen[Seq[(Long, String, String)]] = for {
+    keys <- Gen.someOf(0L to 25L)
+    vals <- Gen.listOfN(keys.size * 2, cell)
+  } yield keys.toSeq.sorted.zipWithIndex.map { case (k, i) =>
+    (k, vals(2 * i), vals(2 * i + 1))
+  }
+
+  private def check(name: String)(p: Prop): Unit = {
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(12)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L))
+    val res = SCTest.check(params, p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("law: diff(a, a) == empty for arbitrary snapshots") {
+    check("identity")(Prop.forAll(genSnapshot) { rows =>
+      val a = DiffLaws.toSnapshot(spark, rows)
+      SnapshotDiff.diffKeyed(a, a, "slno").count() == 0L
+    })
+  }
+
+  test("law: apply(a, diff(a, b)) == b for arbitrary snapshot pairs") {
+    check("round-trip")(Prop.forAll(genSnapshot, genSnapshot) { (ra, rb) =>
+      val a = DiffLaws.toSnapshot(spark, ra)
+      val b = DiffLaws.toSnapshot(spark, rb)
+      val applied = SnapshotDiff.applyChangeset(a, SnapshotDiff.diffKeyed(a, b, "slno"), "slno")
+      applied.exceptAll(b).count() == 0L && b.exceptAll(applied).count() == 0L
+    })
+  }
+
+  test("law: diffPositional == literal compare_data port") {
+    check("positional parity")(Prop.forAll(genSnapshot, genSnapshot) { (ra, rb) =>
+      val cols = Seq("slno", "va", "vb")
+      val a = DiffLaws.toSnapshot(spark, ra)
+      val b = DiffLaws.toSnapshot(spark, rb)
+      def lists(rows: Seq[(Long, String, String)]): Seq[Seq[String]] =
+        rows.sortBy(_._1).map(r => Seq(r._1.toString, r._2, r._3))
+      val expected = DiffLaws.compareDataRef(lists(ra), lists(rb), cols)
+        .map { case (op, s, c, o, n) => (op, s.toLong, c, Option(o), Option(n)) }.toSet
+      val actual = SnapshotDiff.diffPositional(a, b, "slno").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getString(3),
+          Option(r.getString(4)), Option(r.getString(5)))).toSet
+      actual == expected
+    })
+  }
+
+  test("law: except and intersect partition the left side") {
+    check("set complement")(Prop.forAll(genSnapshot, genSnapshot) { (ra, rb) =>
+      val a = DiffLaws.toSnapshot(spark, ra).select("slno").distinct()
+      val b = DiffLaws.toSnapshot(spark, rb).select("slno").distinct()
+      val ex = a.except(b)
+      val in = a.intersect(b)
+      ex.union(in).distinct().count() == a.count() && ex.intersect(in).count() == 0L
+    })
+  }
+}
