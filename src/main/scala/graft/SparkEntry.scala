@@ -120,6 +120,9 @@ object SparkEntry {
     "stream_tumbling_batch" -> ((s, d) => Streams.tumblingBatch(Tables.events(s, d))),
     "stream_sliding_batch" -> ((s, d) => Streams.slidingBatch(Tables.events(s, d))),
     "stream_session_batch" -> ((s, d) => Streams.sessionBatch(Tables.events(s, d))),
+    // --- scale-path join/agg techniques ---
+    "join_bucketed" -> ((s, d) => ScaleJoins.bucketedJoin(s, Tables.orders(s, d), Tables.lineitem(s, d))),
+    "agg_salted" -> ((s, d) => ScaleJoins.saltedAgg(Tables.lineitem(s, d))),
     // --- UDF / UDAF / UDTF surface ---
     "udf_scalar_norm" -> ((s, d) => Udfs.scalarNorm(s, Tables.part(s, d))),
     "udaf_typed" -> ((s, d) => Udfs.typedUdaf(s, Tables.customer(s, d))),
@@ -513,6 +516,16 @@ object SparkEntry {
         | min(ts_us) AS start_us, max(ts_us) AS end_us,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "join_bucketed" ->
+      """SELECT o_orderkey, count(*) AS n_lines,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "agg_salted" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "udf_scalar_norm" ->
       """SELECT p_partkey,
         | nullif(lower(trim('  ' || p_type || '  ')), '') AS norm_udf,

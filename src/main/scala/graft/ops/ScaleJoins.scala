@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-path join techniques: bucketed co-located joins (pre-shuffled at
+  * write time, zero exchange at read time) and salted joins (manual skew
+  * spreading when one key dominates). Both produce results identical to
+  * the plain join — the oracle checks that — while the plan audits check
+  * the shuffle structure.
+  */
+object ScaleJoins {
+
+  /** Write both sides bucketed by the join key into the session warehouse
+    * (idempotent per session). At 100 TB this is done once at ingest:
+    * every later equi-join/aggregation on the bucket key skips its
+    * exchange entirely. */
+  def ensureBucketed(spark: SparkSession, orders: DataFrame, lineitem: DataFrame,
+                     buckets: Int = 8): Unit = {
+    def write(name: String, df: DataFrame, key: String): Unit =
+      if (!spark.catalog.tableExists(name)) {
+        // in-memory catalog forgets tables across JVMs but the warehouse
+        // files survive — clear any orphan dir before re-creating
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir") + s"/$name")
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) { fs.delete(loc, true); () }
+        df.write.bucketBy(buckets, key).sortBy(key).mode("overwrite").saveAsTable(name)
+      }
+    write("orders_b", orders, "o_orderkey")
+    write("lineitem_b", lineitem, "l_orderkey")
+  }
+
+  /** Co-located join over the bucketed tables — planner sees matching
+    * output partitionings and emits NO Exchange on either side
+    * (asserted in PlanAuditSpec). Result == join_sortmerge's shape. */
+  def bucketedJoin(spark: SparkSession, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    ensureBucketed(spark, orders, lineitem)
+    // merge hint: at test scale the planner would broadcast the tiny
+    // side; the hint pins the shape this op exists to demonstrate (and
+    // that a 100 TB planner picks anyway): bucket-aligned SMJ with no
+    // exchange and no sort on either side.
+    val o = spark.table("orders_b").hint("merge")
+    val l = spark.table("lineitem_b")
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(o("o_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(l("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Skew-salted aggregation: when one group key dominates (heavy-hitter
+    * skew), a single reducer drowns. Two-phase: (1) aggregate on
+    * (key, salt = crc32(unique_col) % S) — spreads the hot key over S
+    * reducers with map-side partials; (2) re-aggregate the S partials per
+    * key. Identical result to the direct groupBy (oracle-checked); at
+    * scale AQE's skew handling covers joins, this pattern covers
+    * aggregations with pathological key distributions. */
+  def saltedAgg(lineitem: DataFrame, salts: Int = 8): DataFrame = {
+    val salted = lineitem
+      .withColumn("salt", pmod(crc32(col("l_orderkey").cast("string")), lit(salts)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).as("part_qty"),
+        count(lit(1)).as("part_n"))
+    salted
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("part_qty")).cast("double").as("sum_qty"),
+        sum(col("part_n")).as("n"))
+      .orderBy("l_returnflag")
+  }
+}

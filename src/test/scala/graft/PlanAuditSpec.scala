@@ -65,6 +65,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("*("), p) // codegen spans survive around the expression
   }
 
+  test("join_bucketed: co-located join has NO exchange between scan and join") {
+    val p = planOf(ops.ScaleJoins.bucketedJoin(spark,
+      Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir)))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("SelectedBucketsCount"), p)
+    // bucketed sides feed the join directly: the only Exchange is the
+    // final rangepartitioning for ORDER BY
+    val joinPart = p.substring(p.indexOf("Join"))
+    assert(!joinPart.contains("Exchange hashpartitioning"), p)
+  }
+
   test("win_rank_topk: single exchange on the partition key, one Window") {
     val p = planOf(ops.Windows.rankTopK(Tables.orders(spark, sfDir)))
     assert("Window".r.findAllIn(p).size >= 1, p)
