@@ -75,6 +75,68 @@ object Similarity {
     }
   }
 
+  /** IVF (inverted-file) approximate top-k: a deterministic k-means
+    * coarse quantizer (init = first k vectors by vec_id; Lloyd updates
+    * with exact-decimal centroid sums so iterations are
+    * shuffle-order-reproducible), then each query probes only the
+    * `nProbe` nearest cells and exact-re-ranks inside them. At 100 TB
+    * the cell id is the partition key: a query scans
+    * ~nProbe/nClusters of the corpus. Centroids are a driver-side model
+    * parameter (k×dims doubles — bytes, not data). Oracle-exempt;
+    * LlmOpsSpec gates recall vs brute force. */
+  def ivfTopK(embeddings: DataFrame, queryId: Long = 0, k: Int = 10,
+              nClusters: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val vs = doubled(embeddings)
+
+    def sqDistTo(c: Array[Double]) = {
+      val lit2 = typedLit(c.toSeq)
+      vecDot(col("v"), col("v")) - lit(2.0) * vecDot(col("v"), lit2) + lit(c.map(x => x * x).sum)
+    }
+    def assignExpr(cents: Array[Array[Double]]) =
+      // argmin via lexicographic array_min over (dist, idx) structs
+      array_min(array(cents.zipWithIndex.map { case (c, i) =>
+        struct(sqDistTo(c).as("d"), lit(i).as("i")) }: _*)).getField("i")
+
+    var centroids = vs.orderBy("vec_id").limit(nClusters)
+      .collect().map(_.getSeq[Double](1).toArray)
+    for (_ <- 1 to iters) {
+      val assigned = vs.withColumn("cluster", assignExpr(centroids))
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("v")))
+        .groupBy("cluster", "pos")
+        .agg(sum(col("col").cast("decimal(28,14)")).cast("double").as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCluster = sums.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { ci =>
+        byCluster.get(ci) match {
+          case Some(rows) =>
+            val dim = rows.map(_.getInt(1)).max + 1
+            val c = new Array[Double](dim)
+            rows.foreach(r => c(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+            c
+          case None => centroids(ci) // empty cell keeps its centroid
+        }
+      }.toArray
+    }
+
+    val indexed = vs.withColumn("cluster", assignExpr(centroids))
+    val q = indexed.filter(col("vec_id") === queryId)
+      .select(col("v").as("q_v")).collect().head.getSeq[Double](0).toArray
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.zip(q).map { case (x, y) => (x - y) * (x - y) }.sum
+        (d, i)
+      }.sortBy(t => (t._1, t._2)).take(nProbe).map(_._2)
+    indexed
+      .filter(col("cluster").isin(probeCells.toIndexedSeq: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        (round(vecDot(col("v"), typedLit(q.toSeq)) /
+          (vecNorm(col("v")) * lit(math.sqrt(q.map(x => x * x).sum))), 4) + lit(0.0)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Multi-table LSH (sign random projection) approximate top-k: L
     * independent tables of `planes` hyperplanes each; bucket(t, v) = sign
     * bits of dot(v, plane_{t,p}); candidates = union over tables of the

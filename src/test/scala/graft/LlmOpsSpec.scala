@@ -59,6 +59,15 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall $recall < 0.5 (brute=$brute approx=$approx)")
   }
 
+  test("ivf top-k achieves recall >= 0.5 vs brute force and is deterministic") {
+    val brute = Similarity.topkSearch(embeddings).collect().map(_.getLong(0)).toSet
+    val r1 = Similarity.ivfTopK(embeddings).collect().map(_.getLong(0)).toSeq
+    val r2 = Similarity.ivfTopK(embeddings).collect().map(_.getLong(0)).toSeq
+    assert(r1 === r2, "IVF not deterministic across runs")
+    val recall = (brute & r1.toSet).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall < 0.5 (brute=$brute approx=$r1)")
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     val fp = TextAnalysis.fingerprint(documents).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val fp2 = TextAnalysis.fingerprint(documents).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
