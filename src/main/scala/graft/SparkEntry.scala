@@ -113,6 +113,16 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "text_token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "text_chunk" -> ((s, d) => TextAnalysis.chunk(Tables.documents(s, d))),
+    "text_scrub" -> ((s, d) => TextAnalysis.scrub(
+      // inject deterministic PII-shaped tails so the masks are exercised
+      // (the synthetic corpus itself is plain words) — mirrored in oracle
+      Tables.documents(s, d).withColumn("text", concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(" reach me at bob123@mail.example now"))
+          .when(col("doc_id") % 5 === 1, lit(" id 9876543210 code deadbeefdeadbeef99"))
+          .otherwise(lit("")))))),
+    "scan_partition_pruned" -> ((s, d) =>
+      PartitionedLayout.prunedDailyCounts(s, Tables.events(s, d), "2024-01-01", "2024-01-02")),
     // --- LLM-pipeline: multimodal ---
     "mm_binary_meta" -> ((s, d) => Multimodal.binaryMeta(Tables.documents(s, d))),
     "mm_decode_stub" -> ((s, d) => { implicit val sp: SparkSession = s
@@ -517,6 +527,35 @@ object SparkEntry {
         | min(ts_us) AS start_us, max(ts_us) AS end_us,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "text_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tok FROM documents),
+        |c AS (SELECT doc_id, tok,
+        |  unnest(range(greatest(CAST(ceil((len(tok)-8)/24.0) AS INT), 1))) AS chunk_id FROM t)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        | array_to_string(list_slice(tok, chunk_id*24+1, chunk_id*24+32), ' ') AS chunk_text,
+        | CAST(len(list_slice(tok, chunk_id*24+1, chunk_id*24+32)) AS BIGINT) AS n_tokens
+        |FROM c WHERE len(list_slice(tok, chunk_id*24+1, chunk_id*24+32)) > 0
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "text_scrub" ->
+      """WITH t AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' reach me at bob123@mail.example now'
+        |       WHEN doc_id % 5 = 1 THEN ' id 9876543210 code deadbeefdeadbeef99'
+        |       ELSE '' END AS text FROM documents),
+        |s AS (SELECT doc_id, text,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g'),
+        |    '\b[0-9a-f]{16,}\b', '<HEX>', 'g') AS scrubbed FROM t)
+        |SELECT doc_id, scrubbed,
+        | CAST(length(text) - length(scrubbed) AS BIGINT) AS delta_chars
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "scan_partition_pruned" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS event_date, event_type,
+        | count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST(date_trunc('day', ts) AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-02'
+        |GROUP BY 1, 2 ORDER BY event_date, event_type""".stripMargin,
     "join_bucketed" ->
       """SELECT o_orderkey, count(*) AS n_lines,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -120,6 +120,43 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Document chunking for training pipelines: fixed-size token windows
+    * with overlap (stride = chunkSize - overlap). One output row per
+    * chunk with its reassembled text and token count. Pure per-row
+    * expansion (posexplode of slices) — embarrassingly parallel, no
+    * shuffle before the deterministic output sort. */
+  def chunk(documents: DataFrame, chunkSize: Int = 32, overlap: Int = 8): DataFrame = {
+    val stride = chunkSize - overlap
+    val tok = TextOps.tokens(col("text"))
+    val nChunks = ceil((size(tok) - lit(overlap)).cast("double") / stride).cast("int")
+    documents
+      .withColumn("tok", tok)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1), i =>
+          slice(col("tok"), i * stride + 1, lit(chunkSize)))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        concat_ws(" ", col("col")).as("chunk_text"),
+        size(col("col")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** PII-style scrubbing: mask email-shaped tokens, long digit runs and
+    * hex-ish ids — the redaction pass a training pipeline runs before
+    * tokenization. Pure per-row regexp_replace chain (codegen'd). */
+  def scrub(documents: DataFrame): DataFrame = {
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+          "[0-9]{6,}", "<NUM>"),
+        "\\b[0-9a-f]{16,}\\b", "<HEX>")
+    documents.select(
+      col("doc_id"), scrubbed.as("scrubbed"),
+      (length(col("text")) - length(scrubbed)).cast("long").as("delta_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Rolling polynomial fingerprint over the document's bytes:
     * fp = fold(acc·31 + byte) mod 1_000_000_007. Deterministic,
     * order-sensitive (a true fingerprint, unlike a bag-of-words hash);

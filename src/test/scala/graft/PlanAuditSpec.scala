@@ -76,6 +76,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!joinPart.contains("Exchange hashpartitioning"), p)
   }
 
+  test("scan_partition_pruned: date predicate becomes a PartitionFilter") {
+    val df = ops.PartitionedLayout.prunedDailyCounts(spark,
+      Tables.events(spark, sfDir), "2024-01-01", "2024-01-01")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("event_date"), p)
+    // the filter must NOT degrade to a post-scan data filter on event_date
+    assert(!p.contains("PushedFilters: [IsNotNull(event_date)"), p)
+  }
+
   test("win_rank_topk: single exchange on the partition key, one Window") {
     val p = planOf(ops.Windows.rankTopK(Tables.orders(spark, sfDir)))
     assert("Window".r.findAllIn(p).size >= 1, p)
