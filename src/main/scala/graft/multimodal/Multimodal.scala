@@ -68,16 +68,30 @@ object Multimodal {
   private def decodeBatch(batch: Seq[MediaItem]): Seq[MediaFeatures] =
     batch.map(stubDecode)
 
-  /** STUB: deterministic fake decode (no codecs in this container). A
-    * real implementation dispatches on `kind` to an image resize /
-    * audio-frame sample / video keyframe extractor and emits real
-    * features of the same shape. */
+  /** STUB decode with per-kind dispatch — the real shape of a multimodal
+    * feature pass (each branch is where a codec/FFI call goes; no codecs
+    * in this container, so each computes a deterministic stand-in of the
+    * same output shape):
+    *  - image → "resize": 8 coarse intensity cells over byte blocks,
+    *  - audio → "frame-sample": energy per 8 fixed-stride windows,
+    *  - video → "keyframe-sample": rolling hash per 8 equal segments. */
   private def stubDecode(m: MediaItem): MediaFeatures = {
-    val feat = Array.tabulate(8) { i =>
-      val h = m.content.foldLeft(i.toLong)((a, b) => (a * 31 + (b & 0xff)) % 1000003L)
-      h.toDouble / 1000003.0
+    val bytes = m.content
+    val n = math.max(bytes.length, 1)
+    def blockFold(i: Int, mix: (Long, Int) => Long): Double = {
+      val lo = i * n / 8
+      val hi = math.max(lo + 1, (i + 1) * n / 8)
+      var acc = 0L
+      var j = lo
+      while (j < hi && j < bytes.length) { acc = mix(acc, bytes(j) & 0xff); j += 1 }
+      (acc % 1000003L).toDouble / 1000003.0
     }
-    MediaFeatures(m.doc_id, m.kind, m.content.length, feat)
+    val feat = m.kind match {
+      case "image" => Array.tabulate(8)(blockFold(_, (a, b) => a + b))          // cell mean-ish
+      case "audio" => Array.tabulate(8)(blockFold(_, (a, b) => a + b.toLong * b)) // energy
+      case _       => Array.tabulate(8)(blockFold(_, (a, b) => a * 31 + b))       // keyframe hash
+    }
+    MediaFeatures(m.doc_id, m.kind, bytes.length, feat)
   }
 
   /** Feature summary as a DataFrame query (rows-only checked by the
