@@ -47,6 +47,8 @@ object SparkEntry {
     "agg_hash_group" -> ((s, d) => Aggregates.pricingSummary(Tables.lineitem(s, d))),
     "agg_count_distinct" -> ((s, d) => Aggregates.countDistinctCustomers(Tables.orders(s, d))),
     "agg_approx_distinct" -> ((s, d) => Aggregates.approxDistinctCustomers(Tables.orders(s, d))),
+    "agg_quantiles" -> ((s, d) => Aggregates.quantiles(Tables.orders(s, d))),
+    "agg_approx_quantiles" -> ((s, d) => Aggregates.approxQuantiles(Tables.orders(s, d))),
     "agg_rollup" -> ((s, d) => Aggregates.rollupRegionNation(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "agg_cube" -> ((s, d) => Aggregates.cubeSegmentPriority(Tables.customer(s, d), Tables.orders(s, d))),
     "agg_grouping_sets" -> ((s, d) => Aggregates.groupingSetsGeo(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
@@ -285,6 +287,13 @@ object SparkEntry {
     "agg_hash_group" -> q1Sql,
     "agg_count_distinct" ->
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_quantiles" ->
+      """SELECT o_orderpriority,
+        | round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+        | round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        | round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+        | count(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "agg_rollup" ->
       """SELECT r_name, n_name, COUNT(*) AS n_custs,

@@ -50,6 +50,33 @@ object Aggregates {
       .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_custs"))
       .orderBy("o_orderpriority")
 
+  /** Exact interpolated percentiles per group (SQL `percentile` ≙ DuckDB
+    * `quantile_cont`) — exact needs a per-group sort; the 100 TB answer
+    * is the t-digest/GK sketch below. Emitted as separate rounded
+    * columns for cross-engine hashing. */
+  def quantiles(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** Sketch percentiles: approx_percentile keeps a bounded digest per
+    * group regardless of cardinality — constant memory at 100 TB.
+    * Oracle-exempt (sketch); gated within 2% of exact in CoreOpsSpec. */
+  def approxQuantiles(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)").as("q"))
+      .select(col("o_orderpriority"),
+        element_at(col("q"), 1).as("p25"),
+        element_at(col("q"), 2).as("p50"),
+        element_at(col("q"), 3).as("p75"))
+      .orderBy("o_orderpriority")
+
   private def custGeo(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
     customer
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))

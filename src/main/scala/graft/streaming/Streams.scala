@@ -87,6 +87,24 @@ object Streams {
     events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream join: signups joined to purchases of the
+    * same user within [0, 30 min] after the signup. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * state for either side is dropped once the watermark passes its
+    * horizon — the only way a stream-stream join stays bounded. */
+  def streamStreamJoin(signups: DataFrame, purchases: DataFrame,
+                       delay: String = "10 minutes"): DataFrame = {
+    val s = signups.withWatermark("ts", delay)
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"), col("event_id").as("s_id"))
+    val p = purchases.withWatermark("ts", delay)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value"))
+    s.join(p,
+      col("s_user") === col("p_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 30 MINUTES"))
+  }
+
   /** foreachBatch merge sink — the streaming version of diff_apply_merge:
     * each micro-batch of snapshot rows is upserted into the parquet
     * target as ONE set-based job (anti-join out replaced keys, union the

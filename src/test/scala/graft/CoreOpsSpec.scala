@@ -39,6 +39,19 @@ class CoreOpsSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile within 2% of exact percentiles") {
+    val exact = ops.Aggregates.quantiles(Tables.orders(spark, sfDir)).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = ops.Aggregates.approxQuantiles(Tables.orders(spark, sfDir)).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    exact.foreach { case (k, (e25, e50, e75)) =>
+      val (a25, a50, a75) = approx(k)
+      Seq((e25, a25), (e50, a50), (e75, a75)).foreach { case (e, a) =>
+        assert(math.abs(a - e) / math.abs(e) <= 0.02, s"$k: approx=$a exact=$e")
+      }
+    }
+  }
+
   test("broadcast join plans a BroadcastHashJoin, no shuffle of the fact side") {
     val plan = ops.Joins.broadcastDim(Tables.nation(spark, sfDir), Tables.region(spark, sfDir))
       .queryExecution.executedPlan.toString

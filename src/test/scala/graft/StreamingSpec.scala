@@ -84,6 +84,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("watermarked stream-stream join matches the batch join") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val evs = loadEvents().take(3000)
+    val sStream = MemoryStream[Ev]
+    val pStream = MemoryStream[Ev]
+    val joined = Streams.streamStreamJoin(
+      sStream.toDF().filter(col("event_type") === "signup"),
+      pStream.toDF().filter(col("event_type") === "purchase"))
+    val query = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      evs.grouped(1000).foreach { c =>
+        sStream.addData(c); pStream.addData(c); query.processAllAvailable()
+      }
+      // flush watermarks far forward so all joinable pairs are emitted
+      val flush = Ev(-1, new Timestamp(evs.map(_.ts.getTime).max + 24 * 3600 * 1000L),
+        999999L, "flush", 0.0)
+      sStream.addData(flush); pStream.addData(flush); query.processAllAvailable()
+
+      val streamed = spark.table("ssj")
+        .select("s_id", "p_id").orderBy("s_id", "p_id").collect().toSeq
+      val df = evs.toDF()
+      val batch = Streams.streamStreamJoin(
+          df.filter(col("event_type") === "signup"),
+          df.filter(col("event_type") === "purchase"))
+        .select("s_id", "p_id").orderBy("s_id", "p_id").collect().toSeq
+      assert(streamed === batch)
+    } finally query.stop()
+  }
+
   test("streaming session windows finalize to the batch lag-gap sessions") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
