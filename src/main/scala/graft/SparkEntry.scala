@@ -48,6 +48,16 @@ object SparkEntry {
     "agg_count_distinct" -> ((s, d) => Aggregates.countDistinctCustomers(Tables.orders(s, d))),
     "agg_approx_distinct" -> ((s, d) => Aggregates.approxDistinctCustomers(Tables.orders(s, d))),
     "agg_quantiles" -> ((s, d) => Aggregates.quantiles(Tables.orders(s, d))),
+    "agg_pivot" -> ((s, d) => {
+      val p = Aggregates.pivotStatus(Tables.lineitem(s, d))
+      // empty (flag,status) cells: Spark pivot yields null, a CASE-pivot
+      // oracle yields 0 for counts — normalize both sides to 0
+      p.select(col("l_returnflag"),
+        coalesce(col("F_n"), lit(0L)).as("F_n"), coalesce(col("F_qty"), lit(0.0)).as("F_qty"),
+        coalesce(col("O_n"), lit(0L)).as("O_n"), coalesce(col("O_qty"), lit(0.0)).as("O_qty"))
+    }),
+    "sample_deterministic" -> ((s, d) => Aggregates.sampleDeterministic(Tables.orders(s, d))),
+    "win_first_last" -> ((s, d) => Windows.firstLast(Tables.orders(s, d))),
     "agg_approx_quantiles" -> ((s, d) => Aggregates.approxQuantiles(Tables.orders(s, d))),
     "agg_rollup" -> ((s, d) => Aggregates.rollupRegionNation(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "agg_cube" -> ((s, d) => Aggregates.cubeSegmentPriority(Tables.customer(s, d), Tables.orders(s, d))),
@@ -295,6 +305,24 @@ object SparkEntry {
         | round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
         | count(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_pivot" ->
+      """SELECT l_returnflag,
+        | COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F_n,
+        | COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS F_qty,
+        | COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O_n,
+        | COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS O_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "sample_deterministic" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""".stripMargin,
+    "win_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        | first_value(o_totalprice) OVER w AS first_price,
+        | last_value(o_totalprice) OVER w AS last_price,
+        | nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "agg_rollup" ->
       """SELECT r_name, n_name, COUNT(*) AS n_custs,
         | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,

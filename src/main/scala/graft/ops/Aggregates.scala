@@ -77,6 +77,27 @@ object Aggregates {
         element_at(col("q"), 3).as("p75"))
       .orderBy("o_orderpriority")
 
+  /** Pivot: one column per l_linestatus value, counts + exact sums.
+    * Values enumerated explicitly — an unenumerated pivot needs a
+    * distinct-scan first and breaks partial aggregation planning. */
+  def pivotStatus(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("l_quantity"), 2).as("qty"))
+      .orderBy("l_returnflag")
+
+  /** Deterministic sampling: key-mod filter, never rand() — the sample is
+    * reproducible across runs, engines and retries (a nondeterministic
+    * sample breaks retried-task correctness at scale). For unbiased
+    * sampling on clustered keys use a seeded hash mod instead. */
+  def sampleDeterministic(orders: DataFrame, mod: Int = 10): DataFrame =
+    orders
+      .filter(col("o_orderkey") % mod === 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
   private def custGeo(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
     customer
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))

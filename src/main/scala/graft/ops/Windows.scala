@@ -70,6 +70,22 @@ object Windows {
       .orderBy("event_type", "event_id")
   }
 
+  /** first/last/nth value per partition with an explicit full frame —
+    * last_value over the default frame is the classic silent bug (frame
+    * ends at CURRENT ROW), so the frame is spelled out. */
+  def firstLast(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(w).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** ntile quartiles of customer balance (unique tiebreak key ⇒
     * deterministic bucket edges). */
   def ntileQuartiles(customer: DataFrame): DataFrame = {
