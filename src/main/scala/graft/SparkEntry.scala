@@ -143,6 +143,9 @@ object SparkEntry {
     "stream_tumbling_batch" -> ((s, d) => Streams.tumblingBatch(Tables.events(s, d))),
     "stream_sliding_batch" -> ((s, d) => Streams.slidingBatch(Tables.events(s, d))),
     "stream_session_batch" -> ((s, d) => Streams.sessionBatch(Tables.events(s, d))),
+    // --- subqueries (Catalyst decorrelation) ---
+    "sub_scalar_correlated" -> ((s, d) => Subqueries.scalarCorrelated(s, Tables.customer(s, d))),
+    "sub_in_semijoin" -> ((s, d) => Subqueries.inSubquery(s, Tables.customer(s, d), Tables.orders(s, d))),
     // --- scale-path join/agg techniques ---
     "join_bucketed" -> ((s, d) => ScaleJoins.bucketedJoin(s, Tables.orders(s, d), Tables.lineitem(s, d))),
     "agg_salted" -> ((s, d) => ScaleJoins.saltedAgg(Tables.lineitem(s, d))),
@@ -593,6 +596,17 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(date_trunc('day', ts) AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-02'
         |GROUP BY 1, 2 ORDER BY event_date, event_type""".stripMargin,
+    "sub_scalar_correlated" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal
+        |FROM customer o
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(i.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |                   FROM customer i WHERE i.c_nationkey = o.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "sub_in_semijoin" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
     "join_bucketed" ->
       """SELECT o_orderkey, count(*) AS n_lines,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
