@@ -170,9 +170,13 @@ object Similarity {
       col("q_bucket") +: (0 until planes).map(p =>
         col("q_bucket").bitwiseXOR(lit(1L << p))): _*))
     val probed = qRow.select(col("q_v"), col("table"), probes.as("bucket"))
-    bucketed.filter(col("vec_id") =!= queryId)
-      .join(broadcast(probed), Seq("table", "bucket"))
-      .select(col("vec_id"), col("v"), col("q_v")).distinct() // union of candidates across tables
+    // candidate ids first (distinct on a LONG, not on 64-double arrays),
+    // then one re-join to fetch vectors for the exact re-rank
+    val candidates = bucketed.filter(col("vec_id") =!= queryId)
+      .join(broadcast(probed.select("table", "bucket")), Seq("table", "bucket"))
+      .select("vec_id").distinct()
+    vs.join(broadcast(candidates), "vec_id")
+      .crossJoin(broadcast(qRow.select("q_v").limit(1)))
       .select(col("vec_id"),
         (round(vecDot(col("v"), col("q_v")) / (vecNorm(col("v")) * vecNorm(col("q_v"))), 4) + lit(0.0)).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)

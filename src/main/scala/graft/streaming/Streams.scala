@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Event-time windowed aggregations, written once against the unified
   * DataFrame API so the SAME transformation runs in batch (oracle-checked)
@@ -86,6 +87,45 @@ object Streams {
   def streamingDedup(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Per-user running state for [[flatMapUserStats]]. */
+  final case class UserState(nEvents: Long, sumValue: Double, maxValue: Double)
+  final case class UserUpdate(user_id: Long, n_events: Long, sum_value: Double,
+                              new_peak: Boolean)
+
+  /** Custom streaming state via flatMapGroupsWithState: per-user running
+    * count/sum plus a "new peak value" flag per batch — the arbitrary-
+    * state API for logic windows/aggs can't express. State is one small
+    * case class per ACTIVE user; pass an idle `timeout` (e.g.
+    * ProcessingTimeTimeout) in production so idle users' state expires
+    * instead of growing forever — the 100 TB rule: every state handle
+    * needs an eviction story. (Default NoTimeout: under MemoryStream
+    * test harnesses a processing-time timeout re-triggers empty batches
+    * in a tight loop.) Input rows are typed
+    * (user_id, value, sorted-within-group not required — peak/sum are
+    * order-free so retries can't change the result). */
+  def flatMapUserStats(events: Dataset[(Long, Double)],
+                       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
+      : Dataset[UserUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserState, UserUpdate](OutputMode.Append, timeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption.getOrElse(UserState(0L, 0.0, Double.NegativeInfinity))
+            var n = prev.nEvents
+            var sum = prev.sumValue
+            var mx = prev.maxValue
+            rows.foreach { case (_, v) => n += 1; sum += v; if (v > mx) mx = v }
+            state.update(UserState(n, sum, mx))
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+              state.setTimeoutDuration("1 hour")
+            Iterator.single(UserUpdate(user, n, sum, mx > prev.maxValue))
+          }
+      }
+  }
 
   /** Watermarked stream-stream join: signups joined to purchases of the
     * same user within [0, 30 min] after the signup. Both sides carry

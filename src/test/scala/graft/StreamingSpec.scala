@@ -84,6 +84,28 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("flatMapGroupsWithState accumulates per-user state across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, Double)]
+    val query = Streams.flatMapUserStats(stream.toDS())
+      .writeStream.format("memory").queryName("fmgs").outputMode("append").start()
+    try {
+      stream.addData((1L, 5.0), (1L, 3.0), (2L, 7.0))
+      query.processAllAvailable()
+      stream.addData((1L, 10.0)) // new peak for user 1
+      query.processAllAvailable()
+      stream.addData((1L, 1.0)) // not a peak
+      query.processAllAvailable()
+      val rows = spark.table("fmgs").orderBy("n_events", "user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      assert(rows.contains((1L, 2L, 8.0, true)))   // batch 1: two events, peak 5
+      assert(rows.contains((2L, 1L, 7.0, true)))
+      assert(rows.contains((1L, 3L, 18.0, true)))  // batch 2: peak 10
+      assert(rows.contains((1L, 4L, 19.0, false))) // batch 3: 1.0 is no peak
+    } finally query.stop()
+  }
+
   test("watermarked stream-stream join matches the batch join") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
