@@ -111,6 +111,7 @@ object SparkEntry {
     "dedup_near_minhash" -> ((s, d) => Dedup.minhashCandidates(Corpus.docCorpus(Tables.documents(s, d)))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Corpus.docCorpus(Tables.documents(s, d)))),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(Corpus.vecCorpus(Tables.embeddings(s, d)))),
+    "dedup_cluster" -> ((s, d) => Dedup.nearDupClusters(Corpus.docCorpus(Tables.documents(s, d)))),
     // --- LLM-pipeline: similarity search ---
     "sim_cosine_pairs" -> ((s, d) => Similarity.cosinePairs(Tables.embeddings(s, d))),
     "sim_topk_search" -> ((s, d) => Similarity.topkSearch(Tables.embeddings(s, d))),
@@ -156,6 +157,20 @@ object SparkEntry {
   )
 
   // ---------------------------------------------------------------- oracle
+
+  /** Shared DuckDB CTE chain: dup-injected corpus -> word-3-gram shingles
+    * -> Jaccard pairs >= 0.5 (used by dedup_ngram_jaccard and the
+    * recursive-closure dedup_cluster oracle). */
+  private val jaccardCtes =
+    s"""corpus AS (${Corpus.docCorpusSql}),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(string_split(text,' '))-2),
+       |  i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])) AS shs
+       | FROM corpus),
+       |ex AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM sh),
+       |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n, count(*) AS inter
+       | FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2,3,4),
+       |jpairs AS (SELECT a_id, b_id, round(CAST(inter AS DOUBLE)/(a_n + b_n - inter), 4) AS jaccard
+       | FROM p WHERE round(CAST(inter AS DOUBLE)/(a_n + b_n - inter), 4) >= 0.5)""".stripMargin
 
   private val q1Sql =
     """SELECT l_returnflag, l_linestatus,
@@ -459,16 +474,18 @@ object SparkEntry {
          | FROM corpus) t
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
-      s"""WITH corpus AS (${Corpus.docCorpusSql}),
-         |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(string_split(text,' '))-2),
-         |  i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])) AS shs
-         | FROM corpus),
-         |ex AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM sh),
-         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n, count(*) AS inter
-         | FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2,3,4)
-         |SELECT a_id, b_id, round(CAST(inter AS DOUBLE)/(a_n + b_n - inter), 4) AS jaccard
-         |FROM p WHERE round(CAST(inter AS DOUBLE)/(a_n + b_n - inter), 4) >= 0.5
-         |ORDER BY a_id, b_id""".stripMargin,
+      s"""WITH $jaccardCtes
+         |SELECT a_id, b_id, jaccard FROM jpairs ORDER BY a_id, b_id""".stripMargin,
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM jpairs
+         |          UNION ALL SELECT b_id, a_id FROM jpairs),
+         |nodes AS (SELECT DISTINCT doc_id FROM corpus),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM nodes
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH vc AS (${Corpus.vecCorpusSql})
          |SELECT a_id, b_id, cos FROM (

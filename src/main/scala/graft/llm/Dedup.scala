@@ -113,6 +113,32 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Near-dup clustering: connected components over the Jaccard candidate
+    * pairs via iterative min-label propagation — the step that turns a
+    * pair list into canonical-document groups (cluster = min doc_id of
+    * the component; survivors are rows with cluster == doc_id). Each
+    * round is one join + one aggregation; rounds needed = component
+    * diameter (near-dup components are tiny — `iters` = 6 is generous;
+    * at web scale swap in large-star/small-star which converges in
+    * O(log n) rounds). Deterministic: min is order-free. */
+  def nearDupClusters(corpus: DataFrame, threshold: Double = 0.5, iters: Int = 6): DataFrame = {
+    val pairs = ngramJaccard(corpus, threshold)
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist()
+    var labels = corpus.select(col("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+    for (_ <- 1 to iters) {
+      val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst")).agg(min(col("cluster")).as("nbr_min"))
+      labels = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
+        .select(labels("doc_id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .persist() // cut lineage growth across rounds
+    }
+    labels.orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-dup pairs over the perturbed vector corpus
     * (cosine ≥ 0.99 rounded to 4dp). All-pairs on the bounded corpus —
     * the scale path is LSH bucketing first. */
