@@ -48,6 +48,7 @@ object SparkEntry {
     "agg_count_distinct" -> ((s, d) => Aggregates.countDistinctCustomers(Tables.orders(s, d))),
     "agg_approx_distinct" -> ((s, d) => Aggregates.approxDistinctCustomers(Tables.orders(s, d))),
     "agg_quantiles" -> ((s, d) => Aggregates.quantiles(Tables.orders(s, d))),
+    "agg_stats" -> ((s, d) => Aggregates.stats(Tables.lineitem(s, d))),
     "agg_pivot" -> ((s, d) => {
       val p = Aggregates.pivotStatus(Tables.lineitem(s, d))
       // empty (flag,status) cells: Spark pivot yields null, a CASE-pivot
@@ -323,6 +324,22 @@ object SparkEntry {
         | round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
         | count(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_stats" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | round((sxx - sx*sx/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE) - 1.0), 4) AS var_qty,
+        | round(sqrt((sxx - sx*sx/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE) - 1.0)), 4) AS std_qty,
+        | round((sxy - sx*sy/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE) - 1.0), 4) AS cov_qty_price,
+        | round(((sxy - sx*sy/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE) - 1.0))
+        |   / (sqrt((sxx - sx*sx/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE) - 1.0))
+        |      * sqrt((syy - sy*sy/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE) - 1.0))), 6) AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "agg_pivot" ->
       """SELECT l_returnflag,
         | COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F_n,

@@ -98,6 +98,34 @@ object Aggregates {
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy("o_orderkey")
 
+  /** Statistical aggregates (variance/stddev/covariance/correlation)
+    * computed from EXACT decimal moments, then combined in one fixed
+    * IEEE-double formula — built-in stddev/corr accumulate doubles in
+    * shuffle order and can't hash-match across engines. The moments
+    * shuffle as decimals (associative), so the result is bit-stable. */
+  def stats(lineitem: DataFrame): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,2)")
+    val y = col("l_extendedprice").cast("decimal(18,2)")
+    val m = lineitem.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      sum(x).cast("double").as("sx"),
+      sum(y).cast("double").as("sy"),
+      sum(x * x).cast("double").as("sxx"),
+      sum(y * y).cast("double").as("syy"),
+      sum(x * y).cast("double").as("sxy"))
+    val n = col("n").cast("double")
+    val varX = (col("sxx") - col("sx") * col("sx") / n) / (n - lit(1.0))
+    val varY = (col("syy") - col("sy") * col("sy") / n) / (n - lit(1.0))
+    val covXY = (col("sxy") - col("sx") * col("sy") / n) / (n - lit(1.0))
+    m.select(
+      col("l_returnflag"), col("n"),
+      round(varX, 4).as("var_qty"),
+      round(sqrt(varX), 4).as("std_qty"),
+      round(covXY, 4).as("cov_qty_price"),
+      round(covXY / (sqrt(varX) * sqrt(varY)), 6).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   private def custGeo(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
     customer
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
