@@ -31,6 +31,7 @@ object SparkEntry {
     // --- scans / sources ---
     "scan_parquet" -> ((s, d) => Scans.scanParquet(Tables.lineitem(s, d))),
     "scan_csv_allstring" -> ((s, d) => Scans.scanCsvAllString(s, Tables.nation(s, d))),
+    "scan_jsonl" -> ((s, d) => Scans.scanJsonl(s, Tables.nation(s, d))),
     "validate_reject" -> ((s, d) => Scans.validateReject(Tables.customer(s, d))),
     "project_cast_string" -> ((s, d) => Scans.projectCastString(Tables.nation(s, d))),
     "filter_pred" -> ((s, d) => Scans.filterPred(Tables.lineitem(s, d))),
@@ -250,6 +251,8 @@ object SparkEntry {
     "scan_csv_allstring" ->
       """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name, CAST(n_regionkey AS VARCHAR) AS n_regionkey
         |FROM nation ORDER BY nation.n_nationkey""".stripMargin,
+    "scan_jsonl" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "validate_reject" ->
       """WITH dirty AS (
         | SELECT CASE WHEN c_custkey % 101 = 7 THEN NULL ELSE c_custkey END AS slno,

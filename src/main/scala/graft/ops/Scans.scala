@@ -42,6 +42,18 @@ object Scans {
       .orderBy(col("n_nationkey").cast("int"))
   }
 
+  /** JSON-lines source: round-trips `nation` through JSONL and reads it
+    * back with the ORIGINAL explicit schema (never inferSchema in
+    * production — a schema drift should fail loudly, not silently retype
+    * a column). Values must survive the round trip exactly — the oracle
+    * reads the parquet table directly. */
+  def scanJsonl(spark: SparkSession, nation: DataFrame): DataFrame = {
+    val dir = sys.props("java.io.tmpdir") + "/graft_jsonl_nation"
+    nation.coalesce(1).write.mode("overwrite").json(dir)
+    spark.read.schema(nation.schema).json(dir)
+      .orderBy("n_nationkey")
+  }
+
   /** R2: fail-fast validation over a deterministically dirtied snapshot of
     * `customer` (the clean test tables have no violations, so we inject
     * them with key-derived CASEs — same derivation in the oracle SQL).
