@@ -27,6 +27,20 @@ class CoreOpsSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracleSql without query: $missing")
   }
 
+  test("every query has oracle SQL unless consciously exempt (hash/sketch ops)") {
+    val exempt = Set(
+      "agg_approx_distinct", "agg_approx_quantiles", // sketches ≠ exact
+      "dedup_near_minhash", "dedup_simhash",         // xxhash64-derived
+      "sim_lsh_topk", "sim_ivf_topk",                // ANN, recall-gated
+      "text_fingerprint",                            // no list fold in DuckDB 1.0
+      "mm_decode_stub")                              // stub not SQL-expressible
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt
+    assert(missing.isEmpty, s"query without oracle and not exempt: $missing")
+    // every exempt key needs a ScalaTest gate — enumerated here so a new
+    // exemption forces a conscious decision
+    assert((exempt -- SparkEntry.queries.keySet).isEmpty)
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val exact = ops.Aggregates.countDistinctCustomers(Tables.orders(spark, sfDir))
       .select(col("o_orderpriority"), col("n_custs")).collect()
