@@ -171,8 +171,8 @@ object SparkEntry {
        |ex AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM sh),
        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n, count(*) AS inter
        | FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2,3,4),
-       |jpairs AS (SELECT a_id, b_id, round(CAST(inter AS DOUBLE)/(a_n + b_n - inter), 4) AS jaccard
-       | FROM p WHERE round(CAST(inter AS DOUBLE)/(a_n + b_n - inter), 4) >= 0.5)""".stripMargin
+       |jpairs AS (SELECT a_id, b_id, floor(CAST(inter AS DOUBLE)/(a_n + b_n - inter)*1e4 + 0.5)/1e4 AS jaccard
+       | FROM p WHERE floor(CAST(inter AS DOUBLE)/(a_n + b_n - inter)*1e4 + 0.5)/1e4 >= 0.5)""".stripMargin
 
   private val q1Sql =
     """SELECT l_returnflag, l_linestatus,
@@ -247,7 +247,7 @@ object SparkEntry {
     * are gated by ScalaTest instead. */
   def oracleSql: Map[String, String] = Map(
     "scan_parquet" ->
-      "SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+      "SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity",
     "scan_csv_allstring" ->
       """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name, CAST(n_regionkey AS VARCHAR) AS n_regionkey
         |FROM nation ORDER BY nation.n_nationkey""".stripMargin,
@@ -272,13 +272,13 @@ object SparkEntry {
         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1998-12-31 00:00:00'
         | AND l_returnflag IN ('A','R') AND l_quantity BETWEEN 5.0 AND 24.0
         | AND (l_linestatus = 'F' OR l_tax < 0.05) AND l_orderkey IS NOT NULL
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus, l_shipdate""".stripMargin,
     "join_broadcast" ->
       "SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey",
     "join_sortmerge" ->
       """SELECT o_orderkey, l_linenumber, o_totalprice, l_extendedprice
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY o_orderkey, l_linenumber, o_totalprice, l_extendedprice""".stripMargin,
     "join_multiway" ->
       """SELECT n_name,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
@@ -549,10 +549,10 @@ object SparkEntry {
         |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
     "text_langid" ->
       """WITH s AS (SELECT doc_id, lang AS lang_declared,
-        | round(CAST(len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und'))) AS DOUBLE)/len(string_split(text,' ')), 4) AS score_de,
-        | round(CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','is'))) AS DOUBLE)/len(string_split(text,' ')), 4) AS score_en,
-        | round(CAST(len(list_filter(string_split(text,' '), x -> x IN ('el','los','y','que'))) AS DOUBLE)/len(string_split(text,' ')), 4) AS score_es,
-        | round(CAST(len(list_filter(string_split(text,' '), x -> x IN ('le','la','et','les'))) AS DOUBLE)/len(string_split(text,' ')), 4) AS score_fr
+        | floor(CAST(len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und'))) AS DOUBLE)/len(string_split(text,' '))*1e4 + 0.5)/1e4 AS score_de,
+        | floor(CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','is'))) AS DOUBLE)/len(string_split(text,' '))*1e4 + 0.5)/1e4 AS score_en,
+        | floor(CAST(len(list_filter(string_split(text,' '), x -> x IN ('el','los','y','que'))) AS DOUBLE)/len(string_split(text,' '))*1e4 + 0.5)/1e4 AS score_es,
+        | floor(CAST(len(list_filter(string_split(text,' '), x -> x IN ('le','la','et','les'))) AS DOUBLE)/len(string_split(text,' '))*1e4 + 0.5)/1e4 AS score_fr
         | FROM documents)
         |SELECT doc_id, lang_declared, score_de, score_en, score_es, score_fr,
         | CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
@@ -564,17 +564,17 @@ object SparkEntry {
     "text_quality" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS tok FROM documents)
         |SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens,
-        | round(CAST(len(list_distinct(tok)) AS DOUBLE)/len(tok), 4) AS uniq_ratio,
-        | round(least(CAST(len(tok) AS DOUBLE)/100.0, 1.0), 4) AS len_sat,
-        | round(CAST(len(list_filter(tok, x -> x IN ('the','a','of','is'))) AS DOUBLE)/len(tok), 4) AS stop_ratio,
-        | round(CAST(len(list_distinct(tok)) AS DOUBLE)/len(tok)*0.5
+        | floor(CAST(len(list_distinct(tok)) AS DOUBLE)/len(tok)*1e4 + 0.5)/1e4 AS uniq_ratio,
+        | floor(least(CAST(len(tok) AS DOUBLE)/100.0, 1.0)*1e4 + 0.5)/1e4 AS len_sat,
+        | floor(CAST(len(list_filter(tok, x -> x IN ('the','a','of','is'))) AS DOUBLE)/len(tok)*1e4 + 0.5)/1e4 AS stop_ratio,
+        | floor((CAST(len(list_distinct(tok)) AS DOUBLE)/len(tok)*0.5
         |   + least(CAST(len(tok) AS DOUBLE)/100.0, 1.0)*0.3
-        |   + (1.0 - CAST(len(list_filter(tok, x -> x IN ('the','a','of','is'))) AS DOUBLE)/len(tok))*0.2, 4) AS quality
+        |   + (1.0 - CAST(len(list_filter(tok, x -> x IN ('the','a','of','is'))) AS DOUBLE)/len(tok))*0.2)*1e4 + 0.5)/1e4 AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
         | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
-        | round(CAST(n_chars AS DOUBLE)/len(string_split(text,' ')), 4) AS chars_per_token
+        | floor(CAST(n_chars AS DOUBLE)/len(string_split(text,' '))*1e4 + 0.5)/1e4 AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,

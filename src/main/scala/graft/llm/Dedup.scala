@@ -58,7 +58,7 @@ object Dedup {
       .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"))), "a_id")
       .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"))), "b_id")
       .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")), 4))
+        graft.ops.Det.rfloor(col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy("a_id", "b_id")

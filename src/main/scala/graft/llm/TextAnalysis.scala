@@ -79,7 +79,7 @@ object TextAnalysis {
     val scored = documents.select(
       col("doc_id") +: col("lang").as("lang_declared") +:
         stop.toSeq.sortBy(_._1).map { case (l, words) =>
-          round(size(filter(tok, t => t.isin(words: _*))).cast("double") / nTok, 4).as(s"score_$l")
+          graft.ops.Det.rfloor(size(filter(tok, t => t.isin(words: _*))).cast("double") / nTok, 4).as(s"score_$l")
         }: _*)
     scored.withColumn("lang_pred",
       when(greatest(col("score_en"), col("score_de"), col("score_fr"), col("score_es")) === 0, "und")
@@ -101,10 +101,10 @@ object TextAnalysis {
     documents.select(
       col("doc_id"),
       size(tok).cast("long").as("n_tokens"),
-      round(uniqRatio, 4).as("uniq_ratio"),
-      round(lenSat, 4).as("len_sat"),
-      round(stopRatio, 4).as("stop_ratio"),
-      round(uniqRatio * 0.5 + lenSat * 0.3 + (lit(1.0) - stopRatio) * 0.2, 4).as("quality"))
+      graft.ops.Det.rfloor(uniqRatio, 4).as("uniq_ratio"),
+      graft.ops.Det.rfloor(lenSat, 4).as("len_sat"),
+      graft.ops.Det.rfloor(stopRatio, 4).as("stop_ratio"),
+      graft.ops.Det.rfloor(uniqRatio * 0.5 + lenSat * 0.3 + (lit(1.0) - stopRatio) * 0.2, 4).as("quality"))
       .orderBy("doc_id")
   }
 
@@ -116,7 +116,7 @@ object TextAnalysis {
     val re = regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")
     documents.select(
       col("doc_id"), ws.as("ws_tokens"), re.as("re_tokens"),
-      round(col("n_chars").cast("double") / ws, 4).as("chars_per_token"))
+      graft.ops.Det.rfloor(col("n_chars").cast("double") / ws, 4).as("chars_per_token"))
       .orderBy("doc_id")
   }
 

@@ -27,6 +27,18 @@ object Det {
   def davg(c: Column, scale: Int = 4): Column =
     dsum(c, scale) / count(c)
 
+  /** Binary-deterministic rounding: floor(x·10^s + 0.5)/10^s in pure
+    * IEEE double ops, identical on any engine. Spark's `round()` decides
+    * ties from the double's SHORTEST DECIMAL representation while DuckDB
+    * rounds the binary value — exact-rational inputs (ratios of small
+    * integers) hit x.xxxx5 representations and the two disagree. Use for
+    * any rounded value built from integer ratios. Mirror SQL:
+    * `floor(x*1e4 + 0.5)/1e4`. */
+  def rfloor(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    floor(c * f + lit(0.5)) / f
+  }
+
   /** TPC-H price inputs lifted to exact decimals so products like
     * `price * (1 - discount) * (1 + tax)` are computed in decimal
     * arithmetic, never rounded from a double — a double→decimal cast of

@@ -27,7 +27,7 @@ object Joins {
     orders.hint("merge")
       .join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
       .select(col("o_orderkey"), col("l_linenumber"), col("o_totalprice"), col("l_extendedprice"))
-      .orderBy("o_orderkey", "l_linenumber")
+      .orderBy("o_orderkey", "l_linenumber", "o_totalprice", "l_extendedprice")
 
   /** 4-way star join: facts join on keys, dims broadcast; Catalyst's
     * ReorderJoin + AQE pick the schedule. Revenue uses exact decimal

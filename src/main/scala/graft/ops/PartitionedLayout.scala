@@ -10,13 +10,17 @@ import org.apache.spark.sql.functions._
   */
 object PartitionedLayout {
 
-  private def dir(spark: SparkSession): String =
+  private def dir(spark: SparkSession, sfTag: String): String =
     spark.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:") + "/events_by_day"
+      .stripPrefix("file:") + s"/events_by_day_$sfTag"
 
-  /** One-time ingest: events re-laid-out hive-style by event date. */
+  /** One-time ingest: events re-laid-out hive-style by event date. The
+    * layout dir is keyed by the SOURCE path so a different scale factor
+    * never reuses a stale fixture. */
   def ensurePartitionedEvents(spark: SparkSession, events: DataFrame): String = {
-    val path = dir(spark)
+    val sfTag = events.inputFiles.headOption.getOrElse("mem")
+      .replaceAll("[^A-Za-z0-9]", "_")
+    val path = dir(spark, sfTag)
     if (!new java.io.File(path).exists()) {
       events
         .withColumn("event_date", to_date(col("ts")))

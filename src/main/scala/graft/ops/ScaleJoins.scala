@@ -15,8 +15,14 @@ object ScaleJoins {
     * (idempotent per session). At 100 TB this is done once at ingest:
     * every later equi-join/aggregation on the bucket key skips its
     * exchange entirely. */
+  /** Bucketed-table names are keyed by the SOURCE path so different
+    * scale factors (or a concurrently-running Verify) never collide on
+    * one warehouse directory. */
+  private def sfTag(df: DataFrame): String =
+    df.inputFiles.headOption.getOrElse("mem").replaceAll("[^A-Za-z0-9]", "_")
+
   def ensureBucketed(spark: SparkSession, orders: DataFrame, lineitem: DataFrame,
-                     buckets: Int = 8): Unit = {
+                     buckets: Int = 8): (String, String) = {
     def write(name: String, df: DataFrame, key: String): Unit =
       if (!spark.catalog.tableExists(name)) {
         // in-memory catalog forgets tables across JVMs but the warehouse
@@ -27,21 +33,23 @@ object ScaleJoins {
         if (fs.exists(loc)) { fs.delete(loc, true); () }
         df.write.bucketBy(buckets, key).sortBy(key).mode("overwrite").saveAsTable(name)
       }
-    write("orders_b", orders, "o_orderkey")
-    write("lineitem_b", lineitem, "l_orderkey")
+    val (on, ln) = (s"orders_b_${sfTag(orders)}", s"lineitem_b_${sfTag(lineitem)}")
+    write(on, orders, "o_orderkey")
+    write(ln, lineitem, "l_orderkey")
+    (on, ln)
   }
 
   /** Co-located join over the bucketed tables — planner sees matching
     * output partitionings and emits NO Exchange on either side
     * (asserted in PlanAuditSpec). Result == join_sortmerge's shape. */
   def bucketedJoin(spark: SparkSession, orders: DataFrame, lineitem: DataFrame): DataFrame = {
-    ensureBucketed(spark, orders, lineitem)
+    val (on, ln) = ensureBucketed(spark, orders, lineitem)
     // merge hint: at test scale the planner would broadcast the tiny
     // side; the hint pins the shape this op exists to demonstrate (and
     // that a 100 TB planner picks anyway): bucket-aligned SMJ with no
     // exchange and no sort on either side.
-    val o = spark.table("orders_b").hint("merge")
-    val l = spark.table("lineitem_b")
+    val o = spark.table(on).hint("merge")
+    val l = spark.table(ln)
     o.join(l, o("o_orderkey") === l("l_orderkey"))
       .groupBy(o("o_orderkey"))
       .agg(count(lit(1)).as("n_lines"),

@@ -26,7 +26,9 @@ object Scans {
   def scanParquet(lineitem: DataFrame): DataFrame =
     lineitem
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+      // order by every output column for a total order (SURVEY §7)
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
 
   /** R1: sheet-snapshot ingest. Round-trips `nation` through a header CSV
     * (the stand-in for the Sheets API snapshot) and reads it back with an
@@ -91,5 +93,5 @@ object Scans {
         (col("l_linestatus") === "F" || col("l_tax") < 0.05) &&
         col("l_orderkey").isNotNull)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus", "l_shipdate")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus", "l_shipdate")
 }
