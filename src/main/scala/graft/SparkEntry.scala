@@ -43,6 +43,7 @@ object SparkEntry {
     "join_left_anti" -> ((s, d) => Joins.leftAnti(Tables.customer(s, d), Tables.orders(s, d))),
     "join_outer" -> ((s, d) => Joins.fullOuter(Tables.customer(s, d))),
     "join_theta_range" -> ((s, d) => Joins.thetaRange(Tables.events(s, d))),
+    "join_range_bucketed" -> ((s, d) => Joins.thetaRangeBucketed(Tables.events(s, d))),
     "join_asof" -> ((s, d) => Joins.asOf(Tables.events(s, d), Tables.orders(s, d))),
     // --- aggregation ---
     "agg_hash_group" -> ((s, d) => Aggregates.pricingSummary(Tables.lineitem(s, d))),
@@ -81,6 +82,7 @@ object SparkEntry {
     "fn_date" -> ((s, d) => ScalarFns.dateFns(Tables.orders(s, d))),
     "fn_math" -> ((s, d) => ScalarFns.mathFns(Tables.part(s, d))),
     "fn_array" -> ((s, d) => ScalarFns.arrayFns(Tables.embeddings(s, d))),
+    "fn_conditional" -> ((s, d) => ScalarFns.conditionalFns(Tables.part(s, d))),
     "fn_map_json" -> ((s, d) => ScalarFns.mapJsonFns(Tables.events(s, d))),
     // --- diff / sync engine ---
     "diff_keyed" -> ((s, d) => {
@@ -309,6 +311,22 @@ object SparkEntry {
         |SELECT s_id, COUNT(*) AS n_near, MIN(p_id) AS first_p
         |FROM s JOIN p ON p_value BETWEEN s_value - 0.5 AND s_value + 0.5
         |GROUP BY s_id ORDER BY s_id""".stripMargin,
+    "join_range_bucketed" ->
+      """WITH s AS (SELECT event_id AS s_id, value AS s_value FROM events
+        |  WHERE event_type = 'signup' AND event_id % 20 = 0),
+        | p AS (SELECT event_id AS p_id, value AS p_value FROM events WHERE event_type = 'purchase')
+        |SELECT s_id, COUNT(*) AS n_near, MIN(p_id) AS first_p
+        |FROM s JOIN p ON p_value BETWEEN s_value - 0.5 AND s_value + 0.5
+        |GROUP BY s_id ORDER BY s_id""".stripMargin,
+    "fn_conditional" ->
+      """SELECT p_partkey,
+        | CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'medium' ELSE 'large' END AS size_class,
+        | nullif(p_brand, 'Brand#23') AS brand_or_null,
+        | coalesce(nullif(p_brand, 'Brand#23'), '(masked)') AS brand_masked,
+        | CAST(greatest(p_size, 25) AS BIGINT) AS size_floor25,
+        | CAST(least(p_size, 25) AS BIGINT) AS size_cap25,
+        | CAST(p_size % 2 = 0 AS BIGINT) AS is_even
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "join_asof" ->
       """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |j AS (SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,

@@ -97,6 +97,30 @@ object Joins {
       .orderBy("s_id")
   }
 
+  /** Band-bucketed range join — the scalable form of [[thetaRange]]: map
+    * each value to a bucket of width = band, explode the probe side into
+    * bucket±1, and equi-join on the bucket id. The non-equi predicate
+    * survives only as a cheap residual filter, so the join is a plain
+    * hash-partitioned equi-join (no broadcast nested loop, no replicated
+    * side) — at 100 TB both sides shuffle once on the bucket key.
+    * Result is identical to thetaRange (same oracle SQL). */
+  def thetaRangeBucketed(events: DataFrame, band: Double = 0.5): DataFrame = {
+    val signups = events
+      .filter(col("event_type") === "signup" && col("event_id") % 20 === 0)
+      .select(col("event_id").as("s_id"), col("value").as("s_value"))
+      .withColumn("bucket", explode(array((-1 to 1).map(i =>
+        floor(col("s_value") / band).cast("long") + i): _*)))
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("value").as("p_value"),
+        floor(col("value") / band).cast("long").as("bucket"))
+    signups.join(purchases, Seq("bucket"))
+      .filter(col("p_value").between(col("s_value") - band, col("s_value") + band))
+      .groupBy(col("s_id"))
+      .agg(count(lit(1)).as("n_near"), min(col("p_id")).as("first_p"))
+      .orderBy("s_id")
+  }
+
   /** As-of join: for each event, the latest order (keyed user_id =
     * o_custkey) with o_orderdate at-or-before the event timestamp.
     * Spark has no native ASOF; the scalable formulation is an equi-join on

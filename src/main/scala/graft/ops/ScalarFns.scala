@@ -72,6 +72,21 @@ object ScalarFns {
       .orderBy("vec_id")
   }
 
+  /** Conditional family: CASE chains, nullif/coalesce/nvl, greatest/least
+    * — all codegen'd branches. Nulls injected deterministically. */
+  def conditionalFns(part: DataFrame): DataFrame =
+    part.select(
+      col("p_partkey"),
+      when(col("p_size") < 10, "small")
+        .when(col("p_size") < 30, "medium")
+        .otherwise("large").as("size_class"),
+      nullif(col("p_brand"), lit("Brand#23")).as("brand_or_null"),
+      coalesce(nullif(col("p_brand"), lit("Brand#23")), lit("(masked)")).as("brand_masked"),
+      greatest(col("p_size"), lit(25)).cast("long").as("size_floor25"),
+      least(col("p_size"), lit(25)).cast("long").as("size_cap25"),
+      (col("p_size") % 2 === 0).cast("long").as("is_even"))
+      .orderBy("p_partkey")
+
   /** JSON/map family on `events.props`. */
   def mapJsonFns(events: DataFrame): DataFrame =
     events.select(
