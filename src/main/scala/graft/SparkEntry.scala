@@ -75,6 +75,7 @@ object SparkEntry {
     "sort_multi_key" -> ((s, d) => SetSort.multiKeySort(Tables.customer(s, d))),
     "sort_limit_topk" -> ((s, d) => SetSort.topK(Tables.orders(s, d))),
     "set_union" -> ((s, d) => SetSort.unionDistinct(Tables.customer(s, d), Tables.orders(s, d))),
+    "set_union_byname" -> ((s, d) => SetSort.unionByNameMissing(Tables.customer(s, d))),
     "set_intersect" -> ((s, d) => SetSort.intersectKeys(Tables.customer(s, d), Tables.orders(s, d))),
     "set_except" -> ((s, d) => SetSort.exceptKeys(Tables.customer(s, d), Tables.orders(s, d))),
     // --- scalar function families ---
@@ -83,6 +84,7 @@ object SparkEntry {
     "fn_math" -> ((s, d) => ScalarFns.mathFns(Tables.part(s, d))),
     "fn_array" -> ((s, d) => ScalarFns.arrayFns(Tables.embeddings(s, d))),
     "fn_conditional" -> ((s, d) => ScalarFns.conditionalFns(Tables.part(s, d))),
+    "fn_hash" -> ((s, d) => ScalarFns.hashFns(Tables.part(s, d))),
     "fn_map_json" -> ((s, d) => ScalarFns.mapJsonFns(Tables.events(s, d))),
     // --- diff / sync engine ---
     "diff_keyed" -> ((s, d) => {
@@ -327,6 +329,17 @@ object SparkEntry {
         | CAST(least(p_size, 25) AS BIGINT) AS size_cap25,
         | CAST(p_size % 2 = 0 AS BIGINT) AS is_even
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_hash" ->
+      """SELECT p_partkey, md5(p_name) AS name_md5, sha256(p_name) AS name_sha256,
+        | CAST(length(md5(p_name)) AS BIGINT) AS md5_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "set_union_byname" ->
+      """SELECT k, bal, segment FROM (
+        | SELECT c_custkey AS k, c_acctbal AS bal FROM customer WHERE c_custkey % 2 = 0
+        | UNION ALL BY NAME
+        | SELECT c_custkey AS k, c_acctbal AS bal, c_mktsegment AS segment
+        | FROM customer WHERE c_custkey % 2 = 1) t
+        |ORDER BY k""".stripMargin,
     "join_asof" ->
       """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |j AS (SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,

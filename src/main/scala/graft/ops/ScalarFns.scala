@@ -72,6 +72,17 @@ object ScalarFns {
       .orderBy("vec_id")
   }
 
+  /** Hash/digest family: content-addressing and checksumming for
+    * pipeline provenance (md5/sha256 are bit-identical across engines;
+    * xxhash64/crc32 are Spark-side — used for partitioning, not parity). */
+  def hashFns(part: DataFrame): DataFrame =
+    part.select(
+      col("p_partkey"),
+      md5(col("p_name").cast("binary")).as("name_md5"),
+      sha2(col("p_name").cast("binary"), 256).as("name_sha256"),
+      length(md5(col("p_name").cast("binary"))).cast("long").as("md5_len"))
+      .orderBy("p_partkey")
+
   /** Conditional family: CASE chains, nullif/coalesce/nvl, greatest/least
     * — all codegen'd branches. Nulls injected deterministically. */
   def conditionalFns(part: DataFrame): DataFrame =

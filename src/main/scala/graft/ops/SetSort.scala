@@ -36,6 +36,17 @@ object SetSort {
   private def urgentCusts(orders: DataFrame): DataFrame =
     orders.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("k"))
 
+  /** unionByName with missing columns — schema-evolution-tolerant union
+    * (new snapshot adds a column; old rows fill with null). */
+  def unionByNameMissing(customer: DataFrame): DataFrame = {
+    val oldCols = customer.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+    val newCols = customer.filter(col("c_custkey") % 2 === 1)
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"),
+        col("c_mktsegment").as("segment"))
+    oldCols.unionByName(newCols, allowMissingColumns = true).orderBy("k")
+  }
+
   /** UNION (distinct). */
   def unionDistinct(customer: DataFrame, orders: DataFrame): DataFrame =
     buildingCusts(customer).union(urgentCusts(orders)).distinct().orderBy("k")
