@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops._
-import graft.sync.{SnapshotDiff, Snapshots}
+import graft.sync.{IncrementalAgg, SnapshotDiff, Snapshots}
 import graft.llm.{Corpus, Dedup, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
 import graft.streaming.Streams
@@ -104,6 +104,14 @@ object SparkEntry {
       SnapshotDiff.applyChangeset(old, SnapshotDiff.diffKeyed(old, neu, "slno"), "slno")
         .orderBy("slno")
     }),
+    "agg_incremental" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val old = Snapshots.oldSnapshot(c)
+      val neu = Snapshots.newSnapshot(c)
+      IncrementalAgg.applyToAgg(
+        IncrementalAgg.aggSnapshot(old), SnapshotDiff.diffKeyed(old, neu, "slno"), old)
+    }),
+    "dq_checks" -> ((s, d) => DataQuality.checks(s, Tables.orders(s, d), Tables.lineitem(s, d), Tables.customer(s, d))),
     "agg_changeset_summary" -> ((s, d) => {
       val c = Tables.customer(s, d)
       SnapshotDiff.diffKeyed(Snapshots.oldSnapshot(c), Snapshots.newSnapshot(c), "slno")
@@ -516,6 +524,35 @@ object SparkEntry {
       s"""SELECT * FROM (${Snapshots.newSql}) t ORDER BY slno""",
     "agg_changeset_summary" ->
       s"""SELECT op, col, COUNT(*) AS n FROM ($diffKeyedBody) t GROUP BY op, col ORDER BY op, col""",
+    "agg_incremental" ->
+      s"""SELECT segment,
+         | CAST(SUM(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+         | count(*) AS n
+         |FROM (${Snapshots.newSql}) t GROUP BY segment ORDER BY segment""".stripMargin,
+    "dq_checks" ->
+      """SELECT * FROM (
+        | SELECT 'orders.o_orderkey unique' AS constraint,
+        |  CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations,
+        |  CAST(count(*) AS BIGINT) AS n_checked,
+        |  CAST(count(o_orderkey) = count(DISTINCT o_orderkey) AS BIGINT) AS passed FROM orders
+        | UNION ALL
+        | SELECT 'lineitem.l_orderkey -> orders.o_orderkey',
+        |  (SELECT count(*) FROM lineitem WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)),
+        |  (SELECT count(*) FROM lineitem),
+        |  CAST((SELECT count(*) FROM lineitem WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) = 0 AS BIGINT)
+        | UNION ALL
+        | SELECT 'customer.c_name not null',
+        |  (SELECT count(*) FROM customer WHERE c_name IS NULL),
+        |  (SELECT count(*) FROM customer),
+        |  CAST((SELECT count(*) FROM customer WHERE c_name IS NULL) = 0 AS BIGINT)
+        | UNION ALL
+        | SELECT 'lineitem.l_quantity in [0,100]',
+        |  (SELECT count(*) FROM lineitem WHERE l_quantity < 0 OR l_quantity > 100),
+        |  (SELECT count(*) FROM lineitem),
+        |  CAST((SELECT count(*) FROM lineitem WHERE l_quantity < 0 OR l_quantity > 100) = 0 AS BIGINT)
+        |) t ORDER BY "constraint"""".stripMargin,
     "dedup_exact" ->
       s"""WITH corpus AS (${Corpus.docCorpusSql})
          |SELECT doc_id, n_copies, n_chars FROM (

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality constraint checking — the validation pass a pipeline runs
+  * before promoting a snapshot: uniqueness, referential integrity, null
+  * rates, value ranges. One row per constraint with violation counts; a
+  * generalization of the reference's fail-fast cell check (R2,
+  * syncquill.py:67-74) from "any empty cell" to declarative constraints.
+  *
+  * Each check is a single aggregate or anti-join — no driver loops; at
+  * scale the checks share the table scans via one pass per table.
+  */
+object DataQuality {
+
+  def checks(spark: SparkSession, orders: DataFrame, lineitem: DataFrame,
+             customer: DataFrame): DataFrame = {
+    import spark.implicits._
+
+    val uniq = orders.agg(
+      (count(col("o_orderkey")) - countDistinct(col("o_orderkey"))).as("v"),
+      count(lit(1)).as("n"))
+      .select(lit("orders.o_orderkey unique").as("constraint"), col("v"), col("n"))
+
+    val fk = lineitem.join(orders, lineitem("l_orderkey") === orders("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+      .crossJoin(lineitem.agg(count(lit(1)).as("n")))
+      .select(lit("lineitem.l_orderkey -> orders.o_orderkey").as("constraint"), col("v"), col("n"))
+
+    val nulls = customer.agg(
+      sum(col("c_name").isNull.cast("long")).as("v"), count(lit(1)).as("n"))
+      .select(lit("customer.c_name not null").as("constraint"), col("v"), col("n"))
+
+    val range = lineitem.agg(
+      sum((col("l_quantity") < 0 || col("l_quantity") > 100).cast("long")).as("v"),
+      count(lit(1)).as("n"))
+      .select(lit("lineitem.l_quantity in [0,100]").as("constraint"), col("v"), col("n"))
+
+    uniq.unionByName(fk).unionByName(nulls).unionByName(range)
+      .select(col("constraint"), col("v").cast("long").as("n_violations"),
+        col("n").cast("long").as("n_checked"),
+        (col("v") === 0).cast("long").as("passed"))
+      .orderBy("constraint")
+  }
+}

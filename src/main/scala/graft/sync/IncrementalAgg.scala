@@ -1,0 +1,76 @@
+package graft.sync
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate maintenance: given a grouped aggregate over the
+  * OLD snapshot and a keyed changeset (SnapshotDiff.diffKeyed), produce
+  * the aggregate of the NEW snapshot WITHOUT touching the new snapshot —
+  * the incremental-view-maintenance counterpart of `diff_apply_merge`.
+  *
+  * Law (oracle-checked): `applyToAgg(agg(old), diff(old,new)) ≡ agg(new)`.
+  *
+  * At 100 TB this is the difference between re-aggregating the full fact
+  * table and processing |changeset| rows: deltas are tiny, the base
+  * aggregate is tiny, the join is broadcast-sized. Works for any
+  * commutative-group aggregate (sum/count here; min/max need the scan).
+  *
+  * Group key = `segment`, measure = `acctbal` (string-domain snapshot
+  * columns, like the reference's data model). Updates may MOVE a row
+  * between groups (segment changes), so each update contributes
+  * (-old contribution) to its old group and (+new) to its new group;
+  * missing cells of partially-updated rows are reconstructed from the
+  * old snapshot.
+  */
+object IncrementalAgg {
+
+  private val dec = "decimal(18,2)"
+
+  /** Grouped base aggregate: per segment, exact sum of acctbal + count. */
+  def aggSnapshot(snapshot: DataFrame): DataFrame =
+    snapshot.groupBy(col("segment"))
+      .agg(sum(col("acctbal").cast(dec)).as("sum_bal"),
+        count(lit(1)).as("n"))
+
+  /** Apply a changeset to a grouped aggregate. `old` is needed only to
+    * reconstruct unchanged cells of partially-updated rows (joined on the
+    * changed keys — a changeset-sized, not table-sized, join). */
+  def applyToAgg(baseAgg: DataFrame, changes: DataFrame, old: DataFrame): DataFrame = {
+    // whole-row images: "name|acctbal|segment"
+    def imgCol(img: org.apache.spark.sql.Column, i: Int) = split(img, "\\|").getItem(i)
+
+    val inserts = changes.filter(col("op") === "insert").select(
+      imgCol(col("new_val"), 2).as("segment"),
+      imgCol(col("new_val"), 1).cast(dec).as("d_sum"),
+      lit(1L).as("d_n"))
+    val deletes = changes.filter(col("op") === "delete").select(
+      imgCol(col("old_val"), 2).as("segment"),
+      (-imgCol(col("old_val"), 1).cast(dec)).as("d_sum"),
+      lit(-1L).as("d_n"))
+
+    // updates: fold each key's changed cells into a patch, join the OLD
+    // row for the unchanged cells, emit -old and +patched contributions
+    val patches = changes.filter(col("op") === "update")
+      .groupBy(col("slno"))
+      .agg(map_from_entries(collect_list(struct(col("col"), col("new_val")))).as("patch"))
+    val updated = old.join(patches, old("slno").cast("long") === patches("slno"))
+      .select(
+        old("segment").as("old_segment"),
+        old("acctbal").as("old_acctbal"),
+        coalesce(element_at(col("patch"), "segment"), old("segment")).as("new_segment"),
+        coalesce(element_at(col("patch"), "acctbal"), old("acctbal")).as("new_acctbal"))
+    val updMinus = updated.select(col("old_segment").as("segment"),
+      (-col("old_acctbal").cast(dec)).as("d_sum"), lit(-1L).as("d_n"))
+    val updPlus = updated.select(col("new_segment").as("segment"),
+      col("new_acctbal").cast(dec).as("d_sum"), lit(1L).as("d_n"))
+
+    val deltas = inserts.unionByName(deletes).unionByName(updMinus).unionByName(updPlus)
+    baseAgg.select(col("segment"), col("sum_bal").as("d_sum"), col("n").as("d_n"))
+      .unionByName(deltas)
+      .groupBy(col("segment"))
+      .agg(sum(col("d_sum")).as("sum_bal"), sum(col("d_n")).as("n"))
+      .filter(col("n") > 0) // groups whose last row left disappear, like a re-agg
+      .select(col("segment"), col("sum_bal").cast("double").as("sum_bal"), col("n"))
+      .orderBy("segment")
+  }
+}
