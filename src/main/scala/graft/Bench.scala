@@ -34,10 +34,15 @@ object Bench {
       try spark.catalog.clearCache() catch { case _: Throwable => () }
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // keep the JSON line SHORT (4-decimal timings): the driver captures
+    // only the tail of the run output and a multi-KB line gets its head
+    // chopped past the parse window (r1 lesson: parsed=null)
+    def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = r4(if (results.nonEmpty) results.values.sum else 0.0)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    Console.flush()
     spark.stop()
   }
 }

@@ -30,8 +30,8 @@ object SparkEntry {
   def queries: Map[String, Q] = Map(
     // --- scans / sources ---
     "scan_parquet" -> ((s, d) => Scans.scanParquet(Tables.lineitem(s, d))),
-    "scan_csv_allstring" -> ((s, d) => Scans.scanCsvAllString(s, Tables.nation(s, d))),
-    "scan_jsonl" -> ((s, d) => Scans.scanJsonl(s, Tables.nation(s, d))),
+    "scan_csv_allstring" -> ((s, d) => Scans.scanCsvAllString(s, Tables.nation(s, d), d)),
+    "scan_jsonl" -> ((s, d) => Scans.scanJsonl(s, Tables.nation(s, d), d)),
     "validate_reject" -> ((s, d) => Scans.validateReject(Tables.customer(s, d))),
     "project_cast_string" -> ((s, d) => Scans.projectCastString(Tables.nation(s, d))),
     "filter_pred" -> ((s, d) => Scans.filterPred(Tables.lineitem(s, d))),
@@ -210,19 +210,22 @@ object SparkEntry {
        |  o.segment AS o_segment, n.segment AS n_segment
        | FROM oldt o FULL OUTER JOIN newt n ON o.slno = n.slno)
        |SELECT 'insert' AS op, n_slno AS slno, '' AS col, CAST(NULL AS VARCHAR) AS old_val,
-       |  concat_ws('|', n_name, n_acctbal, n_segment) AS new_val FROM j WHERE o_slno IS NULL
+       |  CAST(to_json(struct_pack(name := n_name, acctbal := n_acctbal, segment := n_segment)) AS VARCHAR) AS new_val
+       | FROM j WHERE o_slno IS NULL
        |UNION ALL
-       |SELECT 'delete', o_slno, '', concat_ws('|', o_name, o_acctbal, o_segment), CAST(NULL AS VARCHAR)
+       |SELECT 'delete', o_slno, '',
+       |  CAST(to_json(struct_pack(name := o_name, acctbal := o_acctbal, segment := o_segment)) AS VARCHAR),
+       |  CAST(NULL AS VARCHAR)
        | FROM j WHERE n_slno IS NULL
        |UNION ALL
        |SELECT 'update', o_slno, 'name', o_name, n_name
-       | FROM j WHERE o_slno IS NOT NULL AND n_slno IS NOT NULL AND o_name <> n_name
+       | FROM j WHERE o_slno IS NOT NULL AND n_slno IS NOT NULL AND o_name IS DISTINCT FROM n_name
        |UNION ALL
        |SELECT 'update', o_slno, 'acctbal', o_acctbal, n_acctbal
-       | FROM j WHERE o_slno IS NOT NULL AND n_slno IS NOT NULL AND o_acctbal <> n_acctbal
+       | FROM j WHERE o_slno IS NOT NULL AND n_slno IS NOT NULL AND o_acctbal IS DISTINCT FROM n_acctbal
        |UNION ALL
        |SELECT 'update', o_slno, 'segment', o_segment, n_segment
-       | FROM j WHERE o_slno IS NOT NULL AND n_slno IS NOT NULL AND o_segment <> n_segment""".stripMargin
+       | FROM j WHERE o_slno IS NOT NULL AND n_slno IS NOT NULL AND o_segment IS DISTINCT FROM n_segment""".stripMargin
 
   private val diffPositionalSql =
     s"""WITH bq AS (${Snapshots.bqSql}), sheet AS (${Snapshots.sheetSql}),
@@ -234,24 +237,24 @@ object SparkEntry {
        | FROM l1 FULL OUTER JOIN l2 ON l1.pos = l2.pos)
        |SELECT * FROM (
        |SELECT CAST(a_pos AS BIGINT) AS pos, 'del_row' AS op, a_slno AS slno, '' AS col,
-       |  concat_ws('|', CAST(a_slno AS VARCHAR), a_name, a_acctbal, a_segment) AS old_val,
+       |  CAST(to_json(struct_pack(slno := CAST(a_slno AS VARCHAR), name := a_name, acctbal := a_acctbal, segment := a_segment)) AS VARCHAR) AS old_val,
        |  CAST(NULL AS VARCHAR) AS new_val FROM j WHERE b_pos IS NULL
        |UNION ALL
        |SELECT CAST(b_pos AS BIGINT), 'extra_row', b_slno, '', CAST(NULL AS VARCHAR),
-       |  concat_ws('|', CAST(b_slno AS VARCHAR), b_name, b_acctbal, b_segment)
+       |  CAST(to_json(struct_pack(slno := CAST(b_slno AS VARCHAR), name := b_name, acctbal := b_acctbal, segment := b_segment)) AS VARCHAR)
        | FROM j WHERE a_pos IS NULL
        |UNION ALL
        |SELECT CAST(a_pos AS BIGINT), 'diff', a_slno, 'slno', CAST(a_slno AS VARCHAR), CAST(b_slno AS VARCHAR)
-       | FROM j WHERE a_pos IS NOT NULL AND b_pos IS NOT NULL AND a_slno <> b_slno
+       | FROM j WHERE a_pos IS NOT NULL AND b_pos IS NOT NULL AND CAST(a_slno AS VARCHAR) IS DISTINCT FROM CAST(b_slno AS VARCHAR)
        |UNION ALL
        |SELECT CAST(a_pos AS BIGINT), 'diff', a_slno, 'name', a_name, b_name
-       | FROM j WHERE a_pos IS NOT NULL AND b_pos IS NOT NULL AND a_name <> b_name
+       | FROM j WHERE a_pos IS NOT NULL AND b_pos IS NOT NULL AND a_name IS DISTINCT FROM b_name
        |UNION ALL
        |SELECT CAST(a_pos AS BIGINT), 'diff', a_slno, 'acctbal', a_acctbal, b_acctbal
-       | FROM j WHERE a_pos IS NOT NULL AND b_pos IS NOT NULL AND a_acctbal <> b_acctbal
+       | FROM j WHERE a_pos IS NOT NULL AND b_pos IS NOT NULL AND a_acctbal IS DISTINCT FROM b_acctbal
        |UNION ALL
        |SELECT CAST(a_pos AS BIGINT), 'diff', a_slno, 'segment', a_segment, b_segment
-       | FROM j WHERE a_pos IS NOT NULL AND b_pos IS NOT NULL AND a_segment <> b_segment
+       | FROM j WHERE a_pos IS NOT NULL AND b_pos IS NOT NULL AND a_segment IS DISTINCT FROM b_segment
        |) t ORDER BY pos, col""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

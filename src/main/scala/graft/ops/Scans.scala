@@ -30,13 +30,20 @@ object Scans {
       // order by every output column for a total order (SURVEY §7)
       .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
 
+  /** Round-trip staging dir keyed by the source tag so concurrent
+    * sessions / interleaved scale factors never overwrite each other's
+    * fixture (the same hazard ScaleJoins.sfTag guards against). */
+  private def stagingDir(kind: String, tag: String): String =
+    sys.props("java.io.tmpdir") + s"/graft_${kind}_" +
+      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(tag).toLong & 0xffffffffL)
+
   /** R1: sheet-snapshot ingest. Round-trips `nation` through a header CSV
     * (the stand-in for the Sheets API snapshot) and reads it back with an
     * explicit all-`StringType` schema — the reference's "every cell is a
     * string" domain (syncquill.py:110-111). Deterministic output order via
-    * the numeric key. */
-  def scanCsvAllString(spark: SparkSession, nation: DataFrame): DataFrame = {
-    val dir = sys.props("java.io.tmpdir") + "/graft_csv_nation"
+    * the numeric key. `tag` keys the staging dir (pass the sf dir). */
+  def scanCsvAllString(spark: SparkSession, nation: DataFrame, tag: String = ""): DataFrame = {
+    val dir = stagingDir("csv_nation", tag)
     val asString = nation.select(nation.columns.map(c => col(c).cast("string").as(c)).toIndexedSeq: _*)
     asString.coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
     val schema = StructType(nation.columns.map(c => StructField(c, StringType)))
@@ -49,8 +56,8 @@ object Scans {
     * production — a schema drift should fail loudly, not silently retype
     * a column). Values must survive the round trip exactly — the oracle
     * reads the parquet table directly. */
-  def scanJsonl(spark: SparkSession, nation: DataFrame): DataFrame = {
-    val dir = sys.props("java.io.tmpdir") + "/graft_jsonl_nation"
+  def scanJsonl(spark: SparkSession, nation: DataFrame, tag: String = ""): DataFrame = {
+    val dir = stagingDir("jsonl_nation", tag)
     nation.coalesce(1).write.mode("overwrite").json(dir)
     spark.read.schema(nation.schema).json(dir)
       .orderBy("n_nationkey")

@@ -145,27 +145,81 @@ object Streams {
         col("p_ts") <= col("s_ts") + expr("INTERVAL 30 MINUTES"))
   }
 
+  /** Name of the manifest file that points at the live snapshot dir. */
+  private val ManifestName = "_CURRENT"
+
+  private def snapDirName(batchId: Long): String = f"snap-$batchId%012d"
+
+  /** Resolve the live snapshot directory under a merge-sink root, if one
+    * has been published. Uses the Hadoop FileSystem API (works on HDFS /
+    * object stores, not just the local FS). */
+  def currentSnapshotDir(spark: org.apache.spark.sql.SparkSession,
+                         targetPath: String): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = new org.apache.hadoop.fs.Path(root, ManifestName)
+    if (!fs.exists(manifest)) None
+    else {
+      val in = fs.open(manifest)
+      val name =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (name.isEmpty) None else Some(new org.apache.hadoop.fs.Path(root, name).toString)
+    }
+  }
+
+  /** Read the live snapshot a [[foreachBatchMerge]] sink last published. */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession,
+                   targetPath: String): Option[DataFrame] =
+    currentSnapshotDir(spark, targetPath).map(spark.read.parquet(_))
+
   /** foreachBatch merge sink — the streaming version of diff_apply_merge:
-    * each micro-batch of snapshot rows is upserted into the parquet
-    * target as ONE set-based job (anti-join out replaced keys, union the
-    * batch, overwrite). The target path always holds a complete, readable
-    * snapshot between batches; `checkpointLocation` upstream gives
-    * exactly-once batch replay on failure. */
+    * each micro-batch of snapshot rows is upserted as ONE set-based job
+    * (anti-join out replaced keys, union the batch).
+    *
+    * Crash-safe publication: every batch writes a fresh versioned
+    * directory `snap-<batchId>` under the target root and then atomically
+    * repoints the `_CURRENT` manifest via a FileContext rename with
+    * OVERWRITE — readers ([[readSnapshot]]) always see a complete
+    * snapshot; a crash mid-write leaves the manifest on the previous
+    * version. Replay of a batch (exactly-once via upstream
+    * `checkpointLocation`) is idempotent: if the manifest already points
+    * at this batch's snapshot the merge is skipped, otherwise the merge
+    * re-runs against the pre-batch snapshot the manifest still names.
+    * Superseded snapshot dirs older than the previous one are pruned. */
   def foreachBatchMerge(stream: DataFrame, targetPath: String, key: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
-      val tmp = targetPath + ".merging"
-      val merged =
-        if (!new java.io.File(targetPath).exists()) batch
-        else {
-          val target = spark.read.parquet(targetPath)
-          target.join(batch.select(col(key)).distinct(), Seq(key), "left_anti")
-            .unionByName(batch)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(targetPath)
+      val fs = root.getFileSystem(conf)
+      val current = currentSnapshotDir(spark, targetPath)
+      if (!current.map(new org.apache.hadoop.fs.Path(_).getName).contains(snapDirName(batchId))) {
+        val merged = current match {
+          case None => batch
+          case Some(cur) =>
+            val target = spark.read.parquet(cur)
+            target.join(batch.select(col(key)).distinct(), Seq(key), "left_anti")
+              .unionByName(batch)
         }
-      merged.write.mode("overwrite").parquet(tmp)
-      // atomic-ish swap: re-point by replacing the target dir contents
-      spark.read.parquet(tmp).write.mode("overwrite").parquet(targetPath)
+        val next = new org.apache.hadoop.fs.Path(root, snapDirName(batchId))
+        merged.write.mode("overwrite").parquet(next.toString)
+        // publish: manifest tmp file, then atomic rename-with-overwrite
+        val tmp = new org.apache.hadoop.fs.Path(root, ManifestName + ".tmp")
+        val out = fs.create(tmp, true)
+        try out.write(next.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
+        fc.rename(tmp, new org.apache.hadoop.fs.Path(root, ManifestName),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        // prune snapshots older than the previous one (kept for in-flight readers)
+        val keep = Set(snapDirName(batchId), snapDirName(batchId - 1))
+        fs.listStatus(root).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.startsWith("snap-") && !keep(n)) fs.delete(st.getPath, true)
+        }
+      }
       ()
     }
 }

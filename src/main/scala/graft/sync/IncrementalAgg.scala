@@ -36,16 +36,21 @@ object IncrementalAgg {
     * reconstruct unchanged cells of partially-updated rows (joined on the
     * changed keys — a changeset-sized, not table-sized, join). */
   def applyToAgg(baseAgg: DataFrame, changes: DataFrame, old: DataFrame): DataFrame = {
-    // whole-row images: "name|acctbal|segment"
-    def imgCol(img: org.apache.spark.sql.Column, i: Int) = split(img, "\\|").getItem(i)
+    // whole-row JSON images ({"name":...,"acctbal":...,"segment":...}) —
+    // decoded by field name, null-safely (see SnapshotDiff.rowImage)
+    val imgSchema = org.apache.spark.sql.types.StructType(
+      Seq("name", "acctbal", "segment").map(c =>
+        org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
+    def imgCol(img: org.apache.spark.sql.Column, field: String) =
+      from_json(img, imgSchema).getField(field)
 
     val inserts = changes.filter(col("op") === "insert").select(
-      imgCol(col("new_val"), 2).as("segment"),
-      imgCol(col("new_val"), 1).cast(dec).as("d_sum"),
+      imgCol(col("new_val"), "segment").as("segment"),
+      imgCol(col("new_val"), "acctbal").cast(dec).as("d_sum"),
       lit(1L).as("d_n"))
     val deletes = changes.filter(col("op") === "delete").select(
-      imgCol(col("old_val"), 2).as("segment"),
-      (-imgCol(col("old_val"), 1).cast(dec)).as("d_sum"),
+      imgCol(col("old_val"), "segment").as("segment"),
+      (-imgCol(col("old_val"), "acctbal").cast(dec)).as("d_sum"),
       lit(-1L).as("d_n"))
 
     // updates: fold each key's changed cells into a patch, join the OLD
@@ -57,8 +62,10 @@ object IncrementalAgg {
       .select(
         old("segment").as("old_segment"),
         old("acctbal").as("old_acctbal"),
-        coalesce(element_at(col("patch"), "segment"), old("segment")).as("new_segment"),
-        coalesce(element_at(col("patch"), "acctbal"), old("acctbal")).as("new_acctbal"))
+        when(map_contains_key(col("patch"), "segment"), element_at(col("patch"), "segment"))
+          .otherwise(old("segment")).as("new_segment"),
+        when(map_contains_key(col("patch"), "acctbal"), element_at(col("patch"), "acctbal"))
+          .otherwise(old("acctbal")).as("new_acctbal"))
     val updMinus = updated.select(col("old_segment").as("segment"),
       (-col("old_acctbal").cast(dec)).as("d_sum"), lit(-1L).as("d_n"))
     val updPlus = updated.select(col("new_segment").as("segment"),

@@ -26,9 +26,23 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotDiff {
 
-  /** Concatenated row image used for whole-row insert/delete entries. */
+  /** Whole-row image for insert/delete entries, encoded as a JSON object
+    * (`{"name":"x","acctbal":null,...}`). JSON — not a separator-joined
+    * string — because the encoding must be unambiguous and null-safe:
+    * `concat_ws` silently drops null cells and a cell containing the
+    * separator shifts every later field, corrupting the round-trip law
+    * `applyChangeset(a, diffKeyed(a,b)) ≡ b`. Cells are stringified first
+    * (the reference's comparison domain, syncquill.py:112-113) so the
+    * image is stable across input column types. */
   private def rowImage(cols: Seq[String], side: String): Column =
-    concat_ws("|", cols.map(c => col(s"$side.$c")): _*)
+    to_json(
+      struct(cols.map(c => col(s"$side.$c").cast("string").as(c)): _*),
+      Map("ignoreNullFields" -> "false"))
+
+  /** Schema used to decode a [[rowImage]] back into columns. */
+  private def imageSchema(cols: Seq[String]) =
+    org.apache.spark.sql.types.StructType(cols.map(c =>
+      org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
 
   /** Keyed snapshot diff: old vs new joined on `key` (hash-partitioned
     * full outer join), cell diffs per value column, whole-row entries for
@@ -50,10 +64,13 @@ object SnapshotDiff {
       lit("delete").as("op"), col(s"o.$key").cast("long").as("slno"),
       lit("").as("col"), rowImage(valueCols, "o").as("old_val"),
       lit(null).cast("string").as("new_val")))
+    // null-safe inequality: `=!=` yields NULL (not true) for null->value
+    // or value->null transitions, silently swallowing those updates
     val updateCs = valueCols.map { c =>
-      when(inOld && inNew && col(s"o.$c") =!= col(s"n.$c"), struct(
+      when(inOld && inNew && !(col(s"o.$c") <=> col(s"n.$c")), struct(
         lit("update").as("op"), col(s"o.$key").cast("long").as("slno"),
-        lit(c).as("col"), col(s"o.$c").as("old_val"), col(s"n.$c").as("new_val")))
+        lit(c).as("col"), col(s"o.$c").cast("string").as("old_val"),
+        col(s"n.$c").cast("string").as("new_val")))
     }
 
     j.select(explode(array(insertC +: deleteC +: updateCs: _*)).as("ch"))
@@ -97,7 +114,7 @@ object SnapshotDiff {
       lit("").as("col"), lit(null).cast("string").as("old_val"),
       rowImage(valueCols, "b").as("new_val")))
     val cellDiffs = valueCols.map { c =>
-      when(both && col(s"a.$c") =!= col(s"b.$c"), struct(
+      when(both && !(col(s"a.$c") <=> col(s"b.$c")), struct(
         lit("diff").as("op"), col(s"a.$key").cast("long").as("slno"),
         lit(c).as("col"), col(s"a.$c").as("old_val"), col(s"b.$c").as("new_val")))
     }
@@ -122,17 +139,19 @@ object SnapshotDiff {
     val updates = changes.filter(col("op") === "update")
       .groupBy(col("slno"))
       .agg(map_from_entries(collect_list(struct(col("col"), col("new_val")))).as("patch"))
-    // inserts: whole-row images split back into columns
+    // inserts: JSON row images decoded back into columns (null-safe)
     val inserts = changes.filter(col("op") === "insert")
-      .withColumn("parts", split(col("new_val"), "\\|"))
-      .select(col("slno").as(key) +:
-        valueCols.zipWithIndex.map { case (c, i) => col("parts").getItem(i).as(c) }: _*)
+      .withColumn("img", from_json(col("new_val"), imageSchema(valueCols)))
+      .select(col("slno").as(key) +: valueCols.map(c => col(s"img.$c").as(c)): _*)
 
     val patched = old.as("o")
       .join(deletes.as("d"), col(s"o.$key").cast("long") === col("d.slno"), "left_anti")
       .join(updates.as("u"), col(s"o.$key").cast("long") === col("u.slno"), "left")
+      // membership test, not coalesce: an update may set a cell to NULL,
+      // and coalesce(patch[c], old) would silently resurrect the old value
       .select(col(s"o.$key").as(key) +: valueCols.map { c =>
-        coalesce(element_at(col("u.patch"), c), col(s"o.$c")).as(c)
+        when(map_contains_key(col("u.patch"), c), element_at(col("u.patch"), c))
+          .otherwise(col(s"o.$c").cast("string")).as(c)
       }: _*)
 
     patched.unionByName(inserts)

@@ -44,7 +44,17 @@ object SyncPipeline {
       if (preview) PrettyPrint.show(changes)
       if (total == 0) { println("No changes."); SyncResult(0, 0, 0, 0) }
       else {
-        Sinks.mergeWrite(target, changes, key, targetPath + ".next")
+        // stage the merged snapshot fully, then promote it over the target
+        // (metadata-only rename — the merge job has already completed, so
+        // the non-atomic delete+rename window holds only directory moves,
+        // never a partially-written table)
+        val staging = targetPath + ".next"
+        Sinks.mergeWrite(target, changes, key, staging)
+        val tgt = new org.apache.hadoop.fs.Path(targetPath)
+        val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(tgt, true)
+        require(fs.rename(new org.apache.hadoop.fs.Path(staging), tgt),
+          s"failed to promote $staging over $targetPath")
         SyncResult(total, byOp.getOrElse("insert", 0), byOp.getOrElse("delete", 0),
           byOp.getOrElse("update", 0))
       }

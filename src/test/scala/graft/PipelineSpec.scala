@@ -31,8 +31,13 @@ class PipelineSpec extends SparkSpec {
 
     val r = SyncPipeline.sync(spark, s"$dir/source", s"$dir/target", "slno", preview = false)
     assert(r.changes > 0 && r.inserts > 0 && r.deletes > 0 && r.updates > 0)
-    val next = spark.read.parquet(s"$dir/target.next")
-    assert(next.exceptAll(neu).count() === 0 && neu.exceptAll(next).count() === 0)
+    // the merged snapshot is PROMOTED into the target (staging dir gone)
+    val merged = spark.read.parquet(s"$dir/target")
+    assert(merged.exceptAll(neu).count() === 0 && neu.exceptAll(merged).count() === 0)
+    assert(!new java.io.File(s"$dir/target.next").exists())
+    // a re-run against the promoted target is a no-op
+    val r2 = SyncPipeline.sync(spark, s"$dir/source", s"$dir/target", "slno", preview = false)
+    assert(r2 === SyncPipeline.SyncResult(0, 0, 0, 0))
   }
 
   test("sync verb: no-op when source == target") {
@@ -96,13 +101,16 @@ class PipelineSpec extends SparkSpec {
     try {
       stream.addData(Snap(1, "a", "1.00", "S1", t(0)), Snap(2, "b", "2.00", "S1", t(1)))
       query.processAllAvailable()
-      assert(spark.read.parquet(target).count() === 2)
+      assert(Streams.readSnapshot(spark, target).get.count() === 2)
       // batch 2: update slno=2, insert slno=3
       stream.addData(Snap(2, "b2", "2.50", "S2", t(2)), Snap(3, "c", "3.00", "S1", t(3)))
       query.processAllAvailable()
-      val rows = spark.read.parquet(target).orderBy("slno").collect()
+      val rows = Streams.readSnapshot(spark, target).get.orderBy("slno").collect()
       assert(rows.length === 3)
       assert(rows(1).getAs[String]("name") === "b2")
+      // the manifest names the live snapshot; a stale version may remain
+      // for in-flight readers but the pointed-at dir is always complete
+      assert(Streams.currentSnapshotDir(spark, target).get.endsWith("snap-000000000001"))
     } finally query.stop()
   }
 }

@@ -24,22 +24,10 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(neu.exceptAll(applied).count() === 0)
   }
 
-  /** Literal port of compare_data (syncquill.py:109-129) as the oracle. */
-  private def compareDataRef(list1: Seq[Seq[String]], list2: Seq[Seq[String]],
-                             cols: Seq[String]): Seq[(String, String, String, String, String)] = {
-    val changes = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, String, String)]
-    val (len1, len2) = (list1.length, list2.length)
-    if (len1 > len2)
-      list1.drop(len2).foreach(r => changes += (("del_row", r.head, "", r.mkString("|"), null)))
-    else if (len2 > len1)
-      list2.drop(len1).foreach(r => changes += (("extra_row", r.head, "", null, r.mkString("|"))))
-    for (i <- 0 until math.min(len1, len2); j <- 0 until math.min(list1(i).length, list2(i).length))
-      if (list1(i)(j) != list2(i)(j))
-        changes += (("diff", list1(i).head, cols(j), list1(i)(j), list2(i)(j)))
-    changes.toSeq
-  }
-
   test("diffPositional matches the literal compare_data port") {
+    // literal port + engine JSON row-image encoding live in DiffLaws
+    def compareDataRef(l1: Seq[Seq[String]], l2: Seq[Seq[String]], cols: Seq[String]) =
+      DiffLaws.compareDataRef(l1, l2, cols)
     val bq = Snapshots.bqSnapshot(customer)
     val sheet = Snapshots.sheetSnapshot(customer)
     val cols = bq.columns.toSeq
