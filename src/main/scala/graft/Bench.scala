@@ -21,7 +21,10 @@ object Bench {
     try ops.ScaleJoins.ensureBucketed(spark,
       Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir))
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1,q2 — run a subset (local profiling; driver unsets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
+    val results = selected.map { case (name, fn) =>
       // untimed first run: per-query whole-stage-codegen compilation is a
       // fixed ~1-2s cost that would swamp sub-second queries; the timed
       // run measures engine execution (the number that scales with data)

@@ -38,17 +38,21 @@ object Dedup {
   def ngramJaccard(corpus: DataFrame, threshold: Double = 0.5): DataFrame = {
     val withSh = corpus
       .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("shs"))
+    // per-doc shingle counts map-side from the (distinct) array length —
+    // NOT a groupBy over the exploded table, which would shuffle the full
+    // shingle table a second time just to count it
+    val sizes = withSh.select(col("doc_id"), size(col("shs")).as("n_sh"))
     // Join on the 8-byte shingle hash, carrying ONLY (doc_id, hash) through
     // the wide self-join shuffle; per-doc shingle counts re-attach after
     // the pair aggregation via a broadcast-sized dimension. (64-bit
     // collisions are ~2^-64 per pair — no effect at any realistic scale.)
-    // cache the compact (doc_id, hash) table: both self-join branches and
-    // the sizes dim reuse it instead of re-reading + re-shingling the
-    // corpus per branch (at scale: materialize the shingle table once)
+    // Hash-partition by h ONCE and cache: both self-join branches then
+    // share the cached partitioning and the join plans with NO exchange
+    // (at scale: a materialized shingle table bucketed by hash).
     val ex = withSh.select(col("doc_id"), explode(col("shs")).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .repartition(col("h"))
       .persist()
-    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = ex.select(col("doc_id").as("a_id"), col("h"))
     val b = ex.select(col("doc_id").as("b_id"), col("h"))
     a.join(b, Seq("h"))
@@ -138,17 +142,16 @@ object Dedup {
     while (!converged && round < iters) {
       val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
         .groupBy(col("dst")).agg(min(col("cluster")).as("nbr_min"))
+      // carry a per-row `changed` flag through the (eager) checkpoint so
+      // the fixpoint test is a scan of the checkpointed round, not a
+      // second labels-vs-labels join job per round
       val next = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
         .select(labels("doc_id"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
+          coalesce(col("nbr_min") < col("cluster"), lit(false)).as("changed"))
         .localCheckpoint()
-      // fixpoint test on two checkpointed label tables — cheap, and lets
-      // typical (shallow) near-dup graphs stop after 1-2 rounds
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.cluster") =!= col("o.cluster"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.drop("changed")
       round += 1
     }
     labels.orderBy("doc_id")

@@ -86,7 +86,11 @@ object Similarity {
     * LlmOpsSpec gates recall vs brute force. */
   def ivfTopK(embeddings: DataFrame, queryId: Long = 0, k: Int = 10,
               nClusters: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
-    val vs = doubled(embeddings)
+    // cache the widened vectors: the quantizer makes ~2 passes per Lloyd
+    // iteration plus the final probe scan, and re-reading + re-widening
+    // the parquet per job dominates at small k×dims (model fits in RAM;
+    // at 100 TB this is the materialized `(vec_id, v)` projection)
+    val vs = doubled(embeddings).persist()
 
     def sqDistTo(c: Array[Double]) = {
       val lit2 = typedLit(c.toSeq)
