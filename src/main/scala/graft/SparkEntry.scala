@@ -167,7 +167,16 @@ object SparkEntry {
     // --- UDF / UDAF / UDTF surface ---
     "udf_scalar_norm" -> ((s, d) => Udfs.scalarNorm(s, Tables.part(s, d))),
     "udaf_typed" -> ((s, d) => Udfs.typedUdaf(s, Tables.customer(s, d))),
-    "udtf_generator" -> ((s, d) => Udfs.tokenGenerator(Tables.documents(s, d)))
+    "udtf_generator" -> ((s, d) => Udfs.tokenGenerator(Tables.documents(s, d))),
+    // --- round 2 additions ---
+    "join_skew_salted" -> ((s, d) => ScaleJoins.saltedJoin(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "join_dpp" -> ((s, d) => PartitionedLayout.dppJoin(s, Tables.events(s, d))),
+    "join_existence_flag" -> ((s, d) => Joins.existenceFlag(Tables.customer(s, d), Tables.orders(s, d))),
+    "win_percent_rank" -> ((s, d) => Windows.percentileRanks(Tables.customer(s, d))),
+    "dq_contamination" -> ((s, d) => DataQuality.contamination(Tables.documents(s, d))),
+    "sample_stratified" -> ((s, d) => Aggregates.stratifiedSample(Tables.documents(s, d))),
+    "text_normalize_url" -> ((s, d) => TextAnalysis.normalizeUrls(Tables.documents(s, d))),
+    "fn_struct" -> ((s, d) => ScalarFns.structFns(Tables.nation(s, d)))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -738,6 +747,61 @@ object SparkEntry {
     "udtf_generator" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS tok FROM documents WHERE doc_id < 50)
         |SELECT doc_id, CAST(unnest(range(len(tok))) AS BIGINT) AS pos, unnest(tok) AS token
-        |FROM t ORDER BY doc_id, pos""".stripMargin
+        |FROM t ORDER BY doc_id, pos""".stripMargin,
+    // --- round 2 additions ---
+    "join_skew_salted" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_dpp" ->
+      """WITH dim AS (SELECT DATE '2024-01-01' + CAST(i AS INT) AS d
+        |  FROM range(0,40) t(i) WHERE i % 7 = 2)
+        |SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN dim ON CAST(ts AS DATE) = d
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "join_existence_flag" ->
+      """SELECT c_custkey, c_mktsegment,
+        | EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_order
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "win_percent_rank" ->
+      """SELECT c_custkey, c_mktsegment,
+        | floor(percent_rank() OVER w * 1e6 + 0.5)/1e6 AS pct_rank,
+        | floor(cume_dist() OVER w * 1e6 + 0.5)/1e6 AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_custkey""".stripMargin,
+    "dq_contamination" ->
+      """WITH corpus AS (SELECT doc_id, text, source FROM documents
+        | UNION ALL SELECT doc_id+300000, text, 'crawl_mirror' FROM documents WHERE doc_id % 9 = 0)
+        |SELECT md5(text) AS text_md5, count(DISTINCT source) AS n_sources,
+        | count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM corpus GROUP BY 1 HAVING count(DISTINCT source) >= 2
+        |ORDER BY text_md5""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE CASE WHEN lang = 'en' THEN doc_id % 10 < 2 ELSE doc_id % 10 < 5 END
+        |ORDER BY doc_id""".stripMargin,
+    "text_normalize_url" ->
+      """WITH u AS (SELECT doc_id,
+        |  'HTTPS://Docs.Example.COM/' || lang || '/item/' || doc_id ||
+        |  CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' ELSE '?id=' END || doc_id ||
+        |  CASE WHEN doc_id % 4 = 0 THEN '&utm_campaign=x&ref=rss' ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END AS url_raw
+        | FROM documents),
+        |n2 AS (SELECT doc_id, url_raw,
+        |  regexp_replace(regexp_replace(regexp_replace(url_raw, '#.*', '', 'g'),
+        |    'utm_[a-z]+=[^&]*&', '', 'g'), '[?&]utm_[a-z]+=[^&]*$', '', 'g') AS s2
+        | FROM u)
+        |SELECT doc_id, url_raw,
+        | lower(regexp_extract(s2, '^[^/]*//[^/]*', 0)) || regexp_replace(s2, '^[^/]*//[^/]*', '') AS url_norm
+        |FROM n2 ORDER BY doc_id""".stripMargin,
+    "fn_struct" ->
+      """SELECT n_nationkey,
+        | struct_extract(struct_pack(name := n_name, region := CAST(n_regionkey AS VARCHAR)), 'name') AS s_name,
+        | CAST(to_json(struct_pack(name := n_name, region := CAST(n_regionkey AS VARCHAR))) AS VARCHAR) AS js,
+        | json_extract_string(CAST(to_json(struct_pack(name := n_name, region := CAST(n_regionkey AS VARCHAR))) AS VARCHAR), '$.region') AS region_rt
+        |FROM nation ORDER BY n_nationkey""".stripMargin
   )
 }

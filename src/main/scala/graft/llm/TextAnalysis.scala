@@ -157,6 +157,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** URL canonicalization — the dedup-key normalization a crawl pipeline
+    * applies before URL-level dedup: strip the fragment, drop utm_*
+    * tracking params, lowercase scheme+host (path/query case preserved).
+    * Pure per-row regexp chain (codegen'd, map-side). URLs are
+    * synthesized deterministically from doc fields (corpus has no URL
+    * column); the oracle mirrors the synthesis and the same regexes. */
+  def normalizeUrls(documents: DataFrame): DataFrame = {
+    val raw = concat(
+      lit("HTTPS://Docs.Example.COM/"), col("lang"), lit("/item/"), col("doc_id"),
+      when(col("doc_id") % 3 === 0, lit("?utm_source=feed&id=")).otherwise(lit("?id=")),
+      col("doc_id"),
+      when(col("doc_id") % 4 === 0, lit("&utm_campaign=x&ref=rss")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("#section-2")).otherwise(lit("")))
+    val noFrag = regexp_replace(raw, "#.*", "")
+    val noUtm = regexp_replace(
+      regexp_replace(noFrag, "utm_[a-z]+=[^&]*&", ""),
+      "[?&]utm_[a-z]+=[^&]*$", "")
+    val norm = concat(
+      lower(regexp_extract(noUtm, "^[^/]*//[^/]*", 0)),
+      regexp_replace(noUtm, "^[^/]*//[^/]*", ""))
+    documents.select(col("doc_id"), raw.as("url_raw"), norm.as("url_norm"))
+      .orderBy("doc_id")
+  }
+
   /** Rolling polynomial fingerprint over the document's bytes:
     * fp = fold(acc·31 + byte) mod 1_000_000_007. Deterministic,
     * order-sensitive (a true fingerprint, unlike a bag-of-words hash);

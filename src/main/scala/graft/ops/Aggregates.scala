@@ -98,6 +98,20 @@ object Aggregates {
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy("o_orderkey")
 
+  /** Stratified deterministic sampling over `documents`: a different
+    * key-mod rate per stratum — downsample the dominant language (en →
+    * 20%) while keeping half of everything else. The training-data
+    * rebalancing primitive: same reproducibility story as
+    * [[sampleDeterministic]] (pure key arithmetic, no rand()), applied
+    * per group without a shuffle — the filter is map-side. */
+  def stratifiedSample(documents: DataFrame): DataFrame =
+    documents
+      .filter(
+        when(col("lang") === "en", pmod(col("doc_id"), lit(10)) < 2)
+          .otherwise(pmod(col("doc_id"), lit(10)) < 5))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
   /** Statistical aggregates (variance/stddev/covariance/correlation)
     * computed from EXACT decimal moments, then combined in one fixed
     * IEEE-double formula — built-in stddev/corr accumulate doubles in

@@ -43,4 +43,24 @@ object DataQuality {
         (col("v") === 0).cast("long").as("passed"))
       .orderBy("constraint")
   }
+
+  /** Train/eval contamination check: the same text content appearing
+    * under MORE THAN ONE source — the leak a training pipeline must
+    * catch before a source split becomes a train/test split. Group by a
+    * content digest (md5 — one shuffle of (digest, source), never the
+    * text bodies) and keep digests spanning ≥2 distinct sources. The
+    * synthetic corpus is cross-source-clean, so deterministic mirror
+    * copies are injected (same derivation in the oracle SQL). */
+  def contamination(documents: DataFrame): DataFrame = {
+    val mirrored = documents.filter(col("doc_id") % 9 === 0)
+      .withColumn("doc_id", col("doc_id") + 300000)
+      .withColumn("source", lit("crawl_mirror"))
+    documents.unionByName(mirrored)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(countDistinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_sources") >= 2)
+      .orderBy("text_md5")
+  }
 }

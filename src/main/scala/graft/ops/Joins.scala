@@ -62,6 +62,19 @@ object Joins {
       .select("c_custkey", "c_name", "c_mktsegment")
       .orderBy("c_custkey")
 
+  /** Existence flag: EXISTS as a projected boolean rather than a filter —
+    * every left row survives, annotated with whether a match exists.
+    * Implemented as a left join against the DISTINCT key set (no row
+    * multiplication; the distinct is one shuffle of the dim's keys). */
+  def existenceFlag(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val keys = orders.select(col("o_custkey")).distinct()
+    customer
+      .join(keys, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("o_custkey").isNotNull.as("has_order"))
+      .orderBy("c_custkey")
+  }
+
   /** Full outer join on key — the backbone of the keyed snapshot diff
     * (SURVEY §2C diff_keyed). Two key-derived subsets of customer stand in
     * for old/new snapshots so both null sides are exercised. */

@@ -29,6 +29,29 @@ object PartitionedLayout {
     path
   }
 
+  /** Dynamic partition pruning: the selective predicate lives on a small
+    * DIM side only — the fact side has no static date filter, yet its
+    * partitions are pruned AT RUNTIME from the broadcast dim values
+    * (`dynamicpruning` subquery in the scan's PartitionFilters, asserted
+    * in PlanAuditSpec). At 100 TB this is the difference between scanning
+    * every day ever ingested and scanning the handful of days a dim
+    * filter selects — without rewriting the dim predicate onto the fact.
+    * The dim is a generated date spine (every 7th day) — stands in for a
+    * calendar/dimension table. */
+  def dppJoin(spark: SparkSession, events: DataFrame): DataFrame = {
+    val path = ensurePartitionedEvents(spark, events)
+    val fact = spark.read.parquet(path)
+    val dim = spark.range(0, 40)
+      .select(col("id"), date_add(lit("2024-01-01").cast("date"), col("id").cast("int")).as("d"))
+      .filter(pmod(col("id"), lit(7)) === 2)
+      .select("d")
+    fact.join(dim, fact("event_date") === dim("d"))
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("event_date", "event_type")
+  }
+
   /** Time-bounded scan over the partitioned layout: the date predicate
     * becomes a PartitionFilter — directories outside the range are never
     * opened. Result is oracle-checked against the unpartitioned table. */

@@ -98,6 +98,20 @@ object ScalarFns {
       (col("p_size") % 2 === 0).cast("long").as("is_even"))
       .orderBy("p_partkey")
 
+  /** Struct family on `nation`: build a named struct, access fields,
+    * serialize to JSON and extract back — the nested-record surface a
+    * pipeline uses for typed payload columns. String-typed fields keep
+    * the JSON text identical across engines (no numeric formatting). */
+  def structFns(nation: DataFrame): DataFrame = {
+    val s = struct(col("n_name").as("name"), col("n_regionkey").cast("string").as("region"))
+    nation.select(
+      col("n_nationkey"),
+      s.getField("name").as("s_name"),
+      to_json(s).as("js"),
+      get_json_object(to_json(s), "$.region").as("region_rt"))
+      .orderBy("n_nationkey")
+  }
+
   /** JSON/map family on `events.props`. */
   def mapJsonFns(events: DataFrame): DataFrame =
     events.select(

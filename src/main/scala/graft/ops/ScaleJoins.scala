@@ -57,6 +57,27 @@ object ScaleJoins {
       .orderBy("o_orderkey")
   }
 
+  /** Skew-salted JOIN: when one join key dominates, every row of the hot
+    * key lands on one reducer and the stage straggles. Manual spread:
+    * the fact side gets a deterministic salt in [0, S) derived from a
+    * unique column combination, the dim side is replicated S× (one copy
+    * per salt), and the join key becomes (key, salt) — the hot key's rows
+    * now split across S reducers. Identical result to the plain join
+    * (oracle-checked). AQE's skew-join split covers sort-merge joins
+    * after the fact; salting is the write-side/planned answer when the
+    * skew is known. Dim replication cost: S× a (small) dim — bounded. */
+  def saltedJoin(orders: DataFrame, lineitem: DataFrame, salts: Int = 8): DataFrame = {
+    val fact = lineitem.withColumn("salt",
+      pmod(crc32(concat_ws("_", col("l_orderkey"), col("l_linenumber"), col("l_partkey"))), lit(salts)))
+    val dim = orders.withColumn("salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    fact.join(dim, col("l_orderkey") === col("o_orderkey") && fact("salt") === dim("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        Det.dsum(col("l_quantity"), 2).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Skew-salted aggregation: when one group key dominates (heavy-hitter
     * skew), a single reducer drowns. Two-phase: (1) aggregate on
     * (key, salt = crc32(unique_col) % S) — spreads the hot key over S

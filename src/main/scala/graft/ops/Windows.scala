@@ -86,6 +86,22 @@ object Windows {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Relative-position window family: percent_rank and cume_dist per
+    * segment over (acctbal, custkey) — the unique tiebreak makes the
+    * ordering total, so the rank ratios are exact integer rationals that
+    * both engines evaluate to identical IEEE doubles (no libm, no
+    * rounding ties). */
+  def percentileRanks(customer: DataFrame): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    customer
+      .select(
+        col("c_custkey"), col("c_mktsegment"),
+        graft.ops.Det.rfloor(percent_rank().over(w), 6).as("pct_rank"),
+        graft.ops.Det.rfloor(cume_dist().over(w), 6).as("cume"))
+      .orderBy("c_custkey")
+  }
+
   /** ntile quartiles of customer balance (unique tiebreak key ⇒
     * deterministic bucket edges). */
   def ntileQuartiles(customer: DataFrame): DataFrame = {

@@ -91,4 +91,22 @@ class PlanAuditSpec extends SparkSpec {
     // rank/dense_rank/row_number share ONE window spec -> one Window operator
     assert(!p.contains("Window\n.*Window"), p)
   }
+
+  test("join_dpp: fact partitions pruned at runtime from the dim values") {
+    val df = ops.PartitionedLayout.dppJoin(spark, Tables.events(spark, sfDir))
+    // the dynamic pruning subquery is visible pre-execution in the scan's
+    // partition filters: no static date predicate exists on the fact side
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+    df.collect() // and the query actually runs to completion
+  }
+
+  test("join_skew_salted: join key carries the salt (spreads a hot key)") {
+    val df = ops.ScaleJoins.saltedJoin(Tables.orders(spark, sfDir),
+      Tables.lineitem(spark, sfDir))
+    val p = planOf(df)
+    // the equi-join condition includes the salt column on both sides, so
+    // a hot l_orderkey hashes to `salts` distinct reducers
+    assert(p.contains("salt"), p)
+  }
 }
