@@ -176,7 +176,12 @@ object SparkEntry {
     "dq_contamination" -> ((s, d) => DataQuality.contamination(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => Aggregates.stratifiedSample(Tables.documents(s, d))),
     "text_normalize_url" -> ((s, d) => TextAnalysis.normalizeUrls(Tables.documents(s, d))),
-    "fn_struct" -> ((s, d) => ScalarFns.structFns(Tables.nation(s, d)))
+    "fn_struct" -> ((s, d) => ScalarFns.structFns(Tables.nation(s, d))),
+    "analytics_q3_shipping" -> ((s, d) =>
+      Analytics.q3Shipping(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "analytics_q5_local_volume" -> ((s, d) =>
+      Analytics.q5LocalVolume(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d)))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -749,6 +754,12 @@ object SparkEntry {
         |SELECT doc_id, CAST(unnest(range(len(tok))) AS BIGINT) AS pos, unnest(tok) AS token
         |FROM t ORDER BY doc_id, pos""".stripMargin,
     // --- round 2 additions ---
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(string_split(text,''), c -> CAST(unicode(c) AS BIGINT))),
+        |   (a,b) -> (a*31+b)%1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "join_skew_salted" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
@@ -802,6 +813,30 @@ object SparkEntry {
         | struct_extract(struct_pack(name := n_name, region := CAST(n_regionkey AS VARCHAR)), 'name') AS s_name,
         | CAST(to_json(struct_pack(name := n_name, region := CAST(n_regionkey AS VARCHAR))) AS VARCHAR) AS js,
         | json_extract_string(CAST(to_json(struct_pack(name := n_name, region := CAST(n_regionkey AS VARCHAR))) AS VARCHAR), '$.region') AS region_rt
-        |FROM nation ORDER BY n_nationkey""".stripMargin
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "analytics_q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        | AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        | AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "analytics_q5_local_volume" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        | JOIN supplier ON s_nationkey = n_nationkey
+        | JOIN lineitem ON l_suppkey = s_suppkey
+        | JOIN orders ON o_orderkey = l_orderkey
+        | JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey
+        |WHERE r_name = 'ASIA'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin
   )
 }

@@ -62,6 +62,54 @@ case class WordShingles(child: Expression, k: Int, distinct: Boolean)
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
 
+/** MinHash signature of a shingle array in ONE compiled pass: for each of
+  * `numHashes` seeded hash functions h_i, the min over shingles of
+  * h_i(shingle), where h_i(s) = xxhash64(i, s) — bit-identical to the
+  * built-in `xxhash64(lit(i), sh)` chain, so signatures match the
+  * explode+groupBy(min) formulation exactly. Replaces the explode of the
+  * full shingle table + a (doc, 16 longs) shuffle with a shuffle-FREE
+  * per-row computation: at 100 TB the signature stage becomes a map-only
+  * pass and only the tiny banded output ever shuffles. Docs with no
+  * shingles yield null (mirrors explode dropping them). */
+case class MinHashSig(child: Expression, numHashes: Int)
+  extends UnaryExpression with CodegenFallback with Serializable {
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+  import org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig needs array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  // per-hash seed: xxhash64's default seed folded over the int literal i,
+  // exactly what XxHash64(Seq(lit(i), s)) computes before reaching s
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i => XxHash64Function.hash(i, IntegerType, 42L))
+
+  override def nullSafeEval(a: Any): Any = {
+    val shs = a.asInstanceOf[ArrayData]
+    val n = shs.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val s = shs.getUTF8String(j)
+      var i = 0
+      while (i < numHashes) {
+        val h = XxHash64Function.hash(s, StringType, seeds(i))
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
 /** Rolling polynomial fingerprint over the raw text bytes:
   * fold(acc·31 + byte) mod 1_000_000_007 — same recurrence as the HOF
   * char fold for ASCII text, one compiled pass. */
@@ -76,12 +124,18 @@ case class RollingFingerprint(child: Expression)
   override def prettyName: String = "rolling_fingerprint"
 
   override def nullSafeEval(a: Any): Any = {
-    val bytes = a.asInstanceOf[UTF8String].getBytes
+    // fold over UNICODE CODE POINTS (not UTF-8 bytes): the same fold is
+    // expressible in DuckDB as
+    // list_reduce(list_prepend(0, list_transform(string_split(t,''),
+    //   c -> unicode(c))), (a,b) -> (a*31+b)%1000000007)
+    // which makes this fingerprint oracle-checkable cross-engine
+    val s = a.asInstanceOf[UTF8String].toString
     var acc = 0L
     var i = 0
-    while (i < bytes.length) {
-      acc = (acc * 31 + (bytes(i) & 0xffL)) % 1000000007L
-      i += 1
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
     }
     acc
   }
@@ -96,4 +150,7 @@ object TextExprs {
 
   def rollingFingerprint(text: Column): Column =
     SqlShim.column(RollingFingerprint(SqlShim.expression(text)))
+
+  def minhashSig(shingles: Column, numHashes: Int): Column =
+    SqlShim.column(MinHashSig(SqlShim.expression(shingles), numHashes))
 }

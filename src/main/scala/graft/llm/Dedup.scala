@@ -81,14 +81,19 @@ object Dedup {
     // alternative (array_min over transform per hash) gets inlined by
     // CollapseProject and rebuilds the shingle array per hash function —
     // O(numHashes) recomputation per row; this form is linear.
+    // signatures in ONE compiled pass per doc (graft.functions.MinHashSig,
+    // bit-identical to min-over-xxhash64(lit(i), sh)) — shuffle-free: the
+    // earlier explode + groupBy(min) form shuffled the entire exploded
+    // shingle table just to take per-doc mins.
     val sig = corpus
-      .select(col("doc_id"), explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
-      .groupBy("doc_id")
-      .agg(min(xxhash64(lit(0), col("sh"))).as("h0"),
-        (1 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i")): _*)
+      .select(col("doc_id"),
+        graft.functions.TextExprs.minhashSig(
+          TextOps.shingles(TextOps.tokens(col("text")), 3), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
     val banded = sig.select(col("doc_id"),
       posexplode(array((0 until numBands).map(bnd =>
-        xxhash64((bnd * rowsPerBand until (bnd + 1) * rowsPerBand).map(i => col(s"h$i")): _*)): _*)))
+        xxhash64((bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+          .map(i => element_at(col("sig"), i + 1)): _*)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")
       .persist() // both sides of the bucket self-join reuse the signatures
     val l = banded.select(col("doc_id").as("a_id"), col("band"), col("band_sig"))

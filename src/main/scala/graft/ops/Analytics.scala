@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Flagship multi-join analytics in classic TPC-H shapes — the "does the
+  * engine run a real reporting workload end to end" tier above the
+  * single-operator queries. Everything is declarative: Catalyst picks
+  * broadcast vs sort-merge per side (the filtered dims fall under the
+  * broadcast threshold; the fact-fact join shuffles on the key), pushes
+  * the date/segment predicates into the parquet scans, and AQE re-plans
+  * at stage boundaries. Revenue aggregates run in exact decimal
+  * (graft.ops.Det) so results are shuffle-order and cross-engine stable.
+  */
+object Analytics {
+
+  /** Q3 shape — shipping priority: top-10 unshipped-revenue orders for
+    * one market segment. Selective dim (filtered customer) broadcast into
+    * the orders⋈lineitem fact join; sort+limit collapses to
+    * TakeOrderedAndProject (O(k) per partition, no global sort). */
+  def q3Shipping(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                 segment: String = "BUILDING", cutoff: String = "1998-01-01"): DataFrame =
+    customer.filter(col("c_mktsegment") === segment)
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(Det.price(col("l_extendedprice")) * Det.oneMinus(col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+      .limit(10)
+
+  /** Q5 shape — local supplier volume: revenue by nation for one region
+    * and one order year, counting only lineitems where the supplier and
+    * the customer share a nation. region→nation→supplier chain broadcasts
+    * (tiny dims); lineitem⋈orders is the one large shuffle. */
+  def q5LocalVolume(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                    supplier: DataFrame, nation: DataFrame, region: DataFrame,
+                    regionName: String = "ASIA", yearStart: String = "1996-01-01",
+                    yearEnd: String = "1997-01-01"): DataFrame =
+    region.filter(col("r_name") === regionName)
+      .join(nation, col("n_regionkey") === col("r_regionkey"))
+      .join(supplier, col("s_nationkey") === col("n_nationkey"))
+      .join(lineitem, col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_orderdate") >= lit(yearStart).cast("timestamp") &&
+        col("o_orderdate") < lit(yearEnd).cast("timestamp"))
+      .join(customer, col("c_custkey") === col("o_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(Det.price(col("l_extendedprice")) * Det.oneMinus(col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+}

@@ -32,7 +32,8 @@ class CoreOpsSpec extends SparkSpec {
       "agg_approx_distinct", "agg_approx_quantiles", // sketches ≠ exact
       "dedup_near_minhash", "dedup_simhash",         // xxhash64-derived
       "sim_lsh_topk", "sim_ivf_topk",                // ANN, recall-gated
-      "text_fingerprint",                            // no list fold in DuckDB 1.0
+      // text_fingerprint regained its oracle in round 2: the fold now runs
+      // over code points, expressible as DuckDB list_reduce
       "mm_decode_stub")                              // stub not SQL-expressible
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt
     assert(missing.isEmpty, s"query without oracle and not exempt: $missing")
