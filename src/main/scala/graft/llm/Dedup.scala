@@ -35,7 +35,13 @@ object Dedup {
     * key is the shingle; at scale, cap shingle document-frequency first
     * (a shingle in >df_max docs is boilerplate and only creates
     * candidate-pair noise). */
-  def ngramJaccard(corpus: DataFrame, threshold: Double = 0.5): DataFrame = {
+  /** `dfCap`: at web scale, a shingle appearing in more than `cap` docs is
+    * boilerplate (headers, licenses) whose bucket alone generates up to
+    * cap² candidate pairs; pruning it bounds the self-join blowup at the
+    * cost of slightly underestimating Jaccard for pairs that share it.
+    * None (default) keeps exact set semantics — the oracle-checked mode. */
+  def ngramJaccard(corpus: DataFrame, threshold: Double = 0.5,
+                   dfCap: Option[Int] = None): DataFrame = {
     val withSh = corpus
       .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("shs"))
     // per-doc shingle counts map-side from the (distinct) array length —
@@ -49,10 +55,18 @@ object Dedup {
     // Hash-partition by h ONCE and cache: both self-join branches then
     // share the cached partitioning and the join plans with NO exchange
     // (at scale: a materialized shingle table bucketed by hash).
-    val ex = withSh.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val exAll = withSh.select(col("doc_id"), explode(col("shs")).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("h"))
       .repartition(col("h"))
       .persist()
+    // optional heavy-hitter pruning: drop shingles with doc-frequency
+    // above the cap BEFORE the self-join (anti-join against the tiny
+    // broadcast hot-list); the df count reuses the cached partitioning
+    val ex = dfCap.fold(exAll) { cap =>
+      val hot = exAll.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select(col("h"))
+      exAll.join(broadcast(hot), Seq("h"), "left_anti")
+    }
     val a = ex.select(col("doc_id").as("a_id"), col("h"))
     val b = ex.select(col("doc_id").as("b_id"), col("h"))
     a.join(b, Seq("h"))

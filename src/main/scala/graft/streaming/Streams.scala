@@ -127,6 +127,46 @@ object Streams {
       }
   }
 
+  /** Output row of [[transformWithStateTotals]]. */
+  final case class UserTotals(user_id: Long, n_events: Long, sum_cents: Long)
+
+  /** Per-user running totals via Spark 4's `transformWithState` — the
+    * successor of flatMapGroupsWithState: typed named state handles
+    * (ValueState/ListState/MapState), per-state TTL, timers, and the
+    * RocksDB state store (required by the operator; state spills to disk
+    * instead of living on the executor heap — the 100 TB state story).
+    * Sum kept in integer cents so retries/merge order can't change it.
+    * TTLConfig.NONE here because the MemoryStream harness has no
+    * processing-time progression; production sets a TTL so idle users'
+    * state expires (same eviction doctrine as [[flatMapUserStats]]). */
+  class UserTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), UserTotals] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+
+    @transient private var totals: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)](
+        "totals", E.tuple(E.scalaLong, E.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+                                 timerValues: TimerValues): Iterator[UserTotals] = {
+      var (n, cents) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { case (_, v) => n += 1; cents += math.round(v * 100) }
+      totals.update((n, cents))
+      Iterator.single(UserTotals(key, n, cents))
+    }
+  }
+
+  /** Wire [[UserTotalsProcessor]] over a (user_id, value) stream. */
+  def transformWithStateTotals(events: Dataset[(Long, Double)]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_._1)
+      .transformWithState(new UserTotalsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** Watermarked stream-stream join: signups joined to purchases of the
     * same user within [0, 30 min] after the signup. Both sides carry
     * watermarks and the join condition bounds event-time distance, so

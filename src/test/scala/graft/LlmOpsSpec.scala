@@ -90,6 +90,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(one.feature.toSeq === again.feature.toSeq)
   }
 
+  test("ngramJaccard dfCap prunes candidates but never invents pairs") {
+    val corpus = Corpus.docCorpus(documents)
+    def pairs(cap: Option[Int]) =
+      Dedup.ngramJaccard(corpus, dfCap = cap).select("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(None)
+    val capped = pairs(Some(4))
+    assert(capped.subsetOf(exact), "dfCap must only remove pairs (Jaccard underestimates)")
+    // exact-dup pairs share ALL shingles; boilerplate pruning keeps them
+    assert(capped.nonEmpty)
+  }
+
   test("dedup_exact removes exactly the injected duplicates") {
     val corpus = Corpus.docCorpus(documents)
     val deduped = Dedup.exact(corpus)

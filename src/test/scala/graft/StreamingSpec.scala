@@ -106,6 +106,35 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("transformWithState accumulates typed ValueState on RocksDB") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the operator REQUIRES the RocksDB state store; scope the provider
+    // override to this query and restore the default afterwards
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[(Long, Double)]
+    val query = Streams.transformWithStateTotals(stream.toDS())
+      .writeStream.format("memory").queryName("tws").outputMode("append").start()
+    try {
+      stream.addData((1L, 5.25), (1L, 3.10), (2L, 7.00))
+      query.processAllAvailable()
+      stream.addData((1L, 10.01), (2L, 0.99))
+      query.processAllAvailable()
+      val rows = spark.table("tws")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows.contains((1L, 2L, 835L)))   // batch 1: 5.25+3.10 in cents
+      assert(rows.contains((2L, 1L, 700L)))
+      assert(rows.contains((1L, 3L, 1836L)))  // state carried across batches
+      assert(rows.contains((2L, 2L, 799L)))
+    } finally {
+      query.stop()
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("watermarked stream-stream join matches the batch join") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
