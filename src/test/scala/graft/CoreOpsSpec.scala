@@ -42,6 +42,26 @@ class CoreOpsSpec extends SparkSpec {
     assert((exempt -- SparkEntry.queries.keySet).isEmpty)
   }
 
+  test("SpaceSaving sketch: exact when capacity >= cardinality, retains heavy hitters when not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, posexplode}
+    // skewed stream: one heavy item (600 of "hot") among 50 unique items
+    val rows = (Seq.fill(600)("hot") ++ (1 to 50).flatMap(i => Seq.fill(4)(s"cold$i")))
+    val df = rows.toDF("item")
+    // approximate mode: capacity 8 << 51 distinct — the heavy hitter MUST
+    // survive (true count 600 > N/capacity = 100) with est >= true count
+    val approx = df.agg(functions.Sketches.topkSketch(col("item"), 1, 8).as("top"))
+      .select(posexplode(col("top"))).select("col.item", "col.est_n")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(approx.head._1 === "hot", approx.mkString(","))
+    assert(approx.head._2 >= 600L, "SpaceSaving overestimates, never under")
+    // exact mode: capacity >= cardinality -> counts equal a plain groupBy
+    val exact = df.agg(functions.Sketches.topkSketch(col("item"), 1, 64).as("top"))
+      .select(posexplode(col("top"))).select("col.item", "col.est_n")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(exact.head === ("hot", 600L))
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val exact = ops.Aggregates.countDistinctCustomers(Tables.orders(spark, sfDir))
       .select(col("o_orderpriority"), col("n_custs")).collect()
