@@ -48,13 +48,18 @@ object TextAnalysis {
     * emitted score is round(tf·ln(N/df), 4). */
   def tfidf(documents: DataFrame): DataFrame = {
     val n = documents.count() // tiny scalar; at scale pass it in or use a broadcast agg
+    // cache tf: both the df derivation and the join consume it — without
+    // the cache the explode+groupBy runs twice
     val tf = documents
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-    tf.join(df, "term")
+    // df is a vocabulary-sized dim — broadcast it so tf is NOT reshuffled
+    // on term just to attach document frequencies
+    tf.join(broadcast(df), "term")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),

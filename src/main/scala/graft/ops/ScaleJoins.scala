@@ -67,8 +67,10 @@ object ScaleJoins {
     * after the fact; salting is the write-side/planned answer when the
     * skew is known. Dim replication cost: S× a (small) dim — bounded. */
   def saltedJoin(orders: DataFrame, lineitem: DataFrame, salts: Int = 8): DataFrame = {
+    // murmur hash() over the unique column combo directly — no per-row
+    // string building (crc32(concat_ws(...)) allocated a string per row)
     val fact = lineitem.withColumn("salt",
-      pmod(crc32(concat_ws("_", col("l_orderkey"), col("l_linenumber"), col("l_partkey"))), lit(salts)))
+      pmod(hash(col("l_orderkey"), col("l_linenumber"), col("l_partkey")), lit(salts)))
     val dim = orders.withColumn("salt",
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     fact.join(dim, col("l_orderkey") === col("o_orderkey") && fact("salt") === dim("salt"))
