@@ -575,8 +575,8 @@ object SparkEntry {
       s"""WITH corpus AS (${Corpus.docCorpusSql})
          |SELECT doc_id, n_copies, n_chars FROM (
          | SELECT doc_id, n_chars,
-         |  row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn,
-         |  count(*) OVER (PARTITION BY text) AS n_copies
+         |  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+         |  count(*) OVER (PARTITION BY md5(text)) AS n_copies
          | FROM corpus) t
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->

@@ -19,12 +19,18 @@ object Dedup {
 
   /** Exact dedup with a DETERMINISTIC survivor (min doc_id per text) —
     * `dropDuplicates` keeps an arbitrary row, so it can't hash-match an
-    * oracle (SURVEY §7). One shuffle on the text hash. */
+    * oracle (SURVEY §7). The dedup key is the md5 DIGEST of the text, and
+    * the text column is dropped before the window: the shuffle carries
+    * (digest, doc_id, n_chars) — tens of bytes per row — instead of full
+    * document bodies, which at 100 TB is the difference between shuffling
+    * the corpus and shuffling a key table. Same oracle answer (the oracle
+    * partitions by md5(text) too). */
   def exact(corpus: DataFrame): DataFrame = {
-    val byText = Window.partitionBy("text")
+    val byDigest = Window.partitionBy("d")
     corpus
-      .withColumn("rn", row_number().over(byText.orderBy("doc_id")))
-      .withColumn("n_copies", count(lit(1)).over(byText))
+      .select(col("doc_id"), col("n_chars"), md5(col("text")).as("d"))
+      .withColumn("rn", row_number().over(byDigest.orderBy("doc_id")))
+      .withColumn("n_copies", count(lit(1)).over(byDigest))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("n_copies"), col("n_chars"))
       .orderBy("doc_id")
