@@ -135,6 +135,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup: incoming docs matched against the persisted band index") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup").toString
+    // two real corpus texts; long ones, so a small appended tail keeps
+    // Jaccard (and the band-collision probability) high
+    val texts = Tables.documents(spark, sfDir).filter(col("n_chars") > 400)
+      .orderBy("doc_id").limit(2).collect().map(_.getAs[String]("text"))
+    val stream = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamingNearDup.indexAndMatch(
+      stream.toDF().toDF("doc_id", "text"), s"$dir/index", s"$dir/matches")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      // batch 1: seed the index with two distinct docs — no matches yet
+      stream.addData((1L, texts(0)), (2L, texts(1)))
+      query.processAllAvailable()
+      assert(graft.streaming.StreamingNearDup.matches(spark, s"$dir/matches")
+        .forall(_.isEmpty))
+      // batch 2: an exact recrawl of doc 1 (guaranteed band hit), a
+      // near-copy of doc 2 (tail appended), and an unrelated doc
+      stream.addData((3L, texts(0)), (5L, texts(1) + " near dup tail"),
+        (4L, texts(1).reverse))
+      query.processAllAvailable()
+      val m = graft.streaming.StreamingNearDup.matches(spark, s"$dir/matches").get
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(m.contains((3L, 1L)), s"exact recrawl must hit the index, got $m")
+      assert(m.contains((5L, 2L)), s"near-copy must hit the index, got $m")
+      assert(!m.exists(_._1 == 4L), s"unrelated doc must not match, got $m")
+    } finally query.stop()
+  }
+
   test("watermarked stream-stream join matches the batch join") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
