@@ -182,7 +182,9 @@ object SparkEntry {
     "analytics_q5_local_volume" -> ((s, d) =>
       Analytics.q5LocalVolume(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
         Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
-    "agg_topk_sketch" -> ((s, d) => Aggregates.topkSketchByBucket(Tables.events(s, d)))
+    "agg_topk_sketch" -> ((s, d) => Aggregates.topkSketchByBucket(Tables.events(s, d))),
+    "scan_schema_merge" -> ((s, d) => Scans.scanSchemaMerge(s, Tables.nation(s, d), d)),
+    "maintenance_compact" -> ((s, d) => Maintenance.compactedEvents(s, Tables.events(s, d)))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -845,6 +847,16 @@ object SparkEntry {
         |r AS (SELECT bucket, event_type, n,
         |  row_number() OVER (PARTITION BY bucket ORDER BY n DESC, event_type ASC) AS rk FROM c)
         |SELECT bucket, rk, event_type, n FROM r WHERE rk <= 3
-        |ORDER BY bucket, rk""".stripMargin
+        |ORDER BY bucket, rk""".stripMargin,
+    "scan_schema_merge" ->
+      """SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey
+        |FROM nation WHERE n_nationkey % 2 = 0
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey % 2 = 1
+        |ORDER BY n_nationkey""".stripMargin,
+    "maintenance_compact" ->
+      """SELECT event_id, user_id, event_type,
+        | CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

@@ -63,6 +63,27 @@ object Scans {
       .orderBy("n_nationkey")
   }
 
+  /** Schema-evolution scan: two parquet generations of `nation` — v1
+    * without `n_regionkey` (even keys), v2 with it (odd keys) — read as
+    * ONE table via `mergeSchema`; columns missing in a generation come
+    * back null. The at-rest complement of `set_union_byname` (which
+    * handles evolution between in-memory frames): a 100 TB table ingested
+    * over years ALWAYS spans schema versions, and the reader must
+    * reconcile footers rather than force a rewrite of old data. */
+  def scanSchemaMerge(spark: SparkSession, nation: DataFrame, tag: String = ""): DataFrame = {
+    val dir = stagingDir("schema_merge_nation", tag)
+    val v1 = new java.io.File(dir, "gen=1").toString
+    val v2 = new java.io.File(dir, "gen=2").toString
+    nation.filter(col("n_nationkey") % 2 === 0)
+      .select("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(v1)
+    nation.filter(col("n_nationkey") % 2 === 1)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(v2)
+    spark.read.option("mergeSchema", "true").parquet(v1, v2)
+      .orderBy("n_nationkey")
+  }
+
   /** R2: fail-fast validation over a deterministically dirtied snapshot of
     * `customer` (the clean test tables have no violations, so we inject
     * them with key-derived CASEs — same derivation in the oracle SQL).
