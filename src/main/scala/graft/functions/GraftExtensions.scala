@@ -29,7 +29,12 @@ object GraftExtensions {
     "vec_norm" -> (args => L2Norm(args.head)),
     "word_shingles" -> (args => WordShingles(args.head,
       k = args(1).eval().asInstanceOf[Int], distinct = true)),
-    "rolling_fingerprint" -> (args => RollingFingerprint(args.head)))
+    "rolling_fingerprint" -> (args => RollingFingerprint(args.head)),
+    "minhash_sig" -> (args => MinHashSig(args.head,
+      numHashes = args(1).eval().asInstanceOf[Int])),
+    "topk_sketch" -> (args => SpaceSavingTopK(args.head,
+      k = args(1).eval().asInstanceOf[Int],
+      capacity = args(2).eval().asInstanceOf[Int]).toAggregateExpression()))
 
   /** Register into an already-running session (same builders as the
     * extensions path) — for sessions constructed without

@@ -76,17 +76,24 @@ class PipelineSpec extends SparkSpec {
     assert(empty === "No changes.\n")
   }
 
-  test("GraftExtensions registers vec_dot/vec_norm/word_shingles/rolling_fingerprint in SQL") {
+  test("GraftExtensions registers the custom expression family in SQL") {
     graft.functions.GraftExtensions.register(spark)
     val r = spark.sql(
       """SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
         |       vec_norm(array(3.0d, 4.0d)) AS n,
         |       word_shingles(array('a','b','c'), 2) AS sh,
-        |       rolling_fingerprint('abc') AS fp""".stripMargin).collect().head
+        |       rolling_fingerprint('abc') AS fp,
+        |       minhash_sig(array('a b c'), 4) AS sig""".stripMargin).collect().head
     assert(r.getDouble(0) === 11.0)
     assert(r.getDouble(1) === 5.0)
     assert(r.getSeq[String](2) === Seq("a b", "b c"))
     assert(r.getLong(3) === (('a' * 31L + 'b') * 31 + 'c') % 1000000007L)
+    assert(r.getSeq[Long](4).length === 4)
+    // the sketch aggregate in SQL: top item of a skewed literal stream
+    val agg = spark.sql(
+      """SELECT topk_sketch(x, 1, 8) AS top FROM VALUES ('a'),('a'),('b') AS t(x)"""
+    ).collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(agg.head.getString(0) === "a" && agg.head.getLong(1) === 2L)
   }
 
   test("foreachBatch merge sink upserts each micro-batch into the parquet target") {
