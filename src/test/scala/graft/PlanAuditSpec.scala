@@ -109,4 +109,19 @@ class PlanAuditSpec extends SparkSpec {
     // a hot l_orderkey hashes to `salts` distinct reducers
     assert(p.contains("salt"), p)
   }
+
+  test("agg_topk_sketch: sketch aggregates partially before the shuffle") {
+    val p = planOf(ops.Aggregates.topkSketchByBucket(Tables.events(spark, sfDir)))
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial mode below the exchange — map-side sketches, merged buffers
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_topk_sketch"), p)
+  }
+
+  test("analytics_q3: filtered dim broadcasts, top-k avoids a global sort") {
+    val p = planOf(ops.Analytics.q3Shipping(Tables.customer(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
