@@ -111,6 +111,13 @@ object SparkEntry {
       IncrementalAgg.applyToAgg(
         IncrementalAgg.aggSnapshot(old), SnapshotDiff.diffKeyed(old, neu, "slno"), old)
     }),
+    "agg_incremental_minmax" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val old = Snapshots.oldSnapshot(c)
+      val neu = Snapshots.newSnapshot(c)
+      IncrementalAgg.applyToMinMax(
+        IncrementalAgg.aggMinMax(old), SnapshotDiff.diffKeyed(old, neu, "slno"), old)
+    }),
     "dq_checks" -> ((s, d) => DataQuality.checks(s, Tables.orders(s, d), Tables.lineitem(s, d), Tables.customer(s, d))),
     "agg_changeset_summary" -> ((s, d) => {
       val c = Tables.customer(s, d)
@@ -183,6 +190,9 @@ object SparkEntry {
       Analytics.q5LocalVolume(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
         Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "agg_topk_sketch" -> ((s, d) => Aggregates.topkSketchByBucket(Tables.events(s, d))),
+    "analytics_q10_returns" -> ((s, d) =>
+      Analytics.q10Returns(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.nation(s, d))),
     "scan_schema_merge" -> ((s, d) => Scans.scanSchemaMerge(s, Tables.nation(s, d), d)),
     "maintenance_compact" -> ((s, d) => Maintenance.compactedEvents(s, Tables.events(s, d)))
   )
@@ -549,6 +559,12 @@ object SparkEntry {
          | CAST(SUM(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
          | count(*) AS n
          |FROM (${Snapshots.newSql}) t GROUP BY segment ORDER BY segment""".stripMargin,
+    "agg_incremental_minmax" ->
+      s"""SELECT segment,
+         | CAST(MIN(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE) AS min_bal,
+         | CAST(MAX(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal,
+         | count(*) AS n
+         |FROM (${Snapshots.newSql}) t GROUP BY segment ORDER BY segment""".stripMargin,
     "dq_checks" ->
       """SELECT * FROM (
         | SELECT 'orders.o_orderkey unique' AS constraint,
@@ -848,6 +864,18 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY bucket ORDER BY n DESC, event_type ASC) AS rk FROM c)
         |SELECT bucket, rk, event_type, n FROM r WHERE rk <= 3
         |ORDER BY bucket, rk""".stripMargin,
+    "analytics_q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        | AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
     "scan_schema_merge" ->
       """SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey
         |FROM nation WHERE n_nationkey % 2 = 0

@@ -31,6 +31,26 @@ object Analytics {
       .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
       .limit(10)
 
+  /** Q10 shape — returned-item reporting: top-20 customers by revenue
+    * lost to returns in one quarter. Fact filter (returnflag) pushed to
+    * the lineitem scan; nation broadcast; grouped on the customer key
+    * then top-k via TakeOrderedAndProject. */
+  def q10Returns(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                 nation: DataFrame, qStart: String = "1996-01-01",
+                 qEnd: String = "1996-04-01"): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit(qStart).cast("timestamp") &&
+        col("o_orderdate") < lit(qEnd).cast("timestamp"))
+      .join(lineitem.filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(Det.price(col("l_extendedprice")) * Det.oneMinus(col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+
   /** Q5 shape — local supplier volume: revenue by nation for one region
     * and one order year, counting only lineitems where the supplier and
     * the customer share a nation. region→nation→supplier chain broadcasts

@@ -32,6 +32,13 @@ object IncrementalAgg {
       .agg(sum(col("acctbal").cast(dec)).as("sum_bal"),
         count(lit(1)).as("n"))
 
+  /** Grouped min/max base aggregate (the NON-invertible case). */
+  def aggMinMax(snapshot: DataFrame): DataFrame =
+    snapshot.groupBy(col("segment"))
+      .agg(min(col("acctbal").cast(dec)).cast("double").as("min_bal"),
+        max(col("acctbal").cast(dec)).cast("double").as("max_bal"),
+        count(lit(1)).as("n"))
+
   /** Apply a changeset to a grouped aggregate. `old` is needed only to
     * reconstruct unchanged cells of partially-updated rows (joined on the
     * changed keys — a changeset-sized, not table-sized, join). */
@@ -78,6 +85,71 @@ object IncrementalAgg {
       .agg(sum(col("d_sum")).as("sum_bal"), sum(col("d_n")).as("n"))
       .filter(col("n") > 0) // groups whose last row left disappear, like a re-agg
       .select(col("segment"), col("sum_bal").cast("double").as("sum_bal"), col("n"))
+      .orderBy("segment")
+  }
+
+  /** Incremental maintenance of NON-invertible aggregates (min/max):
+    * a delete of the row holding a group's minimum can't be subtracted
+    * out — the group must be rescanned. IVM strategy: bound the rescan
+    * to the AFFECTED groups (any group a change touches on its old or
+    * new side); every untouched group's base row passes through
+    * untouched. At 100 TB, with the table partitioned/clustered by the
+    * group key, the rescan is a partition-pruned read of |affected
+    * groups|, never a full pass; the affected-group list itself is
+    * changeset-sized and broadcast.
+    *
+    * Law (oracle-checked): `applyToMinMax(aggMinMax(old), diff, old) ≡
+    * aggMinMax(apply(old, diff))`. */
+  def applyToMinMax(baseAgg: DataFrame, changes: DataFrame, old: DataFrame): DataFrame = {
+    val imgSchema = org.apache.spark.sql.types.StructType(
+      Seq("name", "acctbal", "segment").map(c =>
+        org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
+    def img(c: org.apache.spark.sql.Column, f: String) = from_json(c, imgSchema).getField(f)
+
+    val inserts = changes.filter(col("op") === "insert")
+      .select(img(col("new_val"), "segment").as("segment"),
+        img(col("new_val"), "acctbal").as("acctbal"))
+    val deletes = changes.filter(col("op") === "delete")
+      .select(col("slno"), img(col("old_val"), "segment").as("segment"))
+    val patches = changes.filter(col("op") === "update")
+      .groupBy(col("slno"))
+      .agg(map_from_entries(collect_list(struct(col("col"), col("new_val")))).as("patch"))
+    val updated = old.join(patches, old("slno").cast("long") === patches("slno"))
+      .select(
+        old("segment").as("old_segment"),
+        when(map_contains_key(col("patch"), "segment"), element_at(col("patch"), "segment"))
+          .otherwise(old("segment")).as("new_segment"),
+        when(map_contains_key(col("patch"), "acctbal"), element_at(col("patch"), "acctbal"))
+          .otherwise(old("acctbal")).as("new_acctbal"))
+
+    // affected groups: old/new side of updates, delete side, insert side
+    val affected = updated.select(col("old_segment").as("segment"))
+      .unionByName(updated.select(col("new_segment").as("segment")))
+      .unionByName(deletes.select(col("segment")))
+      .unionByName(inserts.select(col("segment")))
+      .distinct()
+
+    // rows of the NEW snapshot that land in an affected group:
+    //  - untouched old rows (not updated, not deleted) already there
+    //  - updated rows whose new segment is affected (it is, by def)
+    //  - inserted rows
+    val changedKeys = changes.filter(col("op").isin("update", "delete"))
+      .select(col("slno")).distinct()
+    val untouched = old
+      .join(changedKeys, old("slno").cast("long") === changedKeys("slno"), "left_anti")
+      .join(broadcast(affected), Seq("segment"))
+      .select(col("segment"), col("acctbal"))
+    val newRows = untouched
+      .unionByName(updated.select(col("new_segment").as("segment"), col("new_acctbal").as("acctbal")))
+      .unionByName(inserts)
+
+    val recomputed = newRows.groupBy(col("segment"))
+      .agg(min(col("acctbal").cast(dec)).cast("double").as("min_bal"),
+        max(col("acctbal").cast(dec)).cast("double").as("max_bal"),
+        count(lit(1)).as("n"))
+
+    baseAgg.join(broadcast(affected), Seq("segment"), "left_anti")
+      .unionByName(recomputed)
       .orderBy("segment")
   }
 }

@@ -48,6 +48,28 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(actual === expected)
   }
 
+  test("incremental min/max: min-holder delete, group move, vanishing group") {
+    import spark.implicits._
+    import graft.sync.IncrementalAgg
+    val old = Seq(
+      (1L, "a", "1.00", "A"), (2L, "b", "5.00", "A"),   // A's min is row 1
+      (3L, "c", "9.00", "B")                             // B has one row
+    ).toDF("slno", "name", "acctbal", "segment")
+    val neu = Seq(
+      (2L, "b", "5.00", "A"),                            // row 1 deleted -> A min becomes 5
+      (3L, "c", "9.00", "A"),                            // row 3 moves B->A -> B vanishes
+      (4L, "d", "0.50", "C")                             // new group C
+    ).toDF("slno", "name", "acctbal", "segment")
+    val out = IncrementalAgg.applyToMinMax(
+      IncrementalAgg.aggMinMax(old), SnapshotDiff.diffKeyed(old, neu, "slno"), old)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    val expected = IncrementalAgg.aggMinMax(neu).orderBy("segment")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq === expected.toSeq)
+    assert(!out.exists(_._1 == "B"), "group whose last row moved away must vanish")
+    assert(out.find(_._1 == "A").get._2 === 5.0, "A's min must be rescanned after the min-holder left")
+  }
+
   test("keyed diff classifies inserts/deletes/updates correctly") {
     val old = Snapshots.oldSnapshot(customer)
     val neu = Snapshots.newSnapshot(customer)
