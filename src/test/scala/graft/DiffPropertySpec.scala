@@ -70,6 +70,48 @@ class DiffPropertySpec extends SparkSpec {
     })
   }
 
+  /** Snapshot in the IVM fixtures' schema: (slno, name, acctbal, segment)
+    * with decimal-string balances (nullable) and a small segment domain
+    * so group moves and vanishing groups occur often. */
+  private val genIvmSnapshot: Gen[Seq[(Long, String, String, String)]] = for {
+    keys <- Gen.someOf(0L to 20L)
+    rows <- Gen.listOfN(keys.size, for {
+      name <- Gen.chooseNum(0, 9).map(i => s"n$i")
+      bal <- Gen.frequency(
+        8 -> Gen.chooseNum(-9999, 9999).map(c => f"${c / 100.0}%.2f"),
+        1 -> Gen.const(null: String))
+      seg <- Gen.oneOf("A", "B", "C")
+    } yield (name, bal, seg))
+  } yield keys.toSeq.sorted.zip(rows).map { case (k, (n, b, s)) => (k, n, b, s) }
+
+  private def toIvm(rows: Seq[(Long, String, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("slno", "name", "acctbal", "segment")
+  }
+
+  test("law: IVM sum/count — applyToAgg(agg(old), diff) == agg(new)") {
+    import graft.sync.IncrementalAgg
+    check("ivm sum")(Prop.forAll(genIvmSnapshot, genIvmSnapshot) { (ra, rb) =>
+      val (a, b) = (toIvm(ra), toIvm(rb))
+      val inc = IncrementalAgg.applyToAgg(
+        IncrementalAgg.aggSnapshot(a), SnapshotDiff.diffKeyed(a, b, "slno"), a)
+      val direct = IncrementalAgg.aggSnapshot(b)
+        .select(col("segment"), col("sum_bal").cast("double").as("sum_bal"), col("n"))
+      inc.exceptAll(direct).count() == 0L && direct.exceptAll(inc).count() == 0L
+    })
+  }
+
+  test("law: IVM min/max — applyToMinMax(agg(old), diff) == agg(new)") {
+    import graft.sync.IncrementalAgg
+    check("ivm minmax")(Prop.forAll(genIvmSnapshot, genIvmSnapshot) { (ra, rb) =>
+      val (a, b) = (toIvm(ra), toIvm(rb))
+      val inc = IncrementalAgg.applyToMinMax(
+        IncrementalAgg.aggMinMax(a), SnapshotDiff.diffKeyed(a, b, "slno"), a)
+      val direct = IncrementalAgg.aggMinMax(b)
+      inc.exceptAll(direct).count() == 0L && direct.exceptAll(inc).count() == 0L
+    })
+  }
+
   test("law: except and intersect partition the left side") {
     check("set complement")(Prop.forAll(genSnapshot, genSnapshot) { (ra, rb) =>
       val a = DiffLaws.toSnapshot(spark, ra).select("slno").distinct()
