@@ -190,6 +190,7 @@ object SparkEntry {
       Analytics.q5LocalVolume(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
         Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "agg_topk_sketch" -> ((s, d) => Aggregates.topkSketchByBucket(Tables.events(s, d))),
+    "agg_hll_rollup" -> ((s, d) => Aggregates.hllDailyRollup(Tables.events(s, d))),
     "analytics_q10_returns" -> ((s, d) =>
       Analytics.q10Returns(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
         Tables.nation(s, d))),

@@ -98,6 +98,23 @@ object Aggregates {
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy("o_orderkey")
 
+  /** Sketch-reuse distinct counting: one HLL sketch PER DAY (the
+    * materialized granularity), then rollups at any coarser grain merge
+    * the stored sketches instead of rescanning events — the
+    * "sketch once, union many" pattern that makes incremental distinct
+    * counting O(sketches) at 100 TB. Returns (n_days, est_users,
+    * exact_users); the estimate is sketch-derived so the query is
+    * oracle-exempt — CoreOpsSpec gates est within 5% of exact. */
+  def hllDailyRollup(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+    daily.agg(
+      count(lit(1)).as("n_days"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+      .crossJoin(events.agg(countDistinct(col("user_id")).as("exact_users")))
+  }
+
   /** Heavy-hitter sketch aggregation: top-3 event types per user bucket
     * via the SpaceSaving `TypedImperativeAggregate`
     * (graft.functions.SpaceSavingTopK) — bounded O(capacity) state per

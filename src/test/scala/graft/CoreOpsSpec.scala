@@ -32,6 +32,7 @@ class CoreOpsSpec extends SparkSpec {
       "agg_approx_distinct", "agg_approx_quantiles", // sketches ≠ exact
       "dedup_near_minhash", "dedup_simhash",         // xxhash64-derived
       "sim_lsh_topk", "sim_ivf_topk",                // ANN, recall-gated
+      "agg_hll_rollup",                              // HLL union estimate, 5%-gated above
       // text_fingerprint regained its oracle in round 2: the fold now runs
       // over code points, expressible as DuckDB list_reduce
       "mm_decode_stub")                              // stub not SQL-expressible
@@ -60,6 +61,13 @@ class CoreOpsSpec extends SparkSpec {
       .select(posexplode(col("top"))).select("col.item", "col.est_n")
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(exact.head === ("hot", 600L))
+  }
+
+  test("HLL daily sketches union to a global distinct within 5% of exact") {
+    val r = ops.Aggregates.hllDailyRollup(Tables.events(spark, sfDir)).collect().head
+    val (days, est, exact) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(days >= 25, s"events span ~30 days, got $days")
+    assert(math.abs(est - exact).toDouble / exact <= 0.05, s"est=$est exact=$exact")
   }
 
   test("approx_count_distinct within 5% of exact") {
