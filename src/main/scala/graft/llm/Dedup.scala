@@ -159,7 +159,11 @@ object Dedup {
     val pairs = ngramJaccard(corpus, threshold).localCheckpoint()
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-    var labels = corpus.select(col("doc_id")).distinct()
+    // only docs that appear in a candidate pair can change label — the
+    // (overwhelmingly larger at scale) isolated rest are each their own
+    // cluster and are appended after the loop, never joined per round
+    val inPairs = edges.select(col("src").as("doc_id")).distinct()
+    var labels = inPairs
       .withColumn("cluster", col("doc_id"))
       .localCheckpoint()
     var converged = false
@@ -179,7 +183,10 @@ object Dedup {
       labels = next.drop("changed")
       round += 1
     }
-    labels.orderBy("doc_id")
+    val isolated = corpus.select(col("doc_id")).distinct()
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .withColumn("cluster", col("doc_id"))
+    labels.unionByName(isolated).orderBy("doc_id")
   }
 
   /** Embedding-cosine near-dup pairs over the perturbed vector corpus
