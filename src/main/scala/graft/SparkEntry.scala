@@ -191,6 +191,9 @@ object SparkEntry {
         Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "agg_topk_sketch" -> ((s, d) => Aggregates.topkSketchByBucket(Tables.events(s, d))),
     "agg_hll_rollup" -> ((s, d) => Aggregates.hllDailyRollup(Tables.events(s, d))),
+    "join_asof_tolerance" -> ((s, d) => Joins.asOfTolerance(Tables.events(s, d), Tables.orders(s, d))),
+    "fn_bitwise" -> ((s, d) => ScalarFns.bitwiseFns(Tables.part(s, d))),
+    "sub_not_in_nullaware" -> ((s, d) => Subqueries.notInNullAware(s, Tables.customer(s, d), Tables.orders(s, d))),
     "analytics_q10_returns" -> ((s, d) =>
       Analytics.q10Returns(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
         Tables.nation(s, d))),
@@ -386,6 +389,35 @@ object SparkEntry {
         | FROM e LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
         |SELECT event_id, user_id, date_trunc('second', ts) AS ts_s, o_orderkey, o_orderdate
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "join_asof_tolerance" ->
+      """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+        |  row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        | FROM e LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |   AND o.o_orderdate >= e.ts - INTERVAL 30 DAY)
+        |SELECT event_id, user_id, date_trunc('second', ts) AS ts_s, o_orderkey, o_orderdate
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "fn_bitwise" ->
+      """SELECT p_partkey,
+        | p_partkey & 255 AS and255,
+        | p_partkey | 16 AS or16,
+        | xor(p_partkey, CAST(p_size AS BIGINT)) AS xor_size,
+        | CAST(p_size AS BIGINT) << 2 AS shl2,
+        | p_partkey >> 3 AS shr3,
+        | CAST(bit_count(p_partkey) AS BIGINT) AS nbits
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "sub_not_in_nullaware" ->
+      """SELECT 'clean_subquery' AS variant, count(*) AS n_rows
+        |FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000 AND o_custkey IS NOT NULL)
+        |UNION ALL
+        |SELECT 'null_in_subquery', count(*)
+        |FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT CASE WHEN o_orderkey % 1000 = 7 THEN NULL ELSE o_custkey END
+        |   FROM orders WHERE o_totalprice > 300000)
+        |ORDER BY variant""".stripMargin,
     "agg_hash_group" -> q1Sql,
     "agg_count_distinct" ->
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders

@@ -75,6 +75,31 @@ object Joins {
       .orderBy("c_custkey")
   }
 
+  /** As-of join with a TOLERANCE horizon: like [[asOf]] but a match older
+    * than `toleranceDays` before the event is discarded (null result) —
+    * the "stale quote" rule of market-data as-ofs. The extra bound also
+    * helps at scale: the inequality filter keeps only a bounded time
+    * window per event, so hot keys with long histories don't fan out. */
+  def asOfTolerance(events: DataFrame, orders: DataFrame, toleranceDays: Int = 30): DataFrame = {
+    val e = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = orders.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val joined = e.join(o,
+      col("user_id") === col("o_custkey") &&
+        col("o_orderdate") <= col("ts") &&
+        col("o_orderdate") >= col("ts") - expr(s"INTERVAL $toleranceDays DAYS"),
+      "left")
+    joined
+      .groupBy(col("event_id"), col("user_id"), col("ts"))
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
+      .select(
+        col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("ts_s"),
+        col("best.o_orderkey").as("o_orderkey"),
+        col("best.o_orderdate").as("o_orderdate"))
+      .orderBy("event_id")
+  }
+
   /** Full outer join on key — the backbone of the keyed snapshot diff
     * (SURVEY §2C diff_keyed). Two key-derived subsets of customer stand in
     * for old/new snapshots so both null sides are exercised. */

@@ -98,6 +98,20 @@ object ScalarFns {
       (col("p_size") % 2 === 0).cast("long").as("is_even"))
       .orderBy("p_partkey")
 
+  /** Bitwise family on `part` keys: AND/OR/XOR, shifts, popcount —
+    * the bit-packing toolkit (bitmap flags, bucket ids, simhash-style
+    * fingerprint manipulation). All codegen'd integer ops. */
+  def bitwiseFns(part: DataFrame): DataFrame =
+    part.select(
+      col("p_partkey"),
+      col("p_partkey").bitwiseAND(lit(255L)).as("and255"),
+      col("p_partkey").bitwiseOR(lit(16L)).as("or16"),
+      col("p_partkey").bitwiseXOR(col("p_size").cast("long")).as("xor_size"),
+      shiftleft(col("p_size"), 2).cast("long").as("shl2"),
+      shiftright(col("p_partkey"), 3).as("shr3"),
+      bit_count(col("p_partkey")).cast("long").as("nbits"))
+      .orderBy("p_partkey")
+
   /** Struct family on `nation`: build a named struct, access fields,
     * serialize to JSON and extract back — the nested-record surface a
     * pipeline uses for typed payload columns. String-typed fields keep

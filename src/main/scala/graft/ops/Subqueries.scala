@@ -23,6 +23,29 @@ object Subqueries {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** NOT IN with nullable subquery values — the classic three-valued-
+    * logic trap: one NULL in the subquery makes `x NOT IN (...)` UNKNOWN
+    * for every x, so the result is EMPTY, not "everything unmatched".
+    * Spark plans a null-aware anti join for this (not a plain left_anti
+    * — which would silently return the wrong, non-empty answer). Both
+    * variants emitted side by side so the gap is visible and checked. */
+  def notInNullAware(spark: SparkSession, customer: DataFrame, orders: DataFrame): DataFrame = {
+    customer.createOrReplaceTempView("customer_v")
+    orders.createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT 'clean_subquery' AS variant, count(*) AS n_rows
+        |FROM customer_v
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders_v WHERE o_totalprice > 300000 AND o_custkey IS NOT NULL)
+        |UNION ALL
+        |SELECT 'null_in_subquery', count(*)
+        |FROM customer_v
+        |WHERE c_custkey NOT IN
+        |  (SELECT CASE WHEN o_orderkey % 1000 = 7 THEN NULL ELSE o_custkey END
+        |   FROM orders_v WHERE o_totalprice > 300000)
+        |ORDER BY variant""".stripMargin)
+  }
+
   /** IN-subquery → left-semi join after RewritePredicateSubquery. */
   def inSubquery(spark: SparkSession, customer: DataFrame, orders: DataFrame): DataFrame = {
     customer.createOrReplaceTempView("customer_v")
