@@ -193,6 +193,7 @@ object SparkEntry {
     "agg_hll_rollup" -> ((s, d) => Aggregates.hllDailyRollup(Tables.events(s, d))),
     "join_asof_tolerance" -> ((s, d) => Joins.asOfTolerance(Tables.events(s, d), Tables.orders(s, d))),
     "fn_bitwise" -> ((s, d) => ScalarFns.bitwiseFns(Tables.part(s, d))),
+    "agg_arg_max" -> ((s, d) => Aggregates.argMaxMin(Tables.customer(s, d))),
     "sub_not_in_nullaware" -> ((s, d) => Subqueries.notInNullAware(s, Tables.customer(s, d), Tables.orders(s, d))),
     "analytics_q10_returns" -> ((s, d) =>
       Analytics.q10Returns(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
@@ -397,6 +398,13 @@ object SparkEntry {
         |   AND o.o_orderdate >= e.ts - INTERVAL 30 DAY)
         |SELECT event_id, user_id, date_trunc('second', ts) AS ts_s, o_orderkey, o_orderdate
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "agg_arg_max" ->
+      """SELECT c_mktsegment,
+        | arg_max(c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * 10000000 + c_custkey) AS richest_cust,
+        | arg_min(c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * 10000000 + c_custkey) AS poorest_cust,
+        | CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal,
+        | CAST(MIN(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS min_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "fn_bitwise" ->
       """SELECT p_partkey,
         | p_partkey & 255 AS and255,

@@ -98,6 +98,26 @@ object Aggregates {
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy("o_orderkey")
 
+  /** arg-max/arg-min aggregation: the customer holding each segment's
+    * max/min balance via `max_by`/`min_by`. Determinism: the ordering
+    * value is lifted to a UNIQUE integer (balance cents ⊕ custkey
+    * tiebreak) — max_by over a tied ordering value picks an arbitrary
+    * row and could never hash-match an oracle (SURVEY §7). */
+  def argMaxMin(customer: DataFrame): DataFrame = {
+    // unique rank: cents * 10^7 + custkey (custkey < 10^7 in this data).
+    // cents via floor(x*100+0.5) — a double→bigint CAST truncates in
+    // Spark but rounds in DuckDB; the explicit floor is identical IEEE
+    // on both engines (same rule as Det.rfloor)
+    val rank = floor(col("c_acctbal") * 100 + lit(0.5)).cast("bigint") * 10000000L + col("c_custkey")
+    customer.groupBy(col("c_mktsegment"))
+      .agg(
+        max_by(col("c_custkey"), rank).as("richest_cust"),
+        min_by(col("c_custkey"), rank).as("poorest_cust"),
+        max(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("max_bal"),
+        min(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("min_bal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Sketch-reuse distinct counting: one HLL sketch PER DAY (the
     * materialized granularity), then rollups at any coarser grain merge
     * the stored sketches instead of rescanning events — the
