@@ -32,8 +32,11 @@ object Corpus {
     * (vec_id ≡ 0 mod 10, +100000; x → x*1.01 + 0.001 in double, so the
     * perturbation is IEEE-identical in both engines). */
   def vecCorpus(embeddings: DataFrame): DataFrame = {
+    // native array cast (codegen'd): the interpreted per-element HOF cast
+    // was the dominant cost of every consumer of this corpus
     val v = embeddings.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+      col("embedding").cast("array<double>").as("v"))
+    // the perturbation HOF only runs over the 10% near-dup subset
     val near = v.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 100000).as("vec_id"),
         transform(col("v"), x => x * lit(1.01) + lit(0.001)).as("v"))

@@ -27,8 +27,9 @@ object Similarity {
     dot(a, b) / (vecNorm(a) * vecNorm(b))
 
   private def doubled(embeddings: DataFrame): DataFrame =
-    embeddings.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+    // native array cast (codegen'd) — the transform(x => x.cast) HOF form
+    // evaluates its lambda interpreted per ELEMENT (64 calls/row)
+    embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
   /** All-pairs cosine among the first `maxId` vectors, rounded to 4dp
     * (both engines order by the ROUNDED value so the sort is identical). */
