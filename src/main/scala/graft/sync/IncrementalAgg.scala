@@ -43,6 +43,9 @@ object IncrementalAgg {
     * reconstruct unchanged cells of partially-updated rows (joined on the
     * changed keys — a changeset-sized, not table-sized, join). */
   def applyToAgg(baseAgg: DataFrame, changes: DataFrame, old: DataFrame): DataFrame = {
+    // NOTE: the changeset feeds multiple branches; pass a persisted
+    // changeset for large inputs (SyncPipeline.sync does) — op-filter
+    // pushdown makes the unpersisted recompute cheap at fixture scale
     // whole-row JSON images ({"name":...,"acctbal":...,"segment":...}) —
     // decoded by field name, null-safely (see SnapshotDiff.rowImage)
     val imgSchema = org.apache.spark.sql.types.StructType(
@@ -101,6 +104,8 @@ object IncrementalAgg {
     * Law (oracle-checked): `applyToMinMax(aggMinMax(old), diff, old) ≡
     * aggMinMax(apply(old, diff))`. */
   def applyToMinMax(baseAgg: DataFrame, changes: DataFrame, old: DataFrame): DataFrame = {
+    // NOTE: like applyToAgg, persist the changeset upstream for large
+    // inputs; unpersisted, each branch recomputes with op-filter pushdown
     val imgSchema = org.apache.spark.sql.types.StructType(
       Seq("name", "acctbal", "segment").map(c =>
         org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
