@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * occurrence order — order is irrelevant downstream: Jaccard/minhash
   * consume shingles as a bag/set). */
 case class WordShingles(child: Expression, k: Int, distinct: Boolean)
-  extends UnaryExpression with CodegenFallback with Serializable {
+  extends UnaryExpression with Serializable {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -31,33 +31,17 @@ case class WordShingles(child: Expression, k: Int, distinct: Boolean)
   override def dataType: DataType = ArrayType(StringType)
   override def prettyName: String = "word_shingles"
 
-  private val sep = UTF8String.fromString(" ")
+  override def nullSafeEval(a: Any): Any =
+    TextExprs.shinglesOf(a.asInstanceOf[ArrayData], k, distinct)
 
-  override def nullSafeEval(a: Any): Any = {
-    val toks = a.asInstanceOf[ArrayData]
-    val n = toks.numElements()
-    if (n < k) return new GenericArrayData(Array.empty[Any])
-    val buf = new Array[UTF8String](k)
-    def shingleAt(i: Int): UTF8String = {
-      var j = 0
-      while (j < k) { buf(j) = toks.getUTF8String(i + j); j += 1 }
-      UTF8String.concatWs(sep, buf: _*)
-    }
-    if (distinct) {
-      val out = new java.util.LinkedHashSet[UTF8String](n)
-      var i = 0
-      while (i <= n - k) { out.add(shingleAt(i)); i += 1 }
-      val arr = new Array[Any](out.size)
-      val it = out.iterator(); var x = 0
-      while (it.hasNext) { arr(x) = it.next(); x += 1 }
-      new GenericArrayData(arr)
-    } else {
-      val arr = new Array[Any](n - k + 1)
-      var i = 0
-      while (i <= n - k) { arr(i) = shingleAt(i); i += 1 }
-      new GenericArrayData(arr)
-    }
-  }
+  // true codegen via a static helper call — no CodegenFallback boxing /
+  // InternalRow wrapping per row, whole-stage span stays intact
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"${TextExprs.RT}.shinglesOf($a, $k, $distinct)")
 
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
@@ -107,6 +91,20 @@ case class MinHashSig(child: Expression, numHashes: Int)
     new GenericArrayData(mins)
   }
 
+  // static-helper codegen; empty shingle arrays yield NULL, so emit the
+  // null branch explicitly (defineCodeGen can't produce null results)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      |if ($a.numElements() == 0) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = ${TextExprs.RT}.minhashOf($a, $numHashes);
+      |}
+    """.stripMargin)
+
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
@@ -145,6 +143,69 @@ case class RollingFingerprint(child: Expression)
 }
 
 object TextExprs {
+
+  /** Fully-qualified name of this object for generated-code call sites. */
+  private[functions] val RT: String =
+    TextExprs.getClass.getName.stripSuffix("$") + "$.MODULE$"
+
+  private val shingleSep = UTF8String.fromString(" ")
+
+  /** Runtime body of [[WordShingles]] — callable from generated code. */
+  def shinglesOf(toks: ArrayData, k: Int, distinct: Boolean): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val buf = new Array[UTF8String](k)
+    def shingleAt(i: Int): UTF8String = {
+      var j = 0
+      while (j < k) { buf(j) = toks.getUTF8String(i + j); j += 1 }
+      UTF8String.concatWs(shingleSep,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(buf): _*)
+    }
+    if (distinct) {
+      val out = new java.util.LinkedHashSet[UTF8String](n)
+      var i = 0
+      while (i <= n - k) { out.add(shingleAt(i)); i += 1 }
+      val arr = new Array[Any](out.size)
+      val it = out.iterator(); var x = 0
+      while (it.hasNext) { arr(x) = it.next(); x += 1 }
+      new GenericArrayData(arr)
+    } else {
+      val arr = new Array[Any](n - k + 1)
+      var i = 0
+      while (i <= n - k) { arr(i) = shingleAt(i); i += 1 }
+      new GenericArrayData(arr)
+    }
+  }
+
+  private val seedCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  private def seedsFor(numHashes: Int): Array[Long] =
+    seedCache.computeIfAbsent(numHashes, n =>
+      Array.tabulate(n)(i =>
+        org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(i, org.apache.spark.sql.types.IntegerType, 42L)))
+
+  /** Runtime body of [[MinHashSig]] for NON-empty input — callable from
+    * generated code (the null branch is emitted at the call site). */
+  def minhashOf(shs: ArrayData, numHashes: Int): ArrayData = {
+    val seeds = seedsFor(numHashes)
+    val n = shs.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val s = shs.getUTF8String(j)
+      var i = 0
+      while (i < numHashes) {
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(s, org.apache.spark.sql.types.StringType, seeds(i))
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   def wordShingles(tokens: Column, k: Int, distinct: Boolean = true): Column =
     SqlShim.column(WordShingles(SqlShim.expression(tokens), k, distinct))
 
