@@ -112,7 +112,7 @@ case class MinHashSig(child: Expression, numHashes: Int)
   * fold(acc·31 + byte) mod 1_000_000_007 — same recurrence as the HOF
   * char fold for ASCII text, one compiled pass. */
 case class RollingFingerprint(child: Expression)
-  extends UnaryExpression with CodegenFallback with Serializable {
+  extends UnaryExpression with Serializable {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -121,22 +121,14 @@ case class RollingFingerprint(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_fingerprint"
 
-  override def nullSafeEval(a: Any): Any = {
-    // fold over UNICODE CODE POINTS (not UTF-8 bytes): the same fold is
-    // expressible in DuckDB as
-    // list_reduce(list_prepend(0, list_transform(string_split(t,''),
-    //   c -> unicode(c))), (a,b) -> (a*31+b)%1000000007)
-    // which makes this fingerprint oracle-checkable cross-engine
-    val s = a.asInstanceOf[UTF8String].toString
-    var acc = 0L
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      acc = (acc * 31 + cp) % 1000000007L
-      i += Character.charCount(cp)
-    }
-    acc
-  }
+  override def nullSafeEval(a: Any): Any =
+    TextExprs.fingerprintOf(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, a => s"${TextExprs.RT}.fingerprintOf($a)")
 
   override protected def withNewChildInternal(c: Expression): RollingFingerprint =
     copy(child = c)
@@ -204,6 +196,23 @@ object TextExprs {
       j += 1
     }
     new GenericArrayData(mins)
+  }
+
+  /** Runtime body of [[RollingFingerprint]] — a fold over UNICODE CODE
+    * POINTS (not UTF-8 bytes): the same fold is expressible in DuckDB as
+    * `list_reduce(list_prepend(0, list_transform(string_split(t,''),
+    * c -> unicode(c))), (a,b) -> (a*31+b)%1000000007)`, which makes the
+    * fingerprint oracle-checkable cross-engine. */
+  def fingerprintOf(u: UTF8String): Long = {
+    val s = u.toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
   }
 
   def wordShingles(tokens: Column, k: Int, distinct: Boolean = true): Column =
