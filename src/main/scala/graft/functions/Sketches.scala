@@ -49,56 +49,23 @@ case class SpaceSavingTopK(
 
   override def update(buf: mutable.HashMap[String, Long], input: InternalRow): mutable.HashMap[String, Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      val s = v.asInstanceOf[UTF8String].toString
-      buf.get(s) match {
-        case Some(c) => buf.update(s, c + 1L)
-        case None if buf.size < capacity => buf.update(s, 1L)
-        case None =>
-          // SpaceSaving eviction: replace the (deterministic) min entry,
-          // inheriting its count as the overestimate bound
-          val (mk, mc) = buf.minBy { case (kk, cc) => (cc, kk) }
-          buf.remove(mk)
-          buf.update(s, mc + 1L)
-      }
-    }
+    if (v != null) Sketches.ssUpdate(buf, v.asInstanceOf[UTF8String].toString, capacity)
     buf
   }
 
-  override def merge(b1: mutable.HashMap[String, Long], b2: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    b2.foreach { case (s, c) => b1.update(s, b1.getOrElse(s, 0L) + c) }
-    if (b1.size > capacity) {
-      val keep = b1.toSeq.sortBy { case (s, c) => (-c, s) }.take(capacity)
-      b1.clear()
-      keep.foreach { case (s, c) => b1.update(s, c) }
-    }
-    b1
-  }
+  override def merge(b1: mutable.HashMap[String, Long], b2: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] =
+    Sketches.ssMerge(b1, b2, capacity)
 
-  override def eval(buf: mutable.HashMap[String, Long]): Any = {
-    val top = buf.toSeq.sortBy { case (s, c) => (-c, s) }.take(k)
-    new GenericArrayData(top.map { case (s, c) =>
+  override def eval(buf: mutable.HashMap[String, Long]): Any =
+    new GenericArrayData(Sketches.ssTop(buf, k).map { case (s, c) =>
       InternalRow(UTF8String.fromString(s), c)
     }.toArray[Any])
-  }
 
-  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    buf.foreach { case (s, c) => out.writeUTF(s); out.writeLong(c) }
-    out.flush()
-    bos.toByteArray
-  }
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] =
+    Sketches.ssSerialize(buf)
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val n = in.readInt()
-    val buf = mutable.HashMap.empty[String, Long]
-    var i = 0
-    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] =
+    Sketches.ssDeserialize(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSavingTopK =
     copy(mutableAggBufferOffset = newOffset)
@@ -113,4 +80,53 @@ object Sketches {
     * SpaceSaving sketch over a string column. */
   def topkSketch(c: Column, k: Int, capacity: Int): Column =
     SqlShim.column(SpaceSavingTopK(SqlShim.expression(c), k, capacity).toAggregateExpression())
+
+  // ---- SpaceSaving core, shared by the aggregate and the streaming
+  //      heavy-hitter processor (graft.streaming.StreamingHeavyHitters)
+
+  /** One observation: increment if present, insert if room, else evict
+    * the deterministic (count, item) minimum inheriting its count. */
+  def ssUpdate(buf: mutable.HashMap[String, Long], s: String, capacity: Int): Unit =
+    buf.get(s) match {
+      case Some(c) => buf.update(s, c + 1L)
+      case None if buf.size < capacity => buf.update(s, 1L)
+      case None =>
+        val (mk, mc) = buf.minBy { case (kk, cc) => (cc, kk) }
+        buf.remove(mk)
+        buf.update(s, mc + 1L)
+    }
+
+  /** Merge two sketches, keeping the top `capacity` by (count, item). */
+  def ssMerge(b1: mutable.HashMap[String, Long], b2: mutable.HashMap[String, Long],
+              capacity: Int): mutable.HashMap[String, Long] = {
+    b2.foreach { case (s, c) => b1.update(s, b1.getOrElse(s, 0L) + c) }
+    if (b1.size > capacity) {
+      val keep = b1.toSeq.sortBy { case (s, c) => (-c, s) }.take(capacity)
+      b1.clear()
+      keep.foreach { case (s, c) => b1.update(s, c) }
+    }
+    b1
+  }
+
+  /** Top-k entries, (count desc, item asc) — deterministic. */
+  def ssTop(buf: mutable.HashMap[String, Long], k: Int): Seq[(String, Long)] =
+    buf.toSeq.sortBy { case (s, c) => (-c, s) }.take(k)
+
+  def ssSerialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (s, c) => out.writeUTF(s); out.writeLong(c) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def ssDeserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    buf
+  }
 }

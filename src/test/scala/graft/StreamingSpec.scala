@@ -166,6 +166,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming heavy hitters: per-group sketch state tracks top items across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamingHeavyHitters.topItems(stream.toDS(), k = 2)
+      .writeStream.format("memory").queryName("hh").outputMode("update").start()
+    try {
+      stream.addData((1L, "x"), (1L, "x"), (1L, "y"), (2L, "z"))
+      query.processAllAvailable()
+      stream.addData((1L, "y"), (1L, "y"), (1L, "y"))
+      query.processAllAvailable()
+      val rows = spark.table("hh")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+      assert(rows.contains((1L, 1, "x", 2L)), s"batch 1 top: x=2, got $rows")
+      // after batch 2 the sketch carried x=2 forward and y reached 4
+      assert(rows.contains((1L, 1, "y", 4L)), s"batch 2 top: y=4, got $rows")
+      assert(rows.contains((1L, 2, "x", 2L)), s"x retained at rank 2, got $rows")
+      assert(rows.contains((2L, 1, "z", 1L)))
+    } finally {
+      query.stop()
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("watermarked stream-stream join matches the batch join") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
