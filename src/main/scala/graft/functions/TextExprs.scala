@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.SqlShim
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -13,9 +12,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`transform(sequence(...), i => concat_ws(...))`,
   * `aggregate(split(text,""), ...)`) evaluate their lambdas INTERPRETED,
   * per element — measured ~7s just to build shingles for 6k docs at
-  * sf0.1. These expressions do the same work in one compiled eval per row
-  * (CodegenFallback: a single virtual call per row, the loop itself is
-  * JIT-compiled Scala).
+  * sf0.1. These expressions do the same work in one compiled pass per
+  * row, and generate direct static-helper calls inside whole-stage
+  * codegen (no CodegenFallback boxing).
   */
 
 /** Word k-gram shingles of a token array; optionally distinct (first
@@ -56,7 +55,7 @@ case class WordShingles(child: Expression, k: Int, distinct: Boolean)
   * pass and only the tiny banded output ever shuffles. Docs with no
   * shingles yield null (mirrors explode dropping them). */
 case class MinHashSig(child: Expression, numHashes: Int)
-  extends UnaryExpression with CodegenFallback with Serializable {
+  extends UnaryExpression with Serializable {
   import org.apache.spark.sql.catalyst.expressions.XxHash64Function
   import org.apache.spark.sql.types.IntegerType
 
