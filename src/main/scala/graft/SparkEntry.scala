@@ -195,6 +195,8 @@ object SparkEntry {
     "fn_bitwise" -> ((s, d) => ScalarFns.bitwiseFns(Tables.part(s, d))),
     "agg_arg_max" -> ((s, d) => Aggregates.argMaxMin(Tables.customer(s, d))),
     "sub_not_in_nullaware" -> ((s, d) => Subqueries.notInNullAware(s, Tables.customer(s, d), Tables.orders(s, d))),
+    "analytics_q14_promo" -> ((s, d) =>
+      Analytics.q14Promo(Tables.lineitem(s, d), Tables.part(s, d))),
     "analytics_q10_returns" -> ((s, d) =>
       Analytics.q10Returns(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
         Tables.nation(s, d))),
@@ -905,6 +907,15 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY bucket ORDER BY n DESC, event_type ASC) AS rk FROM c)
         |SELECT bucket, rk, event_type, n FROM r WHERE rk <= 3
         |ORDER BY bucket, rk""".stripMargin,
+    "analytics_q14_promo" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+        | floor(CAST(100 AS DOUBLE)
+        |   * COALESCE(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) END) AS DOUBLE), 0)
+        |   / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        |   * 1e4 + 0.5) / 1e4 + 0.0 AS promo_share,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS total_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "analytics_q10_returns" ->
       """SELECT c_custkey, c_name, n_name,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue

@@ -51,6 +51,28 @@ object Analytics {
       .orderBy(col("revenue").desc, col("c_custkey").asc)
       .limit(20)
 
+  /** Q14 shape — promotion effect: per ship-month, the share of revenue
+    * from PROMO-type parts. Conditional aggregation (CASE inside SUM —
+    * the no-otherwise form sums to NULL when a month has no promo rows,
+    * mirrored exactly by SQL CASE without ELSE); the ratio is formed
+    * from the two exact decimal sums in pure double arithmetic. */
+  def q14Promo(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val discPrice = Det.price(col("l_extendedprice")) * Det.oneMinus(col("l_discount"))
+    lineitem.join(part, col("l_partkey") === col("p_partkey"))
+      // cast to DATE: DuckDB's date_trunc returns DATE at month/year
+      // granularity while Spark keeps TIMESTAMP
+      .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("ship_month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", discPrice)).as("promo_dec"),
+        sum(discPrice).as("total_dec"))
+      .select(col("ship_month"),
+        (Det.rfloor(
+          lit(100.0) * coalesce(col("promo_dec").cast("double"), lit(0.0)) /
+            col("total_dec").cast("double"), 4) + lit(0.0)).as("promo_share"),
+        col("total_dec").cast("double").as("total_revenue"))
+      .orderBy("ship_month")
+  }
+
   /** Q5 shape — local supplier volume: revenue by nation for one region
     * and one order year, counting only lineitems where the supplier and
     * the customer share a nation. region→nation→supplier chain broadcasts
