@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops._
 import graft.sync.{IncrementalAgg, SnapshotDiff, Snapshots}
-import graft.llm.{Corpus, Dedup, Similarity, TextAnalysis}
+import graft.llm.{Corpus, Dedup, Similarity, TextAnalysis, TrainingPrep}
 import graft.multimodal.Multimodal
 import graft.streaming.Streams
 import graft.functions.Udfs
@@ -133,6 +133,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Corpus.docCorpus(Tables.documents(s, d)))),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(Corpus.vecCorpus(Tables.embeddings(s, d)))),
     "dedup_cluster" -> ((s, d) => Dedup.nearDupClusters(Corpus.docCorpus(Tables.documents(s, d)))),
+    "pipeline_training_prep" -> ((s, d) => TrainingPrep.prepare(Tables.documents(s, d))),
     // --- LLM-pipeline: similarity search ---
     "sim_cosine_pairs" -> ((s, d) => Similarity.cosinePairs(Tables.embeddings(s, d))),
     "sim_topk_search" -> ((s, d) => Similarity.topkSearch(Tables.embeddings(s, d))),
@@ -653,6 +654,29 @@ object SparkEntry {
          |  UNION
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          |SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "pipeline_training_prep" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM jpairs
+         |          UNION ALL SELECT b_id, a_id FROM jpairs),
+         |nodes AS (SELECT DISTINCT doc_id FROM corpus),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM nodes
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |clusters AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src),
+         |survivors AS (SELECT c.* FROM corpus c JOIN clusters cl ON c.doc_id = cl.doc_id
+         |              WHERE cl.cluster = cl.doc_id),
+         |sampled AS (SELECT * FROM survivors
+         |            WHERE CASE WHEN lang = 'en' THEN doc_id % 10 < 2 ELSE doc_id % 10 < 5 END),
+         |t AS (SELECT doc_id, lang, string_split(text,' ') AS tok FROM sampled),
+         |ch AS (SELECT doc_id, lang, tok,
+         |  unnest(range(greatest(CAST(ceil((len(tok)-8)/24.0) AS INT), 1))) AS chunk_id FROM t)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         | array_to_string(list_slice(tok, chunk_id*24+1, chunk_id*24+32), ' ') AS chunk_text,
+         | CAST(len(list_slice(tok, chunk_id*24+1, chunk_id*24+32)) AS BIGINT) AS n_tokens,
+         | lang
+         |FROM ch WHERE len(list_slice(tok, chunk_id*24+1, chunk_id*24+32)) > 0
+         |ORDER BY doc_id, chunk_id""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH vc AS (${Corpus.vecCorpusSql})
          |SELECT a_id, b_id, cos FROM (

@@ -1,0 +1,41 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data preparation: the capstone pipeline that
+  * composes the LLM-tier operators into the shape a real corpus pass
+  * runs — near-dup dedup → per-language stratified downsampling →
+  * fixed-window chunking — as ONE lazy Spark plan, and stays fully
+  * DuckDB-oracle-checkable (the whole chain is deterministic relational
+  * algebra; the only iteration, connected components, is mirrored by a
+  * recursive CTE).
+  *
+  * Stage shuffles at 100 TB: the Jaccard candidate join + bounded label
+  * propagation (Dedup.nearDupClusters), one map-side sample filter, and
+  * the per-row chunk expansion — sampling and chunking add NO shuffle
+  * beyond the final output sort.
+  */
+object TrainingPrep {
+
+  /** corpus → deduped, rebalanced, chunked training rows
+    * (doc_id, chunk_id, chunk_text, n_tokens, lang). */
+  def prepare(documents: DataFrame): DataFrame = {
+    val corpus = Corpus.docCorpus(documents)
+    // 1. near-dup clustering; survivors = each cluster's canonical doc
+    //    (exact dups have Jaccard 1.0, so this subsumes exact dedup)
+    val clusters = Dedup.nearDupClusters(corpus)
+    val survivors = corpus.join(clusters, "doc_id")
+      .filter(col("cluster") === col("doc_id"))
+    // 2. rebalance the language mix (same rates as sample_stratified)
+    val sampled = survivors.filter(
+      when(col("lang") === "en", pmod(col("doc_id"), lit(10)) < 2)
+        .otherwise(pmod(col("doc_id"), lit(10)) < 5))
+    // 3. fixed-size overlapping token windows, tagged with language
+    TextAnalysis.chunk(sampled.select(col("doc_id"), col("text")))
+      .join(sampled.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+        col("n_tokens"), col("lang"))
+      .orderBy("doc_id", "chunk_id")
+  }
+}
