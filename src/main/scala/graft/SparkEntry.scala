@@ -202,7 +202,14 @@ object SparkEntry {
       Analytics.q10Returns(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
         Tables.nation(s, d))),
     "scan_schema_merge" -> ((s, d) => Scans.scanSchemaMerge(s, Tables.nation(s, d), d)),
-    "maintenance_compact" -> ((s, d) => Maintenance.compactedEvents(s, Tables.events(s, d)))
+    "maintenance_compact" -> ((s, d) => Maintenance.compactedEvents(s, Tables.events(s, d))),
+    // --- round 3 additions ---
+    "agg_mode" -> ((s, d) => Aggregates.modePerGroup(Tables.orders(s, d))),
+    "agg_histogram" -> ((s, d) => Aggregates.histogram(Tables.orders(s, d))),
+    "dq_outlier_zscore" -> ((s, d) => DataQuality.outlierZscore(Tables.lineitem(s, d))),
+    "dedup_passage" -> ((s, d) => Dedup.passageDedup(Corpus.docCorpus(Tables.documents(s, d)))),
+    "dedup_url" -> ((s, d) => Dedup.urlDedup(Tables.documents(s, d))),
+    "sim_knn_join" -> ((s, d) => Similarity.knnJoin(Tables.embeddings(s, d)))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -961,6 +968,81 @@ object SparkEntry {
     "maintenance_compact" ->
       """SELECT event_id, user_id, event_type,
         | CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "agg_mode" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt FROM (
+        | SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |  row_number() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
+        | FROM orders GROUP BY o_orderstatus, o_orderpriority) t
+        |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+    "agg_histogram" ->
+      """SELECT CAST(floor(o_totalprice / CAST(25000.0 AS DOUBLE)) AS BIGINT) AS bucket,
+        | count(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "dq_outlier_zscore" ->
+      """WITH st AS (
+        | SELECT l_returnflag, count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        | FROM lineitem GROUP BY l_returnflag),
+        |sm AS (SELECT l_returnflag, sx / CAST(n AS DOUBLE) AS mean,
+        |  sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS std
+        | FROM st)
+        |SELECT l.l_returnflag, l_orderkey, l_linenumber, l_partkey, l_extendedprice,
+        | floor((l_extendedprice - mean) / std * 1e4 + 0.5) / 1e4 AS z
+        |FROM lineitem l JOIN sm ON l.l_returnflag = sm.l_returnflag
+        |ORDER BY abs((l_extendedprice - mean) / std) DESC,
+        | l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |LIMIT 50""".stripMargin,
+    "dedup_passage" ->
+      s"""WITH corpus AS (${Corpus.docCorpusSql}),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |chunks AS (
+        | SELECT doc_id, j AS cpos, array_to_string(w[j*8+1 : j*8+8], ' ') AS chunk
+        | FROM toks, UNNEST(range(CAST(ceil(len(w)/8.0) AS BIGINT))) AS u(j)),
+        |nz AS (SELECT * FROM chunks WHERE length(chunk) > 0),
+        |inst AS (SELECT doc_id, cpos, chunk, md5(chunk) AS dg,
+        |  doc_id*100000 + cpos AS rnk FROM nz),
+        |keepers AS (SELECT dg, min(rnk) AS keep_rank FROM inst GROUP BY dg),
+        |kept AS (SELECT i.* FROM inst i
+        |  JOIN keepers k ON i.dg = k.dg AND i.rnk = k.keep_rank),
+        |ded AS (SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(chunk, ' ' ORDER BY cpos) AS text_dedup FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_total FROM nz GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_total, COALESCE(d.n_kept, 0) AS n_kept,
+        | COALESCE(d.text_dedup, '') AS text_dedup
+        |FROM tot t LEFT JOIN ded d ON t.doc_id = d.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    "dedup_url" ->
+      """WITH u AS (SELECT doc_id,
+        | 'HTTPS://Docs.Example.COM/' || lang || '/item/' || (doc_id % 500) ||
+        | CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' ELSE '?id=' END || (doc_id % 500) ||
+        | CASE WHEN doc_id % 4 = 0 THEN '&utm_campaign=x' ELSE '' END ||
+        | CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url_raw
+        | FROM documents),
+        |n2 AS (SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(url_raw, '#.*', '', 'g'),
+        |   'utm_[a-z]+=[^&]*&', '', 'g'), '[?&]utm_[a-z]+=[^&]*$', '', 'g') AS s2
+        | FROM u),
+        |c AS (SELECT doc_id,
+        | lower(regexp_extract(s2, '^[^/]*//[^/]*', 0)) || regexp_replace(s2, '^[^/]*//[^/]*', '') AS url_norm
+        | FROM n2),
+        |r AS (SELECT doc_id, url_norm,
+        | row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) AS rn,
+        | count(*) OVER (PARTITION BY url_norm) AS n_dups
+        | FROM c)
+        |SELECT doc_id, url_norm, n_dups FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "sim_knn_join" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT vec_id AS q_id, v AS q_v, nrm AS q_n FROM n WHERE vec_id < 8),
+        |p AS (SELECT q.q_id, n.vec_id,
+        |  round(list_dot_product(n.v, q.q_v) / (n.nrm * q.q_n), 4) + 0.0 AS cos
+        | FROM n, q WHERE n.vec_id <> q.q_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn FROM p)
+        |SELECT q_id, vec_id, cos, rn FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
   )
 }

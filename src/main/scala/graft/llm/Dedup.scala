@@ -189,6 +189,77 @@ object Dedup {
     labels.unionByName(isolated).orderBy("doc_id")
   }
 
+  /** C4-style PASSAGE-level exact dedup: documents are cut into
+    * non-overlapping `chunkWords`-word passages; every later occurrence of
+    * a passage already seen elsewhere in the corpus (by (doc_id, position)
+    * order) is dropped, and documents are reassembled from their surviving
+    * passages. This is the dedup granularity real pretraining pipelines
+    * use between exact-doc and near-dup: boilerplate repeated across
+    * documents disappears while unique prose survives.
+    *
+    * Scale shape: passages are keyed by their md5 DIGEST, so the
+    * first-occurrence aggregation shuffles (digest, rank) — 24 bytes/row,
+    * not text. The surviving text then shuffles twice (survivor join on
+    * digest, reassembly on doc_id); at 100 TB both are plain
+    * hash-partitioned exchanges with no skew (digests are uniform).
+    * Determinism: survivor = min(doc_id·100000 + pos) per digest; the
+    * reassembly sorts passages by position inside one collect_list. */
+  def passageDedup(corpus: DataFrame, chunkWords: Int = 8): DataFrame = {
+    val tok = TextOps.tokens(col("text"))
+    val nChunks = ceil(size(tok).cast("double") / chunkWords).cast("int")
+    val chunks = corpus
+      .withColumn("tok", tok)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1), i =>
+          concat_ws(" ", slice(col("tok"), i * chunkWords + 1, lit(chunkWords))))))
+      .select(col("doc_id"), col("pos").cast("long").as("cpos"), col("col").as("chunk"))
+      .filter(length(col("chunk")) > 0)
+    val inst = chunks.select(col("doc_id"), col("cpos"), col("chunk"),
+      md5(col("chunk")).as("dg"),
+      (col("doc_id") * 100000 + col("cpos")).as("rank"))
+    // first occurrence per digest: a digest-keyed aggregation over
+    // (dg, rank) only — document text stays out of this shuffle
+    val firstRank = inst.select(col("dg"), col("rank"))
+      .groupBy("dg").agg(min(col("rank")).as("keep_rank"))
+    val kept = inst.join(firstRank, "dg").filter(col("rank") === col("keep_rank"))
+    val ded = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("cpos"), col("chunk")))),
+          x => x.getField("chunk"))).as("text_dedup"))
+    val tot = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_total"))
+    tot.join(ded, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+      .orderBy("doc_id")
+  }
+
+  /** URL-level dedup: canonicalize crawl URLs (strip fragments + utm_*
+    * tracking params, lowercase scheme+host — TextAnalysis.canonicalUrl),
+    * then keep one deterministic survivor per canonical URL. URL dedup is
+    * the cheapest dedup pass a crawl pipeline runs (keys are ~100 bytes,
+    * one hash shuffle) and catches recrawls that content hashing would
+    * re-read whole bodies for. URLs are synthesized with a doc_id % 500
+    * collision key (corpus has no URL column); the utm/fragment variants
+    * canonicalize onto one URL, exercising the merge. */
+  def urlDedup(documents: DataFrame): DataFrame = {
+    val key = (col("doc_id") % 500).cast("long")
+    val raw = concat(
+      lit("HTTPS://Docs.Example.COM/"), col("lang"), lit("/item/"), key,
+      when(col("doc_id") % 3 === 0, lit("?utm_source=feed&id=")).otherwise(lit("?id=")), key,
+      when(col("doc_id") % 4 === 0, lit("&utm_campaign=x")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+    val byUrl = Window.partitionBy("url_norm")
+    documents
+      .select(col("doc_id"), TextAnalysis.canonicalUrl(raw).as("url_norm"))
+      .withColumn("rn", row_number().over(byUrl.orderBy("doc_id")))
+      .withColumn("n_dups", count(lit(1)).over(byUrl))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("url_norm"), col("n_dups"))
+      .orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-dup pairs over the perturbed vector corpus
     * (cosine ≥ 0.99 rounded to 4dp). All-pairs on the bounded corpus —
     * the scale path is LSH bucketing first. */

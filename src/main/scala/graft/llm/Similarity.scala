@@ -61,6 +61,30 @@ object Similarity {
       .limit(k)
   }
 
+  /** k-NN JOIN: top-k neighbours for EVERY vector in a query set at once
+    * (the batch form of [[topkSearch]] — an embedding pipeline scores
+    * whole query batches, not one id at a time). The bounded query side is
+    * broadcast, so the corpus scan stays partition-local and each task
+    * emits (query × local-candidate) scores; the per-query top-k is a
+    * row_number over a window keyed by query id — at our query-set sizes
+    * the window input is modest, and at 100 TB the same plan holds by
+    * bounding the broadcast side (shard the query set) while per-partition
+    * heaps (an Aggregator) replace the window when k·|Q| explodes. */
+  def knnJoin(embeddings: DataFrame, nQueries: Long = 8, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vs = doubled(embeddings).withColumn("nrm", vecNorm(col("v")))
+    val q = vs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_n"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+    vs.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (round(vecDot(col("v"), col("q_v")) / (col("nrm") * col("q_n")), 4) + lit(0.0)).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("q_id", "rn")
+  }
+
   /** Deterministic pseudo-random hyperplanes via splitmix64 of (plane,
     * dim) — reproducible across runs/JVMs, no Math.random (SURVEY §7). */
   private[llm] def hyperplanes(planes: Int, dims: Int): Array[Array[Double]] = {

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -175,15 +175,21 @@ object TextAnalysis {
       col("doc_id"),
       when(col("doc_id") % 4 === 0, lit("&utm_campaign=x&ref=rss")).otherwise(lit("")),
       when(col("doc_id") % 5 === 0, lit("#section-2")).otherwise(lit("")))
+    documents.select(col("doc_id"), raw.as("url_raw"), canonicalUrl(raw).as("url_norm"))
+      .orderBy("doc_id")
+  }
+
+  /** The canonicalization chain of [[normalizeUrls]] as a reusable column
+    * expression: strip fragment, drop utm_* params, lowercase scheme+host.
+    * Also the dedup key of Dedup.urlDedup. */
+  def canonicalUrl(raw: Column): Column = {
     val noFrag = regexp_replace(raw, "#.*", "")
     val noUtm = regexp_replace(
       regexp_replace(noFrag, "utm_[a-z]+=[^&]*&", ""),
       "[?&]utm_[a-z]+=[^&]*$", "")
-    val norm = concat(
+    concat(
       lower(regexp_extract(noUtm, "^[^/]*//[^/]*", 0)),
       regexp_replace(noUtm, "^[^/]*//[^/]*", ""))
-    documents.select(col("doc_id"), raw.as("url_raw"), norm.as("url_norm"))
-      .orderBy("doc_id")
   }
 
   /** Rolling polynomial fingerprint over the document's bytes:

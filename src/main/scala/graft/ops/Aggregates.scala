@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Aggregation operators. All run as two-phase HashAggregate (partial
@@ -165,6 +166,40 @@ object Aggregates {
           .otherwise(pmod(col("doc_id"), lit(10)) < 5))
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
+
+  /** Mode (most frequent value) per group with a DETERMINISTIC tie-break
+    * (highest count, then lexicographically smallest value) — built-in
+    * `mode()` tie-breaking is unspecified in both engines, so both sides
+    * spell out the count + row_number formulation. Scale shape: the
+    * count is a two-phase (map-side partial) aggregation; the window then
+    * runs over the tiny (group × distinct-value) count table, not data. */
+  def modePerGroup(orders: DataFrame): DataFrame = {
+    val counts = orders
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("cnt").desc, col("o_orderpriority").asc)
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"), col("cnt"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Fixed-width histogram of order value: bucket = floor(price/width).
+    * One map-side-combinable aggregation — the shuffle carries one row per
+    * non-empty bucket per task, so the histogram of 100 TB costs one scan
+    * plus a bucket-count exchange. Sum uses exact decimal accumulation;
+    * min/max of doubles are order-free. */
+  def histogram(orders: DataFrame, width: Double = 25000.0): DataFrame =
+    orders
+      .groupBy(floor(col("o_totalprice") / width).cast("long").as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        Det.dsum(col("o_totalprice"), 2).as("sum_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("bucket")
 
   /** Statistical aggregates (variance/stddev/covariance/correlation)
     * computed from EXACT decimal moments, then combined in one fixed

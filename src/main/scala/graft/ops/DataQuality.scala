@@ -44,6 +44,34 @@ object DataQuality {
       .orderBy("constraint")
   }
 
+  /** Per-group z-score outlier report: the most extreme values of
+    * l_extendedprice relative to their l_returnflag group's mean/stddev.
+    * The two-pass shape is the canonical scalable anomaly scan: pass 1
+    * computes per-group moments (EXACT decimal sums, so the derived
+    * mean/std are bit-identical across engines and shuffle orders), the
+    * tiny stats table is then BROADCAST back onto the fact scan — the data
+    * itself is never reshuffled. Both engines compute
+    * z = (x - sx/n) / sqrt((sxx - sx·sx/n)/(n-1)) in the same IEEE op
+    * order, so ordering by |z| is deterministic; output z is rfloor'd. */
+  def outlierZscore(lineitem: DataFrame, topN: Int = 50): DataFrame = {
+    val x = col("l_extendedprice").cast("decimal(18,2)")
+    val stats = lineitem.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      sum(x).cast("double").as("sx"),
+      sum(x * x).cast("double").as("sxx"))
+    val nD = col("n").cast("double")
+    val mean = col("sx") / nD
+    val std = sqrt((col("sxx") - col("sx") * col("sx") / nD) / (nD - lit(1.0)))
+    val st = stats.select(col("l_returnflag"), mean.as("mean"), std.as("std"))
+    lineitem.join(broadcast(st), "l_returnflag")
+      .withColumn("z", (col("l_extendedprice") - col("mean")) / col("std"))
+      .orderBy(abs(col("z")).desc, col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+      .limit(topN)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_extendedprice"), Det.rfloor(col("z"), 4).as("z"))
+  }
+
   /** Train/eval contamination check: the same text content appearing
     * under MORE THAN ONE source — the leak a training pipeline must
     * catch before a source split becomes a train/test split. Group by a

@@ -95,6 +95,38 @@ class CoreOpsSpec extends SparkSpec {
     }
   }
 
+  test("mode per group: winner really is the group's max count") {
+    val counts = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val modes = ops.Aggregates.modePerGroup(Tables.orders(spark, sfDir)).collect()
+    assert(modes.nonEmpty)
+    modes.foreach { r =>
+      val (status, priority, cnt) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(counts((status, priority)) === cnt)
+      val maxInGroup = counts.collect { case ((s, _), n) if s == status => n }.max
+      assert(cnt === maxInGroup, s"$status mode $priority has $cnt < $maxInGroup")
+    }
+  }
+
+  test("histogram buckets partition the table") {
+    val orders = Tables.orders(spark, sfDir)
+    val h = ops.Aggregates.histogram(orders).collect()
+    assert(h.map(_.getLong(1)).sum === orders.count())
+    // bucket bounds hold: min/max of each bucket within [b*w, (b+1)*w)
+    h.foreach { r =>
+      val (b, mn, mx) = (r.getLong(0), r.getDouble(3), r.getDouble(4))
+      assert(mn >= b * 25000.0 && mx < (b + 1) * 25000.0, s"bucket $b: [$mn,$mx]")
+    }
+  }
+
+  test("zscore outliers are sorted by |z| and bounded by the group extremes") {
+    val out = ops.DataQuality.outlierZscore(Tables.lineitem(spark, sfDir)).collect()
+    assert(out.length === 50)
+    val zs = out.map(r => math.abs(r.getDouble(5)))
+    assert(zs.zip(zs.tail).forall { case (a, b) => a >= b - 1e-9 }, "not sorted by |z|")
+  }
+
   test("broadcast join plans a BroadcastHashJoin, no shuffle of the fact side") {
     val plan = ops.Joins.broadcastDim(Tables.nation(spark, sfDir), Tables.region(spark, sfDir))
       .queryExecution.executedPlan.toString

@@ -102,6 +102,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(capped.nonEmpty)
   }
 
+  test("passage dedup: exact-copy docs lose every passage, totals preserved") {
+    val corpus = Corpus.docCorpus(documents)
+    val out = Dedup.passageDedup(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.length === corpus.count())
+    // an exact copy (+100000) repeats every passage of its original, whose
+    // (doc_id, pos) rank is always smaller -> zero survivors
+    val copies = out.filter(t => t._1 >= 100000 && t._1 < 200000)
+    assert(copies.nonEmpty && copies.forall(_._3 == 0),
+      s"exact-copy docs kept passages: ${copies.filter(_._3 != 0).take(3).toSeq}")
+    // kept <= total everywhere; survivors' reassembled text is non-empty
+    assert(out.forall(t => t._3 <= t._2))
+    assert(out.forall(t => (t._3 == 0) == t._4.isEmpty))
+  }
+
+  test("url dedup: canonical urls unique, duplicate counts cover the corpus") {
+    val out = Dedup.urlDedup(documents).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val urls = out.map(_._2)
+    assert(urls.distinct.length === urls.length, "survivor canonical URLs not unique")
+    assert(out.map(_._3).sum === documents.count(), "n_dups must partition the corpus")
+    assert(urls.forall(u => !u.contains("utm_") && !u.contains("#")))
+  }
+
+  test("knn join agrees with single-query top-k search for query 0") {
+    val single = Similarity.topkSearch(embeddings, queryId = 0, k = 3)
+      .collect().map(_.getLong(0)).toSeq
+    val batch = Similarity.knnJoin(embeddings)
+      .filter(col("q_id") === 0).orderBy("rn")
+      .collect().map(_.getLong(1)).toSeq
+    assert(batch === single, s"batch $batch != single $single")
+  }
+
   test("dedup_exact removes exactly the injected duplicates") {
     val corpus = Corpus.docCorpus(documents)
     val deduped = Dedup.exact(corpus)
