@@ -35,6 +35,12 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // drop caches persisted inside operators so queries don't interfere
       try spark.catalog.clearCache() catch { case _: Throwable => () }
+      // Spark's ContextCleaner discovers dead shuffles/broadcasts via GC
+      // (weak references). With a 24g heap a full GC may never run across
+      // the 112-query suite, so map-output state and shuffle files pile up
+      // and late queries degrade 10-25x (r02: ngram_jaccard 34s in-suite vs
+      // 1.4s isolated). An explicit GC per query keeps the cleaner current.
+      System.gc()
       name -> dt
     }
     // The driver captures only the last ~2000 BYTES of run output and
