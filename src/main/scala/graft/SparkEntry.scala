@@ -209,7 +209,17 @@ object SparkEntry {
     "dq_outlier_zscore" -> ((s, d) => DataQuality.outlierZscore(Tables.lineitem(s, d))),
     "dedup_passage" -> ((s, d) => Dedup.passageDedup(Corpus.docCorpus(Tables.documents(s, d)))),
     "dedup_url" -> ((s, d) => Dedup.urlDedup(Tables.documents(s, d))),
-    "sim_knn_join" -> ((s, d) => Similarity.knnJoin(Tables.embeddings(s, d)))
+    "sim_knn_join" -> ((s, d) => Similarity.knnJoin(Tables.embeddings(s, d))),
+    "set_except_all" -> ((s, d) => SetSort.exceptAllBags(Tables.customer(s, d))),
+    "set_intersect_all" -> ((s, d) => SetSort.intersectAllBags(Tables.customer(s, d))),
+    "agg_string_agg" -> ((s, d) => Aggregates.stringAggPriorities(Tables.orders(s, d))),
+    "agg_median" -> ((s, d) => Aggregates.medianBalance(Tables.customer(s, d))),
+    "agg_weighted_avg" -> ((s, d) => Aggregates.weightedAvgPrice(Tables.lineitem(s, d))),
+    "fn_unpivot" -> ((s, d) => Aggregates.unpivotStatusCounts(Tables.orders(s, d))),
+    "join_lateral_topn" -> ((s, d) => Subqueries.lateralTopN(s, Tables.customer(s, d), Tables.orders(s, d))),
+    "win_gaps_islands" -> ((s, d) => Windows.gapsIslands(Tables.orders(s, d))),
+    "win_fill_forward" -> ((s, d) => Windows.fillForward(Tables.customer(s, d))),
+    "dedup_minhash_oracle" -> ((s, d) => Dedup.minhashBandedOracle(Corpus.docCorpus(Tables.documents(s, d))))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -227,6 +237,40 @@ object SparkEntry {
        | FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2,3,4),
        |jpairs AS (SELECT a_id, b_id, floor(CAST(inter AS DOUBLE)/(a_n + b_n - inter)*1e4 + 0.5)/1e4 AS jaccard
        | FROM p WHERE floor(CAST(inter AS DOUBLE)/(a_n + b_n - inter)*1e4 + 0.5)/1e4 >= 0.5)""".stripMargin
+
+  /** dedup_minhash_oracle SQL, GENERATED from the same constants the
+    * Spark operator uses (Dedup.MinhashParams) so the two sides cannot
+    * drift: per-shingle rolling code-point fingerprint (the
+    * text_fingerprint fold), 16 affine min-hashes mod 1e9+7, 4 banded
+    * fold signatures, candidate pairs by band-bucket equality. */
+  private val minhashOracleSql: String = {
+    val P = graft.llm.Dedup.MinhashP
+    val sigCols = graft.llm.Dedup.MinhashParams.zipWithIndex
+      .map { case ((a, b), i) => s"  min(($a*f+$b)%$P) AS s$i" }
+      .mkString(",\n")
+    val bands = (0 until 4).map { bnd =>
+      val fold = (bnd * 4 until bnd * 4 + 4)
+        .foldLeft("CAST(0 AS BIGINT)") { (acc, i) => s"($acc*31+s$i)%$P" }
+      s" SELECT doc_id, $bnd AS band, $fold AS bs FROM sig"
+    }.mkString("\n UNION ALL\n")
+    s"""WITH corpus AS (${Corpus.docCorpusSql}),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(string_split(text,' '))-2),
+       |  i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])) AS shs
+       | FROM corpus),
+       |ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+       |f AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split(sh,''), c -> CAST(unicode(c) AS BIGINT))),
+       |  (a,b) -> (a*31+b)%$P) AS f FROM ex),
+       |sig AS (SELECT doc_id,
+       |$sigCols
+       | FROM f GROUP BY doc_id),
+       |bnd AS (
+       |$bands)
+       |SELECT a_id, b_id FROM (
+       | SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       | FROM bnd x JOIN bnd y ON x.band = y.band AND x.bs = y.bs AND x.doc_id < y.doc_id) t
+       |ORDER BY a_id, b_id""".stripMargin
+  }
 
   private val q1Sql =
     """SELECT l_returnflag, l_linestatus,
@@ -1035,6 +1079,73 @@ object SparkEntry {
         | count(*) OVER (PARTITION BY url_norm) AS n_dups
         | FROM c)
         |SELECT doc_id, url_norm, n_dups FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "set_except_all" ->
+      """SELECT c_mktsegment AS segment FROM customer WHERE c_custkey % 3 = 0
+        |EXCEPT ALL
+        |SELECT c_mktsegment AS segment FROM customer WHERE c_custkey % 4 = 0
+        |ORDER BY segment""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT c_mktsegment AS segment FROM customer WHERE c_custkey % 3 = 0
+        |INTERSECT ALL
+        |SELECT c_mktsegment AS segment FROM customer WHERE c_custkey % 4 = 0
+        |ORDER BY segment""".stripMargin,
+    "agg_string_agg" ->
+      """SELECT o_orderstatus,
+        | array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_median" ->
+      """WITH cont AS (
+        | SELECT c_mktsegment, round(quantile_cont(c_acctbal, 0.5), 2) AS med_cont, count(*) AS n
+        | FROM customer GROUP BY c_mktsegment),
+        |disc AS (
+        | SELECT c_mktsegment, min(c_acctbal) AS med_disc FROM (
+        |  SELECT c_mktsegment, c_acctbal,
+        |   cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS cd
+        |  FROM customer) t WHERE cd >= 0.5 GROUP BY c_mktsegment)
+        |SELECT c.c_mktsegment, med_cont, med_disc, n
+        |FROM cont c JOIN disc d ON c.c_mktsegment = d.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin,
+    "agg_weighted_avg" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) /
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS wavg_price,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "fn_unpivot" ->
+      """WITH w AS (SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_n,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_n,
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_n
+        | FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, s.status,
+        | CASE s.status WHEN 'F' THEN f_n WHEN 'O' THEN o_n ELSE p_n END AS n
+        |FROM w CROSS JOIN (VALUES ('F'), ('O'), ('P')) s(status)
+        |ORDER BY o_orderpriority, status""".stripMargin,
+    "join_lateral_topn" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+    "win_gaps_islands" ->
+      """SELECT o_orderpriority, min(o_orderkey) AS start_key, max(o_orderkey) AS end_key,
+        | count(*) AS n
+        |FROM (SELECT o_orderpriority, o_orderkey,
+        |  o_orderkey - row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS island
+        | FROM orders) t
+        |GROUP BY o_orderpriority, island
+        |ORDER BY o_orderpriority, start_key""".stripMargin,
+    "win_fill_forward" ->
+      """SELECT c_mktsegment, c_custkey, bal,
+        | last_value(bal IGNORE NULLS) OVER (PARTITION BY c_mktsegment ORDER BY c_custkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal_filled
+        |FROM (SELECT c_mktsegment, c_custkey,
+        |  CASE WHEN c_custkey % 7 = 2 THEN NULL ELSE c_acctbal END AS bal FROM customer) t
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "dedup_minhash_oracle" -> minhashOracleSql,
     "sim_knn_join" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),

@@ -124,6 +124,63 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Affine MinHash constants (a_i, b_i): splitmix64(i) reduced mod P —
+    * fixed here AND hardcoded in the oracle SQL, so both engines evaluate
+    * the identical hash family. */
+  private[graft] val MinhashParams: Seq[(Long, Long)] = Seq(
+    (493524570L, 417668567L), (446402582L, 341919027L), (346691917L, 653605389L),
+    (745837146L, 499582500L), (69808257L, 432120113L), (955562744L, 676958920L),
+    (938848372L, 574388869L), (638669822L, 512666645L), (655903268L, 351424405L),
+    (506791545L, 170417312L), (739678680L, 997125638L), (111299787L, 889352101L),
+    (665586862L, 939766762L), (860553443L, 147526261L), (241155439L, 184876309L),
+    (96837743L, 430047203L))
+  private[graft] val MinhashP = 1000000007L
+
+  /** ORACLE-CHECKABLE MinHash LSH: the same band-bucket candidate
+    * generation as [[minhashCandidates]], but over a hash family both
+    * engines can evaluate bit-identically — sig_i(doc) = min over shingles
+    * of (a_i·fp(sh) + b_i) mod P, where fp is the rolling code-point
+    * fingerprint (graft.functions.RollingFingerprint, the same fold DuckDB
+    * expresses as a `list_reduce`) and (a_i, b_i) is a fixed affine family
+    * mod P = 1e9+7. All arithmetic stays below 2^63, so Spark longs and
+    * DuckDB BIGINTs agree exactly.
+    *
+    * Scale shape (identical to the xxhash64 variant): shingles explode
+    * map-side, fingerprints are codegen'd, and the 16 per-doc minima are
+    * ordinary min aggregates — ONE shuffle of (doc_id, 16 longs). Banding
+    * is a 4-row explosion; the candidate join is an equi-join on
+    * (band, band_sig). xxhash64 remains the production default (faster,
+    * better mixing); this family exists so the LSH pipeline itself is
+    * hash-verified against an independent engine. */
+  def minhashBandedOracle(corpus: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+    val f = corpus
+      .select(col("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.TextExprs.rollingFingerprint(col("sh")).as("f"))
+    val sigCols = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("f") + lit(b)) % MinhashP).as(s"s$i")
+    }
+    val sigs = f.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val numBands = MinhashParams.size / rowsPerBand
+    val bandCols = (0 until numBands).map { bnd =>
+      val bs = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+        .foldLeft(lit(0L): org.apache.spark.sql.Column) { (acc, i) =>
+          (acc * 31 + col(s"s$i")) % MinhashP
+        }
+      struct(lit(bnd).as("band"), bs.as("bs"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bs").as("bs"))
+    val l = banded.select(col("doc_id").as("a_id"), col("band"), col("bs"))
+    val r = banded.select(col("doc_id").as("b_id"), col("band"), col("bs"))
+    l.join(r, Seq("band", "bs"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+      .orderBy("a_id", "b_id")
+  }
+
   /** 48-bit SimHash fingerprint per document: bit b of the fingerprint is
     * set iff Σ_tokens sign(bit b of xxhash64(token)) > 0. Computed wholly
     * inside HOFs — one pass, no shuffle beyond the final sort. Near-dup

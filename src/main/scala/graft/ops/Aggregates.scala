@@ -201,6 +201,73 @@ object Aggregates {
         max(col("o_totalprice")).as("max_price"))
       .orderBy("bucket")
 
+  /** String aggregation (listagg): the distinct priorities of each order
+    * status, sorted then joined — `collect_set` + `array_sort` keeps the
+    * result order-independent (a bare `collect_list`/`string_agg` depends
+    * on row arrival order and can never hash-match across engines or even
+    * across shuffles). The set is bounded by the value domain, so the
+    * aggregation state stays small at any row count. */
+  def stringAggPriorities(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        concat_ws("|", array_sort(collect_set(col("o_orderpriority")))).as("priorities"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  /** Exact median per group, both definitions: continuous (interpolated,
+    * = percentile 0.5) and discrete (the smallest value whose cumulative
+    * distribution reaches 0.5 — spelled as a cume_dist window in BOTH
+    * engines, since "quantile_disc" index conventions differ between
+    * implementations). Median is a full per-group sort at heart; at
+    * 100 TB the bounded-state path is agg_approx_quantiles. */
+  def medianBalance(customer: DataFrame): DataFrame = {
+    val cont = customer.groupBy(col("c_mktsegment"))
+      .agg(round(expr("percentile(c_acctbal, 0.5)"), 2).as("med_cont"),
+        count(lit(1)).as("n"))
+    val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    val disc = customer
+      .withColumn("cd", cume_dist().over(w))
+      .filter(col("cd") >= 0.5)
+      .groupBy(col("c_mktsegment"))
+      .agg(min(col("c_acctbal")).as("med_disc"))
+    cont.join(disc, "c_mktsegment")
+      .select("c_mktsegment", "med_cont", "med_disc", "n")
+      .orderBy("c_mktsegment")
+  }
+
+  /** Weighted average: Σ(w·x)/Σ(w) with both sums accumulated as EXACT
+    * decimals (the products too), so the one double division at the end is
+    * the only floating-point op — order-independent and engine-identical.
+    * Map-side combinable like any sum. */
+  def weightedAvgPrice(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        (sum(Det.price(col("l_extendedprice")) * col("l_quantity").cast("decimal(12,2)")).cast("double") /
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double")).as("wavg_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Unpivot (melt): the wide per-status count table back to long form —
+    * the inverse of [[pivotStatus]]. Unpivot is a per-row expansion (no
+    * shuffle beyond the source aggregation); missing combinations are
+    * kept as explicit zeros (coalesce BEFORE unpivot) so the long table
+    * is dense. */
+  def unpivotStatusCounts(orders: DataFrame): DataFrame = {
+    val wide = orders
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+    val dense = wide.select(col("o_orderpriority") +:
+      Seq("F", "O", "P").map(s => coalesce(col(s), lit(0L)).as(s)): _*)
+    dense.unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("F"), col("O"), col("P")),
+        "status", "n")
+      .orderBy("o_orderpriority", "status")
+  }
+
   /** Statistical aggregates (variance/stddev/covariance/correlation)
     * computed from EXACT decimal moments, then combined in one fixed
     * IEEE-double formula — built-in stddev/corr accumulate doubles in

@@ -58,4 +58,23 @@ object SetSort {
   /** EXCEPT — the set-based primitive behind row-level snapshot diff. */
   def exceptKeys(customer: DataFrame, orders: DataFrame): DataFrame =
     buildingCusts(customer).except(urgentCusts(orders)).orderBy("k")
+
+  private def bagA(customer: DataFrame): DataFrame =
+    customer.filter(col("c_custkey") % 3 === 0).select(col("c_mktsegment").as("segment"))
+  private def bagB(customer: DataFrame): DataFrame =
+    customer.filter(col("c_custkey") % 4 === 0).select(col("c_mktsegment").as("segment"))
+
+  /** EXCEPT ALL — MULTISET difference: each segment value survives
+    * `max(count_A - count_B, 0)` times (plain EXCEPT would collapse to
+    * distinct values). Planned as a hash-partitioned aggregation of
+    * per-side counts, not a row-by-row scan — one shuffle per side at any
+    * scale. Duplicate output rows are identical, so the segment sort is
+    * still a total order for the hash compare. */
+  def exceptAllBags(customer: DataFrame): DataFrame =
+    bagA(customer).exceptAll(bagB(customer)).orderBy("segment")
+
+  /** INTERSECT ALL — multiset intersection: `min(count_A, count_B)`
+    * copies per value. Same scale shape as [[exceptAllBags]]. */
+  def intersectAllBags(customer: DataFrame): DataFrame =
+    bagA(customer).intersectAll(bagB(customer)).orderBy("segment")
 }

@@ -56,4 +56,24 @@ object Subqueries {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders_v WHERE o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin)
   }
+
+  /** LATERAL join: per customer, the top-2 orders by value — the
+    * correlated-subquery-in-FROM form (SQL:1999 LATERAL; Spark 3.2+).
+    * Catalyst decorrelates the ORDER BY/LIMIT into a partitioned
+    * row_number filter, so what executes is one equi-join + window, not a
+    * per-row subquery — the same plan a hand-written top-k-per-group
+    * query gets, at any scale. Restricted to BUILDING customers so the
+    * output stays reporting-sized. */
+  def lateralTopN(spark: SparkSession, customer: DataFrame, orders: DataFrame): DataFrame = {
+    customer.createOrReplaceTempView("customer_v")
+    orders.createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer_v c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders_v
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey, o_orderkey""".stripMargin)
+  }
 }

@@ -112,4 +112,40 @@ object Windows {
         ntile(4).over(w).cast("long").as("quartile"))
       .orderBy("c_custkey")
   }
+
+  /** Gaps-and-islands: contiguous runs of order keys per priority class.
+    * The classic `key - row_number()` trick: consecutive keys share one
+    * island id, a gap starts a new one; the run summary is then a plain
+    * groupBy. Partitioned by priority so the window never needs a global
+    * sort — at 100 TB the partition key keeps ranks local. */
+  def gapsIslands(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    orders
+      .select(col("o_orderpriority"), col("o_orderkey"))
+      .withColumn("island", col("o_orderkey") - row_number().over(w))
+      .groupBy(col("o_orderpriority"), col("island"))
+      .agg(
+        min(col("o_orderkey")).as("start_key"),
+        max(col("o_orderkey")).as("end_key"),
+        count(lit(1)).as("n"))
+      .select("o_orderpriority", "start_key", "end_key", "n")
+      .orderBy("o_orderpriority", "start_key")
+  }
+
+  /** Forward-fill: carry the last non-null observation down each
+    * partition (`last(..., ignoreNulls)` over an unbounded-preceding
+    * frame) — the canonical gap-repair for sparse time series. Nulls are
+    * injected deterministically (the clean table has none); leading nulls
+    * stay null in both engines. Running frames keep O(1) state per
+    * partition — no rescan per row. */
+  def fillForward(customer: DataFrame): DataFrame = {
+    val bal = when(col("c_custkey") % 7 === 2, lit(null).cast("double"))
+      .otherwise(col("c_acctbal"))
+    val w = Window.partitionBy("c_mktsegment").orderBy("c_custkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    customer
+      .select(col("c_mktsegment"), col("c_custkey"), bal.as("bal"))
+      .withColumn("bal_filled", last(col("bal"), ignoreNulls = true).over(w))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
 }

@@ -127,6 +127,75 @@ class CoreOpsSpec extends SparkSpec {
     assert(zs.zip(zs.tail).forall { case (a, b) => a >= b - 1e-9 }, "not sorted by |z|")
   }
 
+  test("except-all/intersect-all respect multiplicities") {
+    val c = Tables.customer(spark, sfDir)
+    val cntA = c.filter(col("c_custkey") % 3 === 0)
+      .groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cntB = c.filter(col("c_custkey") % 4 === 0)
+      .groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exc = ops.SetSort.exceptAllBags(c).groupBy("segment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val int = ops.SetSort.intersectAllBags(c).groupBy("segment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (cntA.keySet ++ cntB.keySet).foreach { seg =>
+      val (a, b) = (cntA.getOrElse(seg, 0L), cntB.getOrElse(seg, 0L))
+      assert(exc.getOrElse(seg, 0L) === math.max(a - b, 0L), s"except_all $seg")
+      assert(int.getOrElse(seg, 0L) === math.min(a, b), s"intersect_all $seg")
+    }
+  }
+
+  test("gaps-and-islands runs are contiguous and tile each priority's keys") {
+    val out = ops.Windows.gapsIslands(Tables.orders(spark, sfDir)).collect()
+    out.foreach { r =>
+      assert(r.getLong(3) === r.getLong(2) - r.getLong(1) + 1,
+        s"island not contiguous: $r")
+    }
+    val totalKeys = out.map(_.getLong(3)).sum
+    assert(totalKeys === Tables.orders(spark, sfDir).count())
+  }
+
+  test("forward fill carries the last non-null balance, leading nulls stay") {
+    val rows = ops.Windows.fillForward(Tables.customer(spark, sfDir)).collect()
+    var seg = ""; var lastSeen: Option[Double] = None
+    rows.foreach { r =>
+      if (r.getString(0) != seg) { seg = r.getString(0); lastSeen = None }
+      if (!r.isNullAt(2)) lastSeen = Some(r.getDouble(2))
+      val filled = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      assert(filled === lastSeen, s"fill mismatch at ${r.getLong(1)}")
+    }
+  }
+
+  test("lateral top-n returns each customer's true top-2 orders") {
+    val out = ops.Subqueries.lateralTopN(spark, Tables.customer(spark, sfDir), Tables.orders(spark, sfDir))
+      .collect().groupBy(_.getLong(0))
+    assert(out.nonEmpty && out.values.forall(_.length <= 2))
+    val sample = out.keys.min
+    val expect = Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") === sample)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(2).collect().map(_.getAs[Long]("o_orderkey")).toSet
+    assert(out(sample).map(_.getLong(1)).toSet === expect)
+  }
+
+  test("unpivot is the inverse of pivot: dense long form sums to row count") {
+    val out = ops.Aggregates.unpivotStatusCounts(Tables.orders(spark, sfDir)).collect()
+    assert(out.length === 15) // 5 priorities x 3 statuses, zeros kept
+    assert(out.map(_.getLong(2)).sum === Tables.orders(spark, sfDir).count())
+  }
+
+  test("median: both definitions sit inside each group's range") {
+    val byBal = Tables.customer(spark, sfDir).groupBy("c_mktsegment")
+      .agg(min("c_acctbal").as("mn"), max("c_acctbal").as("mx")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    ops.Aggregates.medianBalance(Tables.customer(spark, sfDir)).collect().foreach { r =>
+      val (mn, mx) = byBal(r.getString(0))
+      assert(r.getDouble(1) >= mn && r.getDouble(1) <= mx)
+      assert(r.getDouble(2) >= mn && r.getDouble(2) <= mx)
+    }
+  }
+
   test("broadcast join plans a BroadcastHashJoin, no shuffle of the fact side") {
     val plan = ops.Joins.broadcastDim(Tables.nation(spark, sfDir), Tables.region(spark, sfDir))
       .queryExecution.executedPlan.toString

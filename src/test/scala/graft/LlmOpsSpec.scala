@@ -135,6 +135,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(batch === single, s"batch $batch != single $single")
   }
 
+  test("oracle-hash minhash candidates cover every exact-duplicate pair") {
+    val corpus = Corpus.docCorpus(documents)
+    val cands = Dedup.minhashBandedOracle(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical text -> identical signatures -> every band collides
+    val exactPairs = documents.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+      .map(d => (d, d + 100000L)).toSet
+    val missed = exactPairs -- cands
+    assert(missed.isEmpty, s"exact-dup pairs missed by banding: ${missed.take(3)}")
+    cands.foreach { case (a, b) => assert(a < b) }
+  }
+
   test("dedup_exact removes exactly the injected duplicates") {
     val corpus = Corpus.docCorpus(documents)
     val deduped = Dedup.exact(corpus)
