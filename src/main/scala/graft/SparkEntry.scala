@@ -219,7 +219,12 @@ object SparkEntry {
     "join_lateral_topn" -> ((s, d) => Subqueries.lateralTopN(s, Tables.customer(s, d), Tables.orders(s, d))),
     "win_gaps_islands" -> ((s, d) => Windows.gapsIslands(Tables.orders(s, d))),
     "win_fill_forward" -> ((s, d) => Windows.fillForward(Tables.customer(s, d))),
-    "dedup_minhash_oracle" -> ((s, d) => Dedup.minhashBandedOracle(Corpus.docCorpus(Tables.documents(s, d))))
+    "dedup_minhash_oracle" -> ((s, d) => Dedup.minhashBandedOracle(Corpus.docCorpus(Tables.documents(s, d)))),
+    "dedup_simhash_oracle" -> ((s, d) => Dedup.simhashOracle(Corpus.docCorpus(Tables.documents(s, d)))),
+    "agg_regr" -> ((s, d) => Aggregates.regrStats(Tables.lineitem(s, d))),
+    "agg_bool" -> ((s, d) => Aggregates.boolAggs(Tables.orders(s, d))),
+    "text_zipf" -> ((s, d) => TextAnalysis.zipfProfile(Tables.documents(s, d))),
+    "stream_enrich_batch" -> ((s, d) => Streams.enrichBatch(Tables.events(s, d), Tables.customer(s, d)))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -1146,6 +1151,57 @@ object SparkEntry {
         |  CASE WHEN c_custkey % 7 = 2 THEN NULL ELSE c_acctbal END AS bal FROM customer) t
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "dedup_minhash_oracle" -> minhashOracleSql,
+    "dedup_simhash_oracle" ->
+      s"""WITH corpus AS (${Corpus.docCorpusSql}),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus),
+         |f AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(string_split(t,''), c -> CAST(unicode(c) AS BIGINT))),
+         |  (a,b) -> (a*31+b)%1000000007) AS f FROM tok),
+         |votes AS (SELECT doc_id, b.b AS b,
+         |  CAST(SUM(CASE WHEN (f >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+         | FROM f CROSS JOIN (SELECT unnest(range(30)) AS b) b GROUP BY doc_id, b.b)
+         |SELECT doc_id,
+         | CAST(SUM(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS fingerprint
+         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "agg_regr" ->
+      """WITH m AS (SELECT l_returnflag,
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        | (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+        | (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS intercept,
+        | (n*sxy - sx*sy) * (n*sxy - sx*sy) / ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS r2,
+        | CAST(n AS BIGINT) AS n
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "agg_bool" ->
+      """SELECT o_orderstatus,
+        | bool_and(o_totalprice > 1000.0) AS all_over_1k,
+        | bool_or(o_totalprice > 400000.0) AS any_over_400k,
+        | count_if(o_orderpriority = '1-URGENT') AS n_urgent,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "text_zipf" ->
+      """WITH wc AS (
+        | SELECT t AS word, count(*) AS n
+        | FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents) u
+        | GROUP BY t),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM wc),
+        |top AS (SELECT word, n, row_number() OVER (ORDER BY n DESC, word ASC) AS rank
+        |        FROM wc ORDER BY n DESC, word ASC LIMIT 50)
+        |SELECT rank, word, n, rank * n AS rank_x_n,
+        | floor(CAST(n AS DOUBLE) / total * 1e6 + 0.5) / 1e6 AS share
+        |FROM top CROSS JOIN tot ORDER BY rank""".stripMargin,
+    "stream_enrich_batch" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
     "sim_knn_join" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),

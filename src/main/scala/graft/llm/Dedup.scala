@@ -185,19 +185,36 @@ object Dedup {
     * set iff Σ_tokens sign(bit b of xxhash64(token)) > 0. Computed wholly
     * inside HOFs — one pass, no shuffle beyond the final sort. Near-dup
     * docs differ in few bits (Hamming distance gated in DedupSpec). */
-  def simhash(corpus: DataFrame, bits: Int = 48): DataFrame = {
-    // hash each token once, then fold the ±1 bit votes per fingerprint bit
-    val fp = (0 until bits).map { b =>
+  /** Bit-vote fold shared by both simhash variants: bit b of the
+    * fingerprint is set iff Σ_tokens sign(bit b of hash(token)) > 0. */
+  private def simhashVotes(bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).map { b =>
       when(
         aggregate(col("hs"), lit(0L), (s, h) =>
           s + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0,
         lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
+
+  def simhash(corpus: DataFrame, bits: Int = 48): DataFrame =
+    // hash each token once, then fold the ±1 bit votes per fingerprint bit
     corpus
       .withColumn("hs", transform(TextOps.tokens(col("text")), t => xxhash64(t)))
-      .select(col("doc_id"), fp.as("fingerprint"))
+      .select(col("doc_id"), simhashVotes(bits).as("fingerprint"))
       .orderBy("doc_id")
-  }
+
+  /** ORACLE-CHECKED SimHash: the same bit-vote fold over the rolling
+    * code-point fingerprint (30 usable bits, fp < 1e9+7 < 2^30) instead of
+    * xxhash64 — every arithmetic step is expressible in DuckDB SQL
+    * (per-token `list_reduce` fold, then a 30-way CASE sum per bit), so
+    * the whole fingerprint hash-matches cross-engine. Same shuffle-free
+    * per-row plan shape as [[simhash]]; xxhash64 stays the production
+    * default (64 bits, better mixing). */
+  def simhashOracle(corpus: DataFrame, bits: Int = 30): DataFrame =
+    corpus
+      .withColumn("hs", transform(TextOps.tokens(col("text")),
+        t => graft.functions.TextExprs.rollingFingerprint(t)))
+      .select(col("doc_id"), simhashVotes(bits).as("fingerprint"))
+      .orderBy("doc_id")
 
   /** Near-dup clustering: connected components over the Jaccard candidate
     * pairs via iterative min-label propagation — the step that turns a

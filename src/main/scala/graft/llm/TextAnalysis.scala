@@ -24,6 +24,28 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("word").asc)
       .limit(100)
 
+  /** Zipf rank-frequency profile of the corpus vocabulary: top-k tokens
+    * with rank, frequency, the rank·frequency product (≈ constant under
+    * Zipf's law) and each token's share of all tokens. The heavy part is
+    * the word count (one map-side-combinable shuffle); ranking happens on
+    * the k-row result, and the corpus total rides along as a broadcast
+    * scalar — no second scan. */
+  def zipfProfile(documents: DataFrame, k: Int = 50): DataFrame = {
+    val wc = documents
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val total = wc.agg(sum(col("n")).as("total"))
+    val top = wc.orderBy(col("n").desc, col("word").asc).limit(k)
+    val w = Window.orderBy(col("n").desc, col("word").asc)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(
+        col("rank"), col("word"), col("n"),
+        (col("rank") * col("n")).as("rank_x_n"),
+        graft.ops.Det.rfloor(col("n").cast("double") / col("total"), 6).as("share"))
+      .orderBy("rank")
+  }
+
   /** Bigram frequency, top-100. */
   def ngramCounts(documents: DataFrame): DataFrame =
     documents

@@ -268,6 +268,47 @@ object Aggregates {
       .orderBy("o_orderpriority", "status")
   }
 
+  /** Linear-regression aggregates (slope / intercept / r²) of
+    * extendedprice on quantity per return flag — like [[stats]], computed
+    * from EXACT decimal moment sums combined in ONE fixed IEEE formula,
+    * not the built-in regr_* (whose double accumulation is shuffle-order
+    * dependent). The moments are map-side-combinable sums, so the whole
+    * regression costs one scan + one tiny shuffle at any scale. */
+  def regrStats(lineitem: DataFrame): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,2)")
+    val y = col("l_extendedprice").cast("decimal(18,2)")
+    val m = lineitem.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(x).cast("double").as("sx"),
+      sum(y).cast("double").as("sy"),
+      sum(x * x).cast("double").as("sxx"),
+      sum(y * y).cast("double").as("syy"),
+      sum(x * y).cast("double").as("sxy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val varX = col("n") * col("sxx") - col("sx") * col("sx")
+    val varY = col("n") * col("syy") - col("sy") * col("sy")
+    m.select(
+        col("l_returnflag"),
+        (cov / varX).as("slope"),
+        ((col("sy") - cov / varX * col("sx")) / col("n")).as("intercept"),
+        (cov * cov / (varX * varY)).as("r2"),
+        col("n").cast("long").as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Boolean aggregate family: bool_and / bool_or / count_if per order
+    * status — predicate summaries in one map-side-combinable pass (state
+    * is one bit / one counter per group). */
+  def boolAggs(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        bool_and(col("o_totalprice") > 1000.0).as("all_over_1k"),
+        bool_or(col("o_totalprice") > 400000.0).as("any_over_400k"),
+        count_if(col("o_orderpriority") === "1-URGENT").as("n_urgent"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
   /** Statistical aggregates (variance/stddev/covariance/correlation)
     * computed from EXACT decimal moments, then combined in one fixed
     * IEEE-double formula — built-in stddev/corr accumulate doubles in

@@ -42,6 +42,25 @@ object Streams {
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy("w_start", "event_type")
 
+  /** Stream-static enrichment: the event stream joined to a static
+    * customer dimension (user_id = c_custkey), aggregated per
+    * (segment, event_type). In Structured Streaming the static side is
+    * broadcast and re-resolved per micro-batch — the canonical pattern for
+    * enriching a stream with a slowly-changing dim without any stream
+    * state. The SAME transformation runs in batch (oracle-checked) and
+    * streaming (StreamingSpec chunk-equivalence). */
+  def enrichAgg(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  /** Batch query wrapper with deterministic order. */
+  def enrichBatch(events: DataFrame, customer: DataFrame): DataFrame =
+    enrichAgg(events, customer).orderBy("c_mktsegment", "event_type")
+
   /** Batch-equivalent session windows (30-minute gap) per user: lag-gap →
     * cumulative session id → per-session stats. Timestamp math in integer
     * microseconds for exact cross-engine parity. */

@@ -196,6 +196,19 @@ class CoreOpsSpec extends SparkSpec {
     }
   }
 
+  test("regression agg: r2 in [0,1] and the fit passes through the mean") {
+    val stats = Tables.lineitem(spark, sfDir).groupBy("l_returnflag")
+      .agg(avg("l_quantity").as("mx"), avg("l_extendedprice").as("my")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    ops.Aggregates.regrStats(Tables.lineitem(spark, sfDir)).collect().foreach { r =>
+      val (slope, icept, r2) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(r2 >= 0.0 && r2 <= 1.0, s"r2 out of range: $r")
+      // least-squares line passes through (mean x, mean y)
+      val (mx, my) = stats(r.getString(0))
+      assert(math.abs(slope * mx + icept - my) / math.abs(my) < 1e-9, s"fit off-mean: $r")
+    }
+  }
+
   test("broadcast join plans a BroadcastHashJoin, no shuffle of the fact side") {
     val plan = ops.Joins.broadcastDim(Tables.nation(spark, sfDir), Tables.region(spark, sfDir))
       .queryExecution.executedPlan.toString

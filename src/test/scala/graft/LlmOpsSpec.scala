@@ -148,6 +148,30 @@ class LlmOpsSpec extends SparkSpec {
     cands.foreach { case (a, b) => assert(a < b) }
   }
 
+  test("oracle-hash simhash: exact copies collide, near copies stay close") {
+    val corpus = Corpus.docCorpus(documents)
+    val fps = Dedup.simhashOracle(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactIds = documents.filter(col("doc_id") % 7 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    exactIds.foreach { d => assert(fps(d) === fps(d + 100000L), s"copy of $d diverged") }
+    val nearIds = documents.filter(col("doc_id") % 10 === 5)
+      .select("doc_id").collect().map(_.getLong(0))
+    val dists = nearIds.map(d => java.lang.Long.bitCount(fps(d) ^ fps(d + 200000L)))
+    assert(dists.sum.toDouble / dists.length <= 6.0,
+      s"near-dup mean Hamming distance too large: ${dists.sum.toDouble / dists.length}")
+  }
+
+  test("zipf profile: ranks are dense and frequencies non-increasing") {
+    val out = TextAnalysis.zipfProfile(documents).collect()
+    assert(out.map(_.getLong(0)).toSeq === (1L to out.length))
+    val ns = out.map(_.getLong(2))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    // shares are individually rounded to 6dp, so the sum can exceed 1 by
+    // at most 5e-7 per row
+    assert(out.map(_.getDouble(4)).sum <= 1.0 + 5e-7 * out.length)
+  }
+
   test("dedup_exact removes exactly the injected duplicates") {
     val corpus = Corpus.docCorpus(documents)
     val deduped = Dedup.exact(corpus)

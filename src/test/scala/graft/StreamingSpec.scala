@@ -41,6 +41,25 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static enrichment join over chunks == batch result") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val evs = loadEvents()
+    val customer = Tables.customer(spark, sfDir)
+    val stream = MemoryStream[Ev]
+    val query = Streams.enrichAgg(stream.toDF(), customer)
+      .writeStream.format("memory").queryName("enrich").outputMode("complete").start()
+    try {
+      evs.grouped(math.max(1, evs.size / 4)).foreach { chunk =>
+        stream.addData(chunk); query.processAllAvailable()
+      }
+      val streamed = spark.table("enrich")
+        .orderBy("c_mktsegment", "event_type").collect().toSeq
+      val batch = Streams.enrichBatch(Tables.events(spark, sfDir), customer).collect().toSeq
+      assert(streamed === batch)
+    } finally query.stop()
+  }
+
   test("watermark drops events later than the delay") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
