@@ -224,7 +224,10 @@ object SparkEntry {
     "agg_regr" -> ((s, d) => Aggregates.regrStats(Tables.lineitem(s, d))),
     "agg_bool" -> ((s, d) => Aggregates.boolAggs(Tables.orders(s, d))),
     "text_zipf" -> ((s, d) => TextAnalysis.zipfProfile(Tables.documents(s, d))),
-    "stream_enrich_batch" -> ((s, d) => Streams.enrichBatch(Tables.events(s, d), Tables.customer(s, d)))
+    "stream_enrich_batch" -> ((s, d) => Streams.enrichBatch(Tables.events(s, d), Tables.customer(s, d))),
+    "ds_typed_pipeline" -> ((s, d) => TypedOps.typedCustomerSpend(Tables.orders(s, d))),
+    "fn_explode_outer" -> ((s, d) => ScalarFns.explodeOuter(Tables.orders(s, d))),
+    "fn_date_spine" -> ((s, d) => Analytics.dateSpineFill(s, Tables.orders(s, d)))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -1202,6 +1205,33 @@ object SparkEntry {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type
         |ORDER BY c_mktsegment, event_type""".stripMargin,
+    "ds_typed_pipeline" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        | CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+        | max(o_totalprice) AS max_order
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "fn_explode_outer" ->
+      """WITH t AS (SELECT o_orderkey, range(1, o_orderkey % 3 + 1) AS arr
+        | FROM orders WHERE o_orderkey < 1000)
+        |SELECT o_orderkey, unnest(arr) AS v FROM t WHERE len(arr) > 0
+        |UNION ALL
+        |SELECT o_orderkey, NULL AS v FROM t WHERE len(arr) = 0
+        |ORDER BY o_orderkey, v NULLS FIRST""".stripMargin,
+    "fn_date_spine" ->
+      """WITH spine AS (
+        | SELECT CAST(unnest(generate_series(DATE '1997-01-01', DATE '1997-03-31',
+        |   INTERVAL 1 DAY)) AS DATE) AS day),
+        |daily AS (
+        | SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        | FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |   AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        | GROUP BY 1)
+        |SELECT s.day, COALESCE(n, 0) AS n, COALESCE(sum_price, 0.0) AS sum_price
+        |FROM spine s LEFT JOIN daily d ON s.day = d.day
+        |ORDER BY s.day""".stripMargin,
     "sim_knn_join" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),

@@ -14,6 +14,31 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** Date-spine zero-fill: daily order counts/revenue over a calendar
+    * scaffold so days with NO orders appear as explicit zeros — the gap a
+    * bare groupBy silently leaves and every reporting/time-series
+    * pipeline has to repair. The spine is a generated `sequence` (one row
+    * per day — broadcast-sized for any sane range); the daily aggregate
+    * shuffles once; the fill is a broadcast left join. Both engines cast
+    * to DATE explicitly (DuckDB's date_trunc returns DATE, Spark's
+    * TIMESTAMP — an implicit cast would hash-diverge). */
+  def dateSpineFill(spark: org.apache.spark.sql.SparkSession, orders: DataFrame,
+                    from: String = "1997-01-01", until: String = "1997-04-01"): DataFrame = {
+    val lastDay = date_sub(to_date(lit(until)), 1)
+    val spine = spark.range(1)
+      .select(explode(sequence(to_date(lit(from)), lastDay)).as("day"))
+    val daily = orders
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice"), 2).as("sum_price"))
+    broadcast(spine).join(daily, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_price"), lit(0.0)).as("sum_price"))
+      .orderBy("day")
+  }
+
   /** Q3 shape — shipping priority: top-10 unshipped-revenue orders for
     * one market segment. Selective dim (filtered customer) broadcast into
     * the orders⋈lineitem fact join; sort+limit collapses to

@@ -11,6 +11,21 @@ import org.apache.spark.sql.types.{LongType, MapType, StringType}
   */
 object ScalarFns {
 
+  /** explode_outer: generator that PRESERVES rows whose array is empty
+    * (emitting one null element) — the left-join semantics of unnesting,
+    * vs plain `explode` which silently drops them. Arrays are key-derived
+    * (o_orderkey % 3 elements, a third of them empty) so the drop/keep
+    * difference is visible and oracle-checked. */
+  def explodeOuter(orders: DataFrame): DataFrame = {
+    val n = pmod(col("o_orderkey"), lit(3))
+    val arr = when(n > 0, sequence(lit(1L), n.cast("long")))
+      .otherwise(array().cast("array<bigint>"))
+    orders
+      .filter(col("o_orderkey") < 1000)
+      .select(col("o_orderkey"), explode_outer(arr).as("v"))
+      .orderBy(col("o_orderkey"), col("v").asc_nulls_first)
+  }
+
   /** String family on `part`. */
   def stringFns(part: DataFrame): DataFrame =
     part.select(

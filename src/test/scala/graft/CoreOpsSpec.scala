@@ -209,6 +209,37 @@ class CoreOpsSpec extends SparkSpec {
     }
   }
 
+  test("typed Dataset pipeline agrees with the untyped relational form") {
+    val typed = ops.TypedOps.typedCustomerSpend(Tables.orders(spark, sfDir)).collect()
+    val untyped = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("total_cents"),
+        max("o_totalprice"))
+      .orderBy("o_custkey").collect()
+    assert(typed.length === untyped.length)
+    typed.zip(untyped).foreach { case (t, u) =>
+      assert(t.getLong(0) === u.getLong(0) && t.getLong(2) === u.getLong(2))
+    }
+  }
+
+  test("explode_outer keeps empty-array rows that explode drops") {
+    val out = ops.ScalarFns.explodeOuter(Tables.orders(spark, sfDir)).collect()
+    val emptyKeys = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") < 1000 && col("o_orderkey") % 3 === 0).count()
+    assert(out.count(_.isNullAt(1)) === emptyKeys, "null rows != empty arrays")
+    assert(emptyKeys > 0, "fixture needs some empty arrays")
+  }
+
+  test("date spine has one row per calendar day, gaps zero-filled") {
+    val out = ops.Analytics.dateSpineFill(spark, Tables.orders(spark, sfDir)).collect()
+    assert(out.length === 90) // Jan+Feb+Mar 1997
+    val days = out.map(_.getDate(0).toLocalDate)
+    days.zip(days.tail).foreach { case (a, b) => assert(b === a.plusDays(1), s"gap at $a") }
+    assert(out.forall(r => r.getLong(1) >= 0))
+  }
+
   test("broadcast join plans a BroadcastHashJoin, no shuffle of the fact side") {
     val plan = ops.Joins.broadcastDim(Tables.nation(spark, sfDir), Tables.region(spark, sfDir))
       .queryExecution.executedPlan.toString
