@@ -124,4 +124,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("join_lateral_topn: LATERAL decorrelates to join+window, no nested loop") {
+    val p = planOf(ops.Subqueries.lateralTopN(spark,
+      Tables.customer(spark, sfDir), Tables.orders(spark, sfDir)))
+    // a correlated LATERAL executed naively would be a per-row
+    // BroadcastNestedLoopJoin / CartesianProduct; Catalyst's
+    // DecorrelateInnerQuery must turn the ORDER BY/LIMIT into a
+    // partitioned window (rank/row_number) over an equi-join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("fn_date_spine: the generated spine broadcasts, daily agg combines map-side") {
+    val p = planOf(ops.Analytics.dateSpineFill(spark, Tables.orders(spark, sfDir)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("dedup_minhash_oracle: signature minima combine map-side before the doc shuffle") {
+    val p = planOf(llm.Dedup.minhashBandedOracle(
+      llm.Corpus.docCorpus(Tables.documents(spark, sfDir))))
+    // 16 min aggregates must plan as partial HashAggregate below the
+    // exchange — the shuffle then carries (doc_id, 16 longs), never the
+    // exploded shingle table
+    assert(p.contains("partial_min"), p)
+  }
 }
