@@ -227,7 +227,13 @@ object SparkEntry {
     "stream_enrich_batch" -> ((s, d) => Streams.enrichBatch(Tables.events(s, d), Tables.customer(s, d))),
     "ds_typed_pipeline" -> ((s, d) => TypedOps.typedCustomerSpend(Tables.orders(s, d))),
     "fn_explode_outer" -> ((s, d) => ScalarFns.explodeOuter(Tables.orders(s, d))),
-    "fn_date_spine" -> ((s, d) => Analytics.dateSpineFill(s, Tables.orders(s, d)))
+    "fn_date_spine" -> ((s, d) => Analytics.dateSpineFill(s, Tables.orders(s, d))),
+    "text_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables.documents(s, d))),
+    "dedup_embedding_bucketed" -> ((s, d) => Dedup.embeddingBucketedDedup(Corpus.vecCorpus(Tables.embeddings(s, d)))),
+    "dq_snapshot_drift" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      DataQuality.snapshotDrift(Snapshots.oldSnapshot(c), Snapshots.newSnapshot(c))
+    })
   )
 
   // ---------------------------------------------------------------- oracle
@@ -1205,6 +1211,56 @@ object SparkEntry {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type
         |ORDER BY c_mktsegment, event_type""".stripMargin,
+    "text_lm_score" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, w[i+1] || ' ' || w[i+2] AS bg
+        |       FROM tok, UNNEST(range(len(w)-1)) AS u(i)),
+        |hh AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |  list_transform(string_split(bg,''), c -> CAST(unicode(c) AS BIGINT))),
+        |  (a,b) -> (a*31+b)%1000000007) AS h FROM bg),
+        |f AS (SELECT h, count(*) AS bf FROM hh GROUP BY h)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | CAST(SUM(bf) AS DOUBLE) / count(*) AS mean_bf,
+        | CAST(count_if(bf = 1) AS DOUBLE) / count(*) AS hapax_ratio
+        |FROM hh JOIN f USING (h)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_embedding_bucketed" ->
+      s"""WITH v AS (${Corpus.vecCorpusSql}),
+         |b AS (SELECT vec_id, v,
+         |  (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END +
+         |   CASE WHEN v[3] > 0 THEN 4 ELSE 0 END + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END +
+         |   CASE WHEN v[5] > 0 THEN 16 ELSE 0 END + CASE WHEN v[6] > 0 THEN 32 ELSE 0 END +
+         |   CASE WHEN v[7] > 0 THEN 64 ELSE 0 END + CASE WHEN v[8] > 0 THEN 128 ELSE 0 END) AS bucket,
+         |  sqrt(list_dot_product(v, v)) AS nrm FROM v),
+         |d AS (SELECT DISTINCT y.vec_id AS vec_id
+         | FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         | WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) + 0.0 >= 0.99)
+         |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket FROM b
+         |WHERE vec_id NOT IN (SELECT vec_id FROM d)
+         |ORDER BY vec_id""".stripMargin,
+    "dq_snapshot_drift" ->
+      s"""WITH oldt AS (${Snapshots.oldSql}), newt AS (${Snapshots.newSql}),
+         |oa AS (SELECT CAST(CAST(floor(CAST(acctbal AS DOUBLE)/1000) AS BIGINT) AS VARCHAR) AS bin,
+         |  count(*) AS oc FROM oldt GROUP BY 1),
+         |na AS (SELECT CAST(CAST(floor(CAST(acctbal AS DOUBLE)/1000) AS BIGINT) AS VARCHAR) AS bin,
+         |  count(*) AS nc FROM newt GROUP BY 1),
+         |ja AS (SELECT COALESCE(oc, 0) AS oc, COALESCE(nc, 0) AS nc
+         | FROM oa FULL OUTER JOIN na USING (bin)),
+         |ta AS (SELECT SUM(oc) AS t_o, SUM(nc) AS t_n FROM ja),
+         |ra AS (SELECT 'acctbal_1k' AS "column", count(*) AS n_bins,
+         |  CAST(SUM(ABS(oc::HUGEINT*t_n - nc::HUGEINT*t_o)) AS DOUBLE) /
+         |   (CAST(t_o AS DOUBLE) * CAST(t_n AS DOUBLE)) * 0.5 AS tvd
+         | FROM ja CROSS JOIN ta GROUP BY t_o, t_n),
+         |os AS (SELECT segment AS bin, count(*) AS oc FROM oldt GROUP BY 1),
+         |ns AS (SELECT segment AS bin, count(*) AS nc FROM newt GROUP BY 1),
+         |js AS (SELECT COALESCE(oc, 0) AS oc, COALESCE(nc, 0) AS nc
+         | FROM os FULL OUTER JOIN ns USING (bin)),
+         |ts AS (SELECT SUM(oc) AS t_o, SUM(nc) AS t_n FROM js),
+         |rs AS (SELECT 'segment' AS "column", count(*) AS n_bins,
+         |  CAST(SUM(ABS(oc::HUGEINT*t_n - nc::HUGEINT*t_o)) AS DOUBLE) /
+         |   (CAST(t_o AS DOUBLE) * CAST(t_n AS DOUBLE)) * 0.5 AS tvd
+         | FROM js CROSS JOIN ts GROUP BY t_o, t_n)
+         |SELECT * FROM ra UNION ALL SELECT * FROM rs ORDER BY "column"""".stripMargin,
     "ds_typed_pipeline" ->
       """SELECT o_custkey, count(*) AS n_orders,
         | CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,

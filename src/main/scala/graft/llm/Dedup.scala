@@ -334,6 +334,37 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** SemDeDup-style BUCKETED semantic dedup: vectors bucket by the sign
+    * bits of their first `signDims` components (a degenerate but
+    * SQL-portable sign-LSH), all-pairs cosine runs only WITHIN a bucket,
+    * and any vector similar (≥ threshold, rounded 4dp) to a
+    * smaller-id bucket-mate is dropped — the greedy keep-first rule.
+    * This is the scale path the all-pairs [[embeddingCosine]] documents:
+    * the candidate join is an equi-join on the bucket key, so cost is
+    * Σ_bucket |bucket|² instead of n². Recall tradeoff: a near-dup whose
+    * perturbation flips a sign bit escapes (multi-probe or more tables
+    * fix that at scale — see Similarity.lshTopK); determinism and the
+    * oracle don't care, both engines agree bit-for-bit. */
+  def embeddingBucketedDedup(vecCorpus: DataFrame, signDims: Int = 8,
+                             threshold: Double = 0.99): DataFrame = {
+    import graft.functions.VectorExprs.{vecDot, vecNorm}
+    val bucket = (0 until signDims)
+      .map(i => when(element_at(col("v"), i + 1) > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    val b = vecCorpus
+      .withColumn("bucket", bucket)
+      .withColumn("nrm", vecNorm(col("v")))
+    val l = b.select(col("bucket"), col("vec_id").as("a_id"), col("v").as("a_v"), col("nrm").as("a_n"))
+    val r = b.select(col("bucket"), col("vec_id").as("b_id"), col("v").as("b_v"), col("nrm").as("b_n"))
+    val dropped = l.join(r, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(vecDot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")), 4) + lit(0.0) >= threshold)
+      .select(col("b_id").as("vec_id")).distinct()
+    b.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("bucket"))
+      .orderBy("vec_id")
+  }
+
   /** Embedding-cosine near-dup pairs over the perturbed vector corpus
     * (cosine ≥ 0.99 rounded to 4dp). All-pairs on the bounded corpus —
     * the scale path is LSH bucketing first. */

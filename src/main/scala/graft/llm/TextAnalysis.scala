@@ -46,6 +46,32 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** n-gram language-model quality proxy (the poor man's CCNet
+    * perplexity): score each document by how common its bigrams are in
+    * the corpus — boilerplate scores high, lorem-noise scores low.
+    * Emits mean corpus-frequency of the doc's bigram instances and the
+    * hapax ratio (bigrams seen exactly once corpus-wide). All-integer
+    * moments → one final division, engine-exact with no libm log.
+    * Scale shape: bigrams are hashed to the portable 8-byte fingerprint
+    * BEFORE the frequency join, so both shuffles carry (id, int64), never
+    * bigram strings; identical hashing on the oracle side makes the rare
+    * fingerprint collision bit-reproducible rather than a divergence. */
+  def lmScore(documents: DataFrame): DataFrame = {
+    val inst = documents
+      .select(col("doc_id"),
+        explode(TextOps.bigrams(TextOps.tokens(col("text")))).as("bg"))
+      .select(col("doc_id"),
+        graft.functions.TextExprs.rollingFingerprint(col("bg")).as("h"))
+    val freq = inst.groupBy("h").agg(count(lit(1)).as("bf"))
+    inst.join(freq, "h")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(col("bf")).cast("double") / count(lit(1))).as("mean_bf"),
+        (count_if(col("bf") === 1).cast("double") / count(lit(1))).as("hapax_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Bigram frequency, top-100. */
   def ngramCounts(documents: DataFrame): DataFrame =
     documents

@@ -72,6 +72,38 @@ object DataQuality {
         col("l_partkey"), col("l_extendedprice"), Det.rfloor(col("z"), 4).as("z"))
   }
 
+  /** Distribution drift between two snapshots: total-variation distance
+    * ½·Σ|p_i − q_i| per monitored column — the alert a sync pipeline
+    * raises when an upstream change shifts the DATA, not just individual
+    * cells (diff says what changed; drift says whether the population
+    * moved). TVD over cross-multiplied EXACT integer counts:
+    * Σ|oc·tn − nc·to| stays integral (decimal(38,0), no overflow) and
+    * ONE final double division makes the score engine-exact — a Σ of
+    * per-bin double ratios would be summation-order dependent. Shuffles:
+    * one count-shuffle per side per column (bins are bounded), totals
+    * ride a broadcast. */
+  def snapshotDrift(old: DataFrame, neu: DataFrame): DataFrame = {
+    def tvdOf(tag: String, bin: org.apache.spark.sql.Column): DataFrame = {
+      val o = old.select(bin.as("bin")).groupBy("bin").agg(count(lit(1)).as("oc"))
+      val n = neu.select(bin.as("bin")).groupBy("bin").agg(count(lit(1)).as("nc"))
+      val j = o.join(n, Seq("bin"), "full_outer")
+        .select(coalesce(col("oc"), lit(0L)).as("oc"), coalesce(col("nc"), lit(0L)).as("nc"))
+      val t = j.agg(sum(col("oc")).as("t_o"), sum(col("nc")).as("t_n"))
+      j.crossJoin(broadcast(t))
+        .groupBy(col("t_o"), col("t_n"))
+        .agg(
+          count(lit(1)).as("n_bins"),
+          (sum(abs(col("oc").cast("decimal(19,0)") * col("t_n").cast("decimal(19,0)") -
+              col("nc").cast("decimal(19,0)") * col("t_o").cast("decimal(19,0)"))).cast("double") /
+            (col("t_o").cast("double") * col("t_n").cast("double")) * 0.5).as("tvd"))
+        .select(lit(tag).as("column"), col("n_bins"), col("tvd"))
+    }
+    val balBin = floor(col("acctbal").cast("double") / 1000).cast("long").cast("string")
+    tvdOf("acctbal_1k", balBin)
+      .unionByName(tvdOf("segment", col("segment")))
+      .orderBy("column")
+  }
+
   /** Train/eval contamination check: the same text content appearing
     * under MORE THAN ONE source — the leak a training pipeline must
     * catch before a source split becomes a train/test split. Group by a

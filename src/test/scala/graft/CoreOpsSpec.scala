@@ -240,6 +240,16 @@ class CoreOpsSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(1) >= 0))
   }
 
+  test("snapshot drift: segment rewrite is detected, scores stay in [0,1]") {
+    val c = Tables.customer(spark, sfDir)
+    val out = ops.DataQuality.snapshotDrift(
+      graft.sync.Snapshots.oldSnapshot(c), graft.sync.Snapshots.newSnapshot(c))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    out.values.foreach(t => assert(t >= 0.0 && t <= 1.0))
+    // ~1/11 of segments rewritten to CHANGED -> visible drift
+    assert(out("segment") > 0.01, s"segment drift not detected: $out")
+  }
+
   test("broadcast join plans a BroadcastHashJoin, no shuffle of the fact side") {
     val plan = ops.Joins.broadcastDim(Tables.nation(spark, sfDir), Tables.region(spark, sfDir))
       .queryExecution.executedPlan.toString

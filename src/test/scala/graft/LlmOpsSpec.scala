@@ -172,6 +172,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.map(_.getDouble(4)).sum <= 1.0 + 5e-7 * out.length)
   }
 
+  test("bucketed semantic dedup keeps originals and drops injected near-dups") {
+    val survivors = Dedup.embeddingBucketedDedup(Corpus.vecCorpus(embeddings))
+      .collect().map(_.getLong(0)).toSet
+    val originals = embeddings.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(originals.subsetOf(survivors), "an original vector was dropped")
+    val injected = originals.filter(_ % 10 == 0).map(_ + 100000L)
+    val escaped = injected & survivors
+    // sign-bit flips can let a few perturbed vectors escape their bucket
+    assert(escaped.size <= injected.size / 2,
+      s"${escaped.size}/${injected.size} near-dups escaped the bucketing")
+  }
+
+  test("lm score: frequencies >= 1, ratios in range, bigram counts correct") {
+    val out = TextAnalysis.lmScore(documents).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getDouble(2) >= 1.0, s"mean_bf < 1: $r")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    val sample = documents.orderBy("doc_id").select("doc_id", "text").first()
+    val expect = sample.getString(1).split(" ").length - 1
+    assert(out.find(_.getLong(0) == sample.getLong(0)).get.getLong(1) === expect)
+  }
+
   test("dedup_exact removes exactly the injected duplicates") {
     val corpus = Corpus.docCorpus(documents)
     val deduped = Dedup.exact(corpus)
