@@ -233,7 +233,9 @@ object SparkEntry {
     "dq_snapshot_drift" -> ((s, d) => {
       val c = Tables.customer(s, d)
       DataQuality.snapshotDrift(Snapshots.oldSnapshot(c), Snapshots.newSnapshot(c))
-    })
+    }),
+    "pipeline_quality_filter" -> ((s, d) => TrainingPrep.qualityFilter(Tables.documents(s, d))),
+    "join_asof_forward" -> ((s, d) => Joins.asOfForward(Tables.orders(s, d), Tables.events(s, d)))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -458,6 +460,16 @@ object SparkEntry {
         | FROM e LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
         |SELECT event_id, user_id, date_trunc('second', ts) AS ts_s, o_orderkey, o_orderdate
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "join_asof_forward" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'),
+        |j AS (SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, e.event_id, e.ts,
+        |  row_number() OVER (PARTITION BY o.o_orderkey ORDER BY e.ts ASC, e.event_id ASC) AS rn
+        | FROM o LEFT JOIN events e ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate)
+        |SELECT o_orderkey, o_custkey, o_orderdate, event_id,
+        | date_trunc('second', ts) AS ts_s
+        |FROM j WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
     "join_asof_tolerance" ->
       """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |j AS (SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
@@ -1211,6 +1223,33 @@ object SparkEntry {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type
         |ORDER BY c_mktsegment, event_type""".stripMargin,
+    "pipeline_quality_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tok FROM documents),
+        |q AS (SELECT doc_id,
+        | floor((CAST(len(list_distinct(tok)) AS DOUBLE)/len(tok)*0.5
+        |  + least(CAST(len(tok) AS DOUBLE)/100.0, 1.0)*0.3
+        |  + (1.0 - CAST(len(list_filter(tok, x -> x IN ('the','a','of','is'))) AS DOUBLE)/len(tok))*0.2)*1e4 + 0.5)/1e4 AS quality
+        | FROM t),
+        |bg AS (SELECT doc_id, w[i+1] || ' ' || w[i+2] AS bg
+        | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents) tk,
+        |  UNNEST(range(len(w)-1)) AS u(i)),
+        |hh AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |  list_transform(string_split(bg,''), c -> CAST(unicode(c) AS BIGINT))),
+        |  (a,b) -> (a*31+b)%1000000007) AS h FROM bg),
+        |f AS (SELECT h, count(*) AS bf FROM hh GROUP BY h),
+        |lm AS (SELECT doc_id, CAST(SUM(bf) AS DOUBLE)/count(*) AS mean_bf
+        |       FROM hh JOIN f USING (h) GROUP BY doc_id),
+        |s AS (SELECT d.doc_id, d.lang, string_split(d.text,' ') AS tok, q.quality
+        | FROM documents d JOIN q ON d.doc_id = q.doc_id JOIN lm ON d.doc_id = lm.doc_id
+        | WHERE q.quality >= 0.59 AND lm.mean_bf >= 30.0),
+        |ch AS (SELECT doc_id, lang, quality, tok,
+        | unnest(range(greatest(CAST(ceil((len(tok)-8)/24.0) AS INT), 1))) AS chunk_id FROM s)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        | array_to_string(list_slice(tok, chunk_id*24+1, chunk_id*24+32), ' ') AS chunk_text,
+        | CAST(len(list_slice(tok, chunk_id*24+1, chunk_id*24+32)) AS BIGINT) AS n_tokens,
+        | lang, quality
+        |FROM ch WHERE len(list_slice(tok, chunk_id*24+1, chunk_id*24+32)) > 0
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "text_lm_score" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |bg AS (SELECT doc_id, w[i+1] || ' ' || w[i+2] AS bg

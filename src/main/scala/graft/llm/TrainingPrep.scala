@@ -18,6 +18,30 @@ import org.apache.spark.sql.functions._
   */
 object TrainingPrep {
 
+  /** QUALITY-GATED training prep — the second capstone, orthogonal to
+    * [[prepare]]'s dedup axis: heuristic quality score (lexical shape)
+    * AND n-gram LM score (corpus-frequency prior) must BOTH pass before
+    * a document is chunked. This is the CCNet/Gopher-style two-signal
+    * filter: shape catches degenerate repetition, the LM prior catches
+    * fluent-looking noise whose n-grams nothing else shares. One lazy
+    * plan: two per-doc score subtrees joined back on doc_id (each one
+    * scan + bounded shuffles), chunking map-side. Thresholds sit inside
+    * the corpus' score spread so both signals genuinely discriminate. */
+  def qualityFilter(documents: DataFrame, minQuality: Double = 0.59,
+                    minMeanBf: Double = 30.0): DataFrame = {
+    val q = TextAnalysis.qualityScore(documents).select(col("doc_id"), col("quality"))
+    val lm = TextAnalysis.lmScore(documents).select(col("doc_id"), col("mean_bf"))
+    val survivors = documents
+      .join(q, "doc_id")
+      .join(lm, "doc_id")
+      .filter(col("quality") >= minQuality && col("mean_bf") >= minMeanBf)
+    TextAnalysis.chunk(survivors.select(col("doc_id"), col("text")))
+      .join(survivors.select(col("doc_id"), col("lang"), col("quality")), "doc_id")
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+        col("n_tokens"), col("lang"), col("quality"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** corpus → deduped, rebalanced, chunked training rows
     * (doc_id, chunk_id, chunk_text, n_tokens, lang). */
   def prepare(documents: DataFrame): DataFrame = {

@@ -100,6 +100,29 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of join: for each order, the customer's EARLIEST event
+    * at-or-after the order date — the "next touchpoint after the action"
+    * direction (backward [[asOf]] answers "state at event time"). Same
+    * scalable shape: equi-join on the key, inequality filter,
+    * `min(struct)` associative collapse (map-side partial, no window
+    * sort). Bounded to one order-month so the demo output stays
+    * reporting-sized. */
+  def asOfForward(orders: DataFrame, events: DataFrame): DataFrame = {
+    val o = orders
+      .filter(col("o_orderdate") >= lit("1997-03-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val e = events.select(col("user_id"), col("event_id"), col("ts"))
+    o.join(e, col("o_custkey") === col("user_id") && col("ts") >= col("o_orderdate"), "left")
+      .groupBy(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("best"))
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("best.event_id").as("event_id"),
+        date_trunc("second", col("best.ts")).as("ts_s"))
+      .orderBy("o_orderkey")
+  }
+
   /** Full outer join on key — the backbone of the keyed snapshot diff
     * (SURVEY §2C diff_keyed). Two key-derived subsets of customer stand in
     * for old/new snapshots so both null sides are exercised. */

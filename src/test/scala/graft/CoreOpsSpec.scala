@@ -250,6 +250,20 @@ class CoreOpsSpec extends SparkSpec {
     assert(out("segment") > 0.01, s"segment drift not detected: $out")
   }
 
+  test("forward as-of returns each order's earliest at-or-after event") {
+    val out = ops.Joins.asOfForward(Tables.orders(spark, sfDir), Tables.events(spark, sfDir))
+      .filter(col("event_id").isNotNull).limit(20).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val expect = Tables.events(spark, sfDir)
+        .filter(col("user_id") === r.getLong(1) &&
+          col("ts") >= lit(r.getAs[Any]("o_orderdate")))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .limit(1).collect()
+      assert(expect.head.getAs[Long]("event_id") === r.getLong(3), s"wrong match: $r")
+    }
+  }
+
   test("broadcast join plans a BroadcastHashJoin, no shuffle of the fact side") {
     val plan = ops.Joins.broadcastDim(Tables.nation(spark, sfDir), Tables.region(spark, sfDir))
       .queryExecution.executedPlan.toString

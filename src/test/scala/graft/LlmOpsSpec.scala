@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Corpus, Dedup, Similarity, TextAnalysis}
+import graft.llm.{Corpus, Dedup, Similarity, TextAnalysis, TrainingPrep}
 import graft.multimodal.Multimodal
 
 /** Correctness gates for the oracle-exempt LLM-tier operators (hash- and
@@ -194,6 +194,19 @@ class LlmOpsSpec extends SparkSpec {
     val sample = documents.orderBy("doc_id").select("doc_id", "text").first()
     val expect = sample.getString(1).split(" ").length - 1
     assert(out.find(_.getLong(0) == sample.getLong(0)).get.getLong(1) === expect)
+  }
+
+  test("quality-filter pipeline only chunks docs passing BOTH signals") {
+    val out = TrainingPrep.qualityFilter(documents).collect()
+    assert(out.nonEmpty)
+    val chunkedDocs = out.map(_.getLong(0)).toSet
+    val q = TextAnalysis.qualityScore(documents).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val bf = TextAnalysis.lmScore(documents).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val expected = q.keySet.filter(d => q(d) >= 0.59 && bf(d) >= 30.0)
+    assert(chunkedDocs === expected, "chunked set != docs passing both thresholds")
+    assert(expected.size < q.size, "filter dropped nothing — thresholds toothless")
   }
 
   test("dedup_exact removes exactly the injected duplicates") {
