@@ -235,7 +235,16 @@ object SparkEntry {
       DataQuality.snapshotDrift(Snapshots.oldSnapshot(c), Snapshots.newSnapshot(c))
     }),
     "pipeline_quality_filter" -> ((s, d) => TrainingPrep.qualityFilter(Tables.documents(s, d))),
-    "join_asof_forward" -> ((s, d) => Joins.asOfForward(Tables.orders(s, d), Tables.events(s, d)))
+    "join_asof_forward" -> ((s, d) => Joins.asOfForward(Tables.orders(s, d), Tables.events(s, d))),
+    "join_incremental" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val old = Snapshots.oldSnapshot(c)
+      val neu = Snapshots.newSnapshot(c)
+      val dim = graft.sync.IncrementalJoin.segmentDim(c)
+      graft.sync.IncrementalJoin.applyToJoin(
+        graft.sync.IncrementalJoin.joinView(old, dim),
+        SnapshotDiff.diffKeyed(old, neu, "slno"), old, dim).orderBy("slno")
+    })
   )
 
   // ---------------------------------------------------------------- oracle
@@ -1300,6 +1309,13 @@ object SparkEntry {
          |   (CAST(t_o AS DOUBLE) * CAST(t_n AS DOUBLE)) * 0.5 AS tvd
          | FROM js CROSS JOIN ts GROUP BY t_o, t_n)
          |SELECT * FROM ra UNION ALL SELECT * FROM rs ORDER BY "column"""".stripMargin,
+    "join_incremental" ->
+      s"""WITH newt AS (${Snapshots.newSql}),
+         |dim AS (SELECT DISTINCT c_mktsegment AS segment,
+         |  CAST(length(c_mktsegment) AS BIGINT) AS seg_len FROM customer)
+         |SELECT slno, name, acctbal, n.segment, seg_len
+         |FROM newt n JOIN dim d ON n.segment = d.segment
+         |ORDER BY slno""".stripMargin,
     "ds_typed_pipeline" ->
       """SELECT o_custkey, count(*) AS n_orders,
         | CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,

@@ -70,6 +70,22 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(out.find(_._1 == "A").get._2 === 5.0, "A's min must be rescanned after the min-holder left")
   }
 
+  test("incremental join law: applyToJoin(view, diff) == new snapshot joined") {
+    import graft.sync.IncrementalJoin
+    val c = Tables.customer(spark, sfDir)
+    val old = Snapshots.oldSnapshot(c)
+    val neu = Snapshots.newSnapshot(c)
+    val dim = IncrementalJoin.segmentDim(c)
+    val maintained = IncrementalJoin.applyToJoin(
+      IncrementalJoin.joinView(old, dim),
+      SnapshotDiff.diffKeyed(old, neu, "slno"), old, dim)
+    val recomputed = IncrementalJoin.joinView(neu, dim)
+    assert(maintained.exceptAll(recomputed).count() === 0L)
+    assert(recomputed.exceptAll(maintained).count() === 0L)
+    // the CHANGED segment has no dim row -> those rows must drop
+    assert(maintained.filter(col("segment") === "CHANGED").count() === 0L)
+  }
+
   test("keyed diff classifies inserts/deletes/updates correctly") {
     val old = Snapshots.oldSnapshot(customer)
     val neu = Snapshots.newSnapshot(customer)
