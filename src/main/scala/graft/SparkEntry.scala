@@ -236,6 +236,8 @@ object SparkEntry {
     }),
     "pipeline_quality_filter" -> ((s, d) => TrainingPrep.qualityFilter(Tables.documents(s, d))),
     "join_asof_forward" -> ((s, d) => Joins.asOfForward(Tables.orders(s, d), Tables.events(s, d))),
+    "win_time_range_frame" -> ((s, d) => Windows.timeRangeFrame(Tables.events(s, d))),
+    "scan_csv_malformed" -> ((s, d) => Scans.scanCsvMalformed(s, Tables.nation(s, d), d)),
     "join_incremental" -> ((s, d) => {
       val c = Tables.customer(s, d)
       val old = Snapshots.oldSnapshot(c)
@@ -1309,6 +1311,14 @@ object SparkEntry {
          |   (CAST(t_o AS DOUBLE) * CAST(t_n AS DOUBLE)) * 0.5 AS tvd
          | FROM js CROSS JOIN ts GROUP BY t_o, t_n)
          |SELECT * FROM ra UNION ALL SELECT * FROM rs ORDER BY "column"""".stripMargin,
+    "win_time_range_frame" ->
+      """SELECT user_id, event_id, ts_s,
+        | count(*) OVER w AS n_2h,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / (count(*) OVER w) AS avg_2h
+        |FROM (SELECT user_id, event_id, epoch_us(ts)//1000000 AS ts_s, value FROM events) t
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+        |  RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     "join_incremental" ->
       s"""WITH newt AS (${Snapshots.newSql}),
          |dim AS (SELECT DISTINCT c_mktsegment AS segment,

@@ -84,6 +84,43 @@ object Scans {
       .orderBy("n_nationkey")
   }
 
+  /** Malformed-input robustness: a CSV ingest where some lines are
+    * garbage — numeric junk, short rows, surplus columns. PERMISSIVE mode
+    * + `columnNameOfCorruptRecord` keeps every line (good rows parse,
+    * bad rows land intact in the corrupt column for a quarantine sink)
+    * instead of failing the 100 TB job on line one (FAILFAST) or
+    * silently discarding data (DROPMALFORMED). Emits a triage summary;
+    * exact per-class counts are pinned in CoreOpsSpec (oracle-exempt:
+    * DuckDB's CSV error taxonomy differs by design). Parsed frame is
+    * persisted before touching the corrupt column — Spark disallows
+    * filtering on it straight off the scan. */
+  def scanCsvMalformed(spark: SparkSession, nation: DataFrame, tag: String = ""): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val dir = stagingDir("csv_malformed", tag)
+    val good = nation.select(concat_ws(",",
+      col("n_nationkey"), col("n_name"), col("n_regionkey")).as("line"))
+    val bad = spark.createDataFrame(Seq(
+      Tuple1("not_a_number,BADROW,9"),
+      Tuple1("42,TOOFEW"),
+      Tuple1("7,EXTRA,1,surplus,cols"))).toDF("line")
+    good.unionByName(bad).coalesce(1).write.mode("overwrite").text(dir)
+    val schema = StructType(Seq(
+      StructField("slno", LongType), StructField("name", StringType),
+      StructField("rkey", LongType), StructField("_corrupt_record", StringType)))
+    val parsed = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir)
+      .persist()
+    parsed
+      .select(
+        when(col("_corrupt_record").isNotNull, lit("corrupt"))
+          .when(col("slno").isNull || col("name").isNull || col("rkey").isNull, lit("null_padded"))
+          .otherwise(lit("good")).as("class"))
+      .groupBy("class").agg(count(lit(1)).as("n"))
+      .orderBy("class")
+  }
+
   /** R2: fail-fast validation over a deterministically dirtied snapshot of
     * `customer` (the clean test tables have no violations, so we inject
     * them with key-derived CASEs — same derivation in the oracle SQL).

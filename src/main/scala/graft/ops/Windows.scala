@@ -113,6 +113,27 @@ object Windows {
       .orderBy("c_custkey")
   }
 
+  /** TIME-interval range frame: per-user trailing 2-hour average over
+    * event time — the frame every "rolling metric over the last N
+    * hours" dashboard needs. The frame is defined on EPOCH SECONDS
+    * (integer range), so the bound is exact in both engines; the running
+    * mean uses an exact decimal sum over the frame divided once.
+    * Partitioned by user — ranks and frames never leave the partition. */
+  def timeRangeFrame(events: DataFrame, trailingSeconds: Long = 7200): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_s")
+      .rangeBetween(-trailingSeconds, 0)
+    events
+      .select(col("user_id"), col("event_id"),
+        (unix_micros(col("ts")) / 1000000L).cast("long").as("ts_s"),
+        col("value"))
+      .withColumn("n_2h", count(lit(1)).over(w))
+      .withColumn("avg_2h",
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
+          count(lit(1)).over(w))
+      .select("user_id", "event_id", "ts_s", "n_2h", "avg_2h")
+      .orderBy("user_id", "event_id")
+  }
+
   /** Gaps-and-islands: contiguous runs of order keys per priority class.
     * The classic `key - row_number()` trick: consecutive keys share one
     * island id, a gap starts a new one; the run summary is then a plain

@@ -35,6 +35,7 @@ class CoreOpsSpec extends SparkSpec {
       "agg_hll_rollup",                              // HLL union estimate, 5%-gated above
       // text_fingerprint regained its oracle in round 2: the fold now runs
       // over code points, expressible as DuckDB list_reduce
+      "scan_csv_malformed",                          // corrupt-record taxonomy is engine-specific; pinned below
       "mm_decode_stub")                              // stub not SQL-expressible
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt
     assert(missing.isEmpty, s"query without oracle and not exempt: $missing")
@@ -261,6 +262,26 @@ class CoreOpsSpec extends SparkSpec {
         .orderBy(col("ts").asc, col("event_id").asc)
         .limit(1).collect()
       assert(expect.head.getAs[Long]("event_id") === r.getLong(3), s"wrong match: $r")
+    }
+  }
+
+  test("malformed CSV: every injected bad line is quarantined, none dropped") {
+    val out = ops.Scans.scanCsvMalformed(spark, Tables.nation(spark, sfDir), sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.getOrElse("corrupt", 0L) === 3L, s"bad lines not quarantined: $out")
+    assert(out.getOrElse("good", 0L) === Tables.nation(spark, sfDir).count())
+    assert(out.values.sum === Tables.nation(spark, sfDir).count() + 3)
+  }
+
+  test("time range frame: trailing window really spans 2 hours") {
+    val rows = ops.Windows.timeRangeFrame(Tables.events(spark, sfDir)).collect()
+      .groupBy(_.getLong(0))
+    val (_, sample) = rows.maxBy(_._2.length)
+    val byTs = sample.sortBy(_.getLong(2))
+    byTs.foreach { r =>
+      val expect = byTs.count(x =>
+        x.getLong(2) >= r.getLong(2) - 7200 && x.getLong(2) <= r.getLong(2))
+      assert(r.getLong(3) === expect, s"frame count off at ${r.getLong(1)}")
     }
   }
 
