@@ -249,36 +249,42 @@ object Streams {
   def foreachBatchMerge(stream: DataFrame, targetPath: String, key: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val spark = batch.sparkSession
-      val conf = spark.sparkContext.hadoopConfiguration
-      val root = new org.apache.hadoop.fs.Path(targetPath)
-      val fs = root.getFileSystem(conf)
-      val current = currentSnapshotDir(spark, targetPath)
-      if (!current.map(new org.apache.hadoop.fs.Path(_).getName).contains(snapDirName(batchId))) {
-        val merged = current match {
-          case None => batch
-          case Some(cur) =>
-            val target = spark.read.parquet(cur)
-            target.join(batch.select(col(key)).distinct(), Seq(key), "left_anti")
-              .unionByName(batch)
-        }
-        val next = new org.apache.hadoop.fs.Path(root, snapDirName(batchId))
-        merged.write.mode("overwrite").parquet(next.toString)
-        // publish: manifest tmp file, then atomic rename-with-overwrite
-        val tmp = new org.apache.hadoop.fs.Path(root, ManifestName + ".tmp")
-        val out = fs.create(tmp, true)
-        try out.write(next.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
-        fc.rename(tmp, new org.apache.hadoop.fs.Path(root, ManifestName),
-          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-        // prune snapshots older than the previous one (kept for in-flight readers)
-        val keep = Set(snapDirName(batchId), snapDirName(batchId - 1))
-        fs.listStatus(root).foreach { st =>
-          val n = st.getPath.getName
-          if (st.isDirectory && n.startsWith("snap-") && !keep(n)) fs.delete(st.getPath, true)
-        }
-      }
-      ()
+      mergeBatch(batch, batchId, targetPath, key)
     }
+
+  /** One micro-batch of the merge sink — public so the replay-idempotency
+    * contract is directly testable (PipelineSpec calls it twice with the
+    * same batchId and asserts the second call is a no-op). */
+  def mergeBatch(batch: DataFrame, batchId: Long, targetPath: String, key: String): Unit = {
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = root.getFileSystem(conf)
+    val current = currentSnapshotDir(spark, targetPath)
+    if (!current.map(new org.apache.hadoop.fs.Path(_).getName).contains(snapDirName(batchId))) {
+      val merged = current match {
+        case None => batch
+        case Some(cur) =>
+          val target = spark.read.parquet(cur)
+          target.join(batch.select(col(key)).distinct(), Seq(key), "left_anti")
+            .unionByName(batch)
+      }
+      val next = new org.apache.hadoop.fs.Path(root, snapDirName(batchId))
+      merged.write.mode("overwrite").parquet(next.toString)
+      // publish: manifest tmp file, then atomic rename-with-overwrite
+      val tmp = new org.apache.hadoop.fs.Path(root, ManifestName + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(next.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
+      fc.rename(tmp, new org.apache.hadoop.fs.Path(root, ManifestName),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      // prune snapshots older than the previous one (kept for in-flight readers)
+      val keep = Set(snapDirName(batchId), snapDirName(batchId - 1))
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith("snap-") && !keep(n)) fs.delete(st.getPath, true)
+      }
+    }
+  }
 }

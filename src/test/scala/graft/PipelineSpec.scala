@@ -120,4 +120,24 @@ class PipelineSpec extends SparkSpec {
       assert(Streams.currentSnapshotDir(spark, target).get.endsWith("snap-000000000001"))
     } finally query.stop()
   }
+
+  test("merge sink replay: re-running a published batchId is a no-op") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val target = s"$dir/replay_target"
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:${min}%02d:00")
+    val b0 = Seq(Snap(1, "a", "1.00", "S1", t(0)), Snap(2, "b", "2.00", "S1", t(1))).toDF()
+    val b1 = Seq(Snap(2, "b2", "2.50", "S2", t(2)), Snap(3, "c", "3.00", "S1", t(3))).toDF()
+    Streams.mergeBatch(b0, 0, target, "slno")
+    Streams.mergeBatch(b1, 1, target, "slno")
+    val before = Streams.readSnapshot(spark, target).get.orderBy("slno").collect().toSeq
+    val dirBefore = Streams.currentSnapshotDir(spark, target).get
+    // crash-replay of the last committed batch (exactly-once contract):
+    // the manifest already names snap-1, so the merge must be skipped
+    Streams.mergeBatch(b1, 1, target, "slno")
+    assert(Streams.currentSnapshotDir(spark, target).get === dirBefore)
+    val after = Streams.readSnapshot(spark, target).get.orderBy("slno").collect().toSeq
+    assert(after === before, "replayed batch changed the published snapshot")
+    assert(after.length === 3)
+  }
 }
