@@ -1086,7 +1086,7 @@ object SparkEntry {
         | FROM toks, UNNEST(range(CAST(ceil(len(w)/8.0) AS BIGINT))) AS u(j)),
         |nz AS (SELECT * FROM chunks WHERE length(chunk) > 0),
         |inst AS (SELECT doc_id, cpos, chunk, md5(chunk) AS dg,
-        |  doc_id*100000 + cpos AS rnk FROM nz),
+        |  doc_id*2147483648 + cpos AS rnk FROM nz),
         |keepers AS (SELECT dg, min(rnk) AS keep_rank FROM inst GROUP BY dg),
         |kept AS (SELECT i.* FROM inst i
         |  JOIN keepers k ON i.dg = k.dg AND i.rnk = k.keep_rank),
@@ -1133,7 +1133,7 @@ object SparkEntry {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "agg_median" ->
       """WITH cont AS (
-        | SELECT c_mktsegment, round(quantile_cont(c_acctbal, 0.5), 2) AS med_cont, count(*) AS n
+        | SELECT c_mktsegment, floor(quantile_cont(c_acctbal, 0.5)*1e2 + 0.5)/1e2 AS med_cont, count(*) AS n
         | FROM customer GROUP BY c_mktsegment),
         |disc AS (
         | SELECT c_mktsegment, min(c_acctbal) AS med_disc FROM (

@@ -288,9 +288,13 @@ object Dedup {
           concat_ws(" ", slice(col("tok"), i * chunkWords + 1, lit(chunkWords))))))
       .select(col("doc_id"), col("pos").cast("long").as("cpos"), col("col").as("chunk"))
       .filter(length(col("chunk")) > 0)
+    // rank = doc_id·2³¹ + cpos: 2³¹ chunk positions per document before
+    // ranks could alias across documents (a 100000 multiplier would
+    // collide at ~800k-token docs and silently crown the wrong "first"
+    // occurrence); doc_id up to ~4×10⁹ still fits the long
     val inst = chunks.select(col("doc_id"), col("cpos"), col("chunk"),
       md5(col("chunk")).as("dg"),
-      (col("doc_id") * 100000 + col("cpos")).as("rank"))
+      (col("doc_id") * 2147483648L + col("cpos")).as("rank"))
     // first occurrence per digest: a digest-keyed aggregation over
     // (dg, rank) only — document text stays out of this shuffle
     val firstRank = inst.select(col("dg"), col("rank"))

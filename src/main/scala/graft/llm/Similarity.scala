@@ -80,7 +80,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (round(vecDot(col("v"), col("q_v")) / (col("nrm") * col("q_n")), 4) + lit(0.0)).as("cos"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .orderBy("q_id", "rn")
   }

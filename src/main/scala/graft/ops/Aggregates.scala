@@ -222,8 +222,12 @@ object Aggregates {
     * implementations). Median is a full per-group sort at heart; at
     * 100 TB the bounded-state path is agg_approx_quantiles. */
   def medianBalance(customer: DataFrame): DataFrame = {
+    // Det.rfloor, not round(): the interpolated median of cent-valued
+    // inputs is an integer-ratio rational, exactly the tie case where
+    // Spark's shortest-representation rounding and DuckDB's binary
+    // rounding diverge (see spark-duckdb-parity doctrine)
     val cont = customer.groupBy(col("c_mktsegment"))
-      .agg(round(expr("percentile(c_acctbal, 0.5)"), 2).as("med_cont"),
+      .agg(Det.rfloor(expr("percentile(c_acctbal, 0.5)"), 2).as("med_cont"),
         count(lit(1)).as("n"))
     val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
     val disc = customer

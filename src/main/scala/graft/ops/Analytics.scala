@@ -32,7 +32,11 @@ object Analytics {
         col("o_orderdate") < lit(until).cast("timestamp"))
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice"), 2).as("sum_price"))
-    broadcast(spine).join(daily, Seq("day"), "left")
+    // broadcast the RIGHT side: the preserved (left) side of a left
+    // outer join cannot be the broadcast build side, so a hint there is
+    // silently ignored — `daily` (one row per active day) is the
+    // genuinely tiny side anyway
+    spine.join(broadcast(daily), Seq("day"), "left")
       .select(col("day"),
         coalesce(col("n"), lit(0L)).as("n"),
         coalesce(col("sum_price"), lit(0.0)).as("sum_price"))

@@ -112,13 +112,21 @@ object Scans {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(dir)
       .persist()
-    parsed
-      .select(
-        when(col("_corrupt_record").isNotNull, lit("corrupt"))
-          .when(col("slno").isNull || col("name").isNull || col("rkey").isNull, lit("null_padded"))
-          .otherwise(lit("good")).as("class"))
-      .groupBy("class").agg(count(lit(1)).as("n"))
-      .orderBy("class")
+    // summarize eagerly, then release the cache — a lazily-returned plan
+    // over the persisted frame would leak the cache entry for the
+    // session (Verify runs every query in one session), and the triage
+    // result is three rows
+    try {
+      val rows = parsed
+        .select(
+          when(col("_corrupt_record").isNotNull, lit("corrupt"))
+            .when(col("slno").isNull || col("name").isNull || col("rkey").isNull, lit("null_padded"))
+            .otherwise(lit("good")).as("class"))
+        .groupBy("class").agg(count(lit(1)).as("n"))
+        .orderBy("class")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      spark.createDataFrame(rows).toDF("class", "n")
+    } finally { parsed.unpersist(); () }
   }
 
   /** R2: fail-fast validation over a deterministically dirtied snapshot of

@@ -38,7 +38,9 @@ object TypedOps {
       .filter(_.o_orderstatus == "F")
       .groupByKey(_.o_custkey)
       .mapGroups { (k, it) =>
-        var n = 0L; var cents = 0L; var mx = 0.0
+        // seed max with -inf, not 0.0 — a group of all-non-positive
+        // prices must yield its true (negative) maximum, like SQL max()
+        var n = 0L; var cents = 0L; var mx = Double.NegativeInfinity
         it.foreach { o =>
           n += 1
           cents += math.round(o.o_totalprice * 100)
