@@ -238,6 +238,7 @@ object SparkEntry {
     "join_asof_forward" -> ((s, d) => Joins.asOfForward(Tables.orders(s, d), Tables.events(s, d))),
     "win_time_range_frame" -> ((s, d) => Windows.timeRangeFrame(Tables.events(s, d))),
     "scan_csv_malformed" -> ((s, d) => Scans.scanCsvMalformed(s, Tables.nation(s, d), d)),
+    "dq_profile" -> ((s, d) => DataQuality.profile(Tables.lineitem(s, d))),
     "join_incremental" -> ((s, d) => {
       val c = Tables.customer(s, d)
       val old = Snapshots.oldSnapshot(c)
@@ -1311,6 +1312,26 @@ object SparkEntry {
          |   (CAST(t_o AS DOUBLE) * CAST(t_n AS DOUBLE)) * 0.5 AS tvd
          | FROM js CROSS JOIN ts GROUP BY t_o, t_n)
          |SELECT * FROM ra UNION ALL SELECT * FROM rs ORDER BY "column"""".stripMargin,
+    "dq_profile" ->
+      """WITH p AS (SELECT
+        | count(l_quantity) AS qty_n, count(DISTINCT l_quantity) AS qty_d,
+        |  CAST(CAST(min(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) AS qty_min,
+        |  CAST(CAST(max(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) AS qty_max,
+        | count(l_extendedprice) AS price_n, count(DISTINCT l_extendedprice) AS price_d,
+        |  CAST(CAST(min(l_extendedprice) AS DECIMAL(18,2)) AS VARCHAR) AS price_min,
+        |  CAST(CAST(max(l_extendedprice) AS DECIMAL(18,2)) AS VARCHAR) AS price_max,
+        | count(l_returnflag) AS flag_n, count(DISTINCT l_returnflag) AS flag_d,
+        |  min(l_returnflag) AS flag_min, max(l_returnflag) AS flag_max,
+        | count(l_shipdate) AS ship_n, count(DISTINCT l_shipdate) AS ship_d,
+        |  CAST(CAST(min(l_shipdate) AS DATE) AS VARCHAR) AS ship_min,
+        |  CAST(CAST(max(l_shipdate) AS DATE) AS VARCHAR) AS ship_max
+        | FROM lineitem)
+        |SELECT 'l_extendedprice' AS "column", price_n AS n_nonnull, price_d AS n_distinct,
+        | price_min AS min_s, price_max AS max_s FROM p
+        |UNION ALL SELECT 'l_quantity', qty_n, qty_d, qty_min, qty_max FROM p
+        |UNION ALL SELECT 'l_returnflag', flag_n, flag_d, flag_min, flag_max FROM p
+        |UNION ALL SELECT 'l_shipdate', ship_n, ship_d, ship_min, ship_max FROM p
+        |ORDER BY "column"""".stripMargin,
     "win_time_range_frame" ->
       """SELECT user_id, event_id, ts_s,
         | count(*) OVER w AS n_2h,

@@ -72,6 +72,42 @@ object DataQuality {
         col("l_partkey"), col("l_extendedprice"), Det.rfloor(col("z"), 4).as("z"))
   }
 
+  /** ANALYZE-style column profile: per monitored column, non-null count,
+    * exact distinct count, and min/max (stringified through fixed-scale
+    * decimal / DATE casts so the rendering is engine-identical). One
+    * pass over the table; the exact multi-column distinct plans as one
+    * Expand + two-phase aggregate — the bounded-memory path at 100 TB is
+    * approx_count_distinct (see agg_approx_distinct). Long-form output:
+    * one row per column, the shape a catalog stats store ingests. */
+  def profile(lineitem: DataFrame): DataFrame = {
+    val a = lineitem.agg(
+      count(col("l_quantity")).as("qty_n"),
+      countDistinct(col("l_quantity")).as("qty_d"),
+      min(col("l_quantity")).cast("decimal(18,2)").cast("string").as("qty_min"),
+      max(col("l_quantity")).cast("decimal(18,2)").cast("string").as("qty_max"),
+      count(col("l_extendedprice")).as("price_n"),
+      countDistinct(col("l_extendedprice")).as("price_d"),
+      min(col("l_extendedprice")).cast("decimal(18,2)").cast("string").as("price_min"),
+      max(col("l_extendedprice")).cast("decimal(18,2)").cast("string").as("price_max"),
+      count(col("l_returnflag")).as("flag_n"),
+      countDistinct(col("l_returnflag")).as("flag_d"),
+      min(col("l_returnflag")).as("flag_min"),
+      max(col("l_returnflag")).as("flag_max"),
+      count(col("l_shipdate")).as("ship_n"),
+      countDistinct(col("l_shipdate")).as("ship_d"),
+      min(col("l_shipdate")).cast("date").cast("string").as("ship_min"),
+      max(col("l_shipdate")).cast("date").cast("string").as("ship_max"))
+    def row(tag: String, p: String) = struct(
+      lit(tag).as("column"), col(s"${p}_n").as("n_nonnull"),
+      col(s"${p}_d").as("n_distinct"), col(s"${p}_min").as("min_s"),
+      col(s"${p}_max").as("max_s"))
+    a.select(explode(array(
+        row("l_extendedprice", "price"), row("l_quantity", "qty"),
+        row("l_returnflag", "flag"), row("l_shipdate", "ship"))).as("r"))
+      .select("r.column", "r.n_nonnull", "r.n_distinct", "r.min_s", "r.max_s")
+      .orderBy("column")
+  }
+
   /** Distribution drift between two snapshots: total-variation distance
     * ½·Σ|p_i − q_i| per monitored column — the alert a sync pipeline
     * raises when an upstream change shifts the DATA, not just individual
