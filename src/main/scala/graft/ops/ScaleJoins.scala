@@ -71,8 +71,13 @@ object ScaleJoins {
     // string building (crc32(concat_ws(...)) allocated a string per row)
     val fact = lineitem.withColumn("salt",
       pmod(hash(col("l_orderkey"), col("l_linenumber"), col("l_partkey")), lit(salts)))
+    // shuffle_hash hint: Catalyst's size estimate for the dim predates the
+    // S-fold explode, so AQE happily BROADCASTS the replicated side —
+    // measured 16s vs 1.3s at 6M fact rows, and fatal at real scale. The
+    // salted join must shuffle on (key, salt); that IS the technique.
     val dim = orders.withColumn("salt",
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+      .hint("shuffle_hash")
     fact.join(dim, col("l_orderkey") === col("o_orderkey") && fact("salt") === dim("salt"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_lines"),
