@@ -239,6 +239,7 @@ object SparkEntry {
     "win_time_range_frame" -> ((s, d) => Windows.timeRangeFrame(Tables.events(s, d))),
     "scan_csv_malformed" -> ((s, d) => Scans.scanCsvMalformed(s, Tables.nation(s, d), d)),
     "dq_profile" -> ((s, d) => DataQuality.profile(Tables.lineitem(s, d))),
+    "dedup_cluster_banded" -> ((s, d) => Dedup.nearDupClustersBanded(Corpus.docCorpus(Tables.documents(s, d)))),
     "join_incremental" -> ((s, d) => {
       val c = Tables.customer(s, d)
       val old = Snapshots.oldSnapshot(c)
@@ -271,7 +272,7 @@ object SparkEntry {
     * drift: per-shingle rolling code-point fingerprint (the
     * text_fingerprint fold), 16 affine min-hashes mod 1e9+7, 4 banded
     * fold signatures, candidate pairs by band-bucket equality. */
-  private val minhashOracleSql: String = {
+  private val minhashCtes: String = {
     val P = graft.llm.Dedup.MinhashP
     val sigCols = graft.llm.Dedup.MinhashParams.zipWithIndex
       .map { case ((a, b), i) => s"  min(($a*f+$b)%$P) AS s$i" }
@@ -281,7 +282,7 @@ object SparkEntry {
         .foldLeft("CAST(0 AS BIGINT)") { (acc, i) => s"($acc*31+s$i)%$P" }
       s" SELECT doc_id, $bnd AS band, $fold AS bs FROM sig"
     }.mkString("\n UNION ALL\n")
-    s"""WITH corpus AS (${Corpus.docCorpusSql}),
+    s"""corpus AS (${Corpus.docCorpusSql}),
        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(string_split(text,' '))-2),
        |  i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])) AS shs
        | FROM corpus),
@@ -293,12 +294,14 @@ object SparkEntry {
        |$sigCols
        | FROM f GROUP BY doc_id),
        |bnd AS (
-       |$bands)
-       |SELECT a_id, b_id FROM (
-       | SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-       | FROM bnd x JOIN bnd y ON x.band = y.band AND x.bs = y.bs AND x.doc_id < y.doc_id) t
-       |ORDER BY a_id, b_id""".stripMargin
+       |$bands),
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       | FROM bnd x JOIN bnd y ON x.band = y.band AND x.bs = y.bs AND x.doc_id < y.doc_id)""".stripMargin
   }
+
+  private val minhashOracleSql: String =
+    s"""WITH $minhashCtes
+       |SELECT a_id, b_id FROM cand ORDER BY a_id, b_id""".stripMargin
 
   private val q1Sql =
     """SELECT l_returnflag, l_linestatus,
@@ -1184,6 +1187,16 @@ object SparkEntry {
         |  CASE WHEN c_custkey % 7 = 2 THEN NULL ELSE c_acctbal END AS bal FROM customer) t
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "dedup_minhash_oracle" -> minhashOracleSql,
+    "dedup_cluster_banded" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM cand
+         |          UNION ALL SELECT b_id, a_id FROM cand),
+         |nodes AS (SELECT DISTINCT doc_id FROM corpus),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM nodes
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "dedup_simhash_oracle" ->
       s"""WITH corpus AS (${Corpus.docCorpusSql}),
          |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus),

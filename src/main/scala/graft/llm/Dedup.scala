@@ -224,13 +224,29 @@ object Dedup {
     * diameter (near-dup components are tiny — `iters` = 6 is generous;
     * at web scale swap in large-star/small-star which converges in
     * O(log n) rounds). Deterministic: min is order-free. */
-  def nearDupClusters(corpus: DataFrame, threshold: Double = 0.5, iters: Int = 6): DataFrame = {
+  def nearDupClusters(corpus: DataFrame, threshold: Double = 0.5, iters: Int = 6): DataFrame =
+    clustersFromPairs(corpus, ngramJaccard(corpus, threshold), iters)
+
+  /** Scale-path clustering: connected components over the BANDED MinHash
+    * candidates ([[minhashBandedOracle]]) instead of exact Jaccard pairs.
+    * Exact pair generation is quadratic in duplicate multiplicity (the
+    * 10× smoke measured 73 s where banding stayed at ~4 s); at corpus
+    * scale the LSH candidates are the only affordable edge set, and the
+    * label propagation is identical. Oracle-checked end-to-end: the same
+    * generated hash-family SQL feeds a recursive CTE. */
+  def nearDupClustersBanded(corpus: DataFrame, iters: Int = 6): DataFrame =
+    clustersFromPairs(corpus, minhashBandedOracle(corpus), iters)
+
+  /** Min-label propagation over an (a_id, b_id) pair list (shared by the
+    * exact-Jaccard and banded-candidate cluster operators). */
+  private def clustersFromPairs(corpus: DataFrame, pairSrc: DataFrame,
+                                iters: Int): DataFrame = {
     // localCheckpoint (eager), not persist: each round self-joins the
     // previous labels, and cache lookup misses on the deduplicated
     // self-join subtrees — lineage then doubles per round (measured
     // 0.7s → 36s by round 6). Physical truncation keeps every round O(1).
-    // pairs first, so the two union branches don't each recompute Jaccard.
-    val pairs = ngramJaccard(corpus, threshold).localCheckpoint()
+    // pairs first, so the two union branches don't each recompute them.
+    val pairs = pairSrc.select(col("a_id"), col("b_id")).localCheckpoint()
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
     // only docs that appear in a candidate pair can change label — the

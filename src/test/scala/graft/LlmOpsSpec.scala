@@ -209,6 +209,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(expected.size < q.size, "filter dropped nothing — thresholds toothless")
   }
 
+  test("banded clustering groups exact copies with their originals") {
+    val corpus = Corpus.docCorpus(documents)
+    val clusters = Dedup.nearDupClustersBanded(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactIds = documents.filter(col("doc_id") % 7 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    exactIds.foreach { d =>
+      assert(clusters(d + 100000L) === clusters(d),
+        s"copy of $d not in its original's cluster")
+    }
+    assert(clusters.size === corpus.count())
+  }
+
   test("dedup_exact removes exactly the injected duplicates") {
     val corpus = Corpus.docCorpus(documents)
     val deduped = Dedup.exact(corpus)
