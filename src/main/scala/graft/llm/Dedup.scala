@@ -47,7 +47,14 @@ object Dedup {
     * cost of slightly underestimating Jaccard for pairs that share it.
     * None (default) keeps exact set semantics — the oracle-checked mode. */
   def ngramJaccard(corpus: DataFrame, threshold: Double = 0.5,
-                   dfCap: Option[Int] = None): DataFrame = {
+                   dfCap: Option[Int] = None): DataFrame =
+    ngramJaccardPairs(corpus, threshold, dfCap).orderBy("a_id", "b_id")
+
+  /** [[ngramJaccard]] without the presentation sort — the form consumed by
+    * the clustering loop, where a global sort feeding a checkpoint is pure
+    * waste (an extra range exchange of the full pair set per call). */
+  private[graft] def ngramJaccardPairs(corpus: DataFrame, threshold: Double = 0.5,
+                                       dfCap: Option[Int] = None): DataFrame = {
     val withSh = corpus
       .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("shs"))
     // per-doc shingle counts map-side from the (distinct) array length —
@@ -85,7 +92,6 @@ object Dedup {
         graft.ops.Det.rfloor(col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
-      .orderBy("a_id", "b_id")
   }
 
   /** MinHash signatures: h_i(doc) = min over shingles of
@@ -152,7 +158,12 @@ object Dedup {
     * (band, band_sig). xxhash64 remains the production default (faster,
     * better mixing); this family exists so the LSH pipeline itself is
     * hash-verified against an independent engine. */
-  def minhashBandedOracle(corpus: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+  def minhashBandedOracle(corpus: DataFrame, rowsPerBand: Int = 4): DataFrame =
+    minhashBandedCandidates(corpus, rowsPerBand).orderBy("a_id", "b_id")
+
+  /** [[minhashBandedOracle]] without the presentation sort (clustering-loop
+    * form; see [[ngramJaccardPairs]]). */
+  private[graft] def minhashBandedCandidates(corpus: DataFrame, rowsPerBand: Int = 4): DataFrame = {
     val f = corpus
       .select(col("doc_id"),
         explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
@@ -178,7 +189,6 @@ object Dedup {
     l.join(r, Seq("band", "bs"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-      .orderBy("a_id", "b_id")
   }
 
   /** 48-bit SimHash fingerprint per document: bit b of the fingerprint is
@@ -224,8 +234,8 @@ object Dedup {
     * diameter (near-dup components are tiny — `iters` = 6 is generous;
     * at web scale swap in large-star/small-star which converges in
     * O(log n) rounds). Deterministic: min is order-free. */
-  def nearDupClusters(corpus: DataFrame, threshold: Double = 0.5, iters: Int = 6): DataFrame =
-    clustersFromPairs(corpus, ngramJaccard(corpus, threshold), iters)
+  def nearDupClusters(corpus: DataFrame, threshold: Double = 0.5, iters: Int = 50): DataFrame =
+    clustersFromPairs(corpus, ngramJaccardPairs(corpus, threshold), iters)
 
   /** Scale-path clustering: connected components over the BANDED MinHash
     * candidates ([[minhashBandedOracle]]) instead of exact Jaccard pairs.
@@ -234,8 +244,8 @@ object Dedup {
     * scale the LSH candidates are the only affordable edge set, and the
     * label propagation is identical. Oracle-checked end-to-end: the same
     * generated hash-family SQL feeds a recursive CTE. */
-  def nearDupClustersBanded(corpus: DataFrame, iters: Int = 6): DataFrame =
-    clustersFromPairs(corpus, minhashBandedOracle(corpus), iters)
+  def nearDupClustersBanded(corpus: DataFrame, iters: Int = 50): DataFrame =
+    clustersFromPairs(corpus, minhashBandedCandidates(corpus), iters)
 
   /** Min-label propagation over an (a_id, b_id) pair list (shared by the
     * exact-Jaccard and banded-candidate cluster operators). */
@@ -256,6 +266,13 @@ object Dedup {
     var labels = inPairs
       .withColumn("cluster", col("doc_id"))
       .localCheckpoint()
+    // iters is a RUNAWAY BOUND, not an expected round count: the loop
+    // exits at the fixpoint (components' min-label eccentricity rounds —
+    // 2-3 for near-dup data). If the bound ever trips, FAIL loudly below:
+    // returning partial labels would be a silent wrong answer diverging
+    // from the transitive-closure oracle. Un-thresholded LSH candidate
+    // edges chain further than Jaccard-gated ones, so the bound is
+    // generous; web-scale components want large-star/small-star anyway.
     var converged = false
     var round = 0
     while (!converged && round < iters) {
@@ -273,6 +290,8 @@ object Dedup {
       labels = next.drop("changed")
       round += 1
     }
+    require(converged,
+      s"label propagation did not converge within $iters rounds — component diameter exceeds the bound")
     val isolated = corpus.select(col("doc_id")).distinct()
       .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .withColumn("cluster", col("doc_id"))
