@@ -216,7 +216,9 @@ class LlmOpsSpec extends SparkSpec {
     val exactIds = documents.filter(col("doc_id") % 7 === 0)
       .select("doc_id").collect().map(_.getLong(0))
     exactIds.foreach { d =>
-      assert(clusters(d + 100000L) === clusters(d),
+      val copy = clusters.get(d + 100000L)
+      assert(copy.isDefined, s"copy of $d missing from cluster labels")
+      assert(copy === clusters.get(d),
         s"copy of $d not in its original's cluster")
     }
     assert(clusters.size === corpus.count())
