@@ -274,11 +274,12 @@ object SparkEntry {
     * fold signatures, candidate pairs by band-bucket equality. */
   private val minhashCtes: String = {
     val P = graft.llm.Dedup.MinhashP
+    val rpb = graft.llm.Dedup.MinhashRowsPerBand
     val sigCols = graft.llm.Dedup.MinhashParams.zipWithIndex
       .map { case ((a, b), i) => s"  min(($a*f+$b)%$P) AS s$i" }
       .mkString(",\n")
-    val bands = (0 until 4).map { bnd =>
-      val fold = (bnd * 4 until bnd * 4 + 4)
+    val bands = (0 until graft.llm.Dedup.MinhashParams.size / rpb).map { bnd =>
+      val fold = (bnd * rpb until (bnd + 1) * rpb)
         .foldLeft("CAST(0 AS BIGINT)") { (acc, i) => s"($acc*31+s$i)%$P" }
       s" SELECT doc_id, $bnd AS band, $fold AS bs FROM sig"
     }.mkString("\n UNION ALL\n")
@@ -747,9 +748,9 @@ object SparkEntry {
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          |SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "pipeline_training_prep" ->
-      s"""WITH RECURSIVE $jaccardCtes,
-         |edges AS (SELECT a_id AS src, b_id AS dst FROM jpairs
-         |          UNION ALL SELECT b_id, a_id FROM jpairs),
+      s"""WITH RECURSIVE $minhashCtes,
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM cand
+         |          UNION ALL SELECT b_id, a_id FROM cand),
          |nodes AS (SELECT DISTINCT doc_id FROM corpus),
          |reach(src, dst) AS (
          |  SELECT doc_id, doc_id FROM nodes
@@ -1226,9 +1227,9 @@ object SparkEntry {
         |FROM m ORDER BY l_returnflag""".stripMargin,
     "agg_bool" ->
       """SELECT o_orderstatus,
-        | bool_and(o_totalprice > 1000.0) AS all_over_1k,
-        | bool_or(o_totalprice > 400000.0) AS any_over_400k,
-        | count_if(o_orderpriority = '1-URGENT') AS n_urgent,
+        | CAST(bool_and(o_totalprice > 1000.0) AS INT) AS all_over_1k,
+        | CAST(bool_or(o_totalprice > 400000.0) AS INT) AS any_over_400k,
+        | CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
         | count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "text_zipf" ->

@@ -142,6 +142,11 @@ object Dedup {
     (96837743L, 430047203L))
   private[graft] val MinhashP = 1000000007L
 
+  /** Band width shared by [[minhashBandedCandidates]] and the generated
+    * oracle SQL (SparkEntry.minhashCtes) — single source of truth so the
+    * two sides cannot drift. */
+  private[graft] val MinhashRowsPerBand = 4
+
   /** ORACLE-CHECKABLE MinHash LSH: the same band-bucket candidate
     * generation as [[minhashCandidates]], but over a hash family both
     * engines can evaluate bit-identically — sig_i(doc) = min over shingles
@@ -158,12 +163,15 @@ object Dedup {
     * (band, band_sig). xxhash64 remains the production default (faster,
     * better mixing); this family exists so the LSH pipeline itself is
     * hash-verified against an independent engine. */
-  def minhashBandedOracle(corpus: DataFrame, rowsPerBand: Int = 4): DataFrame =
+  def minhashBandedOracle(corpus: DataFrame, rowsPerBand: Int = MinhashRowsPerBand): DataFrame =
     minhashBandedCandidates(corpus, rowsPerBand).orderBy("a_id", "b_id")
 
   /** [[minhashBandedOracle]] without the presentation sort (clustering-loop
     * form; see [[ngramJaccardPairs]]). */
-  private[graft] def minhashBandedCandidates(corpus: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+  private[graft] def minhashBandedCandidates(corpus: DataFrame, rowsPerBand: Int = MinhashRowsPerBand): DataFrame = {
+    require(MinhashParams.size % rowsPerBand == 0,
+      s"rowsPerBand=$rowsPerBand must divide the signature size ${MinhashParams.size} — " +
+        "a non-divisor would silently drop signature rows from the last band")
     val f = corpus
       .select(col("doc_id"),
         explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
@@ -232,8 +240,8 @@ object Dedup {
     * the component; survivors are rows with cluster == doc_id). Each
     * round is one join + one aggregation; rounds needed = component
     * diameter (near-dup components are tiny — `iters` = 6 is generous;
-    * at web scale swap in large-star/small-star which converges in
-    * O(log n) rounds). Deterministic: min is order-free. */
+    * for long-diameter components [[clustersFromPairsLargeSmallStar]]
+    * converges in O(log n) rounds). Deterministic: min is order-free. */
   def nearDupClusters(corpus: DataFrame, threshold: Double = 0.5, iters: Int = 50): DataFrame =
     clustersFromPairs(corpus, ngramJaccardPairs(corpus, threshold), iters)
 
@@ -261,10 +269,15 @@ object Dedup {
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
     // only docs that appear in a candidate pair can change label — the
     // (overwhelmingly larger at scale) isolated rest are each their own
-    // cluster and are appended after the loop, never joined per round
-    val inPairs = edges.select(col("src").as("doc_id")).distinct()
-    var labels = inPairs
-      .withColumn("cluster", col("doc_id"))
+    // cluster and are appended after the loop, never joined per round.
+    // Initialization FUSES the first propagation round: label(doc) =
+    // min(doc, direct neighbors) — one groupBy, same cost as the plain
+    // distinct-docs init, but star-shaped components (the near-dup norm)
+    // are already converged, so the loop runs only the single
+    // detect-no-change round instead of propagate + detect.
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("doc_id"),
+        least(col("src"), col("mn")).as("cluster"))
       .localCheckpoint()
     // iters is a RUNAWAY BOUND, not an expected round count: the loop
     // exits at the fixpoint (components' min-label eccentricity rounds —
@@ -272,26 +285,94 @@ object Dedup {
     // returning partial labels would be a silent wrong answer diverging
     // from the transitive-closure oracle. Un-thresholded LSH candidate
     // edges chain further than Jaccard-gated ones, so the bound is
-    // generous; web-scale components want large-star/small-star anyway.
+    // generous; chain-shaped components should use
+    // clustersFromPairsLargeSmallStar (O(log n) rounds) instead.
     var converged = false
     var round = 0
     while (!converged && round < iters) {
       val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
         .groupBy(col("dst")).agg(min(col("cluster")).as("nbr_min"))
-      // carry a per-row `changed` flag through the (eager) checkpoint so
-      // the fixpoint test is a scan of the checkpointed round, not a
-      // second labels-vs-labels join job per round
+      // carry a per-row `changed` flag through a LAZY checkpoint: the
+      // convergence count below is the one action of the round — it both
+      // materializes the checkpoint partitions and counts changed rows,
+      // so the fixpoint guarantee costs zero extra jobs (an eager
+      // checkpoint + separate isEmpty scan measured 3× slower in-suite)
       val next = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
         .select(labels("doc_id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
           coalesce(col("nbr_min") < col("cluster"), lit(false)).as("changed"))
-        .localCheckpoint()
-      converged = next.filter(col("changed")).isEmpty
+        .localCheckpoint(eager = false)
+      converged = next.filter(col("changed")).count() == 0L
       labels = next.drop("changed")
       round += 1
     }
     require(converged,
       s"label propagation did not converge within $iters rounds — component diameter exceeds the bound")
+    val isolated = corpus.select(col("doc_id")).distinct()
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .withColumn("cluster", col("doc_id"))
+    labels.unionByName(isolated).orderBy("doc_id")
+  }
+
+  /** Web-scale connected components: alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) over the same (a_id, b_id) pair list and with the same
+    * output contract as [[clustersFromPairs]]. Min-label propagation
+    * needs component-DIAMETER rounds — right for near-dup components
+    * (diameter 2-3), wrong for chain-shaped ones; star operations halve
+    * tree heights so convergence is O(log n) rounds regardless of shape.
+    *
+    * Each round is two grouped passes over the edge set:
+    *  - LARGE-STAR: center every node; connect each strictly-larger
+    *    neighbor to the center's minimum (of itself and all neighbors).
+    *  - SMALL-STAR: edges now all point downward (u > v); per center u,
+    *    connect every smaller neighbor AND u itself to their minimum.
+    * The fixpoint is a star forest — every non-root points directly at
+    * its component's min id — detected as an unchanged edge set, counted
+    * in the same action that materializes the round's lazy checkpoint
+    * (the [[clustersFromPairs]] single-action-per-round discipline). */
+  private[graft] def clustersFromPairsLargeSmallStar(
+      corpus: DataFrame, pairSrc: DataFrame, iters: Int = 30): DataFrame = {
+    // pair sources emit a_id < b_id: orient big→small from the start
+    var edges = pairSrc.select(col("b_id").as("u"), col("a_id").as("v"))
+      .distinct().localCheckpoint()
+    var edgeCount = edges.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < iters) {
+      val nbrs = edges.select(col("u").as("ctr"), col("v").as("nbr"))
+        .unionByName(edges.select(col("v").as("ctr"), col("u").as("nbr")))
+      val mins = nbrs.groupBy("ctr").agg(min(col("nbr")).as("mn"))
+        .select(col("ctr"), least(col("mn"), col("ctr")).as("m"))
+      // m ≤ ctr < nbr, so every emitted edge already points downward
+      val large = nbrs.join(mins, "ctr")
+        .filter(col("nbr") > col("ctr"))
+        .select(col("nbr").as("u"), col("m").as("v"))
+        .distinct()
+      val mins2 = large.groupBy("u").agg(min(col("v")).as("m"))
+      val next = large.join(mins2, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionByName(mins2.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"),
+          least(col("a"), col("b")).as("v"))
+        .distinct()
+        .localCheckpoint(eager = false)
+      // unchanged edge set ⇒ star forest reached. exceptAll catches new
+      // edges; the count comparison catches pure shrinkage. The exceptAll
+      // count doubles as the checkpoint-materializing action.
+      val grew = next.exceptAll(edges).count()
+      val nextCount = next.count()
+      converged = grew == 0L && nextCount == edgeCount
+      edges = next
+      edgeCount = nextCount
+      round += 1
+    }
+    require(converged,
+      s"large/small-star did not converge within $iters rounds")
+    // star forest: u = non-root member, v = component root
+    val labels = edges.select(col("u").as("doc_id"), col("v").as("cluster"))
+      .unionByName(edges.select(col("v").as("doc_id"), col("v").as("cluster")).distinct())
     val isolated = corpus.select(col("doc_id")).distinct()
       .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .withColumn("cluster", col("doc_id"))
@@ -376,8 +457,14 @@ object Dedup {
   /** SemDeDup-style BUCKETED semantic dedup: vectors bucket by the sign
     * bits of their first `signDims` components (a degenerate but
     * SQL-portable sign-LSH), all-pairs cosine runs only WITHIN a bucket,
-    * and any vector similar (≥ threshold, rounded 4dp) to a
-    * smaller-id bucket-mate is dropped — the greedy keep-first rule.
+    * and any vector similar (≥ threshold, rounded 4dp) to ANY
+    * smaller-id bucket-mate is dropped — even one that is itself
+    * dropped. NOTE this is a transitive drop rule, NOT greedy
+    * keep-first: for a chain a~b, b~c, a≁c greedy-vs-kept would keep
+    * {a, c}, while this rule keeps only {a}. The one-shot rule is what
+    * stays a single relational pass (greedy needs an iterative
+    * dependency on the kept set); the oracle SQL implements the same
+    * rule, so parity is exact.
     * This is the scale path the all-pairs [[embeddingCosine]] documents:
     * the candidate join is an equi-join on the bucket key, so cost is
     * Σ_bucket |bucket|² instead of n². Recall tradeoff: a near-dup whose

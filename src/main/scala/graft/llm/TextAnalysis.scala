@@ -95,7 +95,9 @@ object TextAnalysis {
     * a fixed N, but immune to cross-engine libm last-bit differences; the
     * emitted score is round(tf·ln(N/df), 4). */
   def tfidf(documents: DataFrame): DataFrame = {
-    val n = documents.count() // tiny scalar; at scale pass it in or use a broadcast agg
+    // corpus size as a broadcast 1-row aggregate INSIDE the plan (no
+    // driver-side count() action — the whole operator stays one lazy plan)
+    val nDf = documents.agg(count(lit(1)).cast("double").as("n_docs"))
     // cache tf: both the df derivation and the join consume it — without
     // the cache the explode+groupBy runs twice
     val tf = documents
@@ -108,10 +110,11 @@ object TextAnalysis {
     // df is a vocabulary-sized dim — broadcast it so tf is NOT reshuffled
     // on term just to attach document frequencies
     tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nDf))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 4).as("score"),
+        round(col("tf") * log(col("n_docs") / col("df")), 4).as("score"),
         col("rn"))
       .orderBy("doc_id", "rn")
   }

@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * algebra; the only iteration, connected components, is mirrored by a
   * recursive CTE).
   *
-  * Stage shuffles at 100 TB: the Jaccard candidate join + bounded label
-  * propagation (Dedup.nearDupClusters), one map-side sample filter, and
-  * the per-row chunk expansion — sampling and chunking add NO shuffle
-  * beyond the final output sort.
+  * Stage shuffles at 100 TB: the banded MinHash candidate join + bounded
+  * label propagation (Dedup.nearDupClustersBanded — LSH candidates, NOT
+  * the quadratic exact-Jaccard pair generation), one map-side sample
+  * filter, and the per-row chunk expansion — sampling and chunking add
+  * NO shuffle beyond the final output sort.
   */
 object TrainingPrep {
 
@@ -46,9 +47,12 @@ object TrainingPrep {
     * (doc_id, chunk_id, chunk_text, n_tokens, lang). */
   def prepare(documents: DataFrame): DataFrame = {
     val corpus = Corpus.docCorpus(documents)
-    // 1. near-dup clustering; survivors = each cluster's canonical doc
-    //    (exact dups have Jaccard 1.0, so this subsumes exact dedup)
-    val clusters = Dedup.nearDupClusters(corpus)
+    // 1. near-dup clustering over BANDED MinHash candidates; survivors =
+    //    each cluster's canonical doc (exact dups collide in every band,
+    //    so this subsumes exact dedup). The banded edge set is the 100 TB
+    //    path — exact Jaccard pair generation is quadratic in duplicate
+    //    multiplicity and exists only as the oracle baseline.
+    val clusters = Dedup.nearDupClustersBanded(corpus)
     val survivors = corpus.join(clusters, "doc_id")
       .filter(col("cluster") === col("doc_id"))
     // 2. rebalance the language mix (same rates as sample_stratified)

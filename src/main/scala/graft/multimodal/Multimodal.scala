@@ -16,12 +16,16 @@ case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Int,
 /** Multimodal column handling: binary payloads with typed metadata and a
   * partition-batched decode/feature-extract stage.
   *
-  * The decode itself is STUBBED (this container has no image/audio
-  * codecs): `stubDecode` computes a deterministic fake feature vector from
-  * the bytes. Everything around it — the binary column schema, the typed
-  * Dataset boundary, the fixed-size batching inside `mapPartitions` (the
-  * shape a JNI/FFI or model-server call needs to amortize per-batch
-  * setup) — is the real production plumbing.
+  * The image/video decode branches are STUBBED (this container has no
+  * codecs): they compute a deterministic fake feature vector from the
+  * bytes. The AUDIO branch is REAL: payloads are canonical RIFF/WAVE
+  * 16-bit PCM (a pure container format, no codec needed), and
+  * [[decodeWav]] genuinely walks the chunk structure, decodes the
+  * samples, and emits per-window RMS energy. Everything around the
+  * branches — the binary column schema, the typed Dataset boundary, the
+  * fixed-size batching inside `mapPartitions` (the shape a JNI/FFI or
+  * model-server call needs to amortize per-batch setup) — is the real
+  * production plumbing.
   */
 object Multimodal {
 
@@ -43,8 +47,10 @@ object Multimodal {
       lower(hex(substring(col("text"), 1, 8).cast("binary"))).as("prefix_hex"))
       .orderBy("doc_id")
 
-  /** documents → typed media items (text bytes standing in for encoded
-    * media). */
+  /** documents → typed media items. Image/video payloads are raw text
+    * bytes standing in for encoded media; AUDIO payloads are genuine WAV
+    * files ([[synthWav]] — deterministic PCM derived from the text) so
+    * the audio decode branch exercises a real parser end-to-end. */
   def asMediaItems(documents: DataFrame)(implicit spark: SparkSession): Dataset[MediaItem] = {
     import spark.implicits._
     binaryMeta(documents)
@@ -52,6 +58,7 @@ object Multimodal {
       .select(col("doc_id"), col("kind"),
         col("text").cast("binary").as("content"))
       .as[MediaItem]
+      .map(m => if (m.kind == "audio") m.copy(content = synthWav(m.content)) else m)
   }
 
   /** Partition-batched decode + feature extraction. Stays fully
@@ -68,13 +75,12 @@ object Multimodal {
   private def decodeBatch(batch: Seq[MediaItem]): Seq[MediaFeatures] =
     batch.map(stubDecode)
 
-  /** STUB decode with per-kind dispatch — the real shape of a multimodal
-    * feature pass (each branch is where a codec/FFI call goes; no codecs
-    * in this container, so each computes a deterministic stand-in of the
-    * same output shape):
-    *  - image → "resize": 8 coarse intensity cells over byte blocks,
-    *  - audio → "frame-sample": energy per 8 fixed-stride windows,
-    *  - video → "keyframe-sample": rolling hash per 8 equal segments. */
+  /** Per-kind decode dispatch — the shape of a multimodal feature pass
+    * (each branch is where a codec/FFI call goes):
+    *  - image → STUB "resize": 8 coarse intensity cells over byte blocks,
+    *  - audio → REAL WAV parse ([[decodeWav]]): RMS energy per 8 windows
+    *    of the decoded 16-bit PCM samples,
+    *  - video → STUB "keyframe-sample": rolling hash per 8 segments. */
   private def stubDecode(m: MediaItem): MediaFeatures = {
     val bytes = m.content
     val n = math.max(bytes.length, 1)
@@ -88,10 +94,87 @@ object Multimodal {
     }
     val feat = m.kind match {
       case "image" => Array.tabulate(8)(blockFold(_, (a, b) => a + b))          // cell mean-ish
-      case "audio" => Array.tabulate(8)(blockFold(_, (a, b) => a + b.toLong * b)) // energy
+      case "audio" => decodeWav(bytes)                                           // REAL decode
       case _       => Array.tabulate(8)(blockFold(_, (a, b) => a * 31 + b))       // keyframe hash
     }
     MediaFeatures(m.doc_id, m.kind, bytes.length, feat)
+  }
+
+  /** Synthesize a canonical 16-bit mono PCM WAV (44-byte RIFF header +
+    * data chunk): sample i = (srcByte_i − 128) · 256, i.e. the source
+    * bytes centered and scaled to 16-bit range. Deterministic — this is
+    * the harness stand-in for real recorded audio. */
+  private[graft] def synthWav(src: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
+    val nSamples = math.max(src.length, 1)
+    val bb = java.nio.ByteBuffer.allocate(44 + nSamples * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + nSamples * 2)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1)                    // audio format: PCM
+    bb.putShort(1)                    // channels: mono
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * 2)         // byte rate
+    bb.putShort(2)                    // block align
+    bb.putShort(16)                   // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val b = if (src.isEmpty) 128 else src(i % src.length) & 0xff
+      bb.putShort(((b - 128) * 256).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** REAL audio decode: walk the RIFF chunk list (fmt + data, tolerating
+    * other chunks and odd-length padding per spec), require 16-bit mono
+    * PCM, decode the little-endian samples to [-1, 1), and return RMS
+    * energy over 8 equal windows — an actual end-to-end decode with zero
+    * codec dependency (WAV PCM is a pure container format). */
+  private[graft] def decodeWav(bytes: Array[Byte]): Array[Double] = {
+    require(bytes.length >= 12, "truncated WAV: no RIFF header")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    require(tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"not a RIFF/WAVE file: ${tag(0)}/${tag(8)}")
+    var pos = 12
+    var dataOff = -1
+    var dataLen = 0
+    var bits = -1
+    var channels = -1
+    while (pos + 8 <= bytes.length && (dataOff < 0 || bits < 0)) {
+      val id = tag(pos)
+      val len = bb.getInt(pos + 4)
+      id match {
+        case "fmt " =>
+          val fmt = bb.getShort(pos + 8)
+          require(fmt == 1, s"unsupported WAV encoding $fmt (want PCM)")
+          channels = bb.getShort(pos + 10)
+          bits = bb.getShort(pos + 22)
+        case "data" =>
+          dataOff = pos + 8
+          dataLen = math.min(len, bytes.length - dataOff)
+        case _ => () // skip LIST/INFO/etc.
+      }
+      pos += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    require(dataOff >= 0, "WAV has no data chunk")
+    require(bits == 16 && channels == 1,
+      s"expected 16-bit mono PCM, got $bits-bit $channels-channel")
+    val nSamples = dataLen / 2
+    Array.tabulate(8) { w =>
+      val lo = w * nSamples / 8
+      val hi = math.max(lo + 1, (w + 1) * nSamples / 8)
+      var acc = 0.0
+      var j = lo
+      while (j < hi && j < nSamples) {
+        val s = bb.getShort(dataOff + j * 2) / 32768.0
+        acc += s * s
+        j += 1
+      }
+      math.sqrt(acc / (hi - lo))
+    }
   }
 
   /** Feature summary as a DataFrame query (rows-only checked by the

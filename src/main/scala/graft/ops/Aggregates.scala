@@ -302,14 +302,17 @@ object Aggregates {
 
   /** Boolean aggregate family: bool_and / bool_or / count_if per order
     * status — predicate summaries in one map-side-combinable pass (state
-    * is one bit / one counter per group). */
+    * is one bit / one counter per group). Outputs are cast to INT/BIGINT:
+    * BOOLEAN and DuckDB count_if's HUGEINT render differently per reader,
+    * and the determinism doctrine (SURVEY §7) bans representation-ambiguous
+    * output types. */
   def boolAggs(orders: DataFrame): DataFrame =
     orders
       .groupBy(col("o_orderstatus"))
       .agg(
-        bool_and(col("o_totalprice") > 1000.0).as("all_over_1k"),
-        bool_or(col("o_totalprice") > 400000.0).as("any_over_400k"),
-        count_if(col("o_orderpriority") === "1-URGENT").as("n_urgent"),
+        bool_and(col("o_totalprice") > 1000.0).cast("int").as("all_over_1k"),
+        bool_or(col("o_totalprice") > 400000.0).cast("int").as("any_over_400k"),
+        count_if(col("o_orderpriority") === "1-URGENT").cast("long").as("n_urgent"),
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 

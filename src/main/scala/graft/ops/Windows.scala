@@ -103,13 +103,54 @@ object Windows {
   }
 
   /** ntile quartiles of customer balance (unique tiebreak key ⇒
-    * deterministic bucket edges). */
-  def ntileQuartiles(customer: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-    customer
-      .select(
-        col("c_custkey"), col("c_acctbal"),
-        ntile(4).over(w).cast("long").as("quartile"))
+    * deterministic bucket edges).
+    *
+    * Scale-safe two-pass plan instead of `ntile(4) over (order by ...)`:
+    * a no-partition window funnels EVERY row through one task (the
+    * WindowExec "No Partition Defined" warning), which is the canonical
+    * 100 TB failure. Here:
+    *   1. range-partition + sort-within-partition on the total order
+    *      (RangePartitioner samples boundaries — distributed, balanced);
+    *   2. ONE small job collects per-partition row counts (P longs) to
+    *      the driver — model parameters, not data;
+    *   3. global rank = broadcast cumulative offset of the partition +
+    *      local position (monotonically_increasing_id after the
+    *      partition-local sort encodes pid<<33 | position);
+    *   4. bucket from the rank via exact ntile arithmetic (first n%k
+    *      buckets hold ceil(n/k) rows) — a map-side CASE, no shuffle.
+    * Both passes reuse the same range exchange; nothing is globally
+    * sorted on one node. */
+  def ntileQuartiles(customer: DataFrame, k: Int = 4): DataFrame = {
+    val parts = 32
+    // localCheckpoint: BOTH passes (counts, rank) must see the SAME range
+    // boundaries, but RangePartitioner seeds its reservoir sample with the
+    // RDD id — two plan executions can draw different boundaries (observed
+    // at sf0.1: per-partition counts from pass 1 misaligned with pass 2's
+    // partitions → quartiles off by a partition). Materializing the
+    // exchange once pins the partitioning; it is also the efficient form —
+    // the shuffle output is computed once, scanned twice.
+    val base = customer
+      .select(col("c_custkey"), col("c_acctbal"))
+      .repartitionByRange(parts, col("c_acctbal").asc, col("c_custkey").asc)
+      .sortWithinPartitions(col("c_acctbal").asc, col("c_custkey").asc)
+      .localCheckpoint()
+    val counts = new Array[Long](parts)
+    base.groupBy(spark_partition_id().as("pid")).agg(count(lit(1)).as("cnt"))
+      .collect().foreach(r => counts(r.getInt(0)) = r.getLong(1))
+    val n = counts.sum
+    val offsets = counts.scanLeft(0L)(_ + _).init // rows before partition i
+    val q = n / k
+    val rem = n % k
+    val offArr = array(offsets.map(lit): _*)
+    val pid = shiftright(col("mid"), 33).cast("int")
+    val rank = element_at(offArr, pid + 1) + (col("mid") bitwiseAND ((1L << 33) - 1)) + 1L
+    val bigCut = rem * (q + 1) // last rank held by a ceil-sized bucket
+    val quartile = when(rank <= bigCut, (rank - 1) / (q + 1) + 1)
+      .otherwise(lit(rem) + (rank - 1 - bigCut) / greatest(lit(q), lit(1L)) + 1)
+    base
+      .withColumn("mid", monotonically_increasing_id())
+      .select(col("c_custkey"), col("c_acctbal"),
+        quartile.cast("long").as("quartile"))
       .orderBy("c_custkey")
   }
 
@@ -124,7 +165,13 @@ object Windows {
       .rangeBetween(-trailingSeconds, 0)
     events
       .select(col("user_id"), col("event_id"),
-        (unix_micros(col("ts")) / 1000000L).cast("long").as("ts_s"),
+        // integer FLOOR division, matching the oracle's epoch_us//1000000
+        // (DuckDB `//` floors) for all sign ranges: subtracting the
+        // non-negative pmod makes the numerator exactly divisible, so
+        // `div`'s truncation equals floor — exact pre-1970 and beyond
+        // double's 2^53 (Column./ is double division + truncation)
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 1000000)) div 1000000")
+          .as("ts_s"),
         col("value"))
       .withColumn("n_2h", count(lit(1)).over(w))
       .withColumn("avg_2h",

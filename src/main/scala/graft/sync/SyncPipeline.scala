@@ -30,13 +30,16 @@ object SyncPipeline {
     require(n == 0, s"validation failed: $n rows with null key or empty cells")
   }
 
-  /** `sync` verb: snapshot-diff + preview + one-job merge apply. */
-  def sync(spark: SparkSession, sourcePath: String, targetPath: String,
-           key: String, preview: Boolean = true): SyncResult = {
-    val source = spark.read.parquet(sourcePath)
-    val target = spark.read.parquet(targetPath)
-    validate(source, key)
-    val changes = SnapshotDiff.diffKeyed(target, source, key).persist()
+  /** `sync` verb: snapshot-diff + preview + one-job merge apply, against
+    * any [[SyncSource]]/[[SyncTarget]] pair (parquet here; the seam where
+    * Sheets v4 reads, syncquill.py:60-76, and BQ DML writes,
+    * syncquill.py:78-107, would plug in). */
+  def sync(spark: SparkSession, source: SyncSource, target: SyncTarget,
+           key: String, preview: Boolean): SyncResult = {
+    val src = source.read(spark)
+    val tgt = target.read(spark)
+    validate(src, key)
+    val changes = SnapshotDiff.diffKeyed(tgt, src, key).persist()
     try {
       val byOp = changes.groupBy("op").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -44,29 +47,29 @@ object SyncPipeline {
       if (preview) PrettyPrint.show(changes)
       if (total == 0) { println("No changes."); SyncResult(0, 0, 0, 0) }
       else {
-        // stage the merged snapshot fully, then promote it over the target
-        // (metadata-only rename — the merge job has already completed, so
-        // the non-atomic delete+rename window holds only directory moves,
-        // never a partially-written table)
-        val staging = targetPath + ".next"
-        Sinks.mergeWrite(target, changes, key, staging)
-        val tgt = new org.apache.hadoop.fs.Path(targetPath)
-        val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(tgt, true)
-        require(fs.rename(new org.apache.hadoop.fs.Path(staging), tgt),
-          s"failed to promote $staging over $targetPath")
+        target.merge(spark, SnapshotDiff.applyChangeset(tgt, changes, key),
+          changes, key)
         SyncResult(total, byOp.getOrElse("insert", 0), byOp.getOrElse("delete", 0),
           byOp.getOrElse("update", 0))
       }
     } finally { changes.unpersist(); () }
   }
 
+  /** Path-based `sync` (CLI / harness form): parquet both sides. */
+  def sync(spark: SparkSession, sourcePath: String, targetPath: String,
+           key: String, preview: Boolean = true): SyncResult =
+    sync(spark, ParquetSource(sourcePath), ParquetTarget(targetPath), key, preview)
+
   /** `upsert` verb: whole-source truncate-and-load (R11). */
-  def upsert(spark: SparkSession, sourcePath: String, targetPath: String, key: String): Unit = {
-    val source = spark.read.parquet(sourcePath)
-    validate(source, key)
-    Sinks.truncateLoad(source, targetPath)
+  def upsert(spark: SparkSession, source: SyncSource, target: SyncTarget, key: String): Unit = {
+    val src = source.read(spark)
+    validate(src, key)
+    target.truncateLoad(src)
   }
+
+  /** Path-based `upsert` (CLI / harness form). */
+  def upsert(spark: SparkSession, sourcePath: String, targetPath: String, key: String): Unit =
+    upsert(spark, ParquetSource(sourcePath), ParquetTarget(targetPath), key)
 
   /** CLI (R14/R15): `sync|upsert <sourceParquet> <targetParquet> <key>`.
     * Config resolution mirrors the reference's args-with-env-fallback

@@ -224,6 +224,53 @@ class LlmOpsSpec extends SparkSpec {
     assert(clusters.size === corpus.count())
   }
 
+  test("audio decode branch is a real WAV parser: known PCM -> exact RMS") {
+    // synthWav maps byte b to sample (b-128)*256; constant byte 200 →
+    // every sample 18432 → RMS of every window exactly 18432/32768
+    val const = Multimodal.synthWav(Array.fill(160)(200.toByte))
+    val f = Multimodal.decodeWav(const)
+    assert(f.length === 8)
+    f.foreach(v => assert(math.abs(v - 18432.0 / 32768.0) < 1e-12))
+    // silence (byte 128 → sample 0) decodes to zero energy
+    Multimodal.decodeWav(Multimodal.synthWav(Array.fill(64)(128.toByte)))
+      .foreach(v => assert(v === 0.0))
+    // the parser genuinely validates structure, not just length
+    val bad = const.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.decodeWav(bad))
+    // end-to-end through the batched pipeline: an audio item's features
+    // are the WAV-decoded energies, not a byte-hash stub
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val audio = Multimodal.decodeFeatures(Multimodal.asMediaItems(documents))
+      .filter(col("kind") === "audio").head()
+    assert(audio.feature.forall(v => v >= 0.0 && v <= 1.0),
+      "audio features must be PCM RMS energies in [0,1]")
+  }
+
+  test("large/small-star clusters a chain whose diameter exceeds min-label rounds") {
+    import spark.implicits._
+    // a 400-long chain: component diameter 400, far beyond min-label's
+    // round bound — exactly the shape large/small-star exists for
+    // (O(log n) rounds regardless of diameter)
+    val n = 400L
+    val corpus = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = Dedup.clustersFromPairsLargeSmallStar(corpus, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length === n.toInt)
+    assert(labels.map(_._1).toSet === (0L until n).toSet)
+    assert(labels.forall(_._2 == 0L), "chain must collapse to root 0")
+  }
+
+  test("large/small-star matches min-label propagation on banded candidates") {
+    val corpus = Corpus.docCorpus(documents)
+    val viaMinLabel = Dedup.nearDupClustersBanded(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaStars = Dedup.clustersFromPairsLargeSmallStar(
+        corpus, Dedup.minhashBandedCandidates(corpus)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStars === viaMinLabel)
+  }
+
   test("dedup_exact removes exactly the injected duplicates") {
     val corpus = Corpus.docCorpus(documents)
     val deduped = Dedup.exact(corpus)
