@@ -110,7 +110,7 @@ object Similarity {
     * parameter (k×dims doubles — bytes, not data). Oracle-exempt;
     * LlmOpsSpec gates recall vs brute force. */
   def ivfTopK(embeddings: DataFrame, queryId: Long = 0, k: Int = 10,
-              nClusters: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+              nClusters: Int = 16, nProbe: Int = 8, iters: Int = 2): DataFrame = {
     // cache the widened vectors: the quantizer makes ~2 passes per Lloyd
     // iteration plus the final probe scan, and re-reading + re-widening
     // the parquet per job dominates at small k×dims (model fits in RAM;
@@ -176,7 +176,7 @@ object Similarity {
     * extra tables buy recall back. Hash-derived buckets → oracle-exempt;
     * LlmOpsSpec gates recall vs brute force. */
   def lshTopK(embeddings: DataFrame, queryId: Long = 0, k: Int = 10,
-              planes: Int = 4, tables: Int = 3): DataFrame = {
+              planes: Int = 4, tables: Int = 4): DataFrame = {
     val dims = 64
     val vs = doubled(embeddings)
 

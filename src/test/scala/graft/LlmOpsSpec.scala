@@ -52,20 +52,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(avgNear < avgRand / 2, s"near avg $avgNear not << random avg $avgRand")
   }
 
-  test("lsh top-k achieves recall >= 0.5 vs brute force") {
-    val brute = Similarity.topkSearch(embeddings).collect().map(_.getLong(0)).toSet
-    val approx = Similarity.lshTopK(embeddings).collect().map(_.getLong(0)).toSet
-    val recall = (brute & approx).size.toDouble / brute.size
-    assert(recall >= 0.5, s"LSH recall $recall < 0.5 (brute=$brute approx=$approx)")
+  test("lsh top-k achieves recall >= 0.8 vs brute force across queries") {
+    // gate at 0.8 over several query points, matching the minhash
+    // candidate gate — a single lucky query would not be evidence
+    for (qid <- Seq(0L, 7L, 42L)) {
+      val brute = Similarity.topkSearch(embeddings, queryId = qid)
+        .collect().map(_.getLong(0)).toSet
+      val approx = Similarity.lshTopK(embeddings, queryId = qid)
+        .collect().map(_.getLong(0)).toSet
+      val recall = (brute & approx).size.toDouble / brute.size
+      assert(recall >= 0.8, s"LSH recall $recall < 0.8 at qid=$qid (brute=$brute approx=$approx)")
+    }
   }
 
-  test("ivf top-k achieves recall >= 0.5 vs brute force and is deterministic") {
-    val brute = Similarity.topkSearch(embeddings).collect().map(_.getLong(0)).toSet
-    val r1 = Similarity.ivfTopK(embeddings).collect().map(_.getLong(0)).toSeq
-    val r2 = Similarity.ivfTopK(embeddings).collect().map(_.getLong(0)).toSeq
-    assert(r1 === r2, "IVF not deterministic across runs")
-    val recall = (brute & r1.toSet).size.toDouble / brute.size
-    assert(recall >= 0.5, s"IVF recall $recall < 0.5 (brute=$brute approx=$r1)")
+  test("ivf top-k achieves recall >= 0.8 vs brute force and is deterministic") {
+    for (qid <- Seq(0L, 7L, 42L)) {
+      val brute = Similarity.topkSearch(embeddings, queryId = qid)
+        .collect().map(_.getLong(0)).toSet
+      val r1 = Similarity.ivfTopK(embeddings, queryId = qid).collect().map(_.getLong(0)).toSeq
+      if (qid == 0L) {
+        val r2 = Similarity.ivfTopK(embeddings, queryId = qid).collect().map(_.getLong(0)).toSeq
+        assert(r1 === r2, "IVF not deterministic across runs")
+      }
+      val recall = (brute & r1.toSet).size.toDouble / brute.size
+      assert(recall >= 0.8, s"IVF recall $recall < 0.8 at qid=$qid (brute=$brute approx=$r1)")
+    }
   }
 
   test("fingerprint is order-sensitive and deterministic") {
