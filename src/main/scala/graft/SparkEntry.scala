@@ -240,6 +240,10 @@ object SparkEntry {
     "scan_csv_malformed" -> ((s, d) => Scans.scanCsvMalformed(s, Tables.nation(s, d), d)),
     "dq_profile" -> ((s, d) => DataQuality.profile(Tables.lineitem(s, d))),
     "dedup_cluster_banded" -> ((s, d) => Dedup.nearDupClustersBanded(Corpus.docCorpus(Tables.documents(s, d)))),
+    "dedup_cluster_stars" -> ((s, d) => {
+      val corpus = Corpus.docCorpus(Tables.documents(s, d))
+      Dedup.clustersFromPairsLargeSmallStar(corpus, Dedup.minhashBandedCandidates(corpus))
+    }),
     "join_incremental" -> ((s, d) => {
       val c = Tables.customer(s, d)
       val old = Snapshots.oldSnapshot(c)
@@ -1189,6 +1193,19 @@ object SparkEntry {
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "dedup_minhash_oracle" -> minhashOracleSql,
     "dedup_cluster_banded" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM cand
+         |          UNION ALL SELECT b_id, a_id FROM cand),
+         |nodes AS (SELECT DISTINCT doc_id FROM corpus),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM nodes
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // connected components are algorithm-independent: large/small-star must
+    // produce the exact same labels as min-label propagation, so it shares
+    // the transitive-closure oracle of dedup_cluster_banded verbatim
+    "dedup_cluster_stars" ->
       s"""WITH RECURSIVE $minhashCtes,
          |edges AS (SELECT a_id AS src, b_id AS dst FROM cand
          |          UNION ALL SELECT b_id, a_id FROM cand),
