@@ -148,6 +148,7 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "text_token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "text_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(Tables.documents(s, d))),
     "text_scrub" -> ((s, d) => TextAnalysis.scrub(
       // inject deterministic PII-shaped tails so the masks are exercised
@@ -839,6 +840,18 @@ object SparkEntry {
         |   + least(CAST(len(tok) AS DOUBLE)/100.0, 1.0)*0.3
         |   + (1.0 - CAST(len(list_filter(tok, x -> x IN ('the','a','of','is'))) AS DOUBLE)/len(tok))*0.2)*1e4 + 0.5)/1e4 AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |bg AS (SELECT doc_id,
+        |  unnest(list_transform(range(len(t)-1), i -> t[i+1] || ' ' || t[i+2])) AS ng FROM tok),
+        |c AS (SELECT doc_id, ng, count(*) AS c FROM bg GROUP BY doc_id, ng),
+        |d AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ngrams,
+        |  count(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_c
+        | FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_ngrams, n_distinct,
+        | floor((1.0 - CAST(n_distinct AS DOUBLE)/n_ngrams)*1e6 + 0.5)/1e6 AS dup_frac,
+        | floor(CAST(top_c AS DOUBLE)/n_ngrams*1e6 + 0.5)/1e6 AS top_frac
+        |FROM d ORDER BY doc_id""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
         | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,

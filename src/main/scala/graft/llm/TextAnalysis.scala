@@ -243,6 +243,37 @@ object TextAnalysis {
       regexp_replace(noUtm, "^[^/]*//[^/]*", ""))
   }
 
+  /** Gopher-style repetition signal: per document, the duplicate-bigram
+    * fraction (1 − distinct/total) and the top-bigram fraction (most
+    * frequent bigram's share) — the two "repetitious document" filters
+    * real pretraining pipelines cut on (boilerplate and keyword-stuffed
+    * pages score high; prose scores near 0).
+    *
+    * Scale shape: explode to (doc_id, bigram), count with map-side
+    * partial aggregation, fold to one row per doc — two hash shuffles
+    * keyed by (doc_id[, bigram]), no skew (doc_id rides every key).
+    * Integer counts; ratios via rfloor → bit-stable cross-engine.
+    * Documents with <2 tokens have no bigrams and are excluded (nothing
+    * to measure), matching the oracle. */
+  def repetition(documents: DataFrame): DataFrame = {
+    val tok = TextOps.tokens(col("text"))
+    val bigrams = documents.select(col("doc_id"),
+      explode(TextOps.bigrams(tok)).as("ng")) // non-distinct: frequency-bearing
+    bigrams
+      .groupBy(col("doc_id"), col("ng")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_ngrams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_distinct"),
+        graft.ops.Det.rfloor(
+          lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"), 6)
+          .as("dup_frac"),
+        graft.ops.Det.rfloor(col("top_c").cast("double") / col("n_ngrams"), 6)
+          .as("top_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Rolling polynomial fingerprint over the document's bytes:
     * fp = fold(acc·31 + byte) mod 1_000_000_007. Deterministic,
     * order-sensitive (a true fingerprint, unlike a bag-of-words hash);

@@ -40,28 +40,62 @@ trait SyncTarget {
   def truncateLoad(snapshot: DataFrame): Unit
 }
 
-/** Parquet snapshot source — the harness stand-in for the Sheets reader. */
-final case class ParquetSource(path: String) extends SyncSource {
-  def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
-}
-
-/** Parquet snapshot target: merge = stage-then-promote. The merge job
-  * completes into `path + ".next"` BEFORE the target is touched, so the
-  * non-atomic delete+rename window holds only directory moves, never a
-  * partially-written table. */
-final case class ParquetTarget(path: String) extends SyncTarget {
-  def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
-
-  def merge(spark: SparkSession, merged: DataFrame, changes: DataFrame, key: String): Unit = {
+private object Promote {
+  /** Stage-then-promote publish shared by snapshot targets: the write job
+    * completes into `path + ".next"` BEFORE the target is touched, so the
+    * non-atomic delete+rename window holds only directory moves, never a
+    * partially-written table. */
+  def over(spark: SparkSession, path: String)(write: String => Unit): Unit = {
     val staging = path + ".next"
-    Sinks.truncateLoad(merged, staging)
+    write(staging)
     val tgt = new org.apache.hadoop.fs.Path(path)
     val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(tgt, true)
     require(fs.rename(new org.apache.hadoop.fs.Path(staging), tgt),
       s"failed to promote $staging over $path")
   }
+}
+
+/** Parquet snapshot source — the harness stand-in for the Sheets reader. */
+final case class ParquetSource(path: String) extends SyncSource {
+  def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
+}
+
+/** Parquet snapshot target: merge = stage-then-promote. */
+final case class ParquetTarget(path: String) extends SyncTarget {
+  def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
+
+  def merge(spark: SparkSession, merged: DataFrame, changes: DataFrame, key: String): Unit =
+    Promote.over(spark, path)(Sinks.truncateLoad(merged, _))
 
   def truncateLoad(snapshot: DataFrame): Unit =
     Sinks.truncateLoad(snapshot, path)
+}
+
+/** All-string CSV source — the FAITHFUL analog of the reference's Sheets
+  * reader: row 1 is the header/schema and every cell is a string
+  * (syncquill.py:61-65; README.md "auto detect schema" happens at the
+  * TARGET, not the reader). No inferSchema on purpose: the reference's
+  * comparison domain is strings, and type canonicalization is an engine
+  * operator (`project_cast_string`), not a reader side effect. */
+final case class CsvSource(path: String) extends SyncSource {
+  def read(spark: SparkSession): DataFrame =
+    spark.read.option("header", "true").csv(path)
+}
+
+/** CSV snapshot target (all-string, header row), publishing via the same
+  * stage-then-promote as parquet. Demonstrates that source and target
+  * kinds compose independently through the seam. */
+final case class CsvTarget(path: String) extends SyncTarget {
+  def read(spark: SparkSession): DataFrame =
+    spark.read.option("header", "true").csv(path)
+
+  private def writeCsv(df: DataFrame, out: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(out)
+
+  def merge(spark: SparkSession, merged: DataFrame, changes: DataFrame, key: String): Unit =
+    Promote.over(spark, path)(writeCsv(merged, _))
+
+  def truncateLoad(snapshot: DataFrame): Unit =
+    writeCsv(snapshot, path)
 }

@@ -49,6 +49,34 @@ class PipelineSpec extends SparkSpec {
     assert(r === SyncPipeline.SyncResult(0, 0, 0, 0))
   }
 
+  test("sync composes over the connector seam: CSV source, CSV and parquet targets") {
+    import graft.sync.{CsvSource, CsvTarget, ParquetTarget}
+    val dir = tmpDir()
+    val c = Tables.customer(spark, sfDir)
+    // all-string snapshots: the Sheets data model the CSV connector mirrors
+    def allString(df: org.apache.spark.sql.DataFrame) =
+      df.select(df.columns.map(cn => col(cn).cast("string").as(cn)).toIndexedSeq: _*)
+    allString(Snapshots.oldSnapshot(c)).write
+      .option("header", "true").csv(s"$dir/target")
+    allString(Snapshots.newSnapshot(c)).write
+      .option("header", "true").csv(s"$dir/source")
+
+    val r = SyncPipeline.sync(spark, CsvSource(s"$dir/source"), CsvTarget(s"$dir/target"),
+      "slno", preview = false)
+    assert(r.changes > 0 && r.inserts > 0 && r.deletes > 0 && r.updates > 0)
+    val merged = spark.read.option("header", "true").csv(s"$dir/target")
+    val want = spark.read.option("header", "true").csv(s"$dir/source")
+    assert(merged.exceptAll(want).count() === 0 && want.exceptAll(merged).count() === 0)
+
+    // heterogeneous composition: the SAME CSV source merged into parquet
+    allString(Snapshots.oldSnapshot(c)).write.mode("overwrite").parquet(s"$dir/ptarget")
+    val r2 = SyncPipeline.sync(spark, CsvSource(s"$dir/source"), ParquetTarget(s"$dir/ptarget"),
+      "slno", preview = false)
+    assert(r2.changes === r.changes)
+    val pm = spark.read.parquet(s"$dir/ptarget")
+    assert(pm.exceptAll(want).count() === 0 && want.exceptAll(pm).count() === 0)
+  }
+
   test("upsert verb truncate-loads; validation rejects empty cells") {
     val dir = tmpDir()
     val neu = Snapshots.newSnapshot(Tables.customer(spark, sfDir))
