@@ -245,6 +245,15 @@ object SparkEntry {
       val corpus = Corpus.docCorpus(Tables.documents(s, d))
       Dedup.clustersFromPairsLargeSmallStar(corpus, Dedup.minhashBandedCandidates(corpus))
     }),
+    // index = original docs (<100000), delta = the injected copies — the
+    // incoming batch is exactly the documents that SHOULD be rejected,
+    // except near-dups the LSH bands miss
+    "dedup_delta_index" -> ((s, d) => {
+      val corpus = Corpus.docCorpus(Tables.documents(s, d))
+      Dedup.incrementalDedup(
+        corpus.filter(col("doc_id") < 100000),
+        corpus.filter(col("doc_id") >= 100000))
+    }),
     "join_incremental" -> ((s, d) => {
       val c = Tables.customer(s, d)
       val old = Snapshots.oldSnapshot(c)
@@ -1215,6 +1224,18 @@ object SparkEntry {
          |  UNION
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          |SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // delta-vs-index incremental dedup: the shared hash-family CTEs
+    // compute bands for ALL corpus docs; index×delta candidates are the
+    // cand rows crossing the 100000 id split (index ids < 100000 ≤ delta
+    // ids, so a_id<b_id already orients them)
+    "dedup_delta_index" ->
+      s"""WITH $minhashCtes,
+         |dropped AS (SELECT DISTINCT b_id AS doc_id FROM cand
+         |            WHERE a_id < 100000 AND b_id >= 100000),
+         |delta AS (SELECT doc_id, n_chars FROM corpus WHERE doc_id >= 100000)
+         |SELECT d.doc_id, d.n_chars FROM delta d
+         |LEFT JOIN dropped x ON d.doc_id = x.doc_id
+         |WHERE x.doc_id IS NULL ORDER BY d.doc_id""".stripMargin,
     // connected components are algorithm-independent: large/small-star must
     // produce the exact same labels as min-label propagation, so it shares
     // the transitive-closure oracle of dedup_cluster_banded verbatim

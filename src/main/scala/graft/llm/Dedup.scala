@@ -169,6 +169,19 @@ object Dedup {
   /** [[minhashBandedOracle]] without the presentation sort (clustering-loop
     * form; see [[ngramJaccardPairs]]). */
   private[graft] def minhashBandedCandidates(corpus: DataFrame, rowsPerBand: Int = MinhashRowsPerBand): DataFrame = {
+    val banded = minhashBandTable(corpus, rowsPerBand)
+    val l = banded.select(col("doc_id").as("a_id"), col("band"), col("bs"))
+    val r = banded.select(col("doc_id").as("b_id"), col("band"), col("bs"))
+    l.join(r, Seq("band", "bs"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** (doc_id, band, bs) LSH band table over the affine hash family — the
+    * unit both the batch candidate join and the incremental index consume.
+    * At scale this IS the persisted dedup index: written bucketed by
+    * (band, bs) so an incremental batch joins against it exchange-free. */
+  private[graft] def minhashBandTable(corpus: DataFrame, rowsPerBand: Int = MinhashRowsPerBand): DataFrame = {
     require(MinhashParams.size % rowsPerBand == 0,
       s"rowsPerBand=$rowsPerBand must divide the signature size ${MinhashParams.size} — " +
         "a non-divisor would silently drop signature rows from the last band")
@@ -189,14 +202,36 @@ object Dedup {
         }
       struct(lit(bnd).as("band"), bs.as("bs"))
     }
-    val banded = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
       .select(col("doc_id"), col("x.band").as("band"), col("x.bs").as("bs"))
-    val l = banded.select(col("doc_id").as("a_id"), col("band"), col("bs"))
-    val r = banded.select(col("doc_id").as("b_id"), col("band"), col("bs"))
-    l.join(r, Seq("band", "bs"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+  }
+
+  /** INCREMENTAL near-dup dedup: a batch of NEW documents against an
+    * existing corpus index — the production shape for a growing corpus
+    * (daily crawl deltas against the accumulated collection). A delta
+    * document is rejected iff it shares any LSH band bucket with an
+    * index document; survivors are the genuinely-new delta docs.
+    *
+    * Scale shape: the index band table is precomputed once per corpus
+    * version and persisted bucketed by (band, bs) (see
+    * [[minhashBandTable]]); each incremental batch computes bands for
+    * the DELTA ONLY (|delta| ≪ |corpus|) and probes with one equi-join —
+    * never delta×delta, never index×index, no O(corpus) work per batch.
+    * Delta-internal duplicates are deliberately out of scope here (run
+    * the batch ops on the delta first); the contract stays one relational
+    * pass. Oracle: same generated hash-family SQL, candidates filtered
+    * to index×delta pairs. */
+  def incrementalDedup(index: DataFrame, delta: DataFrame): DataFrame = {
+    val idxBands = minhashBandTable(index).select(col("band"), col("bs"))
+    val deltaBands = minhashBandTable(delta)
+    // left_semi: existence probe, no row multiplication however many
+    // index docs share the bucket
+    val dropped = deltaBands.join(idxBands, Seq("band", "bs"), "left_semi")
+      .select(col("doc_id")).distinct()
+    delta.select(col("doc_id"), col("n_chars"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
   }
 
   /** 48-bit SimHash fingerprint per document: bit b of the fingerprint is

@@ -282,6 +282,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(viaStars === viaMinLabel)
   }
 
+  test("incremental dedup: exact copies always rejected, near-dup rejection >= 0.8") {
+    val corpus = Corpus.docCorpus(documents)
+    val survivors = Dedup.incrementalDedup(
+        corpus.filter(col("doc_id") < 100000),
+        corpus.filter(col("doc_id") >= 100000))
+      .collect().map(_.getLong(0)).toSet
+    // exact copies (+100000) share every band with their original
+    assert(survivors.forall(_ >= 200000L),
+      s"exact copies survived the index probe: ${survivors.filter(_ < 200000L)}")
+    val near = knownPairs(near = true).map(_._2)
+    val rejected = 1.0 - survivors.size.toDouble / near.size
+    assert(rejected >= 0.8, s"near-dup rejection $rejected < 0.8")
+  }
+
   test("dedup_exact removes exactly the injected duplicates") {
     val corpus = Corpus.docCorpus(documents)
     val deduped = Dedup.exact(corpus)
