@@ -102,6 +102,61 @@ object Analytics {
       .orderBy("ship_month")
   }
 
+  /** Q7 shape — volume shipping between two nations: revenue by
+    * (supplier nation, customer nation, ship year) for the two nation
+    * pairs, either direction. The classic two-dimension-table-aliases
+    * query: nation joins twice under different roles (supplier side via
+    * lineitem⋈supplier, customer side via orders⋈customer); both are
+    * broadcast dims, the fact-fact lineitem⋈orders join is the one big
+    * shuffle, and the pair predicate is a pushed-down disjunction over
+    * the two broadcast outputs. */
+  def q7VolumeShipping(lineitem: DataFrame, supplier: DataFrame, orders: DataFrame,
+                       customer: DataFrame, nation: DataFrame,
+                       nationA: String = "NATION_3", nationB: String = "NATION_7",
+                       from: String = "1996-01-01", until: String = "1998-01-01"): DataFrame = {
+    val suppNation = nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val custNation = nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNation), col("c_nationkey") === col("c_nk"))
+      .filter(
+        (col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+          (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(Det.price(col("l_extendedprice")) * Det.oneMinus(col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Q19 shape — discounted revenue under an OR-of-ANDs predicate
+    * (brand × size-range × quantity-range disjuncts). The point is the
+    * PUSHDOWN: the part-only conjuncts (brand, size) reach the part
+    * scan, the lineitem-only quantity bounds reach the lineitem scan
+    * (derived from the disjunction's hull), and the residual OR
+    * evaluates post-join — Catalyst's CNF extraction at work. One
+    * broadcast join (filtered part is tiny), one exact-decimal sum. */
+  def q19Discount(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 50) &&
+          col("l_quantity").between(20, 30))
+    lineitem.join(part, col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(
+        sum(Det.price(col("l_extendedprice")) * Det.oneMinus(col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Q5 shape — local supplier volume: revenue by nation for one region
     * and one order year, counting only lineitems where the supplier and
     * the customer share a nation. region→nation→supplier chain broadcasts
