@@ -207,6 +207,8 @@ object SparkEntry {
         Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
     "analytics_q19_disjunct" -> ((s, d) =>
       Analytics.q19Discount(Tables.lineitem(s, d), Tables.part(s, d))),
+    "join_runtime_filter" -> ((s, d) =>
+      ops.ScaleJoins.runtimeFilteredJoin(Tables.orders(s, d), Tables.lineitem(s, d))),
     "scan_schema_merge" -> ((s, d) => Scans.scanSchemaMerge(s, Tables.nation(s, d), d)),
     "maintenance_compact" -> ((s, d) => Maintenance.compactedEvents(s, Tables.events(s, d))),
     // --- round 3 additions ---
@@ -1079,6 +1081,12 @@ object SparkEntry {
         | AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
         |   OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "join_runtime_filter" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "analytics_q19_disjunct" ->
       """SELECT
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,

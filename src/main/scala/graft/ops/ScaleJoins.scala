@@ -85,6 +85,27 @@ object ScaleJoins {
       .orderBy("o_orderpriority")
   }
 
+  /** Runtime bloom-filter pruned join: a selective dim filter reduced to
+    * a bloom filter that prunes the FACT side before its shuffle — at
+    * 100 TB the difference between shuffling the whole fact table and
+    * shuffling the ~1/k of it that can possibly match. Spark 4 injects
+    * this automatically (InjectRuntimeFilter) when the thresholds are
+    * met; the fixture scan is far below the 10 GB application-side
+    * default, so the production behavior is asserted in PlanAuditSpec
+    * under a session with the thresholds lowered — THIS query stays
+    * declarative (merge hint pins the shuffle join the filter exists to
+    * protect; results are threshold-independent and oracle-checked). */
+  def runtimeFilteredJoin(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val dim = orders
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 400000.0)
+      .hint("merge")
+    dim.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        Det.dsum(col("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Skew-salted aggregation: when one group key dominates (heavy-hitter
     * skew), a single reducer drowns. Two-phase: (1) aggregate on
     * (key, salt = crc32(unique_col) % S) — spreads the hot key over S

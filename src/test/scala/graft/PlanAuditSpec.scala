@@ -151,4 +151,28 @@ class PlanAuditSpec extends SparkSpec {
     // exploded shingle table
     assert(p.contains("partial_min"), p)
   }
+
+  test("join_runtime_filter: selective dim injects a bloom filter into the fact scan") {
+    // the production thresholds (10 GB application-side scan) dwarf the
+    // fixture; a cloned session with thresholds floored shows the plan
+    // Spark builds at real scale: bloom_filter_agg on the filtered dim,
+    // might_contain guarding the fact side BEFORE its shuffle
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    // the rule only fires for probably-SHUFFLE joins; at fixture scale the
+    // filtered dim broadcasts by size, which at 100 TB it would not — turn
+    // auto-broadcast off so the session sees the real-scale join shape
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val df = ops.ScaleJoins.runtimeFilteredJoin(
+      Tables.orders(s2, sfDir), Tables.lineitem(s2, sfDir))
+    df.collect()
+    val p = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case pl => pl.toString
+    }
+    assert(p.toLowerCase.contains("might_contain"), p)
+    assert(p.toLowerCase.contains("bloom_filter_agg"), p)
+  }
 }
