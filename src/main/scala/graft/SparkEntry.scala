@@ -209,6 +209,8 @@ object SparkEntry {
       Analytics.q19Discount(Tables.lineitem(s, d), Tables.part(s, d))),
     "join_runtime_filter" -> ((s, d) =>
       ops.ScaleJoins.runtimeFilteredJoin(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "maintenance_zorder" -> ((s, d) =>
+      ops.Maintenance.zorderedLineitem(Tables.lineitem(s, d))),
     "scan_schema_merge" -> ((s, d) => Scans.scanSchemaMerge(s, Tables.nation(s, d), d)),
     "maintenance_compact" -> ((s, d) => Maintenance.compactedEvents(s, Tables.events(s, d))),
     // --- round 3 additions ---
@@ -1081,6 +1083,21 @@ object SparkEntry {
         | AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
         |   OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "maintenance_zorder" -> {
+      // the normalization + Morton interleave GENERATED from the same
+      // bit width the Spark expression uses, so the two sides cannot drift
+      val z = (0 until 8).map(i =>
+        s"(((np >> $i) & 1) << ${2 * i}) + (((ns >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH dom AS (SELECT min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+         |  min(l_suppkey) AS min_s, max(l_suppkey) AS max_s FROM lineitem),
+         |n AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  CAST(floor((l_partkey - min_p) * 256.0 / (max_p - min_p + 1)) AS BIGINT) AS np,
+         |  CAST(floor((l_suppkey - min_s) * 256.0 / (max_s - min_s + 1)) AS BIGINT) AS ns
+         | FROM lineitem CROSS JOIN dom)
+         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, ($z) AS z
+         |FROM n ORDER BY z, l_orderkey, l_linenumber""".stripMargin
+    },
     "join_runtime_filter" ->
       """SELECT l_returnflag, count(*) AS n_lines,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

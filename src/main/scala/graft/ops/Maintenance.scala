@@ -59,4 +59,57 @@ object Maintenance {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
   }
+
+  /** Z-order (Morton) key: bit-interleave of two `bits`-wide
+    * non-negative integer columns — the space-filling curve behind
+    * Delta/Iceberg `OPTIMIZE ZORDER BY (a, b)`. Inputs must already be
+    * NORMALIZED to [0, 2^bits) (see [[zorderedLineitem]]): interleaving
+    * raw values whose domains differ in width puts one column's
+    * significance entirely below the other's and the curve degenerates
+    * to a single-key sort — the reason real systems min/max-normalize
+    * each column first. Pure bitwise expression column (codegen'd). */
+  def zorderKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+                bits: Int = 8): org.apache.spark.sql.Column = {
+    require(bits * 2 <= 63, s"2*$bits bits do not fit a signed long")
+    (0 until bits).map { i =>
+      (shiftleft(shiftright(a, i).bitwiseAND(1), 2 * i)) +
+        (shiftleft(shiftright(b, i).bitwiseAND(1), 2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** lineitem with the normalized Morton key over (l_partkey,
+    * l_suppkey): each column min/max-normalized to 8 bits via a
+    * broadcast 1-row domain aggregate (no driver action), then
+    * interleaved. The double division in the normalization is exact for
+    * these magnitudes (products ≤ 2^53) and evaluates identically in
+    * both engines. */
+  private def withZ(lineitem: DataFrame): DataFrame = {
+    val dom = lineitem.agg(
+      min(col("l_partkey")).as("min_p"), max(col("l_partkey")).as("max_p"),
+      min(col("l_suppkey")).as("min_s"), max(col("l_suppkey")).as("max_s"))
+    val np = floor((col("l_partkey") - col("min_p")) * 256.0 /
+      (col("max_p") - col("min_p") + 1)).cast("long")
+    val ns = floor((col("l_suppkey") - col("min_s")) * 256.0 /
+      (col("max_s") - col("min_s") + 1)).cast("long")
+    lineitem.crossJoin(broadcast(dom))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        zorderKey(np, ns, 8).as("z"))
+  }
+
+  /** The physical z-order layout rewrite (what the maintenance job
+    * writes): range-partition + sort by the Morton key. The pruning
+    * benefit — a box predicate landing in a fraction of the partitions
+    * instead of all of them — is asserted in MaintenanceSpec. */
+  def zorderLayout(lineitem: DataFrame, parts: Int = 32): DataFrame =
+    withZ(lineitem)
+      .repartitionByRange(parts, col("z"))
+      .sortWithinPartitions("z")
+
+  /** The z-order pass as a deterministic query for the oracle: every
+    * lineitem row with its normalized Morton key in curve order — checks
+    * the normalization + interleave arithmetic and that the rewrite is
+    * content-preserving. */
+  def zorderedLineitem(lineitem: DataFrame): DataFrame =
+    withZ(lineitem).orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
 }

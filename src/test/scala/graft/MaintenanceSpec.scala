@@ -19,6 +19,30 @@ class MaintenanceSpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
   }
 
+  test("z-order layout: boxes on the secondary dim prune partitions; single-key layout cannot") {
+    val li = Tables.lineitem(spark, sfDir)
+    // a box on the SECONDARY dimension only — the case a partkey-sorted
+    // layout cannot prune at all (every partition spans all suppkeys),
+    // while the z-curve confines it to the partitions whose range admits
+    // the fixed high suppkey bits
+    val box = col("l_suppkey").between(4, 5)
+    val parts = 64
+    // localCheckpoint pins the physical partitioning so spark_partition_id
+    // reflects the written layout (RangePartitioner re-samples per job)
+    val zLaid = ops.Maintenance.zorderLayout(li, parts).localCheckpoint()
+    val zParts = zLaid.filter(box).select(spark_partition_id()).distinct().count()
+    val linear = li.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .repartitionByRange(parts, col("l_partkey"))
+      .sortWithinPartitions("l_partkey").localCheckpoint()
+    val lParts = linear.filter(box).select(spark_partition_id()).distinct().count()
+    assert(zParts * 2 <= lParts,
+      s"z-order box hit $zParts of $parts partitions, single-key layout $lParts — no locality win")
+    // and the rewrite is content-preserving on the selected columns
+    val zAll = zLaid.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val src = li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    assert(zAll.exceptAll(src).count() === 0 && src.exceptAll(zAll).count() === 0)
+  }
+
   test("schema-merge scan nulls the column missing from generation 1") {
     val merged = ops.Scans.scanSchemaMerge(spark, Tables.nation(spark, sfDir), sfDir)
     assert(merged.columns.toSet === Set("n_nationkey", "n_name", "n_regionkey"))
