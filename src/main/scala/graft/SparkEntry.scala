@@ -217,6 +217,7 @@ object SparkEntry {
     "agg_mode" -> ((s, d) => Aggregates.modePerGroup(Tables.orders(s, d))),
     "agg_histogram" -> ((s, d) => Aggregates.histogram(Tables.orders(s, d))),
     "dq_outlier_zscore" -> ((s, d) => DataQuality.outlierZscore(Tables.lineitem(s, d))),
+    "dq_outlier_mad" -> ((s, d) => DataQuality.outlierMad(Tables.customer(s, d))),
     "dedup_passage" -> ((s, d) => Dedup.passageDedup(Corpus.docCorpus(Tables.documents(s, d)))),
     "dedup_url" -> ((s, d) => Dedup.urlDedup(Tables.documents(s, d))),
     "sim_knn_join" -> ((s, d) => Similarity.knnJoin(Tables.embeddings(s, d))),
@@ -1147,6 +1148,21 @@ object SparkEntry {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
         |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "dq_outlier_mad" ->
+      """WITH med AS (SELECT c_mktsegment,
+        |  floor(quantile_cont(c_acctbal, 0.5)*1e2 + 0.5)/1e2 AS med
+        | FROM customer GROUP BY 1),
+        |dev AS (SELECT c.c_mktsegment, c_acctbal, med,
+        |  abs(c_acctbal - med) AS adev
+        | FROM customer c JOIN med USING (c_mktsegment)),
+        |mad AS (SELECT c_mktsegment,
+        |  floor(quantile_cont(adev, 0.5)*1e2 + 0.5)/1e2 AS mad
+        | FROM dev GROUP BY 1)
+        |SELECT d.c_mktsegment, min(d.med) AS med, min(m.mad) AS mad,
+        | count(*) AS n,
+        | CAST(count_if(d.adev > 3.0*m.mad) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad m USING (c_mktsegment)
+        |GROUP BY d.c_mktsegment ORDER BY d.c_mktsegment""".stripMargin,
     "dq_outlier_zscore" ->
       """WITH st AS (
         | SELECT l_returnflag, count(*) AS n,

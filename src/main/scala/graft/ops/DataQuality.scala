@@ -44,6 +44,32 @@ object DataQuality {
       .orderBy("constraint")
   }
 
+  /** Robust (MAD) outlier summary: per segment, the median, the median
+    * absolute deviation, and how many balances sit beyond k·MAD — the
+    * robust-statistics twin of [[outlierZscore]] (a handful of extreme
+    * values corrupt mean/stddev and hide themselves; the median/MAD pair
+    * is immune to exactly that). Two broadcast-back passes, the same
+    * never-reshuffle-the-fact shape as the z-score scan. Cross-engine
+    * determinism: each percentile result is rfloor'd to cents BEFORE it
+    * feeds arithmetic, so every downstream double op runs on bit-identical
+    * inputs in both engines. At 100 TB the exact medians become
+    * approx-percentile sketches (agg_approx_quantiles is the gated
+    * bounded-state path). */
+  def outlierMad(customer: DataFrame, k: Double = 3.0): DataFrame = {
+    val med = customer.groupBy(col("c_mktsegment"))
+      .agg(Det.rfloor(expr("percentile(c_acctbal, 0.5)"), 2).as("med"))
+    val dev = customer.join(broadcast(med), "c_mktsegment")
+      .withColumn("adev", abs(col("c_acctbal") - col("med")))
+    val mad = dev.groupBy(col("c_mktsegment"))
+      .agg(Det.rfloor(expr("percentile(adev, 0.5)"), 2).as("mad"))
+    dev.join(broadcast(mad), "c_mktsegment")
+      .groupBy(col("c_mktsegment"))
+      .agg(min(col("med")).as("med"), min(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        count_if(col("adev") > lit(k) * col("mad")).cast("long").as("n_outliers"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Per-group z-score outlier report: the most extreme values of
     * l_extendedprice relative to their l_returnflag group's mean/stddev.
     * The two-pass shape is the canonical scalable anomaly scan: pass 1
