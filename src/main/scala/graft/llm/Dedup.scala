@@ -292,7 +292,7 @@ object Dedup {
 
   /** Min-label propagation over an (a_id, b_id) pair list (shared by the
     * exact-Jaccard and banded-candidate cluster operators). */
-  private def clustersFromPairs(corpus: DataFrame, pairSrc: DataFrame,
+  private[graft] def clustersFromPairs(corpus: DataFrame, pairSrc: DataFrame,
                                 iters: Int): DataFrame = {
     // localCheckpoint (eager), not persist: each round self-joins the
     // previous labels, and cache lookup misses on the deduplicated

@@ -272,6 +272,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(labels.forall(_._2 == 0L), "chain must collapse to root 0")
   }
 
+  test("property: large/small-star == min-label connected components on random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // random edge sets over 40 nodes: mixes isolated nodes, stars, chains
+    // and dense blobs — both algorithms must produce IDENTICAL labelings
+    val genEdges: Gen[List[(Long, Long)]] = Gen.listOf(
+      for {
+        a <- Gen.chooseNum(0L, 39L)
+        b <- Gen.chooseNum(0L, 39L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(10)
+      .withInitialSeed(org.scalacheck.rng.Seed(7L))
+    val nodes = (0L until 40L).toDF("doc_id")
+    val res = SCTest.check(params, Prop.forAll(genEdges) { edges =>
+      val pairs = edges.distinct.toDF("a_id", "b_id")
+      val viaStars = Dedup.clustersFromPairsLargeSmallStar(nodes, pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaMinLabel = Dedup.clustersFromPairs(nodes, pairs, iters = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      viaStars == viaMinLabel
+    })
+    assert(res.passed, s"component-equivalence property failed: $res")
+  }
+
   test("large/small-star matches min-label propagation on banded candidates") {
     val corpus = Corpus.docCorpus(documents)
     val viaMinLabel = Dedup.nearDupClustersBanded(corpus).collect()
