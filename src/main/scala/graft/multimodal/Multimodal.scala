@@ -16,16 +16,17 @@ case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Int,
 /** Multimodal column handling: binary payloads with typed metadata and a
   * partition-batched decode/feature-extract stage.
   *
-  * The image/video decode branches are STUBBED (this container has no
-  * codecs): they compute a deterministic fake feature vector from the
-  * bytes. The AUDIO branch is REAL: payloads are canonical RIFF/WAVE
-  * 16-bit PCM (a pure container format, no codec needed), and
-  * [[decodeWav]] genuinely walks the chunk structure, decodes the
-  * samples, and emits per-window RMS energy. Everything around the
-  * branches — the binary column schema, the typed Dataset boundary, the
-  * fixed-size batching inside `mapPartitions` (the shape a JNI/FFI or
-  * model-server call needs to amortize per-batch setup) — is the real
-  * production plumbing.
+  * The video decode branch is STUBBED (this container has no codecs):
+  * it computes a deterministic fake feature vector from the bytes. The
+  * AUDIO and IMAGE branches are REAL decodes of codec-free container
+  * formats: audio payloads are canonical RIFF/WAVE 16-bit PCM parsed by
+  * [[decodeWav]] (chunk walk → sample decode → per-window RMS energy),
+  * image payloads are binary P6 PPM parsed by [[decodePpm]] (header
+  * parse → RGB pixel decode → per-block mean intensity). Everything
+  * around the branches — the binary column schema, the typed Dataset
+  * boundary, the fixed-size batching inside `mapPartitions` (the shape
+  * a JNI/FFI or model-server call needs to amortize per-batch setup) —
+  * is the real production plumbing.
   */
 object Multimodal {
 
@@ -58,7 +59,11 @@ object Multimodal {
       .select(col("doc_id"), col("kind"),
         col("text").cast("binary").as("content"))
       .as[MediaItem]
-      .map(m => if (m.kind == "audio") m.copy(content = synthWav(m.content)) else m)
+      .map(m => m.kind match {
+        case "audio" => m.copy(content = synthWav(m.content))
+        case "image" => m.copy(content = synthPpm(m.content))
+        case _ => m
+      })
   }
 
   /** Partition-batched decode + feature extraction. Stays fully
@@ -77,7 +82,8 @@ object Multimodal {
 
   /** Per-kind decode dispatch — the shape of a multimodal feature pass
     * (each branch is where a codec/FFI call goes):
-    *  - image → STUB "resize": 8 coarse intensity cells over byte blocks,
+    *  - image → REAL PPM parse ([[decodePpm]]): mean intensity per 8
+    *    pixel blocks of the decoded RGB raster,
     *  - audio → REAL WAV parse ([[decodeWav]]): RMS energy per 8 windows
     *    of the decoded 16-bit PCM samples,
     *  - video → STUB "keyframe-sample": rolling hash per 8 segments. */
@@ -93,7 +99,7 @@ object Multimodal {
       (acc % 1000003L).toDouble / 1000003.0
     }
     val feat = m.kind match {
-      case "image" => Array.tabulate(8)(blockFold(_, (a, b) => a + b))          // cell mean-ish
+      case "image" => decodePpm(bytes)                                           // REAL decode
       case "audio" => decodeWav(bytes)                                           // REAL decode
       case _       => Array.tabulate(8)(blockFold(_, (a, b) => a * 31 + b))       // keyframe hash
     }
@@ -125,6 +131,72 @@ object Multimodal {
       i += 1
     }
     bb.array()
+  }
+
+  /** Synthesize a binary P6 PPM (16-pixel-wide grayscale-as-RGB raster):
+    * pixel i's channels are all srcByte_i (wrapping). Deterministic —
+    * the harness stand-in for real encoded images. */
+  private[graft] def synthPpm(src: Array[Byte], width: Int = 16): Array[Byte] = {
+    val n = math.max(src.length, 1)
+    val height = (n + width - 1) / width
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + width * height * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < width * height) {
+      val b: Byte = if (src.isEmpty) 0 else src(i % src.length)
+      val off = header.length + i * 3
+      out(off) = b; out(off + 1) = b; out(off + 2) = b
+      i += 1
+    }
+    out
+  }
+
+  /** REAL image decode: parse the P6 PPM header (magic, whitespace- and
+    * comment-tolerant width/height/maxval per spec), decode the RGB
+    * raster, and return mean intensity (average channel / maxval) over 8
+    * equal pixel blocks — an actual end-to-end decode with zero codec
+    * dependency (binary PPM is a pure container format). */
+  private[graft] def decodePpm(bytes: Array[Byte]): Array[Double] = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+      "not a binary P6 PPM")
+    var pos = 2
+    def nextInt(): Int = {
+      // skip whitespace and #-comments
+      while (pos < bytes.length &&
+        (bytes(pos).toChar.isWhitespace || bytes(pos) == '#')) {
+        if (bytes(pos) == '#') while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        else pos += 1
+      }
+      var v = 0
+      val start = pos
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1
+      }
+      require(pos > start, s"malformed PPM header at byte $pos")
+      v
+    }
+    val width = nextInt()
+    val height = nextInt()
+    val maxval = nextInt()
+    require(width > 0 && height > 0 && maxval > 0 && maxval < 65536,
+      s"invalid PPM dimensions ${width}x$height maxval $maxval")
+    require(maxval < 256, "16-bit-per-channel PPM not supported")
+    pos += 1 // single whitespace after maxval, then raster
+    val nPix = math.min(width * height, (bytes.length - pos) / 3)
+    require(nPix > 0, "PPM has no raster data")
+    Array.tabulate(8) { blk =>
+      val lo = blk * nPix / 8
+      val hi = math.max(lo + 1, (blk + 1) * nPix / 8)
+      var acc = 0.0
+      var i = lo
+      while (i < hi && i < nPix) {
+        val off = pos + i * 3
+        acc += ((bytes(off) & 0xff) + (bytes(off + 1) & 0xff) + (bytes(off + 2) & 0xff)) / 3.0
+        i += 1
+      }
+      acc / (hi - lo) / maxval
+    }
   }
 
   /** REAL audio decode: walk the RIFF chunk list (fmt + data, tolerating

@@ -257,6 +257,25 @@ class LlmOpsSpec extends SparkSpec {
       "audio features must be PCM RMS energies in [0,1]")
   }
 
+  test("image decode branch is a real PPM parser: known raster -> exact intensity") {
+    // synthPpm writes gray pixel = byte; constant 51 → intensity 51/255 = 0.2
+    val const = Multimodal.synthPpm(Array.fill(64)(51.toByte))
+    val f = Multimodal.decodePpm(const)
+    assert(f.length === 8)
+    f.foreach(v => assert(math.abs(v - 51.0 / 255.0) < 1e-12))
+    // header parsing is genuine: comments tolerated, bad magic rejected
+    val withComment = ("P6\n# a comment\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array.fill(12)(255.toByte))
+    Multimodal.decodePpm(withComment).foreach(v => assert(v === 1.0))
+    val bad = const.clone(); bad(1) = '5'.toByte
+    intercept[IllegalArgumentException](Multimodal.decodePpm(bad))
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val img = Multimodal.decodeFeatures(Multimodal.asMediaItems(documents))
+      .filter(col("kind") === "image").head()
+    assert(img.feature.forall(v => v >= 0.0 && v <= 1.0),
+      "image features must be mean intensities in [0,1]")
+  }
+
   test("large/small-star clusters a chain whose diameter exceeds min-label rounds") {
     import spark.implicits._
     // a 400-long chain: component diameter 400, far beyond min-label's
