@@ -207,6 +207,10 @@ object SparkEntry {
         Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
     "analytics_q19_disjunct" -> ((s, d) =>
       Analytics.q19Discount(Tables.lineitem(s, d), Tables.part(s, d))),
+    "analytics_q8_share" -> ((s, d) =>
+      Analytics.q8MarketShare(Tables.lineitem(s, d), Tables.part(s, d),
+        Tables.supplier(s, d), Tables.orders(s, d), Tables.customer(s, d),
+        Tables.nation(s, d), Tables.region(s, d))),
     "join_runtime_filter" -> ((s, d) =>
       ops.ScaleJoins.runtimeFilteredJoin(Tables.orders(s, d), Tables.lineitem(s, d))),
     "maintenance_zorder" -> ((s, d) =>
@@ -1105,6 +1109,26 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000.0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "analytics_q8_share" ->
+      """WITH v AS (
+        | SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, sn.n_name AS supp_nation,
+        |  CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS volume
+        | FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        | WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT o_year,
+        | floor(COALESCE(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume END) AS DOUBLE), 0)
+        |   / CAST(SUM(volume) AS DOUBLE) * 1e6 + 0.5) / 1e6 + 0.0 AS mkt_share,
+        | CAST(SUM(volume) AS DOUBLE) AS total_volume
+        |FROM v GROUP BY o_year ORDER BY o_year""".stripMargin,
     "analytics_q19_disjunct" ->
       """SELECT
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,

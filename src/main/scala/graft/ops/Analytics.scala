@@ -134,6 +134,43 @@ object Analytics {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** Q8 shape — national market share: one nation's fraction of the
+    * discounted revenue for a part type sold into one region, by order
+    * year. The deepest join tree in the suite (lineitem⋈orders fact-fact
+    * shuffle surrounded by five broadcast dims, nation twice under
+    * different roles) feeding a conditional-share aggregate: the share
+    * ratio is formed from two exact decimal sums per year, so the one
+    * double division is the only floating-point op. */
+  def q8MarketShare(lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+                    orders: DataFrame, customer: DataFrame, nation: DataFrame,
+                    region: DataFrame, targetNation: String = "NATION_5",
+                    regionName: String = "ASIA", partType: String = "STANDARD",
+                    from: String = "1996-01-01", until: String = "1998-01-01"): DataFrame = {
+    val suppNation = nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val custRegion = region.filter(col("r_name") === regionName)
+      .join(nation, col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val volume = Det.price(col("l_extendedprice")) * Det.oneMinus(col("l_discount"))
+    lineitem
+      .join(part.filter(col("p_type") === partType), col("l_partkey") === col("p_partkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custRegion), col("c_nationkey") === col("c_nk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === targetNation, volume)).as("nation_dec"),
+        sum(volume).as("total_dec"))
+      .select(col("o_year"),
+        (Det.rfloor(coalesce(col("nation_dec").cast("double"), lit(0.0)) /
+          col("total_dec").cast("double"), 6) + lit(0.0)).as("mkt_share"),
+        col("total_dec").cast("double").as("total_volume"))
+      .orderBy("o_year")
+  }
+
   /** Q19 shape — discounted revenue under an OR-of-ANDs predicate
     * (brand × size-range × quantity-range disjuncts). The point is the
     * PUSHDOWN: the part-only conjuncts (brand, size) reach the part
