@@ -250,6 +250,8 @@ object SparkEntry {
       DataQuality.snapshotDrift(Snapshots.oldSnapshot(c), Snapshots.newSnapshot(c))
     }),
     "pipeline_quality_filter" -> ((s, d) => TrainingPrep.qualityFilter(Tables.documents(s, d))),
+    "pipeline_quality_mix" -> ((s, d) => TrainingPrep.qualityMix(Tables.documents(s, d))),
+    "pipeline_pack_sequences" -> ((s, d) => TrainingPrep.packSequences(Tables.documents(s, d))),
     "join_asof_forward" -> ((s, d) => Joins.asOfForward(Tables.orders(s, d), Tables.events(s, d))),
     "win_time_range_frame" -> ((s, d) => Windows.timeRangeFrame(Tables.events(s, d))),
     "scan_csv_malformed" -> ((s, d) => Scans.scanCsvMalformed(s, Tables.nation(s, d), d)),
@@ -917,6 +919,44 @@ object SparkEntry {
         | CAST(len(list_slice(tok, chunk_id*24+1, chunk_id*24+32)) AS BIGINT) AS n_tokens
         |FROM c WHERE len(list_slice(tok, chunk_id*24+1, chunk_id*24+32)) > 0
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "pipeline_quality_mix" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, w[i+1] || ' ' || w[i+2] AS bg
+        |       FROM tok, UNNEST(range(len(w)-1)) AS u(i)),
+        |hh AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |  list_transform(string_split(bg,''), c -> CAST(unicode(c) AS BIGINT))),
+        |  (a,b) -> (a*31+b)%1000000007) AS h FROM bg),
+        |f AS (SELECT h, count(*) AS bf FROM hh GROUP BY h),
+        |lm AS (SELECT doc_id, CAST(SUM(bf) AS DOUBLE) / count(*) AS mean_bf
+        |       FROM hh JOIN f USING (h) GROUP BY doc_id),
+        |bounds AS (SELECT
+        |  floor(quantile_cont(mean_bf, 0.25)*1e6 + 0.5)/1e6 AS b1,
+        |  floor(quantile_cont(mean_bf, 0.5)*1e6 + 0.5)/1e6 AS b2,
+        |  floor(quantile_cont(mean_bf, 0.75)*1e6 + 0.5)/1e6 AS b3 FROM lm),
+        |bk AS (SELECT doc_id, mean_bf,
+        |  CASE WHEN mean_bf <= b1 THEN 1 WHEN mean_bf <= b2 THEN 2
+        |       WHEN mean_bf <= b3 THEN 3 ELSE 4 END AS bucket
+        | FROM lm CROSS JOIN bounds)
+        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+        | floor(mean_bf*1e4 + 0.5)/1e4 AS mean_bf
+        |FROM bk
+        |WHERE (bucket = 1 AND doc_id % 10 < 2) OR (bucket = 2 AND doc_id % 10 < 5)
+        |   OR (bucket = 3 AND doc_id % 10 < 8) OR bucket = 4
+        |ORDER BY doc_id""".stripMargin,
+    "pipeline_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS tok FROM documents),
+        |c AS (SELECT doc_id, lang, tok,
+        |  unnest(range(greatest(CAST(ceil((len(tok)-8)/24.0) AS INT), 1))) AS chunk_id FROM t),
+        |ch AS (SELECT doc_id, lang, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(len(list_slice(tok, chunk_id*24+1, chunk_id*24+32)) AS BIGINT) AS n_tokens
+        | FROM c WHERE len(list_slice(tok, chunk_id*24+1, chunk_id*24+32)) > 0),
+        |s AS (SELECT lang, doc_id, chunk_id, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id, chunk_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM ch)
+        |SELECT lang, doc_id, chunk_id, n_tokens,
+        | CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_id
+        |FROM s ORDER BY lang, doc_id, chunk_id""".stripMargin,
     "text_scrub" ->
       """WITH t AS (SELECT doc_id, text ||
         |  CASE WHEN doc_id % 5 = 0 THEN ' reach me at bob123@mail.example now'

@@ -43,6 +43,66 @@ object TrainingPrep {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** QUALITY-STRATIFIED sampling mix ("perplexity pacing"): documents
+    * bucket by the quartile of their corpus-frequency LM score and are
+    * sampled at bucket-specific rates — keep the whole top quartile,
+    * progressively downsample the rest. This is the quality-weighted
+    * mixing step real pretraining recipes apply between filtering and
+    * packing: rare-bigram documents still appear, just less often.
+    *
+    * Scale shape: the LM score's bounded shuffles, then ONE broadcast
+    * 1-row percentile aggregate (the quartile boundaries are model
+    * parameters, never a global sort — the same boundaries+CASE pattern
+    * as the scale-safe ntile), then a map-side keep filter keyed on
+    * doc_id. Deterministic: boundaries are rfloor'd before comparison,
+    * keep decisions are doc_id arithmetic. */
+  def qualityMix(documents: DataFrame): DataFrame = {
+    val lm = TextAnalysis.lmScore(documents).select(col("doc_id"), col("mean_bf"))
+    val bounds = lm.agg(
+      graft.ops.Det.rfloor(expr("percentile(mean_bf, 0.25)"), 6).as("b1"),
+      graft.ops.Det.rfloor(expr("percentile(mean_bf, 0.5)"), 6).as("b2"),
+      graft.ops.Det.rfloor(expr("percentile(mean_bf, 0.75)"), 6).as("b3"))
+    val bucketed = lm.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("mean_bf") <= col("b1"), 1L)
+          .when(col("mean_bf") <= col("b2"), 2L)
+          .when(col("mean_bf") <= col("b3"), 3L)
+          .otherwise(4L))
+    bucketed.filter(
+        (col("bucket") === 1L && pmod(col("doc_id"), lit(10)) < 2) ||
+          (col("bucket") === 2L && pmod(col("doc_id"), lit(10)) < 5) ||
+          (col("bucket") === 3L && pmod(col("doc_id"), lit(10)) < 8) ||
+          col("bucket") === 4L)
+      .select(col("doc_id"), col("bucket"),
+        graft.ops.Det.rfloor(col("mean_bf"), 4).as("mean_bf"))
+      .orderBy("doc_id")
+  }
+
+  /** SEQUENCE PACKING: assign each training chunk to a fixed-token-budget
+    * sequence — the concat-and-cut packing step that turns variable-length
+    * chunks into the dense fixed-length rows a trainer consumes
+    * (seq_id = floor(running token offset / budget); a chunk straddling a
+    * boundary starts the next sequence, standard concat-packing).
+    *
+    * Scale shape: the running offset is a window sum PARTITIONED BY
+    * LANGUAGE (sequences never mix languages here), so no global sort —
+    * each language's chunk stream packs independently; at 100 TB the
+    * partition key is whatever sharding unit the trainer consumes
+    * (lang × shard). */
+  def packSequences(documents: DataFrame, maxTokens: Int = 256): DataFrame = {
+    val chunks = TextAnalysis.chunk(documents.select(col("doc_id"), col("text")))
+      .join(documents.select(col("doc_id"), col("lang")), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id", "chunk_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    chunks
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("lang"), col("doc_id"), col("chunk_id"), col("n_tokens"),
+        ((col("cum") - col("n_tokens")) / maxTokens).cast("long").as("seq_id"))
+      .orderBy("lang", "doc_id", "chunk_id")
+  }
+
   /** corpus → deduped, rebalanced, chunked training rows
     * (doc_id, chunk_id, chunk_text, n_tokens, lang). */
   def prepare(documents: DataFrame): DataFrame = {
