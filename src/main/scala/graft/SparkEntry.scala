@@ -245,6 +245,14 @@ object SparkEntry {
     "fn_date_spine" -> ((s, d) => Analytics.dateSpineFill(s, Tables.orders(s, d))),
     "text_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables.documents(s, d))),
     "dedup_embedding_bucketed" -> ((s, d) => Dedup.embeddingBucketedDedup(Corpus.vecCorpus(Tables.embeddings(s, d)))),
+    // index = original vectors (<100000), delta = the perturbed near-dup
+    // arrivals — the incoming batch is exactly what SHOULD be rejected,
+    // except near-dups whose perturbation flips a sign bit
+    "dedup_embedding_delta" -> ((s, d) => {
+      val vc = Corpus.vecCorpus(Tables.embeddings(s, d))
+      Dedup.embeddingDeltaDedup(
+        vc.filter(col("vec_id") < 100000), vc.filter(col("vec_id") >= 100000))
+    }),
     "dq_snapshot_drift" -> ((s, d) => {
       val c = Tables.customer(s, d)
       DataQuality.snapshotDrift(Snapshots.oldSnapshot(c), Snapshots.newSnapshot(c))
@@ -1486,6 +1494,21 @@ object SparkEntry {
          | WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) + 0.0 >= 0.99)
          |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket FROM b
          |WHERE vec_id NOT IN (SELECT vec_id FROM d)
+         |ORDER BY vec_id""".stripMargin,
+    "dedup_embedding_delta" ->
+      s"""WITH v AS (${Corpus.vecCorpusSql}),
+         |b AS (SELECT vec_id, v,
+         |  (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END +
+         |   CASE WHEN v[3] > 0 THEN 4 ELSE 0 END + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END +
+         |   CASE WHEN v[5] > 0 THEN 16 ELSE 0 END + CASE WHEN v[6] > 0 THEN 32 ELSE 0 END +
+         |   CASE WHEN v[7] > 0 THEN 64 ELSE 0 END + CASE WHEN v[8] > 0 THEN 128 ELSE 0 END) AS bucket,
+         |  sqrt(list_dot_product(v, v)) AS nrm FROM v),
+         |dr AS (SELECT DISTINCT d.vec_id AS vec_id
+         | FROM b d JOIN b i ON d.bucket = i.bucket
+         |  AND d.vec_id >= 100000 AND i.vec_id < 100000
+         | WHERE round(list_dot_product(d.v, i.v) / (d.nrm * i.nrm), 4) + 0.0 >= 0.99)
+         |SELECT vec_id FROM v WHERE vec_id >= 100000
+         | AND vec_id NOT IN (SELECT vec_id FROM dr)
          |ORDER BY vec_id""".stripMargin,
     "dq_snapshot_drift" ->
       s"""WITH oldt AS (${Snapshots.oldSql}), newt AS (${Snapshots.newSql}),

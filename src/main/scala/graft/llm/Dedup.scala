@@ -526,6 +526,35 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** INCREMENTAL semantic dedup: a batch of NEW vectors against the
+    * existing corpus' sign-bucket index — the vector-side twin of
+    * [[incrementalDedup]] (new embeddings arrive, reject any that are
+    * near-duplicates of something already indexed). A delta vector is
+    * rejected iff some index vector in its sign bucket has cosine ≥
+    * threshold (4dp-rounded, same rule as [[embeddingBucketedDedup]]).
+    *
+    * Scale shape: the index side is (bucket, vec, norm) persisted
+    * bucketed by the sign key; the delta computes its buckets map-side
+    * and probes with one equi-join — candidate cosines only within
+    * buckets (Σ|bucket_delta|·|bucket_idx|), never delta×delta or
+    * index×index. */
+  def embeddingDeltaDedup(index: DataFrame, delta: DataFrame,
+                          signDims: Int = 8, threshold: Double = 0.99): DataFrame = {
+    import graft.functions.VectorExprs.{vecDot, vecNorm}
+    val bucket = (0 until signDims)
+      .map(i => when(element_at(col("v"), i + 1) > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    val idx = index.withColumn("bucket", bucket).withColumn("nrm", vecNorm(col("v")))
+      .select(col("bucket"), col("v").as("i_v"), col("nrm").as("i_n"))
+    val dlt = delta.withColumn("bucket", bucket).withColumn("nrm", vecNorm(col("v")))
+    val dropped = dlt.join(idx, Seq("bucket"))
+      .filter(round(vecDot(col("v"), col("i_v")) / (col("nrm") * col("i_n")), 4) + lit(0.0) >= threshold)
+      .select(col("vec_id")).distinct()
+    delta.select(col("vec_id"))
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
   /** Embedding-cosine near-dup pairs over the perturbed vector corpus
     * (cosine ≥ 0.99 rounded to 4dp). All-pairs on the bounded corpus —
     * the scale path is LSH bucketing first. */
