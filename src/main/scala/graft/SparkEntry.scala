@@ -1137,16 +1137,19 @@ object SparkEntry {
         |   OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "maintenance_zorder" -> {
-      // the normalization + Morton interleave GENERATED from the same
-      // bit width the Spark expression uses, so the two sides cannot drift
-      val z = (0 until 8).map(i =>
+      // the normalization + Morton interleave GENERATED from the one
+      // shared constant (Maintenance.ZorderBits), so the two sides
+      // cannot drift
+      val bits = ops.Maintenance.ZorderBits
+      val scale = ops.Maintenance.ZorderScale
+      val z = (0 until bits).map(i =>
         s"(((np >> $i) & 1) << ${2 * i}) + (((ns >> $i) & 1) << ${2 * i + 1})")
         .mkString(" + ")
       s"""WITH dom AS (SELECT min(l_partkey) AS min_p, max(l_partkey) AS max_p,
          |  min(l_suppkey) AS min_s, max(l_suppkey) AS max_s FROM lineitem),
          |n AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-         |  CAST(floor((l_partkey - min_p) * 256.0 / (max_p - min_p + 1)) AS BIGINT) AS np,
-         |  CAST(floor((l_suppkey - min_s) * 256.0 / (max_s - min_s + 1)) AS BIGINT) AS ns
+         |  CAST(floor((l_partkey - min_p) * $scale / (max_p - min_p + 1)) AS BIGINT) AS np,
+         |  CAST(floor((l_suppkey - min_s) * $scale / (max_s - min_s + 1)) AS BIGINT) AS ns
          | FROM lineitem CROSS JOIN dom)
          |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, ($z) AS z
          |FROM n ORDER BY z, l_orderkey, l_linenumber""".stripMargin

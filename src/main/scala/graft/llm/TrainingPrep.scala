@@ -57,7 +57,12 @@ object TrainingPrep {
     * doc_id. Deterministic: boundaries are rfloor'd before comparison,
     * keep decisions are doc_id arithmetic. */
   def qualityMix(documents: DataFrame): DataFrame = {
+    // cache: both the percentile aggregate and the bucketing consume lm,
+    // and Spark shares no subplan across the broadcast-exchange boundary —
+    // uncached, the expensive lmScore DAG (explode → fingerprint →
+    // self-join → two groupBys) would run twice
     val lm = TextAnalysis.lmScore(documents).select(col("doc_id"), col("mean_bf"))
+      .persist()
     val bounds = lm.agg(
       graft.ops.Det.rfloor(expr("percentile(mean_bf, 0.25)"), 6).as("b1"),
       graft.ops.Det.rfloor(expr("percentile(mean_bf, 0.5)"), 6).as("b2"),

@@ -48,10 +48,14 @@ object Multimodal {
       lower(hex(substring(col("text"), 1, 8).cast("binary"))).as("prefix_hex"))
       .orderBy("doc_id")
 
-  /** documents → typed media items. Image/video payloads are raw text
-    * bytes standing in for encoded media; AUDIO payloads are genuine WAV
-    * files ([[synthWav]] — deterministic PCM derived from the text) so
-    * the audio decode branch exercises a real parser end-to-end. */
+  /** documents → typed media items. Video payloads are raw text bytes
+    * standing in for encoded media; AUDIO payloads are genuine WAV files
+    * ([[synthWav]]) and IMAGE payloads genuine binary PPMs ([[synthPpm]]),
+    * both deterministically derived from the text, so those two decode
+    * branches exercise real parsers end-to-end (note: an audio/image
+    * item's n_bytes in [[decodeSummary]] is the CONTAINER size — 44+2n
+    * for WAV, header+3n for PPM — not the source text length that
+    * [[binaryMeta]] reports). */
   def asMediaItems(documents: DataFrame)(implicit spark: SparkSession): Dataset[MediaItem] = {
     import spark.implicits._
     binaryMeta(documents)
@@ -218,15 +222,21 @@ object Multimodal {
     while (pos + 8 <= bytes.length && (dataOff < 0 || bits < 0)) {
       val id = tag(pos)
       val len = bb.getInt(pos + 4)
+      // malformed length guard: a negative len would stall the walk (the
+      // advance becomes 0), an oversized one overflows pos — both must be
+      // a parse error, not a hang/JVM exception
+      require(len >= 0 && len <= bytes.length - (pos + 8),
+        s"malformed WAV chunk '$id': length $len at offset $pos exceeds payload")
       id match {
         case "fmt " =>
+          require(len >= 16, s"truncated fmt chunk: $len bytes")
           val fmt = bb.getShort(pos + 8)
           require(fmt == 1, s"unsupported WAV encoding $fmt (want PCM)")
           channels = bb.getShort(pos + 10)
           bits = bb.getShort(pos + 22)
         case "data" =>
           dataOff = pos + 8
-          dataLen = math.min(len, bytes.length - dataOff)
+          dataLen = len
         case _ => () // skip LIST/INFO/etc.
       }
       pos += 8 + len + (len & 1) // chunks are word-aligned

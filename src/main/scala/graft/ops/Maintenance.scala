@@ -77,9 +77,16 @@ object Maintenance {
     }.reduce(_ + _)
   }
 
+  /** Normalized key width shared by [[zorderKey]]'s callers AND the
+    * generated oracle SQL (SparkEntry `maintenance_zorder`) — single
+    * source of truth so the two sides cannot drift (same doctrine as
+    * Dedup.MinhashRowsPerBand). */
+  private[graft] val ZorderBits = 8
+  private[graft] val ZorderScale: Double = (1 << ZorderBits).toDouble
+
   /** lineitem with the normalized Morton key over (l_partkey,
-    * l_suppkey): each column min/max-normalized to 8 bits via a
-    * broadcast 1-row domain aggregate (no driver action), then
+    * l_suppkey): each column min/max-normalized to [[ZorderBits]] bits
+    * via a broadcast 1-row domain aggregate (no driver action), then
     * interleaved. The double division in the normalization is exact for
     * these magnitudes (products ≤ 2^53) and evaluates identically in
     * both engines. */
@@ -87,14 +94,14 @@ object Maintenance {
     val dom = lineitem.agg(
       min(col("l_partkey")).as("min_p"), max(col("l_partkey")).as("max_p"),
       min(col("l_suppkey")).as("min_s"), max(col("l_suppkey")).as("max_s"))
-    val np = floor((col("l_partkey") - col("min_p")) * 256.0 /
+    val np = floor((col("l_partkey") - col("min_p")) * ZorderScale /
       (col("max_p") - col("min_p") + 1)).cast("long")
-    val ns = floor((col("l_suppkey") - col("min_s")) * 256.0 /
+    val ns = floor((col("l_suppkey") - col("min_s")) * ZorderScale /
       (col("max_s") - col("min_s") + 1)).cast("long")
     lineitem.crossJoin(broadcast(dom))
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"),
-        zorderKey(np, ns, 8).as("z"))
+        zorderKey(np, ns, ZorderBits).as("z"))
   }
 
   /** The physical z-order layout rewrite (what the maintenance job

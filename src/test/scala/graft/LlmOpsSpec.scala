@@ -248,6 +248,12 @@ class LlmOpsSpec extends SparkSpec {
     // the parser genuinely validates structure, not just length
     val bad = const.clone(); bad(0) = 'X'.toByte
     intercept[IllegalArgumentException](Multimodal.decodeWav(bad))
+    // a negative/oversized chunk length is a parse error, not a hang:
+    // corrupt the fmt chunk's length field (offset 16, little-endian)
+    val evil = const.clone()
+    evil(16) = 0xF8.toByte; evil(17) = 0xFF.toByte
+    evil(18) = 0xFF.toByte; evil(19) = 0xFF.toByte
+    intercept[IllegalArgumentException](Multimodal.decodeWav(evil))
     // end-to-end through the batched pipeline: an audio item's features
     // are the WAV-decoded energies, not a byte-hash stub
     implicit val s: org.apache.spark.sql.SparkSession = spark
