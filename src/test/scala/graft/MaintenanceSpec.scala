@@ -43,6 +43,45 @@ class MaintenanceSpec extends SparkSpec {
     assert(zAll.exceptAll(src).count() === 0 && src.exceptAll(zAll).count() === 0)
   }
 
+  test("z-order key is a bijection: decoded bits recover both inputs") {
+    import org.apache.spark.sql.Row
+    // every (a, b) in the 8-bit domain corners + random interior points
+    // must round-trip through the interleave: a = even bits, b = odd bits
+    val pts = Seq((0L, 0L), (255L, 255L), (255L, 0L), (0L, 255L),
+      (1L, 2L), (170L, 85L), (129L, 64L), (37L, 201L))
+    import spark.implicits._
+    val df = pts.toDF("a", "b")
+      .withColumn("z", ops.Maintenance.zorderKey(col("a"), col("b"), 8))
+    val back = df.select(col("a"), col("b"),
+      (0 until 8).map(i => shiftleft(shiftright(col("z"), 2 * i).bitwiseAND(1), i))
+        .reduce(_ + _).as("a2"),
+      (0 until 8).map(i => shiftleft(shiftright(col("z"), 2 * i + 1).bitwiseAND(1), i))
+        .reduce(_ + _).as("b2"))
+    back.collect().foreach { case Row(a: Long, b: Long, a2: Long, b2: Long) =>
+      assert(a === a2 && b === b2, s"interleave not invertible at ($a, $b)")
+    }
+  }
+
+  test("sequence packing: every sequence stays within budget + one chunk") {
+    val packed = llm.TrainingPrep.packSequences(Tables.documents(spark, sfDir))
+    val maxChunk = 32L // TextAnalysis.chunk chunkSize
+    val seqTotals = packed.groupBy("lang", "seq_id")
+      .agg(sum("n_tokens").as("total"))
+      .collect().map(_.getLong(2))
+    assert(seqTotals.nonEmpty)
+    // concat-and-cut: a sequence can only exceed the budget by the chunk
+    // that straddles its boundary
+    seqTotals.foreach(t => assert(t <= 256L + maxChunk, s"overfull sequence: $t tokens"))
+    // and sequences are dense: all but the last per lang hold >= budget - maxChunk
+    val byLang = packed.groupBy("lang", "seq_id").agg(sum("n_tokens").as("total"))
+      .collect().groupBy(_.getString(0))
+    byLang.foreach { case (lang, rows) =>
+      val totals = rows.sortBy(_.getLong(1)).map(_.getLong(2))
+      totals.dropRight(1).foreach(t =>
+        assert(t >= 256L - maxChunk, s"$lang has a sparse non-final sequence: $t"))
+    }
+  }
+
   test("schema-merge scan nulls the column missing from generation 1") {
     val merged = ops.Scans.scanSchemaMerge(spark, Tables.nation(spark, sfDir), sfDir)
     assert(merged.columns.toSet === Set("n_nationkey", "n_name", "n_regionkey"))
