@@ -32,6 +32,7 @@ object SparkEntry {
     "scan_parquet" -> ((s, d) => Scans.scanParquet(Tables.lineitem(s, d))),
     "scan_csv_allstring" -> ((s, d) => Scans.scanCsvAllString(s, Tables.nation(s, d), d)),
     "scan_jsonl" -> ((s, d) => Scans.scanJsonl(s, Tables.nation(s, d), d)),
+    "scan_orc" -> ((s, d) => Scans.scanOrc(s, Tables.nation(s, d), d)),
     "validate_reject" -> ((s, d) => Scans.validateReject(Tables.customer(s, d))),
     "project_cast_string" -> ((s, d) => Scans.projectCastString(Tables.nation(s, d))),
     "filter_pred" -> ((s, d) => Scans.filterPred(Tables.lineitem(s, d))),
@@ -423,6 +424,9 @@ object SparkEntry {
       """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name, CAST(n_regionkey AS VARCHAR) AS n_regionkey
         |FROM nation ORDER BY nation.n_nationkey""".stripMargin,
     "scan_jsonl" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    // content identity through the ORC round-trip (oracle reads parquet)
+    "scan_orc" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "validate_reject" ->
       """WITH dirty AS (

@@ -70,6 +70,20 @@ object Scans {
     * handles evolution between in-memory frames): a 100 TB table ingested
     * over years ALWAYS spans schema versions, and the reader must
     * reconcile footers rather than force a rewrite of old data. */
+  /** ORC round-trip scan: nation written as ORC (the other major
+    * columnar at-rest format — ORC readers/writers ship in Spark's core
+    * distribution) and read back. Content must be IDENTICAL to the
+    * parquet original — the oracle reads the parquet side, so the
+    * round-trip through ORC's encoder/decoder is what's actually
+    * checked. Same format-plurality story a 100 TB lake needs when
+    * upstream teams standardize on different columnar formats. */
+  def scanOrc(spark: SparkSession, nation: DataFrame, tag: String = ""): DataFrame = {
+    val dir = stagingDir("orc_nation", tag)
+    if (!new java.io.File(dir).exists())
+      nation.write.mode("overwrite").orc(dir)
+    spark.read.orc(dir).orderBy("n_nationkey")
+  }
+
   def scanSchemaMerge(spark: SparkSession, nation: DataFrame, tag: String = ""): DataFrame = {
     val dir = stagingDir("schema_merge_nation", tag)
     val v1 = new java.io.File(dir, "gen=1").toString
