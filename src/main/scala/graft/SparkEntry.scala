@@ -265,6 +265,10 @@ object SparkEntry {
     "win_time_range_frame" -> ((s, d) => Windows.timeRangeFrame(Tables.events(s, d))),
     "scan_csv_malformed" -> ((s, d) => Scans.scanCsvMalformed(s, Tables.nation(s, d), d)),
     "dq_profile" -> ((s, d) => DataQuality.profile(Tables.lineitem(s, d))),
+    "diff_scd2" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      SnapshotDiff.scd2(Snapshots.oldSnapshot(c), Snapshots.newSnapshot(c))
+    }),
     "dedup_cluster_banded" -> ((s, d) => Dedup.nearDupClustersBanded(Corpus.docCorpus(Tables.documents(s, d)))),
     "dedup_cluster_stars" -> ((s, d) => {
       val corpus = Corpus.docCorpus(Tables.documents(s, d))
@@ -728,6 +732,28 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
     "diff_keyed" ->
       s"""SELECT * FROM ($diffKeyedBody) t ORDER BY op, slno, col""",
+    "diff_scd2" ->
+      s"""WITH oldt AS (${Snapshots.oldSql}), newt AS (${Snapshots.newSql}),
+         |j AS (SELECT o.slno AS k, n.slno AS nk,
+         |  o.name AS o_name, o.acctbal AS o_acctbal, o.segment AS o_segment,
+         |  n.name AS n_name, n.acctbal AS n_acctbal, n.segment AS n_segment
+         | FROM oldt o FULL OUTER JOIN newt n ON o.slno = n.slno),
+         |v1 AS (SELECT k AS slno, CAST(1 AS BIGINT) AS version,
+         |  o_name AS name, o_acctbal AS acctbal, o_segment AS segment,
+         |  CAST(CASE WHEN nk IS NOT NULL
+         |    AND o_name IS NOT DISTINCT FROM n_name
+         |    AND o_acctbal IS NOT DISTINCT FROM n_acctbal
+         |    AND o_segment IS NOT DISTINCT FROM n_segment THEN 1 ELSE 0 END AS INT) AS is_current
+         | FROM j WHERE k IS NOT NULL),
+         |v2 AS (SELECT nk AS slno,
+         |  CAST(CASE WHEN k IS NULL THEN 1 ELSE 2 END AS BIGINT) AS version,
+         |  n_name AS name, n_acctbal AS acctbal, n_segment AS segment,
+         |  CAST(1 AS INT) AS is_current
+         | FROM j WHERE nk IS NOT NULL AND NOT (k IS NOT NULL
+         |    AND o_name IS NOT DISTINCT FROM n_name
+         |    AND o_acctbal IS NOT DISTINCT FROM n_acctbal
+         |    AND o_segment IS NOT DISTINCT FROM n_segment))
+         |SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY slno, version""".stripMargin,
     "diff_positional" -> diffPositionalSql,
     "diff_apply_merge" ->
       s"""SELECT * FROM (${Snapshots.newSql}) t ORDER BY slno""",

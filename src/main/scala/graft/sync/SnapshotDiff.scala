@@ -156,4 +156,37 @@ object SnapshotDiff {
 
     patched.unionByName(inserts)
   }
+
+  /** SCD TYPE-2 history from a snapshot pair — the warehouse-maintenance
+    * twin of [[diffKeyed]]: instead of emitting a changeset, emit the
+    * VERSIONED dimension rows a type-2 dimension table holds after the
+    * new snapshot lands. Per key:
+    *  - unchanged → its version-1 row stays current;
+    *  - updated   → version 1 closes (is_current=0), version 2 opens with
+    *    the new values;
+    *  - deleted   → version 1 closes, nothing reopens;
+    *  - inserted  → a fresh version-1 row, current.
+    * Version numbers stand in for effective timestamps (deterministic —
+    * SURVEY §7 bans wall-clock in oracle-checked output). One full-outer
+    * join on the key + null-safe cell compares; both sides' rows emit
+    * from the same join pass (no second scan of either snapshot). */
+  def scd2(old: DataFrame, neu: DataFrame, key: String = "slno"): DataFrame = {
+    val cols = Seq("name", "acctbal", "segment")
+    val o = old.select(col(key).as("k") +: cols.map(c => col(c).as(s"o_$c")): _*)
+    val n = neu.select(col(key).as("nk") +: cols.map(c => col(c).as(s"n_$c")): _*)
+    val j = o.join(n, col("k") === col("nk"), "full_outer")
+    val same = cols.map(c => col(s"o_$c") <=> col(s"n_$c")).reduce(_ && _)
+    val v1 = j.filter(col("k").isNotNull).select(
+      col("k").as(key), lit(1L).as("version"),
+      col("o_name").as("name"), col("o_acctbal").as("acctbal"),
+      col("o_segment").as("segment"),
+      when(col("nk").isNotNull && same, 1).otherwise(0).cast("int").as("is_current"))
+    val v2 = j.filter(col("nk").isNotNull && (col("k").isNull || !same)).select(
+      col("nk").as(key),
+      when(col("k").isNull, 1L).otherwise(2L).as("version"),
+      col("n_name").as("name"), col("n_acctbal").as("acctbal"),
+      col("n_segment").as("segment"),
+      lit(1).cast("int").as("is_current"))
+    v1.unionByName(v2).orderBy(key, "version")
+  }
 }
