@@ -79,8 +79,10 @@ object Scans {
     * upstream teams standardize on different columnar formats. */
   def scanOrc(spark: SparkSession, nation: DataFrame, tag: String = ""): DataFrame = {
     val dir = stagingDir("orc_nation", tag)
-    if (!new java.io.File(dir).exists())
-      nation.write.mode("overwrite").orc(dir)
+    // unconditional overwrite, like every sibling scan fixture: an
+    // exists() guard would silently reuse a partial dir from a crashed
+    // write or stale rows from regenerated testdata
+    nation.write.mode("overwrite").orc(dir)
     spark.read.orc(dir).orderBy("n_nationkey")
   }
 

@@ -167,26 +167,32 @@ object SnapshotDiff {
     *  - deleted   → version 1 closes, nothing reopens;
     *  - inserted  → a fresh version-1 row, current.
     * Version numbers stand in for effective timestamps (deterministic —
-    * SURVEY §7 bans wall-clock in oracle-checked output). One full-outer
-    * join on the key + null-safe cell compares; both sides' rows emit
-    * from the same join pass (no second scan of either snapshot). */
+    * SURVEY §7 bans wall-clock in oracle-checked output). Value columns
+    * derive from the old snapshot's schema, like [[diffKeyed]]. Both
+    * version streams emit from ONE execution of the full-outer join —
+    * the explode(array(v1, v2)) projection (the diffKeyed pattern), not
+    * a union of two filters that would run the join twice. */
   def scd2(old: DataFrame, neu: DataFrame, key: String = "slno"): DataFrame = {
-    val cols = Seq("name", "acctbal", "segment")
+    val cols = old.columns.filterNot(_ == key).toSeq
+    require(neu.columns.filterNot(_ == key).toSeq == cols,
+      s"snapshot schemas must match: old has $cols, new has ${neu.columns.toSeq}")
     val o = old.select(col(key).as("k") +: cols.map(c => col(c).as(s"o_$c")): _*)
     val n = neu.select(col(key).as("nk") +: cols.map(c => col(c).as(s"n_$c")): _*)
     val j = o.join(n, col("k") === col("nk"), "full_outer")
     val same = cols.map(c => col(s"o_$c") <=> col(s"n_$c")).reduce(_ && _)
-    val v1 = j.filter(col("k").isNotNull).select(
-      col("k").as(key), lit(1L).as("version"),
-      col("o_name").as("name"), col("o_acctbal").as("acctbal"),
-      col("o_segment").as("segment"),
-      when(col("nk").isNotNull && same, 1).otherwise(0).cast("int").as("is_current"))
-    val v2 = j.filter(col("nk").isNotNull && (col("k").isNull || !same)).select(
-      col("nk").as(key),
-      when(col("k").isNull, 1L).otherwise(2L).as("version"),
-      col("n_name").as("name"), col("n_acctbal").as("acctbal"),
-      col("n_segment").as("segment"),
-      lit(1).cast("int").as("is_current"))
-    v1.unionByName(v2).orderBy(key, "version")
+    val v1 = when(col("k").isNotNull, struct(
+      Seq(col("k").as(key), lit(1L).as("version")) ++
+        cols.map(c => col(s"o_$c").as(c)) :+
+        when(col("nk").isNotNull && same, 1).otherwise(0).cast("int").as("is_current"): _*))
+    val v2 = when(col("nk").isNotNull && (col("k").isNull || !same), struct(
+      Seq(col("nk").as(key), when(col("k").isNull, 1L).otherwise(2L).as("version")) ++
+        cols.map(c => col(s"n_$c").as(c)) :+
+        lit(1).cast("int").as("is_current"): _*))
+    j.select(explode(array(v1, v2)).as("r"))
+      .filter(col("r").isNotNull)
+      .select(Seq(col(s"r.$key").as(key), col("r.version").as("version")) ++
+        cols.map(c => col(s"r.$c").as(c)) :+
+        col("r.is_current").as("is_current"): _*)
+      .orderBy(key, "version")
   }
 }

@@ -63,22 +63,23 @@ class MaintenanceSpec extends SparkSpec {
   }
 
   test("sequence packing: every sequence stays within budget + one chunk") {
-    val packed = llm.TrainingPrep.packSequences(Tables.documents(spark, sfDir))
-    val maxChunk = 32L // TextAnalysis.chunk chunkSize
-    val seqTotals = packed.groupBy("lang", "seq_id")
-      .agg(sum("n_tokens").as("total"))
-      .collect().map(_.getLong(2))
-    assert(seqTotals.nonEmpty)
+    val budget = 256L // packSequences maxTokens default
+    val maxChunk = 32L // TextAnalysis.chunk chunkSize default
+    val packed = llm.TrainingPrep.packSequences(Tables.documents(spark, sfDir),
+      maxTokens = budget.toInt)
+    // one aggregation job; both invariants read the collected rows
+    val rows = packed.groupBy("lang", "seq_id")
+      .agg(sum("n_tokens").as("total")).collect()
+    assert(rows.nonEmpty)
     // concat-and-cut: a sequence can only exceed the budget by the chunk
     // that straddles its boundary
-    seqTotals.foreach(t => assert(t <= 256L + maxChunk, s"overfull sequence: $t tokens"))
+    rows.foreach(r => assert(r.getLong(2) <= budget + maxChunk,
+      s"overfull sequence: ${r.getLong(2)} tokens"))
     // and sequences are dense: all but the last per lang hold >= budget - maxChunk
-    val byLang = packed.groupBy("lang", "seq_id").agg(sum("n_tokens").as("total"))
-      .collect().groupBy(_.getString(0))
-    byLang.foreach { case (lang, rows) =>
-      val totals = rows.sortBy(_.getLong(1)).map(_.getLong(2))
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val totals = rs.sortBy(_.getLong(1)).map(_.getLong(2))
       totals.dropRight(1).foreach(t =>
-        assert(t >= 256L - maxChunk, s"$lang has a sparse non-final sequence: $t"))
+        assert(t >= budget - maxChunk, s"$lang has a sparse non-final sequence: $t"))
     }
   }
 
