@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Cross-run determinism audit: compare two graft.Verify output dirs
+(the SAME engine run twice) key by key with the driver's normalization.
+Catches nondeterministic output the DuckDB compare can't see — exempt
+(hash-based) keys included, since they must still be stable run-to-run.
+Usage:
+    python3 tools/stability.py /tmp/out_run1 /tmp/out_run2
+"""
+import sys, os, glob, hashlib
+import duckdb
+
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return f"{v:.10g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def table_hash(con, path):
+    rel = con.sql(f"SELECT * FROM read_parquet('{path}/*.parquet')")
+    cols = rel.columns
+    rows = rel.fetchall()
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    h = hashlib.sha256()
+    for r in rows:
+        h.update("\x1f".join(norm(r[i]) for i in order).encode())
+        h.update(b"\x1e")
+    return len(rows), h.hexdigest()
+
+
+def main():
+    a_dir, b_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    keys = sorted(os.path.basename(p) for p in glob.glob(os.path.join(a_dir, "*"))
+                  if os.path.isdir(p))
+    n_pass = n_fail = 0
+    for k in keys:
+        b = os.path.join(b_dir, k)
+        if not os.path.isdir(b):
+            print(f"MISS {k}: absent from run 2")
+            n_fail += 1
+            continue
+        (na, ha) = table_hash(con, os.path.join(a_dir, k))
+        (nb, hb) = table_hash(con, b)
+        if na == nb and ha == hb:
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"UNSTABLE {k}: run1 {na} rows {ha[:12]}, run2 {nb} rows {hb[:12]}")
+    print(f"== {n_pass} stable, {n_fail} unstable ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
