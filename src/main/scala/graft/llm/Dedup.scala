@@ -65,16 +65,25 @@ object Dedup {
     // the wide self-join shuffle; per-doc shingle counts re-attach after
     // the pair aggregation via a broadcast-sized dimension. (64-bit
     // collisions are ~2^-64 per pair — no effect at any realistic scale.)
-    // Hash-partition by h ONCE and cache: both self-join branches then
-    // share the cached partitioning and the join plans with NO exchange
-    // (at scale: a materialized shingle table bucketed by hash).
+    // Hash-partition by h ONCE and localCheckpoint: both self-join
+    // branches then share the materialized partitioning and the join
+    // plans with NO exchange (at scale: a materialized shingle table
+    // bucketed by hash). localCheckpoint, NOT persist: a MEMORY_ONLY
+    // cache entry can be EVICTED mid-join under memory pressure, which
+    // silently recomputes the explode+repartition for BOTH branches —
+    // the round-4 driver runs measured a 6.5× same-jar flap
+    // (dedup_cluster 2.17↔14.14 s) from exactly this class. The
+    // checkpoint is disk-backed (MEMORY_AND_DISK), materialized exactly
+    // once, lineage-truncated, and its blocks are released by the
+    // ContextCleaner once the plan is unreachable — no cache-manager
+    // leak for callers that compose this operator.
     val exAll = withSh.select(col("doc_id"), explode(col("shs")).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("h"))
       .repartition(col("h"))
-      .persist()
+      .localCheckpoint()
     // optional heavy-hitter pruning: drop shingles with doc-frequency
     // above the cap BEFORE the self-join (anti-join against the tiny
-    // broadcast hot-list); the df count reuses the cached partitioning
+    // broadcast hot-list); the df count reuses the checkpointed partitioning
     val ex = dfCap.fold(exAll) { cap =>
       val hot = exAll.groupBy(col("h")).agg(count(lit(1)).as("df"))
         .filter(col("df") > cap).select(col("h"))
@@ -121,7 +130,11 @@ object Dedup {
         xxhash64((bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
           .map(i => element_at(col("sig"), i + 1)): _*)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")
-      .persist() // both sides of the bucket self-join reuse the signatures
+      // both sides of the bucket self-join reuse the signatures;
+      // localCheckpoint (disk-backed, materialized once, auto-cleaned)
+      // instead of persist — same eviction-recompute + cache-leak
+      // rationale as the shingle table in [[ngramJaccardPairs]]
+      .localCheckpoint()
     val l = banded.select(col("doc_id").as("a_id"), col("band"), col("band_sig"))
     val r = banded.select(col("doc_id").as("b_id"), col("band"), col("band_sig"))
     l.join(r, Seq("band", "band_sig"))
@@ -368,10 +381,29 @@ object Dedup {
     * (the [[clustersFromPairs]] single-action-per-round discipline). */
   private[graft] def clustersFromPairsLargeSmallStar(
       corpus: DataFrame, pairSrc: DataFrame, iters: Int = 30): DataFrame = {
+    // convergence fingerprint: (count, sum of xxhash64(u,v)) computed in
+    // ONE aggregate job. Equal fingerprints across a round ⇒ the edge
+    // SET is unchanged for this domain: edges are distinct, so the only
+    // false positive is a different edge set whose exact 64-bit hash
+    // sums collide at equal cardinality — negligible against the graph
+    // sizes here, and the fixpoint is re-entered next round anyway if a
+    // phantom match ever slipped through earlier. This
+    // replaces the round-4 exceptAll().count() + count() pair (two jobs
+    // and an extra full-edge-set shuffle per round) with the same
+    // single-action-per-round discipline as [[clustersFromPairs]].
+    // decimal(38,0) accumulation: a raw long sum of 64-bit hashes
+    // overflows (ANSI mode throws); decimal holds ~1e19 edges' worth
+    def fingerprint(df: DataFrame): (Long, BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
     // pair sources emit a_id < b_id: orient big→small from the start
     var edges = pairSrc.select(col("b_id").as("u"), col("a_id").as("v"))
-      .distinct().localCheckpoint()
-    var edgeCount = edges.count()
+      .distinct().localCheckpoint(eager = false)
+    // the fingerprint aggregate doubles as the materializing action for
+    // the lazy checkpoint — one job covers both
+    var edgeFp = fingerprint(edges)
     var converged = false
     var round = 0
     while (!converged && round < iters) {
@@ -393,14 +425,13 @@ object Dedup {
           least(col("a"), col("b")).as("v"))
         .distinct()
         .localCheckpoint(eager = false)
-      // unchanged edge set ⇒ star forest reached. exceptAll catches new
-      // edges; the count comparison catches pure shrinkage. The exceptAll
-      // count doubles as the checkpoint-materializing action.
-      val grew = next.exceptAll(edges).count()
-      val nextCount = next.count()
-      converged = grew == 0L && nextCount == edgeCount
+      // unchanged edge set ⇒ star forest reached; detected by fingerprint
+      // equality in the single job that also materializes the lazy
+      // checkpoint (see fingerprint above)
+      val nextFp = fingerprint(next)
+      converged = nextFp == edgeFp
       edges = next
-      edgeCount = nextCount
+      edgeFp = nextFp
       round += 1
     }
     require(converged,

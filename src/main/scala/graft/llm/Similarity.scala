@@ -115,7 +115,11 @@ object Similarity {
     // iteration plus the final probe scan, and re-reading + re-widening
     // the parquet per job dominates at small k×dims (model fits in RAM;
     // at 100 TB this is the materialized `(vec_id, v)` projection)
-    val vs = doubled(embeddings).persist()
+    // localCheckpoint, not persist: materialized once, disk-backed (no
+    // eviction→recompute of the widen under memory pressure), and the
+    // blocks are ContextCleaner-released when the returned plan is
+    // dropped — persist here leaked the cache entry for the session
+    val vs = doubled(embeddings).localCheckpoint()
 
     def sqDistTo(c: Array[Double]) = {
       val lit2 = typedLit(c.toSeq)

@@ -98,12 +98,14 @@ object TextAnalysis {
     // corpus size as a broadcast 1-row aggregate INSIDE the plan (no
     // driver-side count() action — the whole operator stays one lazy plan)
     val nDf = documents.agg(count(lit(1)).cast("double").as("n_docs"))
-    // cache tf: both the df derivation and the join consume it — without
-    // the cache the explode+groupBy runs twice
+    // materialize tf once: both the df derivation and the join consume it —
+    // without it the explode+groupBy runs twice. localCheckpoint, not
+    // persist: disk-backed (no eviction→recompute flap), auto-released by
+    // the ContextCleaner — persist leaked the cache entry for the session
     val tf = documents
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist()
+      .localCheckpoint()
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)

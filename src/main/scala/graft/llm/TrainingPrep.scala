@@ -57,12 +57,15 @@ object TrainingPrep {
     * doc_id. Deterministic: boundaries are rfloor'd before comparison,
     * keep decisions are doc_id arithmetic. */
   def qualityMix(documents: DataFrame): DataFrame = {
-    // cache: both the percentile aggregate and the bucketing consume lm,
-    // and Spark shares no subplan across the broadcast-exchange boundary —
-    // uncached, the expensive lmScore DAG (explode → fingerprint →
-    // self-join → two groupBys) would run twice
+    // materialize once: both the percentile aggregate and the bucketing
+    // consume lm, and Spark shares no subplan across the broadcast-exchange
+    // boundary — unmaterialized, the expensive lmScore DAG (explode →
+    // fingerprint → self-join → two groupBys) would run twice.
+    // localCheckpoint, not persist: persist leaked the cache entry for the
+    // life of the session (round-4 ADVICE); the checkpoint is disk-backed
+    // and ContextCleaner-released once the returned plan is dropped
     val lm = TextAnalysis.lmScore(documents).select(col("doc_id"), col("mean_bf"))
-      .persist()
+      .localCheckpoint()
     val bounds = lm.agg(
       graft.ops.Det.rfloor(expr("percentile(mean_bf, 0.25)"), 6).as("b1"),
       graft.ops.Det.rfloor(expr("percentile(mean_bf, 0.5)"), 6).as("b2"),
