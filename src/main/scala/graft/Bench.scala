@@ -24,25 +24,32 @@ object Bench {
     // SPARK_GRAFT_ONLY=q1,q2 — run a subset (local profiling; driver unsets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
+    // THREE timed runs per query; the reported number is the MEDIAN.
+    // No separate untimed warmup: the first run absorbs the fixed ~1-2s
+    // whole-stage-codegen compilation and the median discards it, so the
+    // wall-clock budget stays at ~1.5x the old warmup+single-timed scheme
+    // while every reported number carries a spread (round-4 finding: a
+    // single-shot timing flapped 6.5x between same-jar runs; a median of
+    // three with max/min recorded makes that visible and mostly kills it).
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3)
     val results = selected.map { case (name, fn) =>
-      // untimed first run: per-query whole-stage-codegen compilation is a
-      // fixed ~1-2s cost that would swamp sub-second queries; the timed
-      // run measures engine execution (the number that scales with data)
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      try spark.catalog.clearCache() catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop caches persisted inside operators so queries don't interfere
-      try spark.catalog.clearCache() catch { case _: Throwable => () }
-      // Spark's ContextCleaner discovers dead shuffles/broadcasts via GC
-      // (weak references). With a 24g heap a full GC may never run across
-      // the 112-query suite, so map-output state and shuffle files pile up
-      // and late queries degrade 10-25x (r02: ngram_jaccard 34s in-suite vs
-      // 1.4s isolated). An explicit GC per query keeps the cleaner current.
-      System.gc()
-      name -> dt
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop caches persisted inside operators so runs don't interfere
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+        // Spark's ContextCleaner discovers dead shuffles/broadcasts via GC
+        // (weak references). With a 24g heap a full GC may never run across
+        // the 154-query suite, so map-output state and shuffle files pile up
+        // and late queries degrade 10-25x (r02: ngram_jaccard 34s in-suite vs
+        // 1.4s isolated). An explicit GC per run keeps the cleaner current.
+        System.gc()
+        dt
+      }.sorted
+      name -> times
     }
+    val medians = results.map { case (k, ts) => k -> ts(ts.size / 2) }
     // The driver captures only the last ~2000 BYTES of run output and
     // parses the JSON line out of that tail (measured from BENCH_r02.json:
     // a 106-query line is ~2.7KB and came back parsed=null in BOTH r1 and
@@ -60,16 +67,20 @@ object Bench {
       "sim_topk_search", "sim_lsh_topk", "sim_ivf_topk", "text_tfidf",
       "text_chunk", "pipeline_training_prep", "analytics_q3_shipping",
       "analytics_q5_local_volume", "stream_tumbling_batch", "mm_binary_meta")
-    val shown = headline.flatMap(k => results.get(k).map(k -> _))
+    val shown = headline.flatMap(k => medians.get(k).map(k -> _))
     val qs = shown.map { case (k, v) => "\"" + k + "\":" + r2d(v) }
       .mkString("{", ",", "}")
-    val total = r2d(if (results.nonEmpty) results.values.sum else 0.0)
+    val total = r2d(if (medians.nonEmpty) medians.values.sum else 0.0)
+    // full per-query spread {med,min,max} goes to the repo file (the
+    // driver-parsed stdout line stays medians-only and under ~4KB)
     val fullJson = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + r2d(v) }
+      .map { case (k, ts) =>
+        "\"" + k + "\":{\"med\":" + r2d(ts(ts.size / 2)) +
+          ",\"min\":" + r2d(ts.head) + ",\"max\":" + r2d(ts.last) + "}" }
       .mkString("{", ",", "}")
     try {
       val w = new java.io.PrintWriter("bench_full.json")
-      try w.println(s"""{"total":$total,"n":${results.size},"sf":"$sfDir","queries":$fullJson}""")
+      try w.println(s"""{"total":$total,"n":${results.size},"runs":$runs,"sf":"$sfDir","queries":$fullJson}""")
       finally w.close()
     } catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")

@@ -36,6 +36,9 @@ object TextAnalysis {
       .groupBy("word").agg(count(lit(1)).as("n"))
     val total = wc.agg(sum(col("n")).as("total"))
     val top = wc.orderBy(col("n").desc, col("word").asc).limit(k)
+    // PARTITION-LESS window, bounded input: it ranks the k-row (k=50)
+    // top-list, never the corpus — the single partition holds k rows by
+    // construction. One of exactly two allowed sites (HygieneSpec).
     val w = Window.orderBy(col("n").desc, col("word").asc)
     top.crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(w).cast("long"))

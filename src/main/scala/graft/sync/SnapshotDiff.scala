@@ -98,6 +98,10 @@ object SnapshotDiff {
     def stringify(df: DataFrame): DataFrame =
       df.select(df.columns.map(c => col(c).cast("string").as(c)).toIndexedSeq: _*)
     val valueCols = list1.columns.toSeq // includes key: cells compared like any other
+    // PARTITION-LESS window BY CONTRACT: the reference compares by global
+    // row position, so the single-partition WindowExec is the semantics,
+    // not an accident — bounded to the snapshot size; diffKeyed is the
+    // scale form. One of exactly two allowed sites (HygieneSpec).
     val w = Window.orderBy(col(key).cast("long"))
     val l1 = stringify(list1).withColumn("pos", row_number().over(w)).as("a")
     val l2 = stringify(list2).withColumn("pos", row_number().over(w)).as("b")

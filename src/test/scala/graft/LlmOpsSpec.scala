@@ -322,6 +322,54 @@ class LlmOpsSpec extends SparkSpec {
     assert(res.passed, s"component-equivalence property failed: $res")
   }
 
+  test("large/small-star convergence runs ONE driver action per round") {
+    // count DRIVER ACTIONS (Dataset head/count/collect), not raw Spark
+    // jobs: lazy-localCheckpoint catch-up work spawns internal jobs that
+    // are not actions. A child session isolates the listener.
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val actions = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        // a LAZY localCheckpoint also reports as funcName="checkpoint"
+        // without running any job — only count the materializing actions
+        if (funcName == "head" || funcName == "count" || funcName == "collect") {
+          actions.incrementAndGet()
+        }
+        ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+    }
+    s2.listenerManager.register(listener)
+    // the listener bus is async — poll until the count is stable
+    def settled(): Int = {
+      var prev = -1
+      var cur = actions.get()
+      var spins = 0
+      while (cur != prev && spins < 40) { Thread.sleep(100); prev = cur; cur = actions.get(); spins += 1 }
+      cur
+    }
+    def actionsFor(pairs: Seq[(Long, Long)]): Int = {
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.toDF("doc_id")
+      val before = settled()
+      Dedup.clustersFromPairsLargeSmallStar(nodes, pairs.toDF("a_id", "b_id"))
+      settled() - before
+    }
+    try {
+      // star {1-2, 1-3}: already a star forest -> fixpoint after 1 round.
+      // expected actions = 1 (initial fingerprint, which also materializes
+      // the lazy edge checkpoint) + 1 round = 2. The round-4
+      // implementation (exceptAll.count + count per round) cost 2 actions
+      // per round and would fail these exact counts.
+      assert(actionsFor(Seq((1L, 2L), (1L, 3L))) === 2)
+      // chain {1-2, 2-3}: one restructuring round plus the fixpoint round
+      // -> 1 + 2 = 3 actions
+      assert(actionsFor(Seq((1L, 2L), (2L, 3L))) === 3)
+    } finally s2.listenerManager.unregister(listener)
+  }
+
   test("large/small-star matches min-label propagation on banded candidates") {
     val corpus = Corpus.docCorpus(documents)
     val viaMinLabel = Dedup.nearDupClustersBanded(corpus).collect()
@@ -330,6 +378,28 @@ class LlmOpsSpec extends SparkSpec {
         corpus, Dedup.minhashBandedCandidates(corpus)).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaStars === viaMinLabel)
+  }
+
+  test("embedding delta dedup: drop same-bucket near-dups, keep bucket escapes and far vectors") {
+    import spark.implicits._
+    // hand-built vectors exercising every branch (the sf0.01 oracle row
+    // for dedup_embedding_delta is 0-vs-0 — every delta rejected — so the
+    // SURVIVOR paths need this direct gate):
+    //  - vec 10: exact copy of the index vector, same sign bucket -> DROP
+    //  - vec 11: same bucket but cosine ~0.47 < 0.99 -> SURVIVE
+    //  - vec 12: cosine ~1.0 near-dup whose first component's sign flip
+    //    lands it in a DIFFERENT bucket -> SURVIVES by bucket escape (the
+    //    documented sign-LSH recall tradeoff)
+    val base = Array(1e-4, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)
+    val index = Seq((1L, base.toSeq)).toDF("vec_id", "v")
+    val delta = Seq(
+      (10L, base.toSeq),
+      (11L, Seq(5.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)),
+      (12L, Seq(-1e-4, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0))
+    ).toDF("vec_id", "v")
+    val kept = Dedup.embeddingDeltaDedup(index, delta)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(11L, 12L))
   }
 
   test("incremental dedup: exact copies always rejected, near-dup rejection >= 0.8") {

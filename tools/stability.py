@@ -35,11 +35,20 @@ def table_hash(con, path):
 def main():
     a_dir, b_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
-    keys = sorted(os.path.basename(p) for p in glob.glob(os.path.join(a_dir, "*"))
-                  if os.path.isdir(p))
+    # union of both runs' keys: taking run 1's listing alone would
+    # silently ignore a key that only run 2 produced (e.g. run 1
+    # crashed mid-write) instead of reporting the asymmetry
+    def listing(d):
+        return {os.path.basename(p) for p in glob.glob(os.path.join(d, "*"))
+                if os.path.isdir(p)}
+    keys = sorted(listing(a_dir) | listing(b_dir))
     n_pass = n_fail = 0
     for k in keys:
         b = os.path.join(b_dir, k)
+        if not os.path.isdir(os.path.join(a_dir, k)):
+            print(f"MISS {k}: absent from run 1")
+            n_fail += 1
+            continue
         if not os.path.isdir(b):
             print(f"MISS {k}: absent from run 2")
             n_fail += 1
