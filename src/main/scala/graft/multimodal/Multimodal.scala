@@ -16,17 +16,19 @@ case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Int,
 /** Multimodal column handling: binary payloads with typed metadata and a
   * partition-batched decode/feature-extract stage.
   *
-  * The video decode branch is STUBBED (this container has no codecs):
-  * it computes a deterministic fake feature vector from the bytes. The
-  * AUDIO and IMAGE branches are REAL decodes of codec-free container
-  * formats: audio payloads are canonical RIFF/WAVE 16-bit PCM parsed by
-  * [[decodeWav]] (chunk walk → sample decode → per-window RMS energy),
-  * image payloads are binary P6 PPM parsed by [[decodePpm]] (header
-  * parse → RGB pixel decode → per-block mean intensity). Everything
-  * around the branches — the binary column schema, the typed Dataset
-  * boundary, the fixed-size batching inside `mapPartitions` (the shape
-  * a JNI/FFI or model-server call needs to amortize per-batch setup) —
-  * is the real production plumbing.
+  * ALL THREE decode branches are REAL decodes of codec-free container
+  * formats (this container has no codecs, so the formats are chosen to
+  * be parseable in pure JVM): audio payloads are canonical RIFF/WAVE
+  * 16-bit PCM parsed by [[decodeWav]] (chunk walk → sample decode →
+  * per-window RMS energy), image payloads are binary P6 PPM parsed by
+  * [[decodePpm]] (header parse → RGB pixel decode → per-block mean
+  * intensity), and video payloads are YUV4MPEG2 (y4m) streams parsed by
+  * [[decodeY4m]] (stream-header parse → per-frame raw-plane walk →
+  * per-frame mean luma). Everything around the branches — the binary
+  * column schema, the typed Dataset boundary, the fixed-size batching
+  * inside `mapPartitions` (the shape a JNI/FFI or model-server call
+  * needs to amortize per-batch setup) — is the real production
+  * plumbing.
   */
 object Multimodal {
 
@@ -48,14 +50,14 @@ object Multimodal {
       lower(hex(substring(col("text"), 1, 8).cast("binary"))).as("prefix_hex"))
       .orderBy("doc_id")
 
-  /** documents → typed media items. Video payloads are raw text bytes
-    * standing in for encoded media; AUDIO payloads are genuine WAV files
-    * ([[synthWav]]) and IMAGE payloads genuine binary PPMs ([[synthPpm]]),
-    * both deterministically derived from the text, so those two decode
-    * branches exercise real parsers end-to-end (note: an audio/image
+  /** documents → typed media items. AUDIO payloads are genuine WAV
+    * files ([[synthWav]]), IMAGE payloads genuine binary PPMs
+    * ([[synthPpm]]), and VIDEO payloads genuine y4m streams
+    * ([[synthY4m]]), all deterministically derived from the text, so all
+    * three decode branches exercise real parsers end-to-end (note: an
     * item's n_bytes in [[decodeSummary]] is the CONTAINER size — 44+2n
-    * for WAV, header+3n for PPM — not the source text length that
-    * [[binaryMeta]] reports). */
+    * for WAV, header+3n for PPM, header+frames·(6+3wh) for y4m — not
+    * the source text length that [[binaryMeta]] reports). */
   def asMediaItems(documents: DataFrame)(implicit spark: SparkSession): Dataset[MediaItem] = {
     import spark.implicits._
     binaryMeta(documents)
@@ -66,7 +68,7 @@ object Multimodal {
       .map(m => m.kind match {
         case "audio" => m.copy(content = synthWav(m.content))
         case "image" => m.copy(content = synthPpm(m.content))
-        case _ => m
+        case _ => m.copy(content = synthY4m(m.content))
       })
   }
 
@@ -90,22 +92,14 @@ object Multimodal {
     *    pixel blocks of the decoded RGB raster,
     *  - audio → REAL WAV parse ([[decodeWav]]): RMS energy per 8 windows
     *    of the decoded 16-bit PCM samples,
-    *  - video → STUB "keyframe-sample": rolling hash per 8 segments. */
+    *  - video → REAL y4m parse ([[decodeY4m]]): mean luma per 8 frame
+    *    blocks of the decoded frame sequence. */
   private def stubDecode(m: MediaItem): MediaFeatures = {
     val bytes = m.content
-    val n = math.max(bytes.length, 1)
-    def blockFold(i: Int, mix: (Long, Int) => Long): Double = {
-      val lo = i * n / 8
-      val hi = math.max(lo + 1, (i + 1) * n / 8)
-      var acc = 0L
-      var j = lo
-      while (j < hi && j < bytes.length) { acc = mix(acc, bytes(j) & 0xff); j += 1 }
-      (acc % 1000003L).toDouble / 1000003.0
-    }
     val feat = m.kind match {
-      case "image" => decodePpm(bytes)                                           // REAL decode
-      case "audio" => decodeWav(bytes)                                           // REAL decode
-      case _       => Array.tabulate(8)(blockFold(_, (a, b) => a * 31 + b))       // keyframe hash
+      case "image" => decodePpm(bytes)
+      case "audio" => decodeWav(bytes)
+      case _       => decodeY4m(bytes)
     }
     MediaFeatures(m.doc_id, m.kind, bytes.length, feat)
   }
@@ -154,6 +148,102 @@ object Multimodal {
       i += 1
     }
     out
+  }
+
+  /** Synthesize a YUV4MPEG2 (y4m) stream — the codec-free video
+    * container (plain ASCII stream header + per-frame "FRAME\n" marker +
+    * raw planes): `frames` frames of `width`×`height` C444 YUV, where
+    * frame f's luma pixel i is srcByte_{f·wh+i} (wrapping) and both
+    * chroma planes are the neutral 128. Deterministic — the harness
+    * stand-in for real encoded video. */
+  private[graft] def synthY4m(src: Array[Byte], width: Int = 8, height: Int = 8,
+                              frames: Int = 8): Array[Byte] = {
+    val header = s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C444\n".getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val wh = width * height
+    val out = java.nio.ByteBuffer.allocate(header.length + frames * (marker.length + 3 * wh))
+    out.put(header)
+    val n = math.max(src.length, 1)
+    var f = 0
+    while (f < frames) {
+      out.put(marker)
+      var i = 0
+      while (i < wh) { // luma plane from the source bytes
+        out.put(if (src.isEmpty) 0.toByte else src((f * wh + i) % n))
+        i += 1
+      }
+      i = 0
+      while (i < 2 * wh) { out.put(128.toByte); i += 1 } // neutral U, V
+      f += 1
+    }
+    out.array()
+  }
+
+  /** REAL video decode: parse the YUV4MPEG2 stream header (W/H required;
+    * F/I/A/X parameters tolerated; C colorspace resolved to a per-frame
+    * chroma size — C444, C422, C420 variants and Cmono), walk the FRAME
+    * markers (per-frame parameters tolerated), decode each raw luma
+    * plane, and return mean luma (0–1) over 8 equal frame blocks — an
+    * actual end-to-end decode with zero codec dependency (y4m is a pure
+    * container format: no entropy coding, no inter-frame prediction). */
+  private[graft] def decodeY4m(bytes: Array[Byte]): Array[Double] = {
+    val magic = "YUV4MPEG2"
+    require(bytes.length > magic.length &&
+      new String(bytes, 0, magic.length, "US-ASCII") == magic, "not a YUV4MPEG2 stream")
+    var pos = magic.length
+    def lineEnd(from: Int): Int = {
+      var e = from
+      while (e < bytes.length && bytes(e) != '\n') e += 1
+      require(e < bytes.length, "unterminated y4m header line")
+      e
+    }
+    val hEnd = lineEnd(pos)
+    var width = -1
+    var height = -1
+    var colorspace = "C420jpeg" // the y4m default when no C tag is present
+    new String(bytes, pos, hEnd - pos, "US-ASCII").trim.split(' ').filter(_.nonEmpty)
+      .foreach { tag =>
+        tag.charAt(0) match {
+          case 'W' => width = tag.drop(1).toInt
+          case 'H' => height = tag.drop(1).toInt
+          case 'C' => colorspace = tag
+          case _ => () // F frame rate, I interlacing, A aspect, X comment
+        }
+      }
+    require(width > 0 && height > 0, s"invalid y4m dimensions ${width}x$height")
+    val wh = width * height
+    val chromaBytes = colorspace match {
+      case "Cmono" => 0
+      case c if c.startsWith("C444") => 2 * wh
+      case c if c.startsWith("C422") => wh
+      case c if c.startsWith("C420") => wh / 2
+      case c => throw new IllegalArgumentException(s"unsupported y4m colorspace $c")
+    }
+    pos = hEnd + 1
+    val frameMeans = scala.collection.mutable.ArrayBuffer.empty[Double]
+    while (pos < bytes.length) {
+      require(pos + 5 <= bytes.length &&
+        new String(bytes, pos, 5, "US-ASCII") == "FRAME", s"missing FRAME marker at byte $pos")
+      pos = lineEnd(pos) + 1 // per-frame parameters (rare) end at newline
+      require(pos + wh + chromaBytes <= bytes.length, s"truncated y4m frame at byte $pos")
+      var acc = 0L
+      var i = 0
+      while (i < wh) { acc += bytes(pos + i) & 0xff; i += 1 }
+      frameMeans += acc.toDouble / wh / 255.0
+      pos += wh + chromaBytes
+    }
+    val nf = frameMeans.length
+    require(nf > 0, "y4m has no frames")
+    // 8 equal blocks over the frame sequence (same aggregation shape as
+    // the PPM pixel blocks / WAV sample windows)
+    Array.tabulate(8) { blk =>
+      val lo = blk * nf / 8
+      val hi = math.max(lo + 1, (blk + 1) * nf / 8)
+      var acc = 0.0
+      var f = lo
+      while (f < hi && f < nf) { acc += frameMeans(f); f += 1 }
+      acc / (hi - lo)
+    }
   }
 
   /** REAL image decode: parse the P6 PPM header (magic, whitespace- and

@@ -282,6 +282,39 @@ class LlmOpsSpec extends SparkSpec {
       "image features must be mean intensities in [0,1]")
   }
 
+  test("video decode branch is a real y4m parser: known frames -> exact luma means") {
+    // synthY4m writes luma pixel = source byte; constant 51 over 8 frames
+    // → every frame's mean luma exactly 51/255 = 0.2
+    val const = Multimodal.synthY4m(Array.fill(512)(51.toByte))
+    val f = Multimodal.decodeY4m(const)
+    assert(f.length === 8)
+    f.foreach(v => assert(math.abs(v - 51.0 / 255.0) < 1e-12))
+    // per-FRAME values decode independently: frame f all-bytes f*30 →
+    // 8 distinct exact means in frame order
+    val ramp = Multimodal.synthY4m(Array.tabulate(512)(i => ((i / 64) * 30).toByte))
+    Multimodal.decodeY4m(ramp).zipWithIndex.foreach { case (v, i) =>
+      assert(math.abs(v - (i * 30) / 255.0) < 1e-12, s"frame $i mean")
+    }
+    // a hand-written C420 stream with chroma subsampling parses too:
+    // 2x2 luma [0,255,255,255] + 1+1 chroma bytes per frame
+    val c420 = ("YUV4MPEG2 W2 H2 F30:1 C420jpeg\n".getBytes("US-ASCII") ++
+      "FRAME\n".getBytes("US-ASCII") ++
+      Array[Byte](0, -1, -1, -1) ++ Array[Byte](100, 100))
+    Multimodal.decodeY4m(c420).foreach(v =>
+      assert(math.abs(v - (3 * 255.0 / 4) / 255.0) < 1e-12))
+    // structure genuinely validated: bad magic, missing FRAME marker,
+    // truncated frame are parse errors, not garbage features
+    val bad = const.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.decodeY4m(bad))
+    intercept[IllegalArgumentException](
+      Multimodal.decodeY4m(const.dropRight(10)))
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val vid = Multimodal.decodeFeatures(Multimodal.asMediaItems(documents))
+      .filter(col("kind") === "video").head()
+    assert(vid.feature.forall(v => v >= 0.0 && v <= 1.0),
+      "video features must be mean lumas in [0,1]")
+  }
+
   test("large/small-star clusters a chain whose diameter exceeds min-label rounds") {
     import spark.implicits._
     // a 400-long chain: component diameter 400, far beyond min-label's
