@@ -290,8 +290,9 @@ object Dedup {
     * diameter (near-dup components are tiny — `iters` = 6 is generous;
     * for long-diameter components [[clustersFromPairsLargeSmallStar]]
     * converges in O(log n) rounds). Deterministic: min is order-free. */
-  def nearDupClusters(corpus: DataFrame, threshold: Double = 0.5, iters: Int = 50): DataFrame =
-    clustersFromPairs(corpus, ngramJaccardPairs(corpus, threshold), iters)
+  def nearDupClusters(corpus: DataFrame, threshold: Double = 0.5, iters: Int = 50,
+                      dfCap: Option[Int] = None): DataFrame =
+    clustersFromPairs(corpus, ngramJaccardPairs(corpus, threshold, dfCap), iters)
 
   /** Scale-path clustering: connected components over the BANDED MinHash
     * candidates ([[minhashBandedOracle]]) instead of exact Jaccard pairs.
