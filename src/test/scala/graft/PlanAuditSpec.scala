@@ -152,6 +152,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_min"), p)
   }
 
+  test("dedup_ngram_jaccard: checkpointed shingle table keeps the self-join exchange-free") {
+    // the shingle table is hash-partitioned by h ONCE and localCheckpointed;
+    // both self-join branches must scan the SAME materialized RDD with its
+    // partitioning intact — if the checkpoint dropped outputPartitioning,
+    // each branch re-shuffles and the whole flap fix becomes a regression.
+    // Allowed hash exchange: exactly one, for the pair-count groupBy.
+    val p = planOf(llm.Dedup.ngramJaccard(
+      llm.Corpus.docCorpus(Tables.documents(spark, sfDir))))
+    assert(p.contains("Scan ExistingRDD"), p) // checkpoint scan present
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 1, s"expected <=1 hash exchange (pair groupBy), got $hashExchanges:\n$p")
+  }
+
   test("join_runtime_filter: selective dim injects a bloom filter into the fact scan") {
     // the production thresholds (10 GB application-side scan) dwarf the
     // fixture; a cloned session with thresholds floored shows the plan
