@@ -31,11 +31,19 @@ object Bench {
     // while every reported number carries a spread (round-4 finding: a
     // single-shot timing flapped 6.5x between same-jar runs; a median of
     // three with max/min recorded makes that visible and mostly kills it).
-    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3)
+    // clamp to >=1 (0 would crash the median index, even counts would
+    // silently report the upper median); non-numeric falls back to 3
+    val runs = math.max(1, sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.toIntOption).getOrElse(3))
+    val errors = scala.collection.mutable.Map.empty[String, Int]
     val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          // record the failure: a throwing query times out in ~ms, and an
+          // unmarked fast-stable timing would read as a SPEEDUP in the
+          // artifact instead of the regression it is
+          case _: Throwable => errors(name) = errors.getOrElse(name, 0) + 1
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // drop caches persisted inside operators so runs don't interfere
         try spark.catalog.clearCache() catch { case _: Throwable => () }
@@ -75,15 +83,19 @@ object Bench {
     // driver-parsed stdout line stays medians-only and under ~4KB)
     val fullJson = results.toSeq.sortBy(_._1)
       .map { case (k, ts) =>
+        val err = errors.get(k).map(n => s""","err":$n""").getOrElse("")
         "\"" + k + "\":{\"med\":" + r2d(ts(ts.size / 2)) +
-          ",\"min\":" + r2d(ts.head) + ",\"max\":" + r2d(ts.last) + "}" }
+          ",\"min\":" + r2d(ts.head) + ",\"max\":" + r2d(ts.last) + err + "}" }
       .mkString("{", ",", "}")
+    val errJson = if (errors.isEmpty) ""
+      else s""","failed_queries":${errors.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     try {
       val w = new java.io.PrintWriter("bench_full.json")
-      try w.println(s"""{"total":$total,"n":${results.size},"runs":$runs,"sf":"$sfDir","queries":$fullJson}""")
+      try w.println(s"""{"total":$total,"n":${results.size},"runs":$runs,"sf":"$sfDir"$errJson,"queries":$fullJson}""")
       finally w.close()
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    // the stdout line only grows when something FAILED (driver tail limit)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"$errJson}""")
     Console.flush()
     spark.stop()
   }

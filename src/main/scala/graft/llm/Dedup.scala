@@ -7,6 +7,11 @@ import org.apache.spark.sql.functions._
 /** Deduplication operators for training-data pipelines: exact,
   * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
   *
+  * NOTE: operators that reuse a materialized intermediate across plan
+  * branches (`ngramJaccard*`, `minhashCandidates`, the clustering loops)
+  * run Spark jobs at CONSTRUCTION time via eager `localCheckpoint` —
+  * they are not fully lazy plans (see ARCHITECTURE.md Round-5 findings).
+  *
   * Scale notes (100 TB): exact dedup is one hash shuffle on the dedup key;
   * MinHash banding turns O(n²) candidate generation into an equi-join on
   * (band, band-hash) — the only all-pairs work left is within buckets;
@@ -387,17 +392,23 @@ object Dedup {
     // SET is unchanged for this domain: edges are distinct, so the only
     // false positive is a different edge set whose exact 64-bit hash
     // sums collide at equal cardinality — negligible against the graph
-    // sizes here, and the fixpoint is re-entered next round anyway if a
-    // phantom match ever slipped through earlier. This
+    // sizes here (and a phantom match exits the loop, so it must stay
+    // negligible: ~2^-64 per round). This
     // replaces the round-4 exceptAll().count() + count() pair (two jobs
     // and an extra full-edge-set shuffle per round) with the same
     // single-action-per-round discipline as [[clustersFromPairs]].
     // decimal(38,0) accumulation: a raw long sum of 64-bit hashes
-    // overflows (ANSI mode throws); decimal holds ~1e19 edges' worth
+    // overflows (ANSI mode throws); decimal holds ~1e19 edges' worth.
+    // A null sum with a nonzero count would mean decimal overflow in a
+    // non-ANSI config — fail loudly rather than fingerprint it as the
+    // empty-set sentinel (two such rounds would fake convergence).
     def fingerprint(df: DataFrame): (Long, BigDecimal) = {
       val r = df.agg(count(lit(1)),
         sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
-      (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+      val n = r.getLong(0)
+      require(n == 0L || !r.isNullAt(1),
+        s"edge-set hash sum overflowed/nulled at $n edges — fingerprint unusable")
+      (n, if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
     }
     // pair sources emit a_id < b_id: orient big→small from the start
     var edges = pairSrc.select(col("b_id").as("u"), col("a_id").as("v"))

@@ -99,7 +99,10 @@ object TextAnalysis {
     * emitted score is round(tf·ln(N/df), 4). */
   def tfidf(documents: DataFrame): DataFrame = {
     // corpus size as a broadcast 1-row aggregate INSIDE the plan (no
-    // driver-side count() action — the whole operator stays one lazy plan)
+    // driver-side count() action). NOTE the operator is no longer fully
+    // lazy: the tf localCheckpoint below materializes the term counts at
+    // CONSTRUCTION time (the price of eviction-proof reuse across the two
+    // consumers — see Round-5 findings in ARCHITECTURE.md).
     val nDf = documents.agg(count(lit(1)).cast("double").as("n_docs"))
     // materialize tf once: both the df derivation and the join consume it —
     // without it the explode+groupBy runs twice. localCheckpoint, not

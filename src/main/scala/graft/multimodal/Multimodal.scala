@@ -36,6 +36,19 @@ object Multimodal {
     * feature extractors) are called once per batch, not per row. */
   val DecodeBatch = 64
 
+  /** Mean of `value(i)` over 8 equal index blocks of [0, n) — the shared
+    * aggregation skeleton of all three decoders (PPM pixel blocks, WAV
+    * sample windows, y4m frame blocks). */
+  private def blockMeans(n: Int)(value: Int => Double): Array[Double] =
+    Array.tabulate(8) { blk =>
+      val lo = blk * n / 8
+      val hi = math.max(lo + 1, (blk + 1) * n / 8)
+      var acc = 0.0
+      var i = lo
+      while (i < hi && i < n) { acc += value(i); i += 1 }
+      acc / (hi - lo)
+    }
+
   /** Binary-column metadata extraction — pure codegen'd expressions over
     * the binary payload (length, digest, hex prefix), no decode needed.
     * This is the "cheap metadata pass" a pipeline runs before deciding
@@ -212,11 +225,18 @@ object Multimodal {
       }
     require(width > 0 && height > 0, s"invalid y4m dimensions ${width}x$height")
     val wh = width * height
+    // exact known 8-bit colorspaces only: a prefix match would walk
+    // high-bit-depth streams (C420p10 etc., 2 bytes/sample) with 8-bit
+    // strides and produce garbage instead of a clean rejection. Chroma
+    // planes of subsampled modes are ceil(w/2)·[h or ceil(h/2)] — plain
+    // wh/2 undercounts when a dimension is odd and desyncs the walk.
+    val cw = (width + 1) / 2
+    val ch = (height + 1) / 2
     val chromaBytes = colorspace match {
       case "Cmono" => 0
-      case c if c.startsWith("C444") => 2 * wh
-      case c if c.startsWith("C422") => wh
-      case c if c.startsWith("C420") => wh / 2
+      case "C444" => 2 * wh
+      case "C422" => 2 * cw * height
+      case "C420" | "C420jpeg" | "C420paldv" | "C420mpeg2" => 2 * cw * ch
       case c => throw new IllegalArgumentException(s"unsupported y4m colorspace $c")
     }
     pos = hEnd + 1
@@ -236,14 +256,7 @@ object Multimodal {
     require(nf > 0, "y4m has no frames")
     // 8 equal blocks over the frame sequence (same aggregation shape as
     // the PPM pixel blocks / WAV sample windows)
-    Array.tabulate(8) { blk =>
-      val lo = blk * nf / 8
-      val hi = math.max(lo + 1, (blk + 1) * nf / 8)
-      var acc = 0.0
-      var f = lo
-      while (f < hi && f < nf) { acc += frameMeans(f); f += 1 }
-      acc / (hi - lo)
-    }
+    blockMeans(nf)(frameMeans)
   }
 
   /** REAL image decode: parse the P6 PPM header (magic, whitespace- and
@@ -279,18 +292,10 @@ object Multimodal {
     pos += 1 // single whitespace after maxval, then raster
     val nPix = math.min(width * height, (bytes.length - pos) / 3)
     require(nPix > 0, "PPM has no raster data")
-    Array.tabulate(8) { blk =>
-      val lo = blk * nPix / 8
-      val hi = math.max(lo + 1, (blk + 1) * nPix / 8)
-      var acc = 0.0
-      var i = lo
-      while (i < hi && i < nPix) {
-        val off = pos + i * 3
-        acc += ((bytes(off) & 0xff) + (bytes(off + 1) & 0xff) + (bytes(off + 2) & 0xff)) / 3.0
-        i += 1
-      }
-      acc / (hi - lo) / maxval
-    }
+    blockMeans(nPix) { i =>
+      val off = pos + i * 3
+      ((bytes(off) & 0xff) + (bytes(off + 1) & 0xff) + (bytes(off + 2) & 0xff)) / 3.0
+    }.map(_ / maxval)
   }
 
   /** REAL audio decode: walk the RIFF chunk list (fmt + data, tolerating
@@ -335,18 +340,10 @@ object Multimodal {
     require(bits == 16 && channels == 1,
       s"expected 16-bit mono PCM, got $bits-bit $channels-channel")
     val nSamples = dataLen / 2
-    Array.tabulate(8) { w =>
-      val lo = w * nSamples / 8
-      val hi = math.max(lo + 1, (w + 1) * nSamples / 8)
-      var acc = 0.0
-      var j = lo
-      while (j < hi && j < nSamples) {
-        val s = bb.getShort(dataOff + j * 2) / 32768.0
-        acc += s * s
-        j += 1
-      }
-      math.sqrt(acc / (hi - lo))
-    }
+    blockMeans(nSamples) { j =>
+      val s = bb.getShort(dataOff + j * 2) / 32768.0
+      s * s
+    }.map(math.sqrt)
   }
 
   /** Feature summary as a DataFrame query (rows-only checked by the

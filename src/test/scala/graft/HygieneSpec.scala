@@ -1,15 +1,24 @@
 package graft
 
 import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.window.WindowExec
 
 /** Session-hygiene sweep over EVERY declared query key:
   *
-  *  1. No query's optimized plan may contain a partition-less Window
-  *     outside the two contract sites (diff_positional: global row
-  *     position IS the reference semantics; text_zipf: the window ranks a
-  *     k-row top-list). A partition-less WindowExec funnels the whole
-  *     input through one task — at 100 TB that's a stalled stage, so any
-  *     NEW site must fail review here first.
+  *  1. No PHYSICAL plan executed while evaluating a query may contain a
+  *     partition-less WindowExec outside the two contract sites
+  *     (diff_positional: global row position IS the reference semantics;
+  *     text_zipf: the window ranks a k-row top-list). A partition-less
+  *     WindowExec funnels the whole input through one task — at 100 TB
+  *     that's a stalled stage, so any NEW site must fail review here
+  *     first. The audit hooks a QueryExecutionListener so it also sees
+  *     plans the returned DataFrame hides: subplans materialized by
+  *     eager localCheckpoints during operator CONSTRUCTION, and the
+  *     per-round plans of iterative operators — a logical-plan-only
+  *     check would miss both (everything upstream of a checkpoint
+  *     collapses to "Scan ExistingRDD").
   *
   *  2. After evaluating every query, the session must hold no cached
   *     RDDs. Operator-internal `.persist()` without an unpersist pins the
@@ -22,19 +31,48 @@ import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
   */
 class HygieneSpec extends SparkSpec {
 
+  private def physicalBareWindows(qe: QueryExecution): Seq[WindowExec] = {
+    def finalPlan(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    // executedPlan can throw for plans that never reached execution;
+    // the listener only hands us completed executions, but stay safe
+    try finalPlan(qe.executedPlan).collectWithSubqueries {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    } catch { case _: Throwable => Seq.empty }
+  }
+
   // one shared evaluation pass feeds both audits (building + running all
   // 154 queries once is the expensive part)
   private lazy val bareWindowOffenders: Set[String] = {
     // isolate from caches other suites may have left in the shared session
     spark.catalog.clearCache()
-    SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (k, fn) =>
-      val df = fn(spark, sfDir)
-      val bare = df.queryExecution.optimizedPlan.collectWithSubqueries {
-        case w: LogicalWindow if w.partitionSpec.isEmpty => w
+    val offenders = scala.collection.mutable.Set.empty[String]
+    @volatile var currentKey = ""
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+        if (physicalBareWindows(qe).nonEmpty) { offenders.synchronized { offenders += currentKey }; () }
       }
-      df.count()
-      if (bare.nonEmpty) Some(k) else None
-    }.toSet
+      override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (k, fn) =>
+        currentKey = k
+        val df = fn(spark, sfDir) // construction-time executions audited too
+        // the logical check still covers the returned plan's un-executed
+        // regions (e.g. a Window above the final checkpoint before count)
+        val logical = df.queryExecution.optimizedPlan.collectWithSubqueries {
+          case w: LogicalWindow if w.partitionSpec.isEmpty => w
+        }
+        if (logical.nonEmpty) { offenders.synchronized { offenders += k }; () }
+        df.count()
+      }
+      // the listener bus is async — drain before reading the offender set
+      org.apache.spark.GraftTestBus.drain(spark.sparkContext, 30000)
+    } finally spark.listenerManager.unregister(listener)
+    offenders.toSet
   }
 
   test("partition-less Window appears ONLY at the two contract sites") {

@@ -302,6 +302,18 @@ class LlmOpsSpec extends SparkSpec {
       Array[Byte](0, -1, -1, -1) ++ Array[Byte](100, 100))
     Multimodal.decodeY4m(c420).foreach(v =>
       assert(math.abs(v - (3 * 255.0 / 4) / 255.0) < 1e-12))
+    // ODD dimensions: C420 chroma planes are ceil(w/2)*ceil(h/2) per the
+    // spec — a 3x3 frame carries 9 luma + 2*(2*2) chroma bytes; a naive
+    // wh/2 stride would desync the walk and reject this valid stream
+    val odd = ("YUV4MPEG2 W3 H3 F30:1 C420\n".getBytes("US-ASCII") ++
+      "FRAME\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](9)(102.toByte) ++ Array.fill[Byte](8)(7.toByte))
+    Multimodal.decodeY4m(odd).foreach(v => assert(math.abs(v - 102.0 / 255.0) < 1e-12))
+    // high-bit-depth colorspaces (2 bytes/sample) must be REJECTED, not
+    // walked with 8-bit strides
+    val p10 = ("YUV4MPEG2 W2 H2 F30:1 C420p10\n".getBytes("US-ASCII") ++
+      "FRAME\n".getBytes("US-ASCII") ++ Array.fill[Byte](12)(1.toByte))
+    intercept[IllegalArgumentException](Multimodal.decodeY4m(p10))
     // structure genuinely validated: bad magic, missing FRAME marker,
     // truncated frame are parse errors, not garbage features
     val bad = const.clone(); bad(0) = 'X'.toByte
@@ -376,13 +388,11 @@ class LlmOpsSpec extends SparkSpec {
           qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
     }
     s2.listenerManager.register(listener)
-    // the listener bus is async — poll until the count is stable
+    // the listener bus is async — drain it deterministically before
+    // reading the counter (a stability-poll heuristic flaked under load)
     def settled(): Int = {
-      var prev = -1
-      var cur = actions.get()
-      var spins = 0
-      while (cur != prev && spins < 40) { Thread.sleep(100); prev = cur; cur = actions.get(); spins += 1 }
-      cur
+      org.apache.spark.GraftTestBus.drain(s2.sparkContext, 30000)
+      actions.get()
     }
     def actionsFor(pairs: Seq[(Long, Long)]): Int = {
       val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.toDF("doc_id")
