@@ -152,6 +152,61 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_min"), p)
   }
 
+  test("dedup_exact: the dedup shuffle carries digests, never document text") {
+    // the window shuffle must move (digest, doc_id, n_chars) — tens of
+    // bytes per row; a plan that drags the text column through the
+    // exchange re-shuffles the whole corpus at 100 TB. Checked on the
+    // exchanges' OUTPUT attributes (text legitimately appears BELOW
+    // them, where md5 consumes it).
+    val df = llm.Dedup.exact(llm.Corpus.docCorpus(Tables.documents(spark, sfDir)))
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // AQE wraps executed subtrees in leaf QueryStageExec nodes (result,
+    // shuffle, broadcast) — recurse through their `plan` members
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allNodes(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => allNodes(r.child)
+        case other => other.children.flatMap(allNodes)
+      })
+    val shuffled = allNodes(finalPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        e.output.map(_.name)
+    }.flatten
+    assert(shuffled.nonEmpty && !shuffled.contains("text"),
+      s"document text crosses a dedup exchange: $shuffled")
+  }
+
+  test("dedup_near_minhash: checkpointed band table keeps the bucket self-join exchange-free") {
+    // same discipline as the Jaccard shingle table: the banded signature
+    // table materializes once and both self-join sides scan it; allowed
+    // hash exchange = the final distinct over candidate pairs
+    val p = planOf(llm.Dedup.minhashCandidates(
+      llm.Corpus.docCorpus(Tables.documents(spark, sfDir))))
+    assert(p.contains("Scan ExistingRDD"), p)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 1, s"expected <=1 hash exchange (pair distinct), got $hashExchanges:\n$p")
+  }
+
+  test("dedup_embedding_bucketed: candidate join is a bucket equi-join, never all-pairs") {
+    val p = planOf(llm.Dedup.embeddingBucketedDedup(
+      llm.Corpus.vecCorpus(Tables.embeddings(spark, sfDir))))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("pipeline_quality_mix: quartile bucketing broadcasts boundaries, no global sort") {
+    // the quartile boundaries are a broadcast 1-row percentile aggregate;
+    // the only range exchange allowed is the final presentation ORDER BY
+    val p = planOf(llm.TrainingPrep.qualityMix(Tables.documents(spark, sfDir)))
+    val rangeExchanges = "Exchange rangepartitioning".r.findAllIn(p).size
+    assert(rangeExchanges <= 1, s"expected <=1 range exchange (final ORDER BY), got $rangeExchanges:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dedup_ngram_jaccard: checkpointed shingle table keeps the self-join exchange-free") {
     // the shingle table is hash-partitioned by h ONCE and localCheckpointed;
     // both self-join branches must scan the SAME materialized RDD with its
