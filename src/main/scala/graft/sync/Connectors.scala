@@ -83,6 +83,123 @@ final case class CsvSource(path: String) extends SyncSource {
     spark.read.option("header", "true").csv(path)
 }
 
+/** JDBC connector pair — the engine's stand-in for the reference's
+  * BigQuery side: [[JdbcTarget.merge]] translates the keyed changeset
+  * into BATCHED per-op DML (DELETE / per-column UPDATE / INSERT prepared
+  * statements, executed from the executors via `foreachPartition`) —
+  * the exact apply shape of syncquill's BQ writer (syncquill.py:78-107,
+  * one round-trip per changed cell there; batched here), unlike the
+  * snapshot targets that publish the merged table wholesale.
+  * [[SyncTarget.truncateLoad]] is the WRITE_TRUNCATE load
+  * (syncquill.py:131-146).
+  *
+  * Comparison domain is all-string, like the Sheets/BQ flow: columns are
+  * written as VARCHAR (Derby's default StringType mapping is CLOB, which
+  * cannot sit in a WHERE clause). Tested against in-process Derby —
+  * zero network, same DML surface; a BQ/postgres URL changes only the
+  * connection string. Transactions commit per executor partition: each
+  * statement batch is atomic, the whole changeset is not — matching the
+  * reference, whose per-cell DML has no cross-statement transaction
+  * either. Identifiers (table/column names) come from the engine's own
+  * schema, never from data; values always bind through `?` parameters. */
+final case class JdbcSource(url: String, table: String,
+                            driver: String = Connectors.DerbyDriver) extends SyncSource {
+  def read(spark: SparkSession): DataFrame =
+    spark.read.format("jdbc").option("url", url)
+      .option("dbtable", table).option("driver", driver).load()
+}
+
+final case class JdbcTarget(url: String, table: String,
+                            driver: String = Connectors.DerbyDriver) extends SyncTarget {
+  import org.apache.spark.sql.functions._
+
+  def read(spark: SparkSession): DataFrame =
+    spark.read.format("jdbc").option("url", url)
+      .option("dbtable", table).option("driver", driver).load()
+
+  /** Run `sql` once per input row, binding every column of the row (in
+    * order) as a string parameter; batches of 500, one transaction per
+    * partition. The changeset COALESCES TO ONE PARTITION first: DML is
+    * the delta path (changeset-sized, not corpus-sized), and concurrent
+    * row-locking transactions deadlock embedded Derby; a server-grade
+    * target that tolerates concurrent writers can raise the parallelism
+    * by dropping the coalesce. */
+  private def execBatch(rowsDf: DataFrame, sql: String): Unit = {
+    val (u, d) = (url, driver) // avoid serializing the case class closure
+    rowsDf.coalesce(1).foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.hasNext) {
+        java.lang.Class.forName(d)
+        val conn = java.sql.DriverManager.getConnection(u)
+        try {
+          conn.setAutoCommit(false)
+          val st = conn.prepareStatement(sql)
+          try {
+            var n = 0
+            rows.foreach { r =>
+              (0 until r.length).foreach { i =>
+                st.setString(i + 1, if (r.isNullAt(i)) null else r.get(i).toString)
+              }
+              st.addBatch()
+              n += 1
+              if (n % 500 == 0) { st.executeBatch(); () }
+            }
+            st.executeBatch()
+            conn.commit()
+          } finally st.close()
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** NOTE: expects a MATERIALIZED `changes` (SyncPipeline persists it
+    * before calling merge): the three DML passes are separate actions,
+    * and an unmaterialized changeset would be re-derived against the
+    * target table this method is actively mutating. */
+  def merge(spark: SparkSession, merged: DataFrame, changes: DataFrame, key: String): Unit = {
+    val valueCols = merged.columns.filterNot(_ == key).toSeq
+    // deletes first (frees keys), inserts last — a key never appears in
+    // two op classes, so only re-inserted keys care about the order
+    // identifiers are double-quoted: the Spark JDBC writer creates
+    // quoted (case-sensitive, lowercase) columns, while unquoted names
+    // would be uppercased by the SQL parser and not match
+    def q(id: String) = "\"" + id + "\""
+    execBatch(changes.filter(col("op") === "delete").select(col("slno")),
+      s"DELETE FROM $table WHERE ${q(key)} = ?")
+    // the changeset is CELL-level for updates: one prepared statement per
+    // touched column (statement text varies by column, values bind as ?)
+    val touched = changes.filter(col("op") === "update")
+      .select(col("col")).distinct().collect().map(_.getString(0))
+    touched.foreach { c =>
+      execBatch(changes.filter(col("op") === "update" && col("col") === c)
+          .select(col("new_val"), col("slno")),
+        s"UPDATE $table SET ${q(c)} = ? WHERE ${q(key)} = ?")
+    }
+    // inserts carry the whole-row JSON image; decode it Spark-side
+    val img = from_json(col("new_val"),
+      org.apache.spark.sql.types.StructType(valueCols.map(c =>
+        org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType))))
+    execBatch(changes.filter(col("op") === "insert")
+        .select(col("slno") +: valueCols.map(c => img.getField(c).as(c)): _*),
+      s"INSERT INTO $table (${(key +: valueCols).map(q).mkString(", ")}) VALUES (${Seq.fill(valueCols.size + 1)("?").mkString(", ")})")
+  }
+
+  def truncateLoad(snapshot: DataFrame): Unit =
+    snapshot.write.mode("overwrite")
+      .format("jdbc").option("url", url).option("dbtable", table)
+      .option("driver", driver)
+      // Derby maps StringType to CLOB, which can't be compared in WHERE
+      // clauses — force VARCHAR for the DML surface
+      .option("createTableColumnTypes",
+        snapshot.columns.map(c => s"$c VARCHAR(1024)").mkString(", "))
+      .save()
+}
+
+object Connectors {
+  /** Embedded Derby (in /opt/spark/jars via derbytools) — the in-process
+    * test database; any JDBC URL/driver substitutes in production. */
+  val DerbyDriver = "org.apache.derby.jdbc.EmbeddedDriver"
+}
+
 /** CSV snapshot target (all-string, header row), publishing via the same
   * stage-then-promote as parquet. Demonstrates that source and target
   * kinds compose independently through the seam. */

@@ -77,6 +77,33 @@ class PipelineSpec extends SparkSpec {
     assert(pm.exceptAll(want).count() === 0 && want.exceptAll(pm).count() === 0)
   }
 
+  test("sync into a JDBC target applies the changeset as per-op DML") {
+    import graft.sync.{CsvSource, JdbcTarget}
+    val dir = tmpDir()
+    val url = "jdbc:derby:memory:syncjdbc;create=true"
+    val c = Tables.customer(spark, sfDir)
+    def allString(df: org.apache.spark.sql.DataFrame) =
+      df.select(df.columns.map(cn => col(cn).cast("string").as(cn)).toIndexedSeq: _*)
+    val tgt = JdbcTarget(url, "SYNC_T")
+    // WRITE_TRUNCATE load of the old snapshot into Derby
+    tgt.truncateLoad(allString(Snapshots.oldSnapshot(c)))
+    assert(tgt.read(spark).count() === Snapshots.oldSnapshot(c).count())
+
+    allString(Snapshots.newSnapshot(c)).write
+      .option("header", "true").csv(s"$dir/source")
+    val r = SyncPipeline.sync(spark, CsvSource(s"$dir/source"), tgt,
+      "slno", preview = false)
+    assert(r.changes > 0 && r.inserts > 0 && r.deletes > 0 && r.updates > 0)
+    // the DML-applied table IS the new snapshot (set equality)
+    val got = tgt.read(spark)
+    val want = spark.read.option("header", "true").csv(s"$dir/source")
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+    // and a re-run against the mutated table is a no-op
+    val r2 = SyncPipeline.sync(spark, CsvSource(s"$dir/source"), tgt,
+      "slno", preview = false)
+    assert(r2 === SyncPipeline.SyncResult(0, 0, 0, 0))
+  }
+
   test("upsert verb truncate-loads; validation rejects empty cells") {
     val dir = tmpDir()
     val neu = Snapshots.newSnapshot(Tables.customer(spark, sfDir))
