@@ -104,6 +104,29 @@ class PipelineSpec extends SparkSpec {
     assert(r2 === SyncPipeline.SyncResult(0, 0, 0, 0))
   }
 
+  test("JDBC DML binds values as parameters: quotes, unicode and nulls round-trip") {
+    import graft.sync.{JdbcTarget, ParquetSource}
+    val dir = tmpDir()
+    val url = "jdbc:derby:memory:syncjdbc2;create=true"
+    import spark.implicits._
+    // values a string-concatenated DML would corrupt or inject through
+    val old = Seq(
+      ("1", "O'Neill; DROP TABLE x", "a"),
+      ("2", "line\" quote", "b"),
+      ("3", "naïve — ünïcödé", "c")).toDF("slno", "name", "seg")
+    val neu = Seq(
+      ("1", "O'Neill; DROP TABLE x", "a"),        // unchanged
+      ("2", "it's \"quoted\"", "b"),              // update with both quote kinds
+      ("4", "Zoë's new row", null)).toDF("slno", "name", "seg") // insert w/ null cell; 3 deleted
+    val tgt = JdbcTarget(url, "NASTY_T")
+    tgt.truncateLoad(old)
+    neu.write.mode("overwrite").parquet(s"$dir/src")
+    val r = SyncPipeline.sync(spark, ParquetSource(s"$dir/src"), tgt, "slno", preview = false)
+    assert(r === SyncPipeline.SyncResult(3, 1, 1, 1))
+    val got = tgt.read(spark)
+    assert(got.exceptAll(neu).count() === 0 && neu.exceptAll(got).count() === 0)
+  }
+
   test("upsert verb truncate-loads; validation rejects empty cells") {
     val dir = tmpDir()
     val neu = Snapshots.newSnapshot(Tables.customer(spark, sfDir))
