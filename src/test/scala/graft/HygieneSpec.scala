@@ -1,8 +1,7 @@
 package graft
 
 import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
-import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.execution.window.WindowExec
 
 /** Session-hygiene sweep over EVERY declared query key:
@@ -32,13 +31,12 @@ import org.apache.spark.sql.execution.window.WindowExec
 class HygieneSpec extends SparkSpec {
 
   private def physicalBareWindows(qe: QueryExecution): Seq[WindowExec] = {
-    def finalPlan(p: SparkPlan): SparkPlan = p match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case other => other
-    }
+    // PlanWalk recurses through AQE query-stage leaves — a plain
+    // collectWithSubqueries stops at ResultQueryStageExec and would see
+    // NOTHING of an adaptively-executed plan.
     // executedPlan can throw for plans that never reached execution;
     // the listener only hands us completed executions, but stay safe
-    try finalPlan(qe.executedPlan).collectWithSubqueries {
+    try PlanWalk.allNodes(qe.executedPlan).collect {
       case w: WindowExec if w.partitionSpec.isEmpty => w
     } catch { case _: Throwable => Seq.empty }
   }
@@ -68,11 +66,23 @@ class HygieneSpec extends SparkSpec {
         }
         if (logical.nonEmpty) { offenders.synchronized { offenders += k }; () }
         df.count()
+        // drain the async bus BEFORE advancing currentKey: the listener
+        // reads currentKey at processing time, so an undrained event from
+        // this query would be attributed to the next key
+        org.apache.spark.GraftTestBus.drain(spark.sparkContext, 30000)
       }
-      // the listener bus is async — drain before reading the offender set
-      org.apache.spark.GraftTestBus.drain(spark.sparkContext, 30000)
     } finally spark.listenerManager.unregister(listener)
     offenders.toSet
+  }
+
+  test("physical window audit sees through AQE query stages") {
+    // guards the auditor itself: a collect that stops at
+    // ResultQueryStageExec finds nothing and the sweep would silently
+    // rely on the logical check alone
+    val df = SparkEntry.queries("diff_positional")(spark, sfDir)
+    df.count()
+    assert(physicalBareWindows(df.queryExecution).nonEmpty,
+      "auditor failed to see the contract site's WindowExec through AQE")
   }
 
   test("partition-less Window appears ONLY at the two contract sites") {

@@ -165,14 +165,8 @@ class PlanAuditSpec extends SparkSpec {
       case p => p
     }
     // AQE wraps executed subtrees in leaf QueryStageExec nodes (result,
-    // shuffle, broadcast) — recurse through their `plan` members
-    def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
-      p +: (p match {
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allNodes(q.plan)
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => allNodes(r.child)
-        case other => other.children.flatMap(allNodes)
-      })
-    val shuffled = allNodes(finalPlan).collect {
+    // shuffle, broadcast) — PlanWalk recurses through their `plan` members
+    val shuffled = PlanWalk.allNodes(finalPlan).collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
         e.output.map(_.name)
     }.flatten
