@@ -19,7 +19,11 @@ import org.apache.spark.sql.execution.window.WindowExec
   *     check would miss both (everything upstream of a checkpoint
   *     collapses to "Scan ExistingRDD").
   *
-  *  2. After evaluating every query, the session must hold no cached
+  *  2. No execution may contain a non-broadcast CartesianProduct outside
+  *     the documented all-pairs oracle baselines — the quadratic join is
+  *     the canonical 100 TB killer.
+  *
+  *  3. After evaluating every query, the session must hold no cached
   *     RDDs. Operator-internal `.persist()` without an unpersist pins the
   *     entry in the CacheManager forever (strong reference — no GC can
   *     reclaim it), which on a long-lived production session means the
@@ -41,16 +45,23 @@ class HygieneSpec extends SparkSpec {
     } catch { case _: Throwable => Seq.empty }
   }
 
-  // one shared evaluation pass feeds both audits (building + running all
-  // 154 queries once is the expensive part)
-  private lazy val bareWindowOffenders: Set[String] = {
+  private def physicalCartesians(qe: QueryExecution): Seq[String] =
+    try PlanWalk.allNodes(qe.executedPlan).collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c.nodeName
+    } catch { case _: Throwable => Seq.empty }
+
+  // one shared evaluation pass feeds all three audits (building + running
+  // all 154 queries once is the expensive part)
+  private lazy val sweep: (Set[String], Set[String]) = {
     // isolate from caches other suites may have left in the shared session
     spark.catalog.clearCache()
     val offenders = scala.collection.mutable.Set.empty[String]
+    val cartesians = scala.collection.mutable.Set.empty[String]
     @volatile var currentKey = ""
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
         if (physicalBareWindows(qe).nonEmpty) { offenders.synchronized { offenders += currentKey }; () }
+        if (physicalCartesians(qe).nonEmpty) { cartesians.synchronized { cartesians += currentKey }; () }
       }
       override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit = ()
     }
@@ -72,7 +83,19 @@ class HygieneSpec extends SparkSpec {
         org.apache.spark.GraftTestBus.drain(spark.sparkContext, 30000)
       }
     } finally spark.listenerManager.unregister(listener)
-    offenders.toSet
+    (offenders.toSet, cartesians.toSet)
+  }
+
+  private lazy val bareWindowOffenders: Set[String] = sweep._1
+  private lazy val cartesianOffenders: Set[String] = sweep._2
+
+  test("CartesianProduct appears ONLY in the documented all-pairs baselines") {
+    // a non-broadcast cartesian join is the 100 TB killer class; the only
+    // legitimate sites are the exact all-pairs ORACLE BASELINES whose
+    // bucketed/banded scale twins exist precisely because of this
+    val allowed = Set("dedup_embedding_cosine")
+    assert(cartesianOffenders.subsetOf(allowed),
+      s"unexpected CartesianProduct in: ${cartesianOffenders -- allowed}")
   }
 
   test("physical window audit sees through AQE query stages") {
