@@ -6,7 +6,10 @@ import org.scalatest.BeforeAndAfterAll
 
 /** Shared local SparkSession for specs (sf0.001 data). */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
-  val sfDir = "/root/testdata/sf0.001"
+  // GRAFT_TEST_SF overrides the fixture scale — used to re-run the plan
+  // audits at sf0.1, where size-driven strategy flips (broadcast → SMJ)
+  // can produce shapes the sf0.001 default never exhibits
+  val sfDir = sys.env.getOrElse("GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
   lazy val spark: SparkSession = SparkSpec.session
 
