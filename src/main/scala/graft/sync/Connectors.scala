@@ -157,21 +157,40 @@ final case class JdbcTarget(url: String, table: String,
     * target table this method is actively mutating. */
   def merge(spark: SparkSession, merged: DataFrame, changes: DataFrame, key: String): Unit = {
     val valueCols = merged.columns.filterNot(_ == key).toSeq
+    // The changeset's `slno` is the key CANONICALIZED TO LONG
+    // (SnapshotDiff.diffKeyed casts both sides); the target stores the
+    // ORIGINAL string form. Binding slno.toString against the stored
+    // column would silently miss rows whose key text is non-canonical
+    // ('007', ' 7') — the same trap applyChangeset avoids by casting the
+    // table-side key. Recover each affected row's STORED key text by
+    // joining the changeset back to the target's key column under the
+    // same cast, and bind that.
+    val storedKeys = read(spark).select(col(key).as("__stored"))
+      .withColumn("__k", col("__stored").cast("long"))
+    def withStoredKey(ops: DataFrame, valueCol: Option[String]): DataFrame =
+      ops.join(storedKeys, col("slno") === col("__k"))
+        .select(valueCol.map(col).toSeq :+ col("__stored"): _*)
     // deletes first (frees keys), inserts last — a key never appears in
     // two op classes, so only re-inserted keys care about the order
     // identifiers are double-quoted: the Spark JDBC writer creates
     // quoted (case-sensitive, lowercase) columns, while unquoted names
     // would be uppercased by the SQL parser and not match
     def q(id: String) = "\"" + id + "\""
-    execBatch(changes.filter(col("op") === "delete").select(col("slno")),
+    execBatch(withStoredKey(changes.filter(col("op") === "delete"), None),
       s"DELETE FROM $table WHERE ${q(key)} = ?")
     // the changeset is CELL-level for updates: one prepared statement per
-    // touched column (statement text varies by column, values bind as ?)
+    // touched column (statement text varies by column; values bind as ?).
+    // Column names come from changeset DATA, so they are validated
+    // against the target schema before touching SQL text — a changeset
+    // not produced by diffKeyed must not be able to inject identifiers.
     val touched = changes.filter(col("op") === "update")
       .select(col("col")).distinct().collect().map(_.getString(0))
+    val unknown = touched.filterNot(valueCols.contains)
+    require(unknown.isEmpty,
+      s"changeset names columns absent from the target schema: ${unknown.mkString(", ")}")
     touched.foreach { c =>
-      execBatch(changes.filter(col("op") === "update" && col("col") === c)
-          .select(col("new_val"), col("slno")),
+      execBatch(withStoredKey(
+          changes.filter(col("op") === "update" && col("col") === c), Some("new_val")),
         s"UPDATE $table SET ${q(c)} = ? WHERE ${q(key)} = ?")
     }
     // inserts carry the whole-row JSON image; decode it Spark-side
@@ -188,9 +207,10 @@ final case class JdbcTarget(url: String, table: String,
       .format("jdbc").option("url", url).option("dbtable", table)
       .option("driver", driver)
       // Derby maps StringType to CLOB, which can't be compared in WHERE
-      // clauses — force VARCHAR for the DML surface
+      // clauses — force VARCHAR at Derby's maximum length (32672) so the
+      // DML surface works and long cells don't abort the load
       .option("createTableColumnTypes",
-        snapshot.columns.map(c => s"$c VARCHAR(1024)").mkString(", "))
+        snapshot.columns.map(c => s"$c VARCHAR(32672)").mkString(", "))
       .save()
 }
 

@@ -101,9 +101,12 @@ class HygieneSpec extends SparkSpec {
   test("physical window audit sees through AQE query stages") {
     // guards the auditor itself: a collect that stops at
     // ResultQueryStageExec finds nothing and the sweep would silently
-    // rely on the logical check alone
+    // rely on the logical check alone. Must be df.collect(), NOT
+    // df.count(): count() executes a SEPARATE QueryExecution, leaving
+    // df.queryExecution un-executed — its adaptive plan then has no
+    // query-stage wrappers and even a stage-blind walker would pass.
     val df = SparkEntry.queries("diff_positional")(spark, sfDir)
-    df.count()
+    df.collect()
     assert(physicalBareWindows(df.queryExecution).nonEmpty,
       "auditor failed to see the contract site's WindowExec through AQE")
   }

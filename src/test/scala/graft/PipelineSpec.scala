@@ -123,8 +123,37 @@ class PipelineSpec extends SparkSpec {
     neu.write.mode("overwrite").parquet(s"$dir/src")
     val r = SyncPipeline.sync(spark, ParquetSource(s"$dir/src"), tgt, "slno", preview = false)
     assert(r === SyncPipeline.SyncResult(3, 1, 1, 1))
-    val got = tgt.read(spark)
+    // read back through the SOURCE half of the pair too, so JdbcSource
+    // (not just JdbcTarget.read) has coverage
+    val got = graft.sync.JdbcSource(url, "NASTY_T").read(spark)
     assert(got.exceptAll(neu).count() === 0 && neu.exceptAll(got).count() === 0)
+  }
+
+  test("JDBC DML matches rows by canonicalized key, preserving stored key text") {
+    import graft.sync.{JdbcTarget, ParquetSource}
+    val dir = tmpDir()
+    val url = "jdbc:derby:memory:syncjdbc3;create=true"
+    import spark.implicits._
+    // the changeset labels rows with the key CANONICALIZED TO LONG
+    // ('08' -> slno 8) while the table stores the original text; the DML
+    // must still hit the stored rows — binding the canonical form
+    // directly ('8', '9') would match nothing and silently diverge.
+    // (Key-text differences like '007' vs '7' are delete+insert by the
+    // string-keyed diff join, exercised here too.)
+    val old = Seq(("007", "old"), ("08", "keep"), ("009", "gone")).toDF("slno", "name")
+    val neu = Seq(("7", "new"), ("08", "kept2")).toDF("slno", "name")
+    val tgt = JdbcTarget(url, "CANON_T")
+    tgt.truncateLoad(old)
+    neu.write.mode("overwrite").parquet(s"$dir/src")
+    val r = SyncPipeline.sync(spark, ParquetSource(s"$dir/src"), tgt, "slno", preview = false)
+    // '007'/'009' delete (slno 7, 9 -> stored text), '7' inserts,
+    // '08' updates in place (slno 8 -> stored '08')
+    assert(r === SyncPipeline.SyncResult(4, 1, 2, 1))
+    val got = tgt.read(spark).collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(got === Set(("7", "new"), ("08", "kept2")))
+    // re-run: no-op (idempotence would break if the update missed)
+    val r2 = SyncPipeline.sync(spark, ParquetSource(s"$dir/src"), tgt, "slno", preview = false)
+    assert(r2 === SyncPipeline.SyncResult(0, 0, 0, 0))
   }
 
   test("upsert verb truncate-loads; validation rejects empty cells") {

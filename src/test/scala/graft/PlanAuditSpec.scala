@@ -160,13 +160,10 @@ class PlanAuditSpec extends SparkSpec {
     // them, where md5 consumes it).
     val df = llm.Dedup.exact(llm.Corpus.docCorpus(Tables.documents(spark, sfDir)))
     df.collect()
-    val finalPlan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
     // AQE wraps executed subtrees in leaf QueryStageExec nodes (result,
-    // shuffle, broadcast) — PlanWalk recurses through their `plan` members
-    val shuffled = PlanWalk.allNodes(finalPlan).collect {
+    // shuffle, broadcast) — PlanWalk recurses through their `plan`
+    // members (and unwraps AdaptiveSparkPlanExec itself)
+    val shuffled = PlanWalk.allNodes(df.queryExecution.executedPlan).collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
         e.output.map(_.name)
     }.flatten
