@@ -104,18 +104,22 @@ final case class CsvSource(path: String) extends SyncSource {
   * schema, never from data; values always bind through `?` parameters. */
 final case class JdbcSource(url: String, table: String,
                             driver: String = Connectors.DerbyDriver) extends SyncSource {
-  def read(spark: SparkSession): DataFrame =
+  def read(spark: SparkSession): DataFrame = {
+    Connectors.derbyVarcharDialect
     spark.read.format("jdbc").option("url", url)
       .option("dbtable", table).option("driver", driver).load()
+  }
 }
 
 final case class JdbcTarget(url: String, table: String,
                             driver: String = Connectors.DerbyDriver) extends SyncTarget {
   import org.apache.spark.sql.functions._
 
-  def read(spark: SparkSession): DataFrame =
+  def read(spark: SparkSession): DataFrame = {
+    Connectors.derbyVarcharDialect
     spark.read.format("jdbc").option("url", url)
       .option("dbtable", table).option("driver", driver).load()
+  }
 
   /** Run `sql` once per input row, binding every column of the row (in
     * order) as a string parameter; batches of 500, one transaction per
@@ -202,7 +206,8 @@ final case class JdbcTarget(url: String, table: String,
       s"INSERT INTO $table (${(key +: valueCols).map(q).mkString(", ")}) VALUES (${Seq.fill(valueCols.size + 1)("?").mkString(", ")})")
   }
 
-  def truncateLoad(snapshot: DataFrame): Unit =
+  def truncateLoad(snapshot: DataFrame): Unit = {
+    Connectors.derbyVarcharDialect
     snapshot.write.mode("overwrite")
       .format("jdbc").option("url", url).option("dbtable", table)
       .option("driver", driver)
@@ -212,12 +217,32 @@ final case class JdbcTarget(url: String, table: String,
       .option("createTableColumnTypes",
         snapshot.columns.map(c => s"$c VARCHAR(32672)").mkString(", "))
       .save()
+  }
 }
 
 object Connectors {
   /** Embedded Derby (in /opt/spark/jars via derbytools) — the in-process
     * test database; any JDBC URL/driver substitutes in production. */
   val DerbyDriver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+  /** Spark's built-in Derby dialect maps StringType to CLOB, so a NULL
+    * string cell is written as setNull(Types.CLOB) — which Derby rejects
+    * with 22005 against the VARCHAR columns the DML surface needs.
+    * Registering this dialect (ahead of the built-in; first canHandle
+    * wins) makes StringType VARCHAR end-to-end. Idempotent via lazy val;
+    * every JDBC connector entry point forces it. */
+  private[sync] lazy val derbyVarcharDialect: Unit = {
+    import org.apache.spark.sql.jdbc.{JdbcDialect, JdbcDialects, JdbcType}
+    JdbcDialects.registerDialect(new JdbcDialect {
+      override def canHandle(url: String): Boolean = url.startsWith("jdbc:derby")
+      override def getJDBCType(dt: org.apache.spark.sql.types.DataType): Option[JdbcType] =
+        dt match {
+          case org.apache.spark.sql.types.StringType =>
+            Some(JdbcType("VARCHAR(32672)", java.sql.Types.VARCHAR))
+          case _ => None // fall through to the common mappings
+        }
+    })
+  }
 }
 
 /** CSV snapshot target (all-string, header row), publishing via the same

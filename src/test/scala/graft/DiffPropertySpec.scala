@@ -70,6 +70,29 @@ class DiffPropertySpec extends SparkSpec {
     })
   }
 
+  test("law: JDBC DML merge == applyChangeset for arbitrary snapshot pairs") {
+    // the gold parity gate for the DML connector: whatever applyChangeset
+    // computes set-based, the batched DELETE/UPDATE/INSERT path must
+    // produce row-for-row on a live table — across the same hostile cell
+    // domain (NULLs, empty strings, JSON metachars) as the apply law
+    val url = "jdbc:derby:memory:diffprop;create=true"
+    val tgt = graft.sync.JdbcTarget(url, "PROP_T")
+    def allString(df: org.apache.spark.sql.DataFrame) =
+      df.select(df.columns.map(c => col(c).cast("string").as(c)).toIndexedSeq: _*)
+    check("jdbc parity")(Prop.forAll(genSnapshot, genSnapshot) { (ra, rb) =>
+      val a = allString(DiffLaws.toSnapshot(spark, ra))
+      val b = allString(DiffLaws.toSnapshot(spark, rb))
+      // merge contract: the changeset must be materialized (the DML
+      // passes are separate actions against the table they mutate)
+      val changes = SnapshotDiff.diffKeyed(a, b, "slno").localCheckpoint()
+      val merged = SnapshotDiff.applyChangeset(a, changes, "slno")
+      tgt.truncateLoad(a)
+      tgt.merge(spark, merged, changes, "slno")
+      val got = tgt.read(spark)
+      got.exceptAll(merged).count() == 0L && merged.exceptAll(got).count() == 0L
+    })
+  }
+
   /** Snapshot in the IVM fixtures' schema: (slno, name, acctbal, segment)
     * with decimal-string balances (nullable) and a small segment domain
     * so group moves and vanishing groups occur often. */
