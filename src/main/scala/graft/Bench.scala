@@ -4,6 +4,31 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Host-speed calibration probe (round-5 finding: identical jars
+    // measured 55 vs 65 s total in different sessions — a UNIFORM 1.18x
+    // per-query drift from host-level contention invisible to steal/load
+    // metrics). A fixed FNV-1a mixing loop, timed single-thread (median
+    // of 3: CPU clock) and on every core at once (one shot: host
+    // oversubscription), makes the drift quantifiable: totals are
+    // comparable ACROSS sessions only after dividing by calib ratio.
+    val calibSink = new java.util.concurrent.atomic.AtomicLong()
+    def fnvLoop(seed: Long): Long = {
+      var h = seed ^ 0xcbf29ce484222325L
+      var i = 0L
+      while (i < 200000000L) { h = (h ^ i) * 0x100000001b3L; i += 1 }
+      h
+    }
+    def probe(threads: Int): Double = {
+      val t0 = System.nanoTime()
+      val ws = (1 to threads).map { s =>
+        val t = new Thread(() => calibSink.addAndGet(fnvLoop(s)))
+        t.start(); t
+      }
+      ws.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calib1 = Seq(probe(1), probe(1), probe(1)).sorted.apply(1)
+    val calibAll = probe(Runtime.getRuntime.availableProcessors())
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -91,11 +116,11 @@ object Bench {
       else s""","failed_queries":${errors.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     try {
       val w = new java.io.PrintWriter("bench_full.json")
-      try w.println(s"""{"total":$total,"n":${results.size},"runs":$runs,"sf":"$sfDir"$errJson,"queries":$fullJson}""")
+      try w.println(s"""{"total":$total,"n":${results.size},"runs":$runs,"calib_1t":${r2d(calib1)},"calib_allcore":${r2d(calibAll)},"sf":"$sfDir"$errJson,"queries":$fullJson}""")
       finally w.close()
     } catch { case _: Throwable => () }
     // the stdout line only grows when something FAILED (driver tail limit)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"$errJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"calib_1t":${r2d(calib1)},"queries":$qs,"sf":"$sfDir"$errJson}""")
     Console.flush()
     spark.stop()
   }
