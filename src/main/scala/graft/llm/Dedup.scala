@@ -59,7 +59,42 @@ object Dedup {
     * the clustering loop, where a global sort feeding a checkpoint is pure
     * waste (an extra range exchange of the full pair set per call). */
   private[graft] def ngramJaccardPairs(corpus: DataFrame, threshold: Double = 0.5,
-                                       dfCap: Option[Int] = None): DataFrame = {
+                                       dfCap: Option[Int] = None): DataFrame =
+    ngramPairCounts(corpus, dfCap)
+      .withColumn("jaccard",
+        graft.ops.Det.rfloor(col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+
+  /** Word-3-gram CONTAINMENT pairs (threshold 0.8): directed
+    * (contained, container) rows where |S_a ∩ S_b| / |S_a| >= t.
+    * The asymmetric complement of [[ngramJaccard]]: resemblance dilutes
+    * a short document embedded in a much longer one (the union is
+    * dominated by the container), so doc-in-doc duplication and
+    * benchmark-contamination checks need intersection over the
+    * CONTAINED side's size, not the union. Same exact-set pair
+    * machinery and dfCap scale lever; both directions of each
+    * unordered pair are derived in ONE pass over the aggregated
+    * pair counts (explode of a 2-struct array — no second join or
+    * union re-aggregation). */
+  def ngramContainment(corpus: DataFrame, threshold: Double = 0.8,
+                       dfCap: Option[Int] = None): DataFrame = {
+    val dir = ngramPairCounts(corpus, dfCap).select(explode(array(
+        struct(col("a_id").as("contained_id"), col("b_id").as("container_id"),
+          graft.ops.Det.rfloor(col("inter").cast("double") / col("a_n"), 4).as("containment")),
+        struct(col("b_id").as("contained_id"), col("a_id").as("container_id"),
+          graft.ops.Det.rfloor(col("inter").cast("double") / col("b_n"), 4).as("containment"))
+      )).as("d"))
+      .select(col("d.contained_id"), col("d.container_id"), col("d.containment"))
+    dir.filter(col("containment") >= threshold)
+      .orderBy("contained_id", "container_id")
+  }
+
+  /** Shared exact pair-count core for [[ngramJaccardPairs]] and
+    * [[ngramContainment]]: (a_id, b_id, inter, a_n, b_n) for every
+    * unordered candidate pair sharing >= 1 shingle hash. */
+  private def ngramPairCounts(corpus: DataFrame,
+                              dfCap: Option[Int]): DataFrame = {
     val withSh = corpus
       .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("shs"))
     // per-doc shingle counts map-side from the (distinct) array length —
@@ -102,10 +137,6 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
       .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"))), "a_id")
       .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"))), "b_id")
-      .withColumn("jaccard",
-        graft.ops.Det.rfloor(col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
   /** MinHash signatures: h_i(doc) = min over shingles of

@@ -51,7 +51,7 @@ class HygieneSpec extends SparkSpec {
     } catch { case _: Throwable => Seq.empty }
 
   // one shared evaluation pass feeds all three audits (building + running
-  // all 154 queries once is the expensive part)
+  // all declared queries once is the expensive part)
   private lazy val sweep: (Set[String], Set[String]) = {
     // isolate from caches other suites may have left in the shared session
     spark.catalog.clearCache()

@@ -113,6 +113,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(capped.nonEmpty)
   }
 
+  test("ngramContainment flags a short doc embedded in a long one that Jaccard misses") {
+    import spark.implicits._
+    // doc 1 (3 shingles) is verbatim inside doc 2 (18 shingles):
+    // jaccard = 3/18 = 0.17 — BELOW the 0.5 resemblance bar — but
+    // containment(1 in 2) = 3/3 = 1.0. This is the whole point of the
+    // asymmetric measure; doc 3 shares nothing.
+    val corpus = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e f g h i j k l m n o p q r s t"),
+      (3L, "x y z w v u")
+    ).toDF("doc_id", "text")
+    val jac = Dedup.ngramJaccard(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.isEmpty, s"resemblance should dilute the embedded doc, got $jac")
+    val cont = Dedup.ngramContainment(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
   test("passage dedup: exact-copy docs lose every passage, totals preserved") {
     val corpus = Corpus.docCorpus(documents)
     val out = Dedup.passageDedup(corpus).collect()
