@@ -131,6 +131,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(Corpus.docCorpus(Tables.documents(s, d)))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Corpus.docCorpus(Tables.documents(s, d)))),
     "dedup_containment" -> ((s, d) => Dedup.ngramContainment(Corpus.docCorpus(Tables.documents(s, d)))),
+    "dedup_containment_prefix" -> ((s, d) => Dedup.ngramContainmentPrefix(Corpus.docCorpus(Tables.documents(s, d)))),
     "dedup_near_minhash" -> ((s, d) => Dedup.minhashCandidates(Corpus.docCorpus(Tables.documents(s, d)))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Corpus.docCorpus(Tables.documents(s, d)))),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(Corpus.vecCorpus(Tables.embeddings(s, d)))),
@@ -807,6 +808,15 @@ object SparkEntry {
       s"""WITH $jaccardCtes
          |SELECT a_id, b_id, jaccard FROM jpairs ORDER BY a_id, b_id""".stripMargin,
     "dedup_containment" ->
+      s"""WITH $jaccardCtes
+         |SELECT contained_id, container_id, containment FROM (
+         | SELECT a_id AS contained_id, b_id AS container_id,
+         |        floor(CAST(inter AS DOUBLE)/a_n*1e4 + 0.5)/1e4 AS containment FROM p
+         | UNION ALL
+         | SELECT b_id, a_id, floor(CAST(inter AS DOUBLE)/b_n*1e4 + 0.5)/1e4 FROM p) d
+         |WHERE containment >= 0.8 ORDER BY contained_id, container_id""".stripMargin,
+    // the prefix-filtered twin is LOSSLESS — identical answer, same oracle
+    "dedup_containment_prefix" ->
       s"""WITH $jaccardCtes
          |SELECT contained_id, container_id, containment FROM (
          | SELECT a_id AS contained_id, b_id AS container_id,

@@ -90,6 +90,61 @@ object Dedup {
       .orderBy("contained_id", "container_id")
   }
 
+  /** Prefix-filtered containment join — the SCALE TWIN of
+    * [[ngramContainment]], same exact answer (shares its oracle; parity
+    * law in LlmOpsSpec). AllPairs/PPJoin-family prefix filtering
+    * (Bayardo et al., WWW'07 — public algorithm): order each doc's
+    * shingles by ascending global document frequency (rarest first,
+    * ties by hash) and probe the index with only the first
+    * |A| - ceil(t*|A|) + 1 of them. LOSSLESS for containment >= t: if
+    * none of those prefix shingles hits B, even a full match of the
+    * remaining ceil(t*|A|) - 1 cannot reach overlap t*|A|. Candidates
+    * are then verified map-side with `array_intersect` over the two
+    * docs' (distinct) shingle-hash arrays — no quadratic all-pairs
+    * aggregation. At 100 TB this replaces the hot-shingle self-join
+    * blowup (every doc pair sharing ANY shingle) with buckets of the
+    * RAREST ~20% of shingles per doc; dfCap becomes unnecessary.
+    *
+    * Production ordering (30× smoke, ARCHITECTURE.md "Containment
+    * wall"): NO exact pairwise measure survives duplicate-HEAVY data —
+    * identical copies make the output itself Σ|group|² and every
+    * "rare" shingle popular. Run [[exact]] dedup first (one digest
+    * shuffle collapses identical docs), then containment on the
+    * mostly-unique survivors, where the prefix filter's candidate
+    * reduction is the win (1.8× already at the pessimistic 10×). */
+  def ngramContainmentPrefix(corpus: DataFrame, threshold: Double = 0.8): DataFrame = {
+    // (doc_id, hs: sorted-distinct 8-byte shingle hashes) — consumed by
+    // the df count, the prefix ranking, and BOTH sides of the verify
+    // join: checkpoint once (house rule: eviction-proof multi-consumer)
+    val docs = corpus
+      .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("shs"))
+      .select(col("doc_id"), expr("transform(shs, s -> xxhash64(s))").as("hs"))
+      .filter(size(col("hs")) > 0)
+      .repartition(col("doc_id"))
+      .localCheckpoint()
+    val ex = docs.select(col("doc_id"), explode(col("hs")).as("h"))
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // rank within doc by (df asc, h asc) — a deterministic total order —
+    // and keep the lossless prefix; n - ceil(t*n) + 1
+    val prefix = ex.join(dfreq, "h")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + lit(1))
+      .select(col("doc_id").as("a_id"), col("h"))
+    val cands = prefix.join(ex.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    cands
+      .join(docs.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+      .withColumn("containment", graft.ops.Det.rfloor(
+        size(array_intersect(col("ha"), col("hb"))).cast("double") / size(col("ha")), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("a_id").as("contained_id"), col("b_id").as("container_id"), col("containment"))
+      .orderBy("contained_id", "container_id")
+  }
+
   /** Shared exact pair-count core for [[ngramJaccardPairs]] and
     * [[ngramContainment]]: (a_id, b_id, inter, a_n, b_n) for every
     * unordered candidate pair sharing >= 1 shingle hash. */

@@ -58,13 +58,22 @@ object ScaleSmoke {
       System.gc()
     }
 
-    if (!skipExact) time("ngram_jaccard_exact")(graft.llm.Dedup.ngramJaccard(corpus))
-    time(s"ngram_jaccard_dfcap$dfCap")(
-      graft.llm.Dedup.ngramJaccard(corpus, dfCap = Some(dfCap)))
-    if (!skipExact) time("cluster_exact")(graft.llm.Dedup.nearDupClusters(corpus))
-    time(s"cluster_dfcap$dfCap")(
-      graft.llm.Dedup.nearDupClusters(corpus, dfCap = Some(dfCap)))
-    time("cluster_banded")(graft.llm.Dedup.nearDupClustersBanded(corpus))
+    // optional fifth arg "containmentOnly" skips the jaccard/cluster
+    // walls (already documented) when iterating on the containment pair
+    val containmentOnly = args.lift(4).contains("containmentOnly")
+    if (!containmentOnly) {
+      if (!skipExact) time("ngram_jaccard_exact")(graft.llm.Dedup.ngramJaccard(corpus))
+      time(s"ngram_jaccard_dfcap$dfCap")(
+        graft.llm.Dedup.ngramJaccard(corpus, dfCap = Some(dfCap)))
+      if (!skipExact) time("cluster_exact")(graft.llm.Dedup.nearDupClusters(corpus))
+      time(s"cluster_dfcap$dfCap")(
+        graft.llm.Dedup.nearDupClusters(corpus, dfCap = Some(dfCap)))
+      time("cluster_banded")(graft.llm.Dedup.nearDupClustersBanded(corpus))
+    }
+    // containment: exact all-pairs baseline vs the lossless prefix-
+    // filtered twin (same output rows — the delta is candidate space)
+    if (!skipExact) time("containment_exact")(graft.llm.Dedup.ngramContainment(corpus))
+    time("containment_prefix")(graft.llm.Dedup.ngramContainmentPrefix(corpus))
     spark.stop()
   }
 }

@@ -132,6 +132,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(cont.toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("prefix-filtered containment is LOSSLESS: identical pairs to the baseline") {
+    // the AllPairs prefix filter must be an optimization, not an
+    // approximation — row-for-row parity on the real fixture corpus
+    val corpus = Corpus.docCorpus(documents)
+    val base = Dedup.ngramContainment(corpus)
+    val pref = Dedup.ngramContainmentPrefix(corpus)
+    assert(base.exceptAll(pref).count() === 0L)
+    assert(pref.exceptAll(base).count() === 0L)
+  }
+
   test("passage dedup: exact-copy docs lose every passage, totals preserved") {
     val corpus = Corpus.docCorpus(documents)
     val out = Dedup.passageDedup(corpus).collect()
