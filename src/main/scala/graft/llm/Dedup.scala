@@ -130,7 +130,12 @@ object Dedup {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + lit(1))
+      // threshold minus the rfloor(,4) rounding epsilon: the emitted
+      // filter admits UNROUNDED containment down to t - 0.00005 (it
+      // rounds up to t), so the lossless prefix bound must cover that
+      // value too — bites only when |A| >= 20000 shingles, where
+      // ceil((t-eps)n) can fall one below ceil(tn)
+      .filter(col("rk") <= col("n") - ceil(lit(threshold - 0.00005) * col("n")) + lit(1))
       .select(col("doc_id").as("a_id"), col("h"))
     val cands = prefix.join(ex.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
       .filter(col("a_id") =!= col("b_id"))
