@@ -119,7 +119,9 @@ object Bench {
       try w.println(s"""{"total":$total,"n":${results.size},"runs":$runs,"calib_1t":${r2d(calib1)},"calib_allcore":${r2d(calibAll)},"sf":"$sfDir"$errJson,"queries":$fullJson}""")
       finally w.close()
     } catch { case _: Throwable => () }
-    // the stdout line only grows when something FAILED (driver tail limit)
+    // stdout line size budget (driver tail limit, see above): fixed
+    // headline subset + calib_1t (~20 bytes); it only grows further when
+    // something FAILED. Anything per-query belongs in bench_full.json.
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"calib_1t":${r2d(calib1)},"queries":$qs,"sf":"$sfDir"$errJson}""")
     Console.flush()
     spark.stop()

@@ -312,6 +312,17 @@ object SparkEntry {
        |jpairs AS (SELECT a_id, b_id, floor(CAST(inter AS DOUBLE)/(a_n + b_n - inter)*1e4 + 0.5)/1e4 AS jaccard
        | FROM p WHERE floor(CAST(inter AS DOUBLE)/(a_n + b_n - inter)*1e4 + 0.5)/1e4 >= 0.5)""".stripMargin
 
+  /** Shared by dedup_containment AND dedup_containment_prefix: the twins'
+    * contract is a bit-identical answer, so they must share ONE literal. */
+  private val containmentOracleSql =
+    s"""WITH $jaccardCtes
+       |SELECT contained_id, container_id, containment FROM (
+       | SELECT a_id AS contained_id, b_id AS container_id,
+       |        floor(CAST(inter AS DOUBLE)/a_n*1e4 + 0.5)/1e4 AS containment FROM p
+       | UNION ALL
+       | SELECT b_id, a_id, floor(CAST(inter AS DOUBLE)/b_n*1e4 + 0.5)/1e4 FROM p) d
+       |WHERE containment >= 0.8 ORDER BY contained_id, container_id""".stripMargin
+
   /** dedup_minhash_oracle SQL, GENERATED from the same constants the
     * Spark operator uses (Dedup.MinhashParams) so the two sides cannot
     * drift: per-shingle rolling code-point fingerprint (the
@@ -807,23 +818,10 @@ object SparkEntry {
     "dedup_ngram_jaccard" ->
       s"""WITH $jaccardCtes
          |SELECT a_id, b_id, jaccard FROM jpairs ORDER BY a_id, b_id""".stripMargin,
-    "dedup_containment" ->
-      s"""WITH $jaccardCtes
-         |SELECT contained_id, container_id, containment FROM (
-         | SELECT a_id AS contained_id, b_id AS container_id,
-         |        floor(CAST(inter AS DOUBLE)/a_n*1e4 + 0.5)/1e4 AS containment FROM p
-         | UNION ALL
-         | SELECT b_id, a_id, floor(CAST(inter AS DOUBLE)/b_n*1e4 + 0.5)/1e4 FROM p) d
-         |WHERE containment >= 0.8 ORDER BY contained_id, container_id""".stripMargin,
-    // the prefix-filtered twin is LOSSLESS — identical answer, same oracle
-    "dedup_containment_prefix" ->
-      s"""WITH $jaccardCtes
-         |SELECT contained_id, container_id, containment FROM (
-         | SELECT a_id AS contained_id, b_id AS container_id,
-         |        floor(CAST(inter AS DOUBLE)/a_n*1e4 + 0.5)/1e4 AS containment FROM p
-         | UNION ALL
-         | SELECT b_id, a_id, floor(CAST(inter AS DOUBLE)/b_n*1e4 + 0.5)/1e4 FROM p) d
-         |WHERE containment >= 0.8 ORDER BY contained_id, container_id""".stripMargin,
+    "dedup_containment" -> containmentOracleSql,
+    // the prefix-filtered twin is LOSSLESS — identical answer, same
+    // oracle; ONE shared literal so the twins can't silently diverge
+    "dedup_containment_prefix" -> containmentOracleSql,
     "dedup_cluster" ->
       s"""WITH RECURSIVE $jaccardCtes,
          |edges AS (SELECT a_id AS src, b_id AS dst FROM jpairs

@@ -122,20 +122,26 @@ object Dedup {
       .filter(size(col("hs")) > 0)
       .repartition(col("doc_id"))
       .localCheckpoint()
-    val ex = docs.select(col("doc_id"), explode(col("hs")).as("h"))
+    // carry |A| through the explode (map-side from the array length) —
+    // a count() window here would be a second full Window pass over the
+    // largest intermediate
+    val ex = docs.select(col("doc_id"), size(col("hs")).cast("long").as("n"),
+      explode(col("hs")).as("h"))
     val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    // rank within doc by (df asc, h asc) — a deterministic total order —
-    // and keep the lossless prefix; n - ceil(t*n) + 1
+    // Lossless prefix bound in EXACT integer arithmetic. The emitted
+    // filter admits any overlap o with rfloor(o/n,4) >= t, i.e.
+    // floor(o*1e4/n + 0.5) >= T where T = t*1e4, i.e.
+    // o >= o_min = ceil(n*(2T-1)/2e4). Floating-point forms of this
+    // bound are NOT safe: 0.8 - 0.00005 = 0.79995000000000004 in
+    // doubles, so ceil((t-eps)*n) lands one too high at exactly
+    // n = 20000 — the regime the epsilon was meant to cover. Integer
+    // ceil-division instead, minus one more shingle as a guard for the
+    // +-1-ulp wobble of the verify stage's own double division.
+    val T = math.round(threshold * 10000)
     val prefix = ex.join(dfreq, "h")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      // threshold minus the rfloor(,4) rounding epsilon: the emitted
-      // filter admits UNROUNDED containment down to t - 0.00005 (it
-      // rounds up to t), so the lossless prefix bound must cover that
-      // value too — bites only when |A| >= 20000 shingles, where
-      // ceil((t-eps)n) can fall one below ceil(tn)
-      .filter(col("rk") <= col("n") - ceil(lit(threshold - 0.00005) * col("n")) + lit(1))
+      .filter(expr(s"rk <= n - ((n * ${2 * T - 1}L + 19999L) div 20000L) + 2"))
       .select(col("doc_id").as("a_id"), col("h"))
     val cands = prefix.join(ex.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
       .filter(col("a_id") =!= col("b_id"))
