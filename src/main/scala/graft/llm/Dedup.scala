@@ -112,6 +112,26 @@ object Dedup {
     * shuffle collapses identical docs), then containment on the
     * mostly-unique survivors, where the prefix filter's candidate
     * reduction is the win (1.8× already at the pessimistic 10×). */
+  /** Lossless prefix bound in EXACT integer arithmetic, over columns
+    * `rk` (1-based rarest-first rank) and `n` (the doc's shingle
+    * count). The verify stage admits any overlap o with
+    * rfloor(o/n,4) >= t, i.e. floor(o*1e4/n + 0.5) >= T where
+    * T = t*1e4, i.e. o >= o_min = ceil(n*(2T-1)/2e4) — so the prefix
+    * must keep rk <= n - o_min + 1 (pigeonhole), plus one more
+    * shingle as a guard for the +-1-ulp wobble of the verify stage's
+    * own double division. Floating-point forms of this bound are NOT
+    * safe: 0.8 - 0.00005 = 0.79995000000000004 in doubles, so
+    * ceil((t-eps)*n) lands one too high at exactly n = 20000 — the
+    * regime the epsilon was meant to cover. This arithmetic has been
+    * wrong twice (textbook bound ignoring the rounded filter, then
+    * the double epsilon); exposed package-private so LlmOpsSpec can
+    * pin it against an exact BigInt oracle across the full n range,
+    * including the n >= 20000 regime no fixture reaches. */
+  private[graft] def containmentPrefixFilterSql(threshold: Double): String = {
+    val T = math.round(threshold * 10000)
+    s"rk <= n - ((n * ${2 * T - 1}L + 19999L) div 20000L) + 2"
+  }
+
   def ngramContainmentPrefix(corpus: DataFrame, threshold: Double = 0.8): DataFrame = {
     // (doc_id, hs: sorted-distinct 8-byte shingle hashes) — consumed by
     // the df count, the prefix ranking, and BOTH sides of the verify
@@ -128,20 +148,10 @@ object Dedup {
     val ex = docs.select(col("doc_id"), size(col("hs")).cast("long").as("n"),
       explode(col("hs")).as("h"))
     val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    // Lossless prefix bound in EXACT integer arithmetic. The emitted
-    // filter admits any overlap o with rfloor(o/n,4) >= t, i.e.
-    // floor(o*1e4/n + 0.5) >= T where T = t*1e4, i.e.
-    // o >= o_min = ceil(n*(2T-1)/2e4). Floating-point forms of this
-    // bound are NOT safe: 0.8 - 0.00005 = 0.79995000000000004 in
-    // doubles, so ceil((t-eps)*n) lands one too high at exactly
-    // n = 20000 — the regime the epsilon was meant to cover. Integer
-    // ceil-division instead, minus one more shingle as a guard for the
-    // +-1-ulp wobble of the verify stage's own double division.
-    val T = math.round(threshold * 10000)
     val prefix = ex.join(dfreq, "h")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
-      .filter(expr(s"rk <= n - ((n * ${2 * T - 1}L + 19999L) div 20000L) + 2"))
+      .filter(expr(containmentPrefixFilterSql(threshold)))
       .select(col("doc_id").as("a_id"), col("h"))
     val cands = prefix.join(ex.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
       .filter(col("a_id") =!= col("b_id"))

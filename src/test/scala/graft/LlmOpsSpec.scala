@@ -142,6 +142,45 @@ class LlmOpsSpec extends SparkSpec {
     assert(pref.exceptAll(base).count() === 0L)
   }
 
+  test("containment prefix bound law: lossless and tight vs an exact BigInt oracle") {
+    // This arithmetic has been wrong twice (textbook |A|-ceil(t|A|)+1
+    // ignored the rounded verify filter; the double-epsilon repair
+    // misrounded at exactly n = 20000). Pin the PRODUCTION SQL fragment
+    // against an independent exact oracle: o_min(n, t) = the smallest
+    // overlap the verify stage admits, found by BigInt search on
+    // floor((2*o*1e4 + n) / (2n)) >= t*1e4 — no shared derivation with
+    // the ceil-division form under test. Law: the filter must admit
+    // rk = requiredLen (lossless) and reject rk = requiredLen + 3
+    // (tight up to the documented +-1-ulp guard of 2).
+    import spark.implicits._
+    val thresholds = Seq(0.5, 0.6667, 0.8, 0.9, 0.95, 0.9999)
+    val ns = ((1L to 2000L) ++ (19990L to 20010L) ++ (199995L to 200005L) ++
+      Seq(1000000L, 9999999L)).distinct
+    def requiredLen(n: Long, t: Double): Long = {
+      val T = BigInt(math.round(t * 10000))
+      def admits(o: Long): Boolean =
+        (BigInt(2) * o * 10000 + n) / (BigInt(2) * n) >= T  // BigInt / floors
+      // binary search for the smallest admitted o (admits is monotone in o;
+      // o = n is always admitted: rfloor(n/n,4) = 1 >= t)
+      var lo = 1L; var hi = n
+      while (lo < hi) { val mid = (lo + hi) / 2; if (admits(mid)) hi = mid else lo = mid + 1 }
+      n - lo + 1
+    }
+    for (t <- thresholds) {
+      val sql = Dedup.containmentPrefixFilterSql(t)
+      val rows = ns.flatMap { n =>
+        val req = requiredLen(n, t)
+        Seq((n, req, true), (n, req + 3, false)).filter(_._2 >= 1)
+      }
+      val got = rows.toDF("n", "rk", "expect")
+        .withColumn("adm", expr(s"($sql)"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+      val bad = got.filter(g => g._3 != g._4)
+      assert(bad.isEmpty,
+        s"t=$t: ${bad.length} bound violations, first 3: ${bad.take(3).toSeq}")
+    }
+  }
+
   test("passage dedup: exact-copy docs lose every passage, totals preserved") {
     val corpus = Corpus.docCorpus(documents)
     val out = Dedup.passageDedup(corpus).collect()
