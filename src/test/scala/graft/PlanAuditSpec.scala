@@ -211,6 +211,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashExchanges <= 1, s"expected <=1 hash exchange (pair groupBy), got $hashExchanges:\n$p")
   }
 
+  test("dedup_containment_prefix: candidates verified map-side, no pair-count aggregation") {
+    // The scale twin's whole point: the baseline aggregates shingle counts
+    // per (a_id, b_id) pair (quadratic aggregation state), the prefix twin
+    // verifies each candidate with a codegen'd array_intersect over the
+    // two docs' shingle arrays — its only pair-keyed aggregate is the
+    // function-less candidate distinct. The discriminator regex is
+    // validated against the baseline plan FIRST, so a plan-text format
+    // change fails loudly instead of silently passing both asserts.
+    val pairCountAgg =
+      "HashAggregate\\(keys=\\[a_id[^\\]]*b_id[^\\]]*\\], functions=\\[[^\\]]".r
+    val corpus = llm.Corpus.docCorpus(Tables.documents(spark, sfDir))
+    val base = planOf(llm.Dedup.ngramContainment(corpus))
+    assert(pairCountAgg.findFirstIn(base).isDefined,
+      s"discriminator no longer matches the baseline's pair-count aggregate:\n$base")
+    val p = planOf(llm.Dedup.ngramContainmentPrefix(corpus))
+    assert(p.contains("array_intersect"), p)
+    assert(pairCountAgg.findFirstIn(p).isEmpty,
+      s"prefix twin grew a pair-count aggregate (quadratic state):\n$p")
+  }
+
   test("join_runtime_filter: selective dim injects a bloom filter into the fact scan") {
     // the production thresholds (10 GB application-side scan) dwarf the
     // fixture; a cloned session with thresholds floored shows the plan
