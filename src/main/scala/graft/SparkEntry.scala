@@ -904,7 +904,8 @@ object SparkEntry {
         | floor(CAST(len(list_filter(string_split(text,' '), x -> x IN ('le','la','et','les'))) AS DOUBLE)/len(string_split(text,' '))*1e4 + 0.5)/1e4 AS score_fr
         | FROM documents)
         |SELECT doc_id, lang_declared, score_de, score_en, score_es, score_fr,
-        | CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+        | CASE WHEN score_en IS NULL THEN 'und'
+        |  WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
         |  WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
         |  WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
         |  WHEN score_fr >= score_es THEN 'fr'

@@ -146,7 +146,10 @@ object TextAnalysis {
           graft.ops.Det.rfloor(size(filter(tok, t => t.isin(words: _*))).cast("double") / nTok, 4).as(s"score_$l")
         }: _*)
     scored.withColumn("lang_pred",
-      when(greatest(col("score_en"), col("score_de"), col("score_fr"), col("score_es")) === 0, "und")
+      // null scores (null text -> null token array) must be "no signal",
+      // not a CASE fallthrough to the last branch ('es')
+      when(col("score_en").isNull, "und")
+        .when(greatest(col("score_en"), col("score_de"), col("score_fr"), col("score_es")) === 0, "und")
         .when(col("score_en") >= col("score_de") && col("score_en") >= col("score_fr") && col("score_en") >= col("score_es"), "en")
         .when(col("score_de") >= col("score_fr") && col("score_de") >= col("score_es"), "de")
         .when(col("score_fr") >= col("score_es"), "fr")

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, TextAnalysis}
+
+/** Hostile-corpus gates: the fixture corpus is clean (no nulls, no empty
+  * docs), but a 100 TB crawl is not. These tests run the text/dedup tier
+  * over the degenerate shapes a real pipeline hits — null text, empty
+  * text, whitespace-only, sub-shingle-width, multibyte, and a
+  * 10k-token outlier — and pin the load-bearing invariants: nothing
+  * throws, degenerate docs never fabricate duplicate pairs, the real
+  * duplicate pair is still found, and the prefix twin's parity law holds
+  * on hostile input too. Operator null SEMANTICS are intentionally not
+  * reshaped here: each op's oracle SQL mirrors its expression tree, so a
+  * defensive null-filter on one side only would silently diverge the
+  * parity the driver grades.
+  */
+class HostileInputSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** doc_ids 1-4 are degenerate; 5 and 6 are exact duplicates; 7 is
+    * multibyte; 8 is a 10k-token outlier (unique tokens, no dup). */
+  private lazy val hostile: DataFrame = {
+    val big = (1 to 10000).map(i => s"w$i").mkString(" ")
+    Seq(
+      (1L, null.asInstanceOf[String], "en", "crawl"),
+      (2L, "", "en", "crawl"),
+      (3L, " \t  ", "en", "crawl"),
+      (4L, "one two", "en", "crawl"),
+      (5L, "the quick brown fox jumps over the lazy dog again and again", "en", "crawl"),
+      (6L, "the quick brown fox jumps over the lazy dog again and again", "en", "crawl"),
+      (7L, "héllo wörld héllo wörld héllo wörld ünïcödé test tail here", "de", "crawl"),
+      (8L, big, "en", "crawl")
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", coalesce(length(col("text")).cast("long"), lit(0L)))
+  }
+
+  private val degenerate = Set(1L, 2L, 3L, 4L)
+
+  test("exact dedup survives hostile docs; the real pair collapses") {
+    val out = Dedup.exact(hostile).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(5L) === 2L, s"docs 5/6 must collapse to one survivor: $out")
+    assert(!out.contains(6L))
+    // every non-duplicate doc survives with n_copies 1 — including the
+    // degenerate ones (null text hashes to a null digest partition, empty
+    // and whitespace-only to distinct digests; none of them crash)
+    assert(Set(1L, 2L, 3L, 4L, 7L, 8L).forall(out.get(_).contains(1L)), out)
+  }
+
+  test("ngram pair measures: no pairs from degenerate docs, dup pair at 1.0, parity holds") {
+    val jac = Dedup.ngramJaccard(hostile).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(jac.map(p => (p._1, p._2)).toSeq === Seq((5L, 6L)), jac.toSeq)
+    assert(jac.head._3 === 1.0)
+    val base = Dedup.ngramContainment(hostile)
+    val cont = base.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.forall(p => !degenerate(p._1) && !degenerate(p._2)), cont.toSeq)
+    assert(cont.map(p => (p._1, p._2)).toSet === Set((5L, 6L), (6L, 5L)), cont.toSeq)
+    // the lossless prefix twin must agree row-for-row on hostile input
+    val pref = Dedup.ngramContainmentPrefix(hostile)
+    assert(base.exceptAll(pref).count() === 0L)
+    assert(pref.exceptAll(base).count() === 0L)
+  }
+
+  test("minhash and simhash run on hostile docs; minhash finds the dup pair") {
+    val cand = Dedup.minhashCandidates(hostile).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((5L, 6L)), cand)
+    assert(cand.forall(p => !degenerate(p._1) && !degenerate(p._2)), cand)
+    val sh = Dedup.simhash(hostile).collect()
+    assert(sh.length === hostile.count())
+  }
+
+  test("passage and url dedup run on hostile docs without fabricating drops") {
+    val pd = Dedup.passageDedup(hostile).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 6 repeats every passage of doc 5 -> keeps nothing; doc 8's
+    // passages are all unique -> keeps everything
+    val kept = pd.map(t => t._1 -> t._3).toMap
+    assert(kept(6L) === 0L, pd.toSeq)
+    assert(kept(8L) === pd.find(_._1 == 8L).get._2)
+    Dedup.urlDedup(hostile).collect() // synthesized URLs: must not throw
+  }
+
+  test("text family runs on hostile docs; ratio columns never NaN or infinite") {
+    // null doubles are legitimate "no signal" for null text; NaN/Inf are
+    // arithmetic escapes (0/0, x/0) and never acceptable
+    def noBadDoubles(df: DataFrame): Unit = {
+      val doubles = df.schema.fields.filter(_.dataType.typeName == "double").map(_.name)
+      doubles.foreach { c =>
+        val bad = df.filter(isnan(col(c)) || col(c) === Double.PositiveInfinity ||
+          col(c) === Double.NegativeInfinity).count()
+        assert(bad === 0L, s"$bad NaN/Inf rows in $c of ${df.columns.mkString(",")}")
+      }
+    }
+    val lid = TextAnalysis.langId(hostile)
+    noBadDoubles(lid)
+    // null text carries no signal: it must classify 'und', not fall
+    // through the CASE chain to the last branch (the first-run catch of
+    // this spec — both the Spark op and its oracle SQL now guard it)
+    val preds = lid.collect().map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(preds(1L) === "und", preds)
+    assert(preds(3L) === "und", preds)
+    assert(preds(5L) === "en", preds)
+    noBadDoubles(TextAnalysis.qualityScore(hostile))
+    noBadDoubles(TextAnalysis.tokenCount(hostile))
+    noBadDoubles(TextAnalysis.lmScore(hostile))
+    noBadDoubles(TextAnalysis.repetition(hostile))
+    assert(TextAnalysis.scrub(hostile).count() === hostile.count())
+    assert(TextAnalysis.fingerprint(hostile).count() === hostile.count())
+    // chunking the 10k-token doc: full coverage, bounded chunk size
+    val ch = TextAnalysis.chunk(hostile).filter(col("doc_id") === 8L).collect()
+    assert(ch.map(_.getLong(3)).sum >= 10000L)
+    assert(ch.forall(_.getLong(3) <= 32L))
+  }
+}
