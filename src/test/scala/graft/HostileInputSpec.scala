@@ -116,4 +116,22 @@ class HostileInputSpec extends SparkSpec {
     assert(ch.map(_.getLong(3)).sum >= 10000L)
     assert(ch.forall(_.getLong(3) <= 32L))
   }
+
+  test("training-prep compositions run end-to-end on hostile docs") {
+    import graft.llm.TrainingPrep
+    // the full pipeline (banded dedup -> language rebalance -> chunk):
+    // must not throw, must emit no chunks for degenerate docs, and every
+    // emitted chunk carries positive token count and non-empty text
+    val prep = TrainingPrep.prepare(hostile).collect()
+    assert(prep.forall(r => r.getLong(3) > 0L && r.getString(2).nonEmpty), prep.take(3).toSeq)
+    val filt = TrainingPrep.qualityFilter(hostile).collect()
+    assert(filt.forall(r => !degenerate(r.getLong(0))), filt.take(3).toSeq)
+    // packing: cumulative seq_id never decreases within a language
+    val packed = TrainingPrep.packSequences(hostile).collect()
+      .map(r => (r.getString(0), r.getLong(4)))
+    packed.groupBy(_._1).values.foreach { seq =>
+      assert(seq.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)), seq.take(5).toSeq)
+    }
+    TrainingPrep.qualityMix(hostile).collect() // percentiles over 8 docs: must not throw
+  }
 }
