@@ -104,22 +104,16 @@ final case class CsvSource(path: String) extends SyncSource {
   * schema, never from data; values always bind through `?` parameters. */
 final case class JdbcSource(url: String, table: String,
                             driver: String = Connectors.DerbyDriver) extends SyncSource {
-  def read(spark: SparkSession): DataFrame = {
-    Connectors.derbyVarcharDialect
-    spark.read.format("jdbc").option("url", url)
-      .option("dbtable", table).option("driver", driver).load()
-  }
+  def read(spark: SparkSession): DataFrame =
+    Connectors.readJdbc(spark, url, table, driver)
 }
 
 final case class JdbcTarget(url: String, table: String,
                             driver: String = Connectors.DerbyDriver) extends SyncTarget {
   import org.apache.spark.sql.functions._
 
-  def read(spark: SparkSession): DataFrame = {
-    Connectors.derbyVarcharDialect
-    spark.read.format("jdbc").option("url", url)
-      .option("dbtable", table).option("driver", driver).load()
-  }
+  def read(spark: SparkSession): DataFrame =
+    Connectors.readJdbc(spark, url, table, driver)
 
   /** Run `sql` once per input row, binding every column of the row (in
     * order) as a string parameter; batches of 500, one transaction per
@@ -161,6 +155,21 @@ final case class JdbcTarget(url: String, table: String,
     * target table this method is actively mutating. */
   def merge(spark: SparkSession, merged: DataFrame, changes: DataFrame, key: String): Unit = {
     val valueCols = merged.columns.filterNot(_ == key).toSeq
+    // ONE small aggregate over the (materialized) changeset decides which
+    // DML passes run and which columns updates touch. The changeset is
+    // CELL-level for updates: one prepared statement per touched column
+    // (statement text varies by column; values bind as ?). Column names
+    // come from changeset DATA, so they are validated against the target
+    // schema before touching SQL text — a changeset not produced by
+    // diffKeyed must not be able to inject identifiers. Skipping absent
+    // op classes matters beyond tidiness: each pass is a Spark job whose
+    // plan scans the TARGET TABLE (stored-key join below).
+    val opCols = changes.groupBy(col("op"), col("col")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val touched = opCols.collect { case ("update", c) => c }.distinct.sorted
+    val unknown = touched.filterNot(valueCols.contains)
+    require(unknown.isEmpty,
+      s"changeset names columns absent from the target schema: ${unknown.mkString(", ")}")
     // The changeset's `slno` is the key CANONICALIZED TO LONG
     // (SnapshotDiff.diffKeyed casts both sides); the target stores the
     // ORIGINAL string form. Binding slno.toString against the stored
@@ -168,9 +177,20 @@ final case class JdbcTarget(url: String, table: String,
     // ('007', ' 7') — the same trap applyChangeset avoids by casting the
     // table-side key. Recover each affected row's STORED key text by
     // joining the changeset back to the target's key column under the
-    // same cast, and bind that.
-    val storedKeys = read(spark).select(col(key).as("__stored"))
+    // same cast, and bind that. MATERIALIZED (localCheckpoint) before the
+    // first DML statement: lazily wired, whether the scan of the very
+    // table the batches mutate stays open across executeBatch calls is a
+    // JOIN-PLAN accident (a shuffle or broadcast build closes the cursor
+    // first; a pipelined probe side does not, and an open read cursor
+    // interleaved with its own transaction's write locks is a Derby
+    // 40XL1 lock-wait abort waiting for lock escalation). Materializing
+    // makes the ordering safe by construction, and pins ONE target scan
+    // for all passes instead of one per touched column. (Key column only
+    // — not the full rows; lazy val so an insert-only changeset never
+    // scans at all.)
+    lazy val storedKeys = read(spark).select(col(key).as("__stored"))
       .withColumn("__k", col("__stored").cast("long"))
+      .localCheckpoint()
     def withStoredKey(ops: DataFrame, valueCol: Option[String]): DataFrame =
       ops.join(storedKeys, col("slno") === col("__k"))
         .select(valueCol.map(col).toSeq :+ col("__stored"): _*)
@@ -180,30 +200,23 @@ final case class JdbcTarget(url: String, table: String,
     // quoted (case-sensitive, lowercase) columns, while unquoted names
     // would be uppercased by the SQL parser and not match
     def q(id: String) = "\"" + id + "\""
-    execBatch(withStoredKey(changes.filter(col("op") === "delete"), None),
-      s"DELETE FROM $table WHERE ${q(key)} = ?")
-    // the changeset is CELL-level for updates: one prepared statement per
-    // touched column (statement text varies by column; values bind as ?).
-    // Column names come from changeset DATA, so they are validated
-    // against the target schema before touching SQL text — a changeset
-    // not produced by diffKeyed must not be able to inject identifiers.
-    val touched = changes.filter(col("op") === "update")
-      .select(col("col")).distinct().collect().map(_.getString(0))
-    val unknown = touched.filterNot(valueCols.contains)
-    require(unknown.isEmpty,
-      s"changeset names columns absent from the target schema: ${unknown.mkString(", ")}")
+    if (opCols.exists(_._1 == "delete"))
+      execBatch(withStoredKey(changes.filter(col("op") === "delete"), None),
+        s"DELETE FROM $table WHERE ${q(key)} = ?")
     touched.foreach { c =>
       execBatch(withStoredKey(
           changes.filter(col("op") === "update" && col("col") === c), Some("new_val")),
         s"UPDATE $table SET ${q(c)} = ? WHERE ${q(key)} = ?")
     }
     // inserts carry the whole-row JSON image; decode it Spark-side
-    val img = from_json(col("new_val"),
-      org.apache.spark.sql.types.StructType(valueCols.map(c =>
-        org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType))))
-    execBatch(changes.filter(col("op") === "insert")
-        .select(col("slno") +: valueCols.map(c => img.getField(c).as(c)): _*),
-      s"INSERT INTO $table (${(key +: valueCols).map(q).mkString(", ")}) VALUES (${Seq.fill(valueCols.size + 1)("?").mkString(", ")})")
+    if (opCols.exists(_._1 == "insert")) {
+      val img = from_json(col("new_val"),
+        org.apache.spark.sql.types.StructType(valueCols.map(c =>
+          org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType))))
+      execBatch(changes.filter(col("op") === "insert")
+          .select(col("slno") +: valueCols.map(c => img.getField(c).as(c)): _*),
+        s"INSERT INTO $table (${(key +: valueCols).map(q).mkString(", ")}) VALUES (${Seq.fill(valueCols.size + 1)("?").mkString(", ")})")
+    }
   }
 
   def truncateLoad(snapshot: DataFrame): Unit = {
@@ -224,6 +237,16 @@ object Connectors {
   /** Embedded Derby (in /opt/spark/jars via derbytools) — the in-process
     * test database; any JDBC URL/driver substitutes in production. */
   val DerbyDriver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+  /** The one JDBC read path (shared by both halves of the connector pair,
+    * so a future option — fetchsize, partitioning column, isolation —
+    * lands on source and target reads together). */
+  private[sync] def readJdbc(spark: SparkSession, url: String, table: String,
+                             driver: String): DataFrame = {
+    derbyVarcharDialect
+    spark.read.format("jdbc").option("url", url)
+      .option("dbtable", table).option("driver", driver).load()
+  }
 
   /** Spark's built-in Derby dialect maps StringType to CLOB, so a NULL
     * string cell is written as setNull(Types.CLOB) — which Derby rejects

@@ -77,8 +77,6 @@ class DiffPropertySpec extends SparkSpec {
     // domain (NULLs, empty strings, JSON metachars) as the apply law
     val url = "jdbc:derby:memory:diffprop;create=true"
     val tgt = graft.sync.JdbcTarget(url, "PROP_T")
-    def allString(df: org.apache.spark.sql.DataFrame) =
-      df.select(df.columns.map(c => col(c).cast("string").as(c)).toIndexedSeq: _*)
     check("jdbc parity")(Prop.forAll(genSnapshot, genSnapshot) { (ra, rb) =>
       val a = allString(DiffLaws.toSnapshot(spark, ra))
       val b = allString(DiffLaws.toSnapshot(spark, rb))

@@ -54,8 +54,6 @@ class PipelineSpec extends SparkSpec {
     val dir = tmpDir()
     val c = Tables.customer(spark, sfDir)
     // all-string snapshots: the Sheets data model the CSV connector mirrors
-    def allString(df: org.apache.spark.sql.DataFrame) =
-      df.select(df.columns.map(cn => col(cn).cast("string").as(cn)).toIndexedSeq: _*)
     allString(Snapshots.oldSnapshot(c)).write
       .option("header", "true").csv(s"$dir/target")
     allString(Snapshots.newSnapshot(c)).write
@@ -82,8 +80,6 @@ class PipelineSpec extends SparkSpec {
     val dir = tmpDir()
     val url = "jdbc:derby:memory:syncjdbc;create=true"
     val c = Tables.customer(spark, sfDir)
-    def allString(df: org.apache.spark.sql.DataFrame) =
-      df.select(df.columns.map(cn => col(cn).cast("string").as(cn)).toIndexedSeq: _*)
     val tgt = JdbcTarget(url, "SYNC_T")
     // WRITE_TRUNCATE load of the old snapshot into Derby
     tgt.truncateLoad(allString(Snapshots.oldSnapshot(c)))
@@ -154,6 +150,32 @@ class PipelineSpec extends SparkSpec {
     // re-run: no-op (idempotence would break if the update missed)
     val r2 = SyncPipeline.sync(spark, ParquetSource(s"$dir/src"), tgt, "slno", preview = false)
     assert(r2 === SyncPipeline.SyncResult(0, 0, 0, 0))
+  }
+
+  test("JDBC DML handles op classes larger than the statement batch (500)") {
+    import graft.sync.{JdbcTarget, ParquetSource}
+    val dir = tmpDir()
+    val url = "jdbc:derby:memory:syncjdbc4;create=true"
+    // 600 deletes, 600 single-column updates, 600 inserts: every op
+    // class crosses the 500-row executeBatch boundary (prior tests never
+    // did), so DML executes while the pass's stored-key lookup COULD
+    // still hold a cursor on the mutating table. merge materializes that
+    // lookup up front (localCheckpoint) precisely so no plan shape can
+    // interleave an open Derby read with its own write locks — this gate
+    // pins the multi-batch path; the old lazy wiring happened to survive
+    // it only because the join plan shuffled the JDBC scan first.
+    val old = spark.range(0, 1400).select(col("id").cast("string").as("slno"),
+      concat(lit("name"), col("id")).as("name"), lit("x").as("seg"))
+    val neu = spark.range(600, 2000).select(col("id").cast("string").as("slno"),
+      when(col("id") < 1200, concat(lit("NEW"), col("id")))
+        .otherwise(concat(lit("name"), col("id"))).as("name"), lit("x").as("seg"))
+    val tgt = JdbcTarget(url, "BIG_T")
+    tgt.truncateLoad(old)
+    neu.write.mode("overwrite").parquet(s"$dir/src")
+    val r = SyncPipeline.sync(spark, ParquetSource(s"$dir/src"), tgt, "slno", preview = false)
+    assert(r === SyncPipeline.SyncResult(1800, 600, 600, 600))
+    val got = tgt.read(spark)
+    assert(got.exceptAll(neu).count() === 0 && neu.exceptAll(got).count() === 0)
   }
 
   test("upsert verb truncate-loads; validation rejects empty cells") {

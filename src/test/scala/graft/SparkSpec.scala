@@ -13,6 +13,13 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkSpec.session
 
+  /** Cast every column to string — the Sheets/BQ all-string comparison
+    * domain the sync connector tests operate in (one definition; it was
+    * copy-pasted into three suites). */
+  def allString(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.select(df.columns.map(c =>
+      org.apache.spark.sql.functions.col(c).cast("string").as(c)).toIndexedSeq: _*)
+
   override def afterAll(): Unit = () // session shared across suites
 }
 
