@@ -15,19 +15,31 @@ import graft.llm.TextOps
   *   1. signatures for the batch in a map-only pass (`minhash_sig` — no
   *      shuffle, see graft.functions.MinHashSig), banded into
   *      (band, band_sig) bucket keys;
-  *   2. equi-join batch bands against the persisted index → candidate
-  *      near-dups (within-bucket work only, the LSH guarantee);
-  *   3. append the batch's bands to the index (write-once, no rewrite).
+  *   2. equi-join batch bands against the persisted index AND against
+  *      the batch itself (earlier doc_id plays the index side) →
+  *      candidate near-dups (within-bucket work only, the LSH
+  *      guarantee). The self-probe matters: two near-copies arriving in
+  *      the SAME micro-batch would otherwise never meet — each is
+  *      indexed after the other stopped probing — and stay a
+  *      permanently missed pair;
+  *   3. publish the batch's bands into the index under its batch_id
+  *      partition.
   *
-  * The index is an append-only parquet table of (doc_id, band, band_sig)
-  * — at 100 TB it is partitioned/bucketed by (band, band_sig) so step 2
-  * prunes to the probed buckets. Batch replay after a crash re-appends
-  * the same band rows; candidates are emitted with `distinct`, and an
-  * exactly-once sink (or dedup on (a, b)) absorbs the duplicate rows —
-  * the candidate SET is unaffected.
+  * The index is a parquet table of (doc_id, band, band_sig) partitioned
+  * by the writing batch_id — at 100 TB, bucketed by (band, band_sig)
+  * within partitions so step 2 prunes to the probed buckets. Both
+  * writes are DYNAMIC PARTITION OVERWRITES of the one batch_id
+  * partition, so crash-replay of a batch is idempotent by construction:
+  * the re-run overwrites its own partition instead of appending band
+  * rows twice, and the probe joins only index partitions with
+  * batch_id < current, so a replay whose first attempt already indexed
+  * the batch neither matches the batch against itself through the index
+  * (which would emit both orientations of every within-batch pair) nor
+  * double-counts future matches.
   *
-  * Matches (earlier doc_id = index side) land in `matchesPath` as
-  * (probe_id, index_id) pairs.
+  * Matches (earlier doc_id = index side; within a batch, the smaller
+  * doc_id) land in `matchesPath` as (probe_id, index_id) pairs
+  * partitioned by batch_id.
   */
 object StreamingNearDup {
 
@@ -50,27 +62,52 @@ object StreamingNearDup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")
   }
 
-  /** Streaming writer: maintain the band index at `indexPath`, append
-    * candidate matches to `matchesPath`. */
+  /** Streaming writer: maintain the band index at `indexPath`, publish
+    * candidate matches to `matchesPath` (both partitioned by batch_id,
+    * replay-idempotent — see the object doc). */
   def indexAndMatch(stream: DataFrame, indexPath: String, matchesPath: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val bands = bandRows(batch).persist()
       try {
+        // within-batch pairs: probe the batch against itself, the larger
+        // doc_id probing the smaller (rename-based self-join — alias
+        // resolution on one frame is ambiguity-prone)
+        val pSide = bands.select(col("doc_id").as("probe_id"), col("band"), col("band_sig"))
+        val xSide = bands.select(col("doc_id").as("index_id"), col("band"), col("band_sig"))
+        val selfMatches = pSide.join(xSide, Seq("band", "band_sig"))
+          .filter(col("probe_id") > col("index_id"))
+          .select(col("probe_id"), col("index_id"))
         val idx = new org.apache.hadoop.fs.Path(indexPath)
         val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(idx)) {
-          val index = spark.read.parquet(indexPath)
-          val matches = bands.as("p")
+        val crossMatches = if (fs.exists(idx)) {
+          // batch_id < current: a crash-replay must not see its own
+          // first attempt's bands (partition-pruned scan)
+          val index = spark.read.parquet(indexPath).filter(col("batch_id") < lit(batchId))
+          bands.as("p")
             .join(index.as("x"),
               col("p.band") === col("x.band") && col("p.band_sig") === col("x.band_sig") &&
                 col("p.doc_id") =!= col("x.doc_id"))
             .select(col("p.doc_id").as("probe_id"), col("x.doc_id").as("index_id"))
-            .distinct()
-          matches.write.mode("append").parquet(matchesPath)
-        }
-        bands.write.mode("append").parquet(indexPath)
+        } else selfMatches.limit(0)
+        val matches = selfMatches.unionByName(crossMatches).distinct()
+          .withColumn("batch_id", lit(batchId)).persist()
+        try {
+          // empty batches write nothing: a parquet dir holding only
+          // _SUCCESS has no inferable schema for readers, and replay
+          // determinism makes the skip safe (an empty recompute means
+          // the first attempt was empty too)
+          if (!matches.isEmpty)
+            matches.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id").parquet(matchesPath)
+          if (!bands.isEmpty)
+            bands.withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id").parquet(indexPath)
+        } finally { matches.unpersist(); () }
       } finally { bands.unpersist(); () }
     }
 

@@ -182,6 +182,20 @@ class StreamingSpec extends SparkSpec {
       assert(m.contains((3L, 1L)), s"exact recrawl must hit the index, got $m")
       assert(m.contains((5L, 2L)), s"near-copy must hit the index, got $m")
       assert(!m.exists(_._1 == 4L), s"unrelated doc must not match, got $m")
+      // batch 3: two near-copies arriving TOGETHER — the self-probe must
+      // pair them (larger doc_id probes smaller) even though neither was
+      // indexed when the batch started; both must also hit the index
+      stream.addData((6L, texts(0)), (7L, texts(0) + " same batch twin"))
+      query.processAllAvailable()
+      val m3 = graft.streaming.StreamingNearDup.matches(spark, s"$dir/matches").get
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(m3.contains((7L, 6L)), s"same-batch near-dup pair must be found, got $m3")
+      assert(m3.contains((6L, 1L)), s"batch-3 doc must still hit the index, got $m3")
+      assert(!m3.contains((6L, 7L)), s"only the smaller id plays index side, got $m3")
+      // the index is batch_id-partitioned (the replay-idempotence contract:
+      // a re-run overwrites its own partition instead of appending)
+      val idxCols = spark.read.parquet(s"$dir/index").columns.toSet
+      assert(idxCols("batch_id"), s"index must be batch_id-partitioned, got $idxCols")
     } finally query.stop()
   }
 
