@@ -64,6 +64,10 @@ case class MinHashSig(child: Expression, numHashes: Int)
     case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig needs array<string>, got $t")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // empty shingle arrays yield null even when the child cannot: the
+  // inherited child.nullable would let NullPropagation elide downstream
+  // isNotNull filters over a non-nullable child (e.g. coalesce(text, ''))
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
 
   // per-hash seed: xxhash64's default seed folded over the int literal i,

@@ -74,6 +74,27 @@ class HostileInputSpec extends SparkSpec {
     assert(sh.length === hostile.count())
   }
 
+  test("minhash_sig declares nullable over a non-nullable child; short docs still filtered") {
+    import graft.llm.TextOps
+    // coalesce(text, '') is non-nullable; sub-shingle-width docs still
+    // produce a NULL sig. Without the nullable=true override Catalyst's
+    // NullPropagation would rewrite IsNotNull(sig) to true and the elided
+    // filter would leak null-sig docs into the band join.
+    val sigs = hostile.select(col("doc_id"),
+      graft.functions.TextExprs.minhashSig(
+        TextOps.shingles(TextOps.tokens(coalesce(col("text"), lit(""))), 3), 16).as("sig"))
+    assert(sigs.schema("sig").nullable,
+      "minhash_sig over a non-nullable child must still be declared nullable")
+    val kept = sigs.filter(col("sig").isNotNull).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // doc 3 (" \t  ") keeps a sig: split-on-space yields 4 junk tokens, so
+    // it shingles — harmless (its shingles are unique; see the candidates
+    // gate above). Docs 1/2 ("" after coalesce) and 4 (2 tokens) fall
+    // below shingle width and MUST be dropped by the isNotNull guard.
+    assert(kept === Set(3L, 5L, 6L, 7L, 8L),
+      s"sub-shingle-width docs must be filtered, got $kept")
+  }
+
   test("passage and url dedup run on hostile docs without fabricating drops") {
     val pd = Dedup.passageDedup(hostile).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
