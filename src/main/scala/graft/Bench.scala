@@ -60,8 +60,12 @@ object Bench {
     // silently report the upper median); non-numeric falls back to 3
     val runs = math.max(1, sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.toIntOption).getOrElse(3))
     val errors = scala.collection.mutable.Map.empty[String, Int]
+    // run-ORDERED times are kept alongside the sorted view: run 1 absorbs
+    // whole-stage-codegen by design, so a large max is expected THERE —
+    // the artifact must let a reader tell "max was the codegen run" from
+    // "a steady-state run flapped" without re-running anything
     val results = selected.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      val raw = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           // record the failure: a throwing query times out in ~ms, and an
@@ -79,10 +83,17 @@ object Bench {
         // 1.4s isolated). An explicit GC per run keeps the cleaner current.
         System.gc()
         dt
-      }.sorted
-      name -> times
+      }
+      name -> raw
     }
-    val medians = results.map { case (k, ts) => k -> ts(ts.size / 2) }
+    val medians = results.map { case (k, raw) => k -> raw.sorted.apply(raw.size / 2) }
+    // steady-state instability: among the post-codegen runs (2..n), a
+    // max/min ratio over 1.5x on a non-trivial query is a real flap
+    // (the round-4 6.5x class), not compilation noise — surfaced as a
+    // top-level list so a regression is one grep away
+    val unstable = results.collect { case (k, raw)
+        if raw.size > 2 && raw.tail.min > 0.2 && raw.tail.max / raw.tail.min > 1.5 => k
+    }.toSeq.sorted
     // The driver captures only the last ~2000 BYTES of run output and
     // parses the JSON line out of that tail (measured from BENCH_r02.json:
     // a 106-query line is ~2.7KB and came back parsed=null in BOTH r1 and
@@ -104,19 +115,23 @@ object Bench {
     val qs = shown.map { case (k, v) => "\"" + k + "\":" + r2d(v) }
       .mkString("{", ",", "}")
     val total = r2d(if (medians.nonEmpty) medians.values.sum else 0.0)
-    // full per-query spread {med,min,max} goes to the repo file (the
-    // driver-parsed stdout line stays medians-only and under ~4KB)
+    // full per-query spread {med,min,max,t:[run-ordered]} goes to the repo
+    // file (the driver-parsed stdout line stays medians-only and under ~4KB)
     val fullJson = results.toSeq.sortBy(_._1)
-      .map { case (k, ts) =>
+      .map { case (k, raw) =>
+        val ts = raw.sorted
         val err = errors.get(k).map(n => s""","err":$n""").getOrElse("")
         "\"" + k + "\":{\"med\":" + r2d(ts(ts.size / 2)) +
-          ",\"min\":" + r2d(ts.head) + ",\"max\":" + r2d(ts.last) + err + "}" }
+          ",\"min\":" + r2d(ts.head) + ",\"max\":" + r2d(ts.last) +
+          ",\"t\":" + raw.map(r2d).mkString("[", ",", "]") + err + "}" }
       .mkString("{", ",", "}")
     val errJson = if (errors.isEmpty) ""
       else s""","failed_queries":${errors.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    val unstableJson =
+      s""","steady_unstable":${unstable.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     try {
       val w = new java.io.PrintWriter("bench_full.json")
-      try w.println(s"""{"total":$total,"n":${results.size},"runs":$runs,"calib_1t":${r2d(calib1)},"calib_allcore":${r2d(calibAll)},"sf":"$sfDir"$errJson,"queries":$fullJson}""")
+      try w.println(s"""{"total":$total,"n":${results.size},"runs":$runs,"calib_1t":${r2d(calib1)},"calib_allcore":${r2d(calibAll)},"sf":"$sfDir"$errJson$unstableJson,"queries":$fullJson}""")
       finally w.close()
     } catch { case _: Throwable => () }
     // stdout line size budget (driver tail limit, see above): fixed

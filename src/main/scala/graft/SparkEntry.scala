@@ -859,19 +859,19 @@ object SparkEntry {
       s"""WITH vc AS (${Corpus.vecCorpusSql})
          |SELECT a_id, b_id, cos FROM (
          | SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |  round(list_dot_product(a.v,b.v)/(sqrt(list_dot_product(a.v,a.v))*sqrt(list_dot_product(b.v,b.v))), 4) + 0.0 AS cos
+         |  round(list_dot_product(a.v,b.v)/nullif(sqrt(list_dot_product(a.v,a.v))*sqrt(list_dot_product(b.v,b.v)), 0), 4) + 0.0 AS cos
          | FROM vc a JOIN vc b ON a.vec_id < b.vec_id) t
          |WHERE cos >= 0.99 ORDER BY a_id, b_id""".stripMargin,
     "sim_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings WHERE vec_id < 50)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        | round(list_dot_product(a.v,b.v)/(sqrt(list_dot_product(a.v,a.v))*sqrt(list_dot_product(b.v,b.v))), 4) + 0.0 AS cos
+        | round(list_dot_product(a.v,b.v)/nullif(sqrt(list_dot_product(a.v,a.v))*sqrt(list_dot_product(b.v,b.v)), 0), 4) + 0.0 AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id ORDER BY a_id, b_id""".stripMargin,
     "sim_topk_search" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |q AS (SELECT v AS q_v FROM e WHERE vec_id = 0)
-        |SELECT vec_id, round(list_dot_product(e.v,q.q_v)/(sqrt(list_dot_product(e.v,e.v))*sqrt(list_dot_product(q.q_v,q.q_v))), 4) + 0.0 AS cos
+        |SELECT vec_id, round(list_dot_product(e.v,q.q_v)/nullif(sqrt(list_dot_product(e.v,e.v))*sqrt(list_dot_product(q.q_v,q.q_v)), 0), 4) + 0.0 AS cos
         |FROM e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
     "text_tokenize_wordcount" ->
       """SELECT word, count(*) AS n
@@ -1542,7 +1542,7 @@ object SparkEntry {
          |  sqrt(list_dot_product(v, v)) AS nrm FROM v),
          |d AS (SELECT DISTINCT y.vec_id AS vec_id
          | FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-         | WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) + 0.0 >= 0.99)
+         | WHERE round(list_dot_product(x.v, y.v) / nullif(x.nrm * y.nrm, 0), 4) + 0.0 >= 0.99)
          |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket FROM b
          |WHERE vec_id NOT IN (SELECT vec_id FROM d)
          |ORDER BY vec_id""".stripMargin,
@@ -1557,7 +1557,7 @@ object SparkEntry {
          |dr AS (SELECT DISTINCT d.vec_id AS vec_id
          | FROM b d JOIN b i ON d.bucket = i.bucket
          |  AND d.vec_id >= 100000 AND i.vec_id < 100000
-         | WHERE round(list_dot_product(d.v, i.v) / (d.nrm * i.nrm), 4) + 0.0 >= 0.99)
+         | WHERE round(list_dot_product(d.v, i.v) / nullif(d.nrm * i.nrm, 0), 4) + 0.0 >= 0.99)
          |SELECT vec_id FROM v WHERE vec_id >= 100000
          | AND vec_id NOT IN (SELECT vec_id FROM dr)
          |ORDER BY vec_id""".stripMargin,
@@ -1651,7 +1651,7 @@ object SparkEntry {
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
         |q AS (SELECT vec_id AS q_id, v AS q_v, nrm AS q_n FROM n WHERE vec_id < 8),
         |p AS (SELECT q.q_id, n.vec_id,
-        |  round(list_dot_product(n.v, q.q_v) / (n.nrm * q.q_n), 4) + 0.0 AS cos
+        |  round(list_dot_product(n.v, q.q_v) / nullif(n.nrm * q.q_n, 0), 4) + 0.0 AS cos
         | FROM n, q WHERE n.vec_id <> q.q_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn FROM p)
         |SELECT q_id, vec_id, cos, rn FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin

@@ -102,4 +102,15 @@ object VectorExprs {
 
   def vecNorm(a: Column): Column =
     SqlShim.column(L2Norm(SqlShim.expression(a)))
+
+  /** Null-safe cosine denominator: a zero norm product becomes NULL, not
+    * a 0/0 = NaN. Spark's sort order treats NaN as GREATER than every
+    * number and NaN >= t is TRUE for any threshold, so one corrupt
+    * (all-zero) embedding in a 100 TB corpus would otherwise rank top of
+    * every descending similarity search AND count as a near-duplicate of
+    * every same-bucket zero vector, fabricating dedup drops. NULL sorts
+    * last under DESC and fails >= thresholds — corrupt vectors fall out
+    * instead of dominating. Mirror SQL: nullif(denom, 0). */
+  def nonzeroDenom(c: Column): Column =
+    org.apache.spark.sql.functions.nullif(c, org.apache.spark.sql.functions.lit(0.0))
 }

@@ -658,9 +658,12 @@ object Dedup {
     * oracle don't care, both engines agree bit-for-bit. */
   def embeddingBucketedDedup(vecCorpus: DataFrame, signDims: Int = 8,
                              threshold: Double = 0.99): DataFrame = {
-    import graft.functions.VectorExprs.{vecDot, vecNorm}
+    import graft.functions.VectorExprs.{vecDot, vecNorm, nonzeroDenom}
+    // try_element_at: a corrupt short array must land in SOME bucket
+    // (missing dims read as bit-unset), not abort the job under ANSI's
+    // out-of-bounds error; mirrors DuckDB's NULL for v[i] past the end
     val bucket = (0 until signDims)
-      .map(i => when(element_at(col("v"), i + 1) > 0, lit(1L << i)).otherwise(0L))
+      .map(i => when(try_element_at(col("v"), lit(i + 1)) > 0, lit(1L << i)).otherwise(0L))
       .reduce(_ + _)
     val b = vecCorpus
       .withColumn("bucket", bucket)
@@ -669,7 +672,7 @@ object Dedup {
     val r = b.select(col("bucket"), col("vec_id").as("b_id"), col("v").as("b_v"), col("nrm").as("b_n"))
     val dropped = l.join(r, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
-      .filter(round(vecDot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")), 4) + lit(0.0) >= threshold)
+      .filter(round(vecDot(col("a_v"), col("b_v")) / nonzeroDenom(col("a_n") * col("b_n")), 4) + lit(0.0) >= threshold)
       .select(col("b_id").as("vec_id")).distinct()
     b.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("bucket"))
@@ -690,15 +693,18 @@ object Dedup {
     * index×index. */
   def embeddingDeltaDedup(index: DataFrame, delta: DataFrame,
                           signDims: Int = 8, threshold: Double = 0.99): DataFrame = {
-    import graft.functions.VectorExprs.{vecDot, vecNorm}
+    import graft.functions.VectorExprs.{vecDot, vecNorm, nonzeroDenom}
+    // try_element_at: a corrupt short array must land in SOME bucket
+    // (missing dims read as bit-unset), not abort the job under ANSI's
+    // out-of-bounds error; mirrors DuckDB's NULL for v[i] past the end
     val bucket = (0 until signDims)
-      .map(i => when(element_at(col("v"), i + 1) > 0, lit(1L << i)).otherwise(0L))
+      .map(i => when(try_element_at(col("v"), lit(i + 1)) > 0, lit(1L << i)).otherwise(0L))
       .reduce(_ + _)
     val idx = index.withColumn("bucket", bucket).withColumn("nrm", vecNorm(col("v")))
       .select(col("bucket"), col("v").as("i_v"), col("nrm").as("i_n"))
     val dlt = delta.withColumn("bucket", bucket).withColumn("nrm", vecNorm(col("v")))
     val dropped = dlt.join(idx, Seq("bucket"))
-      .filter(round(vecDot(col("v"), col("i_v")) / (col("nrm") * col("i_n")), 4) + lit(0.0) >= threshold)
+      .filter(round(vecDot(col("v"), col("i_v")) / nonzeroDenom(col("nrm") * col("i_n")), 4) + lit(0.0) >= threshold)
       .select(col("vec_id")).distinct()
     delta.select(col("vec_id"))
       .join(dropped, Seq("vec_id"), "left_anti")
@@ -709,14 +715,14 @@ object Dedup {
     * (cosine ≥ 0.99 rounded to 4dp). All-pairs on the bounded corpus —
     * the scale path is LSH bucketing first. */
   def embeddingCosine(vecCorpus: DataFrame, threshold: Double = 0.99): DataFrame = {
-    import graft.functions.VectorExprs.{vecDot, vecNorm}
+    import graft.functions.VectorExprs.{vecDot, vecNorm, nonzeroDenom}
     // norms once per vector; codegen'd dot per pair (graft.functions)
     val withN = vecCorpus.withColumn("nrm", vecNorm(col("v")))
     val a = withN.select(col("vec_id").as("a_id"), col("v").as("a_v"), col("nrm").as("a_n"))
     val b = withN.select(col("vec_id").as("b_id"), col("v").as("b_v"), col("nrm").as("b_n"))
     a.crossJoin(b)
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cos", round(vecDot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")), 4))
+      .withColumn("cos", round(vecDot(col("a_v"), col("b_v")) / nonzeroDenom(col("a_n") * col("b_n")), 4))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), col("cos"))
       .orderBy("a_id", "b_id")

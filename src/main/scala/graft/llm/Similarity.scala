@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorExprs.{vecDot, vecNorm}
+import graft.functions.VectorExprs.{vecDot, vecNorm, nonzeroDenom}
 
 /** Similarity search over an embedding column (`Array[Float]` widened to
   * double).
@@ -24,7 +24,7 @@ object Similarity {
   /** Cosine similarity in double arithmetic; mirror SQL:
     * `list_dot_product(a,b)/(sqrt(list_dot_product(a,a))*sqrt(list_dot_product(b,b)))`. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (vecNorm(a) * vecNorm(b))
+    dot(a, b) / nonzeroDenom(vecNorm(a) * vecNorm(b))
 
   private def doubled(embeddings: DataFrame): DataFrame =
     // native array cast (codegen'd) — the transform(x => x.cast) HOF form
@@ -42,7 +42,7 @@ object Similarity {
     a.crossJoin(b)
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        (round(vecDot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")), 4) + lit(0.0)).as("cos"))
+        (round(vecDot(col("a_v"), col("b_v")) / nonzeroDenom(col("a_n") * col("b_n")), 4) + lit(0.0)).as("cos"))
       .orderBy("a_id", "b_id")
   }
 
@@ -56,7 +56,7 @@ object Similarity {
     vs.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        (round(vecDot(col("v"), col("q_v")) / (col("nrm") * col("q_n")), 4) + lit(0.0)).as("cos"))
+        (round(vecDot(col("v"), col("q_v")) / nonzeroDenom(col("nrm") * col("q_n")), 4) + lit(0.0)).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -79,7 +79,7 @@ object Similarity {
     vs.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        (round(vecDot(col("v"), col("q_v")) / (col("nrm") * col("q_n")), 4) + lit(0.0)).as("cos"))
+        (round(vecDot(col("v"), col("q_v")) / nonzeroDenom(col("nrm") * col("q_n")), 4) + lit(0.0)).as("cos"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .orderBy("q_id", "rn")
@@ -165,7 +165,7 @@ object Similarity {
       .filter(col("cluster").isin(probeCells.toIndexedSeq: _*) && col("vec_id") =!= queryId)
       .select(col("vec_id"),
         (round(vecDot(col("v"), typedLit(q.toSeq)) /
-          (vecNorm(col("v")) * lit(math.sqrt(q.map(x => x * x).sum))), 4) + lit(0.0)).as("cos"))
+          nonzeroDenom(vecNorm(col("v")) * lit(math.sqrt(q.map(x => x * x).sum))), 4) + lit(0.0)).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -211,7 +211,7 @@ object Similarity {
     vs.join(broadcast(candidates), "vec_id")
       .crossJoin(broadcast(qRow.select("q_v").limit(1)))
       .select(col("vec_id"),
-        (round(vecDot(col("v"), col("q_v")) / (vecNorm(col("v")) * vecNorm(col("q_v"))), 4) + lit(0.0)).as("cos"))
+        (round(vecDot(col("v"), col("q_v")) / nonzeroDenom(vecNorm(col("v")) * vecNorm(col("q_v"))), 4) + lit(0.0)).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }

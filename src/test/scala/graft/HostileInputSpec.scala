@@ -155,4 +155,55 @@ class HostileInputSpec extends SparkSpec {
     }
     TrainingPrep.qualityMix(hostile).collect() // percentiles over 8 docs: must not throw
   }
+
+  /** Hostile embedding corpus: a 100 TB pipeline sees all-zero vectors
+    * (padding rows, dead docs), null embeddings, and short/corrupt
+    * arrays. The invariants mirror the text doctrine: nothing throws,
+    * degenerate vectors never DOMINATE a ranking (0/0 = NaN is maximal
+    * in Spark's sort order) and never FABRICATE dedup drops
+    * (NaN >= threshold is TRUE in Spark SQL) — both guarded by the
+    * nullif denominator in VectorExprs.nonzeroDenom. */
+  private lazy val hostileVecs: DataFrame = {
+    val unit = (d: Int) => Seq.tabulate(8)(i => if (i == d) 1.0 else 0.01)
+    Seq(
+      (0L, unit(0)), (1L, unit(1)), (2L, unit(2)), (3L, unit(3)),
+      // near-dup pair: 4 is a tiny perturbation of 0
+      (4L, unit(0).updated(7, 0.0101)),
+      (5L, Seq.fill(8)(0.0)),               // all-zero: norm 0
+      (6L, null.asInstanceOf[Seq[Double]]), // null embedding
+      (7L, Seq(1.0, 2.0))                   // short/corrupt array
+    ).toDF("vec_id", "v")
+  }
+
+  test("embedding search: zero-norm and null vectors never outrank real neighbours") {
+    import graft.llm.Similarity
+    val e = hostileVecs.withColumnRenamed("v", "embedding")
+    val top = Similarity.topkSearch(e, queryId = 0, k = 3).collect()
+    // vec 4 (the real near-copy) must win; 5 (zero) and 6 (null) must
+    // rank BELOW every finite-cosine candidate, i.e. nowhere in top-3
+    // of a 7-candidate field
+    assert(top.head.getLong(0) === 4L, top.toSeq)
+    assert(!top.map(_.getLong(0)).toSet.exists(Set(5L, 6L)), top.toSeq)
+    assert(top.forall(!_.isNullAt(1)), top.toSeq)
+    val knn = Similarity.knnJoin(e, nQueries = 2, k = 3).collect()
+    assert(knn.forall(r => !Set(5L, 6L)(r.getLong(1))), knn.toSeq)
+  }
+
+  test("embedding dedup: zero-norm pairs are not near-duplicates; real pair collapses") {
+    import graft.llm.Dedup
+    // a second zero vector shares bucket 0 with vec 5: their 0/0 cosine
+    // must NOT count as >= 0.99 (it did under NaN semantics)
+    val vecs = hostileVecs.unionByName(Seq((8L, Seq.fill(8)(0.0))).toDF("vec_id", "v"))
+    val kept = Dedup.embeddingBucketedDedup(vecs.filter(col("v").isNotNull))
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(5L, 8L).subsetOf(kept), s"zero vectors were fabricated into drops: $kept")
+    assert(!kept.contains(4L), s"real near-dup 4 survived: $kept")
+    // delta probe: a zero delta vector probing an index holding a zero
+    // vector in the same bucket must survive
+    val keptDelta = Dedup.embeddingDeltaDedup(
+        index = Seq((100L, Seq.fill(8)(0.0))).toDF("vec_id", "v"),
+        delta = Seq((200L, Seq.fill(8)(0.0)), (201L, Seq.tabulate(8)(_.toDouble + 1))).toDF("vec_id", "v"))
+      .collect().map(_.getLong(0)).toSet
+    assert(keptDelta === Set(200L, 201L), s"zero-vs-zero probe fabricated a drop: $keptDelta")
+  }
 }
