@@ -66,10 +66,20 @@ object Similarity {
     * whole query batches, not one id at a time). The bounded query side is
     * broadcast, so the corpus scan stays partition-local and each task
     * emits (query × local-candidate) scores; the per-query top-k is a
-    * row_number over a window keyed by query id — at our query-set sizes
-    * the window input is modest, and at 100 TB the same plan holds by
-    * bounding the broadcast side (shard the query set) while per-partition
-    * heaps (an Aggregator) replace the window when k·|Q| explodes. */
+    * row_number over a window keyed by query id.
+    *
+    * This IS the 100 TB plan, not just the small-corpus one: Spark's
+    * `InferWindowGroupLimit` rewrites the rank-filter pattern
+    * (`row_number <= k` over the window) into a PARTIAL WindowGroupLimit
+    * below the exchange — each mapper truncates its local scores to the
+    * top k per query before shuffling, so the q_id exchange carries at
+    * most tasks·|Q|·k rows regardless of corpus size (measured in
+    * PlanAuditSpec: exactly |Q|·k records through the exchange). A
+    * hand-built bounded-heap Aggregator twin was prototyped and DELETED:
+    * it duplicated what the optimizer already does, with more code and a
+    * worse plan (ObjectHashAggregate buffers vs codegen'd sort+limit).
+    * Keep the rank-filter shape intact — rewriting it (e.g. ranking in a
+    * subquery the filter can't reach) silently loses the rewrite. */
   def knnJoin(embeddings: DataFrame, nQueries: Long = 8, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vs = doubled(embeddings).withColumn("nrm", vecNorm(col("v")))

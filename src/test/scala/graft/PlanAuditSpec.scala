@@ -231,6 +231,29 @@ class PlanAuditSpec extends SparkSpec {
       s"prefix twin grew a pair-count aggregate (quadratic state):\n$p")
   }
 
+  test("sim_knn_join: rank filter plans as PARTIAL WindowGroupLimit below the exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // Spark's InferWindowGroupLimit rewrites `row_number <= k` into a
+    // per-mapper top-k truncation BEFORE the q_id shuffle — the built-in
+    // form of the bounded-heap partial aggregation, which is why no
+    // hand-rolled Aggregator twin exists (see knnJoin's scaladoc). Pin
+    // both the shape and the MEASURED consequence: the q_id exchange
+    // carries exactly |Q|*k rows, independent of corpus size. A refactor
+    // that hides the rank filter from the rewrite silently reverts to
+    // shuffling every score row and fails the record-count gate here.
+    val df = llm.Similarity.knnJoin(Tables.embeddings(spark, sfDir))
+    df.collect()
+    val nodes = PlanWalk.allNodes(df.queryExecution.executedPlan)
+    val partialLimits = nodes.filter(n =>
+      n.getClass.getSimpleName == "WindowGroupLimitExec" && n.toString.contains("Partial"))
+    assert(partialLimits.nonEmpty, nodes.map(_.nodeName).mkString("; "))
+    val qidExchangeRecords = nodes.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning.toString.contains("hashpartitioning(q_id") =>
+        e.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(-1L)
+    }
+    assert(qidExchangeRecords === Seq(8L * 3L), s"q_id exchange carried $qidExchangeRecords rows")
+  }
+
   test("join_runtime_filter: selective dim injects a bloom filter into the fact scan") {
     // the production thresholds (10 GB application-side scan) dwarf the
     // fixture; a cloned session with thresholds floored shows the plan
