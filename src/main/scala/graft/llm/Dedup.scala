@@ -25,21 +25,27 @@ object Dedup {
   /** Exact dedup with a DETERMINISTIC survivor (min doc_id per text) —
     * `dropDuplicates` keeps an arbitrary row, so it can't hash-match an
     * oracle (SURVEY §7). The dedup key is the md5 DIGEST of the text, and
-    * the text column is dropped before the window: the shuffle carries
-    * (digest, doc_id, n_chars) — tens of bytes per row — instead of full
-    * document bodies, which at 100 TB is the difference between shuffling
-    * the corpus and shuffling a key table. Same oracle answer (the oracle
-    * partitions by md5(text) too). */
-  def exact(corpus: DataFrame): DataFrame = {
-    val byDigest = Window.partitionBy("d")
+    * the text column is dropped first: the shuffle carries digest-keyed
+    * rows — tens of bytes each — instead of full document bodies.
+    *
+    * Survivor + copy count come from ONE associative aggregate
+    * (min over struct(doc_id, n_chars) — doc_id is unique, so the
+    * lexicographic min IS the min-doc_id survivor — plus count), not a
+    * window: aggregation combines PARTIALLY map-side, so same-mapper
+    * copies collapse to one row per (task, digest) BEFORE the exchange,
+    * while the window form had to ship every copy to the reducer to rank
+    * it (a rank+count window can't use the WindowGroupLimit rewrite —
+    * the count needs the whole group). On duplicate-heavy crawl data the
+    * exchange shrinks by the duplication factor. Same oracle answer
+    * (the oracle partitions by md5(text) too). */
+  def exact(corpus: DataFrame): DataFrame =
     corpus
       .select(col("doc_id"), col("n_chars"), md5(col("text")).as("d"))
-      .withColumn("rn", row_number().over(byDigest.orderBy("doc_id")))
-      .withColumn("n_copies", count(lit(1)).over(byDigest))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("n_copies"), col("n_chars"))
+      .groupBy(col("d"))
+      .agg(min(struct(col("doc_id"), col("n_chars"))).as("s"),
+        count(lit(1)).as("n_copies"))
+      .select(col("s.doc_id").as("doc_id"), col("n_copies"), col("s.n_chars").as("n_chars"))
       .orderBy("doc_id")
-  }
 
   /** Word-3-gram Jaccard near-dup pairs (threshold 0.5). Exact set
     * semantics — no hashing — so it IS oracle-expressible. The self-join
@@ -629,12 +635,13 @@ object Dedup {
       when(col("doc_id") % 3 === 0, lit("?utm_source=feed&id=")).otherwise(lit("?id=")), key,
       when(col("doc_id") % 4 === 0, lit("&utm_campaign=x")).otherwise(lit("")),
       when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
-    val byUrl = Window.partitionBy("url_norm")
+    // one associative aggregate, not a rank+count window: recrawl
+    // duplicates collapse map-side, the exchange carries one row per
+    // (task, canonical URL) — see the exact() doc for the rationale
     documents
       .select(col("doc_id"), TextAnalysis.canonicalUrl(raw).as("url_norm"))
-      .withColumn("rn", row_number().over(byUrl.orderBy("doc_id")))
-      .withColumn("n_dups", count(lit(1)).over(byUrl))
-      .filter(col("rn") === 1)
+      .groupBy(col("url_norm"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
       .select(col("doc_id"), col("url_norm"), col("n_dups"))
       .orderBy("doc_id")
   }

@@ -153,11 +153,11 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("dedup_exact: the dedup shuffle carries digests, never document text") {
-    // the window shuffle must move (digest, doc_id, n_chars) — tens of
-    // bytes per row; a plan that drags the text column through the
-    // exchange re-shuffles the whole corpus at 100 TB. Checked on the
-    // exchanges' OUTPUT attributes (text legitimately appears BELOW
-    // them, where md5 consumes it).
+    // the dedup exchange must move digest-keyed rows — tens of bytes
+    // each; a plan that drags the text column through the exchange
+    // re-shuffles the whole corpus at 100 TB. Checked on the exchanges'
+    // OUTPUT attributes (text legitimately appears BELOW them, where
+    // md5 consumes it).
     val df = llm.Dedup.exact(llm.Corpus.docCorpus(Tables.documents(spark, sfDir)))
     df.collect()
     // AQE wraps executed subtrees in leaf QueryStageExec nodes (result,
@@ -169,6 +169,11 @@ class PlanAuditSpec extends SparkSpec {
     }.flatten
     assert(shuffled.nonEmpty && !shuffled.contains("text"),
       s"document text crosses a dedup exchange: $shuffled")
+    // and the survivor aggregate combines map-side: same-mapper copies
+    // collapse to one row per (task, digest) BEFORE the exchange (the
+    // old rank+count window shipped every copy to the reducer)
+    val p = planOf(df)
+    assert(p.contains("partial_min") && p.contains("partial_count"), p)
   }
 
   test("dedup_near_minhash: checkpointed band table keeps the bucket self-join exchange-free") {
