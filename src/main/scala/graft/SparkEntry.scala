@@ -214,6 +214,30 @@ object SparkEntry {
       Analytics.q8MarketShare(Tables.lineitem(s, d), Tables.part(s, d),
         Tables.supplier(s, d), Tables.orders(s, d), Tables.customer(s, d),
         Tables.nation(s, d), Tables.region(s, d))),
+    // --- round 6 additions: remaining TPC-H shapes (adapted to this schema) ---
+    "analytics_q4_priority" -> ((s, d) =>
+      Analytics.q4PriorityExists(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "analytics_q6_forecast" -> ((s, d) => Analytics.q6Forecast(Tables.lineitem(s, d))),
+    "analytics_q9_profit" -> ((s, d) =>
+      Analytics.q9Profit(Tables.lineitem(s, d), Tables.part(s, d),
+        Tables.supplier(s, d), Tables.orders(s, d), Tables.nation(s, d))),
+    "analytics_q13_custdist" -> ((s, d) =>
+      Analytics.q13CustDist(Tables.customer(s, d), Tables.orders(s, d))),
+    "analytics_q15_top_supplier" -> ((s, d) =>
+      Analytics.q15TopSupplier(Tables.lineitem(s, d), Tables.supplier(s, d))),
+    "analytics_q16_offer_counts" -> ((s, d) =>
+      Analytics.q16OfferCounts(Tables.lineitem(s, d), Tables.part(s, d),
+        Tables.supplier(s, d))),
+    "analytics_q17_small_qty" -> ((s, d) =>
+      Analytics.q17SmallQtyRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    "analytics_q18_large_volume" -> ((s, d) =>
+      Analytics.q18LargeVolume(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d))),
+    "analytics_q21_waiting" -> ((s, d) =>
+      Analytics.q21WaitingSupplier(Tables.supplier(s, d), Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.nation(s, d))),
+    "analytics_q22_inactive" -> ((s, d) =>
+      Analytics.q22InactiveBalance(Tables.customer(s, d), Tables.orders(s, d))),
     "join_runtime_filter" -> ((s, d) =>
       ops.ScaleJoins.runtimeFilteredJoin(Tables.orders(s, d), Tables.lineitem(s, d))),
     "maintenance_zorder" -> ((s, d) =>
@@ -1236,6 +1260,113 @@ object SparkEntry {
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "analytics_q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        | AND EXISTS (SELECT 1 FROM lineitem
+        |   WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "analytics_q6_forecast" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        | AND l_discount BETWEEN CAST(0.05 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+        | AND l_quantity < 24""".stripMargin,
+    "analytics_q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS profit
+        |FROM lineitem
+        | JOIN part ON l_partkey = p_partkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC""".stripMargin,
+    "analytics_q13_custdist" ->
+      """WITH c_orders AS (
+        | SELECT c_custkey, count(o_orderkey) AS c_count
+        | FROM customer LEFT JOIN orders
+        |  ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        | GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM c_orders GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "analytics_q15_top_supplier" ->
+      """WITH revenue AS (
+        | SELECT l_suppkey,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS total_dec
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        | GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_dec AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE total_dec = (SELECT max(total_dec) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "analytics_q16_offer_counts" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        | AND p_type NOT LIKE 'PROMO%'
+        | AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        | AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""".stripMargin,
+    "analytics_q17_small_qty" ->
+      """WITH pa AS (
+        | SELECT l_partkey AS ap_partkey, sum(l_quantity) / count(*) AS avg_qty
+        | FROM lineitem GROUP BY 1)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        | count(*) AS n_items
+        |FROM lineitem
+        | JOIN part ON l_partkey = p_partkey
+        | JOIN pa ON l_partkey = ap_partkey
+        |WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty""".stripMargin,
+    "analytics_q18_large_volume" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        | SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        | HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+    "analytics_q21_waiting" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |WHERE n_name = 'NATION_3'
+        | AND EXISTS (SELECT 1 FROM orders
+        |   WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+        | AND EXISTS (SELECT 1 FROM lineitem l2
+        |   WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        | AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |   WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |    AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name ASC LIMIT 100""".stripMargin,
+    "analytics_q22_inactive" ->
+      """WITH pool AS (
+        | SELECT * FROM customer WHERE c_nationkey IN (3, 7, 11, 17, 19)),
+        |ab AS (
+        | SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+        | FROM pool WHERE c_acctbal > 0)
+        |SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM pool, ab
+        |WHERE c_acctbal > avg_bal
+        | AND NOT EXISTS (SELECT 1 FROM orders
+        |   WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "analytics_q10_returns" ->
       """SELECT c_custkey, c_name, n_name,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue

@@ -215,4 +215,228 @@ object Analytics {
       .agg(sum(Det.price(col("l_extendedprice")) * Det.oneMinus(col("l_discount")))
         .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name").asc)
+
+  /** Q4 shape — order-priority checking: orders in one quarter with at
+    * least one line shipped more than `lateDays` after the order date
+    * (the schema has no commit/receipt dates, so lateness is
+    * ship-vs-order). The EXISTS becomes a LEFT SEMI join with a non-equi
+    * residual: the build side streams lineitem rows keyed on orderkey,
+    * each order is emitted at most once, and the aggregate groups 5
+    * priorities — at 100 TB the semi join is the only shuffle and its
+    * output is strictly smaller than orders. */
+  def q4PriorityExists(orders: DataFrame, lineitem: DataFrame,
+                       qStart: String = "1996-01-01", qEnd: String = "1996-04-01",
+                       lateDays: Int = 60): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit(qStart).cast("timestamp") &&
+        col("o_orderdate") < lit(qEnd).cast("timestamp"))
+      .join(lineitem.select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  /** Q6 shape — forecasting revenue change: one tight scan-side filter
+    * (ship year × discount band × quantity cap) and a single exact
+    * decimal sum. The whole query is a scan with every conjunct pushed
+    * to parquet row groups; no shuffle at all beyond the final 1-row
+    * aggregate — the canonical "pushdown or bust" probe. */
+  def q6Forecast(lineitem: DataFrame, from: String = "1996-01-01",
+                 until: String = "1997-01-01"): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(Det.price(col("l_extendedprice")) * col("l_discount").cast("decimal(3,2)"))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Q9 shape — product-type profit by nation and order year (adapted:
+    * the schema has no partsupp, so profit is discounted revenue over
+    * the parts whose name contains `nameFragment`). The substring
+    * predicate prunes part before its broadcast; lineitem⋈orders is the
+    * one fact-fact shuffle; nation broadcasts. */
+  def q9Profit(lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+               orders: DataFrame, nation: DataFrame,
+               nameFragment: String = "red"): DataFrame =
+    lineitem
+      .join(part.filter(col("p_name").contains(nameFragment)),
+        col("l_partkey") === col("p_partkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(Det.price(col("l_extendedprice")) * Det.oneMinus(col("l_discount")))
+        .cast("double").as("profit"))
+      .orderBy(col("nation").asc, col("o_year").desc)
+
+  /** Q13 shape — customer order-count distribution: LEFT OUTER join with
+    * an extra join-side predicate (the filter belongs in the ON clause —
+    * in WHERE it would silently turn the outer join inner and drop the
+    * zero-order customers the query exists to count), then a two-level
+    * aggregate: per-customer count, then a histogram of those counts.
+    * Scale: first groupBy shuffles on c_custkey (pre-aggregated
+    * map-side), second input is one row per customer, output one row
+    * per distinct count — tiny. */
+  def q13CustDist(customer: DataFrame, orders: DataFrame,
+                  excludePriority: String = "1-URGENT"): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderpriority") =!= excludePriority)
+        .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** Q15 shape — top supplier by quarterly revenue: the revenue
+    * aggregate feeds BOTH the row set and a 1-row max, and the
+    * "revenue = (SELECT max(...))" equality is compared in EXACT
+    * DECIMAL — comparing doubles here would tie-break differently per
+    * engine. The max broadcasts (1 row); ties all surface, ordered by
+    * supplier key. */
+  def q15TopSupplier(lineitem: DataFrame, supplier: DataFrame,
+                     qStart: String = "1996-01-01", qEnd: String = "1996-04-01"): DataFrame = {
+    val revenue = lineitem
+      .filter(col("l_shipdate") >= lit(qStart).cast("timestamp") &&
+        col("l_shipdate") < lit(qEnd).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(Det.price(col("l_extendedprice")) * Det.oneMinus(col("l_discount")))
+        .as("total_dec"))
+    val maxRev = revenue.agg(max(col("total_dec")).as("max_dec"))
+    supplier.join(revenue, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(maxRev), col("total_dec") === col("max_dec"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_dec").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Q16 shape — supplier-offer counts (adapted: the lineitem fact
+    * stands in for the missing partsupp as the part↔supplier
+    * relationship): distinct suppliers per (brand, type, size) over a
+    * filtered part dim, excluding flagged suppliers via NOT IN
+    * (null-free key ⇒ plain anti join; the null-aware variant is
+    * covered by sub_not_in_nullaware). countDistinct shuffles
+    * (group keys + suppkey) once with map-side partial dedup. */
+  def q16OfferCounts(lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+                     excludeBrand: String = "Brand#1",
+                     excludeTypePrefix: String = "PROMO",
+                     sizes: Seq[Int] = Seq(1, 4, 9, 14, 19, 23, 36, 45)): DataFrame =
+    lineitem.select(col("l_partkey"), col("l_suppkey"))
+      .join(part.filter(col("p_brand") =!= excludeBrand &&
+        !col("p_type").startsWith(excludeTypePrefix) &&
+        col("p_size").isin(sizes: _*)), col("l_partkey") === col("p_partkey"))
+      .join(supplier.filter(col("s_acctbal") < 0).select(col("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc, col("p_type").asc,
+        col("p_size").asc)
+
+  /** Q17 shape — small-quantity order revenue: lines of one brand whose
+    * quantity is below 20% of that part's corpus-wide average quantity.
+    * The correlated scalar subquery decorrelates to a per-part aggregate
+    * joined back on the correlation key — written here directly in that
+    * decorrelated form (the plan Catalyst itself produces for the SQL).
+    * Determinism: quantities are integral doubles, so sum/count is exact
+    * and the 0.2× threshold reproduces bit-identically cross-engine.
+    * Scale note: the per-part aggregate shuffles (partkey, 2 numbers) —
+    * far smaller than the lineitem it summarizes; the brand filter
+    * prunes the probe side before its broadcast. */
+  def q17SmallQtyRevenue(lineitem: DataFrame, part: DataFrame,
+                         brand: String = "Brand#23"): DataFrame = {
+    val partAvg = lineitem.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    lineitem
+      .join(part.filter(col("p_brand") === brand), col("l_partkey") === col("p_partkey"))
+      .join(partAvg, col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sum(Det.price(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Q18 shape — large-volume customers: orders whose total line
+    * quantity exceeds `minQty`, with their customer and the quantity
+    * sum. The HAVING subquery becomes an aggregate→filter→semi-join
+    * pipeline: the big-order key set is the only extra shuffle and it
+    * shrinks to the rare qualifying keys before touching the
+    * customer⋈orders join. Top-100 by order value collapses to
+    * TakeOrderedAndProject. */
+  def q18LargeVolume(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                     minQty: Int = 300): DataFrame = {
+    val big = lineitem.groupBy(col("l_orderkey").as("big_okey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("okey_qty"))
+      .filter(col("okey_qty") > minQty)
+      .select(col("big_okey"))
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(big, col("o_orderkey") === col("big_okey"), "left_semi")
+      .join(lineitem.select(col("l_orderkey"), col("l_quantity")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate").asc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** Q21 shape — suppliers who kept orders waiting (adapted to
+    * ship-date lateness: theirs is the strictly latest-shipped line of
+    * a finished multi-supplier order). The EXISTS/NOT-EXISTS pair
+    * becomes LEFT SEMI + LEFT ANTI self-joins on lineitem with
+    * non-equi residuals — three passes over lineitem keyed on
+    * orderkey, each output no larger than its probe side; nation and
+    * the order-status existence check broadcast/semi respectively. */
+  def q21WaitingSupplier(supplier: DataFrame, lineitem: DataFrame, orders: DataFrame,
+                         nation: DataFrame, nationName: String = "NATION_3"): DataFrame = {
+    val l1 = lineitem.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val l2 = lineitem.select(col("l_orderkey").as("l2_okey"), col("l_suppkey").as("l2_skey"))
+    val l3 = lineitem.select(col("l_orderkey").as("l3_okey"),
+      col("l_suppkey").as("l3_skey"), col("l_shipdate").as("l3_ship"))
+    supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(l1, col("s_suppkey") === col("l_suppkey"))
+      .join(orders.filter(col("o_orderstatus") === "F").select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(l2, col("l_orderkey") === col("l2_okey") &&
+        col("l_suppkey") =!= col("l2_skey"), "left_semi")
+      .join(l3, col("l_orderkey") === col("l3_okey") &&
+        col("l_suppkey") =!= col("l3_skey") &&
+        col("l3_ship") > col("l_shipdate"), "left_anti")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(100)
+  }
+
+  /** Q22 shape — wealthy inactive customers (adapted: country code =
+    * nation key, "inactive" = no orders on/after `cutoff` — the schema
+    * has no phone column). Three classic pieces: a 1-row broadcast
+    * scalar average (over the POSITIVE-balance pool only), a
+    * comparison against it, and a NOT EXISTS anti join against recent
+    * orders. The average is an exact decimal sum over cents divided by
+    * a count — bit-identical cross-engine, so the > comparison cannot
+    * flap on boundary customers. */
+  def q22InactiveBalance(customer: DataFrame, orders: DataFrame,
+                         nations: Seq[Int] = Seq(3, 7, 11, 17, 19),
+                         cutoff: String = "2000-01-01"): DataFrame = {
+    val pool = customer.filter(col("c_nationkey").isin(nations: _*))
+    val avgBal = pool.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("avg_bal"))
+    pool
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(orders.filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+        .select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
+      .orderBy("cntrycode")
+  }
 }
