@@ -317,7 +317,17 @@ object SparkEntry {
       graft.sync.IncrementalJoin.applyToJoin(
         graft.sync.IncrementalJoin.joinView(old, dim),
         SnapshotDiff.diffKeyed(old, neu, "slno"), old, dim).orderBy("slno")
-    })
+    }),
+    // index/batch split mirrors dedup_delta_index: this is the EXACT
+    // incremental twin (Bloom prefilter) of that NEAR-dup (LSH) form
+    "dedup_bloom_prefilter" -> ((s, d) => {
+      val corpus = Corpus.docCorpus(Tables.documents(s, d))
+      Dedup.bloomPrefilterDedup(
+        corpus.filter(col("doc_id") < 100000),
+        corpus.filter(col("doc_id") >= 100000))
+    }),
+    "pipeline_domain_cap" -> ((s, d) => TrainingPrep.domainCap(Tables.documents(s, d))),
+    "pipeline_split_hash" -> ((s, d) => TrainingPrep.splitAssign(Tables.documents(s, d)))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -1785,6 +1795,32 @@ object SparkEntry {
         |  round(list_dot_product(n.v, q.q_v) / nullif(n.nrm * q.q_n, 0), 4) + 0.0 AS cos
         | FROM n, q WHERE n.vec_id <> q.q_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn FROM p)
-        |SELECT q_id, vec_id, cos, rn FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+        |SELECT q_id, vec_id, cos, rn FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    // the Bloom prefilter is EXACT whatever the filter size (no false
+    // negatives; hits are anti-join-confirmed), so the oracle is the
+    // plain digest anti-join the operator must equal
+    "dedup_bloom_prefilter" ->
+      s"""WITH corpus AS (${Corpus.docCorpusSql}),
+         |idx AS (SELECT md5(text) AS d FROM corpus WHERE doc_id < 100000),
+         |b AS (SELECT doc_id, n_chars, md5(text) AS d FROM corpus WHERE doc_id >= 100000)
+         |SELECT doc_id, n_chars FROM b
+         |WHERE d NOT IN (SELECT d FROM idx) ORDER BY doc_id""".stripMargin,
+    "pipeline_domain_cap" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text,' ') AS tok FROM documents),
+        |q AS (SELECT doc_id, source,
+        | floor((CAST(len(list_distinct(tok)) AS DOUBLE)/len(tok)*0.5
+        |  + least(CAST(len(tok) AS DOUBLE)/100.0, 1.0)*0.3
+        |  + (1.0 - CAST(len(list_filter(tok, x -> x IN ('the','a','of','is'))) AS DOUBLE)/len(tok))*0.2)*1e4 + 0.5)/1e4 AS quality
+        | FROM t),
+        |r AS (SELECT doc_id, source, quality,
+        | row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rk FROM q)
+        |SELECT doc_id, source, quality, rk FROM r WHERE rk <= 10
+        |ORDER BY source, rk""".stripMargin,
+    "pipeline_split_hash" ->
+      """SELECT doc_id,
+        | CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) < 'c' THEN 'train'
+        |      WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) < 'e' THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -29,15 +29,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet `timestamp[ns]`, which Spark 4's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read the physical INT64 nanos
-    * via the legacy long mapping, then rebuild a µs-precision timestamp
-    * (integer `div`, not `/` — ns-since-epoch overflows double precision).
+  /** `events.ts` has shipped in two physical forms across driver testdata
+    * generations: parquet `timestamp[ns]` (which Spark 4's vectorized
+    * reader rejects, [PARQUET_TYPE_ILLEGAL] — read the physical INT64
+    * nanos via the legacy long mapping and rebuild µs; integer `div`, not
+    * `/`, because ns-since-epoch overflows double precision) and plain
+    * `timestamp[us]` (isAdjustedToUTC=false → TIMESTAMP_NTZ). Both
+    * normalize to the SAME µs TimestampType column every downstream
+    * consumer and the DuckDB oracle (which reads either file natively as
+    * a naive TIMESTAMP) already agree on. The NTZ→LTZ cast is
+    * value-preserving because every session builder pins
+    * `spark.sql.session.timeZone=UTC`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
-    raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -81,6 +81,38 @@ object Sketches {
   def topkSketch(c: Column, k: Int, capacity: Int): Column =
     SqlShim.column(SpaceSavingTopK(SqlShim.expression(c), k, capacity).toAggregateExpression())
 
+  // ---- Bloom filter bridge (Spark's own sketch, internal expressions) --
+  //
+  // Spark ships a distributed Bloom build (`BloomFilterAggregate`, the
+  // aggregate behind its runtime row-level filters: partial sketches
+  // map-side, OR-merged reduce-side) and a codegen'd membership probe
+  // (`BloomFilterMightContain`), but registers neither publicly. Both
+  // expect the LONG xxhash64 of the value — the same hashing the
+  // planner's InjectRuntimeFilter wraps around its keys — so the helpers
+  // apply `xxhash64` themselves and callers pass the raw column.
+
+  /** Aggregate column: serialized Bloom filter (binary) over the xxhash64
+    * of `c`, sized for `expectedItems` distinct values in `numBits` bits. */
+  def bloomAgg(c: Column, expectedItems: Long, numBits: Long): Column =
+    SqlShim.column(
+      org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        SqlShim.expression(org.apache.spark.sql.functions.xxhash64(c)),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits), 0, 0)
+        .toAggregateExpression())
+
+  /** Membership probe of `c` against a MATERIALIZED Bloom filter. The
+    * filter enters the plan as a binary literal — the persisted-artifact
+    * form — because `BloomFilterMightContain` requires its filter side
+    * foldable (or a scalar subquery, which is exactly how Spark's own
+    * runtime filters materialize the same bytes to the driver). */
+  def bloomMightContain(bloomBytes: Array[Byte], c: Column): Column =
+    SqlShim.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bloomBytes, org.apache.spark.sql.types.BinaryType),
+        SqlShim.expression(org.apache.spark.sql.functions.xxhash64(c))))
+
   // ---- SpaceSaving core, shared by the aggregate and the streaming
   //      heavy-hitter processor (graft.streaming.StreamingHeavyHitters)
 

@@ -365,6 +365,50 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Bloom-prefiltered incremental EXACT dedup — the daily-batch
+    * production twin of [[exact]]: a Bloom filter built over the
+    * historical index's text digests screens the incoming batch
+    * MAP-SIDE, so the dominant never-seen-before mass passes with ZERO
+    * shuffle and zero contact with the index; only Bloom hits (true dups
+    * + false positives) proceed to an exact digest anti-join that kills
+    * the false positives. Bloom filters have no false NEGATIVES, so the
+    * result is EXACTLY `batch ⟕̸ index` (oracle-checked), whatever
+    * `numBits` is — sizing only trades candidate volume.
+    *
+    * Scale shape (100 TB): the filter bytes are a persistable artifact —
+    * build once per index epoch (one distributed aggregate: partial
+    * sketches map-side, OR-merge reduce-side), reuse across every
+    * subsequent batch; Spark's own runtime filters materialize the same
+    * aggregate to the driver via a scalar subquery, which is the
+    * precedent for the one-row collect here (model-parameter sized, like
+    * the IVF centroids). Past ~10⁹ index keys a single filter outgrows a
+    * task broadcast — shard it by digest prefix and probe the shard, the
+    * same key-range split the banded index already uses. The anti-join
+    * shuffles only the candidate sliver, against an index that at scale
+    * sits bucketed by digest (exchange-free on its side, see
+    * [[graft.ops.PartitionedLayout]]). */
+  def bloomPrefilterDedup(index: DataFrame, batch: DataFrame,
+                          expectedItems: Long = 1L << 16,
+                          numBits: Long = 1L << 20): DataFrame = {
+    val idxDigests = index.select(md5(col("text")).as("d"))
+    // one-row Array[Byte]: the "load the persisted filter" step
+    val bloomBytes = idxDigests
+      .agg(graft.functions.Sketches.bloomAgg(col("d"), expectedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val b = batch.select(col("doc_id"), col("n_chars"), md5(col("text")).as("d"))
+    val out =
+      if (bloomBytes == null) b // empty index aggregates to NULL: nothing to reject
+      else {
+        // branch 1 (the bulk): no-hit ⇒ provably absent from the index —
+        // map-side filter, no exchange. branch 2: hits exact-confirm
+        // against the index; anti-join keeps only false positives.
+        val clean = b.filter(!graft.functions.Sketches.bloomMightContain(bloomBytes, col("d")))
+        val candidates = b.filter(graft.functions.Sketches.bloomMightContain(bloomBytes, col("d")))
+        clean.unionByName(candidates.join(idxDigests, Seq("d"), "left_anti"))
+      }
+    out.select(col("doc_id"), col("n_chars")).orderBy("doc_id")
+  }
+
   /** 48-bit SimHash fingerprint per document: bit b of the fingerprint is
     * set iff Σ_tokens sign(bit b of xxhash64(token)) > 0. Computed wholly
     * inside HOFs — one pass, no shuffle beyond the final sort. Near-dup

@@ -157,6 +157,19 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The weighted quality score as a pure per-row Column over a text
+    * column — shared by [[qualityScore]] and the domain-cap quota so both
+    * rank on the identical rfloor'd value (and both oracle CTEs mirror
+    * the same arithmetic). */
+  def qualityCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val tok = TextOps.tokens(text)
+    val nTok = size(tok).cast("double")
+    val uniqRatio = size(array_distinct(tok)).cast("double") / nTok
+    val lenSat = least(nTok / lit(100.0), lit(1.0))
+    val stopRatio = size(filter(tok, t => t.isin("the", "a", "of", "is"))).cast("double") / nTok
+    graft.ops.Det.rfloor(uniqRatio * 0.5 + lenSat * 0.3 + (lit(1.0) - stopRatio) * 0.2, 4)
+  }
+
   /** Quality scoring: unique-token ratio, length saturation, stopword
     * ratio → weighted score. All per-row arithmetic, no shuffle. */
   def qualityScore(documents: DataFrame): DataFrame = {
@@ -171,7 +184,7 @@ object TextAnalysis {
       graft.ops.Det.rfloor(uniqRatio, 4).as("uniq_ratio"),
       graft.ops.Det.rfloor(lenSat, 4).as("len_sat"),
       graft.ops.Det.rfloor(stopRatio, 4).as("stop_ratio"),
-      graft.ops.Det.rfloor(uniqRatio * 0.5 + lenSat * 0.3 + (lit(1.0) - stopRatio) * 0.2, 4).as("quality"))
+      qualityCol(col("text")).as("quality"))
       .orderBy("doc_id")
   }
 

@@ -111,6 +111,48 @@ object TrainingPrep {
       .orderBy("lang", "doc_id", "chunk_id")
   }
 
+  /** PER-DOMAIN QUOTA ("domain capping"): keep at most `cap` documents
+    * per source domain, highest quality first — the anti-concentration
+    * step web-corpus recipes apply so no single site dominates the mix.
+    * Quality is the shared per-row score ([[TextAnalysis.qualityCol]]),
+    * computed INLINE — no join back to a score table — so the whole
+    * operator is one shuffle on the domain key.
+    *
+    * Scale shape (100 TB): `row_number() <= cap` directly above the
+    * window is the pattern Spark's InferWindowGroupLimit rewrites into a
+    * PARTIAL WindowGroupLimit — every mapper truncates its local slice
+    * to `cap` rows per domain BEFORE the exchange, so a monster domain
+    * ships O(mappers × cap) rows, not its full row count (plan shape
+    * pinned in PlanAuditSpec, same gate as the knn join). Ties break on
+    * doc_id, so survivors are deterministic. */
+  def domainCap(documents: DataFrame, cap: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("quality").desc, col("doc_id").asc)
+    documents
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.qualityCol(col("text")).as("quality"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= cap)
+      .orderBy("source", "rk")
+  }
+
+  /** DETERMINISTIC TRAIN/VAL/TEST SPLIT: assignment by the first hex
+    * digit of md5(doc_id) — 12/16 train, 2/16 val, 2/16 test. Pure
+    * map-side arithmetic (zero shuffle, zero state): any engine that
+    * agrees on md5 reproduces the split bit-for-bit, which is the
+    * property that matters — membership must never move between epochs,
+    * re-runs, or engines, or eval contaminates. Hex digits order
+    * '0'..'9' < 'a'..'f' in ASCII, so the range predicates below are
+    * portable string comparisons. */
+  def splitAssign(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("h"))
+      .select(col("doc_id"),
+        when(col("h") < "c", "train").when(col("h") < "e", "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
   /** corpus → deduped, rebalanced, chunked training rows
     * (doc_id, chunk_id, chunk_text, n_tokens, lang). */
   def prepare(documents: DataFrame): DataFrame = {

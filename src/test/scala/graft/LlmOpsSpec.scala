@@ -535,4 +535,28 @@ class LlmOpsSpec extends SparkSpec {
     // survivors are the min doc_id per text: no survivor in the +100000 range
     assert(deduped.filter(col("doc_id").between(100000, 199999)).count() === 0)
   }
+
+  test("bloom prefilter dedup equals the exact anti-join at ANY filter size") {
+    val corpus = Corpus.docCorpus(documents)
+    val index = corpus.filter(col("doc_id") < 100000)
+    val batch = corpus.filter(col("doc_id") >= 100000)
+    val expected = batch.select(col("doc_id"), col("n_chars"), md5(col("text")).as("d"))
+      .join(index.select(md5(col("text")).as("d")), Seq("d"), "left_anti")
+      .select("doc_id", "n_chars").collect().map(_.getLong(0)).toSet
+    // well-sized filter AND a pathological 64-bit one (false-positive
+    // rate near 1): exactness must not depend on sizing — the bloom has
+    // no false negatives and every hit is anti-join-confirmed
+    for (bits <- Seq(1L << 20, 64L)) {
+      val got = Dedup.bloomPrefilterDedup(index, batch, numBits = bits)
+        .collect().map(_.getLong(0)).toSet
+      assert(got === expected, s"numBits=$bits")
+    }
+  }
+
+  test("bloom prefilter dedup: empty index keeps the whole batch") {
+    val corpus = Corpus.docCorpus(documents)
+    val batch = corpus.filter(col("doc_id") >= 100000)
+    val kept = Dedup.bloomPrefilterDedup(corpus.filter(col("doc_id") < 0), batch)
+    assert(kept.count() === batch.count())
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions, DataFrame}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
 /** Physical-plan audits: the judge-facing invariants that keep each
@@ -257,6 +257,47 @@ class PlanAuditSpec extends SparkSpec {
         e.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(-1L)
     }
     assert(qidExchangeRecords === Seq(8L * 3L), s"q_id exchange carried $qidExchangeRecords rows")
+  }
+
+  test("pipeline_domain_cap: quota filter plans as PARTIAL WindowGroupLimit") {
+    // same rewrite contract as sim_knn_join: `row_number <= cap` directly
+    // above the window lets InferWindowGroupLimit truncate every mapper's
+    // slice to cap rows per domain BEFORE the source exchange — a monster
+    // domain ships O(mappers * cap), not its row count. A refactor that
+    // hides the rank predicate (ranking in a subquery, a non-rank filter)
+    // silently reverts to shuffling every row and fails here.
+    val df = llm.TrainingPrep.domainCap(Tables.documents(spark, sfDir))
+    df.collect()
+    val nodes = PlanWalk.allNodes(df.queryExecution.executedPlan)
+    val partialLimits = nodes.filter(n =>
+      n.getClass.getSimpleName == "WindowGroupLimitExec" && n.toString.contains("Partial"))
+    assert(partialLimits.nonEmpty, nodes.map(_.nodeName).mkString("; "))
+  }
+
+  test("dedup_bloom_prefilter: clean branch is a map-side might_contain filter, no exchange") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val corpus = llm.Corpus.docCorpus(Tables.documents(spark, sfDir))
+    val df = llm.Dedup.bloomPrefilterDedup(
+      corpus.filter(functions.col("doc_id") < 100000),
+      corpus.filter(functions.col("doc_id") >= 100000))
+    df.collect()
+    val nodes = PlanWalk.allNodes(df.queryExecution.executedPlan)
+    val bloomFilters = nodes.collect {
+      case f: FilterExec if f.condition.toString.contains("might_contain") => f
+    }
+    // Catalyst pushes the probe predicate through the corpus UNION (one
+    // filter per source branch, both probe polarities) — at least the
+    // bulk branch and the candidate branch must survive as scan-adjacent
+    // filters; the exact count tracks the union arity, not the operator
+    assert(bloomFilters.size >= 2, nodes.map(_.nodeName).mkString("; "))
+    // the bulk branch reaches the union straight from the scan: nothing
+    // below any bloom filter shuffles (the only exchange in the whole
+    // query is the candidate anti-join + final sort ABOVE them)
+    bloomFilters.foreach { f =>
+      val below = PlanWalk.allNodes(f).collect { case e: ShuffleExchangeExec => e }
+      assert(below.isEmpty, s"exchange below bloom probe: ${f.simpleStringWithNodeId()}")
+    }
   }
 
   test("join_runtime_filter: selective dim injects a bloom filter into the fact scan") {
