@@ -389,12 +389,24 @@ object Dedup {
     * [[graft.ops.PartitionedLayout]]). */
   def bloomPrefilterDedup(index: DataFrame, batch: DataFrame,
                           expectedItems: Long = 1L << 16,
-                          numBits: Long = 1L << 20): DataFrame = {
-    val idxDigests = index.select(md5(col("text")).as("d"))
-    // one-row Array[Byte]: the "load the persisted filter" step
-    val bloomBytes = idxDigests
+                          numBits: Long = 1L << 20): DataFrame =
+    bloomProbe(bloomBuild(index, expectedItems, numBits), index, batch)
+
+  /** Epoch step: the distributed Bloom build over the index's digests —
+    * run ONCE per index epoch, persist the bytes, amortize across every
+    * batch [[bloomProbe]] serves. Null for an empty index. */
+  def bloomBuild(index: DataFrame, expectedItems: Long = 1L << 16,
+                 numBits: Long = 1L << 20): Array[Byte] =
+    index.select(md5(col("text")).as("d"))
       .agg(graft.functions.Sketches.bloomAgg(col("d"), expectedItems, numBits).as("bf"))
       .head().getAs[Array[Byte]]("bf")
+
+  /** Batch step: screen `batch` against the prebuilt filter; exact
+    * whatever the filter size (see [[bloomPrefilterDedup]]). `sorted =
+    * false` drops the presentation sort — the production form (a sink
+    * doesn't need order; the smoke measures the join pipeline alone). */
+  def bloomProbe(bloomBytes: Array[Byte], index: DataFrame, batch: DataFrame,
+                 sorted: Boolean = true): DataFrame = {
     val b = batch.select(col("doc_id"), col("n_chars"), md5(col("text")).as("d"))
     val out =
       if (bloomBytes == null) b // empty index aggregates to NULL: nothing to reject
@@ -404,9 +416,11 @@ object Dedup {
         // against the index; anti-join keeps only false positives.
         val clean = b.filter(!graft.functions.Sketches.bloomMightContain(bloomBytes, col("d")))
         val candidates = b.filter(graft.functions.Sketches.bloomMightContain(bloomBytes, col("d")))
-        clean.unionByName(candidates.join(idxDigests, Seq("d"), "left_anti"))
+        clean.unionByName(candidates.join(
+          index.select(md5(col("text")).as("d")), Seq("d"), "left_anti"))
       }
-    out.select(col("doc_id"), col("n_chars")).orderBy("doc_id")
+    val proj = out.select(col("doc_id"), col("n_chars"))
+    if (sorted) proj.orderBy("doc_id") else proj
   }
 
   /** 48-bit SimHash fingerprint per document: bit b of the fingerprint is

@@ -50,13 +50,77 @@ object ScaleSmoke {
       spark.read.parquet(path)).localCheckpoint()
     val nDocs = corpus.count()
 
+    // total records written to shuffle exchanges — the metric that
+    // SCALES (locally everything is scan-bound and wall-clock converges;
+    // at 100 TB the exchange is the scarce resource). Reused exchanges
+    // count once; AQE stages are unwrapped.
+    def shuffleRecords(p: org.apache.spark.sql.execution.SparkPlan): Long = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+      val self = p match {
+        case e: ShuffleExchangeExec =>
+          e.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+        case _ => 0L
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _: ReusedExchangeExec => Seq.empty
+        case o => o.children ++ o.subqueries
+      }
+      self + kids.map(shuffleRecords).sum
+    }
+
     def time(name: String)(df: => DataFrame): Unit = {
       val t0 = System.nanoTime()
-      val n = df.count()
+      val d = df // by-name: side effects in the block (e.g. the bloom build) are timed
+      // execute THIS dataframe's plan (count() would plan a separate
+      // aggregate query, leaving d's exchange metrics untouched)
+      val n = d.queryExecution.toRdd.count()
       val dt = math.floor((System.nanoTime() - t0) / 1e7 + 0.5) / 100
-      println(s"""{"smoke":"$name","factor":$factor,"docs":$nDocs,"rows":$n,"sec":$dt}""")
+      val shuf = shuffleRecords(d.queryExecution.executedPlan)
+      println(s"""{"smoke":"$name","factor":$factor,"docs":$nDocs,"rows":$n,"sec":$dt,"shuffle_records":$shuf}""")
       spark.catalog.clearCache()
       System.gc()
+    }
+
+    // optional fifth arg "bloomOnly": incremental-dedup smoke in the
+    // 100 TB regime the operator exists for — an index too big to
+    // BROADCAST (auto-broadcast off, so the plain anti-join must
+    // shuffle BOTH sides) probed by a growing batch. Index fixed at
+    // 10× (replica texts suffixed → genuinely distinct digests);
+    // batch grows `factor`×, replica 0 unsuffixed so it dup-collides
+    // with the index while the rest is never-seen mass. The bloom
+    // probe passes that mass map-side — its exchange carries only
+    // dup candidates (~constant), where plain_anti's carries the
+    // whole batch (~factor×).
+    if (args.lift(4).contains("bloomOnly")) {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val idx = (0 until 10).map { i =>
+          val shifted = docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+          if (i == 0) shifted
+          else shifted.withColumn("text", concat(col("text"), lit(s" r$i")))
+        }.reduce(_ unionByName _).localCheckpoint()
+      val nIdx = idx.count()
+      val batch = (0 until factor).map { i =>
+          val shifted = docs.withColumn("doc_id", col("doc_id") + lit((100 + i) * 10000000L))
+          if (i == 0) shifted // replica 0: exact dups of the index's replica 0
+          else shifted.withColumn("text", concat(col("text"), lit(s" b$i")))
+        }.reduce(_ unionByName _).localCheckpoint()
+      val nBatch = batch.count()
+      var bytes: Array[Byte] = null
+      time(s"bloom_build_idx$nIdx") {
+        bytes = graft.llm.Dedup.bloomBuild(idx, nIdx, 16L * nIdx)
+        idx.select(col("doc_id")).limit(1) // time() wants a DataFrame; build cost is above
+      }
+      time(s"bloom_probe_batch$nBatch")(
+        graft.llm.Dedup.bloomProbe(bytes, idx, batch, sorted = false))
+      time(s"plain_anti_batch$nBatch")(
+        batch.select(col("doc_id"), col("n_chars"), md5(col("text")).as("d"))
+          .join(idx.select(md5(col("text")).as("d")), Seq("d"), "left_anti")
+          .select(col("doc_id"), col("n_chars")))
+      spark.stop()
+      return
     }
 
     // optional fifth arg "containmentOnly" skips the jaccard/cluster
