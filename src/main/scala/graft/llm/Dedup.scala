@@ -404,7 +404,14 @@ object Dedup {
   /** Batch step: screen `batch` against the prebuilt filter; exact
     * whatever the filter size (see [[bloomPrefilterDedup]]). `sorted =
     * false` drops the presentation sort — the production form (a sink
-    * doesn't need order; the smoke measures the join pipeline alone). */
+    * doesn't need order; the smoke measures the join pipeline alone).
+    *
+    * Null-text rows are never lost to three-valued logic: `xxhash64`
+    * hashes a NULL input to its seed (non-null), so `might_contain`
+    * returns a real boolean and the row lands in exactly one branch;
+    * if it probes true, the confirm anti-join's null digest matches
+    * nothing and the row is kept — same answer as the exact twin
+    * (gated in HostileInputSpec). */
   def bloomProbe(bloomBytes: Array[Byte], index: DataFrame, batch: DataFrame,
                  sorted: Boolean = true): DataFrame = {
     val b = batch.select(col("doc_id"), col("n_chars"), md5(col("text")).as("d"))

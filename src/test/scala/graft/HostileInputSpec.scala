@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, TextAnalysis}
+import graft.llm.{Dedup, TextAnalysis, TrainingPrep}
 
 /** Hostile-corpus gates: the fixture corpus is clean (no nulls, no empty
   * docs), but a 100 TB crawl is not. These tests run the text/dedup tier
@@ -104,6 +104,33 @@ class HostileInputSpec extends SparkSpec {
     assert(kept(6L) === 0L, pd.toSeq)
     assert(kept(8L) === pd.find(_._1 == 8L).get._2)
     Dedup.urlDedup(hostile).collect() // synthesized URLs: must not throw
+  }
+
+  test("bloom prefilter never loses hostile batch rows; equals the anti-join") {
+    // a null text is NOT a duplicate of anything (its digest is null,
+    // and null keys never match in the exact anti-join twin) — the
+    // bloom branches must route it to the output, not let a three-
+    // valued might_contain(NULL) predicate drop it from BOTH branches
+    val index = hostile.filter(col("doc_id") >= 5L)
+    val batch = hostile.filter(col("doc_id") <= 4L)
+      .unionByName(hostile.filter(col("doc_id") === 6L)) // true dup of index doc 5
+    val kept = Dedup.bloomPrefilterDedup(index, batch)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 3L, 4L), s"kept=$kept")
+    // and with an empty batch: no rows, no crash
+    assert(Dedup.bloomPrefilterDedup(index, batch.limit(0)).count() === 0L)
+  }
+
+  test("domain cap and hash split survive hostile docs, no row loss") {
+    // null-text quality is NULL ("no signal") — it must rank below every
+    // scored doc (nulls last under DESC), never crash the window
+    val capped = TrainingPrep.domainCap(hostile, cap = 100).collect()
+    assert(capped.length === hostile.count(), "cap above corpus size must keep every doc")
+    val last = capped.maxBy(_.getLong(3)) // highest rank in the single domain
+    assert(last.getLong(0) === 1L, s"null-text doc must rank last: $last")
+    val split = TrainingPrep.splitAssign(hostile).collect()
+    assert(split.length === hostile.count())
+    assert(split.forall(r => Set("train", "val", "test")(r.getString(1))))
   }
 
   test("text family runs on hostile docs; ratio columns never NaN or infinite") {
