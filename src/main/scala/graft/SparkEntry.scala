@@ -327,7 +327,8 @@ object SparkEntry {
         corpus.filter(col("doc_id") >= 100000))
     }),
     "pipeline_domain_cap" -> ((s, d) => TrainingPrep.domainCap(Tables.documents(s, d))),
-    "pipeline_split_hash" -> ((s, d) => TrainingPrep.splitAssign(Tables.documents(s, d)))
+    "pipeline_split_hash" -> ((s, d) => TrainingPrep.splitAssign(Tables.documents(s, d))),
+    "text_boilerplate" -> ((s, d) => TextAnalysis.boilerplateScrub(Tables.documents(s, d)))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -1821,6 +1822,23 @@ object SparkEntry {
         | CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) < 'c' THEN 'train'
         |      WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) < 'e' THEN 'val'
         |      ELSE 'test' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |chunks AS (
+        | SELECT doc_id, j AS cpos, array_to_string(w[j*8+1 : j*8+8], ' ') AS chunk
+        | FROM toks, UNNEST(range(CAST(ceil(len(w)/8.0) AS BIGINT))) AS u(j)),
+        |nz AS (SELECT * FROM chunks WHERE length(chunk) > 0),
+        |inst AS (SELECT doc_id, cpos, chunk, md5(chunk) AS dg FROM nz),
+        |boiler AS (SELECT dg FROM (
+        |  SELECT dg, count(DISTINCT doc_id) AS df FROM inst GROUP BY dg) WHERE df >= 3),
+        |kept AS (SELECT i.* FROM inst i LEFT JOIN boiler b ON i.dg = b.dg WHERE b.dg IS NULL),
+        |cl AS (SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(chunk, ' ' ORDER BY cpos) AS text_clean FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_total FROM inst GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_total, COALESCE(c.n_kept, 0) AS n_kept,
+        | COALESCE(c.text_clean, '') AS text_clean
+        |FROM tot t LEFT JOIN cl c ON t.doc_id = c.doc_id
+        |ORDER BY t.doc_id""".stripMargin
   )
 }

@@ -188,6 +188,48 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style BOILERPLATE REMOVAL: fixed-width token chunks whose
+    * corpus document-frequency reaches `minDf` are scrubbed from EVERY
+    * document (headers, footers, license blocks — text so common it
+    * carries no training signal). The complement of passage dedup: that
+    * keeps a repeated passage's FIRST occurrence; this removes all
+    * occurrences of sufficiently-common chunks.
+    *
+    * Scale shape (100 TB): chunk instances are keyed by md5 digest, so
+    * the document-frequency aggregate shuffles (digest, doc_id) pairs —
+    * 24+8 bytes, never text — with map-side distinct-combine; the
+    * boilerplate digest set (df ≥ minDf) is by construction the tiny
+    * tail of the frequency distribution, so the scrub anti-join
+    * broadcasts it; reassembly is one doc_id-keyed shuffle. */
+  def boilerplateScrub(documents: DataFrame, chunkWords: Int = 8,
+                       minDf: Long = 3L): DataFrame = {
+    val tok = TextOps.tokens(col("text"))
+    val nChunks = ceil(size(tok).cast("double") / chunkWords).cast("int")
+    val chunks = documents
+      .withColumn("tok", tok)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1), i =>
+          concat_ws(" ", slice(col("tok"), i * chunkWords + 1, lit(chunkWords))))))
+      .select(col("doc_id"), col("pos").cast("long").as("cpos"), col("col").as("chunk"))
+      .filter(length(col("chunk")) > 0)
+    val inst = chunks.withColumn("dg", md5(col("chunk")))
+    val boiler = inst.select(col("dg"), col("doc_id")).distinct()
+      .groupBy("dg").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("dg")
+    val kept = inst.join(boiler, Seq("dg"), "left_anti")
+    val cleaned = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("cpos"), col("chunk")))),
+          x => x.getField("chunk"))).as("text_clean"))
+    val tot = inst.groupBy("doc_id").agg(count(lit(1)).as("n_total"))
+    tot.join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy("doc_id")
+  }
+
   /** Token counting: whitespace tokens and a BPE-ish regex token count
     * (letter runs / digit runs / single punctuation) plus chars-per-token
     * — the usual "how many tokens is this corpus" pipeline stat. */

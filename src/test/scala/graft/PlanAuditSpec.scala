@@ -300,6 +300,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("text_boilerplate: the scrub anti-join broadcasts the boilerplate digest set") {
+    // the df >= minDf digest set is the tiny tail of the chunk-frequency
+    // distribution — if this join ever degrades to a shuffled SMJ the
+    // whole chunk instance table reshuffles at 100 TB for a set that
+    // fits in one task broadcast
+    val df = llm.TextAnalysis.boilerplateScrub(Tables.documents(spark, sfDir))
+    df.collect()
+    val nodes = PlanWalk.allNodes(df.queryExecution.executedPlan)
+    val antiBroadcast = nodes.exists { n =>
+      n.getClass.getSimpleName == "BroadcastHashJoinExec" &&
+        n.toString.contains("LeftAnti")
+    }
+    assert(antiBroadcast, nodes.map(_.nodeName).mkString("; "))
+  }
+
   test("join_runtime_filter: selective dim injects a bloom filter into the fact scan") {
     // the production thresholds (10 GB application-side scan) dwarf the
     // fixture; a cloned session with thresholds floored shows the plan
