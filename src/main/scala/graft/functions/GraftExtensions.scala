@@ -34,7 +34,19 @@ object GraftExtensions {
       numHashes = args(1).eval().asInstanceOf[Int])),
     "topk_sketch" -> (args => SpaceSavingTopK(args.head,
       k = args(1).eval().asInstanceOf[Int],
-      capacity = args(2).eval().asInstanceOf[Int]).toAggregateExpression()))
+      capacity = args(2).eval().asInstanceOf[Int]).toAggregateExpression()),
+    // Spark's own Bloom pair, unregistered upstream: build an index-epoch
+    // filter in SQL (`graft_bloom_agg(key, items, bits)`) and probe it
+    // (`graft_might_contain(filter, key)`) — the incremental-dedup
+    // prefilter (Dedup.bloomBuild/bloomProbe) from pure spark.sql
+    "graft_bloom_agg" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args.head)),
+        args(1), args(2), 0, 0).toAggregateExpression()),
+    "graft_might_contain" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        args.head,
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args(1))))))
 
   /** Register into an already-running session (same builders as the
     * extensions path) — for sessions constructed without

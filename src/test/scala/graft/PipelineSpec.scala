@@ -223,6 +223,17 @@ class PipelineSpec extends SparkSpec {
       """SELECT topk_sketch(x, 1, 8) AS top FROM VALUES ('a'),('a'),('b') AS t(x)"""
     ).collect().head.getSeq[org.apache.spark.sql.Row](0)
     assert(agg.head.getString(0) === "a" && agg.head.getLong(1) === 2L)
+    // the Bloom pair end-to-end in SQL: build over a key stream, probe a
+    // member and a non-member through a scalar subquery (the foldable
+    // form BloomFilterMightContain demands)
+    val bloom = spark.sql(
+      """SELECT graft_might_contain(
+        |         (SELECT graft_bloom_agg(x, 10L, 1024L) FROM VALUES ('k1'),('k2') AS t(x)),
+        |         y) AS hit
+        |FROM VALUES ('k1'),('nope') AS p(y) ORDER BY y""".stripMargin)
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(bloom === Seq(true, false),
+      "member must probe true, non-member false at 1024 bits / 2 keys")
   }
 
   test("foreachBatch merge sink upserts each micro-batch into the parquet target") {
