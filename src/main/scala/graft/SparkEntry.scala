@@ -328,7 +328,8 @@ object SparkEntry {
     }),
     "pipeline_domain_cap" -> ((s, d) => TrainingPrep.domainCap(Tables.documents(s, d))),
     "pipeline_split_hash" -> ((s, d) => TrainingPrep.splitAssign(Tables.documents(s, d))),
-    "text_boilerplate" -> ((s, d) => TextAnalysis.boilerplateScrub(Tables.documents(s, d)))
+    "text_boilerplate" -> ((s, d) => TextAnalysis.boilerplateScrub(Tables.documents(s, d))),
+    "pipeline_curation" -> ((s, d) => TrainingPrep.curate(Tables.documents(s, d)))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -1839,6 +1840,36 @@ object SparkEntry {
         |SELECT t.doc_id, t.n_total, COALESCE(c.n_kept, 0) AS n_kept,
         | COALESCE(c.text_clean, '') AS text_clean
         |FROM tot t LEFT JOIN cl c ON t.doc_id = c.doc_id
-        |ORDER BY t.doc_id""".stripMargin
+        |ORDER BY t.doc_id""".stripMargin,
+    // curation capstone: the boilerplate CTE chain feeding the quality
+    // gate (over CLEANED text), the per-domain cap, and the split CASE
+    "pipeline_curation" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |chunks AS (
+        | SELECT doc_id, j AS cpos, array_to_string(w[j*8+1 : j*8+8], ' ') AS chunk
+        | FROM toks, UNNEST(range(CAST(ceil(len(w)/8.0) AS BIGINT))) AS u(j)),
+        |nz AS (SELECT * FROM chunks WHERE length(chunk) > 0),
+        |inst AS (SELECT doc_id, cpos, chunk, md5(chunk) AS dg FROM nz),
+        |boiler AS (SELECT dg FROM (
+        |  SELECT dg, count(DISTINCT doc_id) AS df FROM inst GROUP BY dg) WHERE df >= 3),
+        |kept AS (SELECT i.* FROM inst i LEFT JOIN boiler b ON i.dg = b.dg WHERE b.dg IS NULL),
+        |cl AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY cpos) AS text_clean,
+        |  count(*) AS n_kept FROM kept GROUP BY doc_id),
+        |sc AS (SELECT d.doc_id, d.source, CAST(COALESCE(c.n_kept, 0) AS BIGINT) AS n_kept,
+        |  string_split(COALESCE(c.text_clean, ''), ' ') AS tok
+        | FROM documents d LEFT JOIN cl c ON d.doc_id = c.doc_id),
+        |q AS (SELECT doc_id, source, n_kept,
+        | floor((CAST(len(list_distinct(tok)) AS DOUBLE)/len(tok)*0.5
+        |  + least(CAST(len(tok) AS DOUBLE)/100.0, 1.0)*0.3
+        |  + (1.0 - CAST(len(list_filter(tok, x -> x IN ('the','a','of','is'))) AS DOUBLE)/len(tok))*0.2)*1e4 + 0.5)/1e4 AS quality
+        | FROM sc),
+        |r AS (SELECT doc_id, source, quality, n_kept,
+        | row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rk
+        | FROM q WHERE quality >= 0.59)
+        |SELECT doc_id, source, quality, rk, n_kept,
+        | CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) < 'c' THEN 'train'
+        |      WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) < 'e' THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin
   )
 }

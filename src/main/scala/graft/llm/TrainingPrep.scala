@@ -136,22 +136,56 @@ object TrainingPrep {
       .orderBy("source", "rk")
   }
 
+  /** The split assignment as a pure Column over an id column — shared by
+    * [[splitAssign]] and [[curate]]. First hex digit of md5(id): 12/16
+    * train, 2/16 val, 2/16 test ('0'..'9' < 'a'..'f' in ASCII, so the
+    * range predicates are portable string comparisons). */
+  def splitCol(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = substring(md5(id.cast("string")), 1, 1)
+    when(h < "c", "train").when(h < "e", "val").otherwise("test")
+  }
+
   /** DETERMINISTIC TRAIN/VAL/TEST SPLIT: assignment by the first hex
     * digit of md5(doc_id) — 12/16 train, 2/16 val, 2/16 test. Pure
     * map-side arithmetic (zero shuffle, zero state): any engine that
     * agrees on md5 reproduces the split bit-for-bit, which is the
     * property that matters — membership must never move between epochs,
-    * re-runs, or engines, or eval contaminates. Hex digits order
-    * '0'..'9' < 'a'..'f' in ASCII, so the range predicates below are
-    * portable string comparisons. */
+    * re-runs, or engines, or eval contaminates. */
   def splitAssign(documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id"),
-        substring(md5(col("doc_id").cast("string")), 1, 1).as("h"))
-      .select(col("doc_id"),
-        when(col("h") < "c", "train").when(col("h") < "e", "val")
-          .otherwise("test").as("split"))
+      .select(col("doc_id"), splitCol(col("doc_id")).as("split"))
       .orderBy("doc_id")
+
+  /** CURATION CAPSTONE: the web-corpus intake chain as ONE lazy plan —
+    * boilerplate scrub → quality gate on the CLEANED text (scoring the
+    * raw text would let a document ride on boilerplate it no longer
+    * carries) → per-domain cap → deterministic split assignment. Third
+    * capstone, orthogonal to [[prepare]] (dedup axis) and
+    * [[qualityFilter]] (two-signal filter axis): this is the
+    * anti-concentration axis.
+    *
+    * Scale shape: the scrub's digest-df aggregate + broadcast anti-join
+    * (see boilerplateScrub), one doc_id-keyed reassembly shuffle that
+    * the quality/source join reuses, the domain window's partial
+    * WindowGroupLimit, and a map-side split column — nothing else. */
+  def curate(documents: DataFrame, minQuality: Double = 0.59,
+             cap: Int = 10): DataFrame = {
+    val scrubbed = TextAnalysis.boilerplateScrub(documents)
+      .select(col("doc_id"), col("n_kept"), col("text_clean"))
+    val scored = scrubbed
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), col("n_kept"),
+        TextAnalysis.qualityCol(col("text_clean")).as("quality"))
+      .filter(col("quality") >= minQuality)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("quality").desc, col("doc_id").asc)
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= cap)
+      .select(col("doc_id"), col("source"), col("quality"), col("rk"), col("n_kept"),
+        splitCol(col("doc_id")).as("split"))
+      .orderBy("source", "rk")
+  }
 
   /** corpus → deduped, rebalanced, chunked training rows
     * (doc_id, chunk_id, chunk_text, n_tokens, lang). */
