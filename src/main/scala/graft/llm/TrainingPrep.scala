@@ -167,7 +167,11 @@ object TrainingPrep {
     * Scale shape: the scrub's digest-df aggregate + broadcast anti-join
     * (see boilerplateScrub), one doc_id-keyed reassembly shuffle that
     * the quality/source join reuses, the domain window's partial
-    * WindowGroupLimit, and a map-side split column — nothing else. */
+    * WindowGroupLimit, and a map-side split column — nothing else.
+    *
+    * Contentless docs (null/empty text: zero non-empty chunks) exit at
+    * the scrub stage by design — no content, no training signal
+    * (HostileInputSpec pins this; the oracle CTE chain agrees). */
   def curate(documents: DataFrame, minQuality: Double = 0.59,
              cap: Int = 10): DataFrame = {
     val scrubbed = TextAnalysis.boilerplateScrub(documents)

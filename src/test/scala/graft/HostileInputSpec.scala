@@ -133,6 +133,17 @@ class HostileInputSpec extends SparkSpec {
     assert(split.forall(r => Set("train", "val", "test")(r.getString(1))))
   }
 
+  test("curation capstone: contentless docs drop, everything else survives") {
+    // docs 1 (null text) and 2 (empty) produce zero non-empty chunks, so
+    // they exit at the scrub stage — the INTENDED semantics (a doc with
+    // no content after cleaning carries no training signal), identical
+    // in the oracle's CTE chain. Every doc with any content survives a
+    // permissive gate and carries a total split assignment.
+    val out = TrainingPrep.curate(hostile, minQuality = 0.0, cap = 100).collect()
+    assert(out.map(_.getLong(0)).toSet === Set(3L, 4L, 5L, 6L, 7L, 8L), out.toSeq)
+    assert(out.forall(r => Set("train", "val", "test")(r.getString(5))))
+  }
+
   test("text family runs on hostile docs; ratio columns never NaN or infinite") {
     // null doubles are legitimate "no signal" for null text; NaN/Inf are
     // arithmetic escapes (0/0, x/0) and never acceptable
