@@ -238,6 +238,17 @@ object SparkEntry {
         Tables.orders(s, d), Tables.nation(s, d))),
     "analytics_q22_inactive" -> ((s, d) =>
       Analytics.q22InactiveBalance(Tables.customer(s, d), Tables.orders(s, d))),
+    "analytics_q2_min_cost" -> ((s, d) =>
+      Analytics.q2MinCostSupplier(Tables.lineitem(s, d), Tables.part(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "analytics_q11_important" -> ((s, d) =>
+      Analytics.q11ImportantParts(Tables.lineitem(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d))),
+    "analytics_q12_ship_delay" -> ((s, d) =>
+      Analytics.q12ShipDelay(Tables.lineitem(s, d), Tables.orders(s, d))),
+    "analytics_q20_dominant" -> ((s, d) =>
+      Analytics.q20DominantSupplier(Tables.lineitem(s, d), Tables.part(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "join_runtime_filter" -> ((s, d) =>
       ops.ScaleJoins.runtimeFilteredJoin(Tables.orders(s, d), Tables.lineitem(s, d))),
     "maintenance_zorder" -> ((s, d) =>
@@ -1391,6 +1402,71 @@ object SparkEntry {
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey ASC
         |LIMIT 20""".stripMargin,
+    "analytics_q2_min_cost" ->
+      """WITH ps AS (
+        | SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |  min(floor((l_extendedprice / l_quantity) * 1e4 + 0.5)/1e4) AS ps_supplycost
+        | FROM lineitem GROUP BY 1, 2),
+        |rsup AS (
+        | SELECT s_suppkey, s_name, s_acctbal, n_name
+        | FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        | WHERE r_name = 'EUROPE')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+        |FROM part
+        | JOIN ps ON p_partkey = ps_partkey
+        | JOIN rsup ON ps_suppkey = s_suppkey
+        |WHERE p_size = 15
+        | AND ps_supplycost = (
+        |  SELECT min(ps2.ps_supplycost)
+        |  FROM ps ps2 JOIN rsup r2 ON ps2.ps_suppkey = r2.s_suppkey
+        |  WHERE ps2.ps_partkey = p_partkey)
+        |ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+        |LIMIT 100""".stripMargin,
+    "analytics_q11_important" ->
+      """WITH ps AS (
+        | SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |  CAST(min(floor((l_extendedprice / l_quantity) * 1e4 + 0.5)/1e4) AS DECIMAL(18,4)) AS cost_dec,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+        | FROM lineitem GROUP BY 1, 2),
+        |nat_ps AS (
+        | SELECT ps_partkey, cost_dec * qty_dec AS val_dec
+        | FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        | WHERE n_name = 'NATION_3'),
+        |per_part AS (
+        | SELECT ps_partkey, SUM(val_dec) AS part_val_dec FROM nat_ps GROUP BY 1),
+        |tot AS (SELECT SUM(part_val_dec) AS total_dec, count(*) AS n_parts FROM per_part)
+        |SELECT ps_partkey, CAST(part_val_dec AS DOUBLE) AS part_value
+        |FROM per_part, tot
+        |WHERE CAST(part_val_dec AS DOUBLE) * n_parts > 3.0 * CAST(total_dec AS DOUBLE)
+        |ORDER BY part_value DESC, ps_partkey ASC""".stripMargin,
+    "analytics_q12_ship_delay" ->
+      """SELECT least(CAST(floor(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) / 30.0) AS BIGINT), 4) AS delay_bucket,
+        | count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+        | count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "analytics_q20_dominant" ->
+      """WITH shipped AS (
+        | SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sp
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        | GROUP BY 1, 2),
+        |ptot AS (SELECT l_partkey, SUM(qty_sp) AS qty_p FROM shipped GROUP BY 1),
+        |dominant AS (
+        | SELECT l_suppkey FROM shipped JOIN ptot USING (l_partkey)
+        | WHERE qty_sp * 2 > qty_p
+        |  AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'large%'))
+        |SELECT s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        | AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+        |ORDER BY s_name""".stripMargin,
     "scan_schema_merge" ->
       """SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey
         |FROM nation WHERE n_nationkey % 2 = 0

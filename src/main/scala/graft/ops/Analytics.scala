@@ -439,4 +439,150 @@ object Analytics {
         sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
       .orderBy("cntrycode")
   }
+
+  /** The part↔supplier relation the schema lacks (TPC-H partsupp),
+    * derived from the lineitem fact: one row per (part, supplier) pair
+    * that ever traded, with a unit cost (min observed price-per-unit,
+    * rfloor'd to 4 places so the double is the same k/1e4 value both
+    * engines produce) and a total traded quantity in exact decimal.
+    * The aggregate shuffles (two keys + two numbers) with map-side
+    * partials — at 100 TB this is the standard "derive the dim from
+    * the fact" pattern, strictly smaller than its input. Q2/Q11/Q20
+    * below all compose over it, mirroring how the real queries compose
+    * over partsupp. */
+  def derivedPartSupp(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(min(Det.rfloor(col("l_extendedprice") / col("l_quantity"), 4)).as("ps_supplycost"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("ps_qty_dec"))
+
+  /** Q2 shape — minimum-cost supplier: for each part of one size, the
+    * region's supplier(s) offering it at the lowest derived unit cost.
+    * The correlated scalar-min subquery is written in its decorrelated
+    * form (per-part min over the region's suppliers, joined back on
+    * part + cost equality — the plan Catalyst produces for the SQL).
+    * The supplier⋈nation⋈region chain broadcasts; the derived partsupp
+    * aggregate is the one fact-sized shuffle and BOTH the row set and
+    * the min derive from it. Cost equality compares the identical
+    * rfloor'd double on both sides, so it cannot flap. */
+  def q2MinCostSupplier(lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+                        nation: DataFrame, region: DataFrame,
+                        regionName: String = "EUROPE", size: Int = 15): DataFrame = {
+    val rsup = supplier
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .join(region.filter(col("r_name") === regionName),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val regional = derivedPartSupp(lineitem)
+      .join(broadcast(rsup), col("ps_suppkey") === col("s_suppkey"))
+    val minCost = regional.groupBy(col("ps_partkey").as("mc_partkey"))
+      .agg(min(col("ps_supplycost")).as("mc_cost"))
+    part.filter(col("p_size") === size)
+      .join(regional, col("p_partkey") === col("ps_partkey"))
+      .join(minCost,
+        col("ps_partkey") === col("mc_partkey") && col("ps_supplycost") === col("mc_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        col("p_brand"), col("ps_supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name").asc, col("s_name").asc,
+        col("p_partkey").asc)
+      .limit(100)
+  }
+
+  /** Q11 shape — important parts: the parts whose traded value through
+    * one nation's suppliers exceeds `meanMult`× the nation's MEAN part
+    * value. (The classic fixed-fraction-of-total threshold is
+    * scale-dependent — at 10× the parts no part holds 1/500 of the
+    * total and the query goes vacuous; the mean-multiple form is
+    * self-normalizing and stays selective at every SF.) The
+    * HAVING-vs-scalar-subquery shape is intact: per-part value sums in
+    * EXACT decimal (cost lifted to DECIMAL(18,4) after the rfloor, so
+    * the product cost×qty is exact and order-independent), the grand
+    * total+count is a 1-row broadcast, and the threshold test is two
+    * IEEE multiplies + a compare on doubles both engines form from the
+    * same exact decimals. Scale: the fact aggregates once; everything
+    * after is part-cardinality sized. */
+  def q11ImportantParts(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
+                        nationName: String = "NATION_3", meanMult: Double = 3.0): DataFrame = {
+    val natSup = supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = derivedPartSupp(lineitem)
+      .join(broadcast(natSup), col("ps_suppkey") === col("s_suppkey"), "left_semi")
+      .select(col("ps_partkey"),
+        (col("ps_supplycost").cast("decimal(18,4)") * col("ps_qty_dec")).as("val_dec"))
+      .groupBy(col("ps_partkey"))
+      .agg(sum(col("val_dec")).as("part_val_dec"))
+    val tot = perPart.agg(sum(col("part_val_dec")).as("total_dec"),
+      count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(tot))
+      .filter(col("part_val_dec").cast("double") * col("n_parts") >
+        lit(meanMult) * col("total_dec").cast("double"))
+      .select(col("ps_partkey"), col("part_val_dec").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("ps_partkey").asc)
+  }
+
+  /** Q12 shape — shipping-delay priority analysis (adapted: the schema
+    * has no shipmode/commit/receipt dates, so the grouping dimension is
+    * the order→ship delay in 30-day buckets, clamped at +4 — the
+    * synthetic dates run years in both directions). The classic Q12
+    * CASE-counting core is intact: per bucket, how many lines belong to
+    * critical-priority orders vs the rest. One fact-fact join keyed on
+    * orderkey (the ship-year filter prunes the lineitem scan first),
+    * one small aggregate; count(CASE WHEN) keeps both counts BIGINT in
+    * both engines. */
+  def q12ShipDelay(lineitem: DataFrame, orders: DataFrame,
+                   from: String = "1997-01-01", until: String = "1998-01-01"): DataFrame = {
+    val critical = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(least(floor(
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) / 30.0)
+        .cast("long"), lit(4L)).as("delay_bucket"),
+        col("o_orderpriority"))
+      .groupBy(col("delay_bucket"))
+      .agg(count(when(critical, 1)).as("high_line_count"),
+        count(when(!critical, 1)).as("low_line_count"))
+      .orderBy("delay_bucket")
+  }
+
+  /** Q20 shape — dominant suppliers of watched parts (adapted: with no
+    * availqty, "excess" becomes concentration — a supplier who shipped
+    * MORE THAN HALF of a watched part's one-year volume). The nested
+    * semi chain of the original is intact: supplier ← semi(dominant
+    * pairs) ← semi(name-filtered part), with the correlated per-part
+    * total as a grouped aggregate joined back on the correlation key.
+    * The 2× comparison runs in exact decimal (qty sums never touch
+    * doubles), so the strict inequality is engine-independent. Scale:
+    * the year filter prunes the fact scan; both aggregates shuffle
+    * (key, one decimal); the supplier probe is semi-joined, so output
+    * ≤ supplier. */
+  def q20DominantSupplier(lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+                          nation: DataFrame, region: DataFrame,
+                          regionName: String = "EUROPE", namePrefix: String = "large",
+                          from: String = "1997-01-01", until: String = "1998-01-01"): DataFrame = {
+    val shipped = lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty_sp"))
+    val ptot = shipped.groupBy(col("l_partkey").as("tp_partkey"))
+      .agg(sum(col("qty_sp")).as("qty_p"))
+    val dominant = shipped
+      .join(broadcast(part.filter(col("p_name").startsWith(namePrefix))
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(ptot, col("l_partkey") === col("tp_partkey"))
+      .filter(col("qty_sp") * 2 > col("qty_p"))
+      .select(col("l_suppkey"))
+    val regionNations = nation
+      .join(region.filter(col("r_name") === regionName),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    supplier
+      .join(broadcast(regionNations), col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy("s_name")
+  }
 }

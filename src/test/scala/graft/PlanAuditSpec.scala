@@ -125,6 +125,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("analytics_q2: derived partsupp combines map-side; supplier chain broadcasts") {
+    val p = planOf(ops.Analytics.q2MinCostSupplier(Tables.lineitem(spark, sfDir),
+      Tables.part(spark, sfDir), Tables.supplier(spark, sfDir),
+      Tables.nation(spark, sfDir), Tables.region(spark, sfDir)))
+    // the derived-dim aggregate is the only fact-sized shuffle and must
+    // pre-aggregate below its exchange; the region's supplier chain and
+    // the per-part min both broadcast back
+    assert(p.contains("partial_min"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("analytics_q20: nested EXISTS chain stays semi, never cartesian") {
+    val p = planOf(ops.Analytics.q20DominantSupplier(Tables.lineitem(spark, sfDir),
+      Tables.part(spark, sfDir), Tables.supplier(spark, sfDir),
+      Tables.nation(spark, sfDir), Tables.region(spark, sfDir)))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("join_lateral_topn: LATERAL decorrelates to join+window, no nested loop") {
     val p = planOf(ops.Subqueries.lateralTopN(spark,
       Tables.customer(spark, sfDir), Tables.orders(spark, sfDir)))
