@@ -300,6 +300,8 @@ object SparkEntry {
     "pipeline_pack_sequences" -> ((s, d) => TrainingPrep.packSequences(Tables.documents(s, d))),
     "join_asof_forward" -> ((s, d) => Joins.asOfForward(Tables.orders(s, d), Tables.events(s, d))),
     "win_time_range_frame" -> ((s, d) => Windows.timeRangeFrame(Tables.events(s, d))),
+    "win_funnel_steps" -> ((s, d) => ops.Behavior.funnelSteps(Tables.events(s, d))),
+    "agg_retention_cohort" -> ((s, d) => ops.Behavior.retentionCohort(Tables.events(s, d))),
     "scan_csv_malformed" -> ((s, d) => Scans.scanCsvMalformed(s, Tables.nation(s, d), d)),
     "dq_profile" -> ((s, d) => DataQuality.profile(Tables.lineitem(s, d))),
     "diff_scd2" -> ((s, d) => {
@@ -1831,6 +1833,47 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
         |  RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+    "win_funnel_steps" ->
+      """WITH pe AS (
+        | SELECT user_id, ts, event_type,
+        |  min(CASE WHEN event_type = 'view' THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t1
+        | FROM events),
+        |pe2 AS (
+        | SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+        |   OVER (PARTITION BY user_id) AS t2
+        | FROM pe),
+        |pe3 AS (
+        | SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+        |   OVER (PARTITION BY user_id) AS t3
+        | FROM pe2),
+        |pu AS (SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+        | FROM pe3 GROUP BY 1),
+        |f AS (SELECT count(t1) AS u1, count(t2) AS u2, count(t3) AS u3 FROM pu)
+        |SELECT 1 AS step, 'view' AS event_type, u1 AS users_reached,
+        | floor(CAST(u1 AS DOUBLE) / CAST(u1 AS DOUBLE) * 1e4 + 0.5)/1e4 + 0.0 AS conversion FROM f
+        |UNION ALL SELECT 2, 'click', u2,
+        | floor(CAST(u2 AS DOUBLE) / CAST(u1 AS DOUBLE) * 1e4 + 0.5)/1e4 + 0.0 FROM f
+        |UNION ALL SELECT 3, 'purchase', u3,
+        | floor(CAST(u3 AS DOUBLE) / CAST(u1 AS DOUBLE) * 1e4 + 0.5)/1e4 + 0.0 FROM f
+        |ORDER BY step""".stripMargin,
+    "agg_retention_cohort" ->
+      """WITH c AS (
+        | SELECT user_id,
+        |  CAST(date_trunc('week', min(ts) OVER (PARTITION BY user_id)) AS DATE) AS cohort_week,
+        |  CAST(date_trunc('week', ts) AS DATE) AS week
+        | FROM events),
+        |m AS (
+        | SELECT cohort_week,
+        |  CAST(floor(date_diff('day', cohort_week, week) / 7) AS BIGINT) AS weeks_since,
+        |  count(DISTINCT user_id) AS active_users
+        | FROM c GROUP BY 1, 2),
+        |b AS (SELECT cohort_week AS b_week, active_users AS cohort_size
+        | FROM m WHERE weeks_since = 0)
+        |SELECT cohort_week, weeks_since, active_users, cohort_size,
+        | floor(CAST(active_users AS DOUBLE) / CAST(cohort_size AS DOUBLE) * 1e4 + 0.5)/1e4 + 0.0 AS retention
+        |FROM m JOIN b ON cohort_week = b_week
+        |ORDER BY cohort_week, weeks_since""".stripMargin,
     "join_incremental" ->
       s"""WITH newt AS (${Snapshots.newSql}),
          |dim AS (SELECT DISTINCT c_mktsegment AS segment,

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over the event stream — the funnel / cohort
+  * tier every product-analytics warehouse runs at fact scale. Both
+  * operators are built to shuffle ONCE on user_id: the per-user
+  * sequencing is window arithmetic over that single exchange (chained
+  * window frames with the same partitioning stack on one hash
+  * exchange — no self-joins, no per-step passes over the fact), and
+  * everything after the user grain is tiny.
+  */
+object Behavior {
+
+  /** Ordered conversion funnel view → click → purchase: a user counts
+    * for step k only if the step-k event happened STRICTLY AFTER their
+    * step-(k-1) event (the first qualifying one — min over the user
+    * partition). Three chained conditional window mins share one
+    * user_id exchange; the collapse to user grain reuses it; the final
+    * 3-row summary aggregates user flags. Conversion is users-at-step /
+    * users-at-step-1, rfloor'd — counts are exact, the one division is
+    * the only floating-point op. */
+  def funnelSteps(events: DataFrame,
+                  steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.size == 3, "funnelSteps is specialized to 3 steps")
+    val w = Window.partitionBy("user_id")
+    val perEvent = events
+      .withColumn("t1", min(when(col("event_type") === steps(0), col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === steps(1) && col("ts") > col("t1"),
+        col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === steps(2) && col("ts") > col("t2"),
+        col("ts"))).over(w))
+    val perUser = perEvent.groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
+    val flags = perUser.agg(
+      count(col("t1")).as("u1"), count(col("t2")).as("u2"), count(col("t3")).as("u3"))
+    // 3-row long form: step index/name, users reached, conversion from step 1
+    def stepRow(i: Int, users: Column, base: Column): Column =
+      struct(lit(i).as("step"), lit(steps(i - 1)).as("event_type"),
+        users.as("users_reached"),
+        (Det.rfloor(users.cast("double") / base.cast("double"), 4) + lit(0.0))
+          .as("conversion"))
+    flags
+      .select(explode(array(
+        stepRow(1, col("u1"), col("u1")),
+        stepRow(2, col("u2"), col("u1")),
+        stepRow(3, col("u3"), col("u1")))).as("s"))
+      .select(col("s.step"), col("s.event_type"), col("s.users_reached"),
+        col("s.conversion"))
+      .orderBy("step")
+  }
+
+  /** Weekly cohort retention: users grouped by first-activity week
+    * (Monday-aligned `date_trunc('week')` — both engines start weeks on
+    * Monday), counted as active per whole-week offset since. The cohort
+    * assignment is one window min over the user exchange; the matrix
+    * aggregate shuffles (cohort, offset) pairs — already tiny; the
+    * week-0 cohort size joins back as a broadcast for the retention
+    * ratio. Offsets divide exactly (both sides are week-aligned dates),
+    * so the day-count / 7 is exact integer arithmetic in both engines. */
+  def retentionCohort(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val cohorted = events
+      .withColumn("cohort_week", date_trunc("week", min(col("ts")).over(w)).cast("date"))
+      .withColumn("week", date_trunc("week", col("ts")).cast("date"))
+    val matrix = cohorted
+      .groupBy(col("cohort_week"),
+        floor(datediff(col("week"), col("cohort_week")) / 7).cast("long").as("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+    val base = matrix.filter(col("weeks_since") === 0)
+      .select(col("cohort_week").as("b_week"), col("active_users").as("cohort_size"))
+    matrix.join(broadcast(base), col("cohort_week") === col("b_week"))
+      .select(col("cohort_week"), col("weeks_since"), col("active_users"),
+        col("cohort_size"),
+        (Det.rfloor(col("active_users").cast("double") / col("cohort_size").cast("double"), 4)
+          + lit(0.0)).as("retention"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+}

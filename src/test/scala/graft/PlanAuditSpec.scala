@@ -144,6 +144,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("win_funnel_steps: chained step windows + user collapse share ONE user exchange") {
+    val p = planOf(ops.Behavior.funnelSteps(Tables.events(spark, sfDir)))
+    // the three conditional mins and the user-grain groupBy all require
+    // hashpartitioning(user_id); a plan that re-shuffles between steps
+    // would scan the fact once per funnel step at 100 TB
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(userExchanges == 1, s"expected 1 user_id exchange, got $userExchanges\n$p")
+  }
+
   test("join_lateral_topn: LATERAL decorrelates to join+window, no nested loop") {
     val p = planOf(ops.Subqueries.lateralTopN(spark,
       Tables.customer(spark, sfDir), Tables.orders(spark, sfDir)))
