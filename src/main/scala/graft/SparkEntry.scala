@@ -166,6 +166,8 @@ object SparkEntry {
     "mm_binary_meta" -> ((s, d) => Multimodal.binaryMeta(Tables.documents(s, d))),
     "mm_decode_stub" -> ((s, d) => { implicit val sp: SparkSession = s
       Multimodal.decodeSummary(Tables.documents(s, d)) }),
+    "mm_image_phash" -> ((s, d) => { implicit val sp: SparkSession = s
+      Multimodal.imagePhashPairs(Tables.documents(s, d)) }),
     // --- streaming (batch-equivalent forms; true streaming in StreamingSpec) ---
     "stream_tumbling_batch" -> ((s, d) => Streams.tumblingBatch(Tables.events(s, d))),
     "stream_sliding_batch" -> ((s, d) => Streams.slidingBatch(Tables.events(s, d))),

@@ -36,13 +36,15 @@ object Multimodal {
     * feature extractors) are called once per batch, not per row. */
   val DecodeBatch = 64
 
-  /** Mean of `value(i)` over 8 equal index blocks of [0, n) — the shared
-    * aggregation skeleton of all three decoders (PPM pixel blocks, WAV
-    * sample windows, y4m frame blocks). */
-  private def blockMeans(n: Int)(value: Int => Double): Array[Double] =
-    Array.tabulate(8) { blk =>
-      val lo = blk * n / 8
-      val hi = math.max(lo + 1, (blk + 1) * n / 8)
+  /** Mean of `value(i)` over `nBlocks` equal index blocks of [0, n) —
+    * the shared aggregation skeleton of all three decoders (PPM pixel
+    * blocks, WAV sample windows, y4m frame blocks) and of the 64-block
+    * perceptual hash. Block bounds computed in Long so blk·n cannot
+    * overflow for large rasters. */
+  private def blockMeans(n: Int, nBlocks: Int = 8)(value: Int => Double): Array[Double] =
+    Array.tabulate(nBlocks) { blk =>
+      val lo = (blk.toLong * n / nBlocks).toInt
+      val hi = math.max(lo + 1, ((blk + 1).toLong * n / nBlocks).toInt)
       var acc = 0.0
       var i = lo
       while (i < hi && i < n) { acc += value(i); i += 1 }
@@ -259,12 +261,13 @@ object Multimodal {
     blockMeans(nf)(frameMeans)
   }
 
-  /** REAL image decode: parse the P6 PPM header (magic, whitespace- and
-    * comment-tolerant width/height/maxval per spec), decode the RGB
-    * raster, and return mean intensity (average channel / maxval) over 8
-    * equal pixel blocks — an actual end-to-end decode with zero codec
-    * dependency (binary PPM is a pure container format). */
-  private[graft] def decodePpm(bytes: Array[Byte]): Array[Double] = {
+  /** P6 PPM parse (magic, whitespace- and comment-tolerant
+    * width/height/maxval per spec) exposing the decoded raster as
+    * (pixel count, maxval, pixel index → mean RGB intensity) — the
+    * shared front half of [[decodePpm]] and [[phash64]], an actual
+    * end-to-end decode with zero codec dependency (binary PPM is a
+    * pure container format). */
+  private[graft] def ppmRaster(bytes: Array[Byte]): (Int, Int, Int => Double) = {
     require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
       "not a binary P6 PPM")
     var pos = 2
@@ -292,10 +295,35 @@ object Multimodal {
     pos += 1 // single whitespace after maxval, then raster
     val nPix = math.min(width * height, (bytes.length - pos) / 3)
     require(nPix > 0, "PPM has no raster data")
-    blockMeans(nPix) { i =>
-      val off = pos + i * 3
+    val rasterStart = pos
+    (nPix, maxval, i => {
+      val off = rasterStart + i * 3
       ((bytes(off) & 0xff) + (bytes(off + 1) & 0xff) + (bytes(off + 2) & 0xff)) / 3.0
-    }.map(_ / maxval)
+    })
+  }
+
+  /** REAL image decode (see [[ppmRaster]] for the parse): mean intensity
+    * per 8 pixel blocks of the decoded RGB raster, normalized by the
+    * declared maxval. */
+  private[graft] def decodePpm(bytes: Array[Byte]): Array[Double] = {
+    val (nPix, maxval, at) = ppmRaster(bytes)
+    blockMeans(nPix)(at).map(_ / maxval)
+  }
+
+  /** 64-bit average-hash (aHash) of a P6 PPM: mean intensity over 64
+    * equal pixel-index blocks of the decoded raster, bit i set iff
+    * block i is brighter than the mean of the 64 block means. The
+    * classic perceptual fingerprint — near-identical images land within
+    * a few Hamming bits, unrelated ones around 32. Pure deterministic
+    * JVM arithmetic (engine-internal; never crosses to the oracle). */
+  private[graft] def phash64(ppm: Array[Byte]): Long = {
+    val (nPix, _, at) = ppmRaster(ppm)
+    val means = blockMeans(nPix, 64)(at)
+    val gm = means.sum / 64
+    var bits = 0L
+    var i = 0
+    while (i < 64) { if (means(i) > gm) bits |= 1L << i; i += 1 }
+    bits
   }
 
   /** REAL audio decode: walk the RIFF chunk list (fmt + data, tolerating
@@ -353,4 +381,60 @@ object Multimodal {
       .select(col("doc_id"), col("kind"), col("n_bytes"),
         round(element_at(col("feature"), 1), 6).as("f0"))
       .orderBy("doc_id")
+
+  /** Perceptual-hash image dedup: the image slice of the corpus (plus
+    * injected exact copies, doc_id%21→+100000, and near copies with the
+    * first 8 characters overwritten — a LENGTH-PRESERVING perturbation:
+    * appending would shift every aHash block boundary and randomize the
+    * hash, doc_id%15→+200000) is decoded to a 64-bit aHash in the same
+    * partition-batched loop as [[decodeFeatures]], then paired by
+    * banded Hamming-LSH: the hash splits into maxHamming+1 bit bands,
+    * and by pigeonhole two hashes within maxHamming MUST agree on at
+    * least one whole band, so the band equi-join loses no qualifying
+    * pair; candidates verify map-side via bit_count(xor). Scale: the
+    * exchange carries (band, bits, id) rows — 9 small rows per image,
+    * never pixels; at 100 TB band width is the recall/cost dial exactly
+    * as in the MinHash banding. Oracle-exempt (the decode is not
+    * SQL-expressible); exactness gated in LlmOpsSpec. */
+  def imagePhashPairs(documents: DataFrame, maxHamming: Int = 8)
+                     (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val images = documents.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+    val exact = images.filter(col("doc_id") % 21 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    val near = images.filter(col("doc_id") % 15 === 0)
+      .withColumn("doc_id", col("doc_id") + 200000)
+      .withColumn("text",
+        concat(lit("XXXXXXXX"), substring(col("text"), 9, Int.MaxValue)))
+    val hashes = images.unionByName(exact).unionByName(near)
+      .as[(Long, String)]
+      .mapPartitions(_.grouped(DecodeBatch).flatMap(_.map { case (id, t) =>
+        val src = Option(t).getOrElse("")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        (id, phash64(synthPpm(src)))
+      }))
+      .toDF("doc_id", "phash")
+    val nb = maxHamming + 1
+    val bandExprs = (0 until nb).map { i =>
+      val lo = i * 64 / nb
+      val width = (i + 1) * 64 / nb - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      struct(lit(i).as("band"),
+        shiftrightunsigned(col("phash"), lo).bitwiseAND(lit(mask)).as("bits"))
+    }
+    val bands = hashes
+      .select(col("doc_id"), col("phash"), explode(array(bandExprs: _*)).as("b"))
+      .select(col("doc_id"), col("phash"), col("b.band"), col("b.bits"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.phash").as("ha"), col("y.phash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -36,7 +36,8 @@ class CoreOpsSpec extends SparkSpec {
       // text_fingerprint regained its oracle in round 2: the fold now runs
       // over code points, expressible as DuckDB list_reduce
       "scan_csv_malformed",                          // corrupt-record taxonomy is engine-specific; pinned below
-      "mm_decode_stub")                              // stub not SQL-expressible
+      "mm_decode_stub",                              // decode not SQL-expressible
+      "mm_image_phash")                              // aHash over decoded raster, gated in LlmOpsSpec
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt
     assert(missing.isEmpty, s"query without oracle and not exempt: $missing")
     // every exempt key needs a ScalaTest gate — enumerated here so a new

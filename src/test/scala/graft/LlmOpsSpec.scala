@@ -101,6 +101,46 @@ class LlmOpsSpec extends SparkSpec {
     assert(one.feature.toSeq === again.feature.toSeq)
   }
 
+  test("phash64: block semantics exact (bright half sets exactly the high 32 bits)") {
+    // 512 source bytes → 16×32 PPM, 512 pixels, 64 blocks of 8: blocks
+    // 0-31 all 0x00, blocks 32-63 all 0xFF → global mean 127.5 → exactly
+    // the bright half's bits set
+    val src = Array.tabulate[Byte](512)(i => if (i < 256) 0 else 0xFF.toByte)
+    assert(Multimodal.phash64(Multimodal.synthPpm(src)) === 0xFFFFFFFF00000000L)
+    // constant image: no block exceeds the mean → zero hash
+    assert(Multimodal.phash64(Multimodal.synthPpm(Array.fill[Byte](512)(7))) === 0L)
+    // malformed payload must be a parse error, not garbage bits
+    intercept[IllegalArgumentException](Multimodal.phash64("nope".getBytes))
+  }
+
+  test("mm_image_phash: exact copies at hamming 0, prefix near-dups found, pairs unique") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val rows = Multimodal.imagePhashPairs(documents).collect()
+    assert(rows.nonEmpty)
+    // injected exact copies (id → id+100000) must pair at distance 0
+    // (a >= 100000 with the same delta is a copy-vs-near-copy pair of one
+    // base doc — genuinely nonzero distance, not part of this assertion)
+    val exact = rows.filter(r =>
+      r.getLong(0) < 100000 && r.getLong(1) - r.getLong(0) == 100000)
+    assert(exact.nonEmpty)
+    assert(exact.forall(_.getLong(2) === 0L), exact.mkString(","))
+    // a structured doc with a same-length prefix overwrite stays within
+    // the banded-LSH radius (hand corpus: deterministic by construction)
+    import s.implicits._
+    val hand = Seq(
+      (0L, "a" * 128 + "z" * 128),   // image kind, %15 → near copy injected
+      (3L, "z" * 128 + "a" * 128),   // image kind, unrelated shape
+      (1L, "ignored: not image kind")).toDF("doc_id", "text")
+    val handPairs = Multimodal.imagePhashPairs(hand).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(handPairs.exists { case (a, b, d) => a == 0L && b == 200000L && d <= 8 },
+      handPairs.toString)
+    // banding emits no self pairs and no duplicate (a,b) rows
+    val ids = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(ids.forall { case (a, b) => a < b })
+    assert(ids.distinct.length === ids.length)
+  }
+
   test("ngramJaccard dfCap prunes candidates but never invents pairs") {
     val corpus = Corpus.docCorpus(documents)
     def pairs(cap: Option[Int]) =
