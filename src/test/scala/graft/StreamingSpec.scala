@@ -227,6 +227,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming funnel stages over ordered chunks == batch funnel summary") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val evs = loadEvents().take(4000)
+    // full-precision event time: transformWithState compares µs exactly
+    // as the batch operator compares timestamps
+    def us(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    val fevs = evs.map(e =>
+      graft.streaming.StreamingFunnel.FunnelEv(e.user_id, e.event_type, us(e.ts)))
+    val stream = MemoryStream[graft.streaming.StreamingFunnel.FunnelEv]
+    val query = graft.streaming.StreamingFunnel.stages(stream.toDS())
+      .writeStream.format("memory").queryName("funnel").outputMode("update").start()
+    try {
+      fevs.grouped(1500).foreach { chunk =>
+        stream.addData(chunk); query.processAllAvailable()
+      }
+      // latest stage per user (stage is monotone, so max == final)
+      val reach = spark.table("funnel")
+        .groupBy($"user_id").agg(max($"stage").as("stage"))
+        .agg(count(when($"stage" >= 1, 1)).as("u1"),
+          count(when($"stage" >= 2, 1)).as("u2"),
+          count(when($"stage" >= 3, 1)).as("u3"))
+        .collect().head
+      val batch = ops.Behavior.funnelSteps(evs.toDF())
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      assert(reach.getLong(0) === batch(1), s"step-1 reach: $reach vs $batch")
+      assert(reach.getLong(1) === batch(2), s"step-2 reach: $reach vs $batch")
+      assert(reach.getLong(2) === batch(3), s"step-3 reach: $reach vs $batch")
+      assert(batch(3) > 0, "fixture must exercise the full funnel")
+    } finally {
+      query.stop()
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("watermarked stream-stream join matches the batch join") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
