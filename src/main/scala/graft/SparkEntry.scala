@@ -140,6 +140,7 @@ object SparkEntry {
     // --- LLM-pipeline: similarity search ---
     "sim_cosine_pairs" -> ((s, d) => Similarity.cosinePairs(Tables.embeddings(s, d))),
     "sim_topk_search" -> ((s, d) => Similarity.topkSearch(Tables.embeddings(s, d))),
+    "sim_quantized_topk" -> ((s, d) => Similarity.quantizedTopk(Tables.embeddings(s, d))),
     "sim_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     // --- LLM-pipeline: text analysis ---
@@ -924,6 +925,17 @@ object SparkEntry {
         |q AS (SELECT v AS q_v FROM e WHERE vec_id = 0)
         |SELECT vec_id, round(list_dot_product(e.v,q.q_v)/nullif(sqrt(list_dot_product(e.v,e.v))*sqrt(list_dot_product(q.q_v,q.q_v)), 0), 4) + 0.0 AS cos
         |FROM e, q WHERE e.vec_id <> 0 ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "sim_quantized_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |sq AS (SELECT vec_id, v,
+        |  CASE WHEN list_max(list_transform(v, x -> abs(x)))/127.0 = 0 THEN 1.0
+        |       ELSE list_max(list_transform(v, x -> abs(x)))/127.0 END AS s FROM e),
+        |d AS (SELECT vec_id,
+        |  list_transform(v, x -> greatest(least(floor(x/s + 0.5), 127.0), -127.0) * s) AS dq
+        | FROM sq),
+        |q AS (SELECT dq AS q_v FROM d WHERE vec_id = 0)
+        |SELECT vec_id, round(list_dot_product(d.dq, q.q_v)/nullif(sqrt(list_dot_product(d.dq,d.dq))*sqrt(list_dot_product(q.q_v,q.q_v)), 0), 4) + 0.0 AS cos_q
+        |FROM d, q WHERE vec_id <> 0 ORDER BY cos_q DESC, vec_id ASC LIMIT 10""".stripMargin,
     "text_tokenize_wordcount" ->
       """SELECT word, count(*) AS n
         |FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents) t

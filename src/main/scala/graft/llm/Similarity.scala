@@ -61,6 +61,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** Scalar-quantized (int8) top-k: the STORAGE path of similarity
+    * search at 100 TB — per-vector symmetric quantization (scale =
+    * max|x|/127, codes in [-127,127]) cuts an embedding store 4× (1
+    * byte/dim vs float32) and quadruples effective scan/network bandwidth;
+    * search runs over the DEQUANTIZED vectors, so this measures exactly
+    * what production int8 retrieval serves. Every step is deterministic
+    * cross-engine arithmetic — max-abs, one division, floor(x+0.5)
+    * (never `round`: half-even ties diverge), clamp, multiply — so
+    * unlike the LSH/IVF ANN paths this one is fully ORACLE-CHECKED, and
+    * the quantization error is visible as the delta against
+    * [[topkSearch]]'s exact scores (recall gated in LlmOpsSpec). Plan
+    * shape is the brute-force baseline's: 1-row broadcast query,
+    * partition-local scoring, TakeOrderedAndProject. */
+  def quantizedTopk(embeddings: DataFrame, queryId: Long = 0, k: Int = 10): DataFrame = {
+    val vs = doubled(embeddings)
+      .withColumn("s0", array_max(transform(col("v"), x => abs(x))) / 127.0)
+      // zero vector → scale 1 (codes all 0) instead of NaN codes
+      .withColumn("s", when(col("s0") === 0.0, lit(1.0)).otherwise(col("s0")))
+      .withColumn("dq", transform(col("v"),
+        x => greatest(least(floor(x / col("s") + 0.5), lit(127.0)), lit(-127.0)) * col("s")))
+      .withColumn("nrm", vecNorm(col("dq")))
+    val q = vs.filter(col("vec_id") === queryId)
+      .select(col("dq").as("q_v"), col("nrm").as("q_n"))
+    vs.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (round(vecDot(col("dq"), col("q_v")) / nonzeroDenom(col("nrm") * col("q_n")), 4)
+          + lit(0.0)).as("cos_q"))
+      .orderBy(col("cos_q").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** k-NN JOIN: top-k neighbours for EVERY vector in a query set at once
     * (the batch form of [[topkSearch]] — an embedding pipeline scores
     * whole query batches, not one id at a time). The bounded query side is

@@ -101,6 +101,15 @@ class LlmOpsSpec extends SparkSpec {
     assert(one.feature.toSeq === again.feature.toSeq)
   }
 
+  test("sim_quantized_topk: int8 quantization keeps >= 8/10 of the exact top-10") {
+    val embeddings = Tables.embeddings(spark, sfDir)
+    val exact = llm.Similarity.topkSearch(embeddings).collect().map(_.getLong(0)).toSet
+    val quant = llm.Similarity.quantizedTopk(embeddings).collect().map(_.getLong(0)).toSet
+    assert(exact.size === 10 && quant.size === 10)
+    val overlap = (exact & quant).size
+    assert(overlap >= 8, s"quantized recall too low: $overlap/10 ($quant vs $exact)")
+  }
+
   test("phash64: block semantics exact (bright half sets exactly the high 32 bits)") {
     // 512 source bytes → 16×32 PPM, 512 pixels, 64 blocks of 8: blocks
     // 0-31 all 0x00, blocks 32-63 all 0xFF → global mean 127.5 → exactly
