@@ -227,6 +227,57 @@ class HostileInputSpec extends SparkSpec {
     assert(knn.forall(r => !Set(5L, 6L)(r.getLong(1))), knn.toSeq)
   }
 
+  test("quantized search: zero/null/corrupt vectors never outrank real neighbours") {
+    import graft.llm.Similarity
+    val e = hostileVecs.withColumnRenamed("v", "embedding")
+    val top = Similarity.quantizedTopk(e, queryId = 0, k = 3).collect()
+    // the real near-copy must survive int8 quantization as the winner;
+    // the zero vector (scale guard → all-zero codes → null cosine) and
+    // the null vector must rank below every finite candidate
+    assert(top.head.getLong(0) === 4L, top.toSeq)
+    assert(!top.map(_.getLong(0)).toSet.exists(Set(5L, 6L)), top.toSeq)
+    assert(top.forall(!_.isNullAt(1)), top.toSeq)
+  }
+
+  test("funnel: strict sequencing on hostile events (nulls, disorder, equal ts)") {
+    import java.sql.Timestamp
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val evs = Seq(
+      // clean full funnel
+      (10L, "view", t(1)), (10L, "click", t(2)), (10L, "purchase", t(3)),
+      // click BEFORE the first view must not count; the equal-ts click
+      // must not count either (strictly-after contract); the later one does
+      (11L, "click", t(1)), (11L, "view", t(2)), (11L, "click", t(2)),
+      (11L, "click", t(3)),
+      // purchase before any view: only step 1 is reached
+      (12L, "purchase", t(1)), (12L, "view", t(2)),
+      // null event type and null timestamp rows advance nothing
+      (13L, null.asInstanceOf[String], t(1)),
+      (14L, "view", null.asInstanceOf[Timestamp])
+    ).toDF("user_id", "event_type", "ts")
+    val rows = ops.Behavior.funnelSteps(evs).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(rows === Map(1 -> 3L, 2 -> 2L, 3 -> 1L), rows.toString)
+  }
+
+  test("retention cohort: null timestamps flow through without corrupting ratios") {
+    import java.sql.Timestamp
+    val evs = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:01")),
+      (1L, Timestamp.valueOf("2024-01-08 00:00:01")),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:02")),
+      (2L, null.asInstanceOf[Timestamp])
+    ).toDF("user_id", "ts")
+    val m = ops.Behavior.retentionCohort(evs).collect()
+    val clean = m.filter(!_.isNullAt(1))
+    // week 0 holds both users; week 1 retains user 1 at 50%
+    assert(clean.exists(r => r.getLong(1) == 0L && r.getLong(2) == 2L), m.toSeq)
+    assert(clean.exists(r => r.getLong(1) == 1L && r.getLong(2) == 1L &&
+      r.getDouble(4) == 0.5), m.toSeq)
+    // ratios stay finite and in (0, 1] even with the null-ts row present
+    assert(clean.forall(r => r.getDouble(4) > 0 && r.getDouble(4) <= 1.0), m.toSeq)
+  }
+
   test("embedding dedup: zero-norm pairs are not near-duplicates; real pair collapses") {
     import graft.llm.Dedup
     // a second zero vector shares bucket 0 with vec 5: their 0/0 cosine
