@@ -123,6 +123,35 @@ object ScaleSmoke {
       return
     }
 
+    // optional fifth arg "behaviorOnly": the behavioral tier + the
+    // perceptual-hash band join. Events replicate with shifted user ids
+    // (user count grows factor×, per-user history stays constant — the
+    // way real MAU growth looks), so funnel/retention must scale
+    // LINEARLY in both wall and exchange records (one user exchange).
+    // The phash pair join runs at radius 8 (7-bit bands) AND radius 3
+    // (16-bit bands) over the replicated doc corpus: narrow bands
+    // saturate as the corpus outgrows 2^bandwidth and the bucket join
+    // goes quadratic — the radius IS the scale dial (smaller radius →
+    // wider bands → sparser buckets), and this smoke measures both
+    // sides of it.
+    if (args.lift(4).contains("behaviorOnly")) {
+      val events = graft.Tables.events(spark, sfDir)
+      val repEv = (0 until factor).map(i =>
+          events.withColumn("user_id", col("user_id") + lit(i * 10000000L))
+            .withColumn("event_id", col("event_id") + lit(i * 1000000000L)))
+        .reduce(_ unionByName _).localCheckpoint()
+      val nEv = repEv.count()
+      time(s"funnel_ev$nEv")(graft.ops.Behavior.funnelSteps(repEv))
+      time(s"retention_ev$nEv")(graft.ops.Behavior.retentionCohort(repEv))
+      implicit val sp: SparkSession = spark
+      val repDocs = spark.read.parquet(path)
+      time("phash_pairs_r8")(graft.multimodal.Multimodal.imagePhashPairs(repDocs))
+      time("phash_pairs_r3")(
+        graft.multimodal.Multimodal.imagePhashPairs(repDocs, maxHamming = 3))
+      spark.stop()
+      return
+    }
+
     // optional fifth arg "containmentOnly" skips the jaccard/cluster
     // walls (already documented) when iterating on the containment pair
     val containmentOnly = args.lift(4).contains("containmentOnly")
