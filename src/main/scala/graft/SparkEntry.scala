@@ -1848,11 +1848,15 @@ object SparkEntry {
         |  RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
     "win_funnel_steps" ->
-      """WITH pe AS (
+      """WITH ev AS (
+        | -- µs truncation: Spark's ts is µs; if the driver fixture ever
+        | -- ships ns again, raw strictly-after compares would diverge
+        | SELECT user_id, date_trunc('microseconds', ts) AS ts, event_type FROM events),
+        |pe AS (
         | SELECT user_id, ts, event_type,
         |  min(CASE WHEN event_type = 'view' THEN ts END)
         |    OVER (PARTITION BY user_id) AS t1
-        | FROM events),
+        | FROM ev),
         |pe2 AS (
         | SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
         |   OVER (PARTITION BY user_id) AS t2
@@ -1887,7 +1891,7 @@ object SparkEntry {
         |SELECT cohort_week, weeks_since, active_users, cohort_size,
         | floor(CAST(active_users AS DOUBLE) / CAST(cohort_size AS DOUBLE) * 1e4 + 0.5)/1e4 + 0.0 AS retention
         |FROM m JOIN b ON cohort_week = b_week
-        |ORDER BY cohort_week, weeks_since""".stripMargin,
+        |ORDER BY cohort_week ASC, weeks_since ASC NULLS FIRST""".stripMargin,
     "join_incremental" ->
       s"""WITH newt AS (${Snapshots.newSql}),
          |dim AS (SELECT DISTINCT c_mktsegment AS segment,

@@ -386,8 +386,9 @@ object Multimodal {
     * injected exact copies, doc_id%21→+100000, and near copies with the
     * first 8 characters overwritten — a LENGTH-PRESERVING perturbation:
     * appending would shift every aHash block boundary and randomize the
-    * hash, doc_id%15→+200000) is decoded to a 64-bit aHash in the same
-    * partition-batched loop as [[decodeFeatures]], then paired by
+    * hash, doc_id%15→+200000) is decoded to a 64-bit aHash per row
+    * (synthesize+hash is one pure JVM call — nothing to batch-amortize,
+    * unlike [[decodeFeatures]]' FFI-shaped boundary), then paired by
     * banded Hamming-LSH: the hash splits into maxHamming+1 bit bands,
     * and by pigeonhole two hashes within maxHamming MUST agree on at
     * least one whole band, so the band equi-join loses no qualifying
@@ -398,22 +399,32 @@ object Multimodal {
     * SQL-expressible); exactness gated in LlmOpsSpec. */
   def imagePhashPairs(documents: DataFrame, maxHamming: Int = 8)
                      (implicit spark: SparkSession): DataFrame = {
+    // >= 64 would mint zero-width bands (every row in one bucket — a
+    // full cross join); negative would explode zero bands (empty result)
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
     import spark.implicits._
     val images = documents.filter(col("doc_id") % 3 === 0)
       .select(col("doc_id"), col("text"))
     val exact = images.filter(col("doc_id") % 21 === 0)
       .withColumn("doc_id", col("doc_id") + 100000)
-    val near = images.filter(col("doc_id") % 15 === 0)
+    // the overwrite must preserve BYTE length (the hash runs over UTF-8
+    // bytes and block bounds are index-derived): only docs whose first 8
+    // chars are 8 bytes (ASCII prefix) and that extend past them get a
+    // near copy — a multibyte or short doc would silently randomize
+    val near = images.filter(col("doc_id") % 15 === 0 &&
+        length(col("text")) >= 9 &&
+        length(substring(col("text"), 1, 8).cast("binary")) === 8)
       .withColumn("doc_id", col("doc_id") + 200000)
       .withColumn("text",
         concat(lit("XXXXXXXX"), substring(col("text"), 9, Int.MaxValue)))
     val hashes = images.unionByName(exact).unionByName(near)
       .as[(Long, String)]
-      .mapPartitions(_.grouped(DecodeBatch).flatMap(_.map { case (id, t) =>
+      .mapPartitions(_.map { case (id, t) =>
         val src = Option(t).getOrElse("")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
         (id, phash64(synthPpm(src)))
-      }))
+      })
       .toDF("doc_id", "phash")
     val nb = maxHamming + 1
     val bandExprs = (0 until nb).map { i =>

@@ -76,6 +76,9 @@ object Behavior {
         col("cohort_size"),
         (Det.rfloor(col("active_users").cast("double") / col("cohort_size").cast("double"), 4)
           + lit(0.0)).as("retention"))
-      .orderBy("cohort_week", "weeks_since")
+      // weeks_since is nullable (a null-ts event row keeps its cohort but
+      // no offset): null ordering must be EXPLICIT on both engines —
+      // Spark's ASC default is NULLS FIRST, DuckDB's is NULLS LAST
+      .orderBy(col("cohort_week").asc, col("weeks_since").asc_nulls_first)
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
 
 /** Streaming conversion funnel: the continuous twin of
   * `graft.ops.Behavior.funnelSteps`. Per-user funnel progress lives in
-  * `transformWithState` typed state (12 bytes per user — the three step
+  * `transformWithState` typed state (24 bytes per user — the three step
   * timestamps) and advances per micro-batch; each batch emits the
   * user's current stage in Update mode, so the latest row per user IS
   * the live funnel position and the 3-row reach summary is a trivial
@@ -35,7 +35,11 @@ object StreamingFunnel {
       extends StatefulProcessor[Long, FunnelEv, FunnelUpdate] {
     require(steps.size == 3, "funnel is specialized to 3 steps")
 
-    // (t1, t2, t3) in µs; -1 = step not reached
+    // (t1, t2, t3) in µs; Unset = step not reached. A sign-test sentinel
+    // (-1) would conflate "unset" with any pre-epoch event time and
+    // silently zero that user's funnel; Long.MinValue is not a
+    // representable µs timestamp for any real event.
+    private val Unset = Long.MinValue
     @transient private var st: ValueState[(Long, Long, Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -44,16 +48,17 @@ object StreamingFunnel {
 
     override def handleInputRows(user: Long, rows: Iterator[FunnelEv],
                                  timerValues: TimerValues): Iterator[FunnelUpdate] = {
-      var (t1, t2, t3) = if (st.exists()) st.get() else (-1L, -1L, -1L)
+      var (t1, t2, t3) = if (st.exists()) st.get() else (Unset, Unset, Unset)
       rows.toArray.sortBy(_.ts_us).foreach { e =>
         // one event has one type, so at most one branch fires per row;
         // separate ifs let an event advance the earliest step it matches
-        if (t1 < 0 && e.event_type == steps(0)) t1 = e.ts_us
-        if (t2 < 0 && t1 >= 0 && e.event_type == steps(1) && e.ts_us > t1) t2 = e.ts_us
-        if (t3 < 0 && t2 >= 0 && e.event_type == steps(2) && e.ts_us > t2) t3 = e.ts_us
+        if (t1 == Unset && e.event_type == steps(0)) t1 = e.ts_us
+        if (t2 == Unset && t1 != Unset && e.event_type == steps(1) && e.ts_us > t1) t2 = e.ts_us
+        if (t3 == Unset && t2 != Unset && e.event_type == steps(2) && e.ts_us > t2) t3 = e.ts_us
       }
       st.update((t1, t2, t3))
-      val stage = if (t3 >= 0) 3 else if (t2 >= 0) 2 else if (t1 >= 0) 1 else 0
+      val stage =
+        if (t3 != Unset) 3 else if (t2 != Unset) 2 else if (t1 != Unset) 1 else 0
       Iterator.single(FunnelUpdate(user, stage))
     }
   }

@@ -234,7 +234,13 @@ class StreamingSpec extends SparkSpec {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val evs = loadEvents().take(4000)
+    // a pre-epoch (negative-µs) user: a sign-test "unset" sentinel would
+    // silently zero this funnel; the batch operator must agree it converts
+    val preEpoch = Seq(
+      Ev(-1L, new Timestamp(-5000L), 999999L, "view", 0.0),
+      Ev(-2L, new Timestamp(-4000L), 999999L, "click", 0.0),
+      Ev(-3L, new Timestamp(-3000L), 999999L, "purchase", 0.0))
+    val evs = preEpoch ++ loadEvents().take(4000)
     // full-precision event time: transformWithState compares µs exactly
     // as the batch operator compares timestamps
     def us(t: Timestamp): Long =
