@@ -457,13 +457,15 @@ object Analytics {
 
   /** Q2 shape — minimum-cost supplier: for each part of one size, the
     * region's supplier(s) offering it at the lowest derived unit cost.
-    * The correlated scalar-min subquery is written in its decorrelated
-    * form (per-part min over the region's suppliers, joined back on
-    * part + cost equality — the plan Catalyst produces for the SQL).
-    * The supplier⋈nation⋈region chain broadcasts; the derived partsupp
-    * aggregate is the one fact-sized shuffle and BOTH the row set and
-    * the min derive from it. Cost equality compares the identical
-    * rfloor'd double on both sides, so it cannot flap. */
+    * The correlated scalar-min subquery decorrelates to a per-part min
+    * WINDOW over the single regional frame — a grouped-min re-join
+    * formulation was measured first and its two consumers did NOT share
+    * the derived-partsupp exchange (each side's pushed null-filters
+    * differ, defeating ReuseExchange), recomputing the fact-sized
+    * aggregate and the whole broadcast chain twice; the window costs one
+    * ps-pair-sized exchange instead of a second fact scan. The
+    * supplier⋈nation⋈region chain broadcasts. Cost equality compares
+    * the identical rfloor'd double on both sides, so it cannot flap. */
   def q2MinCostSupplier(lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
                         nation: DataFrame, region: DataFrame,
                         regionName: String = "EUROPE", size: Int = 15): DataFrame = {
@@ -472,14 +474,13 @@ object Analytics {
       .join(region.filter(col("r_name") === regionName),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
-    val regional = derivedPartSupp(lineitem)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ps_partkey")
+    val regionalMin = derivedPartSupp(lineitem)
       .join(broadcast(rsup), col("ps_suppkey") === col("s_suppkey"))
-    val minCost = regional.groupBy(col("ps_partkey").as("mc_partkey"))
-      .agg(min(col("ps_supplycost")).as("mc_cost"))
+      .withColumn("mc_cost", min(col("ps_supplycost")).over(w))
+      .filter(col("ps_supplycost") === col("mc_cost"))
     part.filter(col("p_size") === size)
-      .join(regional, col("p_partkey") === col("ps_partkey"))
-      .join(minCost,
-        col("ps_partkey") === col("mc_partkey") && col("ps_supplycost") === col("mc_cost"))
+      .join(regionalMin, col("p_partkey") === col("ps_partkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
         col("p_brand"), col("ps_supplycost"))
       .orderBy(col("s_acctbal").desc, col("n_name").asc, col("s_name").asc,
