@@ -307,6 +307,9 @@ object Analytics {
       .groupBy(col("l_suppkey"))
       .agg(sum(Det.price(col("l_extendedprice")) * Det.oneMinus(col("l_discount")))
         .as("total_dec"))
+      // supplier-cardinality frame feeding both the row set and the
+      // 1-row max — same two-consumer recompute class as q2/q11/q20
+      .localCheckpoint()
     val maxRev = revenue.agg(max(col("total_dec")).as("max_dec"))
     supplier.join(revenue, col("s_suppkey") === col("l_suppkey"))
       .join(broadcast(maxRev), col("total_dec") === col("max_dec"))
@@ -513,6 +516,10 @@ object Analytics {
         (col("ps_supplycost").cast("decimal(18,4)") * col("ps_qty_dec")).as("val_dec"))
       .groupBy(col("ps_partkey"))
       .agg(sum(col("val_dec")).as("part_val_dec"))
+      // part-cardinality frame feeding BOTH the row set and the 1-row
+      // total: without this the total branch recomputes the fact
+      // aggregate (consumers' pushed filters differ → no ReuseExchange)
+      .localCheckpoint()
     val tot = perPart.agg(sum(col("part_val_dec")).as("total_dec"),
       count(lit(1)).as("n_parts"))
     perPart.crossJoin(broadcast(tot))
@@ -568,6 +575,9 @@ object Analytics {
         col("l_shipdate") < lit(until).cast("timestamp"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty_sp"))
+      // (part, supplier)-cardinality frame with two consumers (the
+      // dominance rows and the per-part total) — materialize once
+      .localCheckpoint()
     val ptot = shipped.groupBy(col("l_partkey").as("tp_partkey"))
       .agg(sum(col("qty_sp")).as("qty_p"))
     val dominant = shipped

@@ -69,6 +69,9 @@ object Behavior {
       .groupBy(col("cohort_week"),
         floor(datediff(col("week"), col("cohort_week")) / 7).cast("long").as("weeks_since"))
       .agg(countDistinct(col("user_id")).as("active_users"))
+      // (cohort × offset)-sized frame feeding both the week-0 base and
+      // the join — materialize once instead of re-scanning the fact
+      .localCheckpoint()
     val base = matrix.filter(col("weeks_since") === 0)
       .select(col("cohort_week").as("b_week"), col("active_users").as("cohort_size"))
     matrix.join(broadcast(base), col("cohort_week") === col("b_week"))
