@@ -319,9 +319,12 @@ object SparkEntry {
     // index = original docs (<100000), delta = the injected copies — the
     // incoming batch is exactly the documents that SHOULD be rejected,
     // except near-dups the LSH bands miss
+    // PERSISTED path: the band index is a bucketed warehouse table
+    // (built on first call per epoch, resolved thereafter) — the daily-
+    // delta probe joins it exchange-free on the index side (PlanAuditSpec)
     "dedup_delta_index" -> ((s, d) => {
       val corpus = Corpus.docCorpus(Tables.documents(s, d))
-      Dedup.incrementalDedup(
+      Dedup.incrementalDedupPersisted(s,
         corpus.filter(col("doc_id") < 100000),
         corpus.filter(col("doc_id") >= 100000))
     }),
@@ -336,16 +339,21 @@ object SparkEntry {
     }),
     // index/batch split mirrors dedup_delta_index: this is the EXACT
     // incremental twin (Bloom prefilter) of that NEAR-dup (LSH) form
+    // PERSISTED path: the Bloom bytes are an epoch file artifact under
+    // the warehouse dir — built once, reloaded by every later batch
     "dedup_bloom_prefilter" -> ((s, d) => {
       val corpus = Corpus.docCorpus(Tables.documents(s, d))
-      Dedup.bloomPrefilterDedup(
+      Dedup.bloomPrefilterDedupPersisted(s,
         corpus.filter(col("doc_id") < 100000),
         corpus.filter(col("doc_id") >= 100000))
     }),
     "pipeline_domain_cap" -> ((s, d) => TrainingPrep.domainCap(Tables.documents(s, d))),
     "pipeline_split_hash" -> ((s, d) => TrainingPrep.splitAssign(Tables.documents(s, d))),
     "text_boilerplate" -> ((s, d) => TextAnalysis.boilerplateScrub(Tables.documents(s, d))),
-    "pipeline_curation" -> ((s, d) => TrainingPrep.curate(Tables.documents(s, d)))
+    "pipeline_curation" -> ((s, d) => TrainingPrep.curate(Tables.documents(s, d))),
+    // the production ORDERING shipped as one operator: exact dedup, then
+    // prefix-containment over the survivors (ARCHITECTURE "Containment wall")
+    "pipeline_dedup_ordered" -> ((s, d) => Dedup.orderedDedup(Corpus.docCorpus(Tables.documents(s, d))))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -374,6 +382,38 @@ object SparkEntry {
        | UNION ALL
        | SELECT b_id, a_id, floor(CAST(inter AS DOUBLE)/b_n*1e4 + 0.5)/1e4 FROM p) d
        |WHERE containment >= 0.8 ORDER BY contained_id, container_id""".stripMargin
+
+  /** pipeline_dedup_ordered: stage 1 = exact-survivor CTE (min doc_id
+    * per md5(text) — same rule as dedup_exact), stage 2 = the SAME
+    * directed-containment chain as containmentOracleSql but over the
+    * survivors, plus the mutual-pair resolution: a doc drops iff some
+    * container holds it one-way, or — mutual pair — iff it has the
+    * larger doc_id. */
+  private val orderedDedupOracleSql =
+    s"""WITH corpus AS (${Corpus.docCorpusSql}),
+       |surv AS (SELECT doc_id, text, n_chars FROM (
+       |  SELECT doc_id, text, n_chars,
+       |   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM corpus) t
+       | WHERE rn = 1),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(string_split(text,' '))-2),
+       |  i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])) AS shs
+       | FROM surv),
+       |ex AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM sh),
+       |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n, b.n_sh AS b_n, count(*) AS inter
+       | FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2,3,4),
+       |q AS (SELECT contained_id, container_id FROM (
+       |  SELECT a_id AS contained_id, b_id AS container_id,
+       |         floor(CAST(inter AS DOUBLE)/a_n*1e4 + 0.5)/1e4 AS containment FROM p
+       |  UNION ALL
+       |  SELECT b_id, a_id, floor(CAST(inter AS DOUBLE)/b_n*1e4 + 0.5)/1e4 FROM p) d
+       | WHERE containment >= 0.8),
+       |dropped AS (SELECT DISTINCT x.contained_id AS doc_id
+       | FROM q x LEFT JOIN q y
+       |   ON x.contained_id = y.container_id AND x.container_id = y.contained_id
+       | WHERE y.contained_id IS NULL OR x.container_id < x.contained_id)
+       |SELECT s.doc_id, s.n_chars FROM surv s
+       |LEFT JOIN dropped dr ON s.doc_id = dr.doc_id
+       |WHERE dr.doc_id IS NULL ORDER BY s.doc_id""".stripMargin
 
   /** dedup_minhash_oracle SQL, GENERATED from the same constants the
     * Spark operator uses (Dedup.MinhashParams) so the two sides cannot
@@ -874,6 +914,7 @@ object SparkEntry {
     // the prefix-filtered twin is LOSSLESS — identical answer, same
     // oracle; ONE shared literal so the twins can't silently diverge
     "dedup_containment_prefix" -> containmentOracleSql,
+    "pipeline_dedup_ordered" -> orderedDedupOracleSql,
     "dedup_cluster" ->
       s"""WITH RECURSIVE $jaccardCtes,
          |edges AS (SELECT a_id AS src, b_id AS dst FROM jpairs
@@ -1869,11 +1910,14 @@ object SparkEntry {
         | FROM pe3 GROUP BY 1),
         |f AS (SELECT count(t1) AS u1, count(t2) AS u2, count(t3) AS u3 FROM pu)
         |SELECT 1 AS step, 'view' AS event_type, u1 AS users_reached,
-        | floor(CAST(u1 AS DOUBLE) / CAST(u1 AS DOUBLE) * 1e4 + 0.5)/1e4 + 0.0 AS conversion FROM f
+        | CASE WHEN u1 = 0 THEN NULL
+        |  ELSE floor(CAST(u1 AS DOUBLE) / CAST(u1 AS DOUBLE) * 1e4 + 0.5)/1e4 + 0.0 END AS conversion FROM f
         |UNION ALL SELECT 2, 'click', u2,
-        | floor(CAST(u2 AS DOUBLE) / CAST(u1 AS DOUBLE) * 1e4 + 0.5)/1e4 + 0.0 FROM f
+        | CASE WHEN u1 = 0 THEN NULL
+        |  ELSE floor(CAST(u2 AS DOUBLE) / CAST(u1 AS DOUBLE) * 1e4 + 0.5)/1e4 + 0.0 END FROM f
         |UNION ALL SELECT 3, 'purchase', u3,
-        | floor(CAST(u3 AS DOUBLE) / CAST(u1 AS DOUBLE) * 1e4 + 0.5)/1e4 + 0.0 FROM f
+        | CASE WHEN u1 = 0 THEN NULL
+        |  ELSE floor(CAST(u3 AS DOUBLE) / CAST(u1 AS DOUBLE) * 1e4 + 0.5)/1e4 + 0.0 END FROM f
         |ORDER BY step""".stripMargin,
     "agg_retention_cohort" ->
       """WITH c AS (

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -138,7 +138,14 @@ object Dedup {
     s"rk <= n - ((n * ${2 * T - 1}L + 19999L) div 20000L) + 2"
   }
 
-  def ngramContainmentPrefix(corpus: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def ngramContainmentPrefix(corpus: DataFrame, threshold: Double = 0.8): DataFrame =
+    ngramContainmentPrefixPairs(corpus, threshold)
+      .orderBy("contained_id", "container_id")
+
+  /** [[ngramContainmentPrefix]] without the presentation sort — the form
+    * [[orderedDedup]] consumes (its pair self-join would waste the
+    * range exchange; same rationale as [[ngramJaccardPairs]]). */
+  private[graft] def ngramContainmentPrefixPairs(corpus: DataFrame, threshold: Double = 0.8): DataFrame = {
     // (doc_id, hs: sorted-distinct 8-byte shingle hashes) — consumed by
     // the df count, the prefix ranking, and BOTH sides of the verify
     // join: checkpoint once (house rule: eviction-proof multi-consumer)
@@ -169,7 +176,51 @@ object Dedup {
         size(array_intersect(col("ha"), col("hb"))).cast("double") / size(col("ha")), 4))
       .filter(col("containment") >= threshold)
       .select(col("a_id").as("contained_id"), col("b_id").as("container_id"), col("containment"))
-      .orderBy("contained_id", "container_id")
+  }
+
+  /** The PRODUCTION dedup ordering as one operator (ARCHITECTURE.md
+    * "Containment wall" conclusion, shipped): exact dedup FIRST — one
+    * digest-keyed shuffle collapses every identical-copy group to its
+    * min-doc_id survivor — then prefix-filtered containment over the
+    * mostly-unique survivors, where the rarest-shingle prefix filter
+    * actually bites (on the raw duplicate-heavy corpus every "rare"
+    * shingle is popular and the candidate space is Σ|group|²).
+    *
+    * Output = the docs surviving BOTH stages. Containment is directed,
+    * so the drop rule must not orphan mutual near-dup pairs (A ⊇ B and
+    * B ⊇ A at the threshold, texts unequal — exact dedup only catches
+    * byte-identical copies): a doc drops iff it is contained in some
+    * container that does NOT mutually contain it, or — for a mutual
+    * pair — iff it has the LARGER doc_id (the min-id member survives,
+    * mirroring the exact stage's survivor rule).
+    *
+    * Scale: stage 1 is the [[exact]] one-shuffle aggregate; stage 2 is
+    * [[ngramContainmentPrefix]] over a survivor set the duplication
+    * factor already shrank; the mutual-pair resolution self-joins the
+    * pair table (pair-cardinality, tiny) — never the corpus. Measured
+    * in ScaleSmoke `orderedOnly`: the ordering beats raw containment on
+    * the duplicate-heavy replicated corpus precisely because stage 2's
+    * input no longer contains the replica groups. */
+  def orderedDedup(corpus: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val keep = exact(corpus).select(col("doc_id"))
+    // left_semi keyed on doc_id: re-attach text for the shingle stage
+    val survivors = corpus.join(keep, Seq("doc_id"), "left_semi")
+    // the pair table feeds BOTH sides of the mutual-pair self-join —
+    // materialize once (lazy: first action), else the whole prefix-
+    // containment pipeline runs twice
+    val pairs = ngramContainmentPrefixPairs(survivors, threshold)
+      .select(col("contained_id"), col("container_id"))
+      .localCheckpoint(eager = false)
+    val rev = pairs.select(col("contained_id").as("m_contained"),
+      col("container_id").as("m_container"))
+    val dropped = pairs.join(rev,
+        col("contained_id") === col("m_container") &&
+          col("container_id") === col("m_contained"), "left_outer")
+      .filter(col("m_contained").isNull || col("container_id") < col("contained_id"))
+      .select(col("contained_id").as("doc_id")).distinct()
+    survivors.select(col("doc_id"), col("n_chars"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
   }
 
   /** Shared exact pair-count core for [[ngramJaccardPairs]] and
@@ -353,8 +404,13 @@ object Dedup {
     * the batch ops on the delta first); the contract stays one relational
     * pass. Oracle: same generated hash-family SQL, candidates filtered
     * to index×delta pairs. */
-  def incrementalDedup(index: DataFrame, delta: DataFrame): DataFrame = {
-    val idxBands = minhashBandTable(index).select(col("band"), col("bs"))
+  def incrementalDedup(index: DataFrame, delta: DataFrame): DataFrame =
+    incrementalProbe(minhashBandTable(index).select(col("band"), col("bs")), delta)
+
+  /** The probe half shared by the recompute ([[incrementalDedup]]) and
+    * persisted ([[incrementalDedupPersisted]]) forms: delta bands
+    * left-semi the index bands, survivors anti-join back. */
+  private def incrementalProbe(idxBands: DataFrame, delta: DataFrame): DataFrame = {
     val deltaBands = minhashBandTable(delta)
     // left_semi: existence probe, no row multiplication however many
     // index docs share the bucket
@@ -363,6 +419,52 @@ object Dedup {
     delta.select(col("doc_id"), col("n_chars"))
       .join(dropped, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
+  }
+
+  /** Artifact names are keyed by the SOURCE path (same scheme as
+    * ScaleJoins.sfTag) so different scale factors — or a concurrent
+    * Verify — never collide on one warehouse entry. */
+  private def srcTag(df: DataFrame): String =
+    df.inputFiles.headOption.getOrElse("mem").replaceAll("[^A-Za-z0-9]", "_")
+
+  /** PERSISTED LSH band index: [[minhashBandTable]] written ONCE per
+    * index epoch as a warehouse table bucketed AND sorted by (band, bs).
+    * This is the artifact the 100 TB story names: the accumulated-corpus
+    * index lives on disk pre-partitioned on the probe key, so every
+    * daily delta batch joins against it with NO exchange on the index
+    * side — the scan's bucketing IS the join partitioning (gated in
+    * PlanAuditSpec: SelectedBucketsCount on the index scan, zero
+    * ShuffleExchange in the index branch of the semi-join). Idempotent
+    * per (source, epoch): the write happens on first call, every later
+    * call resolves the existing table. */
+  def ensureBandIndex(spark: SparkSession, index: DataFrame,
+                      epoch: Long = 0L, buckets: Int = 8): String = {
+    val name = s"dedup_band_idx_${srcTag(index)}_e$epoch"
+    if (!spark.catalog.tableExists(name)) {
+      // in-memory catalog forgets tables across JVMs but the warehouse
+      // files survive — clear any orphan dir before re-creating
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$name")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) { fs.delete(loc, true); () }
+      minhashBandTable(index)
+        .write.bucketBy(buckets, "band", "bs").sortBy("band", "bs")
+        .mode("overwrite").saveAsTable(name)
+    }
+    name
+  }
+
+  /** [[incrementalDedup]] through the PERSISTED index: resolves (or
+    * builds, first call per epoch) the bucketed band table and probes
+    * it. The merge hint pins the sort-merge shape — at fixture scale the
+    * planner would broadcast the index side, which inverts the 100 TB
+    * cost model (the index is the BIG side; the delta is the small one
+    * that shuffles into the index's bucketing). Identical output to the
+    * recompute form — the CORRECTNESS row runs through this path. */
+  def incrementalDedupPersisted(spark: SparkSession, index: DataFrame, delta: DataFrame,
+                                epoch: Long = 0L): DataFrame = {
+    val idxName = ensureBandIndex(spark, index, epoch)
+    incrementalProbe(spark.table(idxName).select(col("band"), col("bs")).hint("merge"), delta)
   }
 
   /** Bloom-prefiltered incremental EXACT dedup — the daily-batch
@@ -412,6 +514,51 @@ object Dedup {
     * if it probes true, the confirm anti-join's null digest matches
     * nothing and the row is kept — same answer as the exact twin
     * (gated in HostileInputSpec). */
+  /** PERSISTED Bloom epoch artifact: the filter bytes written once per
+    * (source, epoch) under the warehouse dir and reloaded by every later
+    * batch — the file IS the "build once per index epoch, amortize
+    * across batches" contract [[bloomPrefilterDedup]] documents. An
+    * empty index (null filter) persists as a zero-length file so the
+    * "nothing to reject" answer is ALSO remembered, not rebuilt. Write
+    * is atomic-enough for the single-writer epoch model: temp file +
+    * rename. */
+  def ensureBloomIndex(spark: SparkSession, index: DataFrame, epoch: Long = 0L,
+                       expectedItems: Long = 1L << 16,
+                       numBits: Long = 1L << 20): Array[Byte] = {
+    val dir = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/bloom_idx_${srcTag(index)}/epoch=$epoch")
+    val file = new org.apache.hadoop.fs.Path(dir, "bloom.bin")
+    val fs = file.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(file)) {
+      val len = fs.getFileStatus(file).getLen.toInt
+      if (len == 0) null
+      else {
+        val buf = new Array[Byte](len)
+        val in = fs.open(file)
+        try in.readFully(buf) finally in.close()
+        buf
+      }
+    } else {
+      val bytes = bloomBuild(index, expectedItems, numBits)
+      val tmp = new org.apache.hadoop.fs.Path(dir, "_bloom.bin.tmp")
+      val out = fs.create(tmp, true)
+      try { if (bytes != null) out.write(bytes) } finally out.close()
+      fs.rename(tmp, file)
+      bytes
+    }
+  }
+
+  /** [[bloomPrefilterDedup]] through the PERSISTED epoch artifact: the
+    * filter is read from (or, first call per epoch, built and written
+    * to) the warehouse file, then the batch probes it map-side exactly
+    * as the in-memory form does. Identical output whatever the epoch
+    * state — the CORRECTNESS row runs through this path. */
+  def bloomPrefilterDedupPersisted(spark: SparkSession, index: DataFrame, batch: DataFrame,
+                                   epoch: Long = 0L,
+                                   expectedItems: Long = 1L << 16,
+                                   numBits: Long = 1L << 20): DataFrame =
+    bloomProbe(ensureBloomIndex(spark, index, epoch, expectedItems, numBits), index, batch)
+
   def bloomProbe(bloomBytes: Array[Byte], index: DataFrame, batch: DataFrame,
                  sorted: Boolean = true): DataFrame = {
     val b = batch.select(col("doc_id"), col("n_chars"), md5(col("text")).as("d"))

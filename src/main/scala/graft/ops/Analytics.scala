@@ -308,8 +308,15 @@ object Analytics {
       .agg(sum(Det.price(col("l_extendedprice")) * Det.oneMinus(col("l_discount")))
         .as("total_dec"))
       // supplier-cardinality frame feeding both the row set and the
-      // 1-row max — same two-consumer recompute class as q2/q11/q20
-      .localCheckpoint()
+      // 1-row max — same two-consumer recompute class as q2/q11/q20.
+      // LAZY checkpoint: construction stays side-effect-free (plan-dump
+      // callers get a plan without running the fact aggregate); the
+      // first ACTION materializes it once and both consumers share the
+      // blocks. Caveat (all q2/q11/q15/q20/retention sites): local
+      // checkpoints truncate lineage, so on a real cluster an executor
+      // loss after materialization fails the job instead of recomputing
+      // — at 100 TB prefer a persisted-table boundary for this frame.
+      .localCheckpoint(eager = false)
     val maxRev = revenue.agg(max(col("total_dec")).as("max_dec"))
     supplier.join(revenue, col("s_suppkey") === col("l_suppkey"))
       .join(broadcast(maxRev), col("total_dec") === col("max_dec"))
@@ -518,8 +525,9 @@ object Analytics {
       .agg(sum(col("val_dec")).as("part_val_dec"))
       // part-cardinality frame feeding BOTH the row set and the 1-row
       // total: without this the total branch recomputes the fact
-      // aggregate (consumers' pushed filters differ → no ReuseExchange)
-      .localCheckpoint()
+      // aggregate (consumers' pushed filters differ → no ReuseExchange).
+      // Lazy — materializes at first action, shared thereafter (see q15)
+      .localCheckpoint(eager = false)
     val tot = perPart.agg(sum(col("part_val_dec")).as("total_dec"),
       count(lit(1)).as("n_parts"))
     perPart.crossJoin(broadcast(tot))
@@ -576,8 +584,9 @@ object Analytics {
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty_sp"))
       // (part, supplier)-cardinality frame with two consumers (the
-      // dominance rows and the per-part total) — materialize once
-      .localCheckpoint()
+      // dominance rows and the per-part total) — materialized once at
+      // first action (lazy: construction is side-effect-free, see q15)
+      .localCheckpoint(eager = false)
     val ptot = shipped.groupBy(col("l_partkey").as("tp_partkey"))
       .agg(sum(col("qty_sp")).as("qty_p"))
     val dominant = shipped

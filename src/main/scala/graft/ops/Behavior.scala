@@ -36,11 +36,15 @@ object Behavior {
       .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
     val flags = perUser.agg(
       count(col("t1")).as("u1"), count(col("t2")).as("u2"), count(col("t3")).as("u3"))
-    // 3-row long form: step index/name, users reached, conversion from step 1
+    // 3-row long form: step index/name, users reached, conversion from
+    // step 1. Degenerate input (nobody reaches step 1) would make every
+    // conversion 0/0 = NaN — emit NULL instead (nullif-style guard; the
+    // oracle SQL carries the same CASE)
     def stepRow(i: Int, users: Column, base: Column): Column =
       struct(lit(i).as("step"), lit(steps(i - 1)).as("event_type"),
         users.as("users_reached"),
-        (Det.rfloor(users.cast("double") / base.cast("double"), 4) + lit(0.0))
+        when(base === 0, lit(null).cast("double"))
+          .otherwise(Det.rfloor(users.cast("double") / base.cast("double"), 4) + lit(0.0))
           .as("conversion"))
     flags
       .select(explode(array(
@@ -70,8 +74,10 @@ object Behavior {
         floor(datediff(col("week"), col("cohort_week")) / 7).cast("long").as("weeks_since"))
       .agg(countDistinct(col("user_id")).as("active_users"))
       // (cohort × offset)-sized frame feeding both the week-0 base and
-      // the join — materialize once instead of re-scanning the fact
-      .localCheckpoint()
+      // the join — materialized once at first action instead of
+      // re-scanning the fact per consumer (lazy: construction stays
+      // side-effect-free; see Analytics.q15 for the executor-loss caveat)
+      .localCheckpoint(eager = false)
     val base = matrix.filter(col("weeks_since") === 0)
       .select(col("cohort_week").as("b_week"), col("active_users").as("cohort_size"))
     matrix.join(broadcast(base), col("cohort_week") === col("b_week"))

@@ -41,8 +41,12 @@ object ScaleSmoke {
     // materialize the replicated corpus to parquet first so timings
     // measure the operator, not the replication
     val docs = graft.Tables.documents(spark, sfDir)
+    // shift is a MULTIPLE OF 3: downstream kind assignment (the phash
+    // smoke's image/audio/video split) is doc_id % 3, so a non-multiple
+    // shift would rotate each replica onto a different kind and exact-dup
+    // groups would be ~factor/3 instead of factor
     val rep = (0 until factor).map(i =>
-        docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+        docs.withColumn("doc_id", col("doc_id") + lit(i * 30000000L)))
       .reduce(_ unionByName _)
     val path = s"/tmp/scale_smoke_docs_x$factor"
     rep.write.mode("overwrite").parquet(path)
@@ -148,6 +152,17 @@ object ScaleSmoke {
       time("phash_pairs_r8")(graft.multimodal.Multimodal.imagePhashPairs(repDocs))
       time("phash_pairs_r3")(
         graft.multimodal.Multimodal.imagePhashPairs(repDocs, maxHamming = 3))
+      spark.stop()
+      return
+    }
+
+    // optional fifth arg "orderedOnly": the production ordering
+    // (exact → containment-prefix on survivors, one operator) vs RAW
+    // prefix-containment on the duplicate-heavy replicated corpus —
+    // the measured form of the ARCHITECTURE "Containment wall" claim
+    if (args.lift(4).contains("orderedOnly")) {
+      time("dedup_ordered")(graft.llm.Dedup.orderedDedup(corpus))
+      time("containment_prefix_raw")(graft.llm.Dedup.ngramContainmentPrefix(corpus))
       spark.stop()
       return
     }

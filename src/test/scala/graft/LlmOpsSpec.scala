@@ -608,4 +608,62 @@ class LlmOpsSpec extends SparkSpec {
     val kept = Dedup.bloomPrefilterDedup(corpus.filter(col("doc_id") < 0), batch)
     assert(kept.count() === batch.count())
   }
+
+  test("persisted bloom epoch artifact: built once, reloaded byte-identical, same answer") {
+    val corpus = Corpus.docCorpus(documents)
+    val index = corpus.filter(col("doc_id") < 100000)
+    val batch = corpus.filter(col("doc_id") >= 100000)
+    // distinct epoch per test run so the first call genuinely BUILDS
+    val epoch = System.currentTimeMillis()
+    val built = Dedup.ensureBloomIndex(spark, index, epoch)
+    val reloaded = Dedup.ensureBloomIndex(spark, index, epoch)
+    assert(built != null && java.util.Arrays.equals(built, reloaded),
+      "second epoch call must reload the persisted bytes unchanged")
+    val viaArtifact = Dedup.bloomPrefilterDedupPersisted(spark, index, batch, epoch)
+      .collect().map(_.getLong(0)).toSeq
+    val inMemory = Dedup.bloomPrefilterDedup(index, batch)
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaArtifact === inMemory)
+  }
+
+  test("persisted bloom epoch artifact: empty index persists the null filter") {
+    val corpus = Corpus.docCorpus(documents)
+    val empty = corpus.filter(col("doc_id") < 0)
+    // far from the other artifact test's epoch window (same srcTag —
+    // both filters read the same parquet source)
+    val epoch = System.currentTimeMillis() + 1000000000L
+    assert(Dedup.ensureBloomIndex(spark, empty, epoch) == null) // build path
+    assert(Dedup.ensureBloomIndex(spark, empty, epoch) == null) // reload path (0-length file)
+    val batch = corpus.filter(col("doc_id") >= 100000)
+    assert(Dedup.bloomPrefilterDedupPersisted(spark, empty, batch, epoch).count()
+      === batch.count())
+  }
+
+  test("pipeline_dedup_ordered: exact stage first, containment on survivors, mutual pairs keep min id") {
+    import spark.implicits._
+    val long = (1 to 20).map(i => s"x$i").mkString(" ") // 18 shingles
+    val corpus = Seq(
+      (1L, "a b c d e f g", 13L),        // exact-dup group {1,2}: 1 survives
+      (2L, "a b c d e f g", 13L),        //   -> dropped at stage 1
+      (3L, "x1 x2 x3 x4 x5", 14L),       // 3 shingles, all inside doc 4 ->
+      (4L, long, long.length.toLong),    //   one-way containment, 3 drops
+      (5L, "w1 w2 w3 w4 w5 w6 w7", 20L), // mutual pair {5,6}: 4 of 5
+      (6L, "w1 w2 w3 w4 w5 w6 w8", 20L), //   shingles shared both ways
+      (7L, "totally unrelated content here now", 34L))
+      .toDF("doc_id", "text", "n_chars")
+    val got = Dedup.orderedDedup(corpus).collect().map(_.getLong(0)).toSeq
+    // 2 drops (exact), 3 drops (contained in 4), mutual {5,6} keeps 5
+    assert(got === Seq(1L, 4L, 5L, 7L))
+  }
+
+  test("persisted band index: incremental dedup through the bucketed table matches the recompute form") {
+    val corpus = Corpus.docCorpus(documents)
+    val index = corpus.filter(col("doc_id") < 100000)
+    val delta = corpus.filter(col("doc_id") >= 100000)
+    val persisted = Dedup.incrementalDedupPersisted(spark, index, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val recomputed = Dedup.incrementalDedup(index, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(persisted === recomputed)
+  }
 }

@@ -366,4 +366,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.toLowerCase.contains("might_contain"), p)
     assert(p.toLowerCase.contains("bloom_filter_agg"), p)
   }
+
+  test("dedup_delta_index: persisted band index is probed exchange-free (bucketed scan feeds the semi-join)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // the 100 TB contract: the accumulated index sits bucketed by
+    // (band, bs) on disk; the daily delta shuffles INTO that bucketing
+    // while the index side never exchanges — its scan partitioning IS
+    // the join partitioning
+    val corpus = llm.Corpus.docCorpus(Tables.documents(spark, sfDir))
+    val df = llm.Dedup.incrementalDedupPersisted(spark,
+      corpus.filter(functions.col("doc_id") < 100000),
+      corpus.filter(functions.col("doc_id") >= 100000))
+    df.collect()
+    val nodes = PlanWalk.allNodes(df.queryExecution.executedPlan)
+    val semi = nodes.collectFirst {
+      case j: SortMergeJoinExec if j.joinType.sql == "LEFT SEMI" => j
+    }
+    assert(semi.isDefined,
+      "band probe is not a sort-merge semi-join (broadcast would invert the 100TB cost model): " +
+        nodes.map(_.nodeName).mkString("; "))
+    val idxSide = PlanWalk.allNodes(semi.get.right)
+    assert(!idxSide.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      s"index side of the probe re-shuffles — the bucketed layout is being ignored:\n${semi.get}")
+    val idxScan = idxSide.collectFirst { case s: FileSourceScanExec => s }
+    assert(idxScan.isDefined && idxScan.get.metadata.contains("SelectedBucketsCount"),
+      s"index scan is not bucket-aware:\n${idxScan.map(_.toString).getOrElse("no scan")}")
+  }
 }
