@@ -1530,6 +1530,19 @@ object SparkEntry {
         |UNION ALL
         |SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey % 2 = 1
         |ORDER BY n_nationkey""".stripMargin,
+    // the corrupt-record TAXONOMY is engine-specific (DuckDB has no
+    // PERMISSIVE _corrupt_record), but the per-class COUNTS are not:
+    // Spark quarantines all 3 injected garbage lines (unparsable key,
+    // too-few columns, too-many columns) as corrupt and parses every
+    // nation line good — frozen here as a literal so a classification
+    // regression (e.g. short rows silently null-padding) turns a
+    // formerly rows-only check red
+    "scan_csv_malformed" ->
+      """SELECT class, n FROM (
+        | SELECT 'corrupt' AS class, CAST(3 AS BIGINT) AS n
+        | UNION ALL
+        | SELECT 'good', (SELECT count(*) FROM nation)) t
+        |ORDER BY class""".stripMargin,
     "maintenance_compact" ->
       """SELECT event_id, user_id, event_type,
         | CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value

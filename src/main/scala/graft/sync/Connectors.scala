@@ -83,6 +83,58 @@ final case class CsvSource(path: String) extends SyncSource {
     spark.read.option("header", "true").csv(path)
 }
 
+/** Sheets-FAITHFUL source: parses the Google Sheets API v4
+  * `spreadsheets.values.get` response shape — `{"range": ..,
+  * "majorDimension": "ROWS", "values": [[header...], [cells...]...]}`
+  * (syncquill.py:60-65) — from a local JSON fixture into the all-string
+  * DataFrame the sync verbs consume. This is the actual WIRE FORMAT the
+  * reference reads, not its CSV analog: row 1 of `values` is the
+  * schema, every cell is a string, and the API omits TRAILING empty
+  * cells, so a data row may be SHORTER than the header.
+  *
+  * The reference validates inside its reader (syncquill.py:66-74:
+  * missing `slno`, short row, or any empty cell → fail fast with the
+  * 1-based sheet row number); this source mirrors that contract —
+  * short rows surface as null cells and fail the same check. A live
+  * connector would swap the `spark.read.json(path)` for the HTTP fetch
+  * and change nothing else.
+  *
+  * Scale note: a Sheets response is bounded (the API caps cells per
+  * sheet), so the single-object JSON read and the one-row header
+  * collect are schema discovery, not data movement — the same class as
+  * CSV header inference. */
+final case class SheetsJsonSource(path: String) extends SyncSource {
+  def read(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // one response object per fixture file (the values().get shape)
+    val resp = spark.read.option("multiLine", "true").json(path)
+    require(resp.columns.contains("values"),
+      s"$path is not a Sheets values().get response (no 'values' member)")
+    // header row = values[0] (syncquill.py:64): column-name discovery
+    val header: Seq[String] =
+      resp.select(element_at(col("values"), 1)).head().getSeq[String](0)
+    require(header.nonEmpty && header.forall(_.nonEmpty),
+      s"$path: header row (values[0]) has empty column names: $header")
+    // posexplode keeps the sheet row number for error reporting; `get`
+    // is 0-based and null-safe — a short row (trailing cells omitted by
+    // the API) yields null cells, never an ANSI index error
+    val body = resp.select(posexplode(col("values")).as(Seq("pos", "row")))
+      .filter(col("pos") > 0)
+      .select(col("pos") +:
+        header.zipWithIndex.map { case (c, i) =>
+          get(col("row"), lit(i)).cast("string").as(c) }: _*)
+    // fail fast like the reference: first offending 1-based sheet row
+    // (pos is 0-based over `values`, header included → sheet row = pos+1)
+    val firstBad = body
+      .filter(header.map(c => col(c).isNull || col(c) === "").reduce(_ || _))
+      .agg(min(col("pos") + 1).cast("long")).head()
+    require(firstBad.isNullAt(0),
+      s"$path: sheet row ${firstBad.getLong(0)} has missing or empty cells " +
+        "(every row must fill every header column — syncquill.py:66-74)")
+    body.drop("pos")
+  }
+}
+
 /** JDBC connector pair — the engine's stand-in for the reference's
   * BigQuery side: [[JdbcTarget.merge]] translates the keyed changeset
   * into BATCHED per-op DML (DELETE / per-column UPDATE / INSERT prepared

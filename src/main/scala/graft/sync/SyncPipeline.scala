@@ -71,16 +71,23 @@ object SyncPipeline {
   def upsert(spark: SparkSession, sourcePath: String, targetPath: String, key: String): Unit =
     upsert(spark, ParquetSource(sourcePath), ParquetTarget(targetPath), key)
 
+  /** R14 config resolution (the reference's `load_env_or_args`,
+    * syncquill.py:158-161): the positional arg wins, else the named env
+    * var, else fail with both names. Exposed for the spec — the three
+    * paths (arg-present / env-fallback / missing-error) are gated in
+    * PipelineSpec. */
+  private[graft] def argOrEnv(args: Array[String], i: Int, env: String,
+                              environment: collection.Map[String, String]): String =
+    args.lift(i).orElse(environment.get(env)).getOrElse(
+      throw new IllegalArgumentException(s"missing arg $i / $$$env"))
+
   /** CLI (R14/R15): `sync|upsert <sourceParquet> <targetParquet> <key>`.
     * Config resolution mirrors the reference's args-with-env-fallback
     * (syncquill.py:158-161). */
   def main(args: Array[String]): Unit = {
-    def argOrEnv(i: Int, env: String): String =
-      args.lift(i).orElse(sys.env.get(env)).getOrElse(
-        throw new IllegalArgumentException(s"missing arg $i / $$$env"))
-    val action = argOrEnv(0, "GRAFT_ACTION")
-    val source = argOrEnv(1, "GRAFT_SOURCE")
-    val target = argOrEnv(2, "GRAFT_TARGET")
+    val action = argOrEnv(args, 0, "GRAFT_ACTION", sys.env)
+    val source = argOrEnv(args, 1, "GRAFT_SOURCE", sys.env)
+    val target = argOrEnv(args, 2, "GRAFT_TARGET", sys.env)
     val key = args.lift(3).orElse(sys.env.get("GRAFT_KEY")).getOrElse("slno")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))

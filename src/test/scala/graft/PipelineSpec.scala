@@ -75,6 +75,48 @@ class PipelineSpec extends SparkSpec {
     assert(pm.exceptAll(want).count() === 0 && want.exceptAll(pm).count() === 0)
   }
 
+  test("sync verb end-to-end from the Sheets values().get wire format") {
+    import graft.sync.{ParquetTarget, SheetsJsonSource}
+    import spark.implicits._
+    val dir = tmpDir()
+    val fixture = getClass.getResource("/sheets_values_get.json").getPath
+    // parser alone: header row becomes the all-string schema, in order
+    val src = SheetsJsonSource(fixture).read(spark)
+    assert(src.columns.toSeq === Seq("slno", "name", "segment"))
+    assert(src.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.StringType))
+    assert(src.count() === 3)
+    // end-to-end: the fixture syncs into a parquet target seeded with an
+    // older snapshot — slno 2 updates, 3 deletes, 4 inserts
+    Seq(("1", "alice", "S1"), ("2", "bob", "S2"), ("3", "carol", "S3"))
+      .toDF("slno", "name", "segment").write.mode("overwrite").parquet(s"$dir/target")
+    val r = SyncPipeline.sync(spark, SheetsJsonSource(fixture),
+      ParquetTarget(s"$dir/target"), "slno", preview = false)
+    assert(r === SyncPipeline.SyncResult(3, 1, 1, 1))
+    val merged = spark.read.parquet(s"$dir/target")
+    assert(merged.exceptAll(src).count() === 0 && src.exceptAll(merged).count() === 0)
+  }
+
+  test("Sheets source fails fast on a short row, naming the sheet row (syncquill.py:66-74)") {
+    import graft.sync.SheetsJsonSource
+    val fixture = getClass.getResource("/sheets_values_get_shortrow.json").getPath
+    val e = intercept[IllegalArgumentException] {
+      SheetsJsonSource(fixture).read(spark)
+    }
+    // row 3 of the sheet (header is row 1) omits its trailing cell
+    assert(e.getMessage.contains("sheet row 3"), e.getMessage)
+  }
+
+  test("R14 config: positional arg wins, env var falls back, missing fails with both names") {
+    val env = Map("GRAFT_ACTION" -> "upsert")
+    assert(SyncPipeline.argOrEnv(Array("sync"), 0, "GRAFT_ACTION", env) === "sync")
+    assert(SyncPipeline.argOrEnv(Array.empty[String], 0, "GRAFT_ACTION", env) === "upsert")
+    val e = intercept[IllegalArgumentException] {
+      SyncPipeline.argOrEnv(Array.empty[String], 1, "GRAFT_SOURCE", env)
+    }
+    assert(e.getMessage.contains("arg 1") && e.getMessage.contains("GRAFT_SOURCE"))
+  }
+
   test("sync into a JDBC target applies the changeset as per-op DML") {
     import graft.sync.{CsvSource, JdbcTarget}
     val dir = tmpDir()
