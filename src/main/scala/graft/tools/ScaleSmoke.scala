@@ -156,6 +156,52 @@ object ScaleSmoke {
       return
     }
 
+    // optional fifth arg "twinsOnly": the LINEARITY instrument for the
+    // scale-twin tier. The default replication ships IDENTICAL texts
+    // (measures the duplicate-heavy walls); here each replica applies a
+    // per-replica character rotation to the text, so every token —
+    // hence every shingle, signature and band — differs across
+    // replicas: the corpus grows with UNIQUE documents, the way real
+    // collections grow, and wall + exchange records for the twins
+    // (banded candidates, large/small-star clustering, prefix
+    // containment) must track ~factor. The delta-probe leg holds the
+    // DELTA fixed while the PERSISTED index grows factor× — its probe
+    // cost must track the delta, not the index.
+    if (args.lift(4).contains("twinsOnly")) {
+      val twPath = s"/tmp/scale_smoke_twins_x$factor"
+      // every token gets a replica-specific prefix, so every shingle /
+      // signature / band differs across replicas at ANY factor (a
+      // 26-letter rotation would collide past factor 25 and reintroduce
+      // exact-dup classes); token count — hence per-doc work — unchanged
+      (0 until factor).map { i =>
+          val shifted = docs.withColumn("doc_id", col("doc_id") + lit(i * 30000000L))
+          if (i == 0) shifted
+          else shifted.withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1"))
+        }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(twPath)
+      val tw = graft.llm.Corpus.docCorpus(spark.read.parquet(twPath)).localCheckpoint()
+      val nTw = tw.count()
+      time(s"twin_banded_x$factor")(graft.llm.Dedup.nearDupClustersBanded(tw))
+      time(s"twin_stars_x$factor")(graft.llm.Dedup.clustersFromPairsLargeSmallStar(
+        tw, graft.llm.Dedup.minhashBandedCandidates(tw)))
+      time(s"twin_prefix_x$factor")(graft.llm.Dedup.ngramContainmentPrefix(tw))
+      // delta probe: fixed-size delta (the base corpus under its own
+      // token prefix — all-new docs) against the factor-sized persisted index
+      val delta = graft.llm.Corpus.docCorpus(
+        docs.withColumn("text", regexp_replace(col("text"), "(\\S+)", "dx_$1")))
+      var idxName: String = null
+      time(s"twin_index_build_x$factor") {
+        idxName = graft.llm.Dedup.ensureBandIndex(spark, tw, epoch = factor)
+        tw.select(col("doc_id")).limit(1) // build cost is above (bloom_build pattern)
+      }
+      println(s"""{"smoke":"twin_index_docs","factor":$factor,"docs":$nTw,"index_table":"$idxName"}""")
+      time(s"twin_delta_probe_x$factor")(
+        graft.llm.Dedup.incrementalDedupPersisted(spark, tw, delta, epoch = factor))
+      spark.stop()
+      return
+    }
+
     // optional fifth arg "orderedOnly": the production ordering
     // (exact → containment-prefix on survivors, one operator) vs RAW
     // prefix-containment on the duplicate-heavy replicated corpus —
