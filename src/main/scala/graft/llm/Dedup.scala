@@ -225,51 +225,130 @@ object Dedup {
 
   /** Shared exact pair-count core for [[ngramJaccardPairs]] and
     * [[ngramContainment]]: (a_id, b_id, inter, a_n, b_n) for every
-    * unordered candidate pair sharing >= 1 shingle hash. */
+    * unordered candidate pair sharing >= 1 shingle hash.
+    *
+    * REPRESENTATIVE COLLAPSE (r6): byte-identical texts have identical
+    * (distinct) shingle sets, so the shingle self-join never needs to
+    * see more than one copy per text. Docs collapse by md5(text) to
+    * their min-doc_id representative FIRST; the self-join runs at
+    * unique-text cardinality; member pairs are then reconstructed
+    * relationally from the rep-level pair counts. Lossless by a
+    * substitution argument: every metric downstream (inter, a_n, b_n,
+    * hence jaccard/containment) is a function of the two SHINGLE SETS
+    * only, and members share their rep's set exactly —
+    *   - cross-group member pair (x∈A, y∈B): same (inter, sizes) as
+    *     the rep pair (rA, rB); ids reorient to (min, max) with sizes
+    *     swapped to follow.
+    *   - intra-group pair: inter = the group's kept-shingle count
+    *     (= |set| uncapped; = post-dfCap count under a cap, matching
+    *     what the join would have counted), sizes = |set|; groups
+    *     whose kept set is empty produce NO pair, exactly like the
+    *     join. dfCap's doc-frequency is the TRUE corpus df —
+    *     sum(g_n), each group's copies all contain the shingle — not
+    *     the rep count, so pruning decisions are unchanged.
+    * This removes the duplicate-heavy wall (30× replica smoke: every
+    * base doc a 30-member identical group, shingle join cost
+    * Σ|group|²·|doc| → |uniq|·|doc|); the remaining output-sized
+    * expansion joins are irreducible — the answer ITSELF is Σ|group|²
+    * pairs. Unique-heavy corpora pay only one extra digest shuffle of
+    * (32B, id) rows. */
   private def ngramPairCounts(corpus: DataFrame,
                               dfCap: Option[Int]): DataFrame = {
-    val withSh = corpus
-      .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("shs"))
-    // per-doc shingle counts map-side from the (distinct) array length —
+    val dig = corpus.select(col("doc_id"), col("text"), md5(col("text")).as("dg"))
+    val grp = dig.select(col("dg"), col("doc_id")).groupBy(col("dg"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("g_n"))
+    // (rep_id, doc_id) membership — 16-byte rows, consumed by the intra
+    // self-join and both cross-expansion joins: materialize once, lazily
+    // (house rule: multi-consumer frames checkpoint; lazy so building
+    // the plan stays side-effect-free)
+    val memb = dig.select(col("dg"), col("doc_id"))
+      .join(grp.select(col("dg"), col("rep_id")), "dg")
+      .select(col("rep_id"), col("doc_id"))
+      .localCheckpoint(eager = false)
+    // the collapsed corpus: one text per digest group + the group size
+    // as the shingle df weight; checkpointed because the shingle
+    // expression below is recomputed from it by each sizes consumer
+    val reps = dig.join(grp.select(col("rep_id").as("doc_id"), col("g_n")), Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("g_n"))
+      .localCheckpoint(eager = false)
+    val withSh = reps
+      .select(col("doc_id"), col("g_n"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("shs"))
+    // per-rep shingle counts map-side from the (distinct) array length —
     // NOT a groupBy over the exploded table, which would shuffle the full
     // shingle table a second time just to count it
     val sizes = withSh.select(col("doc_id"), size(col("shs")).as("n_sh"))
-    // Join on the 8-byte shingle hash, carrying ONLY (doc_id, hash) through
-    // the wide self-join shuffle; per-doc shingle counts re-attach after
-    // the pair aggregation via a broadcast-sized dimension. (64-bit
+    // Join on the 8-byte shingle hash, carrying ONLY (rep, g_n, hash)
+    // through the wide self-join shuffle; per-rep shingle counts re-attach
+    // after the pair aggregation via a broadcast-sized dimension. (64-bit
     // collisions are ~2^-64 per pair — no effect at any realistic scale.)
-    // Hash-partition by h ONCE and localCheckpoint: both self-join
-    // branches then share the materialized partitioning and the join
-    // plans with NO exchange (at scale: a materialized shingle table
-    // bucketed by hash). localCheckpoint, NOT persist: a MEMORY_ONLY
-    // cache entry can be EVICTED mid-join under memory pressure, which
-    // silently recomputes the explode+repartition for BOTH branches —
-    // the round-4 driver runs measured a 6.5× same-jar flap
-    // (dedup_cluster 2.17↔14.14 s) from exactly this class. The
-    // checkpoint is disk-backed (MEMORY_AND_DISK), materialized exactly
-    // once, lineage-truncated, and its blocks are released by the
-    // ContextCleaner once the plan is unreachable — no cache-manager
-    // leak for callers that compose this operator.
-    val exAll = withSh.select(col("doc_id"), explode(col("shs")).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-      .repartition(col("h"))
+    // localCheckpoint, NOT persist: a MEMORY_ONLY cache entry can be
+    // EVICTED mid-join under memory pressure, which silently recomputes
+    // the explode for BOTH branches — the round-4 driver runs measured a
+    // 6.5× same-jar flap (dedup_cluster 2.17↔14.14 s) from exactly this
+    // class. The checkpoint is disk-backed (MEMORY_AND_DISK),
+    // materialized exactly once, lineage-truncated, and its blocks are
+    // released by the ContextCleaner once the plan is unreachable.
+    //
+    // No pre-repartition(h) (r6, measured): Dataset.localCheckpoint does
+    // NOT preserve outputPartitioning under AQE in Spark 4.1.2 — the
+    // LogicalRDD advertises UnknownPartitioning, so a pre-shuffle can
+    // never make the self-join exchange-free; the earlier exchange-free
+    // plans were a STATS effect (small checkpoint estimate → static
+    // broadcast-hash join). The join now plans its own h-exchange, and
+    // because both branches are byte-identical projections of this one
+    // scan, ReuseExchange ships the table ONCE and the second branch
+    // reads the same shuffle output (AQE converts to broadcast when the
+    // runtime size allows) — one shuffle of the COLLAPSED table total,
+    // where the old form paid a repartition AND whatever the join chose.
+    val exAll = withSh.select(col("doc_id"), col("g_n"), explode(col("shs")).as("sh"))
+      .select(col("doc_id"), col("g_n"), xxhash64(col("sh")).as("h"))
       .localCheckpoint()
     // optional heavy-hitter pruning: drop shingles with doc-frequency
     // above the cap BEFORE the self-join (anti-join against the tiny
-    // broadcast hot-list); the df count reuses the checkpointed partitioning
+    // broadcast hot-list); df = sum of group sizes, the pre-collapse
+    // document frequency; the count reuses the checkpointed partitioning
     val ex = dfCap.fold(exAll) { cap =>
-      val hot = exAll.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val hot = exAll.groupBy(col("h")).agg(sum(col("g_n")).as("df"))
         .filter(col("df") > cap).select(col("h"))
       exAll.join(broadcast(hot), Seq("h"), "left_anti")
     }
-    val a = ex.select(col("doc_id").as("a_id"), col("h"))
-    val b = ex.select(col("doc_id").as("b_id"), col("h"))
-    a.join(b, Seq("h"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
+    val a = ex.select(col("doc_id").as("ra"), col("h"))
+    val b = ex.select(col("doc_id").as("rb"), col("h"))
+    val repPairs = a.join(b, Seq("h"))
+      .filter(col("ra") < col("rb"))
+      .groupBy(col("ra"), col("rb"))
       .agg(count(lit(1)).as("inter"))
-      .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"))), "a_id")
-      .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"))), "b_id")
+      .join(broadcast(sizes.select(col("doc_id").as("ra"), col("n_sh").as("ra_n"))), "ra")
+      .join(broadcast(sizes.select(col("doc_id").as("rb"), col("n_sh").as("rb_n"))), "rb")
+    // cross-group expansion: every member pair inherits the rep pair's
+    // counts; (min, max) orientation restored with sizes following ids
+    val cross = repPairs
+      .join(memb.select(col("rep_id").as("ra"), col("doc_id").as("xa")), "ra")
+      .join(memb.select(col("rep_id").as("rb"), col("doc_id").as("xb")), "rb")
+      .select(
+        least(col("xa"), col("xb")).as("a_id"),
+        greatest(col("xa"), col("xb")).as("b_id"),
+        col("inter"),
+        when(col("xa") < col("xb"), col("ra_n")).otherwise(col("rb_n")).as("a_n"),
+        when(col("xa") < col("xb"), col("rb_n")).otherwise(col("ra_n")).as("b_n"))
+    // intra-group pairs: inter = the group's KEPT shingle count (the
+    // distinct-array length uncapped; the post-prune count under dfCap —
+    // both exactly what the self-join would have counted for two copies
+    // of the same set), and a rep whose kept set is empty contributes
+    // nothing (inner join), like a doc with no (surviving) shingles
+    val keptCnt =
+      if (dfCap.isEmpty) sizes.filter(col("n_sh") > 0)
+        .select(col("doc_id").as("rep_id"), col("n_sh").cast("long").as("inter"))
+      else ex.groupBy(col("doc_id")).agg(count(lit(1)).as("inter"))
+        .select(col("doc_id").as("rep_id"), col("inter"))
+    val intra = memb.select(col("rep_id"), col("doc_id").as("a_id"))
+      .join(memb.select(col("rep_id"), col("doc_id").as("b_id")), "rep_id")
+      .filter(col("a_id") < col("b_id"))
+      .join(broadcast(keptCnt), "rep_id")
+      .join(broadcast(sizes.select(col("doc_id").as("rep_id"), col("n_sh"))), "rep_id")
+      .select(col("a_id"), col("b_id"), col("inter"),
+        col("n_sh").as("a_n"), col("n_sh").as("b_n"))
+    cross.unionByName(intra)
   }
 
   /** MinHash signatures: h_i(doc) = min over shingles of
@@ -932,18 +1011,57 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs over the perturbed vector corpus
     * (cosine ≥ 0.99 rounded to 4dp). All-pairs on the bounded corpus —
-    * the scale path is LSH bucketing first. */
+    * the scale path is LSH bucketing first.
+    *
+    * REPRESENTATIVE COLLAPSE (r6, same law as the shingle pair core):
+    * byte-identical vectors collapse to their min-id representative
+    * before the crossJoin, so the quadratic stage runs at UNIQUE-vector
+    * cardinality; member pairs are reconstructed from the rep pairs.
+    * Lossless: cosine is a function of the two arrays only, and the
+    * intra-group value is computed by the SAME dot/norm/round
+    * expressions on the rep paired with itself — bit-equal to what the
+    * member-level crossJoin produced (no hand-assumed 1.0; a zero
+    * vector's nonzeroDenom path is reproduced too). The residual
+    * quadratic is unique near-dup structure — the output's own lower
+    * bound. */
   def embeddingCosine(vecCorpus: DataFrame, threshold: Double = 0.99): DataFrame = {
     import graft.functions.VectorExprs.{vecDot, vecNorm, nonzeroDenom}
+    // arrays of float are valid GROUP BY / equi-join keys in Spark —
+    // exact byte equality, no hash-collision exposure
+    val grp = vecCorpus.groupBy(col("v"))
+      .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("g_n"))
+      .localCheckpoint(eager = false) // feeds reps AND the memb join
+    val memb = vecCorpus.join(grp.select(col("v"), col("rep_id")), Seq("v"))
+      .select(col("rep_id"), col("vec_id"))
+      .localCheckpoint(eager = false) // 2 cross + 2 intra consumers
+    val reps = grp.select(col("rep_id").as("vec_id"), col("v"), col("g_n"))
     // norms once per vector; codegen'd dot per pair (graft.functions)
-    val withN = vecCorpus.withColumn("nrm", vecNorm(col("v")))
-    val a = withN.select(col("vec_id").as("a_id"), col("v").as("a_v"), col("nrm").as("a_n"))
-    val b = withN.select(col("vec_id").as("b_id"), col("v").as("b_v"), col("nrm").as("b_n"))
-    a.crossJoin(b)
-      .filter(col("a_id") < col("b_id"))
+    val withN = reps.withColumn("nrm", vecNorm(col("v")))
+    val a = withN.select(col("vec_id").as("ra"), col("v").as("a_v"),
+      col("nrm").as("a_n"), col("g_n").as("ga"))
+    val b = withN.select(col("vec_id").as("rb"), col("v").as("b_v"), col("nrm").as("b_n"))
+    // self-pairs (ra = rb) carry the intra-group cosine for groups with
+    // ≥ 2 members; singleton self-pairs would expand to nothing — skip
+    val repPairs = a.crossJoin(b)
+      .filter(col("ra") < col("rb") || (col("ra") === col("rb") && col("ga") >= 2))
       .withColumn("cos", round(vecDot(col("a_v"), col("b_v")) / nonzeroDenom(col("a_n") * col("b_n")), 4))
       .filter(col("cos") >= threshold)
-      .select(col("a_id"), col("b_id"), col("cos"))
+      .select(col("ra"), col("rb"), col("cos"))
+    // distinct-group expansion: each member combo appears once; (min,
+    // max) orientation restored (cosine is symmetric — no value swap)
+    val crossExp = repPairs.filter(col("ra") =!= col("rb"))
+      .join(memb.select(col("rep_id").as("ra"), col("vec_id").as("xa")), "ra")
+      .join(memb.select(col("rep_id").as("rb"), col("vec_id").as("xb")), "rb")
+      .select(least(col("xa"), col("xb")).as("a_id"),
+        greatest(col("xa"), col("xb")).as("b_id"), col("cos"))
+    // self-pair expansion: both orientations + the diagonal appear in
+    // the member product; xa < xb keeps each unordered pair once
+    val intraExp = repPairs.filter(col("ra") === col("rb"))
+      .join(memb.select(col("rep_id").as("ra"), col("vec_id").as("xa")), "ra")
+      .join(memb.select(col("rep_id").as("rb"), col("vec_id").as("xb")), "rb")
+      .filter(col("xa") < col("xb"))
+      .select(col("xa").as("a_id"), col("xb").as("b_id"), col("cos"))
+    crossExp.unionByName(intraExp)
       .orderBy("a_id", "b_id")
   }
 }
