@@ -144,14 +144,38 @@ object Dedup {
 
   /** [[ngramContainmentPrefix]] without the presentation sort — the form
     * [[orderedDedup]] consumes (its pair self-join would waste the
-    * range exchange; same rationale as [[ngramJaccardPairs]]). */
+    * range exchange; same rationale as [[ngramJaccardPairs]]).
+    *
+    * REPRESENTATIVE COLLAPSE (r6, same law as [[ngramPairCounts]]):
+    * the prefix filter, candidate join and verify all run at
+    * unique-text cardinality; member pairs expand from the rep-level
+    * directed pairs. Lossless: containment is a function of the two
+    * shingle sets; the rep-level document frequency ordering changes
+    * only WHICH shingles land in the prefix (any total order keeps the
+    * pigeonhole bound — the bound is on the COUNT of prefix slots, not
+    * their identity), never the verified output. Intra-group directed
+    * pairs (identical sets, containment 1.0 in both directions at any
+    * threshold ≤ 1) are computed through the SAME intersect/rfloor
+    * expressions on the rep self-pair, then expanded to every ordered
+    * member pair. Without this, duplicate-heavy data is the documented
+    * "containment wall": every prefix shingle of a replica group has
+    * df ≥ |group| and the candidate join spills unboundedly (the 30×
+    * replica smoke overflowed an 80 GB disk before this collapse). */
   private[graft] def ngramContainmentPrefixPairs(corpus: DataFrame, threshold: Double = 0.8): DataFrame = {
-    // (doc_id, hs: sorted-distinct 8-byte shingle hashes) — consumed by
-    // the df count, the prefix ranking, and BOTH sides of the verify
-    // join: checkpoint once (house rule: eviction-proof multi-consumer)
-    val docs = corpus
-      .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("shs"))
-      .select(col("doc_id"), expr("transform(shs, s -> xxhash64(s))").as("hs"))
+    val dig = corpus.select(col("doc_id"), col("text"), md5(col("text")).as("dg"))
+    val grp = dig.select(col("dg"), col("doc_id")).groupBy(col("dg"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("g_n"))
+    val memb = dig.select(col("dg"), col("doc_id"))
+      .join(grp.select(col("dg"), col("rep_id")), "dg")
+      .select(col("rep_id"), col("doc_id"))
+      .localCheckpoint(eager = false) // 2 cross + 2 intra consumers
+    // (rep, g_n, hs: distinct 8-byte shingle hashes) — consumed by the
+    // df count, the prefix ranking, BOTH sides of the verify join and
+    // the intra self-pair: checkpoint once (house rule: eviction-proof
+    // multi-consumer)
+    val docs = dig.join(grp.select(col("rep_id").as("doc_id"), col("g_n")), Seq("doc_id"))
+      .select(col("doc_id"), col("g_n"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("shs"))
+      .select(col("doc_id"), col("g_n"), expr("transform(shs, s -> xxhash64(s))").as("hs"))
       .filter(size(col("hs")) > 0)
       .repartition(col("doc_id"))
       .localCheckpoint()
@@ -169,13 +193,33 @@ object Dedup {
     val cands = prefix.join(ex.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
-    cands
+    val repPairs = cands
       .join(docs.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
       .join(docs.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
       .withColumn("containment", graft.ops.Det.rfloor(
         size(array_intersect(col("ha"), col("hb"))).cast("double") / size(col("ha")), 4))
       .filter(col("containment") >= threshold)
-      .select(col("a_id").as("contained_id"), col("b_id").as("container_id"), col("containment"))
+      .select(col("a_id").as("ra"), col("b_id").as("rb"), col("containment"))
+    // cross-group expansion: direction is carried by the rep pair —
+    // contained members come from ra's group, container members from rb's
+    val cross = repPairs
+      .join(memb.select(col("rep_id").as("ra"), col("doc_id").as("xa")), "ra")
+      .join(memb.select(col("rep_id").as("rb"), col("doc_id").as("xb")), "rb")
+      .select(col("xa").as("contained_id"), col("xb").as("container_id"), col("containment"))
+    // intra-group: identical sets contain each other; the value runs
+    // through the same intersect/rfloor arithmetic on the rep self-pair
+    // (no hand-assumed 1.0) and expands to every ORDERED member pair
+    val selfVal = docs.filter(col("g_n") >= 2)
+      .withColumn("containment", graft.ops.Det.rfloor(
+        size(array_intersect(col("hs"), col("hs"))).cast("double") / size(col("hs")), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_id").as("rg"), col("containment"))
+    val intra = selfVal
+      .join(memb.select(col("rep_id").as("rg"), col("doc_id").as("xa")), "rg")
+      .join(memb.select(col("rep_id").as("rg"), col("doc_id").as("xb")), "rg")
+      .filter(col("xa") =!= col("xb"))
+      .select(col("xa").as("contained_id"), col("xb").as("container_id"), col("containment"))
+    cross.unionByName(intra)
   }
 
   /** The PRODUCTION dedup ordering as one operator (ARCHITECTURE.md
