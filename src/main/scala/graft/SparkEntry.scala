@@ -143,6 +143,7 @@ object SparkEntry {
     "sim_quantized_topk" -> ((s, d) => Similarity.quantizedTopk(Tables.embeddings(s, d))),
     "sim_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
+    "sim_pq_topk" -> ((s, d) => Similarity.pqTopk(Tables.embeddings(s, d))),
     // --- LLM-pipeline: text analysis ---
     "text_tokenize_wordcount" -> ((s, d) => TextAnalysis.tokenizeWordcount(Tables.documents(s, d))),
     "text_ngrams" -> ((s, d) => TextAnalysis.ngramCounts(Tables.documents(s, d))),

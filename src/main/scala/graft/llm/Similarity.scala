@@ -212,6 +212,132 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product-quantized (PQ) approximate top-k — the sub-byte STORAGE
+    * path of ANN at 100 TB, one tier below [[quantizedTopk]]'s int8:
+    * dims split into `subspaces` disjoint blocks, each block quantized
+    * to one of `codebookSize` learned centroids, so a 64-dim float32
+    * vector stores as 8 half-byte-ish codes (64× compression at these
+    * defaults) and search never touches floats per corpus row.
+    *
+    * Training is a per-subspace Lloyd loop in ONE distributed job per
+    * iteration (subspace index exploded into the rows, so all M
+    * k-means problems share each pass); centroid updates use
+    * exact-decimal sums like [[ivfTopK]] so iterations are
+    * shuffle-order-reproducible, and the collected model is
+    * subspaces×codebookSize×subDim doubles — parameter-sized, not
+    * data-sized. Init = the first `codebookSize` vectors' sub-blocks
+    * (deterministic, no RNG).
+    *
+    * Search is ADC (asymmetric distance computation): the query stays
+    * full-precision; dot(q, reconstruct(x)) = Σ_m LUT[m][code_m] with
+    * the M×K LUT broadcast as a literal, and |reconstruct(x)|² =
+    * Σ_m |centroid|² (subspaces are disjoint dims, so there are no
+    * cross terms — the identity is exact, the only loss is the
+    * quantization itself). Per corpus row the scorer reads M small
+    * ints and two lookup tables: this is the plan a 100 TB store
+    * serves from code arrays alone. Quantization-derived → oracle-
+    * exempt; LlmOpsSpec gates recall vs brute force + determinism. */
+  def pqTopk(embeddings: DataFrame, queryId: Long = 0, k: Int = 10,
+             subspaces: Int = 8, codebookSize: Int = 16, iters: Int = 2,
+             rerank: Int = 16): DataFrame = {
+    val dims = 64
+    val subDim = dims / subspaces
+    // model passes: iters assign/update jobs + the code pass — same
+    // localCheckpoint rationale as ivfTopK's
+    val vs = doubled(embeddings).localCheckpoint()
+
+    // codebooks(m)(j) = centroid j of subspace m
+    var cb: Array[Array[Array[Double]]] =
+      vs.orderBy("vec_id").limit(codebookSize).collect()
+        .map(_.getSeq[Double](1).toArray)
+        .map(v => Array.tabulate(subspaces)(m => v.slice(m * subDim, (m + 1) * subDim)))
+        .transpose.map(_.toArray)
+
+    // one long row per (vector, subspace): all M k-means assignments
+    // ride a single pass; sv is the sub-block
+    val subRows = vs.select(col("vec_id"),
+      posexplode(expr(s"transform(sequence(0, ${subspaces - 1}), m -> slice(v, m * $subDim + 1, $subDim))")))
+      .select(col("vec_id"), col("pos").as("m"), col("col").as("sv"))
+
+    def assignExpr(codebooks: Array[Array[Array[Double]]]): Column = {
+      val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+      val n2Lit = typedLit(codebooks.map(_.map(c => c.map(x => x * x).sum).toSeq).toSeq)
+      // argmin_j |sv - c_j|²; the sv·sv term is constant across j and
+      // dropped — ranking (and ties, broken by j) are unchanged
+      array_min(array((0 until codebookSize).map { j =>
+        struct(
+          (vecDot(col("sv"), element_at(element_at(cbLit, col("m") + 1), j + 1)) * lit(-2.0)
+            + element_at(element_at(n2Lit, col("m") + 1), j + 1)).as("d"),
+          lit(j).as("i"))
+      }: _*)).getField("i")
+    }
+
+    for (_ <- 1 to iters) {
+      val sums = subRows.withColumn("code", assignExpr(cb))
+        .select(col("m"), col("code"), posexplode(col("sv")))
+        .groupBy("m", "code", "pos")
+        .agg(sum(col("col").cast("decimal(28,14)")).cast("double").as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+      cb = Array.tabulate(subspaces, codebookSize) { (m, j) =>
+        byCell.get((m, j)) match {
+          case Some(rows) =>
+            val c = new Array[Double](subDim)
+            rows.foreach(r => c(r.getInt(2)) = r.getDouble(3) / r.getLong(4))
+            c
+          case None => cb(m)(j) // empty cell keeps its centroid
+        }
+      }
+    }
+
+    // encode: M codes per vector in one map-side expression
+    val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val n2 = cb.map(_.map(c => c.map(x => x * x).sum))
+    def codeExpr(m: Int): Column = array_min(array((0 until codebookSize).map { j =>
+      struct(
+        (vecDot(slice(col("v"), m * subDim + 1, subDim), element_at(element_at(cbLit, m + 1), j + 1)) * lit(-2.0)
+          + lit(n2(m)(j))).as("d"),
+        lit(j).as("i"))
+    }: _*)).getField("i")
+    val codes = vs.select(col("vec_id"),
+      array((0 until subspaces).map(codeExpr): _*).as("codes"))
+
+    // ADC model for this query: LUT[m][j] = q_sub(m)·c_{m,j}
+    val q = vs.filter(col("vec_id") === queryId)
+      .select(col("v")).collect().head.getSeq[Double](0).toArray
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    val lut = Array.tabulate(subspaces, codebookSize) { (m, j) =>
+      cb(m)(j).zip(q.slice(m * subDim, (m + 1) * subDim)).map { case (c, x) => c * x }.sum
+    }
+    val lutLit = typedLit(lut.map(_.toSeq).toSeq)
+    val cn2Lit = typedLit(n2.map(_.toSeq).toSeq)
+    // M table lookups per row — the corpus side contributes only codes
+    val dotQ = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(subspaces - 1)),
+        (c, m) => element_at(element_at(lutLit, m + 1), c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val rNorm2 = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(subspaces - 1)),
+        (c, m) => element_at(element_at(cn2Lit, m + 1), c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    // ADC shortlist (k·rerank ids straight from the code arrays), then
+    // exact re-rank of only the shortlist — the standard PQ serving
+    // shape: the corpus-wide pass touches codes, floats are fetched for
+    // a candidate sliver whose size is k-bound, not corpus-bound
+    val shortlist = codes.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        (dotQ / nonzeroDenom(sqrt(rNorm2) * lit(qNorm))).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+      .limit(k * rerank)
+    vs.join(broadcast(shortlist.select("vec_id")), "vec_id")
+      .select(col("vec_id"),
+        (round(vecDot(col("v"), typedLit(q.toSeq)) /
+          nonzeroDenom(vecNorm(col("v")) * lit(qNorm)), 4) + lit(0.0)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Multi-table LSH (sign random projection) approximate top-k: L
     * independent tables of `planes` hyperplanes each; bucket(t, v) = sign
     * bits of dot(v, plane_{t,p}); candidates = union over tables of the

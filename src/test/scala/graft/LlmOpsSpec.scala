@@ -79,6 +79,23 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("pq top-k achieves recall >= 0.8 vs brute force and is deterministic") {
+    // uniform-random test embeddings are PQ's WORST case (no manifold
+    // structure for the codebooks to learn), hence the generous default
+    // ADC shortlist; the gate mirrors the IVF/LSH ones
+    for (qid <- Seq(0L, 7L, 42L)) {
+      val brute = Similarity.topkSearch(embeddings, queryId = qid)
+        .collect().map(_.getLong(0)).toSet
+      val r1 = Similarity.pqTopk(embeddings, queryId = qid).collect().map(_.getLong(0)).toSeq
+      if (qid == 0L) {
+        val r2 = Similarity.pqTopk(embeddings, queryId = qid).collect().map(_.getLong(0)).toSeq
+        assert(r1 === r2, "PQ not deterministic across runs")
+      }
+      val recall = (brute & r1.toSet).size.toDouble / brute.size
+      assert(recall >= 0.8, s"PQ recall $recall < 0.8 at qid=$qid (brute=$brute approx=$r1)")
+    }
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     val fp = TextAnalysis.fingerprint(documents).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val fp2 = TextAnalysis.fingerprint(documents).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
