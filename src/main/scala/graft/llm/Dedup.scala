@@ -162,18 +162,20 @@ object Dedup {
     * df ≥ |group| and the candidate join spills unboundedly (the 30×
     * replica smoke overflowed an 80 GB disk before this collapse). */
   private[graft] def ngramContainmentPrefixPairs(corpus: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val dig = corpus.select(col("doc_id"), col("text"), md5(col("text")).as("dg"))
-    val grp = dig.select(col("dg"), col("doc_id")).groupBy(col("dg"))
-      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("g_n"))
-    val memb = dig.select(col("dg"), col("doc_id"))
-      .join(grp.select(col("dg"), col("rep_id")), "dg")
-      .select(col("rep_id"), col("doc_id"))
-      .localCheckpoint(eager = false) // 2 cross + 2 intra consumers
+    // one digest-keyed exchange tags rep_id + group size; memb and the
+    // rep set derive map-side (same single-shuffle collapse shape as
+    // ngramPairCounts — see the rationale there)
+    val wdg = Window.partitionBy(md5(col("text")))
+    val tagged = corpus
+      .withColumn("rep_id", min(col("doc_id")).over(wdg))
+      .withColumn("g_n", count(lit(1)).over(wdg))
+      .localCheckpoint(eager = false)
+    val memb = tagged.select(col("rep_id"), col("doc_id"))
     // (rep, g_n, hs: distinct 8-byte shingle hashes) — consumed by the
     // df count, the prefix ranking, BOTH sides of the verify join and
     // the intra self-pair: checkpoint once (house rule: eviction-proof
     // multi-consumer)
-    val docs = dig.join(grp.select(col("rep_id").as("doc_id"), col("g_n")), Seq("doc_id"))
+    val docs = tagged.filter(col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("g_n"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("shs"))
       .select(col("doc_id"), col("g_n"), expr("transform(shs, s -> xxhash64(s))").as("hs"))
       .filter(size(col("hs")) > 0)
@@ -298,23 +300,24 @@ object Dedup {
     * (32B, id) rows. */
   private def ngramPairCounts(corpus: DataFrame,
                               dfCap: Option[Int]): DataFrame = {
-    val dig = corpus.select(col("doc_id"), col("text"), md5(col("text")).as("dg"))
-    val grp = dig.select(col("dg"), col("doc_id")).groupBy(col("dg"))
-      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("g_n"))
-    // (rep_id, doc_id) membership — 16-byte rows, consumed by the intra
-    // self-join and both cross-expansion joins: materialize once, lazily
-    // (house rule: multi-consumer frames checkpoint; lazy so building
-    // the plan stays side-effect-free)
-    val memb = dig.select(col("dg"), col("doc_id"))
-      .join(grp.select(col("dg"), col("rep_id")), "dg")
-      .select(col("rep_id"), col("doc_id"))
+    // ONE exchange keyed on the text digest tags every row with its
+    // group's min id and size; memb and reps then derive map-side from
+    // the same lazily-materialized checkpoint (house rule:
+    // multi-consumer frames checkpoint; lazy keeps plan construction
+    // side-effect-free). The earlier groupBy+two-join form shuffled the
+    // corpus twice more and measured 2× slower on mostly-unique data.
+    val wdg = Window.partitionBy(md5(col("text")))
+    val tagged = corpus
+      .withColumn("rep_id", min(col("doc_id")).over(wdg))
+      .withColumn("g_n", count(lit(1)).over(wdg))
       .localCheckpoint(eager = false)
+    // (rep_id, doc_id) membership — consumed by the intra self-join and
+    // both cross-expansion joins
+    val memb = tagged.select(col("rep_id"), col("doc_id"))
     // the collapsed corpus: one text per digest group + the group size
-    // as the shingle df weight; checkpointed because the shingle
-    // expression below is recomputed from it by each sizes consumer
-    val reps = dig.join(grp.select(col("rep_id").as("doc_id"), col("g_n")), Seq("doc_id"))
+    // as the shingle df weight
+    val reps = tagged.filter(col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("text"), col("g_n"))
-      .localCheckpoint(eager = false)
     val withSh = reps
       .select(col("doc_id"), col("g_n"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("shs"))
     // per-rep shingle counts map-side from the (distinct) array length —
@@ -1070,15 +1073,20 @@ object Dedup {
     * bound. */
   def embeddingCosine(vecCorpus: DataFrame, threshold: Double = 0.99): DataFrame = {
     import graft.functions.VectorExprs.{vecDot, vecNorm, nonzeroDenom}
-    // arrays of float are valid GROUP BY / equi-join keys in Spark —
-    // exact byte equality, no hash-collision exposure
-    val grp = vecCorpus.groupBy(col("v"))
-      .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("g_n"))
-      .localCheckpoint(eager = false) // feeds reps AND the memb join
-    val memb = vecCorpus.join(grp.select(col("v"), col("rep_id")), Seq("v"))
-      .select(col("rep_id"), col("vec_id"))
-      .localCheckpoint(eager = false) // 2 cross + 2 intra consumers
-    val reps = grp.select(col("rep_id").as("vec_id"), col("v"), col("g_n"))
+    // arrays are valid window-partition keys in Spark — exact equality,
+    // no hash-collision exposure. ONE exchange keyed on the vector tags
+    // every row with its group's min id and size; memb and reps then
+    // derive map-side from the same checkpoint (the groupBy+join form
+    // measured 2.3× slower on the mostly-unique bench corpus: it
+    // shuffled the vectors twice more)
+    val w = Window.partitionBy(col("v"))
+    val tagged = vecCorpus
+      .withColumn("rep_id", min(col("vec_id")).over(w))
+      .withColumn("g_n", count(lit(1)).over(w))
+      .localCheckpoint(eager = false) // memb (×4) + reps consumers
+    val memb = tagged.select(col("rep_id"), col("vec_id"))
+    val reps = tagged.filter(col("vec_id") === col("rep_id"))
+      .select(col("vec_id"), col("v"), col("g_n"))
     // norms once per vector; codegen'd dot per pair (graft.functions)
     val withN = reps.withColumn("nrm", vecNorm(col("v")))
     val a = withN.select(col("vec_id").as("ra"), col("v").as("a_v"),
@@ -1086,11 +1094,15 @@ object Dedup {
     val b = withN.select(col("vec_id").as("rb"), col("v").as("b_v"), col("nrm").as("b_n"))
     // self-pairs (ra = rb) carry the intra-group cosine for groups with
     // ≥ 2 members; singleton self-pairs would expand to nothing — skip
+    // pair-sized result, consumed by BOTH expansion branches below —
+    // without this the whole crossJoin computes twice (measured: 2
+    // BroadcastNestedLoopJoins in one plan, 2× the operator's cost)
     val repPairs = a.crossJoin(b)
       .filter(col("ra") < col("rb") || (col("ra") === col("rb") && col("ga") >= 2))
       .withColumn("cos", round(vecDot(col("a_v"), col("b_v")) / nonzeroDenom(col("a_n") * col("b_n")), 4))
       .filter(col("cos") >= threshold)
       .select(col("ra"), col("rb"), col("cos"))
+      .localCheckpoint(eager = false)
     // distinct-group expansion: each member combo appears once; (min,
     // max) orientation restored (cosine is symmetric — no value swap)
     val crossExp = repPairs.filter(col("ra") =!= col("rb"))
