@@ -170,6 +170,8 @@ object SparkEntry {
       Multimodal.decodeSummary(Tables.documents(s, d)) }),
     "mm_image_phash" -> ((s, d) => { implicit val sp: SparkSession = s
       Multimodal.imagePhashPairs(Tables.documents(s, d)) }),
+    "mm_frame_sample" -> ((s, d) => { implicit val sp: SparkSession = s
+      Multimodal.frameSample(Tables.documents(s, d)) }),
     // --- streaming (batch-equivalent forms; true streaming in StreamingSpec) ---
     "stream_tumbling_batch" -> ((s, d) => Streams.tumblingBatch(Tables.events(s, d))),
     "stream_sliding_batch" -> ((s, d) => Streams.slidingBatch(Tables.events(s, d))),
@@ -354,7 +356,10 @@ object SparkEntry {
     "pipeline_curation" -> ((s, d) => TrainingPrep.curate(Tables.documents(s, d))),
     // the production ORDERING shipped as one operator: exact dedup, then
     // prefix-containment over the survivors (ARCHITECTURE "Containment wall")
-    "pipeline_dedup_ordered" -> ((s, d) => Dedup.orderedDedup(Corpus.docCorpus(Tables.documents(s, d))))
+    "pipeline_dedup_ordered" -> ((s, d) => Dedup.orderedDedup(Corpus.docCorpus(Tables.documents(s, d)))),
+    // link-graph centrality in fixed-point integer arithmetic — the
+    // iterative-algorithm tier's oracle-checkable representative
+    "graph_pagerank" -> ((s, d) => graft.ops.Graph.pagerank(Tables.documents(s, d)))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -415,6 +420,32 @@ object SparkEntry {
        |SELECT s.doc_id, s.n_chars FROM surv s
        |LEFT JOIN dropped dr ON s.doc_id = dr.doc_id
        |WHERE dr.doc_id IS NULL ORDER BY s.doc_id""".stripMargin
+
+  /** graph_pagerank: the 3 Lloyd-style iterations UNROLLED as CTE
+    * triples (contrib → incoming → update). All arithmetic is BIGINT
+    * fixed-point (units of 1e-12, floor division) — the property that
+    * makes an iterative algorithm hash-comparable across engines at
+    * all; DuckDB's `//` and Spark's `div` agree on non-negative
+    * operands. DuckDB promotes SUM to HUGEINT; values stay far inside
+    * bigint range so the stringified rows match. */
+  private val pagerankOracleSql: String = {
+    def iter(i: Int): String = {
+      val prev = s"r${i - 1}"
+      s"""c$i AS (SELECT e.dst AS node, (r.rank // d.deg) AS c
+         | FROM edges e JOIN deg d ON e.src = d.src JOIN $prev r ON r.node = e.src),
+         |i$i AS (SELECT node, SUM(c) AS inc FROM c$i GROUP BY node),
+         |r$i AS (SELECT nodes.node,
+         |  (150000000000 // n) + ((85 * COALESCE(inc, 0)) // 100) AS rank
+         | FROM nodes CROSS JOIN nt LEFT JOIN i$i ON i$i.node = nodes.node)""".stripMargin
+    }
+    s"""WITH edges AS (SELECT DISTINCT doc_id % 200 AS src, (doc_id * 31 + 7) % 200 AS dst FROM documents),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges) u),
+       |nt AS (SELECT COUNT(*) AS n FROM nodes),
+       |r0 AS (SELECT node, 1000000000000 // n AS rank FROM nodes CROSS JOIN nt),
+       |${(1 to 3).map(iter).mkString(",\n")}
+       |SELECT node, rank AS rank_units FROM r3 ORDER BY node""".stripMargin
+  }
 
   /** dedup_minhash_oracle SQL, GENERATED from the same constants the
     * Spark operator uses (Dedup.MinhashParams) so the two sides cannot
@@ -916,6 +947,7 @@ object SparkEntry {
     // oracle; ONE shared literal so the twins can't silently diverge
     "dedup_containment_prefix" -> containmentOracleSql,
     "pipeline_dedup_ordered" -> orderedDedupOracleSql,
+    "graph_pagerank" -> pagerankOracleSql,
     "dedup_cluster" ->
       s"""WITH RECURSIVE $jaccardCtes,
          |edges AS (SELECT a_id AS src, b_id AS dst FROM jpairs

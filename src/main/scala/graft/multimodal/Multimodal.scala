@@ -202,6 +202,16 @@ object Multimodal {
     * actual end-to-end decode with zero codec dependency (y4m is a pure
     * container format: no entropy coding, no inter-frame prediction). */
   private[graft] def decodeY4m(bytes: Array[Byte]): Array[Double] = {
+    val frameMeans = y4mFrameMeans(bytes)
+    // 8 equal blocks over the frame sequence (same aggregation shape as
+    // the PPM pixel blocks / WAV sample windows)
+    blockMeans(frameMeans.length)(frameMeans)
+  }
+
+  /** The y4m stream walk underlying [[decodeY4m]] and [[frameSample]]:
+    * header parse → FRAME-marker walk → one mean luma (0–1) per decoded
+    * frame, in stream order. */
+  private[graft] def y4mFrameMeans(bytes: Array[Byte]): Array[Double] = {
     val magic = "YUV4MPEG2"
     require(bytes.length > magic.length &&
       new String(bytes, 0, magic.length, "US-ASCII") == magic, "not a YUV4MPEG2 stream")
@@ -254,11 +264,8 @@ object Multimodal {
       frameMeans += acc.toDouble / wh / 255.0
       pos += wh + chromaBytes
     }
-    val nf = frameMeans.length
-    require(nf > 0, "y4m has no frames")
-    // 8 equal blocks over the frame sequence (same aggregation shape as
-    // the PPM pixel blocks / WAV sample windows)
-    blockMeans(nf)(frameMeans)
+    require(frameMeans.nonEmpty, "y4m has no frames")
+    frameMeans.toArray
   }
 
   /** P6 PPM parse (magic, whitespace- and comment-tolerant
@@ -381,6 +388,40 @@ object Multimodal {
       .select(col("doc_id"), col("kind"), col("n_bytes"),
         round(element_at(col("feature"), 1), 6).as("f0"))
       .orderBy("doc_id")
+
+  /** Deterministic FRAME SAMPLING over the video payloads — the
+    * "explode a video into k training frames" pass of a multimodal
+    * pipeline (uniform-stride selection is what production samplers
+    * default to; a model-driven saliency sampler would slot into the
+    * same batch boundary). Frame f_i = floor(i·nf/k) for i in [0, k)
+    * over the decoded frame count nf (deduplicated when nf < k — short
+    * clips yield fewer rows, never repeats), each emitted as its own
+    * row with the decoded per-frame mean luma as the stand-in frame
+    * feature. One input row fans out to ≤ k output rows inside the
+    * same partition — no shuffle until the presentation sort; at scale
+    * the sampler is a pure map stage whose output feeds the embedding
+    * batcher. Decode-derived → oracle-exempt; LlmOpsSpec pins the
+    * sampled indices and the per-frame values against the y4m
+    * synthesis law (frame f's luma = mean of srcBytes[f·wh+i mod n]). */
+  def frameSample(documents: DataFrame, k: Int = 4)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    asMediaItems(documents)
+      .filter(_.kind == "video")
+      .mapPartitions { it =>
+        it.grouped(DecodeBatch).flatMap { batch => // one decode call per batch
+          batch.flatMap { m =>
+            val frames = y4mFrameMeans(m.content)
+            val nf = frames.length
+            val take = math.min(k, nf)
+            (0 until take).map(i => (i.toLong * nf / take).toInt).distinct
+              .map(fi => (m.doc_id, fi, nf, frames(fi)))
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "n_frames", "mean_luma")
+      .withColumn("mean_luma", round(col("mean_luma"), 6))
+      .orderBy("doc_id", "frame_idx")
+  }
 
   /** Perceptual-hash image dedup: the image slice of the corpus (plus
     * injected exact copies, doc_id%21→+100000, and near copies with the

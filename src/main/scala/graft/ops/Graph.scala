@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over the corpus's synthesized host graph.
+  *
+  * A crawl pipeline's quality signals include graph centrality (hosts
+  * linked by many well-linked hosts are likelier to carry quality text —
+  * the classic PageRank prior). The corpus has no link column, so edges
+  * are synthesized deterministically from doc ids exactly like
+  * [[graft.llm.Dedup.urlDedup]] synthesizes URLs: host(doc) = doc_id mod
+  * N, target(doc) = (doc_id·31 + 7) mod N, one distinct edge per
+  * (host, target) pair. The oracle mirrors the synthesis.
+  */
+object Graph {
+
+  /** PageRank in FIXED-POINT integer arithmetic (units of 1e-12): rank
+    * values are BIGINT unit counts, per-edge contributions are integer
+    * divisions (`rank div out_degree`), the damping step is
+    * `(85·Σ contrib) div 100`, and the teleport term is
+    * `(0.15·SCALE) div N`. Floor division loses the remainder
+    * deterministically, so — unlike a double formulation, where the
+    * Σ contrib accumulation order varies with shuffle order and engines
+    * disagree in the last ulps — every iteration is bit-exact on ANY
+    * engine and ANY parallelism, which is what makes an ITERATIVE
+    * algorithm oracle-checkable at all (same reproducibility discipline
+    * as the IVF/PQ exact-decimal centroid sums, taken one step further:
+    * no floats anywhere).
+    *
+    * Plan shape per iteration (the Pregel-in-SQL form): one broadcast
+    * join of the node-sized degree/rank dimensions onto the edge table,
+    * one `dst`-keyed aggregation of contributions (map-side partials —
+    * the exchange carries ≤ one row per (task, node)), one node-sized
+    * left join for the damping update. The edge table is the only
+    * data-sized frame and is scanned once per iteration from its lazy
+    * checkpoint; ranks frames are node-sized and checkpoint per
+    * iteration to keep lineage flat (at 100 TB: ranks persist as a
+    * table per epoch and iterations restart from it). Dangling nodes
+    * (no out-edges — absent here by construction, ids are dense) would
+    * leak their mass; the standard redistribution step is omitted and
+    * documented rather than silently half-done. */
+  def pagerank(documents: DataFrame, iters: Int = 3, nNodes: Int = 200): DataFrame = {
+    val scale = 1000000000000L // 1e12 rank units
+    val edges = documents.select(
+        (col("doc_id") % nNodes).as("src"),
+        ((col("doc_id") * 31 + 7) % nNodes).as("dst"))
+      .distinct()
+      .localCheckpoint(eager = false) // scanned every iteration
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = false) // every iteration + the final join
+    // N stays a 1-row FRAME (no driver-side count(): operator builders
+    // are side-effect-free, house rule) broadcast into each update
+    val nTot = nodes.agg(count(lit(1)).as("n"))
+
+    var ranks = nodes.crossJoin(broadcast(nTot))
+      .select(col("node"), expr(s"$scale div n").as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(broadcast(deg), "src")
+        .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
+        .select(col("dst").as("node"), expr("rank div deg").as("c"))
+      val incoming = contrib.groupBy("node").agg(sum(col("c")).as("inc"))
+      ranks = nodes.crossJoin(broadcast(nTot))
+        .join(incoming, Seq("node"), "left_outer")
+        .select(col("node"),
+          (expr(s"${scale * 15 / 100} div n")
+            + expr("(85 * coalesce(inc, cast(0 as bigint))) div 100")).as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    ranks.select(col("node"), col("rank").as("rank_units"))
+      .orderBy("node")
+  }
+}

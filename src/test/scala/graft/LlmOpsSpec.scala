@@ -167,6 +167,40 @@ class LlmOpsSpec extends SparkSpec {
     assert(ids.distinct.length === ids.length)
   }
 
+  test("mm_frame_sample: uniform stride indices, per-frame luma matches the y4m synthesis law") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val rows = Multimodal.frameSample(documents).collect()
+    assert(rows.nonEmpty)
+    // only video-kind docs (doc_id % 3 == 2) appear; every synthesized
+    // clip has 8 frames, so k=4 samples exactly indices 0,2,4,6
+    assert(rows.forall(_.getLong(0) % 3 == 2))
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq === Seq(0, 2, 4, 6), s"doc $id")
+      assert(rs.forall(_.getInt(2) == 8), s"doc $id n_frames")
+    }
+    // synthesis law: frame f's luma pixel i is srcByte[(f*wh+i) % n] —
+    // recompute a sampled doc's expected means straight from its text
+    val docId = byDoc.keys.min
+    val src = documents.filter(col("doc_id") === docId)
+      .select("text").collect().head.getString(0).getBytes("UTF-8")
+    val n = math.max(src.length, 1)
+    val wh = 64
+    def expected(f: Int): Double =
+      (0 until wh).map(i => (src((f * wh + i) % n) & 0xff).toDouble).sum / wh / 255.0
+    byDoc(docId).foreach { r =>
+      val f = r.getInt(1)
+      assert(math.abs(r.getDouble(3) - expected(f)) < 1e-6,
+        s"doc $docId frame $f: got ${r.getDouble(3)}, expected ${expected(f)}")
+    }
+    // short clip: fewer frames than k → deduplicated indices, no repeats
+    import s.implicits._
+    val shortDoc = Seq((2L, "ab")).toDF("doc_id", "text") // video kind
+    val shortRows = Multimodal.frameSample(shortDoc, k = 16).collect()
+    val idxs = shortRows.map(_.getInt(1)).toSeq
+    assert(idxs == idxs.distinct && idxs.forall(_ < 8), idxs.toString)
+  }
+
   test("ngramJaccard dfCap prunes candidates but never invents pairs") {
     val corpus = Corpus.docCorpus(documents)
     def pairs(cap: Option[Int]) =
