@@ -438,7 +438,7 @@ object SparkEntry {
          |  (150000000000 // n) + ((85 * COALESCE(inc, 0)) // 100) AS rank
          | FROM nodes CROSS JOIN nt LEFT JOIN i$i ON i$i.node = nodes.node)""".stripMargin
     }
-    s"""WITH edges AS (SELECT DISTINCT doc_id % 200 AS src, (doc_id * 31 + 7) % 200 AS dst FROM documents),
+    s"""WITH edges AS (SELECT DISTINCT doc_id % 200 AS src, (doc_id * 31 + doc_id // 7) % 200 AS dst FROM documents),
        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
        |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges) u),
        |nt AS (SELECT COUNT(*) AS n FROM nodes),

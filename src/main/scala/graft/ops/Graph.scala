@@ -10,8 +10,16 @@ import org.apache.spark.sql.functions._
   * the classic PageRank prior). The corpus has no link column, so edges
   * are synthesized deterministically from doc ids exactly like
   * [[graft.llm.Dedup.urlDedup]] synthesizes URLs: host(doc) = doc_id mod
-  * N, target(doc) = (doc_id·31 + 7) mod N, one distinct edge per
-  * (host, target) pair. The oracle mirrors the synthesis.
+  * N, target(doc) = (doc_id·31 + doc_id div 7) mod N, one distinct edge
+  * per (host, target) pair. The `div 7` term matters: any PURELY modular
+  * map (doc_id·a + b) mod N makes dst a function of src alone — a
+  * permutation graph whose PageRank is exactly uniform, so the oracle
+  * would prove nothing about the aggregation. Mixing in the quotient
+  * gives varying in/out-degrees (measured at sf0.01: out 2–3, in 1–4,
+  * 185 distinct rank values spanning 6.6×) while keeping every dst
+  * inside the src residue set — no dangling nodes, so rank mass is
+  * conserved up to floor loss (GraphSpec pins that invariant). The
+  * oracle mirrors the synthesis.
   */
 object Graph {
 
@@ -37,14 +45,15 @@ object Graph {
     * checkpoint; ranks frames are node-sized and checkpoint per
     * iteration to keep lineage flat (at 100 TB: ranks persist as a
     * table per epoch and iterations restart from it). Dangling nodes
-    * (no out-edges — absent here by construction, ids are dense) would
-    * leak their mass; the standard redistribution step is omitted and
-    * documented rather than silently half-done. */
+    * (no out-edges — absent here by construction, the dst set is a
+    * subset of the src residues) would leak their mass; the standard
+    * redistribution step is omitted and documented rather than
+    * silently half-done. */
   def pagerank(documents: DataFrame, iters: Int = 3, nNodes: Int = 200): DataFrame = {
     val scale = 1000000000000L // 1e12 rank units
     val edges = documents.select(
         (col("doc_id") % nNodes).as("src"),
-        ((col("doc_id") * 31 + 7) % nNodes).as("dst"))
+        ((col("doc_id") * 31 + expr("doc_id div 7")) % nNodes).as("dst"))
       .distinct()
       .localCheckpoint(eager = false) // scanned every iteration
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -58,19 +67,31 @@ object Graph {
     var ranks = nodes.crossJoin(broadcast(nTot))
       .select(col("node"), expr(s"$scale div n").as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = edges
-        .join(broadcast(deg), "src")
-        .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
-        .select(col("dst").as("node"), expr("rank div deg").as("c"))
-      val incoming = contrib.groupBy("node").agg(sum(col("c")).as("inc"))
-      ranks = nodes.crossJoin(broadcast(nTot))
-        .join(incoming, Seq("node"), "left_outer")
-        .select(col("node"),
-          (expr(s"${scale * 15 / 100} div n")
-            + expr("(85 * coalesce(inc, cast(0 as bigint))) div 100")).as("rank"))
-        .localCheckpoint(eager = false)
+      // lazy checkpoint per iteration: lineage stays flat (iters chain
+      // multiplicatively otherwise) and the next iteration's broadcast
+      // reads the materialized node-sized frame, not the whole history
+      ranks = step(edges, deg, nodes, nTot, ranks).localCheckpoint(eager = false)
     }
     ranks.select(col("node"), col("rank").as("rank_units"))
       .orderBy("node")
+  }
+
+  /** One un-checkpointed power iteration — split out so PlanAuditSpec
+    * can audit the per-iteration physical shape (broadcast dims onto
+    * edges, map-side partial contribution sum), which the checkpoint
+    * boundary would otherwise hide from the final executed plan. */
+  private[graft] def step(edges: DataFrame, deg: DataFrame, nodes: DataFrame,
+      nTot: DataFrame, ranks: DataFrame): DataFrame = {
+    val scale = 1000000000000L
+    val contrib = edges
+      .join(broadcast(deg), "src")
+      .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
+      .select(col("dst").as("node"), expr("rank div deg").as("c"))
+    val incoming = contrib.groupBy("node").agg(sum(col("c")).as("inc"))
+    nodes.crossJoin(broadcast(nTot))
+      .join(incoming, Seq("node"), "left_outer")
+      .select(col("node"),
+        (expr(s"${scale * 15 / 100} div n")
+          + expr("(85 * coalesce(inc, cast(0 as bigint))) div 100")).as("rank"))
   }
 }

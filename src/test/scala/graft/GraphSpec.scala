@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic gates for the link-graph tier. The DuckDB oracle already
+  * cross-checks `graph_pagerank` engine-to-engine; this suite adds an
+  * INDEPENDENT in-memory re-derivation (plain Long floor arithmetic,
+  * no SQL on either side) so a bug shared by both SQL formulations —
+  * e.g. a misplaced `div` precedence — cannot slip through, plus the
+  * fixed-point invariants that must hold for ANY input graph.
+  */
+class GraphSpec extends SparkSpec {
+
+  private val scale = 1000000000000L
+
+  /** Driver-side reference: same synthesis law, same floor-division
+    * fixed-point iteration, written against Maps instead of frames. */
+  private def referenceRanks(docIds: Seq[Long], iters: Int, n: Int): Map[Long, Long] = {
+    val edges = docIds.map(id => (id % n, (id * 31 + id / 7) % n)).distinct
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val nn = nodes.size
+    var ranks = nodes.map(_ -> scale / nn).toMap
+    for (_ <- 1 to iters) {
+      val inc = edges
+        .map { case (s, d) => d -> ranks(s) / deg(s) }
+        .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+      ranks = nodes.map(nd =>
+        nd -> (scale * 15 / 100 / nn + 85 * inc.getOrElse(nd, 0L) / 100)).toMap
+    }
+    ranks
+  }
+
+  test("graph_pagerank matches the in-memory fixed-point reference exactly") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = ops.Graph.pagerank(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSeq
+    val want = referenceRanks(ids, iters = 3, n = 200)
+    assert(got.keySet === want.keySet)
+    val diffs = got.collect { case (k, v) if want(k) != v => (k, v, want(k)) }
+    assert(diffs.isEmpty, s"first mismatches: ${diffs.take(3)}")
+    // the synthesis must stay INFORMATIVE: a purely modular edge map
+    // degenerates to a permutation whose ranks are all equal, and an
+    // all-equal answer would let an aggregation bug pass every gate
+    assert(got.values.toSet.size > 100, s"only ${got.values.toSet.size} distinct ranks")
+  }
+
+  test("graph_pagerank invariants: teleport floor, bounded mass, monotone floor loss") {
+    val docs = Tables.documents(spark, sfDir)
+    def ranksAt(iters: Int): Map[Long, Long] =
+      ops.Graph.pagerank(docs, iters = iters).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r1 = ranksAt(1); val r3 = ranksAt(3)
+    val n = r3.size
+    // every node keeps at least the teleport term
+    val teleport = scale * 15 / 100 / n
+    assert(r3.values.forall(_ >= teleport))
+    // floor division only LOSES units: total mass never exceeds scale
+    // and never recovers what an earlier iteration dropped
+    assert(r3.values.sum <= scale)
+    assert(r3.values.sum <= r1.values.sum)
+    // mass stays close to scale: per-division loss is < 1 unit, so the
+    // total shortfall is bounded by iters * (edges + nodes) units
+    assert(r3.values.sum > scale - 3L * (n.toLong * n + n))
+  }
+
+  test("graph_pagerank: a sink-free cycle keeps uniform rank exactly") {
+    import spark.implicits._
+    // doc_ids 7..11 with nNodes=5: src = id%5 = (2,3,4,0,1) and
+    // dst = (31·id + id div 7)%5 = (id + 1)%5 = (3,4,0,1,2) — the
+    // 5-cycle s → s+1. scale divides evenly by 5 and out-degrees are
+    // all 1, so every fixed-point division is exact: uniform rank is a
+    // true fixpoint with ZERO floor loss, bit-equal across iterations
+    val docs = (7L to 11L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val r = ops.Graph.pagerank(docs, iters = 8, nNodes = 5).collect()
+    val vals = r.map(_.getLong(1))
+    assert(vals.length == 5 && vals.forall(_ == scale / 5), vals.mkString(","))
+  }
+}

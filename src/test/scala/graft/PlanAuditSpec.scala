@@ -402,4 +402,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(idxScan.isDefined && idxScan.get.metadata.contains("SelectedBucketsCount"),
       s"index scan is not bucket-aware:\n${idxScan.map(_.toString).getOrElse("no scan")}")
   }
+
+  test("graph_pagerank: node dims broadcast onto edges, contributions combine map-side") {
+    // the Pregel-in-SQL contract at 100 TB: the edge table is the only
+    // data-sized frame, so the per-iteration joins must BROADCAST the
+    // node-sized degree/rank dims onto it (never shuffle edges), and
+    // the dst-keyed contribution sum must partially aggregate before
+    // its exchange (the shuffle carries ≤ one row per (task, node))
+    // audit ONE un-checkpointed iteration: the loop's per-iteration
+    // lazy checkpoints hide everything upstream from the final plan
+    val docs = Tables.documents(spark, sfDir)
+    val edges = docs.selectExpr("doc_id % 200 AS src", "(doc_id * 31 + doc_id div 7) % 200 AS dst").distinct()
+    val deg = edges.groupBy("src").agg(functions.count(functions.lit(1)).as("deg"))
+    val nodes = edges.select(functions.col("src").as("node"))
+      .union(edges.select(functions.col("dst").as("node"))).distinct()
+    val nTot = nodes.agg(functions.count(functions.lit(1)).as("n"))
+    val r0 = nodes.crossJoin(functions.broadcast(nTot))
+      .selectExpr("node", "1000000000000 div n AS rank")
+    val p = planOf(ops.Graph.step(edges, deg, nodes, nTot, r0))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p) // deg + ranks onto edges
+    assert(p.contains("partial_sum"), p) // contribution sum combines map-side
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p) // an edge-side shuffle would flip the cost model
+  }
 }
