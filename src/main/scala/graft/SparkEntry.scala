@@ -172,6 +172,8 @@ object SparkEntry {
       Multimodal.imagePhashPairs(Tables.documents(s, d)) }),
     "mm_frame_sample" -> ((s, d) => { implicit val sp: SparkSession = s
       Multimodal.frameSample(Tables.documents(s, d)) }),
+    "mm_audio_windows" -> ((s, d) => { implicit val sp: SparkSession = s
+      Multimodal.audioWindows(Tables.documents(s, d)) }),
     // --- streaming (batch-equivalent forms; true streaming in StreamingSpec) ---
     "stream_tumbling_batch" -> ((s, d) => Streams.tumblingBatch(Tables.events(s, d))),
     "stream_sliding_batch" -> ((s, d) => Streams.slidingBatch(Tables.events(s, d))),

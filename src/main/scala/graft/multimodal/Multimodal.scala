@@ -339,6 +339,15 @@ object Multimodal {
     * energy over 8 equal windows — an actual end-to-end decode with zero
     * codec dependency (WAV PCM is a pure container format). */
   private[graft] def decodeWav(bytes: Array[Byte]): Array[Double] = {
+    val (nSamples, at) = wavSamples(bytes)
+    blockMeans(nSamples)(j => at(j) * at(j)).map(math.sqrt)
+  }
+
+  /** The RIFF chunk walk underlying [[decodeWav]] and [[audioWindows]]:
+    * header validation → fmt/data chunk discovery → (sample count,
+    * index → sample in [-1, 1)) accessor over the decoded 16-bit mono
+    * PCM. */
+  private[graft] def wavSamples(bytes: Array[Byte]): (Int, Int => Double) = {
     require(bytes.length >= 12, "truncated WAV: no RIFF header")
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
@@ -374,11 +383,8 @@ object Multimodal {
     require(dataOff >= 0, "WAV has no data chunk")
     require(bits == 16 && channels == 1,
       s"expected 16-bit mono PCM, got $bits-bit $channels-channel")
-    val nSamples = dataLen / 2
-    blockMeans(nSamples) { j =>
-      val s = bb.getShort(dataOff + j * 2) / 32768.0
-      s * s
-    }.map(math.sqrt)
+    val dOff = dataOff
+    (dataLen / 2, j => bb.getShort(dOff + j * 2) / 32768.0)
   }
 
   /** Feature summary as a DataFrame query (rows-only checked by the
@@ -421,6 +427,60 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "n_frames", "mean_luma")
       .withColumn("mean_luma", round(col("mean_luma"), 6))
       .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Windowed AUDIO SEGMENTATION over the decoded PCM — the
+    * "voice-activity / energy segmentation" pass of an audio pipeline:
+    * the stream splits into `nWin` equal windows, each emitted as its
+    * own row with RMS energy and zero-crossing rate (the two classic
+    * cheap VAD features; a learned VAD model would consume the same
+    * window rows). ZCR = fraction of adjacent-sample sign flips inside
+    * the window (boundary pairs belong to the window of their SECOND
+    * sample, so every adjacent pair is counted exactly once across
+    * windows). Same fan-out contract as [[frameSample]]: one input row
+    * → nWin rows inside the partition, no shuffle until the
+    * presentation sort. Decode-derived → oracle-exempt; LlmOpsSpec
+    * recomputes both features from the synthesis law (sample_j =
+    * (srcByte_j − 128)·256 / 32768). */
+  def audioWindows(documents: DataFrame, nWin: Int = 8)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    asMediaItems(documents)
+      .filter(_.kind == "audio")
+      .mapPartitions { it =>
+        it.grouped(DecodeBatch).flatMap { batch => // one decode call per batch
+          batch.flatMap { m =>
+            val (n, at) = wavSamples(m.content)
+            // clamp like frameSample: a clip shorter than nWin yields
+            // one window per sample, never overlapping windows (which
+            // would double-count boundary pairs)
+            val nw = math.min(nWin, n)
+            (0 until nw).map { w =>
+              val lo = (w.toLong * n / nw).toInt
+              val hi = math.max(lo + 1, ((w + 1).toLong * n / nw).toInt)
+              var sq = 0.0
+              var flips = 0
+              var pairs = 0
+              var j = lo
+              while (j < hi && j < n) {
+                val s = at(j)
+                sq += s * s
+                if (j > 0) { // pair (j-1, j) counted in j's window
+                  if (at(j - 1) * s < 0) flips += 1
+                  pairs += 1
+                }
+                j += 1
+              }
+              val cnt = math.max(j - lo, 1)
+              (m.doc_id, w, n, math.sqrt(sq / cnt),
+                if (pairs == 0) 0.0 else flips.toDouble / pairs)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "win_idx", "n_samples", "rms", "zcr")
+      .withColumn("rms", round(col("rms"), 6))
+      .withColumn("zcr", round(col("zcr"), 6))
+      .orderBy("doc_id", "win_idx")
   }
 
   /** Perceptual-hash image dedup: the image slice of the corpus (plus

@@ -202,6 +202,27 @@ object ScaleSmoke {
       return
     }
 
+    // optional fifth arg "graphOnly": the link-graph tier. Docs
+    // replicate with shifted ids AND the host space widens factor×
+    // (nNodes = 200·factor) — the way a growing crawl adds hosts, not
+    // just pages — so edges AND nodes grow linearly. The Pregel-in-SQL
+    // contract says the per-iteration exchange carries node-bounded
+    // contribution partials (edges ride broadcast joins, never
+    // shuffle), so WALL must track ~factor. (The shuffle_records
+    // metric under-reports here: the per-iteration exchanges execute
+    // inside lazy-checkpoint materializations whose query executions
+    // the final plan walk cannot see — same metric-visibility artifact
+    // as retention, ARCHITECTURE r6; the per-iteration plan SHAPE is
+    // separately gated in PlanAuditSpec.)
+    if (args.lift(4).contains("graphOnly")) {
+      val repDocs = spark.read.parquet(path).localCheckpoint()
+      val nRep = repDocs.count()
+      time(s"pagerank_n${200 * factor}_docs$nRep")(
+        graft.ops.Graph.pagerank(repDocs, nNodes = 200 * factor))
+      spark.stop()
+      return
+    }
+
     // optional fifth arg "orderedOnly": the production ordering
     // (exact → containment-prefix on survivors, one operator) vs RAW
     // prefix-containment on the duplicate-heavy replicated corpus —

@@ -32,12 +32,16 @@ class CoreOpsSpec extends SparkSpec {
       "agg_approx_distinct", "agg_approx_quantiles", // sketches ≠ exact
       "dedup_near_minhash", "dedup_simhash",         // xxhash64-derived
       "sim_lsh_topk", "sim_ivf_topk",                // ANN, recall-gated
+      "sim_pq_topk",                                 // PQ-quantized ANN, recall + determinism gated
       "agg_hll_rollup",                              // HLL union estimate, 5%-gated above
       // text_fingerprint regained its oracle in round 2: the fold now runs
       // over code points, expressible as DuckDB list_reduce
-      "scan_csv_malformed",                          // corrupt-record taxonomy is engine-specific; pinned below
+      // scan_csv_malformed left the exempt list in round 6: the per-class
+      // corrupt-record COUNTS are engine-portable and oracle-checked now
       "mm_decode_stub",                              // decode not SQL-expressible
-      "mm_image_phash")                              // aHash over decoded raster, gated in LlmOpsSpec
+      "mm_image_phash",                              // aHash over decoded raster, gated in LlmOpsSpec
+      "mm_frame_sample",                             // y4m decode-derived, synthesis law gated in LlmOpsSpec
+      "mm_audio_windows")                            // WAV decode-derived, synthesis law gated in LlmOpsSpec
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt
     assert(missing.isEmpty, s"query without oracle and not exempt: $missing")
     // every exempt key needs a ScalaTest gate — enumerated here so a new

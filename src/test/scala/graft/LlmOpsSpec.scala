@@ -201,6 +201,52 @@ class LlmOpsSpec extends SparkSpec {
     assert(idxs == idxs.distinct && idxs.forall(_ < 8), idxs.toString)
   }
 
+  test("mm_audio_windows: rms and zcr match the WAV synthesis law per window") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val rows = Multimodal.audioWindows(documents).collect()
+    assert(rows.nonEmpty)
+    // only audio-kind docs (doc_id % 3 == 1); 8 windows each
+    assert(rows.forall(_.getLong(0) % 3 == 1))
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (0 until 8), s"doc $id windows")
+    }
+    // synthesis law: sample_j = (srcByte_j - 128)*256/32768 — recompute
+    // one doc's expected windows straight from its text bytes
+    val docId = byDoc.keys.min
+    val src = documents.filter(col("doc_id") === docId)
+      .select("text").collect().head.getString(0).getBytes("UTF-8")
+    val n = math.max(src.length, 1)
+    def sample(j: Int): Double = ((src(j % src.length) & 0xff) - 128) * 256 / 32768.0
+    byDoc(docId).foreach { r =>
+      val w = r.getInt(1)
+      assert(r.getInt(2) == n, s"doc $docId n_samples")
+      val lo = (w.toLong * n / 8).toInt
+      val hi = math.max(lo + 1, ((w + 1).toLong * n / 8).toInt)
+      val idx = (lo until math.min(hi, n))
+      val rms = math.sqrt(idx.map(j => sample(j) * sample(j)).sum / math.max(idx.size, 1))
+      val pairs = idx.filter(_ > 0)
+      val zcr = if (pairs.isEmpty) 0.0
+        else pairs.count(j => sample(j - 1) * sample(j) < 0).toDouble / pairs.size
+      assert(math.abs(r.getDouble(3) - rms) < 1e-6, s"doc $docId win $w rms")
+      assert(math.abs(r.getDouble(4) - zcr) < 1e-6, s"doc $docId win $w zcr")
+    }
+    // ASCII text stays strictly below 0x80 → every sample negative → no
+    // sign flips anywhere: the zcr law, checked corpus-wide
+    assert(rows.forall(_.getDouble(4) == 0.0))
+    // non-ASCII bytes (≥ 0xC2 lead bytes decode to POSITIVE samples)
+    // exercise the flip path: "aéa" → signs -,+,+,- → 2 flips
+    import s.implicits._
+    val mixed = Seq((1L, "aéa")).toDF("doc_id", "text") // audio kind
+    val zw = Multimodal.audioWindows(mixed).collect()
+    assert(zw.map(_.getInt(1)).toSeq == (0 until 4), zw.mkString(","))
+    assert(zw.map(_.getDouble(4)).sum > 0, "zcr never fired on mixed-sign samples")
+    // short clip (2 samples < 8 windows): clamped to one window per
+    // sample, no overlap — the boundary pair lands in window 1 only
+    val short2 = Multimodal.audioWindows(Seq((4L, "ab")).toDF("doc_id", "text")).collect()
+    assert(short2.length == 2 && short2.map(_.getInt(1)).toSeq == Seq(0, 1))
+  }
+
   test("ngramJaccard dfCap prunes candidates but never invents pairs") {
     val corpus = Corpus.docCorpus(documents)
     def pairs(cap: Option[Int]) =
