@@ -361,7 +361,10 @@ object SparkEntry {
     "pipeline_dedup_ordered" -> ((s, d) => Dedup.orderedDedup(Corpus.docCorpus(Tables.documents(s, d)))),
     // link-graph centrality in fixed-point integer arithmetic — the
     // iterative-algorithm tier's oracle-checkable representative
-    "graph_pagerank" -> ((s, d) => graft.ops.Graph.pagerank(Tables.documents(s, d)))
+    "graph_pagerank" -> ((s, d) => graft.ops.Graph.pagerank(Tables.documents(s, d))),
+    // the SoCC'14 star clustering over a second edge source — host-graph
+    // components instead of near-dup pairs
+    "graph_components" -> ((s, d) => graft.ops.Graph.components(Tables.documents(s, d)))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -950,6 +953,25 @@ object SparkEntry {
     "dedup_containment_prefix" -> containmentOracleSql,
     "pipeline_dedup_ordered" -> orderedDedupOracleSql,
     "graph_pagerank" -> pagerankOracleSql,
+    /* graph_components: min-label transitive closure as a recursive CTE
+     * (the dedup_cluster oracle pattern over the host subgraph). The
+     * label-strictly-decreases-per-hop guard terminates the recursion;
+     * the component min always survives it, so MIN(label) per node is
+     * the component id. Self-loops stay in `edges` (their endpoints
+     * must enter the node universe) but `und` drops them — they
+     * propagate nothing, matching the Spark side's a_id < b_id pairs. */
+    "graph_components" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT doc_id % 200 AS src, (doc_id * 31 + doc_id // 7) % 200 AS dst
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) u),
+        |und AS (SELECT src AS a, dst AS b FROM edges WHERE src <> dst
+        |  UNION SELECT dst, src FROM edges WHERE src <> dst),
+        |lbl AS (SELECT node, node AS label FROM nodes
+        |  UNION SELECT u.a, l.label FROM und u JOIN lbl l ON l.node = u.b
+        |  WHERE l.label < u.a)
+        |SELECT node, MIN(label) AS component FROM lbl GROUP BY node ORDER BY node""".stripMargin,
     "dedup_cluster" ->
       s"""WITH RECURSIVE $jaccardCtes,
          |edges AS (SELECT a_id AS src, b_id AS dst FROM jpairs

@@ -76,6 +76,40 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Connected components over a SPARSE host subgraph (only every
+    * `sparsity`-th doc contributes its edge — a filtered link graph is
+    * what you get after dropping nofollow/spam edges, and the full
+    * synthesized graph is one giant component, which would make the
+    * oracle vacuous; the filtered one has 47 components over 118 nodes
+    * at sf0.01). Components label each host with its component's min
+    * node id — the "domain grouping" pass a crawl pipeline runs before
+    * per-site quality aggregation.
+    *
+    * Reuses [[graft.llm.Dedup.clustersFromPairsLargeSmallStar]]
+    * (Kiveris SoCC'14, O(log n) rounds) over a different edge source —
+    * the clustering engine is generic over any (a_id, b_id) pair list,
+    * which is the point of shipping it as a separate operator.
+    * Self-loops (synthesis residue at doc_id ≡ 0 mod 1400) are dropped
+    * from the PAIR list (the star contract requires a_id < b_id) but
+    * their endpoints stay in the node universe via the `corpus`
+    * parameter, emerging as singleton components — mirrored exactly in
+    * the oracle, where self-loops propagate nothing. */
+  def components(documents: DataFrame, nNodes: Int = 200, sparsity: Int = 7): DataFrame = {
+    val base = documents.filter(col("doc_id") % sparsity === 0)
+      .select((col("doc_id") % nNodes).as("src"),
+        ((col("doc_id") * 31 + expr("doc_id div 7")) % nNodes).as("dst"))
+      .distinct()
+    val nodes = base.select(col("src").as("doc_id"))
+      .union(base.select(col("dst").as("doc_id"))).distinct()
+    val pairs = base.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a_id"),
+        greatest(col("src"), col("dst")).as("b_id"))
+      .distinct()
+    graft.llm.Dedup.clustersFromPairsLargeSmallStar(nodes, pairs)
+      .select(col("doc_id").as("node"), col("cluster").as("component"))
+      .orderBy("node")
+  }
+
   /** One un-checkpointed power iteration — split out so PlanAuditSpec
     * can audit the per-iteration physical shape (broadcast dims onto
     * edges, map-side partial contribution sum), which the checkpoint

@@ -65,6 +65,31 @@ class GraphSpec extends SparkSpec {
     assert(r3.values.sum > scale - 3L * (n.toLong * n + n))
   }
 
+  test("graph_components matches an in-memory union-find on the host subgraph") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = ops.Graph.components(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: plain union-find over the same synthesis law
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSeq
+    val edges = ids.filter(_ % 7 == 0)
+      .map(id => (id % 200, (id * 31 + id / 7) % 200)).distinct
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = nodes.map { n => // canonical component id = min member
+      n -> nodes.filter(m => find(m) == find(n)).min
+    }.toMap
+    assert(got === want)
+    // non-degenerate: many components, and at least one non-singleton
+    val sizes = got.groupBy(_._2).map(_._2.size)
+    assert(got.values.toSet.size > 10 && sizes.max > 1,
+      s"${got.values.toSet.size} components, max size ${sizes.max}")
+  }
+
   test("graph_pagerank: a sink-free cycle keeps uniform rank exactly") {
     import spark.implicits._
     // doc_ids 7..11 with nNodes=5: src = id%5 = (2,3,4,0,1) and
