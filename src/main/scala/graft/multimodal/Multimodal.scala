@@ -78,7 +78,10 @@ object Multimodal {
     binaryMeta(documents)
       .join(documents.select(col("doc_id"), col("text")), "doc_id")
       .select(col("doc_id"), col("kind"),
-        col("text").cast("binary").as("content"))
+        // null text → empty payload (the synths emit their minimal
+        // 1-sample container), not an NPE in the decode batch — a crawl
+        // row with a missing blob must not kill the whole media pass
+        coalesce(col("text").cast("binary"), lit(Array.empty[Byte])).as("content"))
       .as[MediaItem]
       .map(m => m.kind match {
         case "audio" => m.copy(content = synthWav(m.content))

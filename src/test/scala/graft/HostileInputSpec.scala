@@ -295,4 +295,32 @@ class HostileInputSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(keptDelta === Set(200L, 201L), s"zero-vs-zero probe fabricated a drop: $keptDelta")
   }
+
+  test("graph tier: empty and single-doc inputs yield empty/singleton results, never throw") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(ops.Graph.pagerank(empty).collect().isEmpty)
+    assert(ops.Graph.components(empty).collect().isEmpty)
+    // one doc → one self-referencing host universe: pagerank emits its
+    // node(s) with positive rank; components a singleton per node
+    val one = Seq((7L, "solo")).toDF("doc_id", "text")
+    val pr = ops.Graph.pagerank(one).collect()
+    assert(pr.nonEmpty && pr.forall(_.getLong(1) > 0))
+    // doc 7 (7 % 7 == 0) contributes the single edge 7 → 18: one
+    // two-node component labeled by its min id
+    val cc = ops.Graph.components(one).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(7L -> 7L, 18L -> 7L), cc)
+  }
+
+  test("multimodal samplers: hostile docs decode or fan out to nothing, never throw") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // null text synthesizes a 1-sample/1-frame payload (the synth guards
+    // max(len, 1)); the samplers must handle it and every degenerate doc
+    val fs = graft.multimodal.Multimodal.frameSample(hostile).collect()
+    assert(fs.forall(_.getLong(0) % 3 == 2))
+    val aw = graft.multimodal.Multimodal.audioWindows(hostile).collect()
+    assert(aw.forall(_.getLong(0) % 3 == 1))
+    // the 10k-token outlier (doc 8, kind video) still yields ≤ 4 frames
+    assert(fs.filter(_.getLong(0) == 8L).length <= 4)
+  }
 }
