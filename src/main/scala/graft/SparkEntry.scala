@@ -359,6 +359,9 @@ object SparkEntry {
     // the production ORDERING shipped as one operator: exact dedup, then
     // prefix-containment over the survivors (ARCHITECTURE "Containment wall")
     "pipeline_dedup_ordered" -> ((s, d) => Dedup.orderedDedup(Corpus.docCorpus(Tables.documents(s, d)))),
+    // seeded deterministic global shuffle + 16-way sharding (the
+    // trainer-ingestion ordering pass)
+    "pipeline_shuffle_shard" -> ((s, d) => TrainingPrep.shuffleShard(Tables.documents(s, d))),
     // link-graph centrality in fixed-point integer arithmetic — the
     // iterative-algorithm tier's oracle-checkable representative
     "graph_pagerank" -> ((s, d) => graft.ops.Graph.pagerank(Tables.documents(s, d))),
@@ -953,6 +956,11 @@ object SparkEntry {
     "dedup_containment_prefix" -> containmentOracleSql,
     "pipeline_dedup_ordered" -> orderedDedupOracleSql,
     "graph_pagerank" -> pagerankOracleSql,
+    "pipeline_shuffle_shard" ->
+      """SELECT doc_id,
+        |  md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        |  substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
     /* graph_components: min-label transitive closure as a recursive CTE
      * (the dedup_cluster oracle pattern over the host subgraph). The
      * label-strictly-decreases-per-hop guard terminates the recursion;

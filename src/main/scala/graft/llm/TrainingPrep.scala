@@ -156,6 +156,27 @@ object TrainingPrep {
       .select(col("doc_id"), splitCol(col("doc_id")).as("split"))
       .orderBy("doc_id")
 
+  /** DETERMINISTIC GLOBAL SHUFFLE + SHARDING — the final pass before
+    * training ingestion: examples must reach the trainer in an order
+    * uncorrelated with crawl/curation order (adjacent same-site docs in
+    * a batch are effectively duplicated gradient signal), and the order
+    * must be REPRODUCIBLE so a run can resume mid-epoch. Shuffle key =
+    * md5(seed:doc_id) — same engine-portable-hash discipline as
+    * [[splitCol]]; a new seed is a new epoch-order for free. Shard =
+    * first hex digit (16-way), so shard assignment and intra-shard
+    * order come from ONE hash. At 100 TB the `orderBy` IS the scalable
+    * form: it plans as a range exchange on the key + per-partition
+    * sort (each output partition a uniform corpus sample — exactly the
+    * property shard files need), never a single-node gather;
+    * PlanAuditSpec pins the rangepartitioning shape. */
+  def shuffleShard(documents: DataFrame, seed: Long = 42L): DataFrame = {
+    val key = md5(concat_ws(":", lit(seed.toString), col("doc_id").cast("string")))
+    documents
+      .select(col("doc_id"), key.as("shuffle_key"))
+      .withColumn("shard", substring(col("shuffle_key"), 1, 1))
+      .orderBy("shuffle_key", "doc_id")
+  }
+
   /** CURATION CAPSTONE: the web-corpus intake chain as ONE lazy plan —
     * boilerplate scrub → quality gate on the CLEANED text (scoring the
     * raw text would let a document ride on boilerplate it no longer

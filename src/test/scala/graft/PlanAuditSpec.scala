@@ -403,6 +403,16 @@ class PlanAuditSpec extends SparkSpec {
       s"index scan is not bucket-aware:\n${idxScan.map(_.toString).getOrElse("no scan")}")
   }
 
+  test("pipeline_shuffle_shard: range exchange + sort, no global window or gather") {
+    // the trainer-ingestion shuffle must scale: a range exchange on the
+    // hash key with per-partition sorts — NEVER a row_number-style
+    // global window (single partition) or a driver gather
+    val p = planOf(llm.TrainingPrep.shuffleShard(Tables.documents(spark, sfDir)))
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CollectLimit"), p)
+  }
+
   test("graph_pagerank: node dims broadcast onto edges, contributions combine map-side") {
     // the Pregel-in-SQL contract at 100 TB: the edge table is the only
     // data-sized frame, so the per-iteration joins must BROADCAST the
