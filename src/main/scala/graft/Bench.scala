@@ -121,7 +121,9 @@ object Bench {
       "dedup_cluster", "dedup_embedding_cosine", "sim_cosine_pairs",
       "sim_topk_search", "sim_lsh_topk", "sim_ivf_topk", "text_tfidf",
       "text_chunk", "pipeline_training_prep", "analytics_q3_shipping",
-      "analytics_q5_local_volume", "stream_tumbling_batch", "mm_binary_meta")
+      "analytics_q5_local_volume", "stream_tumbling_batch", "mm_binary_meta",
+      "graph_pagerank", "graph_components", "pipeline_dedup_ordered",
+      "sim_pq_topk")
     val shown = headline.flatMap(k => medians.get(k).map(k -> _))
     val qs = shown.map { case (k, v) => "\"" + k + "\":" + r2d(v) }
       .mkString("{", ",", "}")

@@ -49,7 +49,21 @@ object Graph {
     * subset of the src residues) would leak their mass; the standard
     * redistribution step is omitted and documented rather than
     * silently half-done. */
-  def pagerank(documents: DataFrame, iters: Int = 3, nNodes: Int = 200): DataFrame = {
+  def pagerank(documents: DataFrame, iters: Int = 3, nNodes: Int = 200): DataFrame =
+    pagerankFrom(documents, iters, nNodes, init = None)
+
+  /** [[pagerank]] resumable from a PERSISTED rank table — the 100 TB
+    * epoch shape: iterations checkpoint to storage and a later job
+    * continues from the stored ranks instead of restarting the chain.
+    * Because every step is fixed-point integer arithmetic, resuming is
+    * EXACT: k iterations then a resume for m more is bit-identical to
+    * k+m in one run (GraphSpec pins this; a float formulation could
+    * only assert approximate agreement, which is why the fixed-point
+    * choice is also the operational-restart story, not just the
+    * oracle story). `init` must carry (node, rank_units) as produced
+    * by a prior run. */
+  def pagerankFrom(documents: DataFrame, iters: Int, nNodes: Int,
+      init: Option[DataFrame]): DataFrame = {
     val scale = 1000000000000L // 1e12 rank units
     val edges = documents.select(
         (col("doc_id") % nNodes).as("src"),
@@ -64,8 +78,9 @@ object Graph {
     // are side-effect-free, house rule) broadcast into each update
     val nTot = nodes.agg(count(lit(1)).as("n"))
 
-    var ranks = nodes.crossJoin(broadcast(nTot))
-      .select(col("node"), expr(s"$scale div n").as("rank"))
+    var ranks = init.map(_.select(col("node"), col("rank_units").as("rank")))
+      .getOrElse(nodes.crossJoin(broadcast(nTot))
+        .select(col("node"), expr(s"$scale div n").as("rank")))
     for (_ <- 1 to iters) {
       // lazy checkpoint per iteration: lineage stays flat (iters chain
       // multiplicatively otherwise) and the next iteration's broadcast

@@ -90,6 +90,19 @@ class GraphSpec extends SparkSpec {
       s"${got.values.toSet.size} components, max size ${sizes.max}")
   }
 
+  test("graph_pagerank resume is exact: 2 iters + 1 resumed == 3 in one run") {
+    val docs = Tables.documents(spark, sfDir)
+    // the epoch shape: persist after 2 iterations, resume for 1 more —
+    // fixed-point arithmetic makes the equality BIT-exact, so this is
+    // ===, not a tolerance check
+    val twoThenOne = ops.Graph.pagerankFrom(docs, iters = 1, nNodes = 200,
+      init = Some(ops.Graph.pagerank(docs, iters = 2))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val three = ops.Graph.pagerank(docs, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(twoThenOne === three)
+  }
+
   test("graph_pagerank: a sink-free cycle keeps uniform rank exactly") {
     import spark.implicits._
     // doc_ids 7..11 with nNodes=5: src = id%5 = (2,3,4,0,1) and
