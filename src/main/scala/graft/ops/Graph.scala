@@ -125,6 +125,42 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Persist a pagerank epoch as a bucketed TABLE and return its name —
+    * the [[graft.llm.Dedup.ensureBandIndex]] artifact discipline applied
+    * to the iterative tier: the epoch's ranks live in the warehouse
+    * (bucketed by node, so the resume join can co-locate), a later job
+    * resumes from them via [[pagerankResumePersisted]] without replaying
+    * the earlier iterations, and an executor/driver loss between epochs
+    * costs at most one epoch of work (the caveat attached to
+    * localCheckpoint lineage truncation elsewhere: local checkpoints
+    * die with executors; a warehouse table does not). */
+  def ensureRankTable(spark: org.apache.spark.sql.SparkSession, documents: DataFrame,
+      epoch: Long = 0L, iters: Int = 3, nNodes: Int = 200, buckets: Int = 8): String = {
+    val name = s"graph_ranks_e$epoch"
+    if (!spark.catalog.tableExists(name)) {
+      // in-memory catalog forgets tables across JVMs but the warehouse
+      // files survive — clear any orphan dir before re-creating
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$name")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) { fs.delete(loc, true); () }
+      pagerank(documents, iters, nNodes)
+        .write.bucketBy(buckets, "node").sortBy("node")
+        .mode("overwrite").saveAsTable(name)
+    }
+    name
+  }
+
+  /** Resume iterations from the PERSISTED epoch table. Fixed-point
+    * arithmetic makes the resume exact: k persisted + m resumed
+    * iterations are bit-identical to k+m in one run (GraphSpec pins
+    * this through the table round-trip too). */
+  def pagerankResumePersisted(spark: org.apache.spark.sql.SparkSession, documents: DataFrame,
+      epoch: Long = 0L, iters: Int = 3, moreIters: Int = 1, nNodes: Int = 200): DataFrame = {
+    val name = ensureRankTable(spark, documents, epoch, iters, nNodes)
+    pagerankFrom(documents, moreIters, nNodes, init = Some(spark.table(name)))
+  }
+
   /** One un-checkpointed power iteration — split out so PlanAuditSpec
     * can audit the per-iteration physical shape (broadcast dims onto
     * edges, map-side partial contribution sum), which the checkpoint

@@ -101,6 +101,13 @@ class GraphSpec extends SparkSpec {
     val three = ops.Graph.pagerank(docs, iters = 3).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(twoThenOne === three)
+    // and through the PERSISTED epoch table (the warehouse artifact):
+    // build-once semantics + bit-exact resume across the table boundary
+    val viaTable = ops.Graph.pagerankResumePersisted(spark, docs,
+      epoch = 991L, iters = 2, moreIters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaTable === three)
+    assert(spark.catalog.tableExists("graph_ranks_e991"))
   }
 
   test("graph_pagerank: a sink-free cycle keeps uniform rank exactly") {
