@@ -367,7 +367,14 @@ object SparkEntry {
     "graph_pagerank" -> ((s, d) => graft.ops.Graph.pagerank(Tables.documents(s, d))),
     // the SoCC'14 star clustering over a second edge source — host-graph
     // components instead of near-dup pairs
-    "graph_components" -> ((s, d) => graft.ops.Graph.components(Tables.documents(s, d)))
+    "graph_components" -> ((s, d) => graft.ops.Graph.components(Tables.documents(s, d))),
+    // per-host triangle counts — the local-clustering (link-farm) signal
+    "graph_triangles" -> ((s, d) => graft.ops.Graph.triangles(Tables.documents(s, d))),
+    // SemDeDup: cluster-then-prune semantic dedup over the vector corpus
+    "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(Corpus.vecCorpus(Tables.embeddings(s, d)))),
+    // DSIR importance weights: hashed-feature log-ratio scoring in
+    // integer micro-nats (target = the en slice)
+    "pipeline_dsir_weights" -> ((s, d) => TrainingPrep.dsirWeights(Tables.documents(s, d)))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -980,6 +987,65 @@ object SparkEntry {
         |  UNION SELECT u.a, l.label FROM und u JOIN lbl l ON l.node = u.b
         |  WHERE l.label < u.a)
         |SELECT node, MIN(label) AS component FROM lbl GROUP BY node ORDER BY node""".stripMargin,
+    /* graph_triangles: id-ordered triple enumeration — each triangle
+     * x<y<z appears once from the wedge join (e1.b=e2.a over a<b
+     * edges) plus the closing-edge join; COUNT(*) is BIGINT in both
+     * engines. */
+    "graph_triangles" ->
+      """WITH e0 AS (SELECT DISTINCT doc_id % 200 AS src, (doc_id * 31 + doc_id // 7) % 200 AS dst FROM documents),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0) u),
+        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e0 WHERE src <> dst),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pn AS (SELECT node, COUNT(*) AS n FROM
+        |  (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        |   UNION ALL SELECT z FROM tri) t GROUP BY node)
+        |SELECT nodes.node, COALESCE(pn.n, 0) AS n_triangles
+        |FROM nodes LEFT JOIN pn ON pn.node = nodes.node ORDER BY nodes.node""".stripMargin,
+    /* dedup_semantic: one k-means E-step against the 8 lowest-id seed
+     * vectors (d² via the dot-product expansion, 6dp-rounded before the
+     * argmin), then the SemDeDup prune — drop a member iff a
+     * cluster-mate with 4dp-cosine ≥ 0.99 is farther from the centroid
+     * (tie → lower id survives). */
+    "dedup_semantic" ->
+      s"""WITH vc AS (${Corpus.vecCorpusSql}),
+         |seeds AS (SELECT vec_id AS seed_id, v AS c FROM vc ORDER BY vec_id LIMIT 8),
+         |asg0 AS (SELECT vc.vec_id, seeds.seed_id, vc.v,
+         |  round(list_dot_product(vc.v, vc.v) - 2.0*list_dot_product(vc.v, seeds.c)
+         |        + list_dot_product(seeds.c, seeds.c), 6) + 0.0 AS d2
+         |  FROM vc CROSS JOIN seeds),
+         |asg AS (SELECT vec_id, seed_id AS cluster, v, d2 FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, seed_id ASC) AS rn
+         |   FROM asg0) r WHERE rn = 1),
+         |dropped AS (SELECT DISTINCT a.vec_id FROM asg a JOIN asg b
+         |  ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+         |  AND round(list_dot_product(a.v, b.v) / nullif(
+         |    sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0), 4) + 0.0 >= 0.99
+         |  AND (b.d2 > a.d2 OR (b.d2 = a.d2 AND b.vec_id < a.vec_id)))
+         |SELECT asg.vec_id, asg.cluster FROM asg
+         |LEFT JOIN dropped ON dropped.vec_id = asg.vec_id
+         |WHERE dropped.vec_id IS NULL ORDER BY asg.vec_id""".stripMargin,
+    /* pipeline_dsir_weights: bucket = first 2 hex chars of md5(token)
+     * (no hex parse — the string IS the key); per-bucket smoothed
+     * log-ratio rounded once to integer micro-nats; doc weight = the
+     * order-free INTEGER sum (DuckDB's HUGEINT promotion stringifies
+     * identically, the pagerank precedent). */
+    "pipeline_dsir_weights" ->
+      """WITH tb AS (SELECT doc_id, lang, substr(md5(word), 1, 2) AS bucket FROM
+        |  (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents) t),
+        |counts AS (SELECT bucket, COUNT(*) AS cnt_s,
+        |  SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cnt_t FROM tb GROUP BY bucket),
+        |tot AS (SELECT SUM(cnt_s) AS ns, SUM(cnt_t) AS nt FROM counts),
+        |ratios AS (SELECT bucket,
+        |  CAST(round((ln((cnt_t + 1.0) / (nt + 256.0)) - ln((cnt_s + 1.0) / (ns + 256.0)))
+        |       * 1000000.0, 0) AS BIGINT) AS r_units
+        |  FROM counts CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_tokens, SUM(r_units) AS weight_units
+        |FROM tb JOIN ratios ON ratios.bucket = tb.bucket
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_cluster" ->
       s"""WITH RECURSIVE $jaccardCtes,
          |edges AS (SELECT a_id AS src, b_id AS dst FROM jpairs

@@ -1056,6 +1056,62 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** SEMANTIC dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
+    * space, then prune near-duplicates WITHIN each cluster, keeping the
+    * member farthest from its centroid (the paper's choice: the far
+    * member is the least redundant representative of the duplicated
+    * region). Clustering here is one k-means E-step against DATA-POINT
+    * seeds — the k lowest vec_ids — because a trained-centroid Lloyd
+    * loop (ivfTopK has one) is float-iteration-order territory no SQL
+    * oracle can reproduce, while seed assignment is a deterministic
+    * argmin both engines compute bit-identically (d² through the same
+    * dot-product expansion, 6dp-rounded; ties break to the lower seed).
+    *
+    * Drop rule: a vector is dropped iff some cluster-mate with cosine ≥
+    * threshold (4dp, the [[embeddingBucketedDedup]] rule) sits FARTHER
+    * from the centroid (tie → lower id survives). EXISTS-style, so a
+    * mutual-dup chain keeps exactly its farthest member — no iterative
+    * peeling.
+    *
+    * Scale shape: assignment is a broadcast of k centroid rows onto the
+    * vector scan (map-side argmin, zero shuffle); the prune is an
+    * equi-join on the cluster key, Σ|cluster|² like the sign-bucket
+    * variant — with real Lloyd centroids at 100 TB (k ~ √n per the
+    * paper) that is the intended regime, and the E-step stays this same
+    * broadcast plan with the trained centroids as the model params. */
+  def semanticDedup(vecCorpus: DataFrame, k: Int = 8,
+                    threshold: Double = 0.99): DataFrame = {
+    import graft.functions.VectorExprs.{vecDot, vecNorm, nonzeroDenom}
+    val seeds = vecCorpus.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("seed_id"), col("v").as("c"))
+    val assigned = vecCorpus.crossJoin(broadcast(seeds))
+      // ‖v−c‖² expanded so each term is a plain dot product (the
+      // expression both engines share); rounded before the argmin so a
+      // last-ulp disagreement cannot flip the cluster choice
+      .withColumn("d2", round(
+        vecDot(col("v"), col("v")) - lit(2.0) * vecDot(col("v"), col("c"))
+          + vecDot(col("c"), col("c")), 6) + lit(0.0))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2").asc, col("seed_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("seed_id").as("cluster"), col("d2"), col("v"))
+      .localCheckpoint(eager = false) // both prune branches + the anti-join
+    val l = assigned.select(col("cluster"), col("vec_id").as("a_id"),
+      col("v").as("a_v"), col("d2").as("a_d2"))
+    val r = assigned.select(col("cluster"), col("vec_id").as("b_id"),
+      col("v").as("b_v"), col("d2").as("b_d2"))
+    val dropped = l.join(r, Seq("cluster"))
+      .filter(col("a_id") =!= col("b_id"))
+      .filter(round(vecDot(col("a_v"), col("b_v"))
+        / nonzeroDenom(vecNorm(col("a_v")) * vecNorm(col("b_v"))), 4) + lit(0.0) >= threshold)
+      .filter(col("b_d2") > col("a_d2")
+        || (col("b_d2") === col("a_d2") && col("b_id") < col("a_id")))
+      .select(col("a_id").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
+      .orderBy("vec_id")
+  }
+
   /** Embedding-cosine near-dup pairs over the perturbed vector corpus
     * (cosine ≥ 0.99 rounded to 4dp). All-pairs on the bounded corpus —
     * the scale path is LSH bucketing first.

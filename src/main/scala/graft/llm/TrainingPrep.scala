@@ -235,4 +235,50 @@ object TrainingPrep {
         col("n_tokens"), col("lang"))
       .orderBy("doc_id", "chunk_id")
   }
+
+  /** DSIR importance weights (Xie et al., NeurIPS'23 "Data Selection
+    * for Language Models via Importance Resampling"): score every doc
+    * by how target-like its HASHED n-gram feature distribution is —
+    * weight(doc) = Σ_tokens [log p̂_target(bucket) − log p̂_source(bucket)]
+    * with add-one smoothing over B buckets. Target here = the `en`
+    * slice (the "formal text" stand-in this corpus affords); source =
+    * the whole corpus. High weight ⇒ resample-in.
+    *
+    * Engine-portable choices, same discipline as [[splitCol]]: the
+    * feature hash is the first two hex chars of md5(token) — B = 256
+    * buckets with NO hex→int parse (the bucket id IS the 2-char
+    * string), so both engines bucket identically; the per-bucket log
+    * ratio is rounded to integer MICRO-NATS once (256 rows), and doc
+    * weights are INTEGER sums of those units — order-free, bit-exact at
+    * any parallelism (the pagerank fixed-point rule applied to a
+    * per-token score).
+    *
+    * Scale shape: tokens bucket map-side; the bucket table is B rows →
+    * broadcast back onto the token stream; the only data-sized shuffle
+    * is the doc-keyed integer sum with map-side partials. The bucket
+    * count aggregation itself is a B-row-result shuffle (map-side
+    * combine makes the exchange carry ≤ B rows per task). At 100 TB the
+    * paper's 10k-bucket bigram variant is the same plan with a wider
+    * hash prefix. */
+  def dsirWeights(documents: DataFrame, targetLang: String = "en"): DataFrame = {
+    val B = 256
+    val toks = documents
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.tokens(col("text"))).as("word"))
+      .withColumn("bucket", substring(md5(col("word")), 1, 2))
+    val counts = toks.groupBy("bucket").agg(
+      count(lit(1)).as("cnt_s"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("cnt_t"))
+    val totals = counts.agg(sum("cnt_s").as("ns"), sum("cnt_t").as("nt"))
+    val ratios = counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round((log((col("cnt_t") + lit(1.0)) / (col("nt") + lit(B.toDouble)))
+          - log((col("cnt_s") + lit(1.0)) / (col("ns") + lit(B.toDouble))))
+          * lit(1000000.0), 0).cast("bigint").as("r_units"))
+    toks.join(broadcast(ratios), Seq("bucket"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum("r_units").as("weight_units"))
+      .orderBy("doc_id")
+  }
 }

@@ -125,6 +125,54 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Per-host TRIANGLE COUNTS over the undirected host graph — the
+    * local-clustering signal a crawl pipeline uses alongside PageRank
+    * (link farms show near-clique local structure: high triangle
+    * density at low rank; genuine hub neighborhoods are sparse). Edges
+    * are the full synthesized link set, undirected (least/greatest
+    * canonicalization), self-loops dropped; a triangle is an id-ordered
+    * node triple x<y<z with all three edges present, so each triangle
+    * is enumerated exactly once and the count needs no /6 correction.
+    *
+    * Plan shape: wedge join (e1.b = e2.a over a<b edges yields every
+    * x<y<z wedge once) + closing-edge equi-join — two hash joins keyed
+    * on node ids. At 100 TB the wedge table is the cost (Σ deg(v)²);
+    * the standard fix is degree-ordered orientation (orient each edge
+    * toward the higher-(degree, id) endpoint, bounding wedges by
+    * m^{3/2} — Schank/Wagner '05). Here orientation by id keeps the
+    * oracle a three-line self-join while the join SHAPE (two node-keyed
+    * equi-joins, map-side-combinable count) is already the one the
+    * degree-ordered form plans; the host graph is also node-bounded
+    * (see the components scaladoc), so the wedge mass never grows with
+    * the corpus — only edge extraction scans data. Output: every node
+    * in the edge universe with its triangle count (0 included — absence
+    * of triangles is signal, the near-tree neighborhoods). */
+  def triangles(documents: DataFrame, nNodes: Int = 200): DataFrame = {
+    val base = documents.select(
+        (col("doc_id") % nNodes).as("src"),
+        ((col("doc_id") * 31 + expr("doc_id div 7")) % nNodes).as("dst"))
+      .distinct()
+    val nodes = base.select(col("src").as("node"))
+      .union(base.select(col("dst").as("node"))).distinct()
+    val und = base.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(eager = false) // scanned by all three join legs
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    nodes.join(perNode, Seq("node"), "left_outer")
+      .select(col("node"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy("node")
+  }
+
   /** Persist a pagerank epoch as a bucketed TABLE and return its name —
     * the [[graft.llm.Dedup.ensureBandIndex]] artifact discipline applied
     * to the iterative tier: the epoch's ranks live in the warehouse

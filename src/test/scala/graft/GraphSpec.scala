@@ -110,6 +110,27 @@ class GraphSpec extends SparkSpec {
     assert(spark.catalog.tableExists("graph_ranks_e991"))
   }
 
+  test("graph_triangles matches an in-memory enumeration and sees real triangles") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = ops.Graph.triangles(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSeq
+    val e0 = ids.map(id => (id % 200, (id * 31 + id / 7) % 200)).distinct
+    val nodes = (e0.map(_._1) ++ e0.map(_._2)).distinct
+    val und = e0.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct.toSet
+    val cnt = scala.collection.mutable.Map(nodes.map(_ -> 0L): _*)
+    for ((x, y) <- und; z <- nodes if y < z && und((x, z)) && und((y, z))) {
+      cnt(x) += 1; cnt(y) += 1; cnt(z) += 1
+    }
+    assert(got === cnt.toMap)
+    // the synthesized graph must actually CONTAIN triangles (13 at the
+    // saturated 200-node space) — an all-zero answer would let a broken
+    // wedge join pass, the pagerank-degeneracy lesson applied here
+    assert(got.values.sum >= 3 * 3, s"total incidence ${got.values.sum}")
+    assert(got.values.exists(_ == 0L), "zero-count nodes must still appear")
+  }
+
   test("graph_pagerank: a sink-free cycle keeps uniform rank exactly") {
     import spark.implicits._
     // doc_ids 7..11 with nNodes=5: src = id%5 = (2,3,4,0,1) and

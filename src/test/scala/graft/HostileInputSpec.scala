@@ -310,6 +310,39 @@ class HostileInputSpec extends SparkSpec {
     val cc = ops.Graph.components(one).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc === Map(7L -> 7L, 18L -> 7L), cc)
+    // triangles: empty → empty; a single edge has no wedges — both its
+    // endpoints must still emit with count 0 (absence is signal)
+    assert(ops.Graph.triangles(empty).collect().isEmpty)
+    val tr = ops.Graph.triangles(one).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tr === Map(7L -> 0L, 18L -> 0L), tr)
+  }
+
+  test("semantic dedup and dsir: degenerate inputs never throw") {
+    // fewer vectors than seeds: every vector is its own nearest seed
+    // (or joins a mate's cluster); nothing can be dropped among
+    // orthogonal vectors
+    val tiny = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0))).toDF("vec_id", "v")
+    val sd = Dedup.semanticDedup(tiny).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sd === Map(1L -> 1L, 2L -> 2L), sd)
+    // identical vectors: cosine 1 ≥ τ, same cluster, same d² — the id
+    // tiebreak must keep exactly the LOWER id, not drop both
+    val twin = Seq(
+      (5L, Seq(1.0, 2.0)), (6L, Seq(1.0, 2.0))).toDF("vec_id", "v")
+    val kept = Dedup.semanticDedup(twin).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(5L), kept)
+    // empty corpus → empty weights; docs with null lang count toward
+    // source but never target — weights still emit
+    val emptyDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    assert(TrainingPrep.dsirWeights(emptyDocs).collect().isEmpty)
+    val nullLang = Seq((1L, "a b c", null: String), (2L, "a b", "en"))
+      .toDF("doc_id", "text", "lang")
+    val w = TrainingPrep.dsirWeights(nullLang).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(w === Map(1L -> 3L, 2L -> 2L), w)
   }
 
   test("multimodal samplers: hostile docs decode or fan out to nothing, never throw") {

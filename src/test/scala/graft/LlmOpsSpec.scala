@@ -753,6 +753,74 @@ class LlmOpsSpec extends SparkSpec {
     assert(got === Seq(1L, 4L, 5L, 7L))
   }
 
+  test("semantic dedup (SemDeDup) matches an in-memory reference exactly") {
+    val got = Dedup.semanticDedup(Corpus.vecCorpus(embeddings))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rebuild the corpus driver-side: float→double cast then the same
+    // perturbation law as Corpus.vecCorpus
+    val raw = embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val corpus: Map[Long, Array[Double]] = raw ++ raw.collect {
+      case (id, v) if id % 10 == 0 => (id + 100000L) -> v.map(x => x * 1.01 + 0.001)
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def rnd(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val seeds = corpus.keys.toSeq.sorted.take(8)
+    val assign: Map[Long, (Long, Double)] = corpus.map { case (id, v) =>
+      val (sid, dd) = seeds.map(s =>
+        (s, rnd(dot(v, v) - 2.0 * dot(v, corpus(s)) + dot(corpus(s), corpus(s)), 6)))
+        .minBy { case (s, d) => (d, s) }
+      id -> (sid, dd)
+    }
+    val norms = corpus.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    def cos(a: Long, b: Long): Double = {
+      val den = norms(a) * norms(b)
+      if (den == 0) Double.NegativeInfinity // nonzeroDenom: never a dup
+      else rnd(dot(corpus(a), corpus(b)) / den, 4)
+    }
+    val ids = corpus.keys.toSeq
+    val dropped = ids.filter { a =>
+      val (ca, da) = assign(a)
+      ids.exists { b =>
+        b != a && assign(b)._1 == ca && cos(a, b) >= 0.99 &&
+          (assign(b)._2 > da || (assign(b)._2 == da && b < a))
+      }
+    }.toSet
+    val want = assign.collect { case (id, (c, _)) if !dropped(id) => id -> c }
+    assert(got === want)
+    // the op must actually PRUNE: most injected twins lose one member
+    // (a twin escapes only if the pair straddles a cluster boundary)
+    val injected = raw.keys.filter(_ % 10 == 0).toSeq
+    val pruned = injected.count(id => dropped(id) || dropped(id + 100000L))
+    assert(pruned >= injected.size * 8 / 10, s"$pruned/${injected.size} twins pruned")
+  }
+
+  test("dsir weights: token counts exact; en scores above non-en per token") {
+    val out = TrainingPrep.dsirWeights(documents).collect()
+    val meta = documents.select("doc_id", "lang", "text").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out.length == meta.size)
+    // n_tokens must equal the whitespace split length (trailing empties
+    // kept — Spark's split semantics)
+    out.foreach { r =>
+      assert(r.getLong(1) == meta(r.getLong(0))._2.split(" ", -1).length.toLong,
+        s"token count mismatch for doc ${r.getLong(0)}")
+    }
+    // the importance signal must separate target from non-target: the
+    // mean per-token weight of en docs exceeds the non-en mean (en
+    // tokens populate high cnt_t buckets; zh/de/... tokens don't)
+    def meanPerTok(en: Boolean) = {
+      val rs = out.filter(r => (meta(r.getLong(0))._1 == "en") == en)
+      rs.map(r => r.getLong(2).toDouble / r.getLong(1)).sum / rs.length
+    }
+    assert(meanPerTok(true) > meanPerTok(false),
+      s"en ${meanPerTok(true)} !> other ${meanPerTok(false)}")
+  }
+
   test("persisted band index: incremental dedup through the bucketed table matches the recompute form") {
     val corpus = Corpus.docCorpus(documents)
     val index = corpus.filter(col("doc_id") < 100000)
