@@ -1082,19 +1082,7 @@ object Dedup {
   def semanticDedup(vecCorpus: DataFrame, k: Int = 8,
                     threshold: Double = 0.99): DataFrame = {
     import graft.functions.VectorExprs.{vecDot, vecNorm, nonzeroDenom}
-    val seeds = vecCorpus.orderBy("vec_id").limit(k)
-      .select(col("vec_id").as("seed_id"), col("v").as("c"))
-    val assigned = vecCorpus.crossJoin(broadcast(seeds))
-      // ‖v−c‖² expanded so each term is a plain dot product (the
-      // expression both engines share); rounded before the argmin so a
-      // last-ulp disagreement cannot flip the cluster choice
-      .withColumn("d2", round(
-        vecDot(col("v"), col("v")) - lit(2.0) * vecDot(col("v"), col("c"))
-          + vecDot(col("c"), col("c")), 6) + lit(0.0))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("d2").asc, col("seed_id").asc)))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("seed_id").as("cluster"), col("d2"), col("v"))
+    val assigned = semanticAssign(vecCorpus, k)
       .localCheckpoint(eager = false) // both prune branches + the anti-join
     val l = assigned.select(col("cluster"), col("vec_id").as("a_id"),
       col("v").as("a_v"), col("d2").as("a_d2"))
@@ -1110,6 +1098,35 @@ object Dedup {
     assigned.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cluster"))
       .orderBy("vec_id")
+  }
+
+  /** The E-step of [[semanticDedup]], un-checkpointed — split out so
+    * PlanAuditSpec can audit the assignment's physical shape (seed
+    * broadcast + map-side partial MIN_BY), which the checkpoint
+    * boundary hides from the final executed plan. */
+  private[graft] def semanticAssign(vecCorpus: DataFrame, k: Int = 8): DataFrame = {
+    import graft.functions.VectorExprs.vecDot
+    val seeds = vecCorpus.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("seed_id"), col("v").as("c"))
+    vecCorpus.crossJoin(broadcast(seeds))
+      // ‖v−c‖² expanded so each term is a plain dot product (the
+      // expression both engines share); rounded before the argmin so a
+      // last-ulp disagreement cannot flip the cluster choice
+      .withColumn("d2", round(
+        vecDot(col("v"), col("v")) - lit(2.0) * vecDot(col("v"), col("c"))
+          + vecDot(col("c"), col("c")), 6) + lit(0.0))
+      // argmin as a MIN_BY aggregate, not a row_number window: the k
+      // candidate rows of each vector sit in ONE task (broadcast cross
+      // join preserves the scan's partitioning), so the partial
+      // aggregate collapses them map-side and the exchange carries n
+      // rows, not n·k sorted rows. Ties on d2 break to the lower seed —
+      // the (d2, seed_id) struct ordering, same rule the oracle's
+      // row_number ORDER BY encodes.
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("seed_id"), col("d2"), col("v")),
+        struct(col("d2"), col("seed_id"))).as("m"))
+      .select(col("vec_id"), col("m.seed_id").as("cluster"),
+        col("m.d2").as("d2"), col("m.v").as("v"))
   }
 
   /** Embedding-cosine near-dup pairs over the perturbed vector corpus

@@ -435,4 +435,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("SortMergeJoin"), p) // an edge-side shuffle would flip the cost model
   }
+
+  test("dedup_semantic: seeds broadcast onto the vector scan; argmin combines map-side") {
+    // the E-step contract at 100 TB: the k centroid rows are MODEL
+    // PARAMS — they broadcast onto the data scan (never shuffle the
+    // vectors to meet them), and the per-vector argmin is a partial
+    // MIN_BY that collapses the k candidate rows inside the task, so
+    // the exchange carries n rows, not n·k sorted rows (the row_number
+    // window would). Audit the un-checkpointed assignment — the lazy
+    // checkpoint hides it from the final plan.
+    val p = planOf(llm.Dedup.semanticAssign(
+      llm.Corpus.vecCorpus(Tables.embeddings(spark, sfDir))))
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // seed cross join rides a broadcast
+    assert(p.contains("partial_min_by"), p)          // argmin combines before the exchange
+    assert(!p.contains("Window"), p)                 // no sorted n·k window path
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("pipeline_dsir_weights: B-row ratio table broadcasts back onto tokens; integer sums combine map-side") {
+    // the scoring pass at 100 TB: tokens bucket map-side (md5 prefix),
+    // the 256-row smoothed-ratio table must come back as a BROADCAST
+    // (shuffling the token stream to meet 256 rows would be the classic
+    // misplan), and the doc-keyed weight sum must partially aggregate —
+    // the only data-sized exchange carries (doc_id, partial sums)
+    val p = planOf(llm.TrainingPrep.dsirWeights(Tables.documents(spark, sfDir)))
+    assert(p.contains("BroadcastHashJoin"), p) // ratios onto the token stream
+    assert(p.contains("partial_sum"), p)       // weight units combine map-side
+    assert(!p.contains("SortMergeJoin"), p)    // token stream never shuffles to a join
+  }
+
+  test("graph_triangles: wedge and closing joins are equi-joins, counts combine map-side") {
+    // triangle enumeration must stay an EQUI-join pipeline (node-keyed
+    // hash joins); a CartesianProduct or nested-loop closing check
+    // would be the quadratic misplan. The per-node count partially
+    // aggregates below its exchange.
+    val p = planOf(ops.Graph.triangles(Tables.documents(spark, sfDir)))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
 }
