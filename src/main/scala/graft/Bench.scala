@@ -124,7 +124,7 @@ object Bench {
       "analytics_q5_local_volume", "stream_tumbling_batch", "mm_binary_meta",
       "graph_pagerank", "graph_components", "pipeline_dedup_ordered",
       "sim_pq_topk", "graph_triangles", "dedup_semantic",
-      "pipeline_dsir_weights")
+      "pipeline_dsir_weights", "text_bpe_encode")
     val shown = headline.flatMap(k => medians.get(k).map(k -> _))
     val qs = shown.map { case (k, v) => "\"" + k + "\":" + r2d(v) }
       .mkString("{", ",", "}")

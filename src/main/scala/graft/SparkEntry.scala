@@ -374,7 +374,11 @@ object SparkEntry {
     "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(Corpus.vecCorpus(Tables.embeddings(s, d)))),
     // DSIR importance weights: hashed-feature log-ratio scoring in
     // integer micro-nats (target = the en slice)
-    "pipeline_dsir_weights" -> ((s, d) => TrainingPrep.dsirWeights(Tables.documents(s, d)))
+    "pipeline_dsir_weights" -> ((s, d) => TrainingPrep.dsirWeights(Tables.documents(s, d))),
+    // BPE tokenizer: merges trained on the distributed word-count dict
+    // (driver loop = model params, the IVF discipline), compiled encode
+    "text_bpe_train" -> ((s, d) => graft.llm.Bpe.bpeTrain(Tables.documents(s, d))),
+    "text_bpe_encode" -> ((s, d) => graft.llm.Bpe.bpeEncode(Tables.documents(s, d)))
   )
 
   // ---------------------------------------------------------------- oracle

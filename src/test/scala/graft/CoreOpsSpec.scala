@@ -41,7 +41,8 @@ class CoreOpsSpec extends SparkSpec {
       "mm_decode_stub",                              // decode not SQL-expressible
       "mm_image_phash",                              // aHash over decoded raster, gated in LlmOpsSpec
       "mm_frame_sample",                             // y4m decode-derived, synthesis law gated in LlmOpsSpec
-      "mm_audio_windows")                            // WAV decode-derived, synthesis law gated in LlmOpsSpec
+      "mm_audio_windows",                            // WAV decode-derived, synthesis law gated in LlmOpsSpec
+      "text_bpe_train", "text_bpe_encode")           // iterative merge loop not SQL-expressible, gated in BpeSpec
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt
     assert(missing.isEmpty, s"query without oracle and not exempt: $missing")
     // every exempt key needs a ScalaTest gate — enumerated here so a new

@@ -464,6 +464,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)    // token stream never shuffles to a join
   }
 
+  test("text_bpe_encode: compiled encode is map-side; only the output sort exchanges") {
+    // the encode pass at 100 TB is a shuffle-free scan: the merge table
+    // ships as a codegen reference object, the expression runs inside
+    // the scan's whole-stage span, and the only exchange in the plan is
+    // the ORDER BY's range partitioning
+    val p = planOf(llm.Bpe.bpeEncode(Tables.documents(spark, sfDir)))
+    assert(p.contains("bpe_encode"), p)
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("*("), p) // whole-stage codegen spans survive the custom expression
+  }
+
   test("graph_triangles: wedge and closing joins are equi-joins, counts combine map-side") {
     // triangle enumeration must stay an EQUI-join pipeline (node-keyed
     // hash joins); a CartesianProduct or nested-loop closing check
