@@ -378,7 +378,10 @@ object SparkEntry {
     // BPE tokenizer: merges trained on the distributed word-count dict
     // (driver loop = model params, the IVF discipline), compiled encode
     "text_bpe_train" -> ((s, d) => graft.llm.Bpe.bpeTrain(Tables.documents(s, d))),
-    "text_bpe_encode" -> ((s, d) => graft.llm.Bpe.bpeEncode(Tables.documents(s, d)))
+    "text_bpe_encode" -> ((s, d) => graft.llm.Bpe.bpeEncode(Tables.documents(s, d))),
+    // co-citation host similarity with the in-degree cap (the df-cap
+    // rule applied to the link graph)
+    "graph_neighbor_jaccard" -> ((s, d) => graft.ops.Graph.neighborJaccard(Tables.documents(s, d)))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -1009,6 +1012,21 @@ object SparkEntry {
         |   UNION ALL SELECT z FROM tri) t GROUP BY node)
         |SELECT nodes.node, COALESCE(pn.n, 0) AS n_triangles
         |FROM nodes LEFT JOIN pn ON pn.node = nodes.node ORDER BY nodes.node""".stripMargin,
+    /* graph_neighbor_jaccard: co-citation pairs from the capped
+     * target-keyed self-join; full out-degrees in the denominator.
+     * DuckDB `/` on integers is float division, matching Spark. */
+    "graph_neighbor_jaccard" ->
+      """WITH e AS (SELECT DISTINCT doc_id % 200 AS src, (doc_id * 31 + doc_id // 7) % 200 AS dst FROM documents),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        |keepdst AS (SELECT dst FROM e GROUP BY dst HAVING COUNT(*) <= 50),
+        |c AS (SELECT e.src, e.dst FROM e JOIN keepdst ON keepdst.dst = e.dst),
+        |i AS (SELECT e1.src AS a, e2.src AS b, COUNT(*) AS inter
+        |  FROM c e1 JOIN c e2 ON e1.dst = e2.dst AND e1.src < e2.src
+        |  GROUP BY e1.src, e2.src HAVING COUNT(*) >= 1)
+        |SELECT a, b, inter,
+        |  round(inter / (da.deg + db.deg - inter), 4) + 0.0 AS jac
+        |FROM i JOIN deg da ON da.src = a JOIN deg db ON db.src = b
+        |ORDER BY a, b""".stripMargin,
     /* dedup_semantic: one k-means E-step against the 8 lowest-id seed
      * vectors (d² via the dot-product expansion, 6dp-rounded before the
      * argmin), then the SemDeDup prune — drop a member iff a

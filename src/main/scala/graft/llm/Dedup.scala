@@ -1083,15 +1083,16 @@ object Dedup {
                     threshold: Double = 0.99): DataFrame = {
     import graft.functions.VectorExprs.{vecDot, vecNorm, nonzeroDenom}
     val assigned = semanticAssign(vecCorpus, k)
+      .withColumn("nrm", vecNorm(col("v"))) // once per row, not twice per pair
       .localCheckpoint(eager = false) // both prune branches + the anti-join
     val l = assigned.select(col("cluster"), col("vec_id").as("a_id"),
-      col("v").as("a_v"), col("d2").as("a_d2"))
+      col("v").as("a_v"), col("d2").as("a_d2"), col("nrm").as("a_n"))
     val r = assigned.select(col("cluster"), col("vec_id").as("b_id"),
-      col("v").as("b_v"), col("d2").as("b_d2"))
+      col("v").as("b_v"), col("d2").as("b_d2"), col("nrm").as("b_n"))
     val dropped = l.join(r, Seq("cluster"))
       .filter(col("a_id") =!= col("b_id"))
       .filter(round(vecDot(col("a_v"), col("b_v"))
-        / nonzeroDenom(vecNorm(col("a_v")) * vecNorm(col("b_v"))), 4) + lit(0.0) >= threshold)
+        / nonzeroDenom(col("a_n") * col("b_n")), 4) + lit(0.0) >= threshold)
       .filter(col("b_d2") > col("a_d2")
         || (col("b_d2") === col("a_d2") && col("b_id") < col("a_id")))
       .select(col("a_id").as("vec_id")).distinct()

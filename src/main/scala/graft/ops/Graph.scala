@@ -173,6 +173,51 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Host SIMILARITY by shared out-neighbors (co-citation Jaccard):
+    * two hosts that link to the same targets serve related content —
+    * the "same-publisher / mirror-site" signal a crawl pipeline uses to
+    * group domains before dedup and quality aggregation. For host pair
+    * (a, b): inter = |N(a) ∩ N(b)| over out-neighbor sets, jac =
+    * inter / (|N(a)| + |N(b)| − inter); `minInter` filters the tail
+    * (kept at 1 here — the synthesized graph's intersections max out at
+    * 2, so a higher floor would leave only one jac value and a vacuous
+    * oracle; 419 pairs / 4 distinct jac values at sf0.01).
+    *
+    * Scale shape and its known wall: candidate pairs come from an
+    * equi-join on the shared TARGET (e1.dst = e2.dst) — the co-citation
+    * analog of the shingle self-join, and it blows up the same way: a
+    * target with in-degree d contributes d² pairs, so viral targets
+    * dominate cost while carrying no discrimination (everyone links to
+    * them). The `inDegCap` filter drops targets above the cap BEFORE
+    * the self-join — the df-cap rule from the Jaccard tier applied to
+    * the link graph, mirrored exactly in the oracle. Degrees join back
+    * as a broadcast-sized per-host dimension. */
+  def neighborJaccard(documents: DataFrame, nNodes: Int = 200,
+                      inDegCap: Int = 50, minInter: Long = 1L): DataFrame = {
+    val edges = documents.select(
+        (col("doc_id") % nNodes).as("src"),
+        ((col("doc_id") * 31 + expr("doc_id div 7")) % nNodes).as("dst"))
+      .distinct()
+      .localCheckpoint(eager = false) // deg + capped + both join legs
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val capped = edges.join(
+      edges.groupBy("dst").agg(count(lit(1)).as("indeg"))
+        .filter(col("indeg") <= inDegCap).select("dst"),
+      Seq("dst"), "left_semi")
+    val inter = capped.as("e1")
+      .join(capped.as("e2"), col("e1.dst") === col("e2.dst"))
+      .filter(col("e1.src") < col("e2.src"))
+      .groupBy(col("e1.src").as("a"), col("e2.src").as("b"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") >= minInter)
+    inter
+      .join(broadcast(deg.select(col("src").as("a"), col("deg").as("deg_a"))), "a")
+      .join(broadcast(deg.select(col("src").as("b"), col("deg").as("deg_b"))), "b")
+      .select(col("a"), col("b"), col("inter"),
+        (round(col("inter") / (col("deg_a") + col("deg_b") - col("inter")), 4) + lit(0.0)).as("jac"))
+      .orderBy("a", "b")
+  }
+
   /** Persist a pagerank epoch as a bucketed TABLE and return its name —
     * the [[graft.llm.Dedup.ensureBandIndex]] artifact discipline applied
     * to the iterative tier: the epoch's ranks live in the warehouse

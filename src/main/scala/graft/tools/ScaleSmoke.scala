@@ -223,6 +223,63 @@ object ScaleSmoke {
       return
     }
 
+    // optional fifth arg "semOnly": the round-6 training-data tier.
+    // Embeddings replicate with UNIQUE vectors (circular dimension
+    // shift per replica — near-orthogonal to the base, so no
+    // cross-replica near-dup mass; past 64 replicas an additive offset
+    // keeps wrapped shifts distinct). Claims under measurement:
+    //  - sem_assign (the E-step) is linear — broadcast seeds, map-side
+    //    argmin, the exchange carries n rows;
+    //  - sem_prune is Σ|cluster|²: at FIXED k=8 it must degrade
+    //    (n²/8 wall — the paper's k~√n regime is the dial), and k=64
+    //    on the same corpus must pull it back down;
+    //  - dsir / bpe_encode / triangles over the replicated doc corpus
+    //    are linear / linear / node-bounded-flat (dsir's bucket table
+    //    and bpe's merge model are size-constant; triangles' host
+    //    space saturates).
+    if (args.lift(4).contains("semOnly")) {
+      val dims = 64
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      val vPath = s"/tmp/scale_smoke_vecs_x$factor"
+      (0 until factor).map { i =>
+          val s = i % dims
+          val off = (i / dims) * 0.37
+          val v0 = col("embedding").cast("array<double>")
+          val shifted = if (s == 0) v0
+            else concat(slice(v0, s + 1, dims - s), slice(v0, 1, s))
+          emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+            (if (off == 0.0) shifted
+             else transform(shifted, x => x + lit(off))).as("v"))
+        }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(vPath)
+      // repartition: the dense-double corpus compresses to ~0.5 KB/row,
+      // so even 200k vectors fit ONE 128 MB input split — every
+      // downstream stage would run single-task and the instrument would
+      // measure scheduler starvation, not the operator (measured: the
+      // k=448 prune pinned one core for 30+ min at 100×). A real
+      // cluster's scan has real splits; restore that here.
+      val vecs = spark.read.parquet(vPath).repartition(32).localCheckpoint()
+      val nVec = vecs.count()
+      time(s"sem_assign_v$nVec")(graft.llm.Dedup.semanticAssign(vecs))
+      // the fixed-k wall is the claim, not the workload: k8 measured
+      // 12.5 s at 10× / 100.6 s at 30× (the n²/8 curve) — at 100× it
+      // would be ~20 min of documented quadratic, so the high-factor
+      // run carries only the k~√n dial leg
+      if (factor <= 30) time(s"sem_prune_k8_v$nVec")(graft.llm.Dedup.semanticDedup(vecs))
+      if (factor <= 30) time(s"sem_prune_k64_v$nVec")(graft.llm.Dedup.semanticDedup(vecs, k = 64))
+      // the paper's production regime: k ~ √n keeps Σ|cluster|² at
+      // n^1.5 AND the per-key compute ceiling high enough to spread
+      val ks = math.ceil(math.sqrt(nVec.toDouble)).toInt
+      time(s"sem_prune_ksqrt${ks}_v$nVec")(graft.llm.Dedup.semanticDedup(vecs, k = ks))
+      val repDocs = spark.read.parquet(path).localCheckpoint()
+      val nRep = repDocs.count()
+      time(s"dsir_d$nRep")(graft.llm.TrainingPrep.dsirWeights(repDocs))
+      time(s"bpe_encode_d$nRep")(graft.llm.Bpe.bpeEncode(repDocs))
+      time(s"triangles_d$nRep")(graft.ops.Graph.triangles(repDocs))
+      spark.stop()
+      return
+    }
+
     // optional fifth arg "orderedOnly": the production ordering
     // (exact → containment-prefix on survivors, one operator) vs RAW
     // prefix-containment on the duplicate-heavy replicated corpus —

@@ -131,6 +131,30 @@ class GraphSpec extends SparkSpec {
     assert(got.values.exists(_ == 0L), "zero-count nodes must still appear")
   }
 
+  test("graph_neighbor_jaccard matches an in-memory set computation") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = ops.Graph.neighborJaccard(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSeq
+    val edges = ids.map(id => (id % 200, (id * 31 + id / 7) % 200)).distinct
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    val indeg = edges.groupBy(_._2).map { case (d, es) => d -> es.size }
+    val nbrs = edges.filter(e => indeg(e._2) <= 50)
+      .groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    val want = (for {
+      a <- nbrs.keys.toSeq; b <- nbrs.keys.toSeq if a < b
+      inter = (nbrs(a) & nbrs(b)).size if inter >= 1
+    } yield {
+      val jac = BigDecimal(inter.toDouble / (deg(a) + deg(b) - inter))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, inter.toLong, jac)
+    }).sortBy(t => (t._1, t._2))
+    assert(got === want)
+    // informative output: many pairs, several distinct similarity levels
+    assert(got.length > 100 && got.map(_._4).distinct.size >= 3,
+      s"${got.length} pairs, ${got.map(_._4).distinct.size} jac levels")
+  }
+
   test("graph_pagerank: a sink-free cycle keeps uniform rank exactly") {
     import spark.implicits._
     // doc_ids 7..11 with nNodes=5: src = id%5 = (2,3,4,0,1) and

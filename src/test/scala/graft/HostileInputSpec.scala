@@ -316,6 +316,10 @@ class HostileInputSpec extends SparkSpec {
     val tr = ops.Graph.triangles(one).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(tr === Map(7L -> 0L, 18L -> 0L), tr)
+    // neighbor jaccard: a single edge has no co-citing pair — empty,
+    // never a fabricated self-pair
+    assert(ops.Graph.neighborJaccard(empty).collect().isEmpty)
+    assert(ops.Graph.neighborJaccard(one).collect().isEmpty)
   }
 
   test("semantic dedup and dsir: degenerate inputs never throw") {
