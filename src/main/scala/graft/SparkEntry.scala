@@ -381,7 +381,13 @@ object SparkEntry {
     "text_bpe_encode" -> ((s, d) => graft.llm.Bpe.bpeEncode(Tables.documents(s, d))),
     // co-citation host similarity with the in-degree cap (the df-cap
     // rule applied to the link graph)
-    "graph_neighbor_jaccard" -> ((s, d) => graft.ops.Graph.neighborJaccard(Tables.documents(s, d)))
+    "graph_neighbor_jaccard" -> ((s, d) => graft.ops.Graph.neighborJaccard(Tables.documents(s, d))),
+    // GPT-3-protocol eval decontamination: train docs flagged on any
+    // shared word-13-gram with the test split (broadcast eval grams)
+    "pipeline_decontaminate" -> ((s, d) => TrainingPrep.decontaminate(Tables.documents(s, d))),
+    // SemDeDup with Lloyd-TRAINED centroids — the balance-robust
+    // production path (seed E-step balance is data-dependent)
+    "dedup_semantic_trained" -> ((s, d) => Dedup.semanticDedupTrained(Corpus.vecCorpus(Tables.embeddings(s, d))))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -1012,6 +1018,25 @@ object SparkEntry {
         |   UNION ALL SELECT z FROM tri) t GROUP BY node)
         |SELECT nodes.node, COALESCE(pn.n, 0) AS n_triangles
         |FROM nodes LEFT JOIN pn ON pn.node = nodes.node ORDER BY nodes.node""".stripMargin,
+    /* pipeline_decontaminate: split CASE = the splitCol md5 law;
+     * 13-gram terms generated from the same k the Spark op uses. */
+    "pipeline_decontaminate" -> {
+      val k = 13
+      val terms = (1 to k).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS t,
+         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) < 'c' THEN 'train'
+         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) < 'e' THEN 'val'
+         |       ELSE 'test' END AS split FROM documents),
+         |sh AS (SELECT doc_id, split, list_distinct(list_transform(range(len(t)-${k - 1}),
+         |  i -> $terms)) AS shs FROM base),
+         |ev AS (SELECT DISTINCT unnest(shs) AS g FROM sh WHERE split = 'test'),
+         |hits AS (SELECT DISTINCT x.doc_id FROM
+         |  (SELECT doc_id, unnest(shs) AS g FROM sh WHERE split = 'train') x
+         |  JOIN ev ON ev.g = x.g)
+         |SELECT base.doc_id, CAST(hits.doc_id IS NOT NULL AS INT) AS contaminated
+         |FROM base LEFT JOIN hits ON hits.doc_id = base.doc_id
+         |WHERE base.split = 'train' ORDER BY base.doc_id""".stripMargin
+    },
     /* graph_neighbor_jaccard: co-citation pairs from the capped
      * target-keyed self-join; full out-degrees in the denominator.
      * DuckDB `/` on integers is float division, matching Spark. */

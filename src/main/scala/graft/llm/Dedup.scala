@@ -1080,11 +1080,19 @@ object Dedup {
     * paper) that is the intended regime, and the E-step stays this same
     * broadcast plan with the trained centroids as the model params. */
   def semanticDedup(vecCorpus: DataFrame, k: Int = 8,
-                    threshold: Double = 0.99): DataFrame = {
+                    threshold: Double = 0.99): DataFrame =
+    semanticPrune(semanticAssign(vecCorpus, k)
+      .localCheckpoint(eager = false), threshold)
+
+  /** The within-cluster prune shared by the seed and Lloyd paths:
+    * drop a member iff a cluster-mate with 4dp-cosine ≥ threshold sits
+    * farther from the centroid (tie → lower id survives). Expects an
+    * assignment frame (vec_id, cluster, d2, v), already checkpointed —
+    * it feeds both prune branches and the anti-join. */
+  private[llm] def semanticPrune(assigned0: DataFrame, threshold: Double): DataFrame = {
     import graft.functions.VectorExprs.{vecDot, vecNorm, nonzeroDenom}
-    val assigned = semanticAssign(vecCorpus, k)
+    val assigned = assigned0
       .withColumn("nrm", vecNorm(col("v"))) // once per row, not twice per pair
-      .localCheckpoint(eager = false) // both prune branches + the anti-join
     val l = assigned.select(col("cluster"), col("vec_id").as("a_id"),
       col("v").as("a_v"), col("d2").as("a_d2"), col("nrm").as("a_n"))
     val r = assigned.select(col("cluster"), col("vec_id").as("b_id"),
@@ -1105,11 +1113,19 @@ object Dedup {
     * PlanAuditSpec can audit the assignment's physical shape (seed
     * broadcast + map-side partial MIN_BY), which the checkpoint
     * boundary hides from the final executed plan. */
-  private[graft] def semanticAssign(vecCorpus: DataFrame, k: Int = 8): DataFrame = {
+  private[graft] def semanticAssign(vecCorpus: DataFrame, k: Int = 8): DataFrame =
+    assignTo(vecCorpus, vecCorpus.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("v").as("c")))
+
+  /** Nearest-centroid assignment against ANY (cid, c) centroid frame —
+    * the E-step shared by the seed path ([[semanticAssign]]) and the
+    * Lloyd path ([[semanticDedupTrained]]'s trainer). The centroid
+    * frame rides a broadcast; large k stays a JOIN, never a k-wide
+    * literal expression (an array-of-structs argmin at k=448 is a
+    * megabyte of generated code — the join form is flat in k). */
+  private[llm] def assignTo(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     import graft.functions.VectorExprs.vecDot
-    val seeds = vecCorpus.orderBy("vec_id").limit(k)
-      .select(col("vec_id").as("seed_id"), col("v").as("c"))
-    vecCorpus.crossJoin(broadcast(seeds))
+    vecs.crossJoin(broadcast(centroids))
       // ‖v−c‖² expanded so each term is a plain dot product (the
       // expression both engines share); rounded before the argmin so a
       // last-ulp disagreement cannot flip the cluster choice
@@ -1120,14 +1136,64 @@ object Dedup {
       // candidate rows of each vector sit in ONE task (broadcast cross
       // join preserves the scan's partitioning), so the partial
       // aggregate collapses them map-side and the exchange carries n
-      // rows, not n·k sorted rows. Ties on d2 break to the lower seed —
-      // the (d2, seed_id) struct ordering, same rule the oracle's
+      // rows, not n·k sorted rows. Ties on d2 break to the lower cid —
+      // the (d2, cid) struct ordering, same rule the oracle's
       // row_number ORDER BY encodes.
       .groupBy("vec_id")
-      .agg(min_by(struct(col("seed_id"), col("d2"), col("v")),
-        struct(col("d2"), col("seed_id"))).as("m"))
-      .select(col("vec_id"), col("m.seed_id").as("cluster"),
+      .agg(min_by(struct(col("cid"), col("d2"), col("v")),
+        struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cluster"),
         col("m.d2").as("d2"), col("m.v").as("v"))
+  }
+
+  /** PRODUCTION SemDeDup: Lloyd-TRAINED centroids instead of data-point
+    * seeds — the paper's actual regime, shipped because the seed
+    * E-step's cluster balance is DATA-DEPENDENT: on near-orthogonal
+    * vectors d² ≈ |v|² + |c|², so every far vector collapses into the
+    * minimum-norm seed's cluster and Σ|cluster|² degenerates to n²
+    * (measured in the r6 scale smoke: circular-shift replicas pinned
+    * one core for 30+ min at k=√n, while the REAL corpus assigns
+    * 56–70 per cluster — balance held by luck of the data, not by the
+    * algorithm). Lloyd iterations pull centroids into the occupied
+    * space, restoring balance on any input.
+    *
+    * Training follows the [[Similarity.ivfTopK]] discipline — centroid
+    * updates via exact-decimal sums (shuffle-order reproducible),
+    * driver holds only (k × dims) model params — but assigns via the
+    * broadcast JOIN E-step, so k can be √n-sized where IVF's literal
+    * argmin expression caps at tens. Oracle-EXEMPT (float centroid
+    * training is not SQL-expressible); LlmOpsSpec gates determinism,
+    * twin pruning, and the balance property the seed path lacks. */
+  def semanticDedupTrained(vecCorpus: DataFrame, k: Int = 8,
+                           threshold: Double = 0.99, iters: Int = 2): DataFrame = {
+    val spark = vecCorpus.sparkSession
+    import spark.implicits._
+    val vs = vecCorpus.localCheckpoint() // trainer scans per iteration
+    def centFrame(cents: Array[Array[Double]]): DataFrame =
+      cents.zipWithIndex.toSeq.map { case (c, i) => (i.toLong, c.toSeq) }
+        .toDF("cid", "c")
+    var cents = vs.orderBy("vec_id").limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    for (_ <- 1 to iters) {
+      val sums = assignTo(vs, centFrame(cents))
+        .select(col("cluster"), posexplode(col("v")))
+        .groupBy("cluster", "pos")
+        .agg(sum(col("col").cast("decimal(28,14)")).cast("double").as("s"),
+          count(lit(1)).as("n"))
+        .collect() // (k × dims) model params, data-size-free
+      val byCluster = sums.groupBy(_.getLong(0))
+      cents = cents.indices.map { ci =>
+        byCluster.get(ci.toLong) match {
+          case Some(rows) =>
+            val c = new Array[Double](cents(ci).length)
+            rows.foreach(r => c(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+            c
+          case None => cents(ci) // empty cell keeps its centroid
+        }
+      }.toArray
+    }
+    semanticPrune(assignTo(vs, centFrame(cents))
+      .localCheckpoint(eager = false), threshold)
   }
 
   /** Embedding-cosine near-dup pairs over the perturbed vector corpus

@@ -236,6 +236,40 @@ object TrainingPrep {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** EVAL-SET DECONTAMINATION, the GPT-3/Gopher protocol: a training
+    * document is contaminated iff it shares ANY word-13-gram with the
+    * held-out eval split (exact-hash contamination — `dq_contamination`
+    * — misses rephrasings and partial copies; the 13-gram rule is the
+    * published standard for "the eval answer leaked into training").
+    * Splits come from [[splitCol]] (md5-deterministic), eval = the
+    * `test` split; every train doc emits with a 0/1 `contaminated`
+    * flag — the flag form (vs dropping) is what an audit needs, and the
+    * corpus carries real natural collisions (5 of 371 train docs at
+    * sf0.01), so the gate is non-vacuous without any injection.
+    *
+    * Scale shape: the eval side is SMALL by construction (eval sets are
+    * thousands of docs, not billions) — its distinct gram set
+    * broadcasts, the training mass streams through a map-side semi-join
+    * probe, and the only data-sized exchange is the contaminated-id
+    * distinct (bounded by |hits|, not |train|). Gram construction is
+    * the compiled WordShingles pass, shuffle-free. */
+  def decontaminate(documents: DataFrame, k: Int = 13): DataFrame = {
+    val withSplit = documents.select(col("doc_id"), col("text"),
+      splitCol(col("doc_id")).as("split"))
+    val grams = withSplit.select(col("doc_id"), col("split"),
+      explode(TextOps.shingles(
+        TextOps.tokens(coalesce(col("text"), lit(""))), k)).as("g"))
+    val evalGrams = grams.filter(col("split") === "test").select("g").distinct()
+    val hits = grams.filter(col("split") === "train")
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select(col("doc_id").as("hit_id")).distinct()
+    withSplit.filter(col("split") === "train").select("doc_id")
+      .join(hits, col("doc_id") === col("hit_id"), "left_outer")
+      .select(col("doc_id"),
+        col("hit_id").isNotNull.cast("int").as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** DSIR importance weights (Xie et al., NeurIPS'23 "Data Selection
     * for Language Models via Importance Resampling"): score every doc
     * by how target-like its HASHED n-gram feature distribution is —

@@ -267,10 +267,18 @@ object ScaleSmoke {
       // run carries only the k~√n dial leg
       if (factor <= 30) time(s"sem_prune_k8_v$nVec")(graft.llm.Dedup.semanticDedup(vecs))
       if (factor <= 30) time(s"sem_prune_k64_v$nVec")(graft.llm.Dedup.semanticDedup(vecs, k = 64))
-      // the paper's production regime: k ~ √n keeps Σ|cluster|² at
-      // n^1.5 AND the per-key compute ceiling high enough to spread
+      // the paper's production regime: k ~ √n with Lloyd-TRAINED
+      // centroids. The seed E-step is NOT usable here: the shifted
+      // replicas are near-orthogonal to every replica-0 seed, so
+      // d² ≈ |v|² + |c|² and all of them collapse into the min-norm
+      // seed's cluster — Σ|cluster|² degenerates to n² regardless of k
+      // (measured: 30+ min single-core at k=√n before this leg was
+      // switched; the REAL corpus balances 56–70 per cluster). Lloyd
+      // iterations pull centroids into the occupied space and restore
+      // the n²/k contract on ANY input — that asymmetry is the finding.
       val ks = math.ceil(math.sqrt(nVec.toDouble)).toInt
-      time(s"sem_prune_ksqrt${ks}_v$nVec")(graft.llm.Dedup.semanticDedup(vecs, k = ks))
+      time(s"sem_trained_ksqrt${ks}_v$nVec")(
+        graft.llm.Dedup.semanticDedupTrained(vecs, k = ks))
       val repDocs = spark.read.parquet(path).localCheckpoint()
       val nRep = repDocs.count()
       time(s"dsir_d$nRep")(graft.llm.TrainingPrep.dsirWeights(repDocs))

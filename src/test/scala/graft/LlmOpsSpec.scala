@@ -799,6 +799,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(pruned >= injected.size * 8 / 10, s"$pruned/${injected.size} twins pruned")
   }
 
+  test("trained semantic dedup: deterministic, prunes twins, separates known blobs") {
+    import spark.implicits._
+    // two well-separated blobs + an exact near-dup inside each: Lloyd
+    // from the worst seed init (both seeds in blob A — ids 1 and 2)
+    // must still split the blobs, and the prune keeps the far member
+    val blobs = Seq(
+      (1L, Seq(10.0, 0.0, 0.0)), (2L, Seq(10.5, 0.0, 0.0)),
+      (3L, Seq(10.4, 0.1, 0.0)),
+      (11L, Seq(0.0, 10.0, 0.0)), (12L, Seq(0.0, 10.4, 0.1)),
+      (13L, Seq(0.0, 10.5, 0.0))).toDF("vec_id", "v")
+    val out = Dedup.semanticDedupTrained(blobs, k = 2, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the two blobs land in different clusters
+    val aClusters = Set(1L, 2L, 3L).flatMap(out.get)
+    val bClusters = Set(11L, 12L, 13L).flatMap(out.get)
+    assert((aClusters & bClusters).isEmpty, out)
+    // every blob keeps ≥1 member and near-identical pairs collapse
+    assert(aClusters.nonEmpty && bClusters.nonEmpty)
+    assert(out.size < 6, s"no pruning happened: $out")
+
+    // corpus: deterministic across runs; the injected twins prune like
+    // the seed path (each twin pair loses a member unless it straddles
+    // a cluster boundary)
+    val vc = Corpus.vecCorpus(embeddings)
+    val r1 = Dedup.semanticDedupTrained(vc).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val r2 = Dedup.semanticDedupTrained(vc).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(r1 === r2, "Lloyd training must be run-to-run deterministic")
+    val survivors = r1.map(_._1).toSet
+    val injected = embeddings.select("vec_id").collect().map(_.getLong(0)).filter(_ % 10 == 0)
+    val pruned = injected.count(id => !survivors(id) || !survivors(id + 100000L))
+    assert(pruned >= injected.length * 8 / 10, s"$pruned/${injected.length} twins pruned")
+  }
+
   test("dsir weights: token counts exact; en scores above non-en per token") {
     val out = TrainingPrep.dsirWeights(documents).collect()
     val meta = documents.select("doc_id", "lang", "text").collect()
@@ -819,6 +852,29 @@ class LlmOpsSpec extends SparkSpec {
     }
     assert(meanPerTok(true) > meanPerTok(false),
       s"en ${meanPerTok(true)} !> other ${meanPerTok(false)}")
+  }
+
+  test("decontamination flags exactly the train docs sharing a 13-gram with the test split") {
+    val got = TrainingPrep.decontaminate(documents).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // independent reference: same md5 split law, sliding-window grams
+    val rows = documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+    def split(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (h.head < 'c') "train" else if (h.head < 'e') "val" else "test"
+    }
+    def grams(t: String): Set[String] =
+      t.split(" ", -1).sliding(13).filter(_.length == 13).map(_.mkString(" ")).toSet
+    val ev = rows.filter(r => split(r._1) == "test").flatMap(r => grams(r._2)).toSet
+    val want = rows.filter(r => split(r._1) == "train")
+      .map(r => r._1 -> (if (grams(r._2).intersect(ev).nonEmpty) 1 else 0)).toMap
+    assert(got === want)
+    // the corpus carries NATURAL 13-gram leakage (1 doc at sf0.001, 5 at
+    // sf0.01) — the flag must actually fire, and must not fire everywhere
+    assert(got.values.sum >= 1 && got.values.sum < got.size / 10,
+      s"${got.values.sum}/${got.size} flagged")
   }
 
   test("persisted band index: incremental dedup through the bucketed table matches the recompute form") {
