@@ -1052,14 +1052,17 @@ object SparkEntry {
         |  round(inter / (da.deg + db.deg - inter), 4) + 0.0 AS jac
         |FROM i JOIN deg da ON da.src = a JOIN deg db ON db.src = b
         |ORDER BY a, b""".stripMargin,
-    /* dedup_semantic: one k-means E-step against the 8 lowest-id seed
-     * vectors (d² via the dot-product expansion, 6dp-rounded before the
+    /* dedup_semantic: one k-means E-step against 8 HASH-SPREAD seed
+     * vectors (Knuth multiplicative hash of vec_id — the lowest-k pick
+     * is one ingest batch's corner of the space, the worst k-means
+     * init; d² via the dot-product expansion, 6dp-rounded before the
      * argmin), then the SemDeDup prune — drop a member iff a
      * cluster-mate with 4dp-cosine ≥ 0.99 is farther from the centroid
      * (tie → lower id survives). */
     "dedup_semantic" ->
       s"""WITH vc AS (${Corpus.vecCorpusSql}),
-         |seeds AS (SELECT vec_id AS seed_id, v AS c FROM vc ORDER BY vec_id LIMIT 8),
+         |seeds AS (SELECT vec_id AS seed_id, v AS c FROM vc
+         |  ORDER BY (vec_id * 2654435761) % 2147483648, vec_id LIMIT 8),
          |asg0 AS (SELECT vc.vec_id, seeds.seed_id, vc.v,
          |  round(list_dot_product(vc.v, vc.v) - 2.0*list_dot_product(vc.v, seeds.c)
          |        + list_dot_product(seeds.c, seeds.c), 6) + 0.0 AS d2

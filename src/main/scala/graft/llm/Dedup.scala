@@ -1061,7 +1061,7 @@ object Dedup {
     * member farthest from its centroid (the paper's choice: the far
     * member is the least redundant representative of the duplicated
     * region). Clustering here is one k-means E-step against DATA-POINT
-    * seeds — the k lowest vec_ids — because a trained-centroid Lloyd
+    * seeds — k HASH-SPREAD vec_ids ([[spreadSeeds]]) — because a Lloyd
     * loop (ivfTopK has one) is float-iteration-order territory no SQL
     * oracle can reproduce, while seed assignment is a deterministic
     * argmin both engines compute bit-identically (d² through the same
@@ -1109,13 +1109,27 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** Deterministic HASH-SPREAD seed selection: order by a multiplicative
+    * hash of vec_id (Knuth's 2654435761 mod 2³¹ — plain bigint
+    * arithmetic, bit-identical in any engine) and take the first k.
+    * The k LOWEST ids would be k neighbors in ingest order — on grown
+    * corpora that's one batch's corner of the space, the worst k-means
+    * init (every far vector ties to the min-norm seed, see
+    * [[semanticDedupTrained]]); the hash spreads seeds across the id
+    * space, and id order correlates with ingest batches, not geometry,
+    * so the pick behaves like a uniform sample while staying a
+    * TakeOrdered (per-partition top-k — no global sort, no RNG). */
+  private[llm] def spreadSeeds(vecs: DataFrame, k: Int): DataFrame =
+    vecs.orderBy((col("vec_id") * lit(2654435761L)) % lit(2147483648L), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+
   /** The E-step of [[semanticDedup]], un-checkpointed — split out so
     * PlanAuditSpec can audit the assignment's physical shape (seed
     * broadcast + map-side partial MIN_BY), which the checkpoint
     * boundary hides from the final executed plan. */
   private[graft] def semanticAssign(vecCorpus: DataFrame, k: Int = 8): DataFrame =
-    assignTo(vecCorpus, vecCorpus.orderBy("vec_id").limit(k)
-      .select(col("vec_id").as("cid"), col("v").as("c")))
+    assignTo(vecCorpus, spreadSeeds(vecCorpus, k))
 
   /** Nearest-centroid assignment against ANY (cid, c) centroid frame —
     * the E-step shared by the seed path ([[semanticAssign]]) and the
@@ -1172,7 +1186,7 @@ object Dedup {
     def centFrame(cents: Array[Array[Double]]): DataFrame =
       cents.zipWithIndex.toSeq.map { case (c, i) => (i.toLong, c.toSeq) }
         .toDF("cid", "c")
-    var cents = vs.orderBy("vec_id").limit(k)
+    var cents = spreadSeeds(vs, k)
       .collect().map(_.getSeq[Double](1).toArray)
     for (_ <- 1 to iters) {
       val sums = assignTo(vs, centFrame(cents))

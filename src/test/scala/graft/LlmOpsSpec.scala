@@ -769,7 +769,9 @@ class LlmOpsSpec extends SparkSpec {
     }
     def rnd(x: Double, s: Int) =
       BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val seeds = corpus.keys.toSeq.sorted.take(8)
+    // hash-spread seed pick, same multiplicative-hash order as the op
+    val seeds = corpus.keys.toSeq
+      .sortBy(id => ((id * 2654435761L) % 2147483648L, id)).take(8)
     val assign: Map[Long, (Long, Double)] = corpus.map { case (id, v) =>
       val (sid, dd) = seeds.map(s =>
         (s, rnd(dot(v, v) - 2.0 * dot(v, corpus(s)) + dot(corpus(s), corpus(s)), 6)))
