@@ -387,7 +387,19 @@ object SparkEntry {
     "pipeline_decontaminate" -> ((s, d) => TrainingPrep.decontaminate(Tables.documents(s, d))),
     // SemDeDup with Lloyd-TRAINED centroids — the balance-robust
     // production path (seed E-step balance is data-dependent)
-    "dedup_semantic_trained" -> ((s, d) => Dedup.semanticDedupTrained(Corpus.vecCorpus(Tables.embeddings(s, d))))
+    "dedup_semantic_trained" -> ((s, d) => Dedup.semanticDedupTrained(Corpus.vecCorpus(Tables.embeddings(s, d)))),
+    // MATCH_RECOGNIZE-lite: strictly-consecutive view→click→purchase
+    // per user, one user_id exchange
+    "win_sequence_detect" -> ((s, d) => graft.ops.Behavior.sequenceDetect(Tables.events(s, d))),
+    // DSIR delta scoring: a derived "new batch" scored against the BASE
+    // corpus's bucket model (the persisted-epoch shape, oracle-checked
+    // through the recompute path)
+    "pipeline_dsir_delta" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TrainingPrep.dsirWeightsDelta(docs, docs.filter(col("doc_id") % 4 === 1)
+        .withColumn("doc_id", col("doc_id") + 400000)
+        .withColumn("text", concat(col("text"), lit(" dsir delta probe"))))
+    })
   )
 
   // ---------------------------------------------------------------- oracle
@@ -1037,6 +1049,37 @@ object SparkEntry {
          |FROM base LEFT JOIN hits ON hits.doc_id = base.doc_id
          |WHERE base.split = 'train' ORDER BY base.doc_id""".stripMargin
     },
+    /* win_sequence_detect: LEAD adjacency over (ts, event_id) total
+     * order — overlapping matches count, mirroring the Spark LEADs. */
+    "win_sequence_detect" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1,
+        |  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2
+        | FROM events)
+        |SELECT user_id, COUNT(*) AS n_matches, MIN(event_id) AS first_event
+        |FROM o WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    /* pipeline_dsir_delta: base bucket model scores the derived delta
+     * batch; unseen buckets coalesce to the zero-count smoothed ratio. */
+    "pipeline_dsir_delta" ->
+      """WITH tb AS (SELECT doc_id, lang, substr(md5(word), 1, 2) AS bucket FROM
+        |  (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents) t),
+        |counts AS (SELECT bucket, COUNT(*) AS cnt_s,
+        |  SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cnt_t FROM tb GROUP BY bucket),
+        |tot AS (SELECT SUM(cnt_s) AS ns, SUM(cnt_t) AS nt FROM counts),
+        |ratios AS (SELECT bucket,
+        |  CAST(round((ln((cnt_t + 1.0) / (nt + 256.0)) - ln((cnt_s + 1.0) / (ns + 256.0)))
+        |       * 1000000.0, 0) AS BIGINT) AS r_units
+        |  FROM counts CROSS JOIN tot),
+        |zr AS (SELECT CAST(round((ln((0 + 1.0) / (nt + 256.0)) - ln((0 + 1.0) / (ns + 256.0)))
+        |       * 1000000.0, 0) AS BIGINT) AS zero_r FROM tot),
+        |delta AS (SELECT doc_id + 400000 AS doc_id, text || ' dsir delta probe' AS text
+        |  FROM documents WHERE doc_id % 4 = 1),
+        |dt AS (SELECT doc_id, substr(md5(word), 1, 2) AS bucket FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM delta) t)
+        |SELECT doc_id, COUNT(*) AS n_tokens, SUM(COALESCE(r_units, zero_r)) AS weight_units
+        |FROM dt LEFT JOIN ratios ON ratios.bucket = dt.bucket CROSS JOIN zr
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     /* graph_neighbor_jaccard: co-citation pairs from the capped
      * target-keyed self-join; full out-degrees in the denominator.
      * DuckDB `/` on integers is float division, matching Spark. */

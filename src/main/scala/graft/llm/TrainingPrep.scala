@@ -294,25 +294,73 @@ object TrainingPrep {
     * combine makes the exchange carry ≤ B rows per task). At 100 TB the
     * paper's 10k-bucket bigram variant is the same plan with a wider
     * hash prefix. */
-  def dsirWeights(documents: DataFrame, targetLang: String = "en"): DataFrame = {
-    val B = 256
-    val toks = documents
+  def dsirWeights(documents: DataFrame, targetLang: String = "en"): DataFrame =
+    dsirScore(dsirCounts(documents, targetLang), documents)
+
+  /** DSIR scoring of a DELTA batch against a base corpus's bucket
+    * model — the daily-ingest shape: the base's 256-row count table is
+    * the model (persist it via [[ensureDsirTable]] and the nightly
+    * batch never re-reads the corpus), the delta streams through the
+    * same broadcast-ratio scoring map-side. A delta token hashing to a
+    * bucket the base never saw scores at the zero-count smoothed ratio
+    * (the coalesce below) instead of silently dropping from the token
+    * count. */
+  def dsirWeightsDelta(base: DataFrame, delta: DataFrame,
+                       targetLang: String = "en"): DataFrame =
+    dsirScore(dsirCounts(base, targetLang), delta)
+
+  /** Persist the DSIR bucket-count model for an epoch (256 rows —
+    * model params, the ensureBandIndex artifact discipline). */
+  def ensureDsirTable(spark: org.apache.spark.sql.SparkSession, base: DataFrame,
+                      epoch: Long = 0L, targetLang: String = "en"): String = {
+    val name = s"dsir_counts_e$epoch"
+    if (!spark.catalog.tableExists(name)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$name")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) { fs.delete(loc, true); () }
+      dsirCounts(base, targetLang).write.mode("overwrite").saveAsTable(name)
+    }
+    name
+  }
+
+  /** [[dsirWeightsDelta]] through the PERSISTED epoch table — integer
+    * fixed-point weights make the equality with the recompute form
+    * exact (LlmOpsSpec pins it through the table round-trip). */
+  def dsirDeltaPersisted(spark: org.apache.spark.sql.SparkSession, base: DataFrame,
+                         delta: DataFrame, epoch: Long = 0L): DataFrame =
+    dsirScore(spark.table(ensureDsirTable(spark, base, epoch)), delta)
+
+  private[llm] def dsirToks(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"), col("lang"),
         explode(TextOps.tokens(col("text"))).as("word"))
       .withColumn("bucket", substring(md5(col("word")), 1, 2))
-    val counts = toks.groupBy("bucket").agg(
+
+  private[llm] def dsirCounts(documents: DataFrame, targetLang: String): DataFrame =
+    dsirToks(documents).groupBy("bucket").agg(
       count(lit(1)).as("cnt_s"),
       sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("cnt_t"))
+
+  /** Smoothed log-ratio in integer micro-nats — ONE rounding site per
+    * bucket, identical expression on both engines. */
+  private def rUnits(cntT: org.apache.spark.sql.Column,
+                     cntS: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round((log((cntT + lit(1.0)) / (col("nt") + lit(256.0)))
+      - log((cntS + lit(1.0)) / (col("ns") + lit(256.0))))
+      * lit(1000000.0), 0).cast("bigint")
+
+  private[llm] def dsirScore(counts: DataFrame, docs: DataFrame): DataFrame = {
     val totals = counts.agg(sum("cnt_s").as("ns"), sum("cnt_t").as("nt"))
     val ratios = counts.crossJoin(broadcast(totals))
-      .select(col("bucket"),
-        round((log((col("cnt_t") + lit(1.0)) / (col("nt") + lit(B.toDouble)))
-          - log((col("cnt_s") + lit(1.0)) / (col("ns") + lit(B.toDouble))))
-          * lit(1000000.0), 0).cast("bigint").as("r_units"))
-    toks.join(broadcast(ratios), Seq("bucket"))
+      .select(col("bucket"), rUnits(col("cnt_t"), col("cnt_s")).as("r_units"))
+    val zeroR = totals.select(rUnits(lit(0L), lit(0L)).as("zero_r"))
+    dsirToks(docs)
+      .join(broadcast(ratios), Seq("bucket"), "left_outer")
+      .crossJoin(broadcast(zeroR))
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_tokens"),
-        sum("r_units").as("weight_units"))
+        sum(coalesce(col("r_units"), col("zero_r"))).as("weight_units"))
       .orderBy("doc_id")
   }
 }

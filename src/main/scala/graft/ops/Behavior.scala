@@ -90,4 +90,29 @@ object Behavior {
       // Spark's ASC default is NULLS FIRST, DuckDB's is NULLS LAST
       .orderBy(col("cohort_week").asc, col("weeks_since").asc_nulls_first)
   }
+
+  /** MATCH_RECOGNIZE-lite: count STRICTLY-CONSECUTIVE event patterns
+    * per user — here view → click → purchase with no event in between
+    * (the funnel counts eventual order; this op is the adjacency
+    * pattern, what SQL:2016 MATCH_RECOGNIZE or Flink CEP would express).
+    * Matches may overlap (each qualifying start counts — the LEAD
+    * formulation's natural semantics, mirrored exactly in the oracle).
+    *
+    * Plan: the two LEADs and the per-user aggregation share ONE
+    * user_id exchange (the Behavior tier contract) — per-user ordering
+    * is (ts, event_id), total because event_id is unique. Output one
+    * row per user with ≥1 match: match count + the earliest matching
+    * start's event_id. */
+  def sequenceDetect(events: DataFrame,
+      pattern: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .filter(col("event_type") === pattern(0)
+        && col("t1") === pattern(1) && col("t2") === pattern(2))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_matches"), min(col("event_id")).as("first_event"))
+      .orderBy("user_id")
+  }
 }

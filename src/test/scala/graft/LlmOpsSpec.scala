@@ -879,6 +879,19 @@ class LlmOpsSpec extends SparkSpec {
       s"${got.values.sum}/${got.size} flagged")
   }
 
+  test("dsir delta through the persisted count table matches the recompute form exactly") {
+    val delta = documents.filter(col("doc_id") % 4 === 1)
+      .withColumn("doc_id", col("doc_id") + 400000)
+      .withColumn("text", concat(col("text"), lit(" dsir delta probe")))
+    val persisted = TrainingPrep.dsirDeltaPersisted(spark, documents, delta, epoch = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val recomputed = TrainingPrep.dsirWeightsDelta(documents, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // integer fixed-point weights → the equality is exact, not approximate
+    assert(persisted === recomputed && persisted.nonEmpty)
+    assert(spark.catalog.tableExists("dsir_counts_e7"))
+  }
+
   test("persisted band index: incremental dedup through the bucketed table matches the recompute form") {
     val corpus = Corpus.docCorpus(documents)
     val index = corpus.filter(col("doc_id") < 100000)
