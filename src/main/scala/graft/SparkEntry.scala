@@ -1053,8 +1053,8 @@ object SparkEntry {
      * order — overlapping matches count, mirroring the Spark LEADs. */
     "win_sequence_detect" ->
       """WITH o AS (SELECT user_id, event_id, event_type,
-        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1,
-        |  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id) AS t1,
+        |  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id) AS t2
         | FROM events)
         |SELECT user_id, COUNT(*) AS n_matches, MIN(event_id) AS first_event
         |FROM o WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'

@@ -105,7 +105,11 @@ object Behavior {
     * start's event_id. */
   def sequenceDetect(events: DataFrame,
       pattern: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // null-ts ordering explicit: Spark's ASC default is NULLS FIRST,
+    // DuckDB's is NULLS LAST — the corpus has no null ts today, but an
+    // implicit default here is a silent oracle split waiting to happen
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc_nulls_first, col("event_id"))
     events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("t1", lead(col("event_type"), 1).over(w))
       .withColumn("t2", lead(col("event_type"), 2).over(w))

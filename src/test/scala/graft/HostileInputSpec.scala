@@ -322,6 +322,30 @@ class HostileInputSpec extends SparkSpec {
     assert(ops.Graph.neighborJaccard(one).collect().isEmpty)
   }
 
+  test("sequence detect: null ts orders deterministically, null event_type never matches") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: clean consecutive match
+      (1L, 10L, t("2025-01-01 00:00:00"), "view"),
+      (1L, 11L, t("2025-01-01 00:00:01"), "click"),
+      (1L, 12L, t("2025-01-01 00:00:02"), "purchase"),
+      // user 2: ALL null ts — (event_id) tiebreak alone must give the
+      // total order, and the explicit nulls-first law keeps both
+      // engines on the same adjacency
+      (2L, 20L, null.asInstanceOf[Timestamp], "view"),
+      (2L, 21L, null.asInstanceOf[Timestamp], "click"),
+      (2L, 22L, null.asInstanceOf[Timestamp], "purchase"),
+      // user 3: null event_type breaks the chain (null = never matches)
+      (3L, 30L, t("2025-01-01 00:00:00"), "view"),
+      (3L, 31L, t("2025-01-01 00:00:01"), null.asInstanceOf[String]),
+      (3L, 32L, t("2025-01-01 00:00:02"), "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = ops.Behavior.sequenceDetect(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(1L -> ((1L, 10L)), 2L -> ((1L, 20L))), out)
+  }
+
   test("semantic dedup and dsir: degenerate inputs never throw") {
     // fewer vectors than seeds: every vector is its own nearest seed
     // (or joins a mate's cluster); nothing can be dropped among
