@@ -284,6 +284,32 @@ object ScaleSmoke {
       time(s"dsir_d$nRep")(graft.llm.TrainingPrep.dsirWeights(repDocs))
       time(s"bpe_encode_d$nRep")(graft.llm.Bpe.bpeEncode(repDocs))
       time(s"triangles_d$nRep")(graft.ops.Graph.triangles(repDocs))
+      // decontaminate: train AND eval both grow with the corpus here
+      // (split is md5(doc_id), replicas land in every split), so the
+      // claim under measurement is linearity of the gram probe — the
+      // fixed-small-eval broadcast regime is strictly easier
+      time(s"decontam_d$nRep")(graft.llm.TrainingPrep.decontaminate(repDocs))
+      // co-citation jaccard: the host space saturates (edges from
+      // doc_id mod laws), so cost must go FLAT like triangles
+      time(s"njaccard_d$nRep")(graft.ops.Graph.neighborJaccard(repDocs))
+      // dsir delta probe, both halves of the epoch shape: the RECOMPUTE
+      // form re-aggregates the grown base (one linear scan — measured
+      // 0.89→1.27→1.90 s at 10/30/100×), while the PERSISTED-model
+      // probe reads the 256-row epoch table and must be FLAT in the
+      // base, tracking the fixed delta alone
+      val fixedDelta = docs
+        .withColumn("doc_id", col("doc_id") + lit(900000000L))
+        .withColumn("text", concat(col("text"), lit(" dsx")))
+      time(s"dsir_delta_recompute_d$nRep")(
+        graft.llm.TrainingPrep.dsirWeightsDelta(repDocs, fixedDelta))
+      var dsirTable: String = null
+      time(s"dsir_model_build_d$nRep") {
+        dsirTable = graft.llm.TrainingPrep.ensureDsirTable(spark, repDocs, epoch = factor)
+        repDocs.select(col("doc_id")).limit(1) // build cost is above
+      }
+      println(s"""{"smoke":"dsir_model_table","factor":$factor,"table":"$dsirTable"}""")
+      time(s"dsir_delta_persisted_d$nRep")(
+        graft.llm.TrainingPrep.dsirDeltaPersisted(spark, repDocs, fixedDelta, epoch = factor))
       spark.stop()
       return
     }
