@@ -391,6 +391,9 @@ object SparkEntry {
     // MATCH_RECOGNIZE-lite: strictly-consecutive view→click→purchase
     // per user, one user_id exchange
     "win_sequence_detect" -> ((s, d) => graft.ops.Behavior.sequenceDetect(Tables.events(s, d))),
+    // fourth capstone: decontaminated + target-like (DSIR weight > 0)
+    // train docs, sharded for ingestion — the round-6 tier composed
+    "pipeline_target_curation" -> ((s, d) => TrainingPrep.targetCuration(Tables.documents(s, d))),
     // DSIR delta scoring: a derived "new batch" scored against the BASE
     // corpus's bucket model (the persisted-epoch shape, oracle-checked
     // through the recompute path)
@@ -1048,6 +1051,39 @@ object SparkEntry {
          |SELECT base.doc_id, CAST(hits.doc_id IS NOT NULL AS INT) AS contaminated
          |FROM base LEFT JOIN hits ON hits.doc_id = base.doc_id
          |WHERE base.split = 'train' ORDER BY base.doc_id""".stripMargin
+    },
+    /* pipeline_target_curation: the decontamination CTEs and the DSIR
+     * CTEs composed — uncontaminated train docs with positive weight,
+     * sharded by the seeded md5 law. */
+    "pipeline_target_curation" -> {
+      val k = 13
+      val terms = (1 to k).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      s"""WITH base AS (SELECT doc_id, text, lang, string_split(text, ' ') AS t,
+         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) < 'c' THEN 'train'
+         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) < 'e' THEN 'val'
+         |       ELSE 'test' END AS split FROM documents),
+         |sh AS (SELECT doc_id, split, list_distinct(list_transform(range(len(t)-${k - 1}),
+         |  i -> $terms)) AS shs FROM base),
+         |ev AS (SELECT DISTINCT unnest(shs) AS g FROM sh WHERE split = 'test'),
+         |hits AS (SELECT DISTINCT x.doc_id FROM
+         |  (SELECT doc_id, unnest(shs) AS g FROM sh WHERE split = 'train') x
+         |  JOIN ev ON ev.g = x.g),
+         |tb AS (SELECT doc_id, lang, substr(md5(word), 1, 2) AS bucket FROM
+         |  (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents) t),
+         |counts AS (SELECT bucket, COUNT(*) AS cnt_s,
+         |  SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cnt_t FROM tb GROUP BY bucket),
+         |tot AS (SELECT SUM(cnt_s) AS ns, SUM(cnt_t) AS nt FROM counts),
+         |ratios AS (SELECT bucket,
+         |  CAST(round((ln((cnt_t + 1.0) / (nt + 256.0)) - ln((cnt_s + 1.0) / (ns + 256.0)))
+         |       * 1000000.0, 0) AS BIGINT) AS r_units FROM counts CROSS JOIN tot),
+         |w AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(r_units) AS weight_units
+         |  FROM tb JOIN ratios ON ratios.bucket = tb.bucket GROUP BY doc_id)
+         |SELECT base.doc_id, w.n_tokens, w.weight_units,
+         |  substr(md5('42:' || CAST(base.doc_id AS VARCHAR)), 1, 1) AS shard
+         |FROM base JOIN w ON w.doc_id = base.doc_id
+         |LEFT JOIN hits ON hits.doc_id = base.doc_id
+         |WHERE base.split = 'train' AND hits.doc_id IS NULL AND w.weight_units > 0
+         |ORDER BY base.doc_id""".stripMargin
     },
     /* win_sequence_detect: LEAD adjacency over (ts, event_id) total
      * order — overlapping matches count, mirroring the Spark LEADs. */

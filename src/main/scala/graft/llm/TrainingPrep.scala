@@ -331,6 +331,24 @@ object TrainingPrep {
                          delta: DataFrame, epoch: Long = 0L): DataFrame =
     dsirScore(spark.table(ensureDsirTable(spark, base, epoch)), delta)
 
+  /** Fourth capstone — the TARGETED curation ordering built from the
+    * round-6 tier: keep train-split docs that are (a) NOT contaminated
+    * against the eval split (the 13-gram protocol) and (b) more
+    * target-like than the corpus average (DSIR weight > 0 micro-nats),
+    * then shard them for trainer ingestion with the seeded md5 law.
+    * One lazy plan: the decontamination flags and the DSIR weights are
+    * both doc-keyed aggregates (each one exchange), the join is
+    * co-keyed, the shard column is pure map-side. */
+  def targetCuration(documents: DataFrame, seed: Long = 42L): DataFrame = {
+    val key = md5(concat_ws(":", lit(seed.toString), col("doc_id").cast("string")))
+    decontaminate(documents).filter(col("contaminated") === 0)
+      .join(dsirWeights(documents), "doc_id")
+      .filter(col("weight_units") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("weight_units"),
+        substring(key, 1, 1).as("shard"))
+      .orderBy("doc_id")
+  }
+
   private[llm] def dsirToks(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), col("lang"),
