@@ -256,12 +256,8 @@ object TrainingPrep {
   def decontaminate(documents: DataFrame, k: Int = 13): DataFrame = {
     val withSplit = documents.select(col("doc_id"), col("text"),
       splitCol(col("doc_id")).as("split"))
-    val grams = withSplit.select(col("doc_id"), col("split"),
-      explode(TextOps.shingles(
-        TextOps.tokens(coalesce(col("text"), lit(""))), k)).as("g"))
-    val evalGrams = grams.filter(col("split") === "test").select("g").distinct()
-    val hits = grams.filter(col("split") === "train")
-      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+    val hits = docGrams(withSplit.filter(col("split") === "train"), k)
+      .join(broadcast(evalGramSet(documents, k)), Seq("g"), "left_semi")
       .select(col("doc_id").as("hit_id")).distinct()
     withSplit.filter(col("split") === "train").select("doc_id")
       .join(hits, col("doc_id") === col("hit_id"), "left_outer")
@@ -269,6 +265,21 @@ object TrainingPrep {
         col("hit_id").isNotNull.cast("int").as("contaminated"))
       .orderBy("doc_id")
   }
+
+  /** The eval side of [[decontaminate]]: the distinct word-k-gram set
+    * of the `test` split — small by construction, the broadcast /
+    * stream-static probe side (see
+    * [[graft.streaming.StreamingDecontam]]). */
+  def evalGramSet(documents: DataFrame, k: Int = 13): DataFrame =
+    docGrams(documents
+        .select(col("doc_id"), col("text"), splitCol(col("doc_id")).as("split"))
+        .filter(col("split") === "test"), k)
+      .select("g").distinct()
+
+  private[graft] def docGrams(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(TextOps.shingles(
+        TextOps.tokens(coalesce(col("text"), lit(""))), k)).as("g"))
 
   /** DSIR importance weights (Xie et al., NeurIPS'23 "Data Selection
     * for Language Models via Importance Resampling"): score every doc

@@ -327,4 +327,40 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === batch)
     } finally query.stop()
   }
+
+  test("streaming decontamination: leaked docs flagged against the static eval gram set") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+    // the static probe side, computed once (the ingest-guard deployment shape)
+    val evalG = graft.llm.TrainingPrep.evalGramSet(docs).localCheckpoint()
+    def split(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (h.head < 'c') "train" else if (h.head < 'e') "val" else "test"
+    }
+    val leak = docs.select("doc_id", "text").collect()
+      .find(r => split(r.getLong(0)) == "test" && r.getString(1).split(" ").length >= 13)
+      .get.getString(1)
+    val stream = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamingDecontam.flag(
+        stream.toDF().toDF("doc_id", "text"), evalG)
+      .writeStream.format("memory").queryName("decontam_flags")
+      .outputMode("append").start()
+    try {
+      // batch 1: a full eval-doc leak + a sub-13-token clean doc
+      stream.addData((900001L, leak), (900002L, "completely clean unrelated words only"))
+      query.processAllAvailable()
+      assert(spark.table("decontam_flags").collect().map(_.getLong(0)).toSet
+        === Set(900001L))
+      // batch 2: a PARTIAL copy (just the first 13 tokens) must still
+      // flag — the per-gram rule catches what exact-hash misses; a tiny
+      // clean doc passes; 900001 is not re-emitted (append-once dedup)
+      val partial = leak.split(" ").take(13).mkString(" ")
+      stream.addData((900003L, partial), (900004L, "tiny"))
+      query.processAllAvailable()
+      assert(spark.table("decontam_flags").collect().map(_.getLong(0)).toSet
+        === Set(900001L, 900003L))
+    } finally query.stop()
+  }
 }
