@@ -312,6 +312,9 @@ object SparkEntry {
     "agg_retention_cohort" -> ((s, d) => ops.Behavior.retentionCohort(Tables.events(s, d))),
     "scan_csv_malformed" -> ((s, d) => Scans.scanCsvMalformed(s, Tables.nation(s, d), d)),
     "dq_profile" -> ((s, d) => DataQuality.profile(Tables.lineitem(s, d))),
+    // Benford first-digit screen on the monetary column (integer-only
+    // digit extraction — portable across engines)
+    "dq_benford" -> ((s, d) => DataQuality.benford(Tables.lineitem(s, d))),
     "diff_scd2" -> ((s, d) => {
       val c = Tables.customer(s, d)
       SnapshotDiff.scd2(Snapshots.oldSnapshot(c), Snapshots.newSnapshot(c))
@@ -1052,6 +1055,20 @@ object SparkEntry {
          |FROM base LEFT JOIN hits ON hits.doc_id = base.doc_id
          |WHERE base.split = 'train' ORDER BY base.doc_id""".stripMargin
     },
+    /* dq_benford: integer-only digit extraction (string length of the
+     * floored value), shares and expectations 4dp-rounded; DuckDB
+     * integer / integer is float division, matching Spark. */
+    "dq_benford" ->
+      """WITH base AS (SELECT CAST(floor(l_extendedprice) AS BIGINT) AS v
+        |  FROM lineitem WHERE l_extendedprice >= 1.0),
+        |dd AS (SELECT v, v // CAST(pow(10, length(CAST(v AS VARCHAR)) - 1) AS BIGINT) AS d FROM base),
+        |tot AS (SELECT COUNT(*) AS n_tot FROM dd),
+        |g AS (SELECT d, COUNT(*) AS n FROM dd GROUP BY d)
+        |SELECT d AS digit, n,
+        |  round(n / n_tot, 4) + 0.0 AS share,
+        |  round(log10(1.0 + 1.0 / d), 4) + 0.0 AS benford,
+        |  round((round(n / n_tot, 4) + 0.0) - (round(log10(1.0 + 1.0 / d), 4) + 0.0), 4) + 0.0 AS dev
+        |FROM g CROSS JOIN tot ORDER BY digit""".stripMargin,
     /* pipeline_target_curation: the decontamination CTEs and the DSIR
      * CTEs composed — uncontaminated train docs with positive weight,
      * sharded by the seeded md5 law. */

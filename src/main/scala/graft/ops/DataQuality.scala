@@ -173,6 +173,31 @@ object DataQuality {
     * text bodies) and keep digests spanning ≥2 distinct sources. The
     * synthetic corpus is cross-source-clean, so deterministic mirror
     * copies are injected (same derivation in the oracle SQL). */
+  /** BENFORD first-significant-digit profile of a monetary column —
+    * the classic fabricated-data screen (organic multiplicative values
+    * follow P(d) = log10(1 + 1/d); synthesized or tampered columns
+    * don't, and the per-digit deviation is the audit signal). The
+    * digit extraction is INTEGER-only — d = v div 10^(len(str(v))−1)
+    * on the floored value — because floor(log10(x)) on doubles can
+    * misround at exact powers of ten and CAST(double AS BIGINT)
+    * truncates in Spark but rounds in DuckDB; string length of an
+    * integer is portable everywhere. One map-side digit pass + a
+    * 9-row aggregate; the total rides along as a broadcast scalar. */
+  def benford(lineitem: DataFrame): DataFrame = {
+    val base = lineitem.filter(col("l_extendedprice") >= 1.0)
+      .select(floor(col("l_extendedprice")).cast("long").as("v"))
+      .withColumn("d",
+        expr("v div cast(pow(10, length(cast(v as string)) - 1) as bigint)"))
+    val total = base.agg(count(lit(1)).as("n_tot"))
+    base.groupBy("d").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("d").as("digit"), col("n"),
+        (round(col("n") / col("n_tot"), 4) + lit(0.0)).as("share"),
+        (round(log(10.0, lit(1.0) + lit(1.0) / col("d")), 4) + lit(0.0)).as("benford"))
+      .withColumn("dev", round(col("share") - col("benford"), 4) + lit(0.0))
+      .orderBy("digit")
+  }
+
   def contamination(documents: DataFrame): DataFrame = {
     val mirrored = documents.filter(col("doc_id") % 9 === 0)
       .withColumn("doc_id", col("doc_id") + 300000)
