@@ -46,6 +46,8 @@ object SparkEntry {
     "join_theta_range" -> ((s, d) => Joins.thetaRange(Tables.events(s, d))),
     "join_range_bucketed" -> ((s, d) => Joins.thetaRangeBucketed(Tables.events(s, d))),
     "join_asof" -> ((s, d) => Joins.asOf(Tables.events(s, d), Tables.orders(s, d))),
+    // entity resolution: blocking-key candidates + in-block edit distance
+    "join_fuzzy_match" -> ((s, d) => Joins.fuzzyMatch(Tables.customer(s, d))),
     // --- aggregation ---
     "agg_hash_group" -> ((s, d) => Aggregates.pricingSummary(Tables.lineitem(s, d))),
     "agg_count_distinct" -> ((s, d) => Aggregates.countDistinctCustomers(Tables.orders(s, d))),
@@ -263,6 +265,9 @@ object SparkEntry {
       ops.Maintenance.zorderedLineitem(Tables.lineitem(s, d))),
     "scan_schema_merge" -> ((s, d) => Scans.scanSchemaMerge(s, Tables.nation(s, d), d)),
     "maintenance_compact" -> ((s, d) => Maintenance.compactedEvents(s, Tables.events(s, d))),
+    // ANALYZE-style per-partition stats over the hive layout (also an
+    // integrity check: the oracle recomputes from the raw table)
+    "maintenance_partition_stats" -> ((s, d) => graft.ops.PartitionedLayout.partitionStats(s, Tables.events(s, d))),
     // --- round 3 additions ---
     "agg_mode" -> ((s, d) => Aggregates.modePerGroup(Tables.orders(s, d))),
     "agg_histogram" -> ((s, d) => Aggregates.histogram(Tables.orders(s, d))),
@@ -1055,6 +1060,24 @@ object SparkEntry {
          |FROM base LEFT JOIN hits ON hits.doc_id = base.doc_id
          |WHERE base.split = 'train' ORDER BY base.doc_id""".stripMargin
     },
+    /* maintenance_partition_stats: recomputed from the raw events
+     * table — equality doubles as partitioned-fixture integrity. */
+    "maintenance_partition_stats" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS event_date,
+        |  COUNT(*) AS n_rows,
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  MIN(event_id) AS min_event, MAX(event_id) AS max_event
+        |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin,
+    /* join_fuzzy_match: identical blocking + levenshtein on both
+     * engines (standard edit distance in each). */
+    "join_fuzzy_match" ->
+      """WITH c AS (SELECT c_custkey, c_name, substr(c_name, 1, 15) AS blk FROM customer)
+        |SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+        |  a.c_name AS a_name, b.c_name AS b_name,
+        |  levenshtein(a.c_name, b.c_name) AS dist
+        |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY a_key, b_key""".stripMargin,
     /* dq_benford: integer-only digit extraction (string length of the
      * floored value), shares and expectations 4dp-rounded; DuckDB
      * integer / integer is float division, matching Spark. */

@@ -211,4 +211,27 @@ object Joins {
         col("best.o_orderdate").as("o_orderdate"))
       .orderBy("event_id")
   }
+
+  /** ENTITY RESOLUTION by blocked fuzzy matching: candidate pairs come
+    * from a BLOCKING-KEY equi-join (the 15-char name prefix — records
+    * that can't share a block can't match, so the quadratic stays
+    * Σ|block|², the dedup-tier bucketing rule applied to records), then
+    * the expensive edit-distance check runs only within blocks; pairs
+    * at Levenshtein ≤ maxDist are the single-typo duplicate candidates
+    * a master-data pipeline feeds into survivorship. At 100 TB the
+    * blocking key is the dial (longer prefix / phonetic key / multiple
+    * passes with different keys — same plan, different key column);
+    * blocks of viral size get the in-degree-cap treatment. */
+  def fuzzyMatch(customer: DataFrame, maxDist: Int = 1): DataFrame = {
+    val a = customer.select(substring(col("c_name"), 1, 15).as("blk"),
+      col("c_custkey").as("a_key"), col("c_name").as("a_name"))
+    val b = customer.select(substring(col("c_name"), 1, 15).as("blk"),
+      col("c_custkey").as("b_key"), col("c_name").as("b_name"))
+    a.join(b, Seq("blk"))
+      .filter(col("a_key") < col("b_key"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"), col("dist"))
+      .orderBy("a_key", "b_key")
+  }
 }

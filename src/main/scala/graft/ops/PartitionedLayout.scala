@@ -29,6 +29,27 @@ object PartitionedLayout {
     path
   }
 
+  /** ANALYZE-style PER-PARTITION statistics over the hive layout — the
+    * stats pass a maintenance scheduler runs to pick compaction /
+    * z-order targets and to feed the optimizer's partition-level
+    * estimates: per event_date, row count, distinct event types, and
+    * the event_id range. One scan of the partitioned table with
+    * map-side-combining aggregates; at 100 TB each partition's stats
+    * compute inside its own files' tasks and the exchange carries one
+    * row per (task, date). The oracle recomputes from the raw events
+    * table — the layout must hold exactly the ingested data, so this
+    * row is also an integrity check on the partitioned fixture. */
+  def partitionStats(spark: SparkSession, events: DataFrame): DataFrame = {
+    val path = ensurePartitionedEvents(spark, events)
+    spark.read.parquet(path)
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("event_type")).as("n_types"),
+        min(col("event_id")).as("min_event"),
+        max(col("event_id")).as("max_event"))
+      .orderBy("event_date")
+  }
+
   /** Dynamic partition pruning: the selective predicate lives on a small
     * DIM side only — the fact side has no static date filter, yet its
     * partitions are pruned AT RUNTIME from the broadcast dim values
