@@ -324,6 +324,10 @@ object SparkEntry {
       val c = Tables.customer(s, d)
       SnapshotDiff.scd2(Snapshots.oldSnapshot(c), Snapshots.newSnapshot(c))
     }),
+    // out-of-order changelog compaction: one max_by hash aggregate, no
+    // window/sort — the immutable-store re-expression of the reference's
+    // per-row DML replay (syncquill.py:78-107)
+    "diff_cdc_apply" -> ((s, d) => graft.sync.Cdc.cdcApply(Tables.orders(s, d))),
     "dedup_cluster_banded" -> ((s, d) => Dedup.nearDupClustersBanded(Corpus.docCorpus(Tables.documents(s, d)))),
     "dedup_cluster_stars" -> ((s, d) => {
       val corpus = Corpus.docCorpus(Tables.documents(s, d))
@@ -943,6 +947,22 @@ object SparkEntry {
          |    AND o_segment IS NOT DISTINCT FROM n_segment))
          |SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY slno, version""".stripMargin,
     "diff_positional" -> diffPositionalSql,
+    /* diff_cdc_apply: the synthesized changelog (Cdc.changelog) and the
+     * max_by compaction mirrored; NULL-price delete rows never surface
+     * (surviving keys' arg-max row is always a non-delete). */
+    "diff_cdc_apply" ->
+      """WITH base AS (SELECT o_orderkey AS key, o_totalprice AS price, o_orderstatus AS status FROM orders),
+        |log AS (
+        | SELECT key, CAST(1 AS BIGINT) AS seq, 'I' AS op,
+        |   CAST(price AS DECIMAL(18,2)) AS price, status FROM base
+        | UNION ALL SELECT key, 2, 'U', CAST(price + 100.0 AS DECIMAL(18,2)), 'U' FROM base WHERE key % 5 = 0
+        | UNION ALL SELECT key, 3, 'D', NULL, NULL FROM base WHERE key % 13 = 0
+        | UNION ALL SELECT key, 4, 'U', CAST(price + 7.50 AS DECIMAL(18,2)), 'L' FROM base WHERE key % 17 = 3),
+        |c AS (SELECT key, max_by(op, seq) AS last_op, max_by(price, seq) AS price,
+        |   max_by(status, seq) AS status, max(seq) AS last_seq, count(*) AS n_changes
+        | FROM log GROUP BY key)
+        |SELECT key, price, status, last_seq, n_changes FROM c
+        |WHERE last_op <> 'D' ORDER BY key""".stripMargin,
     "diff_apply_merge" ->
       s"""SELECT * FROM (${Snapshots.newSql}) t ORDER BY slno""",
     "agg_changeset_summary" ->

@@ -86,6 +86,28 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(maintained.filter(col("segment") === "CHANGED").count() === 0L)
   }
 
+  test("cdc apply: replay-order independent, deletes drop, late updates resurrect") {
+    import graft.sync.Cdc
+    val orders = Tables.orders(spark, sfDir)
+    val log = Cdc.changelog(orders).cache()
+    val applied = Cdc.apply(log).cache()
+    // order independence: compact of a reversed-arrival log is identical
+    val reversed = Cdc.apply(log.orderBy(col("seq").desc, col("key").desc))
+    assert(applied.exceptAll(reversed).count() === 0L)
+    assert(reversed.exceptAll(applied).count() === 0L)
+    // deleted-not-resurrected keys are gone
+    val deadKeys = applied.filter(col("key") % 13 === 0 && !(col("key") % 17 === 3))
+    assert(deadKeys.count() === 0L)
+    // delete-then-late-update keys resurrect with the seq-4 values
+    val resurrected = applied.filter(col("key") % 13 === 0 && col("key") % 17 === 3)
+    if (resurrected.count() > 0)
+      assert(resurrected.filter(col("status") =!= "L" || col("last_seq") =!= 4).count() === 0L)
+    // compaction is a single hash aggregate: no window, no sort below the agg
+    val plan = applied.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), plan)
+    log.unpersist(); applied.unpersist()
+  }
+
   test("keyed diff classifies inserts/deletes/updates correctly") {
     val old = Snapshots.oldSnapshot(customer)
     val neu = Snapshots.newSnapshot(customer)
