@@ -197,6 +197,9 @@ object SparkEntry {
     "win_percent_rank" -> ((s, d) => Windows.percentileRanks(Tables.customer(s, d))),
     "dq_contamination" -> ((s, d) => DataQuality.contamination(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => Aggregates.stratifiedSample(Tables.documents(s, d))),
+    // fixed-budget per-group sample: k smallest md5(doc_id) per lang,
+    // partial WindowGroupLimit below the exchange (plan-gated)
+    "sample_reservoir_group" -> ((s, d) => Aggregates.reservoirByGroup(Tables.documents(s, d))),
     "text_normalize_url" -> ((s, d) => TextAnalysis.normalizeUrls(Tables.documents(s, d))),
     "fn_struct" -> ((s, d) => ScalarFns.structFns(Tables.nation(s, d))),
     "analytics_q3_shipping" -> ((s, d) =>
@@ -1533,6 +1536,15 @@ object SparkEntry {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE CASE WHEN lang = 'en' THEN doc_id % 10 < 2 ELSE doc_id % 10 < 5 END
         |ORDER BY doc_id""".stripMargin,
+    /* sample_reservoir_group: k=20 smallest md5(doc_id) per lang; md5 of
+     * the decimal-rendered key is bit-identical across engines. */
+    "sample_reservoir_group" ->
+      """WITH r AS (SELECT lang, doc_id, source,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+        | FROM documents)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, source FROM r
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
     "text_normalize_url" ->
       """WITH u AS (SELECT doc_id,
         |  'HTTPS://Docs.Example.COM/' || lang || '/item/' || doc_id ||

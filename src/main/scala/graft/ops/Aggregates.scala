@@ -153,6 +153,27 @@ object Aggregates {
         col("col.item").as("event_type"), col("col.est_n").as("n"))
       .orderBy("bucket", "rk")
 
+  /** Exact-k deterministic reservoir per group: for each stratum keep the
+    * k rows with the smallest md5(key) — a fixed-BUDGET sample (contrast
+    * [[stratifiedSample]], a fixed-RATE one; a curation job needs both:
+    * rate to rebalance, budget to cap). Hash-ordering makes the draw
+    * uniform-ish, reproducible, and engine-portable (md5 is bit-identical
+    * in DuckDB). Scale shape: the `row_number <= k` filter sits directly
+    * above the window so InferWindowGroupLimit plants a PARTIAL
+    * WindowGroupLimit below the exchange — every mapper ships at most k
+    * rows per group it touches, so the shuffle carries
+    * O(mappers · groups · k), independent of corpus size (plan-gated in
+    * PlanAuditSpec). */
+  def reservoirByGroup(documents: DataFrame, k: Int = 20): DataFrame = {
+    val h = md5(col("doc_id").cast("string"))
+    val w = Window.partitionBy(col("lang")).orderBy(h.asc, col("doc_id").asc)
+    documents
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"), col("source"))
+      .orderBy("lang", "rk")
+  }
+
   /** Stratified deterministic sampling over `documents`: a different
     * key-mod rate per stratum — downsample the dominant language (en →
     * 20%) while keeping half of everything else. The training-data

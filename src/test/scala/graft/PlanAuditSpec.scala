@@ -295,6 +295,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(qidExchangeRecords === Seq(8L * 3L), s"q_id exchange carried $qidExchangeRecords rows")
   }
 
+  test("sample_reservoir_group: per-group budget plans as PARTIAL WindowGroupLimit") {
+    // same InferWindowGroupLimit contract as pipeline_domain_cap: the
+    // `rk <= k` filter directly above the window truncates every
+    // mapper's slice to k rows per lang BEFORE the exchange, so the
+    // shuffle carries O(mappers · langs · k) whatever the corpus size
+    val df = ops.Aggregates.reservoirByGroup(Tables.documents(spark, sfDir))
+    df.collect()
+    val nodes = PlanWalk.allNodes(df.queryExecution.executedPlan)
+    val partialLimits = nodes.filter(n =>
+      n.getClass.getSimpleName == "WindowGroupLimitExec" && n.toString.contains("Partial"))
+    assert(partialLimits.nonEmpty, nodes.map(_.nodeName).mkString("; "))
+  }
+
   test("pipeline_domain_cap: quota filter plans as PARTIAL WindowGroupLimit") {
     // same rewrite contract as sim_knn_join: `row_number <= cap` directly
     // above the window lets InferWindowGroupLimit truncate every mapper's
