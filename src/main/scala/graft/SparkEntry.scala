@@ -277,6 +277,9 @@ object SparkEntry {
     "dq_outlier_zscore" -> ((s, d) => DataQuality.outlierZscore(Tables.lineitem(s, d))),
     "dq_outlier_mad" -> ((s, d) => DataQuality.outlierMad(Tables.customer(s, d))),
     "dedup_passage" -> ((s, d) => Dedup.passageDedup(Corpus.docCorpus(Tables.documents(s, d)))),
+    // sliding k-gram cross-doc duplication load per doc (Lee et al. 2022
+    // re-expressed as a gram-df join; grams hashed to 8 bytes pre-shuffle)
+    "dedup_substring" -> ((s, d) => Dedup.substringDup(Corpus.docCorpus(Tables.documents(s, d)))),
     "dedup_url" -> ((s, d) => Dedup.urlDedup(Tables.documents(s, d))),
     "sim_knn_join" -> ((s, d) => Similarity.knnJoin(Tables.embeddings(s, d))),
     "set_except_all" -> ((s, d) => SetSort.exceptAllBags(Tables.customer(s, d))),
@@ -1941,6 +1944,25 @@ object SparkEntry {
         | COALESCE(d.text_dedup, '') AS text_dedup
         |FROM tot t LEFT JOIN ded d ON t.doc_id = d.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    /* dedup_substring: sliding 8-gram df join — the oracle groups by the
+     * gram STRING where Spark groups by its xxhash64 fp (counts agree
+     * unless xxhash64 collides, which the corpus sizes make negligible);
+     * dup_share is the floor(x*1e4+0.5) portable rounding. */
+    "dedup_substring" -> {
+      val k = 8
+      val gramTerms = (1 to k).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      s"""WITH corpus AS (${Corpus.docCorpusSql}),
+         |base AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+         |g AS (SELECT doc_id, unnest(list_transform(range(len(t)-${k - 1}),
+         |  i -> $gramTerms)) AS gram FROM base WHERE len(t) >= $k),
+         |df AS (SELECT gram, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY gram),
+         |pd AS (SELECT g.doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+         | FROM g JOIN df USING (gram) GROUP BY g.doc_id)
+         |SELECT doc_id, n_grams, n_dup_grams,
+         | floor(n_dup_grams * 10000.0 / n_grams + 0.5) / 10000.0 + 0.0 AS dup_share
+         |FROM pd ORDER BY doc_id""".stripMargin
+    },
     "dedup_url" ->
       """WITH u AS (SELECT doc_id,
         | 'HTTPS://Docs.Example.COM/' || lang || '/item/' || (doc_id % 500) ||

@@ -923,6 +923,35 @@ object Dedup {
     * hash-partitioned exchanges with no skew (digests are uniform).
     * Determinism: survivor = min(doc_id·100000 + pos) per digest; the
     * reassembly sorts passages by position inside one collect_list. */
+  /** Substring-level duplication screen (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" signal, re-expressed
+    * relationally): for every SLIDING k-word gram (positional, overlapping
+    * — contrast [[passageDedup]]'s disjoint chunks), count how many
+    * distinct docs contain it; a doc's duplication load is the share of
+    * its gram positions whose gram also occurs in another doc. The paper's
+    * suffix-array machinery doesn't fit a shuffle-based engine; the
+    * equivalent cross-doc signal is a gram document-frequency join, which
+    * does. Scale shape: grams are hashed to 8-byte xxhash64 fingerprints
+    * IN THE PROJECTION — text never shuffles; the df aggregate is
+    * map-side-partial on the fp, and the probe join re-uses the same fp
+    * key, so the whole operator is two fp-keyed exchanges + one doc-keyed
+    * rollup regardless of document width. */
+  def substringDup(corpus: DataFrame, k: Int = 8): DataFrame = {
+    val grams = corpus
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextExprs.wordShingles(TextOps.tokens(col("text")), k, distinct = false)))
+      .select(col("doc_id"), xxhash64(col("col")).as("fp"))
+    val df = grams.groupBy("fp").agg(countDistinct(col("doc_id")).as("n_docs"))
+    grams.join(df, "fp")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        (floor(col("n_dup_grams") * 10000.0 / col("n_grams") + 0.5) / 10000.0).as("dup_share"))
+      .orderBy("doc_id")
+  }
+
   def passageDedup(corpus: DataFrame, chunkWords: Int = 8): DataFrame = {
     val tok = TextOps.tokens(col("text"))
     val nChunks = ceil(size(tok).cast("double") / chunkWords).cast("int")
