@@ -46,6 +46,9 @@ object SparkEntry {
     "join_theta_range" -> ((s, d) => Joins.thetaRange(Tables.events(s, d))),
     "join_range_bucketed" -> ((s, d) => Joins.thetaRangeBucketed(Tables.events(s, d))),
     "join_asof" -> ((s, d) => Joins.asOf(Tables.events(s, d), Tables.orders(s, d))),
+    // time-binned interval overlap join (equi-join on (user, bin), 3×
+    // one-side replication, exactly-once matching — no theta BNL)
+    "join_interval_overlap" -> ((s, d) => Joins.intervalOverlap(Tables.events(s, d))),
     // entity resolution: blocking-key candidates + in-block edit distance
     "join_fuzzy_match" -> ((s, d) => Joins.fuzzyMatch(Tables.customer(s, d))),
     // --- aggregation ---
@@ -713,6 +716,18 @@ object SparkEntry {
         | SELECT c_custkey AS k, c_acctbal AS bal, c_mktsegment AS segment
         | FROM customer WHERE c_custkey % 2 = 1) t
         |ORDER BY k""".stripMargin,
+    /* join_interval_overlap: the oracle is the plain theta join — exact
+     * µs arithmetic (epoch_us ≡ unix_micros), strict < on both bounds
+     * (half-open windows: touching intervals do NOT overlap). */
+    "join_interval_overlap" ->
+      """WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_s,
+        |  epoch_us(ts) + 600000000 AS a_e FROM events WHERE event_type = 'view'),
+        |b AS (SELECT user_id, event_id AS b_id, epoch_us(ts) AS b_s,
+        |  epoch_us(ts) + 600000000 AS b_e FROM events WHERE event_type = 'click')
+        |SELECT a.user_id, a_id, b_id,
+        | least(a_e, b_e) - greatest(a_s, b_s) AS overlap_us
+        |FROM a JOIN b ON a.user_id = b.user_id AND a_s < b_e AND b_s < a_e
+        |ORDER BY a_id, b_id""".stripMargin,
     "join_asof" ->
       """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |j AS (SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,

@@ -182,6 +182,38 @@ object Joins {
       .orderBy("s_id")
   }
 
+  /** Interval-overlap join: per user, every (view, click) pair whose
+    * 10-minute activity windows [ts, ts+W) intersect — the attribution /
+    * concurrency primitive (Spark has no native interval join; Flink and
+    * KDB ship one). A theta join `a.s < b.e AND b.s < a.e` plans as a
+    * broadcast-nested-loop at any size, so the scalable form bins time at
+    * the interval width W: if a and b overlap then
+    * floor(b.s/W) ∈ {floor(a.s/W)-1, floor(a.s/W), floor(a.s/W)+1}, so
+    * exploding the LEFT side to those 3 bins and keying the right side by
+    * its single start bin matches every overlapping pair EXACTLY once (the
+    * right side owns one bin — no post-join dedup), and the join is a
+    * plain (user, bin) hash equi-join with the overlap predicate as a
+    * residual filter. At 100 TB both sides shuffle once; replication
+    * factor is a constant 3 on one side only. Time is compared in exact
+    * µs longs (`unix_micros`) — no sub-second truncation to disagree on. */
+  def intervalOverlap(events: DataFrame, windowUs: Long = 600000000L): DataFrame = {
+    def side(t: String, p: String) = events
+      .filter(col("event_type") === t)
+      .select(col("user_id"), col("event_id").as(s"${p}_id"),
+        unix_micros(col("ts")).as(s"${p}_s"),
+        (unix_micros(col("ts")) + windowUs).as(s"${p}_e"))
+    val a = side("view", "a")
+      .withColumn("bin", explode(array((-1 to 1).map(i =>
+        floor(col("a_s") / windowUs).cast("long") + i): _*)))
+    val b = side("click", "b")
+      .withColumn("bin", floor(col("b_s") / windowUs).cast("long"))
+    a.join(b, Seq("user_id", "bin"))
+      .filter(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s"))).as("overlap_us"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** As-of join: for each event, the latest order (keyed user_id =
     * o_custkey) with o_orderdate at-or-before the event timestamp.
     * Spark has no native ASOF; the scalable formulation is an equi-join on

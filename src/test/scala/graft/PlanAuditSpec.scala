@@ -295,6 +295,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(qidExchangeRecords === Seq(8L * 3L), s"q_id exchange carried $qidExchangeRecords rows")
   }
 
+  test("join_interval_overlap: equi-join on (user, bin) — no nested-loop, and parity with the theta form") {
+    val events = Tables.events(spark, sfDir)
+    val df = ops.Joins.intervalOverlap(events)
+    val plan = df.queryExecution.executedPlan.toString
+    // the whole point of the binning: the theta predicate must be a
+    // residual on an equi-join, never the join condition of a BNL/cartesian
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    // exactly-once matching: the binned form equals the naive theta join
+    import org.apache.spark.sql.functions._
+    def side(t: String, p: String) = events.filter(col("event_type") === t)
+      .select(col("user_id"), col("event_id").as(s"${p}_id"),
+        unix_micros(col("ts")).as(s"${p}_s"), (unix_micros(col("ts")) + 600000000L).as(s"${p}_e"))
+    val naive = side("view", "a").as("a").join(side("click", "b").as("b"),
+        col("a.user_id") === col("b.user_id") && col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .select(col("a.user_id"), col("a_id"), col("b_id"),
+        (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s"))).as("overlap_us"))
+    assert(df.exceptAll(naive).count() === 0L)
+    assert(naive.exceptAll(df).count() === 0L)
+  }
+
   test("sample_reservoir_group: per-group budget plans as PARTIAL WindowGroupLimit") {
     // same InferWindowGroupLimit contract as pipeline_domain_cap: the
     // `rk <= k` filter directly above the window truncates every
