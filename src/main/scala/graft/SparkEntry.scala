@@ -160,6 +160,9 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(Tables.documents(s, d))),
+    // PII incidence per source (detection side of text_scrub; injected
+    // deterministic PII, regexp_count chain, map-mostly)
+    "text_pii_stats" -> ((s, d) => TextAnalysis.piiStats(Tables.documents(s, d))),
     "text_scrub" -> ((s, d) => TextAnalysis.scrub(
       // inject deterministic PII-shaped tails so the masks are exercised
       // (the synthetic corpus itself is plain words) — mirrored in oracle
@@ -1458,6 +1461,25 @@ object SparkEntry {
         |SELECT lang, doc_id, chunk_id, n_tokens,
         | CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_id
         |FROM s ORDER BY lang, doc_id, chunk_id""".stripMargin,
+    /* text_pii_stats: injection law and regexes mirrored; patterns live in
+     * the Java∩RE2 common syntax. DuckDB standard strings pass backslashes
+     * through to RE2 untouched. */
+    "text_pii_stats" ->
+      """WITH t AS (SELECT source, text
+        |  || CASE WHEN doc_id % 9 = 2 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+        |  || CASE WHEN doc_id % 11 = 3 THEN ' host 192.168.' || (doc_id % 256) || '.' || (CAST(floor(doc_id / 256) AS BIGINT) % 256) ELSE '' END
+        |  || CASE WHEN doc_id % 13 = 4 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS text
+        | FROM documents),
+        |c AS (SELECT source,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(text, '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phone
+        | FROM t)
+        |SELECT source, count(*) AS n_docs, sum(n_email) AS emails, sum(n_ip) AS ips,
+        | sum(n_phone) AS phones,
+        | CAST(sum(CASE WHEN n_email + n_ip + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+        | floor(sum(CASE WHEN n_email + n_ip + n_phone > 0 THEN 1 ELSE 0 END) * 10000.0 / count(*) + 0.5) / 10000.0 + 0.0 AS pii_rate
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "text_scrub" ->
       """WITH t AS (SELECT doc_id, text ||
         |  CASE WHEN doc_id % 5 = 0 THEN ' reach me at bob123@mail.example now'

@@ -263,6 +263,47 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** PII incidence report — the DETECTION side of the scrub pass
+    * ([[scrub]] redacts; this measures, per source, how much PII a corpus
+    * slice carries so a curation job can rank sources for exclusion or
+    * extra scrubbing). The harness corpus is synthetic and PII-free, so
+    * PII is injected deterministically by key (same fixture law as
+    * Corpus.docCorpus), mirrored verbatim in the oracle. Detection is a
+    * per-row `regexp_count` chain (codegen'd, map-side); the only shuffle
+    * is the tiny per-source rollup — at 100 TB this is a map-mostly scan.
+    * Patterns stay in the Java∩RE2 common syntax so Spark and DuckDB
+    * compile them identically. */
+  def piiStats(documents: DataFrame): DataFrame = {
+    val injected =
+      concat(
+        col("text"),
+        when(col("doc_id") % 9 === 2,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 3,
+          concat(lit(" host 192.168."), pmod(col("doc_id"), lit(256)).cast("long"),
+            lit("."), pmod(floor(col("doc_id") / 256), lit(256)).cast("long"))).otherwise(lit("")),
+        when(col("doc_id") % 13 === 4,
+          concat(lit(" call 555-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))).otherwise(lit("")))
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val phoneRe = "\\b555-[0-9]{4}\\b"
+    documents
+      .select(col("source"),
+        regexp_count(injected, lit(emailRe)).cast("long").as("n_email"),
+        regexp_count(injected, lit(ipRe)).cast("long").as("n_ip"),
+        regexp_count(injected, lit(phoneRe)).cast("long").as("n_phone"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_email")).as("emails"),
+        sum(col("n_ip")).as("ips"),
+        sum(col("n_phone")).as("phones"),
+        sum(when(col("n_email") + col("n_ip") + col("n_phone") > 0, 1L).otherwise(0L)).as("docs_with_pii"))
+      .withColumn("pii_rate",
+        floor(col("docs_with_pii") * 10000.0 / col("n_docs") + 0.5) / 10000.0)
+      .orderBy("source")
+  }
+
   /** PII-style scrubbing: mask email-shaped tokens, long digit runs and
     * hex-ish ids — the redaction pass a training pipeline runs before
     * tokenization. Pure per-row regexp_replace chain (codegen'd). */
