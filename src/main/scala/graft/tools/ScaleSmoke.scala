@@ -314,6 +314,47 @@ object ScaleSmoke {
       return
     }
 
+    // optional fifth arg "newOnly": the round-6 third-session operators.
+    // Claims under measurement:
+    //  - substringDup over UNIQUE-text replicas (token-prefix rotation,
+    //    the twinsOnly law): the gram-df join is two fp-keyed exchanges
+    //    whose record volume tracks total gram count — wall and
+    //    shuffle_records must grow ~factor;
+    //  - intervalOverlap over MAU-style event growth (user ids shift,
+    //    per-user history constant): pair mass and the (user, bin)
+    //    exchange must grow ~factor — the constant-3 replication shows
+    //    up as exchange_records ≈ 3·|view| + |click|;
+    //  - cdcApply over key-shifted order replicas: one max_by hash
+    //    aggregate, map-side partials — linear, no window anywhere.
+    if (args.lift(4).contains("newOnly")) {
+      val uqPath = s"/tmp/scale_smoke_uniq_x$factor"
+      (0 until factor).map { i =>
+          val shifted = docs.withColumn("doc_id", col("doc_id") + lit(i * 30000000L))
+          if (i == 0) shifted
+          else shifted.withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1"))
+        }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(uqPath)
+      val uq = graft.llm.Corpus.docCorpus(spark.read.parquet(uqPath)).localCheckpoint()
+      val nUq = uq.count()
+      time(s"substring_dup_d$nUq")(graft.llm.Dedup.substringDup(uq))
+      val events = graft.Tables.events(spark, sfDir)
+      val repEv = (0 until factor).map(i =>
+          events.withColumn("user_id", col("user_id") + lit(i * 10000000L))
+            .withColumn("event_id", col("event_id") + lit(i * 1000000000L)))
+        .reduce(_ unionByName _).localCheckpoint()
+      val nEv = repEv.count()
+      time(s"interval_overlap_ev$nEv")(graft.ops.Joins.intervalOverlap(repEv))
+      val orders = graft.Tables.orders(spark, sfDir)
+      val repOrd = (0 until factor).map(i =>
+          orders.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L)))
+        .reduce(_ unionByName _).localCheckpoint()
+      val nOrd = repOrd.count()
+      time(s"cdc_apply_o$nOrd")(graft.sync.Cdc.cdcApply(repOrd))
+      spark.stop()
+      return
+    }
+
     // optional fifth arg "orderedOnly": the production ordering
     // (exact → containment-prefix on survivors, one operator) vs RAW
     // prefix-containment on the duplicate-heavy replicated corpus —
