@@ -163,6 +163,8 @@ object SparkEntry {
     // PII incidence per source (detection side of text_scrub; injected
     // deterministic PII, regexp_count chain, map-mostly)
     "text_pii_stats" -> ((s, d) => TextAnalysis.piiStats(Tables.documents(s, d))),
+    // per-source lang-mix Shannon entropy + deterministic dominant lang
+    "text_diversity_entropy" -> ((s, d) => TextAnalysis.diversityEntropy(Tables.documents(s, d))),
     "text_scrub" -> ((s, d) => TextAnalysis.scrub(
       // inject deterministic PII-shaped tails so the masks are exercised
       // (the synthetic corpus itself is plain words) — mirrored in oracle
@@ -1114,13 +1116,22 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin,
     /* join_fuzzy_match: identical blocking + levenshtein on both
      * engines (standard edit distance in each). */
+    /* join_fuzzy_match: deletion-variant (SymSpell) blocking mirrored —
+     * the oracle joins on the variant STRING where Spark joins on its
+     * xxhash64 fp (a collision only adds a candidate; the levenshtein
+     * residual rejects it on both sides, so results agree exactly). */
     "join_fuzzy_match" ->
-      """WITH c AS (SELECT c_custkey, c_name, substr(c_name, 1, 15) AS blk FROM customer)
-        |SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
-        |  a.c_name AS a_name, b.c_name AS b_name,
-        |  levenshtein(a.c_name, b.c_name) AS dist
-        |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
-        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      """WITH v AS (SELECT c_custkey AS k,
+        |  unnest(list_append(list_transform(range(1, length(c_name)+1),
+        |    i -> substr(c_name, 1, i-1) || substr(c_name, i+1)), c_name)) AS var
+        | FROM customer),
+        |cand AS (SELECT DISTINCT a.k AS a_key, b.k AS b_key
+        | FROM v a JOIN v b ON a.var = b.var AND a.k < b.k)
+        |SELECT a_key, b_key, ca.c_name AS a_name, cb.c_name AS b_name,
+        | levenshtein(ca.c_name, cb.c_name) AS dist
+        |FROM cand JOIN customer ca ON ca.c_custkey = a_key
+        | JOIN customer cb ON cb.c_custkey = b_key
+        |WHERE levenshtein(ca.c_name, cb.c_name) <= 1
         |ORDER BY a_key, b_key""".stripMargin,
     /* dq_benford: integer-only digit extraction (string length of the
      * floored value), shares and expectations 4dp-rounded; DuckDB
@@ -1461,6 +1472,20 @@ object SparkEntry {
         |SELECT lang, doc_id, chunk_id, n_tokens,
         | CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_id
         |FROM s ORDER BY lang, doc_id, chunk_id""".stripMargin,
+    /* text_diversity_entropy: Shannon H over each source's lang counts;
+     * ln is libm-adjacent on both engines so every derived double rounds
+     * through the portable floor(x·1e4+0.5); sums CAST to BIGINT (DuckDB
+     * sum(BIGINT) is HUGEINT); dominant-lang tie-break = the agg_mode
+     * rule (count desc, lang asc). */
+    "text_diversity_entropy" ->
+      """WITH c AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang),
+        |r AS (SELECT source, lang, n, sum(n) OVER (PARTITION BY source) AS tot,
+        |  row_number() OVER (PARTITION BY source ORDER BY n DESC, lang ASC) AS rk FROM c)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_langs,
+        | floor(sum(-(n*1.0/tot) * ln(n*1.0/tot)) * 10000.0 + 0.5) / 10000.0 + 0.0 AS entropy,
+        | max(CASE WHEN rk = 1 THEN lang END) AS top_lang,
+        | floor(max(CASE WHEN rk = 1 THEN n END) * 10000.0 / sum(n) + 0.5) / 10000.0 + 0.0 AS top_share
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     /* text_pii_stats: injection law and regexes mirrored; patterns live in
      * the Java∩RE2 common syntax. DuckDB standard strings pass backslashes
      * through to RE2 untouched. */

@@ -263,6 +263,37 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Per-source language-diversity entropy — the mix-monitoring signal a
+    * curation job tracks per slice (a source whose lang entropy collapses
+    * is scraping one community; one whose dominant-lang share spikes
+    * needs rebalancing — the [[graft.ops.Aggregates.stratifiedSample]]
+    * rate dial). Shannon H = -Σ p·ln p over the source's lang
+    * distribution, plus the dominant lang with a DETERMINISTIC tie-break
+    * (highest count, then lexicographically smallest lang — the agg_mode
+    * rule; built-in arg-max tie-breaking is unspecified in both engines).
+    * Scale shape: one (source, lang) count aggregate (map-side partial);
+    * entropy and the window then run over the tiny count table, never
+    * data. ln() is libm-adjacent on both engines — all derived doubles
+    * round through the portable floor(x·1e4+0.5) before comparison. */
+  def diversityEntropy(documents: DataFrame): DataFrame = {
+    val counts = documents.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("source")
+    val ranked = counts
+      .withColumn("tot", sum(col("n")).over(w))
+      .withColumn("rk", row_number().over(w.orderBy(col("n").desc, col("lang").asc)))
+    ranked
+      .groupBy("source")
+      .agg(
+        sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        (floor(sum(-(col("n") / col("tot")) * log(col("n") / col("tot"))) * 10000.0 + 0.5) / 10000.0)
+          .as("entropy"),
+        max(when(col("rk") === 1, col("lang"))).as("top_lang"),
+        (floor(max(when(col("rk") === 1, col("n"))) * 10000.0 / sum(col("n")) + 0.5) / 10000.0)
+          .as("top_share"))
+      .orderBy("source")
+  }
+
   /** PII incidence report — the DETECTION side of the scrub pass
     * ([[scrub]] redacts; this measures, per source, how much PII a corpus
     * slice carries so a curation job can rank sources for exclusion or

@@ -295,6 +295,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(qidExchangeRecords === Seq(8L * 3L), s"q_id exchange carried $qidExchangeRecords rows")
   }
 
+  test("join_fuzzy_match: deletion-variant blocking is LOSSLESS vs brute-force levenshtein") {
+    import org.apache.spark.sql.functions._
+    val customer = Tables.customer(spark, sfDir)
+    val df = ops.Joins.fuzzyMatch(customer)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    // the blocking law (dist<=1 pairs share a deletion variant) must drop
+    // NOTHING: compare against the full quadratic at the spec scale
+    val n = customer.select(col("c_custkey").as("k"), col("c_name").as("nm"))
+    val brute = n.as("a").join(n.as("b"), col("a.k") < col("b.k"))
+      .withColumn("dist", levenshtein(col("a.nm"), col("b.nm")))
+      .filter(col("dist") <= 1)
+      .select(col("a.k").as("a_key"), col("b.k").as("b_key"), col("dist"))
+    val got = df.select("a_key", "b_key", "dist")
+    assert(got.exceptAll(brute).count() === 0L)
+    assert(brute.exceptAll(got).count() === 0L)
+  }
+
   test("join_interval_overlap: equi-join on (user, bin) — no nested-loop, and parity with the theta form") {
     val events = Tables.events(spark, sfDir)
     val df = ops.Joins.intervalOverlap(events)
