@@ -32,6 +32,9 @@ object SparkEntry {
     "scan_parquet" -> ((s, d) => Scans.scanParquet(Tables.lineitem(s, d))),
     "scan_csv_allstring" -> ((s, d) => Scans.scanCsvAllString(s, Tables.nation(s, d), d)),
     "scan_jsonl" -> ((s, d) => Scans.scanJsonl(s, Tables.nation(s, d), d)),
+    // raw-crawl line ingestion: documents round-tripped through
+    // id<TAB>text lines, first-tab re-parse
+    "scan_text_lines" -> ((s, d) => Scans.scanTextLines(s, Tables.documents(s, d), d)),
     "scan_orc" -> ((s, d) => Scans.scanOrc(s, Tables.nation(s, d), d)),
     "validate_reject" -> ((s, d) => Scans.validateReject(Tables.customer(s, d))),
     "project_cast_string" -> ((s, d) => Scans.projectCastString(Tables.nation(s, d))),
@@ -635,6 +638,10 @@ object SparkEntry {
         |FROM nation ORDER BY nation.n_nationkey""".stripMargin,
     "scan_jsonl" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    // content identity through the id<TAB>text line round-trip (oracle
+    // reads the parquet side)
+    "scan_text_lines" ->
+      "SELECT doc_id, text, length(text) AS n_chars FROM documents ORDER BY doc_id",
     // content identity through the ORC round-trip (oracle reads parquet)
     "scan_orc" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",

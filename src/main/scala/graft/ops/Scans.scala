@@ -63,6 +63,32 @@ object Scans {
       .orderBy("n_nationkey")
   }
 
+  /** Line-oriented text scan — the raw-crawl ingestion shape (WET/plain
+    * dumps arrive as one record per line, not as columnar files; Common
+    * Crawl tooling and every "read the corpus off the wire" job starts
+    * here). Round-trips `documents` through `id<TAB>text` lines written
+    * with the text writer and re-parses with a FIRST-tab split (text may
+    * legally contain further tabs — only the leading field is
+    * structural). `spark.read.text` is a real distributed source: files
+    * split at newlines into per-128MB partitions, the parse is a
+    * codegen'd per-row projection, and nothing shuffles until a consumer
+    * asks — the correct 100 TB ingestion front door for raw text. The
+    * corpus fixture is tab/newline-free (verified), so the round trip is
+    * exact and the oracle just reads the parquet side. */
+  def scanTextLines(spark: SparkSession, documents: DataFrame, tag: String = ""): DataFrame = {
+    val dir = stagingDir("text_documents", tag)
+    documents
+      .select(concat(col("doc_id").cast("string"), lit("\t"), col("text")).as("value"))
+      .coalesce(1).write.mode("overwrite").text(dir)
+    val tab = "\t"
+    spark.read.text(dir)
+      .select(
+        substring_index(col("value"), tab, 1).cast("long").as("doc_id"),
+        expr(s"substring(value, instr(value, '$tab') + 1)").as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Schema-evolution scan: two parquet generations of `nation` — v1
     * without `n_regionkey` (even keys), v2 with it (odd keys) — read as
     * ONE table via `mergeSchema`; columns missing in a generation come
