@@ -124,7 +124,8 @@ object Bench {
       "analytics_q5_local_volume", "stream_tumbling_batch", "mm_binary_meta",
       "graph_pagerank", "graph_components", "pipeline_dedup_ordered",
       "sim_pq_topk", "graph_triangles", "dedup_semantic",
-      "pipeline_dsir_weights", "text_bpe_encode")
+      "pipeline_dsir_weights", "text_bpe_encode",
+      "join_fuzzy_match", "dedup_substring")
     val shown = headline.flatMap(k => medians.get(k).map(k -> _))
     val qs = shown.map { case (k, v) => "\"" + k + "\":" + r2d(v) }
       .mkString("{", ",", "}")

@@ -327,6 +327,8 @@ object ScaleSmoke {
     //  - cdcApply over key-shifted order replicas: one max_by hash
     //    aggregate, map-side partials — linear, no window anywhere.
     if (args.lift(4).contains("newOnly")) {
+      val fuzzyOnly = args.lift(5).contains("fuzzyOnly")
+      if (!fuzzyOnly) {
       val uqPath = s"/tmp/scale_smoke_uniq_x$factor"
       (0 until factor).map { i =>
           val shifted = docs.withColumn("doc_id", col("doc_id") + lit(i * 30000000L))
@@ -338,6 +340,8 @@ object ScaleSmoke {
       val uq = graft.llm.Corpus.docCorpus(spark.read.parquet(uqPath)).localCheckpoint()
       val nUq = uq.count()
       time(s"substring_dup_d$nUq")(graft.llm.Dedup.substringDup(uq))
+      }
+      if (!fuzzyOnly) {
       val events = graft.Tables.events(spark, sfDir)
       val repEv = (0 until factor).map(i =>
           events.withColumn("user_id", col("user_id") + lit(i * 10000000L))
@@ -351,6 +355,26 @@ object ScaleSmoke {
         .reduce(_ unionByName _).localCheckpoint()
       val nOrd = repOrd.count()
       time(s"cdc_apply_o$nOrd")(graft.sync.Cdc.cdcApply(repOrd))
+      }
+      // fuzzy match under customer-base growth. The replica NAME law must
+      // keep per-record dist-1 density CONSTANT: encoding the replica as
+      // an offset digit (first attempt) made names dist-1 ACROSS
+      // replicas (…0100005 vs …0200005), so TRUE pairs grew ~factor²
+      // (measured: 3.0M/9.9M/172.1M at 10/30/100×) — a fixture
+      // pathology the operator faithfully reported, same class as the
+      // identical-text jaccard replication. Fix: a DOUBLED-DIGIT replica
+      // tag (i=13 → "1133") — any two distinct tags differ in ≥2 chars,
+      // so cross-replica pairs are impossible and pair growth is exactly
+      // linear; within-replica neighbor structure is the base table's.
+      val cust = graft.Tables.customer(spark, sfDir)
+      def dd(i: Int): String = f"$i%03d".flatMap(c => s"$c$c")
+      val repCust = (0 until factor).map { i =>
+          cust.withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L))
+            .withColumn("c_name", concat(lit(s"C${dd(i)}#"),
+              lpad(pmod(col("c_custkey"), lit(10000000L)).cast("string"), 9, "0")))
+        }.reduce(_ unionByName _).localCheckpoint()
+      val nCust = repCust.count()
+      time(s"fuzzy_match_c$nCust")(graft.ops.Joins.fuzzyMatch(repCust))
       spark.stop()
       return
     }
