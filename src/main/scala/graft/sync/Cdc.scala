@@ -54,10 +54,10 @@ object Cdc {
     ins.unionByName(upd).unionByName(del).unionByName(lateUpd)
   }
 
-  /** Compact a changelog of (key, seq, op, price, status) to latest state.
-    * Output: one row per surviving key with its latest values plus the
-    * change count — the audit column a sync job reports. */
-  def apply(changelog: DataFrame): DataFrame =
+  /** Unfiltered compaction: one row per key INCLUDING delete tombstones
+    * (last_op = 'D') — the state a streaming CDC maintainer holds; the
+    * batch materialization drops tombstones on top of this. */
+  def compactAll(changelog: DataFrame): DataFrame =
     changelog
       .groupBy("key")
       .agg(
@@ -66,6 +66,12 @@ object Cdc {
         max_by(col("status"), col("seq")).as("status"),
         max(col("seq")).as("last_seq"),
         count(lit(1)).as("n_changes"))
+
+  /** Compact a changelog of (key, seq, op, price, status) to latest state.
+    * Output: one row per surviving key with its latest values plus the
+    * change count — the audit column a sync job reports. */
+  def apply(changelog: DataFrame): DataFrame =
+    compactAll(changelog)
       .filter(col("last_op") =!= "D")
       .select("key", "price", "status", "last_seq", "n_changes")
       .orderBy("key")

@@ -154,6 +154,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming CDC: out-of-order chunked changelog converges to the batch compaction") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StreamingCdc
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the batch fixture changelog, price in integer cents, arrival order
+    // SCRAMBLED (descending seq, interleaved keys) and split into chunks
+    val log = graft.sync.Cdc.changelog(Tables.orders(spark, sfDir))
+      .select(col("key"), col("seq"), col("op"),
+        coalesce((col("price") * 100).cast("long"), lit(-1L)).as("cents"),
+        coalesce(col("status"), lit("")).as("status"))
+      .orderBy(col("seq").desc, col("key").asc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getString(4)))
+    val stream = MemoryStream[StreamingCdc.CdcRow]
+    val query = StreamingCdc.latestState(stream.toDS())
+      .writeStream.format("memory").queryName("cdc_state").outputMode("append").start()
+    try {
+      log.grouped(math.max(1, log.length / 3)).foreach { chunk =>
+        stream.addData(chunk.toSeq)
+        query.processAllAvailable()
+      }
+      // final state per key = the max-seq emission across all batches
+      val streamed = spark.table("cdc_state")
+        .groupBy("key").agg(
+          max_by(struct(col("last_seq"), col("op"), col("price_cents"), col("status")),
+            col("last_seq")).as("s"))
+        .select(col("key"), col("s.last_seq"), col("s.op"),
+          col("s.price_cents"), col("s.status"))
+      val expected = graft.sync.Cdc.compactAll(
+          graft.sync.Cdc.changelog(Tables.orders(spark, sfDir)))
+        .select(col("key"), col("last_seq"), col("last_op").as("op"),
+          coalesce((col("price") * 100).cast("long"), lit(-1L)).as("price_cents"),
+          coalesce(col("status"), lit("")).as("status"))
+      assert(streamed.exceptAll(expected).count() === 0L)
+      assert(expected.exceptAll(streamed).count() === 0L)
+    } finally {
+      query.stop()
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("streaming near-dup: incoming docs matched against the persisted band index") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
