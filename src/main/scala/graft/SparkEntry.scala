@@ -1121,8 +1121,6 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
         |  MIN(event_id) AS min_event, MAX(event_id) AS max_event
         |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin,
-    /* join_fuzzy_match: identical blocking + levenshtein on both
-     * engines (standard edit distance in each). */
     /* join_fuzzy_match: deletion-variant (SymSpell) blocking mirrored —
      * the oracle joins on the variant STRING where Spark joins on its
      * xxhash64 fp (a collision only adds a candidate; the levenshtein
@@ -1507,8 +1505,9 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
         |  CAST(len(regexp_extract_all(text, '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phone
         | FROM t)
-        |SELECT source, count(*) AS n_docs, sum(n_email) AS emails, sum(n_ip) AS ips,
-        | sum(n_phone) AS phones,
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_email) AS BIGINT) AS emails, CAST(sum(n_ip) AS BIGINT) AS ips,
+        | CAST(sum(n_phone) AS BIGINT) AS phones,
         | CAST(sum(CASE WHEN n_email + n_ip + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
         | floor(sum(CASE WHEN n_email + n_ip + n_phone > 0 THEN 1 ELSE 0 END) * 10000.0 / count(*) + 0.5) / 10000.0 + 0.0 AS pii_rate
         |FROM c GROUP BY source ORDER BY source""".stripMargin,

@@ -939,8 +939,8 @@ object Dedup {
   def substringDup(corpus: DataFrame, k: Int = 8): DataFrame = {
     val grams = corpus
       .select(col("doc_id"),
-        posexplode(graft.functions.TextExprs.wordShingles(TextOps.tokens(col("text")), k, distinct = false)))
-      .select(col("doc_id"), xxhash64(col("col")).as("fp"))
+        explode(graft.functions.TextExprs.wordShingles(TextOps.tokens(col("text")), k, distinct = false)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("fp"))
     val df = grams.groupBy("fp").agg(countDistinct(col("doc_id")).as("n_docs"))
     grams.join(df, "fp")
       .groupBy("doc_id")

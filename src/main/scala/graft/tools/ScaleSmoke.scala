@@ -363,7 +363,8 @@ object ScaleSmoke {
       // (measured: 3.0M/9.9M/172.1M at 10/30/100×) — a fixture
       // pathology the operator faithfully reported, same class as the
       // identical-text jaccard replication. Fix: a DOUBLED-DIGIT replica
-      // tag (i=13 → "1133") — any two distinct tags differ in ≥2 chars,
+      // tag (3-digit zero-pad, then double: i=13 → "001133") — any two
+      // distinct tags differ in ≥2 chars,
       // so cross-replica pairs are impossible and pair growth is exactly
       // linear; within-replica neighbor structure is the base table's.
       val cust = graft.Tables.customer(spark, sfDir)
