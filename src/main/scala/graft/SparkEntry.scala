@@ -305,6 +305,8 @@ object SparkEntry {
     "dedup_minhash_oracle" -> ((s, d) => Dedup.minhashBandedOracle(Corpus.docCorpus(Tables.documents(s, d)))),
     "dedup_simhash_oracle" -> ((s, d) => Dedup.simhashOracle(Corpus.docCorpus(Tables.documents(s, d)))),
     "agg_regr" -> ((s, d) => Aggregates.regrStats(Tables.lineitem(s, d))),
+    // pairwise corr/cov matrix from one exact-decimal moment pass
+    "agg_corr_matrix" -> ((s, d) => Aggregates.corrMatrix(Tables.lineitem(s, d))),
     "agg_bool" -> ((s, d) => Aggregates.boolAggs(Tables.orders(s, d))),
     "text_zipf" -> ((s, d) => TextAnalysis.zipfProfile(Tables.documents(s, d))),
     "stream_enrich_batch" -> ((s, d) => Streams.enrichBatch(Tables.events(s, d), Tables.customer(s, d))),
@@ -2164,6 +2166,36 @@ object SparkEntry {
          |SELECT doc_id,
          | CAST(SUM(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS fingerprint
          |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    /* agg_corr_matrix: same exact-decimal moment law as agg_regr — sums
+     * in DECIMAL, one cast to double, identical IEEE corr/cov/sqrt
+     * expressions on both sides; 3-pair long format via UNION ALL over
+     * the tiny moment CTE. */
+    "agg_corr_matrix" ->
+      """WITH m AS (SELECT l_returnflag,
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sdd,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sqd,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS spd
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, var_a, var_b, corr, cov_samp, CAST(n AS BIGINT) AS n FROM (
+        | SELECT l_returnflag, n, 'quantity' AS var_a, 'extendedprice' AS var_b,
+        |  (n*sqp - sq*sp) / sqrt((n*sqq - sq*sq) * (n*spp - sp*sp)) AS corr,
+        |  (n*sqp - sq*sp) / (n*(n-1)) AS cov_samp FROM m
+        | UNION ALL
+        | SELECT l_returnflag, n, 'quantity', 'discount',
+        |  (n*sqd - sq*sd) / sqrt((n*sqq - sq*sq) * (n*sdd - sd*sd)),
+        |  (n*sqd - sq*sd) / (n*(n-1)) FROM m
+        | UNION ALL
+        | SELECT l_returnflag, n, 'extendedprice', 'discount',
+        |  (n*spd - sp*sd) / sqrt((n*spp - sp*sp) * (n*sdd - sd*sd)),
+        |  (n*spd - sp*sd) / (n*(n-1)) FROM m) t
+        |ORDER BY l_returnflag, var_a, var_b""".stripMargin,
     "agg_regr" ->
       """WITH m AS (SELECT l_returnflag,
         |  CAST(count(*) AS DOUBLE) AS n,

@@ -299,6 +299,48 @@ object Aggregates {
     * not the built-in regr_* (whose double accumulation is shuffle-order
     * dependent). The moments are map-side-combinable sums, so the whole
     * regression costs one scan + one tiny shuffle at any scale. */
+  /** Pairwise correlation/covariance matrix over (quantity, price,
+    * discount) per returnflag — the feature-screening profile a data-prep
+    * job runs before modeling ([[regrStats]] fits ONE pair; this reports
+    * every pair, long format). Same cross-engine determinism law as
+    * regrStats: all second moments accumulate in EXACT decimal, cast to
+    * double once, and the final corr/cov arithmetic (including sqrt) is
+    * the identical IEEE expression on both sides — no rounding needed.
+    * ONE scan: the 10 moments aggregate in a single map-side-partial
+    * pass; the 3-pair long format explodes from the tiny per-flag frame,
+    * never re-reading data. */
+  def corrMatrix(lineitem: DataFrame): DataFrame = {
+    val q = col("l_quantity").cast("decimal(18,2)")
+    val p = col("l_extendedprice").cast("decimal(18,2)")
+    val d = col("l_discount").cast("decimal(18,2)")
+    val m = lineitem.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(q).cast("double").as("sq"), sum(p).cast("double").as("sp"),
+      sum(d).cast("double").as("sd"),
+      sum(q * q).cast("double").as("sqq"), sum(p * p).cast("double").as("spp"),
+      sum(d * d).cast("double").as("sdd"),
+      sum(q * p).cast("double").as("sqp"), sum(q * d).cast("double").as("sqd"),
+      sum(p * d).cast("double").as("spd"))
+    def pair(name_a: String, name_b: String,
+             sa: org.apache.spark.sql.Column, sb: org.apache.spark.sql.Column,
+             saa: org.apache.spark.sql.Column, sbb: org.apache.spark.sql.Column,
+             sab: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val n = col("n")
+      val cov = n * sab - sa * sb
+      struct(lit(name_a).as("var_a"), lit(name_b).as("var_b"),
+        (cov / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))).as("corr"),
+        (cov / (n * (n - 1))).as("cov_samp"))
+    }
+    m.select(col("l_returnflag"), col("n").cast("long").as("n"),
+        explode(array(
+          pair("quantity", "extendedprice", col("sq"), col("sp"), col("sqq"), col("spp"), col("sqp")),
+          pair("quantity", "discount", col("sq"), col("sd"), col("sqq"), col("sdd"), col("sqd")),
+          pair("extendedprice", "discount", col("sp"), col("sd"), col("spp"), col("sdd"), col("spd")))).as("pr"))
+      .select(col("l_returnflag"), col("pr.var_a"), col("pr.var_b"),
+        col("pr.corr"), col("pr.cov_samp"), col("n"))
+      .orderBy("l_returnflag", "var_a", "var_b")
+  }
+
   def regrStats(lineitem: DataFrame): DataFrame = {
     val x = col("l_quantity").cast("decimal(18,2)")
     val y = col("l_extendedprice").cast("decimal(18,2)")
