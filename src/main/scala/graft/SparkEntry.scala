@@ -1243,7 +1243,7 @@ object SparkEntry {
     "dedup_semantic" ->
       s"""WITH vc AS (${Corpus.vecCorpusSql}),
          |seeds AS (SELECT vec_id AS seed_id, v AS c FROM vc
-         |  ORDER BY (vec_id * 2654435761) % 2147483648, vec_id LIMIT 8),
+         |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 2147483648, vec_id LIMIT 8),
          |asg0 AS (SELECT vc.vec_id, seeds.seed_id, vc.v,
          |  round(list_dot_product(vc.v, vc.v) - 2.0*list_dot_product(vc.v, seeds.c)
          |        + list_dot_product(seeds.c, seeds.c), 6) + 0.0 AS d2

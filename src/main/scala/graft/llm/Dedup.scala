@@ -1110,8 +1110,7 @@ object Dedup {
     * broadcast plan with the trained centroids as the model params. */
   def semanticDedup(vecCorpus: DataFrame, k: Int = 8,
                     threshold: Double = 0.99): DataFrame =
-    semanticPrune(semanticAssign(vecCorpus, k)
-      .localCheckpoint(eager = false), threshold)
+    semanticPrune(semanticAssign(vecCorpus, k), threshold)
 
   /** The within-cluster prune shared by the seed and Lloyd paths:
     * drop a member iff a cluster-mate with 4dp-cosine ≥ threshold sits
@@ -1120,8 +1119,13 @@ object Dedup {
     * it feeds both prune branches and the anti-join. */
   private[llm] def semanticPrune(assigned0: DataFrame, threshold: Double): DataFrame = {
     import graft.functions.VectorExprs.{vecDot, vecNorm, nonzeroDenom}
+    // norm computed once per row INSIDE the checkpoint (not per consuming
+    // branch, not per pair): the checkpoint moved here from the callers
+    // because a norm added above a caller-side checkpoint re-evaluates on
+    // every scan of both prune branches (review finding r6)
     val assigned = assigned0
-      .withColumn("nrm", vecNorm(col("v"))) // once per row, not twice per pair
+      .withColumn("nrm", vecNorm(col("v")))
+      .localCheckpoint(eager = false)
     val l = assigned.select(col("cluster"), col("vec_id").as("a_id"),
       col("v").as("a_v"), col("d2").as("a_d2"), col("nrm").as("a_n"))
     val r = assigned.select(col("cluster"), col("vec_id").as("b_id"),
@@ -1139,8 +1143,12 @@ object Dedup {
   }
 
   /** Deterministic HASH-SPREAD seed selection: order by a multiplicative
-    * hash of vec_id (Knuth's 2654435761 mod 2³¹ — plain bigint
-    * arithmetic, bit-identical in any engine) and take the first k.
+    * hash of vec_id (Knuth's 2654435761 mod 2³¹) and take the first k.
+    * The id reduces mod 2³¹ BEFORE the multiply so the product stays
+    * under 2⁶³ for ANY bigint id — without it, ids ≥ ~3.47e9 overflow:
+    * Spark wraps silently while DuckDB raises, the engines diverging
+    * exactly at scale (review finding r6). For ids < 2³¹ the reduced
+    * form is value-identical to the raw multiply.
     * The k LOWEST ids would be k neighbors in ingest order — on grown
     * corpora that's one batch's corner of the space, the worst k-means
     * init (every far vector ties to the min-norm seed, see
@@ -1149,7 +1157,8 @@ object Dedup {
     * so the pick behaves like a uniform sample while staying a
     * TakeOrdered (per-partition top-k — no global sort, no RNG). */
   private[llm] def spreadSeeds(vecs: DataFrame, k: Int): DataFrame =
-    vecs.orderBy((col("vec_id") * lit(2654435761L)) % lit(2147483648L), col("vec_id"))
+    vecs.orderBy((pmod(col("vec_id"), lit(2147483648L)) * lit(2654435761L)) % lit(2147483648L),
+        col("vec_id"))
       .limit(k)
       .select(col("vec_id").as("cid"), col("v").as("c"))
 
@@ -1235,8 +1244,7 @@ object Dedup {
         }
       }.toArray
     }
-    semanticPrune(assignTo(vs, centFrame(cents))
-      .localCheckpoint(eager = false), threshold)
+    semanticPrune(assignTo(vs, centFrame(cents)), threshold)
   }
 
   /** Embedding-cosine near-dup pairs over the perturbed vector corpus

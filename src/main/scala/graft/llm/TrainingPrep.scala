@@ -324,7 +324,9 @@ object TrainingPrep {
     * model params, the ensureBandIndex artifact discipline). */
   def ensureDsirTable(spark: org.apache.spark.sql.SparkSession, base: DataFrame,
                       epoch: Long = 0L, targetLang: String = "en"): String = {
-    val name = s"dsir_counts_e$epoch"
+    // keyed by epoch AND target lang: an epoch-only name silently served
+    // one language's bucket model to every target (review finding r6)
+    val name = s"dsir_counts_e${epoch}_$targetLang"
     if (!spark.catalog.tableExists(name)) {
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir") + s"/$name")
@@ -339,8 +341,9 @@ object TrainingPrep {
     * fixed-point weights make the equality with the recompute form
     * exact (LlmOpsSpec pins it through the table round-trip). */
   def dsirDeltaPersisted(spark: org.apache.spark.sql.SparkSession, base: DataFrame,
-                         delta: DataFrame, epoch: Long = 0L): DataFrame =
-    dsirScore(spark.table(ensureDsirTable(spark, base, epoch)), delta)
+                         delta: DataFrame, epoch: Long = 0L,
+                         targetLang: String = "en"): DataFrame =
+    dsirScore(spark.table(ensureDsirTable(spark, base, epoch, targetLang)), delta)
 
   /** Fourth capstone — the TARGETED curation ordering built from the
     * round-6 tier: keep train-split docs that are (a) NOT contaminated
@@ -366,6 +369,15 @@ object TrainingPrep {
         explode(TextOps.tokens(col("text"))).as("word"))
       .withColumn("bucket", substring(md5(col("word")), 1, 2))
 
+  /** Tokens for the SCORING side — no `lang` column required: only the
+    * count/model side consumes language; demanding it here crashed the
+    * advertised (doc_id, text)-only nightly ingest batches (review
+    * finding r6). */
+  private[llm] def dsirScoreToks(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+      .withColumn("bucket", substring(md5(col("word")), 1, 2))
+
   private[llm] def dsirCounts(documents: DataFrame, targetLang: String): DataFrame =
     dsirToks(documents).groupBy("bucket").agg(
       count(lit(1)).as("cnt_s"),
@@ -384,7 +396,7 @@ object TrainingPrep {
     val ratios = counts.crossJoin(broadcast(totals))
       .select(col("bucket"), rUnits(col("cnt_t"), col("cnt_s")).as("r_units"))
     val zeroR = totals.select(rUnits(lit(0L), lit(0L)).as("zero_r"))
-    dsirToks(docs)
+    dsirScoreToks(docs)
       .join(broadcast(ratios), Seq("bucket"), "left_outer")
       .crossJoin(broadcast(zeroR))
       .groupBy("doc_id").agg(

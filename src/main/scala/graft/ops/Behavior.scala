@@ -105,16 +105,24 @@ object Behavior {
     * start's event_id. */
   def sequenceDetect(events: DataFrame,
       pattern: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    // a 1-step "sequence" is a plain filter the caller should write
+    require(pattern.length >= 2, s"pattern needs >= 2 steps, got $pattern")
     // null-ts ordering explicit: Spark's ASC default is NULLS FIRST,
     // DuckDB's is NULLS LAST — the corpus has no null ts today, but an
     // implicit default here is a silent oracle split waiting to happen
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts").asc_nulls_first, col("event_id"))
+    // one LEAD per remaining step — the adjacency conjunction is built
+    // for the ACTUAL pattern length, not a hardcoded arity (the first
+    // fielded form silently matched only the first 3 steps of longer
+    // patterns and crashed on shorter ones)
+    val matchAll = pattern.zipWithIndex.map { case (step, i) =>
+      if (i == 0) col("event_type") === step
+      else lead(col("event_type"), i).over(w) === step
+    }.reduce(_ && _)
     events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("t1", lead(col("event_type"), 1).over(w))
-      .withColumn("t2", lead(col("event_type"), 2).over(w))
-      .filter(col("event_type") === pattern(0)
-        && col("t1") === pattern(1) && col("t2") === pattern(2))
+      .withColumn("hit", matchAll)
+      .filter(col("hit"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_matches"), min(col("event_id")).as("first_event"))
       .orderBy("user_id")

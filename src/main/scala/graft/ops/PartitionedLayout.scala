@@ -47,7 +47,11 @@ object PartitionedLayout {
         countDistinct(col("event_type")).as("n_types"),
         min(col("event_id")).as("min_event"),
         max(col("event_id")).as("max_event"))
-      .orderBy("event_date")
+      // explicit nulls-last: a null-ts event would land in the
+      // __HIVE_DEFAULT_PARTITION__ date, and Spark's ASC default
+      // (nulls FIRST) would row-order-split from DuckDB's nulls-LAST
+      // default — the same latent oracle split sequenceDetect pins
+      .orderBy(col("event_date").asc_nulls_last)
   }
 
   /** Dynamic partition pruning: the selective predicate lives on a small

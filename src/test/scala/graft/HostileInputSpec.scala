@@ -344,6 +344,18 @@ class HostileInputSpec extends SparkSpec {
     val out = ops.Behavior.sequenceDetect(ev).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out === Map(1L -> ((1L, 10L)), 2L -> ((1L, 20L))), out)
+    // the adjacency conjunction follows the ACTUAL pattern arity: a
+    // 2-step prefix matches users 1 and 2; a 4-step pattern matches
+    // nobody (no user has a 4th adjacent event) — the first fielded form
+    // hardcoded 3 steps (longer patterns silently truncated, shorter
+    // ones crashed)
+    val two = ops.Behavior.sequenceDetect(ev, Seq("view", "click")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two === Map(1L -> 1L, 2L -> 1L), two)
+    val four = ops.Behavior.sequenceDetect(ev,
+      Seq("view", "click", "purchase", "refund")).collect()
+    assert(four.isEmpty, four.mkString(";"))
+    intercept[IllegalArgumentException](ops.Behavior.sequenceDetect(ev, Seq("view")))
   }
 
   test("semantic dedup and dsir: degenerate inputs never throw") {

@@ -771,7 +771,7 @@ class LlmOpsSpec extends SparkSpec {
       BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
     // hash-spread seed pick, same multiplicative-hash order as the op
     val seeds = corpus.keys.toSeq
-      .sortBy(id => ((id * 2654435761L) % 2147483648L, id)).take(8)
+      .sortBy(id => (((id % 2147483648L) * 2654435761L) % 2147483648L, id)).take(8)
     val assign: Map[Long, (Long, Double)] = corpus.map { case (id, v) =>
       val (sid, dd) = seeds.map(s =>
         (s, rnd(dot(v, v) - 2.0 * dot(v, corpus(s)) + dot(corpus(s), corpus(s)), 6)))
@@ -804,18 +804,23 @@ class LlmOpsSpec extends SparkSpec {
   test("trained semantic dedup: deterministic, prunes twins, separates known blobs") {
     import spark.implicits._
     // two well-separated blobs + an exact near-dup inside each: Lloyd
-    // from the worst seed init (both seeds in blob A — ids 1 and 2)
-    // must still split the blobs, and the prune keeps the far member
+    // from the WORST seed init must still split the blobs, and the
+    // prune keeps the far member. Ids are chosen so the hash-spread
+    // pick is genuinely degenerate: under h(id) = (id·2654435761) mod
+    // 2³¹ the two lowest ranks among these six are ids 17 and 34 —
+    // BOTH in blob A (ranks: 17, 34, 51, 13, 30, 47) — so the k=2
+    // init starts one-sided and only the Lloyd iterations can separate
+    // the blobs (with iters=0 the plain seed E-step provably cannot)
     val blobs = Seq(
-      (1L, Seq(10.0, 0.0, 0.0)), (2L, Seq(10.5, 0.0, 0.0)),
-      (3L, Seq(10.4, 0.1, 0.0)),
-      (11L, Seq(0.0, 10.0, 0.0)), (12L, Seq(0.0, 10.4, 0.1)),
-      (13L, Seq(0.0, 10.5, 0.0))).toDF("vec_id", "v")
+      (17L, Seq(10.0, 0.0, 0.0)), (34L, Seq(10.5, 0.0, 0.0)),
+      (51L, Seq(10.4, 0.1, 0.0)),
+      (13L, Seq(0.0, 10.0, 0.0)), (30L, Seq(0.0, 10.4, 0.1)),
+      (47L, Seq(0.0, 10.5, 0.0))).toDF("vec_id", "v")
     val out = Dedup.semanticDedupTrained(blobs, k = 2, iters = 3).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // the two blobs land in different clusters
-    val aClusters = Set(1L, 2L, 3L).flatMap(out.get)
-    val bClusters = Set(11L, 12L, 13L).flatMap(out.get)
+    val aClusters = Set(17L, 34L, 51L).flatMap(out.get)
+    val bClusters = Set(13L, 30L, 47L).flatMap(out.get)
     assert((aClusters & bClusters).isEmpty, out)
     // every blob keeps ≥1 member and near-identical pairs collapse
     assert(aClusters.nonEmpty && bClusters.nonEmpty)
@@ -862,11 +867,7 @@ class LlmOpsSpec extends SparkSpec {
     // independent reference: same md5 split law, sliding-window grams
     val rows = documents.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
-    def split(id: Long): String = {
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      if (h.head < 'c') "train" else if (h.head < 'e') "val" else "test"
-    }
+    def split(id: Long): String = refSplit(id)
     def grams(t: String): Set[String] =
       t.split(" ", -1).sliding(13).filter(_.length == 13).map(_.mkString(" ")).toSet
     val ev = rows.filter(r => split(r._1) == "test").flatMap(r => grams(r._2)).toSet
@@ -883,13 +884,17 @@ class LlmOpsSpec extends SparkSpec {
     val delta = documents.filter(col("doc_id") % 4 === 1)
       .withColumn("doc_id", col("doc_id") + 400000)
       .withColumn("text", concat(col("text"), lit(" dsir delta probe")))
-    val persisted = TrainingPrep.dsirDeltaPersisted(spark, documents, delta, epoch = 7L)
+    // the delta ships WITHOUT a lang column — the advertised nightly
+    // ingest shape; only the model side needs language (review fix r6)
+    val bareDelta = delta.select("doc_id", "text")
+    val persisted = TrainingPrep.dsirDeltaPersisted(spark, documents, bareDelta, epoch = 7L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    val recomputed = TrainingPrep.dsirWeightsDelta(documents, delta)
+    val recomputed = TrainingPrep.dsirWeightsDelta(documents, bareDelta)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     // integer fixed-point weights → the equality is exact, not approximate
     assert(persisted === recomputed && persisted.nonEmpty)
-    assert(spark.catalog.tableExists("dsir_counts_e7"))
+    // model table keyed by epoch AND target lang
+    assert(spark.catalog.tableExists("dsir_counts_e7_en"))
   }
 
   test("substring dedup: exact copies carry dup_share 1.0, uniques 0, near-dups in between") {

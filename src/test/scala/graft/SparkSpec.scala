@@ -13,6 +13,17 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkSpec.session
 
+  /** Reference implementation of the md5 split law
+    * (TrainingPrep.splitCol) for independent recomputation in specs —
+    * ONE definition (it had been copy-pasted into two suites; a law
+    * change with a missed copy would silently test against the stale
+    * law). */
+  def refSplit(id: Long): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if (h.head < 'c') "train" else if (h.head < 'e') "val" else "test"
+  }
+
   /** Cast every column to string — the Sheets/BQ all-string comparison
     * domain the sync connector tests operate in (one definition; it was
     * copy-pasted into three suites). */

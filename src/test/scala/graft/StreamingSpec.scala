@@ -378,11 +378,7 @@ class StreamingSpec extends SparkSpec {
     val docs = Tables.documents(spark, sfDir)
     // the static probe side, computed once (the ingest-guard deployment shape)
     val evalG = graft.llm.TrainingPrep.evalGramSet(docs).localCheckpoint()
-    def split(id: Long): String = {
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      if (h.head < 'c') "train" else if (h.head < 'e') "val" else "test"
-    }
+    def split(id: Long): String = refSplit(id)
     val leak = docs.select("doc_id", "text").collect()
       .find(r => split(r.getLong(0)) == "test" && r.getString(1).split(" ").length >= 13)
       .get.getString(1)
