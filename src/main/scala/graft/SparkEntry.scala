@@ -384,6 +384,8 @@ object SparkEntry {
         corpus.filter(col("doc_id") >= 100000))
     }),
     "pipeline_domain_cap" -> ((s, d) => TrainingPrep.domainCap(Tables.documents(s, d))),
+    // mT5-style temperature sampling weights per language (alpha = 0.3)
+    "pipeline_lang_temperature" -> ((s, d) => TrainingPrep.langTemperature(Tables.documents(s, d))),
     "pipeline_split_hash" -> ((s, d) => TrainingPrep.splitAssign(Tables.documents(s, d))),
     "text_boilerplate" -> ((s, d) => TextAnalysis.boilerplateScrub(Tables.documents(s, d))),
     "pipeline_curation" -> ((s, d) => TrainingPrep.curate(Tables.documents(s, d))),
@@ -2455,6 +2457,19 @@ object SparkEntry {
          |b AS (SELECT doc_id, n_chars, md5(text) AS d FROM corpus WHERE doc_id >= 100000)
          |SELECT doc_id, n_chars FROM b
          |WHERE d NOT IN (SELECT d FROM idx) ORDER BY doc_id""".stripMargin,
+    /* pipeline_lang_temperature: p^alpha rounds ONCE into integer 1e-8
+     * units (pow is libm-wobbly); the normalization divides exact
+     * integers, outputs 4dp-floored. */
+    "pipeline_lang_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT c.*, (SELECT CAST(sum(n) AS BIGINT) FROM c) AS nn FROM c),
+        |a AS (SELECT *, CAST(floor(pow(n * 1.0 / nn, 0.3) * 1e8 + 0.5) AS BIGINT) AS a_units FROM t),
+        |s AS (SELECT a.*, (SELECT CAST(sum(a_units) AS BIGINT) FROM a) AS a_tot FROM a)
+        |SELECT lang, n AS n_docs,
+        | floor(n * 10000.0 / nn + 0.5) / 10000.0 + 0.0 AS share,
+        | floor(a_units * 10000.0 / a_tot + 0.5) / 10000.0 + 0.0 AS weight,
+        | floor(a_units * 1.0 / a_tot * nn / n * 10000.0 + 0.5) / 10000.0 + 0.0 AS boost
+        |FROM s ORDER BY lang""".stripMargin,
     "pipeline_domain_cap" ->
       """WITH t AS (SELECT doc_id, source, string_split(text,' ') AS tok FROM documents),
         |q AS (SELECT doc_id, source,

@@ -363,6 +363,34 @@ object TrainingPrep {
       .orderBy("doc_id")
   }
 
+  /** Temperature-based language sampling weights (the mT5 / XLM-R
+    * multilingual rebalancing law): sample language l with probability
+    * w_l ∝ p_l^α where p_l is its corpus share and α < 1 flattens the
+    * head (α = 0.3 is the mT5 setting) — high-resource languages
+    * down-sample, low-resource ones boost. Output per lang: share,
+    * weight, and the boost factor w/p a sampler multiplies into each
+    * doc's keep-probability. Determinism law: pow() is
+    * transcendental (last-ulp wobble between libms), so p^α rounds
+    * ONCE into integer 1e-8 units; the normalization then divides
+    * exact integers — the one wobble site is the same class as the
+    * repo's other rounded-transcendental sites (ln, log10). Scale
+    * shape: one lang-count aggregate (map-side partial); everything
+    * after runs on the ≤|langs|-row frame. */
+  def langTemperature(documents: DataFrame, alpha: Double = 0.3): DataFrame = {
+    val counts = documents.groupBy("lang").agg(count(lit(1)).as("n"))
+    val withTotals = counts.crossJoin(broadcast(counts.agg(sum(col("n")).as("nn"))))
+      .withColumn("a_units",
+        floor(pow(col("n") / col("nn"), alpha) * 1e8 + 0.5).cast("long"))
+    withTotals
+      .crossJoin(broadcast(withTotals.agg(sum(col("a_units")).as("a_tot"))))
+      .select(col("lang"), col("n").as("n_docs"),
+        (floor(col("n") * 10000.0 / col("nn") + 0.5) / 10000.0).as("share"),
+        (floor(col("a_units") * 10000.0 / col("a_tot") + 0.5) / 10000.0).as("weight"),
+        (floor(col("a_units") / col("a_tot") * col("nn") / col("n") * 10000.0 + 0.5) / 10000.0)
+          .as("boost"))
+      .orderBy("lang")
+  }
+
   private[llm] def dsirToks(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), col("lang"),

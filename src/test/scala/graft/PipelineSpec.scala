@@ -322,4 +322,22 @@ class PipelineSpec extends SparkSpec {
     assert(after === before, "replayed batch changed the published snapshot")
     assert(after.length === 3)
   }
+
+  test("lang temperature: weights sum to 1, head flattens, low-resource langs boost") {
+    val out = graft.llm.TrainingPrep.langTemperature(Tables.documents(spark, sfDir))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.nonEmpty)
+    // weights are a distribution (4dp rounding slack)
+    val wSum = out.map(_._4).sum
+    assert(math.abs(wSum - 1.0) < 0.001, s"weights sum $wSum")
+    // alpha < 1 flattens: the dominant language's weight sits BELOW its
+    // share (boost < 1), the rarest language's above (boost > 1)
+    val byShare = out.sortBy(-_._3)
+    assert(byShare.head._5 < 1.0, s"dominant lang boost ${byShare.head}")
+    assert(byShare.last._5 > 1.0, s"rarest lang boost ${byShare.last}")
+    // monotone: larger share never yields a larger boost
+    byShare.sliding(2).foreach { case Array(hi, lo) =>
+      assert(hi._5 <= lo._5 + 0.0001, s"boost not monotone: $hi vs $lo")
+    }
+  }
 }
