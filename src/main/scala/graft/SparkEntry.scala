@@ -398,6 +398,8 @@ object SparkEntry {
     // link-graph centrality in fixed-point integer arithmetic — the
     // iterative-algorithm tier's oracle-checkable representative
     "graph_pagerank" -> ((s, d) => graft.ops.Graph.pagerank(Tables.documents(s, d))),
+    // HITS hubs/authorities: same fixed-point integer discipline
+    "graph_hits" -> ((s, d) => graft.ops.Graph.hits(Tables.documents(s, d))),
     // the SoCC'14 star clustering over a second edge source — host-graph
     // components instead of near-dup pairs
     "graph_components" -> ((s, d) => graft.ops.Graph.components(Tables.documents(s, d))),
@@ -504,6 +506,31 @@ object SparkEntry {
     * all; DuckDB's `//` and Spark's `div` agree on non-negative
     * operands. DuckDB promotes SUM to HUGEINT; values stay far inside
     * bigint range so the stringified rows match. */
+  /** graph_hits: 3 unrolled HITS iterations in exact fixed-point integer
+    * arithmetic (the pagerank oracle discipline); sums CAST to BIGINT
+    * (DuckDB SUM(BIGINT) is HUGEINT). */
+  private val hitsOracleSql: String = {
+    val S = 10000000L
+    def iter(i: Int): String =
+      s"""ar$i AS (SELECT e.dst AS node, CAST(SUM(h.h) AS BIGINT) AS ar
+         | FROM edges e JOIN h${i - 1} h ON h.node = e.src GROUP BY e.dst),
+         |at$i AS (SELECT CAST(SUM(ar) AS BIGINT) AS at FROM ar$i),
+         |a$i AS (SELECT nodes.node, CAST((COALESCE(ar, 0) * $S) // at AS BIGINT) AS a
+         | FROM nodes CROSS JOIN at$i LEFT JOIN ar$i ON ar$i.node = nodes.node),
+         |hr$i AS (SELECT e.src AS node, CAST(SUM(a.a) AS BIGINT) AS hr
+         | FROM edges e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
+         |ht$i AS (SELECT CAST(SUM(hr) AS BIGINT) AS ht FROM hr$i),
+         |h$i AS (SELECT nodes.node, CAST((COALESCE(hr, 0) * $S) // ht AS BIGINT) AS h
+         | FROM nodes CROSS JOIN ht$i LEFT JOIN hr$i ON hr$i.node = nodes.node)"""
+    s"""WITH edges AS (SELECT DISTINCT doc_id % 200 AS src, (doc_id * 31 + doc_id // 7) % 200 AS dst FROM documents),
+       |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges) u),
+       |h0 AS (SELECT node, CAST($S AS BIGINT) AS h FROM nodes),
+       |${(1 to 3).map(iter).mkString(",\n")}
+       |SELECT nodes.node, a3.a AS auth_units, h3.h AS hub_units
+       |FROM nodes JOIN a3 ON a3.node = nodes.node JOIN h3 ON h3.node = nodes.node
+       |ORDER BY nodes.node""".stripMargin
+  }
+
   private val pagerankOracleSql: String = {
     def iter(i: Int): String = {
       val prev = s"r${i - 1}"
@@ -1056,6 +1083,7 @@ object SparkEntry {
     "dedup_containment_prefix" -> containmentOracleSql,
     "pipeline_dedup_ordered" -> orderedDedupOracleSql,
     "graph_pagerank" -> pagerankOracleSql,
+    "graph_hits" -> hitsOracleSql,
     "pipeline_shuffle_shard" ->
       """SELECT doc_id,
         |  md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,

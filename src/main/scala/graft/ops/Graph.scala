@@ -91,6 +91,54 @@ object Graph {
       .orderBy("node")
   }
 
+  /** HITS hubs & authorities (Kleinberg JACM '99) over the same
+    * synthesized host link graph as [[pagerank]] — the SECOND classic
+    * link fixed point, and the one a crawl pipeline wants next to
+    * PageRank: directories/aggregators score as hubs, canonical content
+    * as authorities; link farms score high on both, which is the spam
+    * signal. Same execution doctrine as pagerank: per-iteration L1
+    * normalization in FIXED-POINT integer units (truncating integer
+    * division is bit-identical across engines, so 3 unrolled iterations
+    * are oracle-checkable exactly and a resumed run is bit-equal to a
+    * straight-through one), edge frame lazily checkpointed and re-scanned
+    * per iteration, totals as 1-row broadcast frames — the per-iteration
+    * exchange carries node-bounded partial sums, never edges. Unit scale
+    * 1e7 keeps every intermediate ≤ ~2e18 (raw mass ≤ n·scale, times
+    * scale in the normalize) up to ~20k nodes — the 100× smoke regime;
+    * wider graphs lower the scale, same arithmetic. */
+  def hits(documents: DataFrame, iters: Int = 3, nNodes: Int = 200): DataFrame = {
+    val scale = 10000000L // 1e7 score units
+    val edges = documents.select(
+        (col("doc_id") % nNodes).as("src"),
+        ((col("doc_id") * 31 + expr("doc_id div 7")) % nNodes).as("dst"))
+      .distinct()
+      .localCheckpoint(eager = false) // scanned twice per iteration
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = false)
+    var hubs = nodes.select(col("node"), lit(scale).as("h"))
+    var auth = nodes.select(col("node"), lit(scale).as("a"))
+    for (_ <- 1 to iters) {
+      val aRaw = edges.join(hubs.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("ar"))
+      val aTot = aRaw.agg(sum(col("ar")).as("at"))
+      auth = nodes.join(aRaw, Seq("node"), "left_outer")
+        .crossJoin(broadcast(aTot))
+        .select(col("node"), expr(s"(coalesce(ar, CAST(0 AS BIGINT)) * $scale) div at").as("a"))
+        .localCheckpoint(eager = false)
+      val hRaw = edges.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("hr"))
+      val hTot = hRaw.agg(sum(col("hr")).as("ht"))
+      hubs = nodes.join(hRaw, Seq("node"), "left_outer")
+        .crossJoin(broadcast(hTot))
+        .select(col("node"), expr(s"(coalesce(hr, CAST(0 AS BIGINT)) * $scale) div ht").as("h"))
+        .localCheckpoint(eager = false)
+    }
+    nodes.join(auth, Seq("node")).join(hubs, Seq("node"))
+      .select(col("node"), col("a").as("auth_units"), col("h").as("hub_units"))
+      .orderBy("node")
+  }
+
   /** Connected components over a SPARSE host subgraph (only every
     * `sparsity`-th doc contributes its edge — a filtered link graph is
     * what you get after dropping nofollow/spam edges, and the full

@@ -155,6 +155,36 @@ class GraphSpec extends SparkSpec {
       s"${got.length} pairs, ${got.map(_._4).distinct.size} jac levels")
   }
 
+  test("graph_hits matches an in-memory fixed-point reference exactly") {
+    import spark.implicits._
+    val S = 10000000L
+    val docIds = Tables.documents(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val n = 200
+    // same synthesis law + same floor arithmetic against Maps — an
+    // independent re-derivation, not a third SQL formulation
+    val edges = docIds.map(id => (id % n, (id * 31 + id / 7) % n)).distinct
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var h = nodes.map(_ -> S).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to 3) {
+      val ar = edges.groupBy(_._2).map { case (d, es) => d -> es.map(e => h(e._1)).sum }
+      val at = ar.values.sum
+      a = nodes.map(nd => nd -> ar.getOrElse(nd, 0L) * S / at).toMap
+      val hr = edges.groupBy(_._1).map { case (s, es) => s -> es.map(e => a(e._2)).sum }
+      val ht = hr.values.sum
+      h = nodes.map(nd => nd -> hr.getOrElse(nd, 0L) * S / ht).toMap
+    }
+    val got = ops.Graph.hits(Tables.documents(spark, sfDir)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === nodes.map(nd => nd -> ((a(nd), h(nd)))).toMap)
+    // L1 mass conservation up to floor loss: sums land in (S - n, S]
+    val aSum = got.values.map(_._1).sum
+    val hSum = got.values.map(_._2).sum
+    assert(aSum <= S && aSum > S - nodes.size, aSum)
+    assert(hSum <= S && hSum > S - nodes.size, hSum)
+  }
+
   test("graph_pagerank: a sink-free cycle keeps uniform rank exactly") {
     import spark.implicits._
     // doc_ids 7..11 with nNodes=5: src = id%5 = (2,3,4,0,1) and
