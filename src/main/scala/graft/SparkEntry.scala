@@ -49,6 +49,8 @@ object SparkEntry {
     "join_theta_range" -> ((s, d) => Joins.thetaRange(Tables.events(s, d))),
     "join_range_bucketed" -> ((s, d) => Joins.thetaRangeBucketed(Tables.events(s, d))),
     "join_asof" -> ((s, d) => Joins.asOf(Tables.events(s, d), Tables.orders(s, d))),
+    // nearest-direction as-of (pandas merge_asof direction='nearest')
+    "join_asof_nearest" -> ((s, d) => Joins.asOfNearest(Tables.events(s, d), Tables.orders(s, d))),
     // time-binned interval overlap join (equi-join on (user, bin), 3×
     // one-side replication, exactly-once matching — no theta BNL)
     "join_interval_overlap" -> ((s, d) => Joins.intervalOverlap(Tables.events(s, d))),
@@ -771,6 +773,20 @@ object SparkEntry {
         | least(a_e, b_e) - greatest(a_s, b_s) AS overlap_us
         |FROM a JOIN b ON a.user_id = b.user_id AND a_s < b_e AND b_s < a_e
         |ORDER BY a_id, b_id""".stripMargin,
+    /* join_asof_nearest: min-|diff| with (date, key) tie-break — the
+     * oracle's row_number ordering mirrors the struct-min exactly;
+     * exact-µs distance on both sides. */
+    "join_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+        |  abs(epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) - epoch_us(e.ts)) AS adiff,
+        |  row_number() OVER (PARTITION BY e.event_id
+        |    ORDER BY abs(epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) - epoch_us(e.ts)) ASC,
+        |      o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+        | FROM e LEFT JOIN orders o ON o.o_custkey = e.user_id)
+        |SELECT event_id, user_id, date_trunc('second', ts) AS ts_s,
+        | o_orderkey, o_orderdate, adiff AS diff_us
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "join_asof" ->
       """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |j AS (SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,

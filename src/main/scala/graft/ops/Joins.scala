@@ -182,6 +182,34 @@ object Joins {
       .orderBy("s_id")
   }
 
+  /** Nearest as-of join — pandas `merge_asof(direction='nearest')`,
+    * completing the family ([[asOf]] backward, forward + tolerance
+    * variants registered separately): for each purchase event, the
+    * order of the same customer with the SMALLEST |o_orderdate − ts|,
+    * ties to the earlier date then lower key. Same scale doctrine as
+    * asOf: one hash equi-join on the key, then "nearest" via an
+    * ASSOCIATIVE min(struct(absdiff, date, key)) aggregate — match sets
+    * collapse map-side before the shuffle, no window sort over the
+    * (event × order) pairs. Time distance in exact µs longs. */
+  def asOfNearest(events: DataFrame, orders: DataFrame): DataFrame = {
+    val e = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = orders.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    e.join(o, col("user_id") === col("o_custkey"), "left")
+      .withColumn("adiff",
+        abs(unix_micros(col("o_orderdate").cast("timestamp")) - unix_micros(col("ts"))))
+      .groupBy(col("event_id"), col("user_id"), col("ts"))
+      .agg(min(struct(col("adiff"), col("o_orderdate"), col("o_orderkey"))).as("best"))
+      .select(
+        col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("ts_s"),
+        col("best.o_orderkey").as("o_orderkey"),
+        col("best.o_orderdate").as("o_orderdate"),
+        col("best.adiff").as("diff_us"))
+      .orderBy("event_id")
+  }
+
   /** Interval-overlap join: per user, every (view, click) pair whose
     * 10-minute activity windows [ts, ts+W) intersect — the attribution /
     * concurrency primitive (Spark has no native interval join; Flink and
