@@ -783,7 +783,8 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY e.event_id
         |    ORDER BY abs(epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) - epoch_us(e.ts)) ASC,
         |      o.o_orderdate ASC, o.o_orderkey ASC) AS rn
-        | FROM e LEFT JOIN orders o ON o.o_custkey = e.user_id)
+        | FROM e LEFT JOIN (SELECT * FROM orders WHERE o_orderdate IS NOT NULL) o
+        |   ON o.o_custkey = e.user_id)
         |SELECT event_id, user_id, date_trunc('second', ts) AS ts_s,
         | o_orderkey, o_orderdate, adiff AS diff_us
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,

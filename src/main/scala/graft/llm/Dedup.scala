@@ -1157,7 +1157,9 @@ object Dedup {
     * so the pick behaves like a uniform sample while staying a
     * TakeOrdered (per-partition top-k — no global sort, no RNG). */
   private[llm] def spreadSeeds(vecs: DataFrame, k: Int): DataFrame =
-    vecs.orderBy((pmod(col("vec_id"), lit(2147483648L)) * lit(2654435761L)) % lit(2147483648L),
+    // truncated %, not pmod: DuckDB's % and Scala's % truncate toward
+    // zero, so a NEGATIVE id must hash identically negative here too
+    vecs.orderBy(((col("vec_id") % lit(2147483648L)) * lit(2654435761L)) % lit(2147483648L),
         col("vec_id"))
       .limit(k)
       .select(col("vec_id").as("cid"), col("v").as("c"))

@@ -388,7 +388,9 @@ object TrainingPrep {
         (floor(col("a_units") * 10000.0 / col("a_tot") + 0.5) / 10000.0).as("weight"),
         (floor(col("a_units") / col("a_tot") * col("nn") / col("n") * 10000.0 + 0.5) / 10000.0)
           .as("boost"))
-      .orderBy("lang")
+      // explicit nulls-last: a null lang (language-ID failure) would
+      // row-order-split from DuckDB's nulls-last default otherwise
+      .orderBy(col("lang").asc_nulls_last)
   }
 
   private[llm] def dsirToks(documents: DataFrame): DataFrame =

@@ -310,22 +310,20 @@ object Aggregates {
     * pass; the 3-pair long format explodes from the tiny per-flag frame,
     * never re-reading data. */
   def corrMatrix(lineitem: DataFrame): DataFrame = {
-    // decimal(8,2), not (18,2): the per-row PRODUCT of two (8,2)s is
-    // decimal(17,4) — long-backed (precision ≤ 18), so the multiply
-    // stays on the Decimal fast path; at (18,2) products hit precision
-    // 37 and allocate a BigDecimal per row. The dominant cost is the SIX
-    // product-sum buffers either way (sum of decimal(17,4) is
-    // decimal(27,4) — BigDecimal-backed by Spark's p+10 rule; a long
-    // buffer would need product precision ≤ 8, which price² can't fit,
-    // and summing scaled longs overflows at ~6e19 for price² at sf0.1
-    // alone) — so ~1.4 s at sf0.1 is the honest floor for an EXACT
-    // 10-moment pass: per-row CPU, perfectly linear, one exchange of
-    // 10-number frames. Values are unchanged at any precision — qty,
-    // price, discount all fit (8,2) exactly and the sums are exact.
+    // decimal(18,2) like regrStats — NOT a narrower precision: a
+    // narrow cast silently NULLs any value beyond its range (dropping
+    // it from every moment while count(*) keeps the row) where the
+    // oracle's (18,2) keeps it. A (8,2) variant that keeps the per-row
+    // product long-backed was measured and bought nothing: the cost
+    // floor is the SIX product-sum buffers (sum of decimal(p,4) is
+    // p+10 — BigDecimal-backed at any input precision; summing scaled
+    // longs instead overflows at ~6e19 for price² at sf0.1 alone), so
+    // ~1.4 s at sf0.1 is the honest price of an EXACT 10-moment pass:
+    // per-row CPU, perfectly linear, one exchange of 10-number frames.
     val cast = lineitem.select(col("l_returnflag"),
-      col("l_quantity").cast("decimal(8,2)").as("q"),
-      col("l_extendedprice").cast("decimal(8,2)").as("p"),
-      col("l_discount").cast("decimal(8,2)").as("d"))
+      col("l_quantity").cast("decimal(18,2)").as("q"),
+      col("l_extendedprice").cast("decimal(18,2)").as("p"),
+      col("l_discount").cast("decimal(18,2)").as("d"))
     val q = col("q"); val p = col("p"); val d = col("d")
     val m = cast.groupBy(col("l_returnflag")).agg(
       count(lit(1)).cast("double").as("n"),

@@ -23,6 +23,23 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** The synthesized host link graph shared by [[pagerank]] and [[hits]]
+    * (and mirrored by both oracle CTEs): one definition so the two
+    * centralities can never silently diverge onto different graphs.
+    * Returns (edges, nodes), both lazily checkpointed — every consumer
+    * scans them per iteration. */
+  private def linkGraph(documents: DataFrame, nNodes: Int): (DataFrame, DataFrame) = {
+    val edges = documents.select(
+        (col("doc_id") % nNodes).as("src"),
+        ((col("doc_id") * 31 + expr("doc_id div 7")) % nNodes).as("dst"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = false)
+    (edges, nodes)
+  }
+
   /** PageRank in FIXED-POINT integer arithmetic (units of 1e-12): rank
     * values are BIGINT unit counts, per-edge contributions are integer
     * divisions (`rank div out_degree`), the damping step is
@@ -65,15 +82,8 @@ object Graph {
   def pagerankFrom(documents: DataFrame, iters: Int, nNodes: Int,
       init: Option[DataFrame]): DataFrame = {
     val scale = 1000000000000L // 1e12 rank units
-    val edges = documents.select(
-        (col("doc_id") % nNodes).as("src"),
-        ((col("doc_id") * 31 + expr("doc_id div 7")) % nNodes).as("dst"))
-      .distinct()
-      .localCheckpoint(eager = false) // scanned every iteration
+    val (edges, nodes) = linkGraph(documents, nNodes)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(eager = false) // every iteration + the final join
     // N stays a 1-row FRAME (no driver-side count(): operator builders
     // are side-effect-free, house rule) broadcast into each update
     val nTot = nodes.agg(count(lit(1)).as("n"))
@@ -108,25 +118,23 @@ object Graph {
     * wider graphs lower the scale, same arithmetic. */
   def hits(documents: DataFrame, iters: Int = 3, nNodes: Int = 200): DataFrame = {
     val scale = 10000000L // 1e7 score units
-    val edges = documents.select(
-        (col("doc_id") % nNodes).as("src"),
-        ((col("doc_id") * 31 + expr("doc_id div 7")) % nNodes).as("dst"))
-      .distinct()
-      .localCheckpoint(eager = false) // scanned twice per iteration
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(eager = false)
+    val (edges, nodes) = linkGraph(documents, nNodes)
+    // hubs init uniform; authority has NO init — the first half-step
+    // derives it from hubs (a uniform "init" here would be dead code)
     var hubs = nodes.select(col("node"), lit(scale).as("h"))
-    var auth = nodes.select(col("node"), lit(scale).as("a"))
+    var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      val aRaw = edges.join(hubs.withColumnRenamed("node", "src"), Seq("src"))
+      // broadcast the node-sized score frame onto the edge scan (the
+      // pagerank step() doctrine): edges NEVER shuffle — the only
+      // exchanges carry node-keyed partial sums
+      val aRaw = edges.join(broadcast(hubs.withColumnRenamed("node", "src")), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("ar"))
       val aTot = aRaw.agg(sum(col("ar")).as("at"))
       auth = nodes.join(aRaw, Seq("node"), "left_outer")
         .crossJoin(broadcast(aTot))
         .select(col("node"), expr(s"(coalesce(ar, CAST(0 AS BIGINT)) * $scale) div at").as("a"))
         .localCheckpoint(eager = false)
-      val hRaw = edges.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+      val hRaw = edges.join(broadcast(auth.withColumnRenamed("node", "dst")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("hr"))
       val hTot = hRaw.agg(sum(col("hr")).as("ht"))
       hubs = nodes.join(hRaw, Seq("node"), "left_outer")

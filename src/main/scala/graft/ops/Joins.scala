@@ -195,7 +195,12 @@ object Joins {
     val e = events
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))
-    val o = orders.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    // a null-date order must never be "nearest": Spark's struct-min
+    // sorts a null adiff FIRST while the oracle's row_number sorts it
+    // last (nulls-first vs nulls-last defaults) — drop such rows on the
+    // orders side so neither engine can elect one (oracle mirrors)
+    val o = orders.filter(col("o_orderdate").isNotNull)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
     e.join(o, col("user_id") === col("o_custkey"), "left")
       .withColumn("adiff",
         abs(unix_micros(col("o_orderdate").cast("timestamp")) - unix_micros(col("ts"))))
