@@ -405,6 +405,35 @@ object SparkEntry {
     // the SoCC'14 star clustering over a second edge source — host-graph
     // components instead of near-dup pairs
     "graph_components" -> ((s, d) => graft.ops.Graph.components(Tables.documents(s, d))),
+    // in/out-degree histogram over the full node set (degree-0 rows via
+    // the node-set left join) — the crawl audit's first look
+    "graph_degree_stats" -> ((s, d) => graft.ops.Graph.degreeStats(Tables.documents(s, d))),
+    // --- time-series tier: day-grain spine / repair / scores ---
+    // linear gap interpolation over a dense daily spine (deterministic
+    // dropout fixture; integer-cents carrier, edge rows stay null)
+    "ts_interpolate_linear" -> ((s, d) => TimeSeries.interpolateLinear(Tables.events(s, d))),
+    // trailing 7-day rolling z-score on exact integer window sums
+    "ts_rolling_anomaly" -> ((s, d) => TimeSeries.rollingAnomaly(Tables.events(s, d))),
+    // α=1/2 depth-8 truncated EMA: power-of-two weights → exact integers
+    "ts_ema" -> ((s, d) => TimeSeries.ema8(Tables.events(s, d))),
+    // FK-edge orphan audit (late-arriving-dimension fixture, one
+    // outer-join aggregate pass per edge)
+    "dq_referential_integrity" -> ((s, d) => DataQuality.referentialIntegrity(
+      Tables.lineitem(s, d), Tables.orders(s, d), Tables.part(s, d),
+      Tables.supplier(s, d), Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    // exact skewness/kurtosis from integer power sums (Spark's builtin
+    // double accumulators are shuffle-order-dependent — these are not)
+    "agg_skew_kurtosis" -> ((s, d) => Aggregates.skewKurtosis(Tables.lineitem(s, d))),
+    // Gini of per-customer spend within nation, rank-weighted exact form
+    "agg_gini" -> ((s, d) => Aggregates.giniSpend(
+      Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    // global token-budget cut via the two-phase histogram (bounded-bucket
+    // collect), oracle-checked against the naive global cumsum
+    "pipeline_token_budget" -> ((s, d) => TrainingPrep.tokenBudget(Tables.documents(s, d))),
+    // quality-tier epoch replication with md5 shuffle keys, map-side
+    "pipeline_epoch_upsample" -> ((s, d) => TrainingPrep.epochUpsample(Tables.documents(s, d))),
+    // corpus-level Flesch per source from integer regexp counts
+    "text_readability" -> ((s, d) => TextAnalysis.readability(Tables.documents(s, d))),
     // per-host triangle counts — the local-clustering (link-farm) signal
     "graph_triangles" -> ((s, d) => graft.ops.Graph.triangles(Tables.documents(s, d))),
     // SemDeDup: cluster-then-prune semantic dedup over the vector corpus
@@ -1101,6 +1130,199 @@ object SparkEntry {
     "pipeline_dedup_ordered" -> orderedDedupOracleSql,
     "graph_pagerank" -> pagerankOracleSql,
     "graph_hits" -> hitsOracleSql,
+    /* graph_degree_stats: same edge-synthesis CTE as pagerank/hits; the
+     * node-set left join puts degree-0 nodes in the histogram (none
+     * exist on this graph — out-degrees are 2–3, in 1–4 — but the
+     * shape is part of the contract). */
+    "graph_degree_stats" ->
+      """WITH edges AS (SELECT DISTINCT doc_id % 200 AS src,
+        |  (doc_id * 31 + doc_id // 7) % 200 AS dst FROM documents),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |outd AS (SELECT node, coalesce(d.deg, 0) AS deg FROM nodes
+        |  LEFT JOIN (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src) d USING (node)),
+        |ind AS (SELECT node, coalesce(d.deg, 0) AS deg FROM nodes
+        |  LEFT JOIN (SELECT dst AS node, count(*) AS deg FROM edges GROUP BY dst) d USING (node))
+        |SELECT 'out' AS direction, deg AS degree, count(*) AS n_nodes FROM outd GROUP BY deg
+        |UNION ALL
+        |SELECT 'in', deg, count(*) FROM ind GROUP BY deg
+        |ORDER BY direction, degree""".stripMargin,
+    /* ts_* tier: shared daily CTE = exact integer cents per (type, day)
+     * (the win_range_frame cents idiom). */
+    "ts_interpolate_linear" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n,
+        |    SUM(CAST(CAST(value*100 AS DECIMAL(18,0)) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |obs AS (SELECT * FROM daily WHERE day(day) % 4 = 0 OR day(day) % 4 = 3),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+        |spine AS (SELECT event_type, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT DISTINCT event_type FROM daily) t CROSS JOIN b),
+        |j AS (SELECT s.event_type, s.day, o.cents FROM spine s
+        |  LEFT JOIN obs o ON s.event_type = o.event_type AND s.day = o.day),
+        |w AS (SELECT event_type, day, cents,
+        |  last_value(cents IGNORE NULLS) OVER wp AS prev_cents,
+        |  last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS) OVER wp AS prev_day,
+        |  first_value(cents IGNORE NULLS) OVER wn AS next_cents,
+        |  first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS) OVER wn AS next_day
+        | FROM j WINDOW
+        |  wp AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, day,
+        | CASE WHEN cents IS NOT NULL THEN 'obs'
+        |   WHEN prev_cents IS NOT NULL AND next_cents IS NOT NULL THEN 'interp'
+        |   ELSE 'edge' END AS src,
+        | floor((CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+        |   WHEN prev_cents IS NOT NULL AND next_cents IS NOT NULL THEN
+        |     CAST(prev_cents AS DOUBLE) + (CAST(next_cents AS DOUBLE) - CAST(prev_cents AS DOUBLE))
+        |       * CAST(day - prev_day AS DOUBLE) / CAST(next_day - prev_day AS DOUBLE)
+        |   END)/100*1e4 + 0.5)/1e4 AS value_filled
+        |FROM w ORDER BY event_type, day""".stripMargin,
+    "ts_rolling_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    SUM(CAST(CAST(value*100 AS DECIMAL(18,0)) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, cents,
+        |  count(*) OVER ww AS n_win,
+        |  CAST(SUM(cents) OVER ww AS DOUBLE) AS sx,
+        |  CAST(SUM(cents*cents) OVER ww AS DOUBLE) AS sxx
+        | FROM daily WINDOW ww AS (PARTITION BY event_type ORDER BY day
+        |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |z AS (SELECT event_type, day, cents, n_win,
+        |  sx / CAST(n_win AS DOUBLE) AS mean_c,
+        |  CASE WHEN n_win > 1 THEN sqrt((sxx - sx*sx/CAST(n_win AS DOUBLE)) / (CAST(n_win AS DOUBLE) - 1.0)) END AS std_c
+        | FROM w),
+        |zz AS (SELECT event_type, day, cents, n_win, mean_c,
+        |  CASE WHEN std_c > 0 THEN (CAST(cents AS DOUBLE) - mean_c)/std_c END AS zv
+        | FROM z)
+        |SELECT event_type, day, cents, n_win,
+        | floor(mean_c/100*1e4 + 0.5)/1e4 AS mean_value,
+        | floor(zv*1e4 + 0.5)/1e4 AS z,
+        | CAST(zv IS NOT NULL AND abs(zv) > 2 AS BIGINT) AS is_anomaly
+        |FROM zz ORDER BY event_type, day""".stripMargin,
+    "ts_ema" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    SUM(CAST(CAST(value*100 AS DECIMAL(18,0)) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, day, cents,
+        |  lag(cents,1) OVER w AS c1, lag(cents,2) OVER w AS c2, lag(cents,3) OVER w AS c3,
+        |  lag(cents,4) OVER w AS c4, lag(cents,5) OVER w AS c5, lag(cents,6) OVER w AS c6,
+        |  lag(cents,7) OVER w AS c7
+        | FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, day, cents,
+        | floor(CAST(cents*128 + coalesce(c1,0)*64 + coalesce(c2,0)*32 + coalesce(c3,0)*16
+        |   + coalesce(c4,0)*8 + coalesce(c5,0)*4 + coalesce(c6,0)*2 + coalesce(c7,0)*1 AS DOUBLE)
+        |  / CAST(128 + CASE WHEN c1 IS NULL THEN 0 ELSE 64 END + CASE WHEN c2 IS NULL THEN 0 ELSE 32 END
+        |   + CASE WHEN c3 IS NULL THEN 0 ELSE 16 END + CASE WHEN c4 IS NULL THEN 0 ELSE 8 END
+        |   + CASE WHEN c5 IS NULL THEN 0 ELSE 4 END + CASE WHEN c6 IS NULL THEN 0 ELSE 2 END
+        |   + CASE WHEN c7 IS NULL THEN 0 ELSE 1 END AS DOUBLE) / 100 * 1e4 + 0.5)/1e4 AS ema
+        |FROM l ORDER BY event_type, day""".stripMargin,
+    "dq_referential_integrity" ->
+      """WITH
+        |e1 AS (SELECT 'lineitem.orderkey->orders' AS edge, count(*) AS child_rows,
+        |  count(CASE WHEN p.k IS NULL THEN 1 END) AS orphan_rows,
+        |  count(DISTINCT CASE WHEN p.k IS NULL THEN c.l_orderkey END) AS orphan_keys
+        | FROM lineitem c LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderkey % 97 <> 0) p
+        | ON c.l_orderkey = p.k),
+        |e2 AS (SELECT 'lineitem.partkey->part', count(*),
+        |  count(CASE WHEN p.k IS NULL THEN 1 END),
+        |  count(DISTINCT CASE WHEN p.k IS NULL THEN c.l_partkey END)
+        | FROM lineitem c LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part WHERE p_partkey % 97 <> 0) p
+        | ON c.l_partkey = p.k),
+        |e3 AS (SELECT 'lineitem.suppkey->supplier', count(*),
+        |  count(CASE WHEN p.k IS NULL THEN 1 END),
+        |  count(DISTINCT CASE WHEN p.k IS NULL THEN c.l_suppkey END)
+        | FROM lineitem c LEFT JOIN (SELECT DISTINCT s_suppkey AS k FROM supplier WHERE s_suppkey % 13 <> 0) p
+        | ON c.l_suppkey = p.k),
+        |e4 AS (SELECT 'orders.custkey->customer', count(*),
+        |  count(CASE WHEN p.k IS NULL THEN 1 END),
+        |  count(DISTINCT CASE WHEN p.k IS NULL THEN c.o_custkey END)
+        | FROM orders c LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 97 <> 0) p
+        | ON c.o_custkey = p.k),
+        |e5 AS (SELECT 'nation.regionkey->region', count(*),
+        |  count(CASE WHEN p.k IS NULL THEN 1 END),
+        |  count(DISTINCT CASE WHEN p.k IS NULL THEN c.n_regionkey END)
+        | FROM nation c LEFT JOIN (SELECT DISTINCT r_regionkey AS k FROM region) p
+        | ON c.n_regionkey = p.k)
+        |SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
+        |UNION ALL SELECT * FROM e4 UNION ALL SELECT * FROM e5 ORDER BY edge""".stripMargin,
+    /* agg_skew_kurtosis: raw→central moment formulas in double over
+     * exact DECIMAL(38,0) power sums of integer cents; m2^1.5 written
+     * m2·sqrt(m2) (sqrt is correctly-rounded IEEE; pow is not). */
+    "agg_skew_kurtosis" ->
+      """WITH s AS (
+        | SELECT l_returnflag, count(*) AS n,
+        |  SUM(CAST(qc AS DECIMAL(38,0))) AS s1, SUM(CAST(qc*qc AS DECIMAL(38,0))) AS s2,
+        |  SUM(CAST(qc*qc*qc AS DECIMAL(38,0))) AS s3, SUM(CAST(qc*qc*qc*qc AS DECIMAL(38,0))) AS s4
+        | FROM (SELECT l_returnflag, CAST(CAST(l_quantity*100 AS DECIMAL(18,0)) AS BIGINT) AS qc FROM lineitem) t
+        | GROUP BY l_returnflag),
+        |m AS (SELECT l_returnflag, n,
+        |  CAST(s1 AS DOUBLE)/n AS m1, CAST(s2 AS DOUBLE)/n AS r2,
+        |  CAST(s3 AS DOUBLE)/n AS r3, CAST(s4 AS DOUBLE)/n AS r4 FROM s),
+        |c AS (SELECT l_returnflag, n, m1, r2, r3, r4,
+        |  r2 - m1*m1 AS m2,
+        |  r3 - 3.0*m1*r2 + 2.0*m1*m1*m1 AS m3,
+        |  r4 - 4.0*m1*r3 + 6.0*m1*m1*r2 - 3.0*m1*m1*m1*m1 AS m4 FROM m)
+        |SELECT l_returnflag, n,
+        | floor(m1/100*1e4 + 0.5)/1e4 AS mean_qty,
+        | floor(sqrt(m2)/100*1e4 + 0.5)/1e4 AS std_qty,
+        | floor(m3/(m2*sqrt(m2))*1e6 + 0.5)/1e6 AS skewness,
+        | floor((m4/(m2*m2) - 3.0)*1e6 + 0.5)/1e6 AS kurtosis
+        |FROM c ORDER BY l_returnflag""".stripMargin,
+    "agg_gini" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, SUM(CAST(CAST(o_totalprice*100 AS DECIMAL(18,0)) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |j AS (SELECT n_name, o_custkey, cents FROM spend
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |r AS (SELECT n_name, cents,
+        |  row_number() OVER (PARTITION BY n_name ORDER BY cents, o_custkey) AS i FROM j),
+        |g AS (SELECT n_name, count(*) AS n_cust,
+        |  SUM(CAST(cents AS DECIMAL(38,0))) AS sw, SUM(CAST(i*cents AS DECIMAL(38,0))) AS siw
+        | FROM r GROUP BY n_name)
+        |SELECT n_name, n_cust,
+        | floor((2.0*CAST(siw AS DOUBLE) - (CAST(n_cust AS DOUBLE)+1)*CAST(sw AS DOUBLE))
+        |   / (CAST(n_cust AS DOUBLE)*CAST(sw AS DOUBLE))*1e6 + 0.5)/1e6 AS gini
+        |FROM g ORDER BY n_name""".stripMargin,
+    /* pipeline_token_budget: the NAIVE global-cumsum form — the Spark
+     * side runs the two-phase histogram cut; the hash match proves the
+     * equivalence of the two selection rules on every run. */
+    "pipeline_token_budget" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(floor((CAST(len(list_distinct(tok)) AS DOUBLE)/len(tok)*0.5
+        |   + least(CAST(len(tok) AS DOUBLE)/100.0, 1.0)*0.3
+        |   + (1.0 - CAST(len(list_filter(tok, x -> x IN ('the','a','of','is'))) AS DOUBLE)/len(tok))*0.2)*1e4 + 0.5) AS BIGINT) AS q,
+        |  CAST(len(tok) AS BIGINT) AS tok
+        | FROM (SELECT doc_id, string_split(text,' ') AS tok FROM documents) d),
+        |c AS (SELECT doc_id, q, tok, SUM(tok) OVER (ORDER BY q DESC, doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        |SELECT doc_id, q, tok FROM c WHERE cum <= 12000 ORDER BY q DESC, doc_id""".stripMargin,
+    "pipeline_epoch_upsample" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(floor((CAST(len(list_distinct(tok)) AS DOUBLE)/len(tok)*0.5
+        |   + least(CAST(len(tok) AS DOUBLE)/100.0, 1.0)*0.3
+        |   + (1.0 - CAST(len(list_filter(tok, x -> x IN ('the','a','of','is'))) AS DOUBLE)/len(tok))*0.2)*1e4 + 0.5) AS BIGINT) AS q
+        | FROM (SELECT doc_id, string_split(text,' ') AS tok FROM documents) d),
+        |w AS (SELECT doc_id, q, CASE WHEN q >= 6150 THEN 3 WHEN q >= 6000 THEN 2 ELSE 1 END AS copies FROM t),
+        |x AS (SELECT doc_id, q, CAST(copies AS BIGINT) AS copies,
+        |  CAST(unnest(generate_series(1, copies)) AS BIGINT) AS epoch_copy FROM w)
+        |SELECT doc_id, q, copies, epoch_copy,
+        | substring(md5(doc_id || ':' || epoch_copy), 1, 8) AS shuffle_key
+        |FROM x ORDER BY shuffle_key, doc_id, epoch_copy""".stripMargin,
+    "text_readability" ->
+      """WITH t AS (SELECT source,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS w,
+        |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS s,
+        |  CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS y
+        | FROM documents),
+        |g AS (SELECT source, count(*) AS n_docs, SUM(w) AS words, SUM(s) AS sentences,
+        |  SUM(y) AS syllables FROM t GROUP BY source)
+        |SELECT source, n_docs, words, sentences, syllables,
+        | floor((206.835 - 1.015*(CAST(words AS DOUBLE)/CAST(sentences AS DOUBLE))
+        |   - 84.6*(CAST(syllables AS DOUBLE)/CAST(words AS DOUBLE)))*1e4 + 0.5)/1e4 AS flesch
+        |FROM g ORDER BY source""".stripMargin,
     "pipeline_shuffle_shard" ->
       """SELECT doc_id,
         |  md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,

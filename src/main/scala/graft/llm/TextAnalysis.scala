@@ -161,13 +161,24 @@ object TextAnalysis {
     * column — shared by [[qualityScore]] and the domain-cap quota so both
     * rank on the identical rfloor'd value (and both oracle CTEs mirror
     * the same arithmetic). */
-  def qualityCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  def qualityCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.ops.Det.rfloor(rawQualityCol(text), 4)
+
+  /** The same score as an exact integer in 1e-4 units (`floor(raw·1e4
+    * + 0.5)` — precisely `qualityCol`·1e4 by construction): the bucket
+    * key for operators that need quality as an equi-groupable integer
+    * ([[TrainingPrep.tokenBudget]]'s histogram cut, the upsample
+    * tiers) rather than a rounded double. */
+  def qualityMilliCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(rawQualityCol(text) * 1e4 + lit(0.5)).cast("long")
+
+  private def rawQualityCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val tok = TextOps.tokens(text)
     val nTok = size(tok).cast("double")
     val uniqRatio = size(array_distinct(tok)).cast("double") / nTok
     val lenSat = least(nTok / lit(100.0), lit(1.0))
     val stopRatio = size(filter(tok, t => t.isin("the", "a", "of", "is"))).cast("double") / nTok
-    graft.ops.Det.rfloor(uniqRatio * 0.5 + lenSat * 0.3 + (lit(1.0) - stopRatio) * 0.2, 4)
+    uniqRatio * 0.5 + lenSat * 0.3 + (lit(1.0) - stopRatio) * 0.2
   }
 
   /** Quality scoring: unique-token ratio, length saturation, stopword
@@ -423,4 +434,31 @@ object TextAnalysis {
       col("doc_id"),
       graft.functions.TextExprs.rollingFingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
+
+  /** Corpus-level Flesch reading ease per source.
+    *
+    * Word / sentence / syllable counts are integer `regexp_count`s per
+    * row (sentences floor at 1 — the synthetic corpus has no terminal
+    * punctuation, so every doc is one sentence; syllables are vowel
+    * groups, the standard dictionary-free approximation); the score is
+    * computed on the SUMS per source (corpus-level Flesch — ratio of
+    * totals, not mean of per-doc scores), so the only floating point
+    * is one formula over exact integers. Map-side counting, one small
+    * shuffle keyed by source. */
+  def readability(documents: DataFrame): DataFrame = {
+    val words = size(TextOps.tokens(col("text"))).cast("long")
+    val sentences = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).cast("long")
+    val syllables = regexp_count(col("text"), lit("[aeiouy]+")).cast("long")
+    val s = documents
+      .select(col("source"), words.as("w"), sentences.as("s"), syllables.as("y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("words"),
+        sum(col("s")).as("sentences"), sum(col("y")).as("syllables"))
+    val flesch = lit(206.835) -
+      lit(1.015) * (col("words").cast("double") / col("sentences").cast("double")) -
+      lit(84.6) * (col("syllables").cast("double") / col("words").cast("double"))
+    s.select(col("source"), col("n_docs"), col("words"), col("sentences"),
+        col("syllables"), graft.ops.Det.rfloor(flesch, 4).as("flesch"))
+      .orderBy("source")
+  }
 }

@@ -434,4 +434,74 @@ object TrainingPrep {
         sum(coalesce(col("r_units"), col("zero_r"))).as("weight_units"))
       .orderBy("doc_id")
   }
+
+  /** Global token-budget selection: take documents in (quality desc,
+    * doc_id asc) order until the token budget is spent (a doc is in iff
+    * the running total THROUGH it stays ≤ budget).
+    *
+    * The naive form is a global sort + cumulative window over every
+    * document — a total order over the corpus, the one thing that
+    * doesn't scale. This is the two-phase histogram cut instead: the
+    * quality score is an exact integer in 1e-4 units
+    * ([[TextAnalysis.qualityMilliCol]], ≤ 10001 distinct values BY
+    * CONSTRUCTION), so phase 1 aggregates (bucket → Σ tokens) and
+    * collects ≤ 10001 rows — model-params-sized, the IVF-centroid
+    * collect discipline, independent of corpus size. The driver scan
+    * finds the boundary bucket; phase 2 is a map-side filter for the
+    * fully-included buckets plus a cumulative window over the boundary
+    * bucket ONLY (≈ n/|buckets| rows, after a filter, partitioned by
+    * the bucket key). Selection is IDENTICAL to the naive form — the
+    * oracle runs the global cumsum and the hash gate proves the
+    * equivalence on every run. */
+  def tokenBudget(documents: DataFrame, budget: Long = 12000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = documents.select(col("doc_id"),
+        TextAnalysis.qualityMilliCol(col("text")).as("q"),
+        size(TextOps.tokens(col("text"))).cast("long").as("tok"))
+      .localCheckpoint(eager = false)
+    val buckets = scored.groupBy(col("q")).agg(sum(col("tok")).as("btok"))
+      .orderBy(col("q").desc).collect()
+    var cum = 0L
+    var qFloor = Long.MinValue // all buckets fit
+    var remaining = 0L
+    val it = buckets.iterator
+    while (it.hasNext && qFloor == Long.MinValue) {
+      val r = it.next()
+      val b = r.getLong(1)
+      if (cum + b > budget) { qFloor = r.getLong(0); remaining = budget - cum }
+      else cum += b
+    }
+    val out = if (qFloor == Long.MinValue) scored
+    else {
+      val wb = Window.partitionBy(col("q")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val boundary = scored.filter(col("q") === qFloor)
+        .withColumn("cum", sum(col("tok")).over(wb))
+        .filter(col("cum") <= remaining)
+        .drop("cum")
+      scored.filter(col("q") > qFloor).unionByName(boundary)
+    }
+    out.orderBy(col("q").desc, col("doc_id"))
+  }
+
+  /** Epoch upsampling: replicate each document `copies` times according
+    * to fixed quality tiers (top tier 3 epochs, mid 2, rest 1), with a
+    * deterministic md5 shuffle key per copy so the replicated corpus
+    * arrives pre-shuffled for sequential training reads.
+    *
+    * Pure map-side: the tier CASE and the `sequence`-explode run in the
+    * scan's stage; no shuffle until the output sort (at 100 TB the sort
+    * IS the operator's product — range-partitioned write by shuffle
+    * key, the `shuffleShard` discipline). */
+  def epochUpsample(documents: DataFrame, hi: Long = 6150L, mid: Long = 6000L): DataFrame = {
+    val q = TextAnalysis.qualityMilliCol(col("text"))
+    documents.select(col("doc_id"), q.as("q"))
+      .withColumn("copies",
+        when(col("q") >= hi, lit(3L)).when(col("q") >= mid, lit(2L)).otherwise(lit(1L)))
+      .select(col("doc_id"), col("q"), col("copies"),
+        explode(sequence(lit(1L), col("copies"))).as("epoch_copy"))
+      .withColumn("shuffle_key",
+        substring(md5(concat_ws(":", col("doc_id"), col("epoch_copy"))), 1, 8))
+      .orderBy(col("shuffle_key"), col("doc_id"), col("epoch_copy"))
+  }
 }

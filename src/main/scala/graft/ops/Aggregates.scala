@@ -460,4 +460,81 @@ object Aggregates {
         grouping(col("r_name")).cast("long").as("g_r"),
         grouping(col("n_name")).cast("long").as("g_n"))
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+
+  /** Exact skewness / excess kurtosis per group via integer power sums.
+    *
+    * Spark's `skewness`/`kurtosis` are double accumulators — shuffle-
+    * order-dependent in the last ulps, so unusable under the hash gate.
+    * Here the value is lifted to integer cents per row, the four raw
+    * power sums are computed exactly (per-row powers fit BIGINT —
+    * cents⁴ ≤ 6.25e14 for quantities ≤ 50 — and each term is summed as
+    * DECIMAL(38,0), exact past 10²⁸ rows), and the standardized moments
+    * are the classic raw→central formulas in double on those exact
+    * sums. g1 and g2 are scale-invariant, so the ×100 cents lift
+    * cancels; mean/std are rescaled by 100 at the end. m2^1.5 is
+    * written `m2·sqrt(m2)` — `sqrt` is correctly-rounded IEEE on both
+    * engines, `pow` is not.
+    *
+    * Scale: one hash aggregate with map-side partials; the exchange
+    * carries 6 numbers per (task, group). */
+  def skewKurtosis(lineitem: DataFrame): DataFrame = {
+    val qc = (col("l_quantity") * 100).cast("decimal(18,0)").cast("bigint")
+    val s = lineitem
+      .select(col("l_returnflag"), qc.as("qc"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qc").cast("decimal(38,0)")).as("s1"),
+        sum((col("qc") * col("qc")).cast("decimal(38,0)")).as("s2"),
+        sum((col("qc") * col("qc") * col("qc")).cast("decimal(38,0)")).as("s3"),
+        sum((col("qc") * col("qc") * col("qc") * col("qc")).cast("decimal(38,0)")).as("s4"))
+    val nD = col("n").cast("double")
+    val m = col("s1").cast("double") / nD
+    val r2 = col("s2").cast("double") / nD
+    val r3 = col("s3").cast("double") / nD
+    val r4 = col("s4").cast("double") / nD
+    val m2 = r2 - m * m
+    val m3 = r3 - lit(3.0) * m * r2 + lit(2.0) * m * m * m
+    val m4 = r4 - lit(4.0) * m * r3 + lit(6.0) * m * m * r2 - lit(3.0) * m * m * m * m
+    s.select(col("l_returnflag"), col("n"),
+        Det.rfloor(m / 100, 4).as("mean_qty"),
+        Det.rfloor(sqrt(m2) / 100, 4).as("std_qty"),
+        Det.rfloor(m3 / (m2 * sqrt(m2)), 6).as("skewness"),
+        Det.rfloor(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Gini coefficient of customer spend within each nation.
+    *
+    * Spend = exact cents total per customer; the rank-weighted form
+    * G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) with xᵢ ascending needs a
+    * deterministic total rank, so i = row_number over (spend, custkey).
+    * Both Σ terms are DECIMAL(38,0) sums of integer products (i ≤ n and
+    * cents both fit BIGINT per row; the sums can't) — order-free,
+    * engine-exact; one double division at the end.
+    *
+    * Scale: per-customer totals shuffle on custkey with map-side
+    * partials; ranks shuffle the CUSTOMER-grain frame (not orders) on
+    * nation; nation dim broadcasts. Customers without orders don't
+    * appear (inner join — the metric is over the spending population). */
+  def giniSpend(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame = {
+    val spend = orders
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice") * 100).cast("decimal(18,0)").cast("bigint")).as("cents"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+    val i = row_number().over(
+      Window.partitionBy(col("n_name")).orderBy(col("cents"), col("o_custkey")))
+    val g = spend.withColumn("i", i)
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("cents").cast("decimal(38,0)")).as("sw"),
+        sum((col("i") * col("cents")).cast("decimal(38,0)")).as("siw"))
+    val nD = col("n_cust").cast("double")
+    val gini = (lit(2.0) * col("siw").cast("double") - (nD + 1) * col("sw").cast("double")) /
+      (nD * col("sw").cast("double"))
+    g.select(col("n_name"), col("n_cust"), Det.rfloor(gini, 6).as("gini"))
+      .orderBy("n_name")
+  }
 }

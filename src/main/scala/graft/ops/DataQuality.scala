@@ -210,4 +210,41 @@ object DataQuality {
       .filter(col("n_sources") >= 2)
       .orderBy("text_md5")
   }
+
+  /** Referential-integrity audit across the star schema's FK edges.
+    *
+    * One row per edge with child rows / orphan rows / distinct orphan
+    * keys. The fixture simulates late-arriving dimensions: each large
+    * parent drops keys ≡ 0 (mod 97) — a deterministic partial snapshot
+    * — so the orphan counts are real, not structurally zero; the
+    * nation→region edge stays intact as the all-green control row.
+    *
+    * Each edge is one left outer join + conditional-count aggregate
+    * (a single pass — not a count job plus an anti-join job). Parent
+    * key sets project to the key column only; small dims broadcast on
+    * size, the orders-sized parent takes the ordinary shuffled
+    * equi-join — at 100 TB that edge is the one real shuffle, keyed
+    * uniformly, and the five frames union as independent stages. */
+  def referentialIntegrity(lineitem: DataFrame, orders: DataFrame, part: DataFrame,
+                           supplier: DataFrame, customer: DataFrame,
+                           nation: DataFrame, region: DataFrame): DataFrame = {
+    def edge(name: String, child: DataFrame, key: String,
+             parent: DataFrame, pkey: String, dropMod: Option[Int]): DataFrame = {
+      val pk = dropMod.fold(parent)(m => parent.filter(col(pkey) % m =!= 0))
+        .select(col(pkey).as("__pk")).distinct()
+      child.select(col(key).as("__ck"))
+        .join(pk, col("__ck") === col("__pk"), "left")
+        .agg(count(lit(1)).as("child_rows"),
+          count(when(col("__pk").isNull, lit(1))).as("orphan_rows"),
+          countDistinct(when(col("__pk").isNull, col("__ck"))).as("orphan_keys"))
+        .select(lit(name).as("edge"), col("child_rows"),
+          col("orphan_rows"), col("orphan_keys"))
+    }
+    edge("lineitem.orderkey->orders", lineitem, "l_orderkey", orders, "o_orderkey", Some(97))
+      .unionByName(edge("lineitem.partkey->part", lineitem, "l_partkey", part, "p_partkey", Some(97)))
+      .unionByName(edge("lineitem.suppkey->supplier", lineitem, "l_suppkey", supplier, "s_suppkey", Some(13)))
+      .unionByName(edge("orders.custkey->customer", orders, "o_custkey", customer, "c_custkey", Some(97)))
+      .unionByName(edge("nation.regionkey->region", nation, "n_regionkey", region, "r_regionkey", None))
+      .orderBy("edge")
+  }
 }

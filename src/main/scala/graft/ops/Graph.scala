@@ -314,6 +314,28 @@ object Graph {
     * can audit the per-iteration physical shape (broadcast dims onto
     * edges, map-side partial contribution sum), which the checkpoint
     * boundary would otherwise hide from the final executed plan. */
+  /** Degree-distribution histogram of the link graph: (direction,
+    * degree, n_nodes) for out- and in-degrees. Nodes absent from a
+    * side (no in-links) count at degree 0 via a left join against the
+    * node set — the histogram covers every node, not just the ones a
+    * GROUP BY over edges would see. Two node-sized aggregates over the
+    * shared edge frame; the degree frames are node-sized, the
+    * histogram degree-sized. The shape a crawl audit reads first:
+    * a heavy in-degree tail is the link-spam signal that feeds the
+    * [[neighborJaccard]] cap. */
+  def degreeStats(documents: DataFrame, nNodes: Int = 200): DataFrame = {
+    val (edges, nodes) = linkGraph(documents, nNodes)
+    def hist(key: String, direction: String): DataFrame =
+      nodes.join(edges.groupBy(col(key).as("node")).agg(count(lit(1)).as("deg")),
+          Seq("node"), "left")
+        .select(coalesce(col("deg"), lit(0L)).as("deg"))
+        .groupBy(col("deg").as("degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .select(lit(direction).as("direction"), col("degree"), col("n_nodes"))
+    hist("src", "out").unionByName(hist("dst", "in"))
+      .orderBy("direction", "degree")
+  }
+
   private[graft] def step(edges: DataFrame, deg: DataFrame, nodes: DataFrame,
       nTot: DataFrame, ranks: DataFrame): DataFrame = {
     val scale = 1000000000000L

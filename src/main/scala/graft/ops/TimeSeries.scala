@@ -1,0 +1,249 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over the event stream at day grain: gap
+  * interpolation, rolling anomaly scoring, and exponential smoothing.
+  *
+  * The reference's analytics surface stops at snapshot diffing; a
+  * monitoring pipeline over the same tables needs the time dimension
+  * treated as a first-class axis — dense spines, dropout repair, and
+  * trailing-window scores. Everything here follows the repo's
+  * determinism doctrine: daily values are exact integer cents (the
+  * `win_range_frame` idiom), window aggregates sum integers (exact at
+  * any parallelism), and the only floating-point steps are final
+  * formula arithmetic on exact sums, identical ASTs on both engines,
+  * rounded via [[Det.rfloor]].
+  *
+  * Scale shape (100 TB): the day-grain aggregate is the only
+  * data-sized shuffle — (type, day) keys with map-side partials. Every
+  * window below it runs on the day-grain frame, whose cardinality is
+  * series × days, independent of event volume. At production grain the
+  * partition key would be (entity, metric) with millions of short
+  * series — the same plan, just wider hash partitioning; no window
+  * ever spans more than one series.
+  */
+object TimeSeries {
+
+  /** Exact per-(type, day) totals: value lifted to integer cents
+    * per row (`CAST(CAST(value*100 AS DECIMAL(18,0)) AS BIGINT)`),
+    * summed as BIGINT — order-independent, engine-exact. */
+  private def dailyCents(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value") * 100).cast("decimal(18,0)").cast("bigint")).as("cents"))
+
+  /** Linear gap interpolation over a dense daily spine.
+    *
+    * Sensor-dropout repair: the observed series is the daily totals
+    * with a deterministic dropout (days ≡ 1,2 mod 4 removed — two-day
+    * holes, including a leading edge hole on days 1-2). The spine is
+    * types × [min..max] day; missing days get the linear interpolation
+    * between the nearest observed neighbors; days before the first /
+    * after the last observation stay null and are tagged `edge`.
+    *
+    * The carried values are BIGINT cents, so `prev + (next-prev)·pos/len`
+    * is double arithmetic on exact integers — one shared AST with the
+    * oracle. The spine bounds come from a 1-row aggregate cross-joined
+    * in (model-params-sized, like the IVF centroid collect), never a
+    * driver-side date literal, so the operator ports to any window of
+    * data unchanged. */
+  def interpolateLinear(events: DataFrame): DataFrame = {
+    val daily = dailyCents(events)
+    val observed = daily.filter(dayofmonth(col("day")) % 4 === 0 ||
+      dayofmonth(col("day")) % 4 === 3)
+    val bounds = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val spine = daily.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("day"))
+    val wp = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("cents").isNotNull, col("day"))
+    val base = spine.join(observed.drop("n"), Seq("event_type", "day"), "left")
+      .withColumn("prev_cents", last(col("cents"), ignoreNulls = true).over(wp))
+      .withColumn("prev_day", last(obsDay, ignoreNulls = true).over(wp))
+      .withColumn("next_cents", first(col("cents"), ignoreNulls = true).over(wn))
+      .withColumn("next_day", first(obsDay, ignoreNulls = true).over(wn))
+    val interp = col("prev_cents").cast("double") +
+      (col("next_cents").cast("double") - col("prev_cents").cast("double")) *
+        datediff(col("day"), col("prev_day")).cast("double") /
+        datediff(col("next_day"), col("prev_day")).cast("double")
+    val filled = when(col("cents").isNotNull, col("cents").cast("double"))
+      .when(col("prev_cents").isNotNull && col("next_cents").isNotNull, interp)
+    base.select(col("event_type"), col("day"),
+        when(col("cents").isNotNull, lit("obs"))
+          .when(col("prev_cents").isNotNull && col("next_cents").isNotNull, lit("interp"))
+          .otherwise(lit("edge")).as("src"),
+        Det.rfloor(filled / 100, 4).as("value_filled"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Trailing 7-day rolling z-score anomaly flag per series.
+    *
+    * Window sums are over BIGINT cents and cents² — exact; mean/std/z
+    * are the sample-std formula in double on those exact sums (std via
+    * `sqrt`, which is correctly-rounded IEEE on both engines — never
+    * `pow`). z is null while the window has <2 points or zero
+    * variance; the anomaly flag is |z| > 2 on the UNROUNDED z. */
+  def rollingAnomaly(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    val nw = count(lit(1)).over(w).cast("double")
+    val sx = sum(col("cents")).over(w).cast("double")
+    val sxx = sum(col("cents") * col("cents")).over(w).cast("double")
+    dailyCents(events)
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("mean_c", sx / nw)
+      .withColumn("std_c",
+        when(nw > 1, sqrt((sxx - sx * sx / nw) / (nw - lit(1.0)))))
+      .withColumn("z",
+        when(col("std_c") > 0,
+          (col("cents").cast("double") - col("mean_c")) / col("std_c")))
+      .select(col("event_type"), col("day"), col("cents"), col("n_win"),
+        Det.rfloor(col("mean_c") / 100, 4).as("mean_value"),
+        Det.rfloor(col("z"), 4).as("z"),
+        // emitted as 0/1 BIGINT, not boolean — sidesteps engine-specific
+        // boolean stringification in the hash compare
+        (col("z").isNotNull && abs(col("z")) > 2).cast("long").as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  /** CUSUM changepoint detection per series — the level-shift screen.
+    *
+    * The classic statistic is max_t |S_t − t·x̄| over the running sums;
+    * x̄ = T/n makes it rational, so both sides are scaled by n:
+    * D_t = n·S_t − t·T is an EXACT integer (DECIMAL(38,0) products —
+    * n·S and t·T individually fit well under 10³⁸ at any realistic
+    * per-series day count), and the argmax needs no float compare.
+    * The changepoint is the t < n maximizing |D_t| (tie → earliest
+    * day); means before/after and the shift are one double division
+    * each on exact sums.
+    *
+    * Scale: three windows over the day-grain frame (series × days
+    * cardinality, event-volume-free), all on ONE event_type hash
+    * partitioning; the argmax is a rank-1 filter, never a collect. */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val wAll = Window.partitionBy("event_type")
+    val dec = "decimal(38,0)"
+    val scored = dailyCents(events)
+      .withColumn("t", row_number().over(w))
+      .withColumn("s", sum(col("cents")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nd", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("cents")).over(wAll))
+      .withColumn("d", col("nd").cast(dec) * col("s").cast(dec)
+        - col("t").cast(dec) * col("tot").cast(dec))
+    val top = scored.filter(col("t") < col("nd"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy(abs(col("d")).desc, col("day").asc)))
+      .filter(col("rk") === 1)
+    val meanBefore = col("s").cast("double") / col("t").cast("double") / 100
+    val meanAfter = (col("tot") - col("s")).cast("double") /
+      (col("nd") - col("t")).cast("double") / 100
+    top.select(col("event_type"), col("day").as("cp_day"),
+        col("t").cast("long").as("t_cp"), col("nd").as("n_days"),
+        Det.rfloor(meanBefore, 4).as("mean_before"),
+        Det.rfloor(meanAfter, 4).as("mean_after"),
+        Det.rfloor(meanAfter - meanBefore, 4).as("shift"))
+      .orderBy("event_type")
+  }
+
+  /** Lag-1..7 autocorrelation per series, exact-integer moment form.
+    *
+    * The ACF estimator r_k = Σ_{t>k}(x_t−x̄)(x_{t−k}−x̄) / Σ_t(x_t−x̄)²
+    * has the rational mean x̄ = T/n inside both sums; scaling every
+    * centered term by n (c_t = n·x_t − T) multiplies numerator and
+    * denominator by n², which cancels — so both sums are EXACT integer
+    * DECIMAL(38,0) sums of BIGINT-times-BIGINT products (c ~ n·x stays
+    * ≤ 10¹⁴ for realistic series; c² ≤ 10²⁸ < 10³⁸), and the one
+    * double division per lag is the whole floating-point story.
+    *
+    * Scale: one lag chain + one grouped aggregate over the day-grain
+    * frame; the unpivot runs on the series-count-sized result. */
+  def autocorr(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val wAll = Window.partitionBy("event_type")
+    val dec = "decimal(38,0)"
+    val base = dailyCents(events)
+      .withColumn("nd", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("cents")).over(wAll))
+    val withLags = (1 to maxLag).foldLeft(base)((df, k) =>
+      df.withColumn(s"lag$k", lag(col("cents"), k).over(w)))
+    def c(x: org.apache.spark.sql.Column) =
+      col("nd").cast(dec) * x.cast(dec) - col("tot").cast(dec)
+    val aggs = Seq(sum(c(col("cents")) * c(col("cents"))).as("den")) ++
+      (1 to maxLag).flatMap { k =>
+        Seq(
+          sum(when(col(s"lag$k").isNotNull, c(col("cents")) * c(col(s"lag$k")))).as(s"num$k"),
+          count(col(s"lag$k")).as(s"np$k"))
+      }
+    val g = withLags.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+    val lagRows = (1 to maxLag).map(k => struct(
+      lit(k).cast("long").as("lag"), col(s"np$k").as("n_pairs"),
+      (col(s"num$k").cast("double") / col("den").cast("double")).as("r")))
+    g.select(col("event_type"), explode(array(lagRows: _*)).as("x"))
+      .select(col("event_type"), col("x.lag").as("lag"),
+        col("x.n_pairs").as("n_pairs"), Det.rfloor(col("x.r"), 6).as("acf"))
+      .orderBy("event_type", "lag")
+  }
+
+  /** Day-of-week seasonal profile per series.
+    *
+    * The weekday key is epoch-day mod 7 (0 = Thursday, 1970-01-01) —
+    * locale-free and identical on every engine, where named-weekday
+    * functions disagree on week start. Seasonal index = dow mean /
+    * series mean = c·n / (n_dow·T): integer sums, one double formula.
+    *
+    * Scale: two aggregates over the day-grain frame; the per-series
+    * totals (series-count rows) broadcast back onto the 7-row-per-
+    * series profile. */
+  def seasonalDow(events: DataFrame): DataFrame = {
+    val base = dailyCents(events)
+      .withColumn("dow", pmod(datediff(col("day"), to_date(lit("1970-01-01"))), lit(7)).cast("long"))
+    val g = base.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("c"))
+    val t = base.groupBy("event_type")
+      .agg(count(lit(1)).as("nd"), sum(col("cents")).as("tot"))
+    g.join(broadcast(t), "event_type")
+      .select(col("event_type"), col("dow"), col("n_days"),
+        Det.rfloor(col("c").cast("double") / col("n_days").cast("double") / 100, 4)
+          .as("mean_value"),
+        Det.rfloor(col("c").cast("double") * col("nd").cast("double") /
+          (col("n_days").cast("double") * col("tot").cast("double")), 4)
+          .as("seasonal_idx"))
+      .orderBy("event_type", "dow")
+  }
+
+  /** Truncated exponential moving average (α = 1/2, depth 8) per
+    * series.
+    *
+    * The textbook EMA recursion is order-dependent float accumulation —
+    * unreproducible across engines. With α = 1/2 the closed form's
+    * weights are powers of two, so the 8-term truncation is EXACT
+    * integer arithmetic: numerator Σ lagⱼ·2^(7-j) and denominator
+    * Σ 2^(7-j) over the lags that exist (early rows renormalize over
+    * the shorter window), one double division at the end. Truncation
+    * error vs the infinite recursion is ≤ 2⁻⁸ of the oldest mass —
+    * documented contract, not an approximation bug: the operator IS
+    * "EMA8". A lag chain, not a frame aggregate, so the whole thing is
+    * one window pass. */
+  def ema8(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val lags = (0 to 7).map { j =>
+      val c = if (j == 0) col("cents") else lag(col("cents"), j).over(w)
+      (c, 1L << (7 - j))
+    }
+    val num = lags.map { case (c, wt) => coalesce(c, lit(0L)) * lit(wt) }
+      .reduce(_ + _)
+    val den = lags.map { case (c, wt) =>
+      when(c.isNotNull, lit(wt)).otherwise(lit(0L)) }.reduce(_ + _)
+    dailyCents(events)
+      .withColumn("ema", Det.rfloor(num.cast("double") / den.cast("double") / 100, 4))
+      .select(col("event_type"), col("day"), col("cents"), col("ema"))
+      .orderBy("event_type", "day")
+  }
+}

@@ -1,0 +1,240 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic gates for the fourth-session tier (time-series repair /
+  * scores, budget cut, epoch replication, FK audit, moment stats).
+  * The DuckDB oracle already cross-checks every key engine-to-engine;
+  * these are INDEPENDENT driver-side re-derivations (plain Scala
+  * arithmetic, no SQL on either side) plus the invariants that must
+  * hold for ANY input — the GraphSpec doctrine.
+  */
+class TimeSeriesSpec extends SparkSpec {
+
+  /** Driver-side reference: exact per-(type, day) cents, same lift law
+    * as TimeSeries.dailyCents. */
+  private lazy val refDaily: Map[(String, java.time.LocalDate), Long] = {
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        (col("value") * 100).cast("decimal(18,0)").cast("bigint").as("c"))
+      .collect()
+      .groupBy(r => (r.getString(0), r.getDate(1).toLocalDate))
+      .map { case (k, rs) => k -> rs.map(_.getLong(2)).sum }
+  }
+
+  test("ts_interpolate_linear: obs rows exact, interp rows on the chord, edges null") {
+    val rows = ops.TimeSeries.interpolateLinear(Tables.events(spark, sfDir)).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getString(0))
+    var interpChecked = 0
+    byType.foreach { case (tpe, rs) =>
+      val sorted = rs.sortBy(_.getDate(1).toLocalDate.toEpochDay)
+      // the observed subset under the dropout law, as (epochDay, cents)
+      val obs = sorted.flatMap { r =>
+        val d = r.getDate(1).toLocalDate
+        val kept = d.getDayOfMonth % 4 == 0 || d.getDayOfMonth % 4 == 3
+        if (kept) refDaily.get((tpe, d)).map(c => d.toEpochDay -> c) else None
+      }
+      sorted.foreach { r =>
+        val d = r.getDate(1).toLocalDate
+        val src = r.getString(2)
+        val ed = d.toEpochDay
+        val prev = obs.filter(_._1 <= ed).lastOption
+        val next = obs.find(_._1 >= ed)
+        (prev, next) match {
+          case (Some((pd, pc)), Some((nd, nc))) =>
+            val expected =
+              if (pd == ed) { assert(src === "obs"); pc.toDouble }
+              else {
+                assert(src === "interp"); interpChecked += 1
+                pc.toDouble + (nc.toDouble - pc.toDouble) * (ed - pd) / (nd - pd)
+              }
+            val want = math.floor(expected / 100 * 1e4 + 0.5) / 1e4
+            assert(r.getDouble(3) === want, s"$tpe $d")
+          case _ =>
+            assert(src === "edge", s"$tpe $d")
+            assert(r.isNullAt(3))
+        }
+      }
+    }
+    // the dropout fixture must actually create holes to repair
+    assert(interpChecked > 10, s"only $interpChecked interp rows — fixture degenerate")
+  }
+
+  test("ts_ema: matches the power-of-two lag formula recomputed in-memory") {
+    val rows = ops.TimeSeries.ema8(Tables.events(spark, sfDir)).collect()
+    rows.groupBy(_.getString(0)).foreach { case (tpe, rs) =>
+      // the lag chain is over OBSERVED rows (the oracle's LAG agrees);
+      // recompute by row index, not by calendar adjacency
+      val sorted = rs.sortBy(_.getDate(1).toLocalDate.toEpochDay).toIndexedSeq
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        var num = 0L; var den = 0L
+        (0 to 7).foreach { j =>
+          if (i - j >= 0) { num += sorted(i - j).getLong(2) * (1L << (7 - j)); den += 1L << (7 - j) }
+        }
+        val want = math.floor(num.toDouble / den.toDouble / 100 * 1e4 + 0.5) / 1e4
+        assert(r.getDouble(3) === want, s"$tpe row $i")
+      }
+    }
+  }
+
+  test("ts_rolling_anomaly: window arithmetic matches a driver-side recompute") {
+    val rows = ops.TimeSeries.rollingAnomaly(Tables.events(spark, sfDir)).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getDate(1).toLocalDate.toEpochDay).toIndexedSeq
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val win = sorted.slice(math.max(0, i - 6), i + 1).map(_.getLong(2))
+        assert(r.getLong(3) === win.size.toLong)
+        val n = win.size.toDouble
+        val sx = win.sum.toDouble
+        val sxx = win.map(c => c * c).sum.toDouble
+        val mean = sx / n
+        assert(r.getDouble(4) === math.floor(mean / 100 * 1e4 + 0.5) / 1e4)
+        val std = if (n > 1) math.sqrt((sxx - sx * sx / n) / (n - 1)) else 0.0
+        if (std > 0) {
+          val z = (r.getLong(2) - mean) / std
+          assert(r.getDouble(5) === math.floor(z * 1e4 + 0.5) / 1e4)
+          assert(r.getLong(6) === (if (math.abs(z) > 2) 1L else 0L))
+        } else { assert(r.isNullAt(5)); assert(r.getLong(6) === 0L) }
+      }
+    }
+  }
+
+  test("token budget: two-phase cut selects EXACTLY the naive greedy prefix") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = llm.TrainingPrep.tokenBudget(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // naive reference: global (q desc, doc_id) order, running total ≤ budget
+    val scored = docs.select(col("doc_id"),
+        llm.TextAnalysis.qualityMilliCol(col("text")).as("q"),
+        size(llm.TextOps.tokens(col("text"))).cast("long").as("tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (id, q, _) => (-q, id) }
+    var cum = 0L
+    val want = scored.takeWhile { case (_, _, tok) => { cum += tok; cum <= 12000L } }
+    assert(got.toSeq === want.toSeq)
+    assert(want.nonEmpty && want.length < scored.length,
+      "budget fixture degenerate: cut selects nothing or everything")
+  }
+
+  test("epoch upsample: per-doc copies match the tier law, corpus pre-shuffled") {
+    val docs = Tables.documents(spark, sfDir)
+    val rows = llm.TrainingPrep.epochUpsample(docs).collect()
+    val copies = rows.groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.length }
+    rows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      val q = rs.head.getLong(1)
+      val want = if (q >= 6150L) 3 else if (q >= 6000L) 2 else 1
+      assert(rs.length === want, s"doc $id q=$q")
+      assert(rs.map(_.getLong(3)).sorted.toSeq === (1 to want).map(_.toLong))
+    }
+    assert(copies.values.toSet.size > 1, "tier thresholds degenerate: all docs same tier")
+    // pre-shuffled: output order is the md5 key order, not doc_id order
+    val ids = rows.map(_.getLong(0)).toSeq
+    assert(ids !== ids.sorted, "output arrived in doc order — shuffle key inert")
+  }
+
+  test("referential integrity: control edge green, orphan law matches mod-m drop") {
+    val r = ops.DataQuality.referentialIntegrity(
+      Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.part(spark, sfDir), Tables.supplier(spark, sfDir),
+      Tables.customer(spark, sfDir), Tables.nation(spark, sfDir),
+      Tables.region(spark, sfDir)).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r("nation.regionkey->region")._2 === 0L) // intact control edge
+    // independent recompute of one fixture edge
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey").collect().map(_.getLong(0))
+    val ok = Tables.orders(spark, sfDir).select("o_orderkey").collect()
+      .map(_.getLong(0)).filter(_ % 97 != 0).toSet
+    val orphans = li.filterNot(ok)
+    val (childRows, orphanRows, orphanKeys) = r("lineitem.orderkey->orders")
+    assert(childRows === li.length.toLong)
+    assert(orphanRows === orphans.length.toLong)
+    assert(orphanKeys === orphans.distinct.length.toLong)
+    assert(orphanRows > 0, "fixture degenerate: no orphans on the mod-97 edge")
+  }
+
+  test("skew/kurtosis: exact power sums match a BigInt driver recompute") {
+    val rows = ops.Aggregates.skewKurtosis(Tables.lineitem(spark, sfDir)).collect()
+    val qs = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), (col("l_quantity") * 100).cast("decimal(18,0)").cast("bigint"))
+      .collect().groupBy(_.getString(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)) }
+    rows.foreach { r =>
+      val xs = qs(r.getString(0))
+      val n = xs.length.toDouble
+      def s(p: Int) = xs.map(x => BigInt(x).pow(p)).sum.toDouble
+      val m = s(1) / n; val r2 = s(2) / n; val r3 = s(3) / n; val r4 = s(4) / n
+      val m2 = r2 - m * m
+      val m3 = r3 - 3 * m * r2 + 2 * m * m * m
+      val m4 = r4 - 4 * m * r3 + 6 * m * m * r2 - 3 * m * m * m * m
+      assert(r.getLong(1) === xs.length.toLong)
+      assert(r.getDouble(2) === math.floor(m / 100 * 1e4 + 0.5) / 1e4)
+      assert(r.getDouble(3) === math.floor(math.sqrt(m2) / 100 * 1e4 + 0.5) / 1e4)
+      assert(r.getDouble(4) === math.floor(m3 / (m2 * math.sqrt(m2)) * 1e6 + 0.5) / 1e6)
+      assert(r.getDouble(5) === math.floor((m4 / (m2 * m2) - 3.0) * 1e6 + 0.5) / 1e6)
+    }
+  }
+
+  test("gini: bounded in [0,1), zero iff all spends equal, matches rank formula") {
+    val rows = ops.Aggregates.giniSpend(Tables.orders(spark, sfDir),
+      Tables.customer(spark, sfDir), Tables.nation(spark, sfDir)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getDouble(2)
+      assert(g >= 0.0 && g < 1.0, s"${r.getString(0)} gini=$g")
+    }
+    // independent recompute for the largest nation
+    // key columns may surface as INT32 in the parquet — widen via Number
+    def asL(r: org.apache.spark.sql.Row, i: Int): Long = r.getAs[Number](i).longValue
+    val spendByNation = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), (col("o_totalprice") * 100).cast("decimal(18,0)").cast("bigint").as("c"))
+      .collect().groupBy(asL(_, 0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).sum }
+    val custNation = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+      .collect().map(r => asL(r, 0) -> asL(r, 1)).toMap
+    val nationName = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+      .collect().map(r => asL(r, 0) -> r.getString(1)).toMap
+    val byNation = spendByNation.toSeq
+      .map { case (ck, c) => (nationName(custNation(ck)), ck, c) }
+      .groupBy(_._1)
+    val (nn, members) = byNation.maxBy(_._2.size)
+    val xs = members.sortBy(m => (m._3, m._2)) // (cents, custkey) ascending
+    val n = xs.size
+    val sw = xs.map(x => BigInt(x._3)).sum
+    val siw = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * BigInt(x._3) }.sum
+    val want = (2.0 * siw.toDouble - (n + 1) * sw.toDouble) / (n.toDouble * sw.toDouble)
+    val got = rows.find(_.getString(0) == nn).get.getDouble(2)
+    assert(got === math.floor(want * 1e6 + 0.5) / 1e6)
+  }
+
+  test("degree stats: histogram masses equal node count and edge count") {
+    val docs = Tables.documents(spark, sfDir)
+    val rows = ops.Graph.degreeStats(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val edges = ids.map(id => (id % 200, (id * 31 + id / 7) % 200)).distinct
+    val nNodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.length.toLong
+    Seq("out", "in").foreach { dir =>
+      val h = rows.filter(_._1 == dir)
+      assert(h.map(_._3).sum === nNodes, s"$dir node mass")
+      assert(h.map(x => x._2 * x._3).sum === edges.length.toLong, s"$dir edge mass")
+    }
+  }
+
+  test("readability: corpus-level Flesch matches integer-count recompute per source") {
+    val rows = llm.TextAnalysis.readability(Tables.documents(spark, sfDir)).collect()
+    val docs = Tables.documents(spark, sfDir).select("source", "text").collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val texts = docs(r.getString(0)).map(_.getString(1))
+      // word law = size(split(text, " ")): single-space split, empties kept
+      val words = texts.map(t => t.split(" ", -1).length.toLong).sum
+      val sentences = texts.map(t => math.max("[.!?]+".r.findAllIn(t).size, 1).toLong).sum
+      val syllables = texts.map(t => "[aeiouy]+".r.findAllIn(t).size.toLong).sum
+      assert(r.getLong(1) === texts.length.toLong)
+      assert(r.getLong(2) === words)
+      assert(r.getLong(3) === sentences)
+      assert(r.getLong(4) === syllables)
+      val flesch = 206.835 - 1.015 * (words.toDouble / sentences) - 84.6 * (syllables.toDouble / words)
+      assert(r.getDouble(5) === math.floor(flesch * 1e4 + 0.5) / 1e4)
+    }
+  }
+}
