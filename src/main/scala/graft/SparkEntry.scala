@@ -165,9 +165,20 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "text_chunk" -> ((s, d) => TextAnalysis.chunk(Tables.documents(s, d))),
-    // PII incidence per source (detection side of text_scrub; injected
-    // deterministic PII, regexp_count chain, map-mostly)
-    "text_pii_stats" -> ((s, d) => TextAnalysis.piiStats(Tables.documents(s, d))),
+    // PII incidence per source (detection side of text_scrub;
+    // regexp_count chain, map-mostly). The synthetic corpus is PII-free,
+    // so deterministic PII-shaped tails are injected HERE — the operator
+    // itself detects on text as-is (text_scrub convention); mirrored in
+    // the oracle.
+    "text_pii_stats" -> ((s, d) => TextAnalysis.piiStats(
+      Tables.documents(s, d).withColumn("text", concat(col("text"),
+        when(col("doc_id") % 9 === 2,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 3,
+          concat(lit(" host 192.168."), pmod(col("doc_id"), lit(256)).cast("long"),
+            lit("."), pmod(floor(col("doc_id") / 256), lit(256)).cast("long"))).otherwise(lit("")),
+        when(col("doc_id") % 13 === 4,
+          concat(lit(" call 555-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))).otherwise(lit("")))))),
     // per-source lang-mix Shannon entropy + deterministic dominant lang
     "text_diversity_entropy" -> ((s, d) => TextAnalysis.diversityEntropy(Tables.documents(s, d))),
     "text_scrub" -> ((s, d) => TextAnalysis.scrub(
@@ -400,6 +411,10 @@ object SparkEntry {
     // link-graph centrality in fixed-point integer arithmetic — the
     // iterative-algorithm tier's oracle-checkable representative
     "graph_pagerank" -> ((s, d) => graft.ops.Graph.pagerank(Tables.documents(s, d))),
+    // pagerank with dangling-mass redistribution over a graph that HAS
+    // dangling hosts (dst residues escape the src set) — mass conserved
+    // up to floor loss, GraphSpec pins the no-op law on clean graphs
+    "graph_pagerank_dangling" -> ((s, d) => graft.ops.Graph.pagerankDangling(Tables.documents(s, d))),
     // HITS hubs/authorities: same fixed-point integer discipline
     "graph_hits" -> ((s, d) => graft.ops.Graph.hits(Tables.documents(s, d))),
     // the SoCC'14 star clustering over a second edge source — host-graph
@@ -535,8 +550,10 @@ object SparkEntry {
     * fixed-point (units of 1e-12, floor division) — the property that
     * makes an iterative algorithm hash-comparable across engines at
     * all; DuckDB's `//` and Spark's `div` agree on non-negative
-    * operands. DuckDB promotes SUM to HUGEINT; values stay far inside
-    * bigint range so the stringified rows match. */
+    * operands. Every SUM (and the rank expression it feeds) is CAST
+    * back to BIGINT: DuckDB promotes SUM(BIGINT) to HUGEINT, and the
+    * driver's comparator is type-strict even when the stringified
+    * values agree (round-6 verdict, the 7-key HUGEINT class). */
   /** graph_hits: 3 unrolled HITS iterations in exact fixed-point integer
     * arithmetic (the pagerank oracle discipline); sums CAST to BIGINT
     * (DuckDB SUM(BIGINT) is HUGEINT). */
@@ -567,12 +584,38 @@ object SparkEntry {
       val prev = s"r${i - 1}"
       s"""c$i AS (SELECT e.dst AS node, (r.rank // d.deg) AS c
          | FROM edges e JOIN deg d ON e.src = d.src JOIN $prev r ON r.node = e.src),
-         |i$i AS (SELECT node, SUM(c) AS inc FROM c$i GROUP BY node),
+         |i$i AS (SELECT node, CAST(SUM(c) AS BIGINT) AS inc FROM c$i GROUP BY node),
          |r$i AS (SELECT nodes.node,
-         |  (150000000000 // n) + ((85 * COALESCE(inc, 0)) // 100) AS rank
+         |  CAST((150000000000 // n) + ((85 * COALESCE(inc, 0)) // 100) AS BIGINT) AS rank
          | FROM nodes CROSS JOIN nt LEFT JOIN i$i ON i$i.node = nodes.node)""".stripMargin
     }
     s"""WITH edges AS (SELECT DISTINCT doc_id % 200 AS src, (doc_id * 31 + doc_id // 7) % 200 AS dst FROM documents),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges) u),
+       |nt AS (SELECT COUNT(*) AS n FROM nodes),
+       |r0 AS (SELECT node, 1000000000000 // n AS rank FROM nodes CROSS JOIN nt),
+       |${(1 to 3).map(iter).mkString(",\n")}
+       |SELECT node, rank AS rank_units FROM r3 ORDER BY node""".stripMargin
+  }
+
+  /** graph_pagerank_dangling: the pagerank CTEs over a dst-mod-211 graph
+    * (dst-only hosts have no out-edges — dangling), plus the dangling
+    * term: d$i = exact BIGINT sum of the previous ranks over nodes with
+    * no out-edge, redistributed as `dm // n` inside the damped sum —
+    * mirroring Graph.step(redistribute = true) exactly. */
+  private val pagerankDanglingOracleSql: String = {
+    def iter(i: Int): String = {
+      val prev = s"r${i - 1}"
+      s"""c$i AS (SELECT e.dst AS node, (r.rank // d.deg) AS c
+         | FROM edges e JOIN deg d ON e.src = d.src JOIN $prev r ON r.node = e.src),
+         |i$i AS (SELECT node, CAST(SUM(c) AS BIGINT) AS inc FROM c$i GROUP BY node),
+         |d$i AS (SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dm
+         | FROM $prev r LEFT JOIN deg ON deg.src = r.node WHERE deg.src IS NULL),
+         |r$i AS (SELECT nodes.node,
+         |  CAST((150000000000 // n) + ((85 * (COALESCE(inc, 0) + (dm // n))) // 100) AS BIGINT) AS rank
+         | FROM nodes CROSS JOIN nt CROSS JOIN d$i LEFT JOIN i$i ON i$i.node = nodes.node)""".stripMargin
+    }
+    s"""WITH edges AS (SELECT DISTINCT doc_id % 200 AS src, (doc_id * 31 + doc_id // 7) % 211 AS dst FROM documents),
        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
        |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges) u),
        |nt AS (SELECT COUNT(*) AS n FROM nodes),
@@ -1059,19 +1102,24 @@ object SparkEntry {
     "diff_positional" -> diffPositionalSql,
     /* diff_cdc_apply: the synthesized changelog (Cdc.changelog) and the
      * max_by compaction mirrored; NULL-price delete rows never surface
-     * (surviving keys' arg-max row is always a non-delete). */
+     * (surviving keys' arg-max row is always a non-delete). Price is
+     * INTEGER CENTS on both sides — one double→decimal(18,0) rounding at
+     * the source (the ts_* pattern, proven engine-stable), then pure
+     * BIGINT arithmetic; no double→DECIMAL(18,2) boundary anywhere. */
     "diff_cdc_apply" ->
-      """WITH base AS (SELECT o_orderkey AS key, o_totalprice AS price, o_orderstatus AS status FROM orders),
+      """WITH base AS (SELECT o_orderkey AS key,
+        |  CAST(CAST(o_totalprice*100 AS DECIMAL(18,0)) AS BIGINT) AS cents,
+        |  o_orderstatus AS status FROM orders),
         |log AS (
-        | SELECT key, CAST(1 AS BIGINT) AS seq, 'I' AS op,
-        |   CAST(price AS DECIMAL(18,2)) AS price, status FROM base
-        | UNION ALL SELECT key, 2, 'U', CAST(price + 100.0 AS DECIMAL(18,2)), 'U' FROM base WHERE key % 5 = 0
+        | SELECT key, CAST(1 AS BIGINT) AS seq, 'I' AS op, cents AS price_cents, status FROM base
+        | UNION ALL SELECT key, 2, 'U', cents + 10000, 'U' FROM base WHERE key % 5 = 0
         | UNION ALL SELECT key, 3, 'D', NULL, NULL FROM base WHERE key % 13 = 0
-        | UNION ALL SELECT key, 4, 'U', CAST(price + 7.50 AS DECIMAL(18,2)), 'L' FROM base WHERE key % 17 = 3),
-        |c AS (SELECT key, max_by(op, seq) AS last_op, max_by(price, seq) AS price,
+        | UNION ALL SELECT key, 4, 'U', cents + 750, 'L' FROM base WHERE key % 17 = 3),
+        |c AS (SELECT key, max_by(op, seq) AS last_op,
+        |   CAST(max_by(price_cents, seq) AS BIGINT) AS price_cents,
         |   max_by(status, seq) AS status, max(seq) AS last_seq, count(*) AS n_changes
         | FROM log GROUP BY key)
-        |SELECT key, price, status, last_seq, n_changes FROM c
+        |SELECT key, price_cents, status, last_seq, n_changes FROM c
         |WHERE last_op <> 'D' ORDER BY key""".stripMargin,
     "diff_apply_merge" ->
       s"""SELECT * FROM (${Snapshots.newSql}) t ORDER BY slno""",
@@ -1129,6 +1177,7 @@ object SparkEntry {
     "dedup_containment_prefix" -> containmentOracleSql,
     "pipeline_dedup_ordered" -> orderedDedupOracleSql,
     "graph_pagerank" -> pagerankOracleSql,
+    "graph_pagerank_dangling" -> pagerankDanglingOracleSql,
     "graph_hits" -> hitsOracleSql,
     /* graph_degree_stats: same edge-synthesis CTE as pagerank/hits; the
      * node-set left join puts degree-0 nodes in the histogram (none
@@ -1180,7 +1229,7 @@ object SparkEntry {
     "ts_rolling_anomaly" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-        |    SUM(CAST(CAST(value*100 AS DECIMAL(18,0)) AS BIGINT)) AS cents
+        |    CAST(SUM(CAST(CAST(value*100 AS DECIMAL(18,0)) AS BIGINT)) AS BIGINT) AS cents
         |  FROM events GROUP BY 1, 2),
         |w AS (SELECT event_type, day, cents,
         |  count(*) OVER ww AS n_win,
@@ -1203,7 +1252,7 @@ object SparkEntry {
     "ts_ema" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-        |    SUM(CAST(CAST(value*100 AS DECIMAL(18,0)) AS BIGINT)) AS cents
+        |    CAST(SUM(CAST(CAST(value*100 AS DECIMAL(18,0)) AS BIGINT)) AS BIGINT) AS cents
         |  FROM events GROUP BY 1, 2),
         |l AS (SELECT event_type, day, cents,
         |  lag(cents,1) OVER w AS c1, lag(cents,2) OVER w AS c2, lag(cents,3) OVER w AS c3,
@@ -1317,8 +1366,9 @@ object SparkEntry {
         |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS s,
         |  CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS y
         | FROM documents),
-        |g AS (SELECT source, count(*) AS n_docs, SUM(w) AS words, SUM(s) AS sentences,
-        |  SUM(y) AS syllables FROM t GROUP BY source)
+        |g AS (SELECT source, count(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS words,
+        |  CAST(SUM(s) AS BIGINT) AS sentences, CAST(SUM(y) AS BIGINT) AS syllables
+        | FROM t GROUP BY source)
         |SELECT source, n_docs, words, sentences, syllables,
         | floor((206.835 - 1.015*(CAST(words AS DOUBLE)/CAST(sentences AS DOUBLE))
         |   - 84.6*(CAST(syllables AS DOUBLE)/CAST(words AS DOUBLE)))*1e4 + 0.5)/1e4 AS flesch
@@ -1447,7 +1497,7 @@ object SparkEntry {
          |ratios AS (SELECT bucket,
          |  CAST(round((ln((cnt_t + 1.0) / (nt + 256.0)) - ln((cnt_s + 1.0) / (ns + 256.0)))
          |       * 1000000.0, 0) AS BIGINT) AS r_units FROM counts CROSS JOIN tot),
-         |w AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(r_units) AS weight_units
+         |w AS (SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(r_units) AS BIGINT) AS weight_units
          |  FROM tb JOIN ratios ON ratios.bucket = tb.bucket GROUP BY doc_id)
          |SELECT base.doc_id, w.n_tokens, w.weight_units,
          |  substr(md5('42:' || CAST(base.doc_id AS VARCHAR)), 1, 1) AS shard
@@ -1484,7 +1534,7 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 4 = 1),
         |dt AS (SELECT doc_id, substr(md5(word), 1, 2) AS bucket FROM
         |  (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM delta) t)
-        |SELECT doc_id, COUNT(*) AS n_tokens, SUM(COALESCE(r_units, zero_r)) AS weight_units
+        |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(COALESCE(r_units, zero_r)) AS BIGINT) AS weight_units
         |FROM dt LEFT JOIN ratios ON ratios.bucket = dt.bucket CROSS JOIN zr
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     /* graph_neighbor_jaccard: co-citation pairs from the capped
@@ -1531,8 +1581,9 @@ object SparkEntry {
     /* pipeline_dsir_weights: bucket = first 2 hex chars of md5(token)
      * (no hex parse — the string IS the key); per-bucket smoothed
      * log-ratio rounded once to integer micro-nats; doc weight = the
-     * order-free INTEGER sum (DuckDB's HUGEINT promotion stringifies
-     * identically, the pagerank precedent). */
+     * order-free INTEGER sum, CAST back to BIGINT (DuckDB promotes
+     * SUM(BIGINT) to HUGEINT and the driver comparator is
+     * type-strict — the round-6 red class). */
     "pipeline_dsir_weights" ->
       """WITH tb AS (SELECT doc_id, lang, substr(md5(word), 1, 2) AS bucket FROM
         |  (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents) t),
@@ -1543,7 +1594,7 @@ object SparkEntry {
         |  CAST(round((ln((cnt_t + 1.0) / (nt + 256.0)) - ln((cnt_s + 1.0) / (ns + 256.0)))
         |       * 1000000.0, 0) AS BIGINT) AS r_units
         |  FROM counts CROSS JOIN tot)
-        |SELECT doc_id, COUNT(*) AS n_tokens, SUM(r_units) AS weight_units
+        |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(r_units) AS BIGINT) AS weight_units
         |FROM tb JOIN ratios ON ratios.bucket = tb.bucket
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_cluster" ->
@@ -1756,7 +1807,7 @@ object SparkEntry {
     "text_diversity_entropy" ->
       """WITH c AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang),
         |r AS (SELECT source, lang, n, sum(n) OVER (PARTITION BY source) AS tot,
-        |  row_number() OVER (PARTITION BY source ORDER BY n DESC, lang ASC) AS rk FROM c)
+        |  row_number() OVER (PARTITION BY source ORDER BY n DESC, lang ASC NULLS LAST) AS rk FROM c)
         |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_langs,
         | floor(sum(-(n*1.0/tot) * ln(n*1.0/tot)) * 10000.0 + 0.5) / 10000.0 + 0.0 AS entropy,
         | max(CASE WHEN rk = 1 THEN lang END) AS top_lang,
@@ -2423,6 +2474,26 @@ object SparkEntry {
          |  UNION
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          |SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    /* dedup_simhash (PRODUCTION 48-bit, promoted r7): token hash = two
+     * independent rolling code-point folds (31 mod 1e9+7; 131 mod
+     * 999999937), low 24 bits of each packed hi‖lo; then the same
+     * 48-way bit-vote CASE sum as the 30-bit twin. */
+    "dedup_simhash" ->
+      s"""WITH corpus AS (${Corpus.docCorpusSql}),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus),
+         |f AS (SELECT doc_id,
+         |  ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(t,''), c -> CAST(unicode(c) AS BIGINT))),
+         |    (a,b) -> (a*31+b)%1000000007) % 16777216) << 24)
+         |  + (list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(t,''), c -> CAST(unicode(c) AS BIGINT))),
+         |    (a,b) -> (a*131+b)%999999937) % 16777216) AS f FROM tok),
+         |votes AS (SELECT doc_id, b.b AS b,
+         |  CAST(SUM(CASE WHEN (f >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+         | FROM f CROSS JOIN (SELECT unnest(range(48)) AS b) b GROUP BY doc_id, b.b)
+         |SELECT doc_id,
+         | CAST(SUM(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS fingerprint
+         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_simhash_oracle" ->
       s"""WITH corpus AS (${Corpus.docCorpusSql}),
          |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus),

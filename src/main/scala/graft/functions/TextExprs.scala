@@ -111,10 +111,13 @@ case class MinHashSig(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
-/** Rolling polynomial fingerprint over the raw text bytes:
-  * fold(acc·31 + byte) mod 1_000_000_007 — same recurrence as the HOF
-  * char fold for ASCII text, one compiled pass. */
-case class RollingFingerprint(child: Expression)
+/** Rolling polynomial fingerprint over unicode code points:
+  * fold(acc·mult + cp) mod `modulus` — the portable fold DuckDB can
+  * mirror via list_reduce, one compiled pass. Default (31, 1e9+7) is
+  * the house fingerprint; the (mult, modulus) params exist so SimHash
+  * can pack TWO independent folds into one 48-bit portable hash. */
+case class RollingFingerprint(child: Expression,
+    mult: Long = 31L, modulus: Long = 1000000007L)
   extends UnaryExpression with Serializable {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -125,13 +128,13 @@ case class RollingFingerprint(child: Expression)
   override def prettyName: String = "rolling_fingerprint"
 
   override def nullSafeEval(a: Any): Any =
-    TextExprs.fingerprintOf(a.asInstanceOf[UTF8String])
+    TextExprs.fingerprintOf(a.asInstanceOf[UTF8String], mult, modulus)
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
-    defineCodeGen(ctx, ev, a => s"${TextExprs.RT}.fingerprintOf($a)")
+    defineCodeGen(ctx, ev, a => s"${TextExprs.RT}.fingerprintOf($a, ${mult}L, ${modulus}L)")
 
   override protected def withNewChildInternal(c: Expression): RollingFingerprint =
     copy(child = c)
@@ -204,15 +207,19 @@ object TextExprs {
   /** Runtime body of [[RollingFingerprint]] — a fold over UNICODE CODE
     * POINTS (not UTF-8 bytes): the same fold is expressible in DuckDB as
     * `list_reduce(list_prepend(0, list_transform(string_split(t,''),
-    * c -> unicode(c))), (a,b) -> (a*31+b)%1000000007)`, which makes the
-    * fingerprint oracle-checkable cross-engine. */
-  def fingerprintOf(u: UTF8String): Long = {
+    * c -> unicode(c))), (a,b) -> (a*mult+b)%modulus)`, which makes the
+    * fingerprint oracle-checkable cross-engine. Keep `modulus·mult +
+    * 0x10FFFF` inside a signed long — the house (31, 1e9+7) and the
+    * SimHash second fold (131, 999999937) both do. */
+  def fingerprintOf(u: UTF8String): Long = fingerprintOf(u, 31L, 1000000007L)
+
+  def fingerprintOf(u: UTF8String, mult: Long, modulus: Long): Long = {
     val s = u.toString
     var acc = 0L
     var i = 0
     while (i < s.length) {
       val cp = s.codePointAt(i)
-      acc = (acc * 31 + cp) % 1000000007L
+      acc = (acc * mult + cp) % modulus
       i += Character.charCount(cp)
     }
     acc
@@ -223,6 +230,9 @@ object TextExprs {
 
   def rollingFingerprint(text: Column): Column =
     SqlShim.column(RollingFingerprint(SqlShim.expression(text)))
+
+  def rollingFingerprint(text: Column, mult: Long, modulus: Long): Column =
+    SqlShim.column(RollingFingerprint(SqlShim.expression(text), mult, modulus))
 
   def minhashSig(shingles: Column, numHashes: Int): Column =
     SqlShim.column(MinHashSig(SqlShim.expression(shingles), numHashes))

@@ -47,6 +47,31 @@ object Dedup {
       .select(col("s.doc_id").as("doc_id"), col("n_copies"), col("s.n_chars").as("n_chars"))
       .orderBy("doc_id")
 
+  /** Duplicate-mass probe (r7): does this corpus carry enough identical
+    * copies for representative collapse to pay its fixed digest-window
+    * cost? One scan, two sketch aggregates, a 1-row collect. Collapse is
+    * purely a COST optimization — the uncollapsed pair cores handle
+    * duplicates with identical results (identical sets pair up in the
+    * self-join naturally) — so the threshold only trades speed, and the
+    * cost model says it should be HIGH: uncollapsed, a duplicate group
+    * of size g costs g² of its unique cost in the self-join, so the
+    * blowup factor is E[g²]/E[g] — at dup ratio r with pair-sized
+    * groups that's only (1+r)-ish, while the collapse machinery's fixed
+    * cost (digest window + two expansion joins) measured ~1-2 s/key at
+    * sf0.1. Collapse only wins when copies are the MAJORITY (the
+    * measured wall was g=30 replicas, ratio 0.97: containment
+    * disk-overflow → 13 s). 0.5 = groups average ≥2 members; the bench
+    * fixture (ratio ≈ 0.11, docCorpus's 1-in-7 exact copies) correctly
+    * bypasses — round 6 shipped collapse unconditionally and regressed
+    * the three exact-pair keys ~1 s each for a benefit that only exists
+    * on replica-heavy data. */
+  private val CollapseDupRatio = 0.5
+  private def shouldCollapse(df: DataFrame, key: org.apache.spark.sql.Column): Boolean = {
+    val r = df.agg(count(lit(1)), approx_count_distinct(key)).head()
+    val n = r.getLong(0)
+    n > 0 && (n - r.getLong(1)).toDouble / n > CollapseDupRatio
+  }
+
   /** Word-3-gram Jaccard near-dup pairs (threshold 0.5). Exact set
     * semantics — no hashing — so it IS oracle-expressible. The self-join
     * key is the shingle; at scale, cap shingle document-frequency first
@@ -160,22 +185,34 @@ object Dedup {
     * member pair. Without this, duplicate-heavy data is the documented
     * "containment wall": every prefix shingle of a replica group has
     * df ≥ |group| and the candidate join spills unboundedly (the 30×
-    * replica smoke overflowed an 80 GB disk before this collapse). */
+    * replica smoke overflowed an 80 GB disk before this collapse).
+    * Mostly-unique corpora bypass collapse entirely via the
+    * [[shouldCollapse]] duplicate-mass probe (r7). */
   private[graft] def ngramContainmentPrefixPairs(corpus: DataFrame, threshold: Double = 0.8): DataFrame = {
-    // one digest-keyed exchange tags rep_id + group size; memb and the
-    // rep set derive map-side (same single-shuffle collapse shape as
-    // ngramPairCounts — see the rationale there)
-    val wdg = Window.partitionBy(md5(col("text")))
-    val tagged = corpus
-      .withColumn("rep_id", min(col("doc_id")).over(wdg))
-      .withColumn("g_n", count(lit(1)).over(wdg))
-      .localCheckpoint(eager = false)
-    val memb = tagged.select(col("rep_id"), col("doc_id"))
+    // duplicate-mass probe gates the collapse machinery (shouldCollapse):
+    // membOpt = None is the bypass — prefix filter, candidate join and
+    // verify run over every doc directly, no expansion joins planned
+    val (repsSrc, membOpt) =
+      if (!shouldCollapse(corpus, xxhash64(col("text"))))
+        (corpus.select(col("doc_id"), col("text"), lit(1L).as("g_n")), None)
+      else {
+        // one digest-keyed exchange tags rep_id + group size; memb and
+        // the rep set derive map-side (same single-shuffle collapse
+        // shape as ngramPairCounts — see the rationale there)
+        val wdg = Window.partitionBy(md5(col("text")))
+        val tagged = corpus
+          .withColumn("rep_id", min(col("doc_id")).over(wdg))
+          .withColumn("g_n", count(lit(1)).over(wdg))
+          .localCheckpoint(eager = false)
+        (tagged.filter(col("doc_id") === col("rep_id"))
+           .select(col("doc_id"), col("text"), col("g_n")),
+         Some(tagged.select(col("rep_id"), col("doc_id"))))
+      }
     // (rep, g_n, hs: distinct 8-byte shingle hashes) — consumed by the
     // df count, the prefix ranking, BOTH sides of the verify join and
     // the intra self-pair: checkpoint once (house rule: eviction-proof
     // multi-consumer)
-    val docs = tagged.filter(col("doc_id") === col("rep_id"))
+    val docs = repsSrc
       .select(col("doc_id"), col("g_n"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("shs"))
       .select(col("doc_id"), col("g_n"), expr("transform(shs, s -> xxhash64(s))").as("hs"))
       .filter(size(col("hs")) > 0)
@@ -202,26 +239,33 @@ object Dedup {
         size(array_intersect(col("ha"), col("hb"))).cast("double") / size(col("ha")), 4))
       .filter(col("containment") >= threshold)
       .select(col("a_id").as("ra"), col("b_id").as("rb"), col("containment"))
-    // cross-group expansion: direction is carried by the rep pair —
-    // contained members come from ra's group, container members from rb's
-    val cross = repPairs
-      .join(memb.select(col("rep_id").as("ra"), col("doc_id").as("xa")), "ra")
-      .join(memb.select(col("rep_id").as("rb"), col("doc_id").as("xb")), "rb")
-      .select(col("xa").as("contained_id"), col("xb").as("container_id"), col("containment"))
-    // intra-group: identical sets contain each other; the value runs
-    // through the same intersect/rfloor arithmetic on the rep self-pair
-    // (no hand-assumed 1.0) and expands to every ORDERED member pair
-    val selfVal = docs.filter(col("g_n") >= 2)
-      .withColumn("containment", graft.ops.Det.rfloor(
-        size(array_intersect(col("hs"), col("hs"))).cast("double") / size(col("hs")), 4))
-      .filter(col("containment") >= threshold)
-      .select(col("doc_id").as("rg"), col("containment"))
-    val intra = selfVal
-      .join(memb.select(col("rep_id").as("rg"), col("doc_id").as("xa")), "rg")
-      .join(memb.select(col("rep_id").as("rg"), col("doc_id").as("xb")), "rg")
-      .filter(col("xa") =!= col("xb"))
-      .select(col("xa").as("contained_id"), col("xb").as("container_id"), col("containment"))
-    cross.unionByName(intra)
+    membOpt match {
+      case None =>
+        // bypass: rep pairs ARE the directed member pairs
+        repPairs.select(col("ra").as("contained_id"),
+          col("rb").as("container_id"), col("containment"))
+      case Some(memb) =>
+        // cross-group expansion: direction is carried by the rep pair —
+        // contained members come from ra's group, container members from rb's
+        val cross = repPairs
+          .join(memb.select(col("rep_id").as("ra"), col("doc_id").as("xa")), "ra")
+          .join(memb.select(col("rep_id").as("rb"), col("doc_id").as("xb")), "rb")
+          .select(col("xa").as("contained_id"), col("xb").as("container_id"), col("containment"))
+        // intra-group: identical sets contain each other; the value runs
+        // through the same intersect/rfloor arithmetic on the rep self-pair
+        // (no hand-assumed 1.0) and expands to every ORDERED member pair
+        val selfVal = docs.filter(col("g_n") >= 2)
+          .withColumn("containment", graft.ops.Det.rfloor(
+            size(array_intersect(col("hs"), col("hs"))).cast("double") / size(col("hs")), 4))
+          .filter(col("containment") >= threshold)
+          .select(col("doc_id").as("rg"), col("containment"))
+        val intra = selfVal
+          .join(memb.select(col("rep_id").as("rg"), col("doc_id").as("xa")), "rg")
+          .join(memb.select(col("rep_id").as("rg"), col("doc_id").as("xb")), "rg")
+          .filter(col("xa") =!= col("xb"))
+          .select(col("xa").as("contained_id"), col("xb").as("container_id"), col("containment"))
+        cross.unionByName(intra)
+    }
   }
 
   /** The PRODUCTION dedup ordering as one operator (ARCHITECTURE.md
@@ -296,28 +340,38 @@ object Dedup {
     * base doc a 30-member identical group, shingle join cost
     * Σ|group|²·|doc| → |uniq|·|doc|); the remaining output-sized
     * expansion joins are irreducible — the answer ITSELF is Σ|group|²
-    * pairs. Unique-heavy corpora pay only one extra digest shuffle of
-    * (32B, id) rows. */
+    * pairs. Unique-heavy corpora BYPASS the whole machinery via the
+    * [[shouldCollapse]] duplicate-mass probe (r7) and pay only the
+    * probe's one sketch scan. */
   private def ngramPairCounts(corpus: DataFrame,
                               dfCap: Option[Int]): DataFrame = {
-    // ONE exchange keyed on the text digest tags every row with its
-    // group's min id and size; memb and reps then derive map-side from
-    // the same lazily-materialized checkpoint (house rule:
+    // Duplicate-mass probe decides whether the collapse machinery runs
+    // at all (see shouldCollapse): membOpt = None is the BYPASS — the
+    // pair core runs over every doc directly (g_n = 1) and no expansion
+    // joins are planned.
+    //
+    // Collapsed mode: ONE exchange keyed on the text digest tags every
+    // row with its group's min id and size; memb and reps then derive
+    // map-side from the same lazily-materialized checkpoint (house rule:
     // multi-consumer frames checkpoint; lazy keeps plan construction
     // side-effect-free). The earlier groupBy+two-join form shuffled the
     // corpus twice more and measured 2× slower on mostly-unique data.
-    val wdg = Window.partitionBy(md5(col("text")))
-    val tagged = corpus
-      .withColumn("rep_id", min(col("doc_id")).over(wdg))
-      .withColumn("g_n", count(lit(1)).over(wdg))
-      .localCheckpoint(eager = false)
-    // (rep_id, doc_id) membership — consumed by the intra self-join and
-    // both cross-expansion joins
-    val memb = tagged.select(col("rep_id"), col("doc_id"))
-    // the collapsed corpus: one text per digest group + the group size
-    // as the shingle df weight
-    val reps = tagged.filter(col("doc_id") === col("rep_id"))
-      .select(col("doc_id"), col("text"), col("g_n"))
+    val (reps, membOpt) =
+      if (!shouldCollapse(corpus, xxhash64(col("text"))))
+        (corpus.select(col("doc_id"), col("text"), lit(1L).as("g_n")), None)
+      else {
+        val wdg = Window.partitionBy(md5(col("text")))
+        val tagged = corpus
+          .withColumn("rep_id", min(col("doc_id")).over(wdg))
+          .withColumn("g_n", count(lit(1)).over(wdg))
+          .localCheckpoint(eager = false)
+        // (rep_id, doc_id) membership — consumed by the intra self-join
+        // and both cross-expansion joins; reps = one text per digest
+        // group + the group size as the shingle df weight
+        (tagged.filter(col("doc_id") === col("rep_id"))
+           .select(col("doc_id"), col("text"), col("g_n")),
+         Some(tagged.select(col("rep_id"), col("doc_id"))))
+      }
     val withSh = reps
       .select(col("doc_id"), col("g_n"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("shs"))
     // per-rep shingle counts map-side from the (distinct) array length —
@@ -367,35 +421,42 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
       .join(broadcast(sizes.select(col("doc_id").as("ra"), col("n_sh").as("ra_n"))), "ra")
       .join(broadcast(sizes.select(col("doc_id").as("rb"), col("n_sh").as("rb_n"))), "rb")
-    // cross-group expansion: every member pair inherits the rep pair's
-    // counts; (min, max) orientation restored with sizes following ids
-    val cross = repPairs
-      .join(memb.select(col("rep_id").as("ra"), col("doc_id").as("xa")), "ra")
-      .join(memb.select(col("rep_id").as("rb"), col("doc_id").as("xb")), "rb")
-      .select(
-        least(col("xa"), col("xb")).as("a_id"),
-        greatest(col("xa"), col("xb")).as("b_id"),
-        col("inter"),
-        when(col("xa") < col("xb"), col("ra_n")).otherwise(col("rb_n")).as("a_n"),
-        when(col("xa") < col("xb"), col("rb_n")).otherwise(col("ra_n")).as("b_n"))
-    // intra-group pairs: inter = the group's KEPT shingle count (the
-    // distinct-array length uncapped; the post-prune count under dfCap —
-    // both exactly what the self-join would have counted for two copies
-    // of the same set), and a rep whose kept set is empty contributes
-    // nothing (inner join), like a doc with no (surviving) shingles
-    val keptCnt =
-      if (dfCap.isEmpty) sizes.filter(col("n_sh") > 0)
-        .select(col("doc_id").as("rep_id"), col("n_sh").cast("long").as("inter"))
-      else ex.groupBy(col("doc_id")).agg(count(lit(1)).as("inter"))
-        .select(col("doc_id").as("rep_id"), col("inter"))
-    val intra = memb.select(col("rep_id"), col("doc_id").as("a_id"))
-      .join(memb.select(col("rep_id"), col("doc_id").as("b_id")), "rep_id")
-      .filter(col("a_id") < col("b_id"))
-      .join(broadcast(keptCnt), "rep_id")
-      .join(broadcast(sizes.select(col("doc_id").as("rep_id"), col("n_sh"))), "rep_id")
-      .select(col("a_id"), col("b_id"), col("inter"),
-        col("n_sh").as("a_n"), col("n_sh").as("b_n"))
-    cross.unionByName(intra)
+    membOpt match {
+      case None =>
+        // bypass: reps ARE the docs — rep pairs are the member pairs
+        repPairs.select(col("ra").as("a_id"), col("rb").as("b_id"),
+          col("inter"), col("ra_n").as("a_n"), col("rb_n").as("b_n"))
+      case Some(memb) =>
+        // cross-group expansion: every member pair inherits the rep pair's
+        // counts; (min, max) orientation restored with sizes following ids
+        val cross = repPairs
+          .join(memb.select(col("rep_id").as("ra"), col("doc_id").as("xa")), "ra")
+          .join(memb.select(col("rep_id").as("rb"), col("doc_id").as("xb")), "rb")
+          .select(
+            least(col("xa"), col("xb")).as("a_id"),
+            greatest(col("xa"), col("xb")).as("b_id"),
+            col("inter"),
+            when(col("xa") < col("xb"), col("ra_n")).otherwise(col("rb_n")).as("a_n"),
+            when(col("xa") < col("xb"), col("rb_n")).otherwise(col("ra_n")).as("b_n"))
+        // intra-group pairs: inter = the group's KEPT shingle count (the
+        // distinct-array length uncapped; the post-prune count under dfCap —
+        // both exactly what the self-join would have counted for two copies
+        // of the same set), and a rep whose kept set is empty contributes
+        // nothing (inner join), like a doc with no (surviving) shingles
+        val keptCnt =
+          if (dfCap.isEmpty) sizes.filter(col("n_sh") > 0)
+            .select(col("doc_id").as("rep_id"), col("n_sh").cast("long").as("inter"))
+          else ex.groupBy(col("doc_id")).agg(count(lit(1)).as("inter"))
+            .select(col("doc_id").as("rep_id"), col("inter"))
+        val intra = memb.select(col("rep_id"), col("doc_id").as("a_id"))
+          .join(memb.select(col("rep_id"), col("doc_id").as("b_id")), "rep_id")
+          .filter(col("a_id") < col("b_id"))
+          .join(broadcast(keptCnt), "rep_id")
+          .join(broadcast(sizes.select(col("doc_id").as("rep_id"), col("n_sh"))), "rep_id")
+          .select(col("a_id"), col("b_id"), col("inter"),
+            col("n_sh").as("a_n"), col("n_sh").as("b_n"))
+        cross.unionByName(intra)
+    }
   }
 
   /** MinHash signatures: h_i(doc) = min over shingles of
@@ -703,10 +764,6 @@ object Dedup {
     if (sorted) proj.orderBy("doc_id") else proj
   }
 
-  /** 48-bit SimHash fingerprint per document: bit b of the fingerprint is
-    * set iff Σ_tokens sign(bit b of xxhash64(token)) > 0. Computed wholly
-    * inside HOFs — one pass, no shuffle beyond the final sort. Near-dup
-    * docs differ in few bits (Hamming distance gated in DedupSpec). */
   /** Bit-vote fold shared by both simhash variants: bit b of the
     * fingerprint is set iff Σ_tokens sign(bit b of hash(token)) > 0. */
   private def simhashVotes(bits: Int): org.apache.spark.sql.Column =
@@ -717,10 +774,27 @@ object Dedup {
         lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** 48-bit SimHash fingerprint per document: bit b of the fingerprint is
+    * set iff Σ_tokens sign(bit b of hash(token)) > 0. Computed wholly
+    * inside HOFs — one pass, no shuffle beyond the final sort. Near-dup
+    * docs differ in few bits (Hamming distance gated in LlmOpsSpec).
+    *
+    * PORTABLE 48-bit token hash (r7, ORACLE-CHECKED — the round-6
+    * promotion ask): two INDEPENDENT rolling code-point folds
+    * (mult 31 mod 1e9+7 — the house fingerprint — and mult 131 mod
+    * 999999937), low 24 bits of each packed as hi‖lo. Every step is
+    * DuckDB-expressible (two list_reduce folds + shifts), so the whole
+    * production fingerprint hash-matches cross-engine; xxhash64's only
+    * edge was mixing quality, and the two-moduli pack keeps the
+    * LlmOpsSpec Hamming separation (near-dup avg ≪ random-pair avg)
+    * intact. The 30-bit [[simhashOracle]] twin predates this and stays
+    * as the single-fold reference. */
   def simhash(corpus: DataFrame, bits: Int = 48): DataFrame =
     // hash each token once, then fold the ±1 bit votes per fingerprint bit
     corpus
-      .withColumn("hs", transform(TextOps.tokens(col("text")), t => xxhash64(t)))
+      .withColumn("hs", transform(TextOps.tokens(col("text")), t =>
+        shiftleft(graft.functions.TextExprs.rollingFingerprint(t) % 16777216L, 24)
+          + (graft.functions.TextExprs.rollingFingerprint(t, 131L, 999999937L) % 16777216L)))
       .select(col("doc_id"), simhashVotes(bits).as("fingerprint"))
       .orderBy("doc_id")
 
@@ -908,21 +982,6 @@ object Dedup {
     labels.unionByName(isolated).orderBy("doc_id")
   }
 
-  /** C4-style PASSAGE-level exact dedup: documents are cut into
-    * non-overlapping `chunkWords`-word passages; every later occurrence of
-    * a passage already seen elsewhere in the corpus (by (doc_id, position)
-    * order) is dropped, and documents are reassembled from their surviving
-    * passages. This is the dedup granularity real pretraining pipelines
-    * use between exact-doc and near-dup: boilerplate repeated across
-    * documents disappears while unique prose survives.
-    *
-    * Scale shape: passages are keyed by their md5 DIGEST, so the
-    * first-occurrence aggregation shuffles (digest, rank) — 24 bytes/row,
-    * not text. The surviving text then shuffles twice (survivor join on
-    * digest, reassembly on doc_id); at 100 TB both are plain
-    * hash-partitioned exchanges with no skew (digests are uniform).
-    * Determinism: survivor = min(doc_id·100000 + pos) per digest; the
-    * reassembly sorts passages by position inside one collect_list. */
   /** Substring-level duplication screen (the Lee et al. 2022 "Deduplicating
     * Training Data Makes Language Models Better" signal, re-expressed
     * relationally): for every SLIDING k-word gram (positional, overlapping
@@ -952,6 +1011,21 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** C4-style PASSAGE-level exact dedup: documents are cut into
+    * non-overlapping `chunkWords`-word passages; every later occurrence of
+    * a passage already seen elsewhere in the corpus (by (doc_id, position)
+    * order) is dropped, and documents are reassembled from their surviving
+    * passages. This is the dedup granularity real pretraining pipelines
+    * use between exact-doc and near-dup: boilerplate repeated across
+    * documents disappears while unique prose survives.
+    *
+    * Scale shape: passages are keyed by their md5 DIGEST, so the
+    * first-occurrence aggregation shuffles (digest, rank) — 24 bytes/row,
+    * not text. The surviving text then shuffles twice (survivor join on
+    * digest, reassembly on doc_id); at 100 TB both are plain
+    * hash-partitioned exchanges with no skew (digests are uniform).
+    * Determinism: survivor = min(doc_id·100000 + pos) per digest; the
+    * reassembly sorts passages by position inside one collect_list. */
   def passageDedup(corpus: DataFrame, chunkWords: Int = 8): DataFrame = {
     val tok = TextOps.tokens(col("text"))
     val nChunks = ceil(size(tok).cast("double") / chunkWords).cast("int")
@@ -1263,23 +1337,32 @@ object Dedup {
     * member-level crossJoin produced (no hand-assumed 1.0; a zero
     * vector's nonzeroDenom path is reproduced too). The residual
     * quadratic is unique near-dup structure — the output's own lower
-    * bound. */
+    * bound. Mostly-unique corpora bypass collapse entirely via the
+    * [[shouldCollapse]] duplicate-mass probe (r7). */
   def embeddingCosine(vecCorpus: DataFrame, threshold: Double = 0.99): DataFrame = {
     import graft.functions.VectorExprs.{vecDot, vecNorm, nonzeroDenom}
-    // arrays are valid window-partition keys in Spark — exact equality,
-    // no hash-collision exposure. ONE exchange keyed on the vector tags
-    // every row with its group's min id and size; memb and reps then
-    // derive map-side from the same checkpoint (the groupBy+join form
-    // measured 2.3× slower on the mostly-unique bench corpus: it
-    // shuffled the vectors twice more)
-    val w = Window.partitionBy(col("v"))
-    val tagged = vecCorpus
-      .withColumn("rep_id", min(col("vec_id")).over(w))
-      .withColumn("g_n", count(lit(1)).over(w))
-      .localCheckpoint(eager = false) // memb (×4) + reps consumers
-    val memb = tagged.select(col("rep_id"), col("vec_id"))
-    val reps = tagged.filter(col("vec_id") === col("rep_id"))
-      .select(col("vec_id"), col("v"), col("g_n"))
+    // duplicate-mass probe gates the collapse machinery (shouldCollapse,
+    // keyed on a hash of the vector); membOpt = None is the bypass —
+    // the crossJoin sees every vector directly, no expansion joins
+    val (reps, membOpt) =
+      if (!shouldCollapse(vecCorpus, xxhash64(col("v"))))
+        (vecCorpus.select(col("vec_id"), col("v"), lit(1L).as("g_n")), None)
+      else {
+        // arrays are valid window-partition keys in Spark — exact
+        // equality, no hash-collision exposure. ONE exchange keyed on the
+        // vector tags every row with its group's min id and size; memb
+        // and reps then derive map-side from the same checkpoint (the
+        // groupBy+join form measured 2.3× slower on the mostly-unique
+        // bench corpus: it shuffled the vectors twice more)
+        val w = Window.partitionBy(col("v"))
+        val tagged = vecCorpus
+          .withColumn("rep_id", min(col("vec_id")).over(w))
+          .withColumn("g_n", count(lit(1)).over(w))
+          .localCheckpoint(eager = false) // memb (×4) + reps consumers
+        (tagged.filter(col("vec_id") === col("rep_id"))
+           .select(col("vec_id"), col("v"), col("g_n")),
+         Some(tagged.select(col("rep_id"), col("vec_id"))))
+      }
     // norms once per vector; codegen'd dot per pair (graft.functions)
     val withN = reps.withColumn("nrm", vecNorm(col("v")))
     val a = withN.select(col("vec_id").as("ra"), col("v").as("a_v"),
@@ -1295,22 +1378,32 @@ object Dedup {
       .withColumn("cos", round(vecDot(col("a_v"), col("b_v")) / nonzeroDenom(col("a_n") * col("b_n")), 4))
       .filter(col("cos") >= threshold)
       .select(col("ra"), col("rb"), col("cos"))
-      .localCheckpoint(eager = false)
-    // distinct-group expansion: each member combo appears once; (min,
-    // max) orientation restored (cosine is symmetric — no value swap)
-    val crossExp = repPairs.filter(col("ra") =!= col("rb"))
-      .join(memb.select(col("rep_id").as("ra"), col("vec_id").as("xa")), "ra")
-      .join(memb.select(col("rep_id").as("rb"), col("vec_id").as("xb")), "rb")
-      .select(least(col("xa"), col("xb")).as("a_id"),
-        greatest(col("xa"), col("xb")).as("b_id"), col("cos"))
-    // self-pair expansion: both orientations + the diagonal appear in
-    // the member product; xa < xb keeps each unordered pair once
-    val intraExp = repPairs.filter(col("ra") === col("rb"))
-      .join(memb.select(col("rep_id").as("ra"), col("vec_id").as("xa")), "ra")
-      .join(memb.select(col("rep_id").as("rb"), col("vec_id").as("xb")), "rb")
-      .filter(col("xa") < col("xb"))
-      .select(col("xa").as("a_id"), col("xb").as("b_id"), col("cos"))
-    crossExp.unionByName(intraExp)
-      .orderBy("a_id", "b_id")
+    membOpt match {
+      case None =>
+        // bypass: no ra = rb rows exist (g_n is 1 everywhere) — rep
+        // pairs ARE the member pairs, already (min, max) oriented
+        repPairs.select(col("ra").as("a_id"), col("rb").as("b_id"), col("cos"))
+          .orderBy("a_id", "b_id")
+      case Some(memb) =>
+        // pair-sized result, consumed by BOTH expansion branches —
+        // materialize once (lazy)
+        val rp = repPairs.localCheckpoint(eager = false)
+        // distinct-group expansion: each member combo appears once; (min,
+        // max) orientation restored (cosine is symmetric — no value swap)
+        val crossExp = rp.filter(col("ra") =!= col("rb"))
+          .join(memb.select(col("rep_id").as("ra"), col("vec_id").as("xa")), "ra")
+          .join(memb.select(col("rep_id").as("rb"), col("vec_id").as("xb")), "rb")
+          .select(least(col("xa"), col("xb")).as("a_id"),
+            greatest(col("xa"), col("xb")).as("b_id"), col("cos"))
+        // self-pair expansion: both orientations + the diagonal appear in
+        // the member product; xa < xb keeps each unordered pair once
+        val intraExp = rp.filter(col("ra") === col("rb"))
+          .join(memb.select(col("rep_id").as("ra"), col("vec_id").as("xa")), "ra")
+          .join(memb.select(col("rep_id").as("rb"), col("vec_id").as("xb")), "rb")
+          .filter(col("xa") < col("xb"))
+          .select(col("xa").as("a_id"), col("xb").as("b_id"), col("cos"))
+        crossExp.unionByName(intraExp)
+          .orderBy("a_id", "b_id")
+    }
   }
 }

@@ -119,7 +119,9 @@ object TextAnalysis {
     // on term just to attach document frequencies
     tf.join(broadcast(df), "term")
       .crossJoin(broadcast(nDf))
-      .withColumn("rn", row_number().over(w))
+      // long, not int: DuckDB's row_number() is BIGINT and the strict
+      // comparator is type-aware (round-7 check.py type cross-check)
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         round(col("tf") * log(col("n_docs") / col("df")), 4).as("score"),
@@ -291,7 +293,11 @@ object TextAnalysis {
     val w = Window.partitionBy("source")
     val ranked = counts
       .withColumn("tot", sum(col("n")).over(w))
-      .withColumn("rk", row_number().over(w.orderBy(col("n").desc, col("lang").asc)))
+      // asc_nulls_last, not asc: Spark defaults nulls-first, DuckDB
+      // nulls-last — a null lang (language-ID failure) tying the top
+      // count would elect a different top_lang per engine (the
+      // langTemperature precedent); oracle mirrors NULLS LAST.
+      .withColumn("rk", row_number().over(w.orderBy(col("n").desc, col("lang").asc_nulls_last)))
     ranked
       .groupBy("source")
       .agg(
@@ -308,32 +314,23 @@ object TextAnalysis {
   /** PII incidence report — the DETECTION side of the scrub pass
     * ([[scrub]] redacts; this measures, per source, how much PII a corpus
     * slice carries so a curation job can rank sources for exclusion or
-    * extra scrubbing). The harness corpus is synthetic and PII-free, so
-    * PII is injected deterministically by key (same fixture law as
-    * Corpus.docCorpus), mirrored verbatim in the oracle. Detection is a
-    * per-row `regexp_count` chain (codegen'd, map-side); the only shuffle
-    * is the tiny per-source rollup — at 100 TB this is a map-mostly scan.
-    * Patterns stay in the Java∩RE2 common syntax so Spark and DuckDB
-    * compile them identically. */
+    * extra scrubbing). Detects on `text` AS-IS — fixture injection for
+    * the synthetic (PII-free) harness corpus lives at the SparkEntry
+    * registration site, the text_scrub convention, so the operator stays
+    * honest on a real corpus. Detection is a per-row `regexp_count`
+    * chain (codegen'd, map-side); the only shuffle is the tiny
+    * per-source rollup — at 100 TB this is a map-mostly scan. Patterns
+    * stay in the Java∩RE2 common syntax so Spark and DuckDB compile
+    * them identically. */
   def piiStats(documents: DataFrame): DataFrame = {
-    val injected =
-      concat(
-        col("text"),
-        when(col("doc_id") % 9 === 2,
-          concat(lit(" contact user"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
-        when(col("doc_id") % 11 === 3,
-          concat(lit(" host 192.168."), pmod(col("doc_id"), lit(256)).cast("long"),
-            lit("."), pmod(floor(col("doc_id") / 256), lit(256)).cast("long"))).otherwise(lit("")),
-        when(col("doc_id") % 13 === 4,
-          concat(lit(" call 555-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))).otherwise(lit("")))
     val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
     val phoneRe = "\\b555-[0-9]{4}\\b"
     documents
       .select(col("source"),
-        regexp_count(injected, lit(emailRe)).cast("long").as("n_email"),
-        regexp_count(injected, lit(ipRe)).cast("long").as("n_ip"),
-        regexp_count(injected, lit(phoneRe)).cast("long").as("n_phone"))
+        regexp_count(col("text"), lit(emailRe)).cast("long").as("n_email"),
+        regexp_count(col("text"), lit(ipRe)).cast("long").as("n_ip"),
+        regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phone"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),

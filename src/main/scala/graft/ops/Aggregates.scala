@@ -293,12 +293,6 @@ object Aggregates {
       .orderBy("o_orderpriority", "status")
   }
 
-  /** Linear-regression aggregates (slope / intercept / r²) of
-    * extendedprice on quantity per return flag — like [[stats]], computed
-    * from EXACT decimal moment sums combined in ONE fixed IEEE formula,
-    * not the built-in regr_* (whose double accumulation is shuffle-order
-    * dependent). The moments are map-side-combinable sums, so the whole
-    * regression costs one scan + one tiny shuffle at any scale. */
   /** Pairwise correlation/covariance matrix over (quantity, price,
     * discount) per returnflag — the feature-screening profile a data-prep
     * job runs before modeling ([[regrStats]] fits ONE pair; this reports
@@ -353,6 +347,12 @@ object Aggregates {
       .orderBy("l_returnflag", "var_a", "var_b")
   }
 
+  /** Linear-regression aggregates (slope / intercept / r²) of
+    * extendedprice on quantity per return flag — like [[stats]], computed
+    * from EXACT decimal moment sums combined in ONE fixed IEEE formula,
+    * not the built-in regr_* (whose double accumulation is shuffle-order
+    * dependent). The moments are map-side-combinable sums, so the whole
+    * regression costs one scan + one tiny shuffle at any scale. */
   def regrStats(lineitem: DataFrame): DataFrame = {
     val x = col("l_quantity").cast("decimal(18,2)")
     val y = col("l_extendedprice").cast("decimal(18,2)")

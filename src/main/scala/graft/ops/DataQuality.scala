@@ -166,13 +166,6 @@ object DataQuality {
       .orderBy("column")
   }
 
-  /** Train/eval contamination check: the same text content appearing
-    * under MORE THAN ONE source — the leak a training pipeline must
-    * catch before a source split becomes a train/test split. Group by a
-    * content digest (md5 — one shuffle of (digest, source), never the
-    * text bodies) and keep digests spanning ≥2 distinct sources. The
-    * synthetic corpus is cross-source-clean, so deterministic mirror
-    * copies are injected (same derivation in the oracle SQL). */
   /** BENFORD first-significant-digit profile of a monetary column —
     * the classic fabricated-data screen (organic multiplicative values
     * follow P(d) = log10(1 + 1/d); synthesized or tampered columns
@@ -198,6 +191,13 @@ object DataQuality {
       .orderBy("digit")
   }
 
+  /** Train/eval contamination check: the same text content appearing
+    * under MORE THAN ONE source — the leak a training pipeline must
+    * catch before a source split becomes a train/test split. Group by a
+    * content digest (md5 — one shuffle of (digest, source), never the
+    * text bodies) and keep digests spanning ≥2 distinct sources. The
+    * synthetic corpus is cross-source-clean, so deterministic mirror
+    * copies are injected (same derivation in the oracle SQL). */
   def contamination(documents: DataFrame): DataFrame = {
     val mirrored = documents.filter(col("doc_id") % 9 === 0)
       .withColumn("doc_id", col("doc_id") + 300000)

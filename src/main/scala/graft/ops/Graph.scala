@@ -23,11 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** The synthesized host link graph shared by [[pagerank]] and [[hits]]
-    * (and mirrored by both oracle CTEs): one definition so the two
-    * centralities can never silently diverge onto different graphs.
-    * Returns (edges, nodes), both lazily checkpointed — every consumer
-    * scans them per iteration. */
+  /** The synthesized host link graph shared by EVERY graph operator —
+    * [[pagerank]], [[hits]], [[degreeStats]], [[triangles]],
+    * [[neighborJaccard]] — and mirrored by their oracle CTEs: one
+    * definition so no consumer can silently diverge onto a different
+    * graph. Returns (edges, nodes), both lazily checkpointed — every
+    * consumer scans them per iteration. */
   private def linkGraph(documents: DataFrame, nNodes: Int): (DataFrame, DataFrame) = {
     val edges = documents.select(
         (col("doc_id") % nNodes).as("src"),
@@ -62,12 +63,44 @@ object Graph {
     * checkpoint; ranks frames are node-sized and checkpoint per
     * iteration to keep lineage flat (at 100 TB: ranks persist as a
     * table per epoch and iterations restart from it). Dangling nodes
-    * (no out-edges — absent here by construction, the dst set is a
-    * subset of the src residues) would leak their mass; the standard
-    * redistribution step is omitted and documented rather than
-    * silently half-done. */
+    * (no out-edges — absent from the standard [[linkGraph]] by
+    * construction, its dst set is a subset of the src residues) leak
+    * their mass unless `redistribute` is on: the standard fix adds the
+    * damped per-node share of the dangling mass, `(85·(inc + D div n))
+    * div 100`, still pure fixed-point (D is an exact integer sum; on a
+    * dangling-free graph D = 0 and the flag is a bit-exact no-op —
+    * GraphSpec pins both laws). [[pagerankDangling]] runs it over a
+    * graph that HAS dangling hosts. */
   def pagerank(documents: DataFrame, iters: Int = 3, nNodes: Int = 200): DataFrame =
     pagerankFrom(documents, iters, nNodes, init = None)
+
+  /** [[pagerank]] with dangling-mass redistribution over a link graph
+    * that HAS dangling nodes: dst ranges over a LARGER residue set
+    * (mod `nDst` > mod `nNodes`), so hosts in [nNodes, nDst) receive
+    * links but emit none — the shape a real crawl graph always has
+    * (leaf pages, robots-blocked hosts). Oracle-checked: the unrolled
+    * fixed-point CTEs mirror the dangling term exactly. */
+  def pagerankDangling(documents: DataFrame, iters: Int = 3,
+      nNodes: Int = 200, nDst: Int = 211): DataFrame = {
+    val scale = 1000000000000L
+    val edges = documents.select(
+        (col("doc_id") % nNodes).as("src"),
+        ((col("doc_id") * 31 + expr("doc_id div 7")) % nDst).as("dst"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = false)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nTot = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.crossJoin(broadcast(nTot))
+      .select(col("node"), expr(s"$scale div n").as("rank"))
+    for (_ <- 1 to iters)
+      ranks = step(edges, deg, nodes, nTot, ranks, redistribute = true)
+        .localCheckpoint(eager = false)
+    ranks.select(col("node"), col("rank").as("rank_units"))
+      .orderBy("node")
+  }
 
   /** [[pagerank]] resumable from a PERSISTED rank table — the 100 TB
     * epoch shape: iterations checkpoint to storage and a later job
@@ -190,36 +223,59 @@ object Graph {
     * node triple x<y<z with all three edges present, so each triangle
     * is enumerated exactly once and the count needs no /6 correction.
     *
-    * Plan shape: wedge join (e1.b = e2.a over a<b edges yields every
-    * x<y<z wedge once) + closing-edge equi-join — two hash joins keyed
-    * on node ids. At 100 TB the wedge table is the cost (Σ deg(v)²);
-    * the standard fix is degree-ordered orientation (orient each edge
-    * toward the higher-(degree, id) endpoint, bounding wedges by
-    * m^{3/2} — Schank/Wagner '05). Here orientation by id keeps the
-    * oracle a three-line self-join while the join SHAPE (two node-keyed
-    * equi-joins, map-side-combinable count) is already the one the
-    * degree-ordered form plans; the host graph is also node-bounded
-    * (see the components scaladoc), so the wedge mass never grows with
-    * the corpus — only edge extraction scans data. Output: every node
-    * in the edge universe with its triangle count (0 included — absence
-    * of triangles is signal, the near-tree neighborhoods). */
+    * Plan shape: DEGREE-ORDERED orientation (Schank/Wagner '05): each
+    * undirected edge {u,v} is oriented toward the higher-(degree, id)
+    * endpoint, the wedge join fans out from each node's ORIENTED
+    * out-neighborhood (e1.lo = e2.lo), and the closing edge is one more
+    * equi-join on the oriented set. Out-degrees under this orientation
+    * are O(√m), so wedge mass is bounded by m^{3/2} — the bound that
+    * makes triangle counting survive a power-law in-degree tail, where
+    * the naive id-ordered wedge join (Σ deg(v)² from its hub-anchored
+    * wedges) quadratically explodes on the hub. Orientation is
+    * RESULT-INVARIANT: every triangle is still enumerated exactly once
+    * (from its minimum-order vertex), so the oracle keeps the id-ordered
+    * three-line self-join. The per-node degree dimension is node-sized
+    * and broadcast; the three wedge/close joins are node-keyed hash
+    * joins with map-side-combinable counts. Output: every node in the
+    * edge universe with its triangle count (0 included — absence of
+    * triangles is signal, the near-tree neighborhoods). Edges/nodes come
+    * from the shared [[linkGraph]] so this can never diverge from the
+    * pagerank/hits/degreeStats graph. */
   def triangles(documents: DataFrame, nNodes: Int = 200): DataFrame = {
-    val base = documents.select(
-        (col("doc_id") % nNodes).as("src"),
-        ((col("doc_id") * 31 + expr("doc_id div 7")) % nNodes).as("dst"))
-      .distinct()
-    val nodes = base.select(col("src").as("node"))
-      .union(base.select(col("dst").as("node"))).distinct()
-    val und = base.filter(col("src") =!= col("dst"))
+    val (edges, nodes) = linkGraph(documents, nNodes)
+    trianglesFromEdges(edges, nodes)
+  }
+
+  /** The degree-ordered triangle core over an arbitrary directed edge
+    * set — exposed so ScaleSmoke can measure the m^{3/2} contract on a
+    * SKEWED graph the saturating host synthesis can't produce. */
+  private[graft] def trianglesFromEdges(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .localCheckpoint(eager = false) // scanned by all three join legs
-    val tri = und.as("e1")
-      .join(und.as("e2"), col("e1.b") === col("e2.a"))
-      .join(und.as("e3"),
-        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
-      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      .localCheckpoint(eager = false) // scanned by deg + orientation
+    // undirected degree per endpoint; ok = the (degree, id) total order
+    // key (degree-major, id-minor; ids < nNodes so the scale is safe)
+    val ord = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .select(col("node"), (col("deg") * 1000000L + col("node")).as("ok"))
+    val oriented = und
+      .join(broadcast(ord.select(col("node").as("a"), col("ok").as("ok_a"))), "a")
+      .join(broadcast(ord.select(col("node").as("b"), col("ok").as("ok_b"))), "b")
+      .select(
+        when(col("ok_a") < col("ok_b"), col("a")).otherwise(col("b")).as("lo"),
+        when(col("ok_a") < col("ok_b"), col("b")).otherwise(col("a")).as("hi"),
+        greatest(col("ok_a"), col("ok_b")).as("ok_hi"))
+      .localCheckpoint(eager = false) // all three join legs
+    // wedge (u; v, w) anchored at u with ord(v) < ord(w); closed iff the
+    // oriented edge v→w exists (ord(v) < ord(w) forces that orientation)
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.lo") === col("e2.lo") && col("e1.ok_hi") < col("e2.ok_hi"))
+      .join(oriented.as("e3"),
+        col("e1.hi") === col("e3.lo") && col("e2.hi") === col("e3.hi"))
+      .select(col("e1.lo").as("x"), col("e1.hi").as("y"), col("e2.hi").as("z"))
     val perNode = tri
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
@@ -250,11 +306,9 @@ object Graph {
     * as a broadcast-sized per-host dimension. */
   def neighborJaccard(documents: DataFrame, nNodes: Int = 200,
                       inDegCap: Int = 50, minInter: Long = 1L): DataFrame = {
-    val edges = documents.select(
-        (col("doc_id") % nNodes).as("src"),
-        ((col("doc_id") * 31 + expr("doc_id div 7")) % nNodes).as("dst"))
-      .distinct()
-      .localCheckpoint(eager = false) // deg + capped + both join legs
+    // shared linkGraph edges (already distinct + lazily checkpointed) —
+    // deg, the cap filter and both join legs all scan them
+    val (edges, _) = linkGraph(documents, nNodes)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val capped = edges.join(
       edges.groupBy("dst").agg(count(lit(1)).as("indeg"))
@@ -310,10 +364,6 @@ object Graph {
     pagerankFrom(documents, moreIters, nNodes, init = Some(spark.table(name)))
   }
 
-  /** One un-checkpointed power iteration — split out so PlanAuditSpec
-    * can audit the per-iteration physical shape (broadcast dims onto
-    * edges, map-side partial contribution sum), which the checkpoint
-    * boundary would otherwise hide from the final executed plan. */
   /** Degree-distribution histogram of the link graph: (direction,
     * degree, n_nodes) for out- and in-degrees. Nodes absent from a
     * side (no in-links) count at degree 0 via a left join against the
@@ -336,18 +386,37 @@ object Graph {
       .orderBy("direction", "degree")
   }
 
+  /** One un-checkpointed power iteration — split out so PlanAuditSpec
+    * can audit the per-iteration physical shape (broadcast dims onto
+    * edges, map-side partial contribution sum), which the checkpoint
+    * boundary would otherwise hide from the final executed plan.
+    * `redistribute` adds the damped dangling-mass share `D div n` to
+    * every node's incoming sum (D = Σ rank over nodes with no
+    * out-edge — an exact integer aggregate, 1-row broadcast; 0 on a
+    * dangling-free graph, making the flag a bit-exact no-op there). */
   private[graft] def step(edges: DataFrame, deg: DataFrame, nodes: DataFrame,
-      nTot: DataFrame, ranks: DataFrame): DataFrame = {
+      nTot: DataFrame, ranks: DataFrame,
+      redistribute: Boolean = false): DataFrame = {
     val scale = 1000000000000L
     val contrib = edges
       .join(broadcast(deg), "src")
       .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
       .select(col("dst").as("node"), expr("rank div deg").as("c"))
     val incoming = contrib.groupBy("node").agg(sum(col("c")).as("inc"))
-    nodes.crossJoin(broadcast(nTot))
+    val base = nodes.crossJoin(broadcast(nTot))
       .join(incoming, Seq("node"), "left_outer")
-      .select(col("node"),
+    if (!redistribute)
+      base.select(col("node"),
         (expr(s"${scale * 15 / 100} div n")
           + expr("(85 * coalesce(inc, cast(0 as bigint))) div 100")).as("rank"))
+    else {
+      val dangling = ranks
+        .join(deg.select(col("src").as("node")), Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
+      base.crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (expr(s"${scale * 15 / 100} div n")
+            + expr("(85 * (coalesce(inc, cast(0 as bigint)) + (dm div n))) div 100")).as("rank"))
+    }
   }
 }

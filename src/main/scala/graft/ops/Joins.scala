@@ -316,7 +316,9 @@ object Joins {
     cand
       .join(names.select(col("k").as("a_key"), col("n").as("a_name")), Seq("a_key"))
       .join(names.select(col("k").as("b_key"), col("n").as("b_name")), Seq("b_key"))
-      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      // long, not int: DuckDB's levenshtein is BIGINT and the strict
+      // comparator is type-aware (round-7 check.py type cross-check)
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"), col("dist"))
       .orderBy("a_key", "b_key")

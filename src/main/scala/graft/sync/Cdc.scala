@@ -31,26 +31,31 @@ object Cdc {
     *   seq 4  UPDATE keys ≡3 (mod 17): price +7.50 (late update AFTER a
     *          delete wave — keys hit by both 3 and 4 must resurrect)
     * The union deliberately appends deletes before the seq-4 updates so
-    * the input physically arrives out of order. */
+    * the input physically arrives out of order.
+    *
+    * Price travels as INTEGER CENTS (the house cents-carrier doctrine,
+    * cf. the ts_* oracles): one double→decimal(18,0) rounding at the
+    * source, then pure BIGINT arithmetic. Round 6 shipped this with a
+    * per-branch `CAST(double + delta AS DECIMAL(18,2))`, the only
+    * oracle-checked key whose values crossed a double→decimal boundary
+    * on both engines — a half-point rounding engines may disagree on,
+    * and the round-6 verdict's pinned suspect for its driver-red row. */
   def changelog(orders: DataFrame): DataFrame = {
-    // price stays double until the final per-branch decimal(18,2) cast —
-    // the exact Snapshots idiom the oracle mirrors (double arithmetic,
-    // one rounding point per value, identical in both engines)
     val base = orders.select(
       col("o_orderkey").as("key"),
-      col("o_totalprice").as("price"),
+      (col("o_totalprice") * 100).cast("decimal(18,0)").cast("long").as("cents"),
       col("o_orderstatus").as("status"))
     val ins = base.select(col("key"), lit(1L).as("seq"), lit("I").as("op"),
-      col("price").cast("decimal(18,2)").as("price"), col("status"))
+      col("cents").as("price_cents"), col("status"))
     val upd = base.filter(col("key") % 5 === 0)
       .select(col("key"), lit(2L).as("seq"), lit("U").as("op"),
-        (col("price") + 100.0).cast("decimal(18,2)").as("price"), lit("U").as("status"))
+        (col("cents") + 10000L).as("price_cents"), lit("U").as("status"))
     val del = base.filter(col("key") % 13 === 0)
       .select(col("key"), lit(3L).as("seq"), lit("D").as("op"),
-        lit(null).cast("decimal(18,2)").as("price"), lit(null).cast("string").as("status"))
+        lit(null).cast("long").as("price_cents"), lit(null).cast("string").as("status"))
     val lateUpd = base.filter(col("key") % 17 === 3)
       .select(col("key"), lit(4L).as("seq"), lit("U").as("op"),
-        (col("price") + 7.50).cast("decimal(18,2)").as("price"), lit("L").as("status"))
+        (col("cents") + 750L).as("price_cents"), lit("L").as("status"))
     ins.unionByName(upd).unionByName(del).unionByName(lateUpd)
   }
 
@@ -62,18 +67,18 @@ object Cdc {
       .groupBy("key")
       .agg(
         max_by(col("op"), col("seq")).as("last_op"),
-        max_by(col("price"), col("seq")).as("price"),
+        max_by(col("price_cents"), col("seq")).as("price_cents"),
         max_by(col("status"), col("seq")).as("status"),
         max(col("seq")).as("last_seq"),
         count(lit(1)).as("n_changes"))
 
-  /** Compact a changelog of (key, seq, op, price, status) to latest state.
-    * Output: one row per surviving key with its latest values plus the
-    * change count — the audit column a sync job reports. */
+  /** Compact a changelog of (key, seq, op, price_cents, status) to latest
+    * state. Output: one row per surviving key with its latest values plus
+    * the change count — the audit column a sync job reports. */
   def apply(changelog: DataFrame): DataFrame =
     compactAll(changelog)
       .filter(col("last_op") =!= "D")
-      .select("key", "price", "status", "last_seq", "n_changes")
+      .select("key", "price_cents", "status", "last_seq", "n_changes")
       .orderBy("key")
 
   /** The registered operator: synthesize the changelog, compact it. */

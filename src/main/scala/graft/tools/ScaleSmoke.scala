@@ -223,6 +223,52 @@ object ScaleSmoke {
       return
     }
 
+    // optional fifth arg "triOnly" (r7): the degree-ordered-orientation
+    // contract on a SKEWED graph (the saturating host synthesis can't
+    // produce one). Graph = hub-star (host n/2 links every host — the
+    // link-farm shape) ∪ ring (i — i+1), so every ring edge closes one
+    // triangle through the hub: n−2 triangles, m ≈ 2n edges, one node
+    // of degree ~n. The hub sits at the MEDIAN id deliberately: the
+    // id-ordered wedge join (e1.b = e2.a) enumerates wedges through
+    // their MIDDLE vertex, so a median-id hub has ~n/2 in-edges ×
+    // ~n/2 out-edges → n²/4 wedge rows — the quadratic wall (a min- or
+    // max-id hub hides it, which is exactly why "works on the fixture"
+    // proved nothing). Claim: degree-ordering orients EVERY hub edge
+    // toward the hub (highest degree ⇒ highest order key), so the
+    // hub's oriented out-degree is 0, wedge mass is O(n), and wall
+    // tracks ~factor. The id-ordered baseline is measured only at low
+    // factors (at 100× it would be ~2.5e9 wedge rows).
+    if (args.lift(4).contains("triOnly")) {
+      val n = 1000L * factor
+      val h = n / 2
+      val star = spark.range(0, n).filter(col("id") =!= h)
+        .select(least(col("id"), lit(h)).as("src"),
+          greatest(col("id"), lit(h)).as("dst"))
+      val ring = spark.range(0, n - 1)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      val edges = star.unionByName(ring).repartition(32).localCheckpoint()
+      val nodes = spark.range(0, n).select(col("id").as("node")).localCheckpoint()
+      time(s"tri_degord_n$n")(graft.ops.Graph.trianglesFromEdges(edges, nodes))
+      if (factor <= 30) {
+        // id-ordered baseline: the pre-r7 orientation, inline
+        val und = edges.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct().localCheckpoint()
+        time(s"tri_idord_n$n") {
+          val tri = und.as("e1")
+            .join(und.as("e2"), col("e1.b") === col("e2.a"))
+            .join(und.as("e3"),
+              col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+            .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+          tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+            .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+        }
+      }
+      spark.stop()
+      return
+    }
+
     // optional fifth arg "semOnly": the round-6 training-data tier.
     // Embeddings replicate with UNIQUE vectors (circular dimension
     // shift per replica — near-orthogonal to the base, so no

@@ -30,7 +30,10 @@ class CoreOpsSpec extends SparkSpec {
   test("every query has oracle SQL unless consciously exempt (hash/sketch ops)") {
     val exempt = Set(
       "agg_approx_distinct", "agg_approx_quantiles", // sketches ≠ exact
-      "dedup_near_minhash", "dedup_simhash",         // xxhash64-derived
+      "dedup_near_minhash",                          // xxhash64-derived
+      // dedup_simhash left the exempt list in round 7: the production
+      // 48-bit fingerprint now packs two portable rolling folds and is
+      // oracle-checked (the sim_quantized_topk promotion pattern)
       "sim_lsh_topk", "sim_ivf_topk",                // ANN, recall-gated
       "sim_pq_topk",                                 // PQ-quantized ANN, recall + determinism gated
       "agg_hll_rollup",                              // HLL union estimate, 5%-gated above

@@ -197,4 +197,59 @@ class GraphSpec extends SparkSpec {
     val vals = r.map(_.getLong(1))
     assert(vals.length == 5 && vals.forall(_ == scale / 5), vals.mkString(","))
   }
+
+  test("graph_pagerank_dangling: mass conserved up to floor loss; no-op on clean graphs") {
+    val docs = Tables.documents(spark, sfDir)
+    // the dangling variant's graph (dst mod 211 > src mod 200) MUST
+    // actually contain dangling nodes, else the law below is vacuous
+    val edges = docs.select(
+        (col("doc_id") % 200).as("src"),
+        ((col("doc_id") * 31 + expr("doc_id div 7")) % 211).as("dst"))
+      .distinct().cache()
+    val srcSet = edges.select("src").distinct()
+    val nDangling = edges.select(col("dst").as("node")).distinct()
+      .join(srcSet.withColumnRenamed("src", "node"), Seq("node"), "left_anti").count()
+    assert(nDangling > 0, "fixture graph has no dangling nodes — law vacuous")
+    val nNodes = edges.select(col("src").as("n")).union(edges.select(col("dst").as("n")))
+      .distinct().count()
+    val nEdges = edges.count()
+    edges.unpersist()
+    // with redistribution, every iteration only loses floor remainders:
+    // teleport ≤ n, contrib division ≤ m, damping div 100 ≤ 99n,
+    // dangling share div n ≤ n → per-iteration loss < m + 102n; and
+    // floors never ADD mass, so total ∈ (S − 3·(m + 102n), S]
+    val total = ops.Graph.pagerankDangling(docs, iters = 3)
+      .agg(sum(col("rank_units"))).collect()(0).getLong(0)
+    val bound = 3L * (nEdges + 102L * nNodes)
+    assert(total <= scale && total > scale - bound,
+      s"total=$total scale=$scale bound=$bound")
+    // WITHOUT redistribution the same graph leaks the dangling mass —
+    // strictly less total than the redistributed run
+    val leaky = {
+      val e = docs.select((col("doc_id") % 200).as("src"),
+          ((col("doc_id") * 31 + expr("doc_id div 7")) % 211).as("dst")).distinct()
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+      val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      val nTot = nodes.agg(count(lit(1)).as("n"))
+      var ranks = nodes.crossJoin(broadcast(nTot))
+        .select(col("node"), expr(s"$scale div n").as("rank"))
+      for (_ <- 1 to 3)
+        ranks = ops.Graph.step(e, deg, nodes, nTot, ranks).localCheckpoint(eager = false)
+      ranks.agg(sum(col("rank"))).collect()(0).getLong(0)
+    }
+    assert(leaky < total, s"leaky=$leaky redistributed=$total")
+    // on the standard dangling-FREE graph the flag is a bit-exact no-op
+    val e2 = docs.select((col("doc_id") % 200).as("src"),
+        ((col("doc_id") * 31 + expr("doc_id div 7")) % 200).as("dst")).distinct()
+    val deg2 = e2.groupBy("src").agg(count(lit(1)).as("deg"))
+    val n2 = e2.select(col("src").as("node")).union(e2.select(col("dst").as("node"))).distinct()
+    val nTot2 = n2.agg(count(lit(1)).as("n"))
+    val r0 = n2.crossJoin(broadcast(nTot2)).select(col("node"), expr(s"$scale div n").as("rank"))
+    val plain = ops.Graph.step(e2, deg2, n2, nTot2, r0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val flagged = ops.Graph.step(e2, deg2, n2, nTot2, r0, redistribute = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plain === flagged)
+  }
 }

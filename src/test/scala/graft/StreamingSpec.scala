@@ -166,7 +166,7 @@ class StreamingSpec extends SparkSpec {
     // SCRAMBLED (descending seq, interleaved keys) and split into chunks
     val log = graft.sync.Cdc.changelog(Tables.orders(spark, sfDir))
       .select(col("key"), col("seq"), col("op"),
-        coalesce((col("price") * 100).cast("long"), lit(-1L)).as("cents"),
+        coalesce(col("price_cents"), lit(-1L)).as("cents"),
         coalesce(col("status"), lit("")).as("status"))
       .orderBy(col("seq").desc, col("key").asc)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getString(4)))
@@ -188,7 +188,7 @@ class StreamingSpec extends SparkSpec {
       val expected = graft.sync.Cdc.compactAll(
           graft.sync.Cdc.changelog(Tables.orders(spark, sfDir)))
         .select(col("key"), col("last_seq"), col("last_op").as("op"),
-          coalesce((col("price") * 100).cast("long"), lit(-1L)).as("price_cents"),
+          coalesce(col("price_cents"), lit(-1L)).as("price_cents"),
           coalesce(col("status"), lit("")).as("status"))
       assert(streamed.exceptAll(expected).count() === 0L)
       assert(expected.exceptAll(streamed).count() === 0L)

@@ -3,6 +3,18 @@
 running SparkEntry.oracleSql on the same tables (mirrors the driver's t2
 gate: sort columns by name, stringify, hash). Usage:
     python3 tools/check.py /tmp/verify_out /root/testdata/sf0.01 [key ...]
+
+Round-7 hardening (the round-6 lesson: this mirror was LOOSER than the
+driver's comparator, so 8 HUGEINT-typed oracle columns shipped red):
+  * floats normalize via repr() (full precision), not %.10g;
+  * every oracle result is DESCRIBE'd — any HUGEINT/UHUGEINT output
+    column is a hard FAIL regardless of value equality (DuckDB promotes
+    SUM(BIGINT) to HUGEINT; the driver's Arrow-level normalizer
+    distinguishes it from BIGINT even when str() doesn't);
+  * the oracle's DuckDB column types are cross-checked against the
+    Spark parquet dump's types THROUGH THE SAME DuckDB type system
+    (read_parquet), so DOUBLE-vs-DECIMAL / INT-vs-BIGINT drift fails
+    here before it fails at the driver.
 """
 import sys, os, json, glob, hashlib
 import duckdb
@@ -10,11 +22,13 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+BANNED_TYPES = ("HUGEINT", "UHUGEINT")
+
 def norm(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
-        return f"{v:.10g}"
+        return repr(v)
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
@@ -26,6 +40,11 @@ def table_hash(rows, cols):
         h.update("\x1f".join(norm(r[i]) for i in order).encode())
         h.update(b"\x1e")
     return h.hexdigest()
+
+def described_types(con, sql):
+    """name -> DuckDB type string for a query's output columns."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return {r[0]: r[1] for r in rows}
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
@@ -46,6 +65,28 @@ def main():
             n_fail += 1
             continue
         try:
+            otypes = described_types(con, oracle[key])
+        except Exception as e:
+            print(f"FAIL {key}: oracle DESCRIBE error: {e}")
+            n_fail += 1
+            continue
+        banned = {c: t for c, t in otypes.items()
+                  if any(b in t.upper() for b in BANNED_TYPES)}
+        if banned:
+            print(f"FAIL {key}: oracle emits banned types {banned} "
+                  f"(CAST the aggregate back to BIGINT)")
+            n_fail += 1
+            continue
+        sparq = "read_parquet([" + ",".join(f"'{f}'" for f in files) + "])"
+        stypes = described_types(con, f"SELECT * FROM {sparq}")
+        if stypes != otypes:
+            drift = {c: (stypes.get(c), otypes.get(c))
+                     for c in set(stypes) | set(otypes)
+                     if stypes.get(c) != otypes.get(c)}
+            print(f"FAIL {key}: column type drift (spark, oracle): {drift}")
+            n_fail += 1
+            continue
+        try:
             odf = con.execute(oracle[key])
             ocols = [d[0] for d in odf.description]
             orows = odf.fetchall()
@@ -53,8 +94,7 @@ def main():
             print(f"FAIL {key}: oracle error: {e}")
             n_fail += 1
             continue
-        sdf = con.execute(
-            "SELECT * FROM read_parquet([" + ",".join(f"'{f}'" for f in files) + "])")
+        sdf = con.execute(f"SELECT * FROM {sparq}")
         scols = [d[0] for d in sdf.description]
         srows = sdf.fetchall()
         if sorted(scols) != sorted(ocols):
