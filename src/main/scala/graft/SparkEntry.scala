@@ -472,6 +472,9 @@ object SparkEntry {
     // MATCH_RECOGNIZE-lite: strictly-consecutive view→click→purchase
     // per user, one user_id exchange
     "win_sequence_detect" -> ((s, d) => graft.ops.Behavior.sequenceDetect(Tables.events(s, d))),
+    // daily cumulative distinct users per event type (r7): first-day
+    // reduction + running sum — NOT collect_set window state
+    "win_cumulative_distinct" -> ((s, d) => Windows.cumulativeDistinct(Tables.events(s, d))),
     // fourth capstone: decontaminated + target-like (DSIR weight > 0)
     // train docs, sharded for ingestion — the round-6 tier composed
     "pipeline_target_curation" -> ((s, d) => TrainingPrep.targetCuration(Tables.documents(s, d))),
@@ -1516,6 +1519,19 @@ object SparkEntry {
         |SELECT user_id, COUNT(*) AS n_matches, MIN(event_id) AS first_event
         |FROM o WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    /* win_cumulative_distinct: first-day reduction + running sum (the
+     * scalable cumulative-distinct identity); window SUM cast to BIGINT
+     * (DuckDB HUGEINT promotion, the r6 lesson). */
+    "win_cumulative_distinct" ->
+      """WITH fd AS (SELECT event_type, user_id,
+        |  MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+        | FROM events GROUP BY event_type, user_id),
+        |nu AS (SELECT event_type, first_day AS day, COUNT(*) AS new_users
+        | FROM fd GROUP BY event_type, first_day)
+        |SELECT event_type, day, new_users,
+        | CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM nu ORDER BY event_type, day""".stripMargin,
     /* pipeline_dsir_delta: base bucket model scores the derived delta
      * batch; unseen buckets coalesce to the zero-count smoothed ratio. */
     "pipeline_dsir_delta" ->

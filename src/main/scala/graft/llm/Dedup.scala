@@ -188,12 +188,16 @@ object Dedup {
     * replica smoke overflowed an 80 GB disk before this collapse).
     * Mostly-unique corpora bypass collapse entirely via the
     * [[shouldCollapse]] duplicate-mass probe (r7). */
-  private[graft] def ngramContainmentPrefixPairs(corpus: DataFrame, threshold: Double = 0.8): DataFrame = {
+  private[graft] def ngramContainmentPrefixPairs(corpus: DataFrame, threshold: Double = 0.8,
+      knownUnique: Boolean = false): DataFrame = {
     // duplicate-mass probe gates the collapse machinery (shouldCollapse):
     // membOpt = None is the bypass — prefix filter, candidate join and
-    // verify run over every doc directly, no expansion joins planned
+    // verify run over every doc directly, no expansion joins planned.
+    // knownUnique skips even the probe: orderedDedup's stage 2 input is
+    // duplicate-free BY CONSTRUCTION (stage 1 is exact dedup), so the
+    // sketch scan would be a provably wasted job.
     val (repsSrc, membOpt) =
-      if (!shouldCollapse(corpus, xxhash64(col("text"))))
+      if (knownUnique || !shouldCollapse(corpus, xxhash64(col("text"))))
         (corpus.select(col("doc_id"), col("text"), lit(1L).as("g_n")), None)
       else {
         // one digest-keyed exchange tags rep_id + group size; memb and
@@ -298,7 +302,7 @@ object Dedup {
     // the pair table feeds BOTH sides of the mutual-pair self-join —
     // materialize once (lazy: first action), else the whole prefix-
     // containment pipeline runs twice
-    val pairs = ngramContainmentPrefixPairs(survivors, threshold)
+    val pairs = ngramContainmentPrefixPairs(survivors, threshold, knownUnique = true)
       .select(col("contained_id"), col("container_id"))
       .localCheckpoint(eager = false)
     val rev = pairs.select(col("contained_id").as("m_contained"),

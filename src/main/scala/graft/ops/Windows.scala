@@ -200,6 +200,34 @@ object Windows {
       .orderBy("o_orderpriority", "start_key")
   }
 
+  /** Daily cumulative DISTINCT users per event type — the growth curve
+    * every analytics dashboard opens with. The naive window form,
+    * `size(collect_set(user) OVER cumulative)`, holds the whole distinct
+    * set as per-row window state (O(days·distinct) memory per partition
+    * — a scale wall); the scalable identity is that a user enters the
+    * cumulative count exactly once, on their FIRST day: reduce users to
+    * (type, user) → min(day) (one user-keyed aggregate with map-side
+    * partials), roll first-days up to per-day new-user counts, and run
+    * a plain cumulative sum over the tiny (type, day) frame. Exchanges:
+    * one user-keyed, one day-keyed (both shrink monotonically), one
+    * type-partitioned window over day-cardinality rows. Days with no
+    * new users emit no row (mirror the oracle; join [[ScalarFns]]'
+    * date spine to densify when needed). */
+  def cumulativeDistinct(events: DataFrame): DataFrame = {
+    val firstDay = events
+      .select(col("event_type"), col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "user_id")
+      .agg(min(col("day")).as("first_day"))
+    val newUsers = firstDay
+      .groupBy(col("event_type"), col("first_day").as("day"))
+      .agg(count(lit(1)).as("new_users"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    newUsers
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .orderBy("event_type", "day")
+  }
+
   /** Forward-fill: carry the last non-null observation down each
     * partition (`last(..., ignoreNulls)` over an unbounded-preceding
     * frame) — the canonical gap-repair for sparse time series. Nulls are
