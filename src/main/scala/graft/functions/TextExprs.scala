@@ -140,6 +140,32 @@ case class RollingFingerprint(child: Expression,
     copy(child = c)
 }
 
+/** The SimHash 48-bit token hash: two independent rolling folds in one
+  * compiled pass (see [[TextExprs.fingerprint48Of]]). DuckDB mirrors it
+  * as two list_reduce folds + shift/OR — same packed value. */
+case class RollingFingerprint48(child: Expression)
+  extends UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"rolling_fingerprint48 needs string, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_fingerprint48"
+
+  override def nullSafeEval(a: Any): Any =
+    TextExprs.fingerprint48Of(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, a => s"${TextExprs.RT}.fingerprint48Of($a)")
+
+  override protected def withNewChildInternal(c: Expression): RollingFingerprint48 =
+    copy(child = c)
+}
+
 object TextExprs {
 
   /** Fully-qualified name of this object for generated-code call sites. */
@@ -225,6 +251,25 @@ object TextExprs {
     acc
   }
 
+  /** Runtime body of [[RollingFingerprint48]]: BOTH SimHash folds —
+    * (31 mod 1e9+7) and (131 mod 999999937) — in ONE code-point pass,
+    * packed as (f1 mod 2^24) << 24 | (f2 mod 2^24). Bit-identical to
+    * composing two [[fingerprintOf]] calls; half the scans on the
+    * map-side hot path. */
+  def fingerprint48Of(u: UTF8String): Long = {
+    val s = u.toString
+    var a1 = 0L
+    var a2 = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      a1 = (a1 * 31 + cp) % 1000000007L
+      a2 = (a2 * 131 + cp) % 999999937L
+      i += Character.charCount(cp)
+    }
+    ((a1 % 16777216L) << 24) | (a2 % 16777216L)
+  }
+
   def wordShingles(tokens: Column, k: Int, distinct: Boolean = true): Column =
     SqlShim.column(WordShingles(SqlShim.expression(tokens), k, distinct))
 
@@ -233,6 +278,9 @@ object TextExprs {
 
   def rollingFingerprint(text: Column, mult: Long, modulus: Long): Column =
     SqlShim.column(RollingFingerprint(SqlShim.expression(text), mult, modulus))
+
+  def rollingFingerprint48(text: Column): Column =
+    SqlShim.column(RollingFingerprint48(SqlShim.expression(text)))
 
   def minhashSig(shingles: Column, numHashes: Int): Column =
     SqlShim.column(MinHashSig(SqlShim.expression(shingles), numHashes))

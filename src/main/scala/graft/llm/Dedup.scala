@@ -66,6 +66,15 @@ object Dedup {
     * the three exact-pair keys ~1 s each for a benefit that only exists
     * on replica-heavy data. */
   private val CollapseDupRatio = 0.5
+  /** DELIBERATE exception to the side-effect-free-builder house rule
+    * (cf. Graph.pagerankFrom's nTot comment): the probe executes one
+    * sketch aggregate at PLAN-CONSTRUCTION time, because the collapse
+    * decision changes which plan gets built and a wrong default was a
+    * measured 1-2 s/key regression in either direction. Callers that
+    * already know their data skip it via the `collapse: Option[Boolean]`
+    * hint on the pair cores (orderedDedup passes Some(false) — its
+    * stage-2 input is duplicate-free by construction). Plan-only
+    * consumers (PlanDump) pay one sketch scan per dedup key. */
   private def shouldCollapse(df: DataFrame, key: org.apache.spark.sql.Column): Boolean = {
     val r = df.agg(count(lit(1)), approx_count_distinct(key)).head()
     val n = r.getLong(0)
@@ -189,15 +198,16 @@ object Dedup {
     * Mostly-unique corpora bypass collapse entirely via the
     * [[shouldCollapse]] duplicate-mass probe (r7). */
   private[graft] def ngramContainmentPrefixPairs(corpus: DataFrame, threshold: Double = 0.8,
-      knownUnique: Boolean = false): DataFrame = {
+      collapse: Option[Boolean] = None): DataFrame = {
     // duplicate-mass probe gates the collapse machinery (shouldCollapse):
     // membOpt = None is the bypass — prefix filter, candidate join and
     // verify run over every doc directly, no expansion joins planned.
-    // knownUnique skips even the probe: orderedDedup's stage 2 input is
-    // duplicate-free BY CONSTRUCTION (stage 1 is exact dedup), so the
-    // sketch scan would be a provably wasted job.
+    // A Some(_) hint skips even the probe: orderedDedup passes
+    // Some(false) because its stage-2 input is duplicate-free BY
+    // CONSTRUCTION (stage 1 is exact dedup) — the sketch scan would be
+    // a provably wasted job.
     val (repsSrc, membOpt) =
-      if (knownUnique || !shouldCollapse(corpus, xxhash64(col("text"))))
+      if (!collapse.getOrElse(shouldCollapse(corpus, xxhash64(col("text")))))
         (corpus.select(col("doc_id"), col("text"), lit(1L).as("g_n")), None)
       else {
         // one digest-keyed exchange tags rep_id + group size; memb and
@@ -302,7 +312,7 @@ object Dedup {
     // the pair table feeds BOTH sides of the mutual-pair self-join —
     // materialize once (lazy: first action), else the whole prefix-
     // containment pipeline runs twice
-    val pairs = ngramContainmentPrefixPairs(survivors, threshold, knownUnique = true)
+    val pairs = ngramContainmentPrefixPairs(survivors, threshold, collapse = Some(false))
       .select(col("contained_id"), col("container_id"))
       .localCheckpoint(eager = false)
     val rev = pairs.select(col("contained_id").as("m_contained"),
@@ -347,12 +357,12 @@ object Dedup {
     * pairs. Unique-heavy corpora BYPASS the whole machinery via the
     * [[shouldCollapse]] duplicate-mass probe (r7) and pay only the
     * probe's one sketch scan. */
-  private def ngramPairCounts(corpus: DataFrame,
-                              dfCap: Option[Int]): DataFrame = {
-    // Duplicate-mass probe decides whether the collapse machinery runs
-    // at all (see shouldCollapse): membOpt = None is the BYPASS — the
-    // pair core runs over every doc directly (g_n = 1) and no expansion
-    // joins are planned.
+  private def ngramPairCounts(corpus: DataFrame, dfCap: Option[Int],
+                              collapse: Option[Boolean] = None): DataFrame = {
+    // Duplicate-mass probe (or a caller hint) decides whether the
+    // collapse machinery runs at all (see shouldCollapse): membOpt =
+    // None is the BYPASS — the pair core runs over every doc directly
+    // (g_n = 1) and no expansion joins are planned.
     //
     // Collapsed mode: ONE exchange keyed on the text digest tags every
     // row with its group's min id and size; memb and reps then derive
@@ -361,7 +371,7 @@ object Dedup {
     // side-effect-free). The earlier groupBy+two-join form shuffled the
     // corpus twice more and measured 2× slower on mostly-unique data.
     val (reps, membOpt) =
-      if (!shouldCollapse(corpus, xxhash64(col("text"))))
+      if (!collapse.getOrElse(shouldCollapse(corpus, xxhash64(col("text")))))
         (corpus.select(col("doc_id"), col("text"), lit(1L).as("g_n")), None)
       else {
         val wdg = Window.partitionBy(md5(col("text")))
@@ -794,11 +804,11 @@ object Dedup {
     * intact. The 30-bit [[simhashOracle]] twin predates this and stays
     * as the single-fold reference. */
   def simhash(corpus: DataFrame, bits: Int = 48): DataFrame =
-    // hash each token once, then fold the ±1 bit votes per fingerprint bit
+    // hash each token once (both folds fused in one compiled code-point
+    // pass), then fold the ±1 bit votes per fingerprint bit
     corpus
-      .withColumn("hs", transform(TextOps.tokens(col("text")), t =>
-        shiftleft(graft.functions.TextExprs.rollingFingerprint(t) % 16777216L, 24)
-          + (graft.functions.TextExprs.rollingFingerprint(t, 131L, 999999937L) % 16777216L)))
+      .withColumn("hs", transform(TextOps.tokens(col("text")),
+        t => graft.functions.TextExprs.rollingFingerprint48(t)))
       .select(col("doc_id"), simhashVotes(bits).as("fingerprint"))
       .orderBy("doc_id")
 
@@ -1343,13 +1353,15 @@ object Dedup {
     * quadratic is unique near-dup structure — the output's own lower
     * bound. Mostly-unique corpora bypass collapse entirely via the
     * [[shouldCollapse]] duplicate-mass probe (r7). */
-  def embeddingCosine(vecCorpus: DataFrame, threshold: Double = 0.99): DataFrame = {
+  def embeddingCosine(vecCorpus: DataFrame, threshold: Double = 0.99,
+      collapse: Option[Boolean] = None): DataFrame = {
     import graft.functions.VectorExprs.{vecDot, vecNorm, nonzeroDenom}
-    // duplicate-mass probe gates the collapse machinery (shouldCollapse,
-    // keyed on a hash of the vector); membOpt = None is the bypass —
-    // the crossJoin sees every vector directly, no expansion joins
+    // duplicate-mass probe (or caller hint) gates the collapse machinery
+    // (shouldCollapse, keyed on a hash of the vector); membOpt = None is
+    // the bypass — the crossJoin sees every vector directly, no
+    // expansion joins
     val (reps, membOpt) =
-      if (!shouldCollapse(vecCorpus, xxhash64(col("v"))))
+      if (!collapse.getOrElse(shouldCollapse(vecCorpus, xxhash64(col("v")))))
         (vecCorpus.select(col("vec_id"), col("v"), lit(1L).as("g_n")), None)
       else {
         // arrays are valid window-partition keys in Spark — exact

@@ -29,10 +29,16 @@ object Graph {
     * definition so no consumer can silently diverge onto a different
     * graph. Returns (edges, nodes), both lazily checkpointed — every
     * consumer scans them per iteration. */
-  private def linkGraph(documents: DataFrame, nNodes: Int): (DataFrame, DataFrame) = {
+  private def linkGraph(documents: DataFrame, nNodes: Int): (DataFrame, DataFrame) =
+    linkGraph(documents, nNodes, nNodes)
+
+  /** `nDst > nNodes` widens the dst residue set past the src set, so
+    * hosts in [nNodes, nDst) receive links but emit none — the dangling
+    * -node synthesis [[pagerankDangling]] runs on. */
+  private def linkGraph(documents: DataFrame, nNodes: Int, nDst: Int): (DataFrame, DataFrame) = {
     val edges = documents.select(
         (col("doc_id") % nNodes).as("src"),
-        ((col("doc_id") * 31 + expr("doc_id div 7")) % nNodes).as("dst"))
+        ((col("doc_id") * 31 + expr("doc_id div 7")) % nDst).as("dst"))
       .distinct()
       .localCheckpoint(eager = false)
     val nodes = edges.select(col("src").as("node"))
@@ -79,28 +85,13 @@ object Graph {
     * (mod `nDst` > mod `nNodes`), so hosts in [nNodes, nDst) receive
     * links but emit none — the shape a real crawl graph always has
     * (leaf pages, robots-blocked hosts). Oracle-checked: the unrolled
-    * fixed-point CTEs mirror the dangling term exactly. */
+    * fixed-point CTEs mirror the dangling term exactly. Shares
+    * [[linkGraph]] and the [[pagerankFrom]] loop — only the residue
+    * widths and the redistribute flag differ. */
   def pagerankDangling(documents: DataFrame, iters: Int = 3,
-      nNodes: Int = 200, nDst: Int = 211): DataFrame = {
-    val scale = 1000000000000L
-    val edges = documents.select(
-        (col("doc_id") % nNodes).as("src"),
-        ((col("doc_id") * 31 + expr("doc_id div 7")) % nDst).as("dst"))
-      .distinct()
-      .localCheckpoint(eager = false)
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(eager = false)
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nTot = nodes.agg(count(lit(1)).as("n"))
-    var ranks = nodes.crossJoin(broadcast(nTot))
-      .select(col("node"), expr(s"$scale div n").as("rank"))
-    for (_ <- 1 to iters)
-      ranks = step(edges, deg, nodes, nTot, ranks, redistribute = true)
-        .localCheckpoint(eager = false)
-    ranks.select(col("node"), col("rank").as("rank_units"))
-      .orderBy("node")
-  }
+      nNodes: Int = 200, nDst: Int = 211): DataFrame =
+    pagerankFrom(documents, iters, nNodes, init = None,
+      nDst = nDst, redistribute = true)
 
   /** [[pagerank]] resumable from a PERSISTED rank table — the 100 TB
     * epoch shape: iterations checkpoint to storage and a later job
@@ -113,9 +104,10 @@ object Graph {
     * oracle story). `init` must carry (node, rank_units) as produced
     * by a prior run. */
   def pagerankFrom(documents: DataFrame, iters: Int, nNodes: Int,
-      init: Option[DataFrame]): DataFrame = {
+      init: Option[DataFrame], nDst: Int = -1,
+      redistribute: Boolean = false): DataFrame = {
     val scale = 1000000000000L // 1e12 rank units
-    val (edges, nodes) = linkGraph(documents, nNodes)
+    val (edges, nodes) = linkGraph(documents, nNodes, if (nDst > 0) nDst else nNodes)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     // N stays a 1-row FRAME (no driver-side count(): operator builders
     // are side-effect-free, house rule) broadcast into each update
@@ -128,7 +120,8 @@ object Graph {
       // lazy checkpoint per iteration: lineage stays flat (iters chain
       // multiplicatively otherwise) and the next iteration's broadcast
       // reads the materialized node-sized frame, not the whole history
-      ranks = step(edges, deg, nodes, nTot, ranks).localCheckpoint(eager = false)
+      ranks = step(edges, deg, nodes, nTot, ranks, redistribute)
+        .localCheckpoint(eager = false)
     }
     ranks.select(col("node"), col("rank").as("rank_units"))
       .orderBy("node")
@@ -256,10 +249,12 @@ object Graph {
       .distinct()
       .localCheckpoint(eager = false) // scanned by deg + orientation
     // undirected degree per endpoint; ok = the (degree, id) total order
-    // key (degree-major, id-minor; ids < nNodes so the scale is safe)
+    // key as a STRUCT (lexicographic) — an arithmetic deg*K + id key
+    // silently collides once ids reach K, and this core is exposed to
+    // arbitrary-id graphs via ScaleSmoke
     val ord = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-      .select(col("node"), (col("deg") * 1000000L + col("node")).as("ok"))
+      .select(col("node"), struct(col("deg"), col("node").as("id")).as("ok"))
     val oriented = und
       .join(broadcast(ord.select(col("node").as("a"), col("ok").as("ok_a"))), "a")
       .join(broadcast(ord.select(col("node").as("b"), col("ok").as("ok_b"))), "b")

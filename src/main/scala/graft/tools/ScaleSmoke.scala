@@ -226,9 +226,10 @@ object ScaleSmoke {
     // optional fifth arg "triOnly" (r7): the degree-ordered-orientation
     // contract on a SKEWED graph (the saturating host synthesis can't
     // produce one). Graph = hub-star (host n/2 links every host — the
-    // link-farm shape) ∪ ring (i — i+1), so every ring edge closes one
-    // triangle through the hub: n−2 triangles, m ≈ 2n edges, one node
-    // of degree ~n. The hub sits at the MEDIAN id deliberately: the
+    // link-farm shape) ∪ ring (i — i+1), so each ring edge NOT incident
+    // to the hub closes one triangle through it (the two hub-incident
+    // ring edges coincide with star edges after distinct): n−3
+    // triangles, m ≈ 2n edges, one node of degree ~n. The hub sits at the MEDIAN id deliberately: the
     // id-ordered wedge join (e1.b = e2.a) enumerates wedges through
     // their MIDDLE vertex, so a median-id hub has ~n/2 in-edges ×
     // ~n/2 out-edges → n²/4 wedge rows — the quadratic wall (a min- or

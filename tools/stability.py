@@ -14,7 +14,7 @@ def norm(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
-        return f"{v:.10g}"
+        return repr(v)
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
