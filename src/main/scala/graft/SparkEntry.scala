@@ -153,6 +153,10 @@ object SparkEntry {
     "sim_quantized_topk" -> ((s, d) => Similarity.quantizedTopk(Tables.embeddings(s, d))),
     "sim_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
+    // IVF served from the PERSISTED epoch artifact (r7): bucketed
+    // assignment table + parameter-sized centroid model, zero training
+    // jobs on the query path — the production vector-store shape
+    "sim_ivf_persisted" -> ((s, d) => Similarity.ivfTopKPersisted(s, Tables.embeddings(s, d))),
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopk(Tables.embeddings(s, d))),
     // --- LLM-pipeline: text analysis ---
     "text_tokenize_wordcount" -> ((s, d) => TextAnalysis.tokenizeWordcount(Tables.documents(s, d))),

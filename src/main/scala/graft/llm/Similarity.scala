@@ -162,20 +162,32 @@ object Similarity {
     // blocks are ContextCleaner-released when the returned plan is
     // dropped — persist here leaked the cache entry for the session
     val vs = doubled(embeddings).localCheckpoint()
+    val centroids = trainIvfCentroids(vs, nClusters, iters)
+    val indexed = vs.withColumn("cluster", ivfAssignExpr(centroids))
+    ivfProbe(indexed, centroids, queryId, k, nProbe)
+  }
 
-    def sqDistTo(c: Array[Double]) = {
-      val lit2 = typedLit(c.toSeq)
-      vecDot(col("v"), col("v")) - lit(2.0) * vecDot(col("v"), lit2) + lit(c.map(x => x * x).sum)
-    }
-    def assignExpr(cents: Array[Array[Double]]) =
-      // argmin via lexicographic array_min over (dist, idx) structs
-      array_min(array(cents.zipWithIndex.map { case (c, i) =>
-        struct(sqDistTo(c).as("d"), lit(i).as("i")) }: _*)).getField("i")
+  private def ivfSqDistTo(c: Array[Double]): Column = {
+    val lit2 = typedLit(c.toSeq)
+    vecDot(col("v"), col("v")) - lit(2.0) * vecDot(col("v"), lit2) + lit(c.map(x => x * x).sum)
+  }
 
+  /** Cell assignment for a collected centroid model: argmin via
+    * lexicographic array_min over (dist, idx) structs. */
+  private[llm] def ivfAssignExpr(cents: Array[Array[Double]]): Column =
+    array_min(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(ivfSqDistTo(c).as("d"), lit(i).as("i")) }: _*)).getField("i")
+
+  /** The deterministic Lloyd trainer shared by [[ivfTopK]] and
+    * [[ensureIvfIndex]]: init = first nClusters vectors by vec_id,
+    * exact-decimal centroid sums (shuffle-order-reproducible), model
+    * collected driver-side (nClusters×dims doubles — parameter-sized). */
+  private[llm] def trainIvfCentroids(vs: DataFrame, nClusters: Int,
+      iters: Int): Array[Array[Double]] = {
     var centroids = vs.orderBy("vec_id").limit(nClusters)
       .collect().map(_.getSeq[Double](1).toArray)
     for (_ <- 1 to iters) {
-      val assigned = vs.withColumn("cluster", assignExpr(centroids))
+      val assigned = vs.withColumn("cluster", ivfAssignExpr(centroids))
       val sums = assigned
         .select(col("cluster"), posexplode(col("v")))
         .groupBy("cluster", "pos")
@@ -194,8 +206,14 @@ object Similarity {
         }
       }.toArray
     }
+    centroids
+  }
 
-    val indexed = vs.withColumn("cluster", assignExpr(centroids))
+  /** The query side shared by the in-session and persisted IVF paths:
+    * nProbe nearest cells picked driver-side from the model, then a
+    * cluster-pruned exact re-rank. */
+  private def ivfProbe(indexed: DataFrame, centroids: Array[Array[Double]],
+      queryId: Long, k: Int, nProbe: Int): DataFrame = {
     val q = indexed.filter(col("vec_id") === queryId)
       .select(col("v").as("q_v")).collect().head.getSeq[Double](0).toArray
     val probeCells = centroids.zipWithIndex
@@ -210,6 +228,58 @@ object Similarity {
           nonzeroDenom(vecNorm(col("v")) * lit(math.sqrt(q.map(x => x * x).sum))), 4) + lit(0.0)).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** PERSISTED IVF index epoch — the [[graft.llm.Dedup.ensureBandIndex]]
+    * artifact discipline applied to the ANN tier, which is how a
+    * production vector store actually runs: train the coarse quantizer
+    * ONCE per index epoch, store the assignment cluster-bucketed in the
+    * warehouse (bucket = cell, so a probe's `cluster IN (...)` prunes
+    * whole buckets before a byte is read), store the centroid model as a
+    * parameter-sized companion table, and serve every subsequent query
+    * batch from the stored artifact with ZERO training jobs on the query
+    * path. Returns the assignment table name; `<name>_model` holds the
+    * centroids. */
+  def ensureIvfIndex(spark: org.apache.spark.sql.SparkSession, embeddings: DataFrame,
+      epoch: Long = 0L, nClusters: Int = 16, iters: Int = 2): String = {
+    val tag = embeddings.inputFiles.headOption.getOrElse("mem")
+      .replaceAll("[^A-Za-z0-9]", "_")
+    val name = s"sim_ivf_idx_${tag}_e$epoch"
+    if (!spark.catalog.tableExists(name)) {
+      // in-memory catalog forgets tables across JVMs but the warehouse
+      // files survive — clear orphan dirs before re-creating
+      for (n <- Seq(name, name + "_model")) {
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir") + s"/$n")
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) { fs.delete(loc, true); () }
+      }
+      val vs = doubled(embeddings).localCheckpoint()
+      val cents = trainIvfCentroids(vs, nClusters, iters)
+      import spark.implicits._
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cluster", "c")
+        .write.mode("overwrite").saveAsTable(name + "_model")
+      vs.withColumn("cluster", ivfAssignExpr(cents))
+        .write.bucketBy(nClusters, "cluster").sortBy("cluster")
+        .mode("overwrite").saveAsTable(name)
+    }
+    name
+  }
+
+  /** [[ivfTopK]] served from the PERSISTED epoch: the centroid model is
+    * a parameter-sized table read, cell selection is driver-side
+    * arithmetic, and the only data touched is the bucket-pruned
+    * cluster scan — identical output to the in-session form at the same
+    * (nClusters, iters) (LlmOpsSpec pins the equality and that the
+    * probe plans no exchange). */
+  def ivfTopKPersisted(spark: org.apache.spark.sql.SparkSession, embeddings: DataFrame,
+      queryId: Long = 0, k: Int = 10, nProbe: Int = 8, epoch: Long = 0L,
+      nClusters: Int = 16, iters: Int = 2): DataFrame = {
+    val name = ensureIvfIndex(spark, embeddings, epoch, nClusters, iters)
+    val centroids = spark.table(name + "_model").orderBy("cluster")
+      .collect().map(_.getSeq[Double](1).toArray)
+    ivfProbe(spark.table(name), centroids, queryId, k, nProbe)
   }
 
   /** Product-quantized (PQ) approximate top-k — the sub-byte STORAGE

@@ -79,6 +79,33 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("persisted ivf epoch serves the exact in-session results with an exchange-free probe") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // same params → identical output: both paths are deterministic and
+    // the persisted path must be a pure serving-layer change
+    for (qid <- Seq(0L, 7L, 42L)) {
+      val live = Similarity.ivfTopK(embeddings, queryId = qid)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val persisted = Similarity.ivfTopKPersisted(spark, embeddings, queryId = qid)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(live === persisted, s"persisted IVF diverged at qid=$qid")
+    }
+    // the query path plans ZERO shuffle exchanges: centroid model and
+    // probe-cell choice are driver-side, the re-rank is a bucket-pruned
+    // scan + TakeOrderedAndProject — no training job, no exchange
+    val probe = Similarity.ivfTopKPersisted(spark, embeddings, queryId = 0L)
+    probe.collect()
+    val nEx = probe.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }.size
+    assert(nEx === 0, s"persisted IVF probe planned $nEx exchanges:\n" +
+      probe.queryExecution.executedPlan)
+    // second resolve reuses the epoch artifact — no retrain, no rewrite
+    val t1 = Similarity.ensureIvfIndex(spark, embeddings)
+    val t2 = Similarity.ensureIvfIndex(spark, embeddings)
+    assert(t1 === t2)
+  }
+
   test("pq top-k achieves recall >= 0.8 vs brute force and is deterministic") {
     // uniform-random test embeddings are PQ's WORST case (no manifold
     // structure for the codebooks to learn), hence the generous default
