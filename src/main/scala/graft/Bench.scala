@@ -55,9 +55,10 @@ object Bench {
       val idx = corpus.filter(org.apache.spark.sql.functions.col("doc_id") < 100000)
       llm.Dedup.ensureBandIndex(spark, idx)
       llm.Dedup.ensureBloomIndex(spark, idx)
-      // sim_ivf_persisted times the PROBE; training is a once-per-epoch
-      // write-time cost like the band/bloom artifacts above
+      // sim_ivf_persisted / sim_pq_persisted time the PROBE; training is
+      // a once-per-epoch write-time cost like the band/bloom artifacts
       llm.Similarity.ensureIvfIndex(spark, Tables.embeddings(spark, sfDir))
+      llm.Similarity.ensurePqIndex(spark, Tables.embeddings(spark, sfDir))
       ()
     } catch { case _: Throwable => () }
     // SPARK_GRAFT_ONLY=q1,q2 — run a subset (local profiling; driver unsets it)

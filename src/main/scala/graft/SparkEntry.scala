@@ -157,6 +157,9 @@ object SparkEntry {
     // assignment table + parameter-sized centroid model, zero training
     // jobs on the query path — the production vector-store shape
     "sim_ivf_persisted" -> ((s, d) => Similarity.ivfTopKPersisted(s, Tables.embeddings(s, d))),
+    // PQ served from the PERSISTED code tier (r7): the corpus-wide ADC
+    // pass reads the stored codes table, floats only for the shortlist
+    "sim_pq_persisted" -> ((s, d) => Similarity.pqTopkPersisted(s, Tables.embeddings(s, d))),
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopk(Tables.embeddings(s, d))),
     // --- LLM-pipeline: text analysis ---
     "text_tokenize_wordcount" -> ((s, d) => TextAnalysis.tokenizeWordcount(Tables.documents(s, d))),

@@ -310,21 +310,32 @@ object Similarity {
   def pqTopk(embeddings: DataFrame, queryId: Long = 0, k: Int = 10,
              subspaces: Int = 8, codebookSize: Int = 16, iters: Int = 2,
              rerank: Int = 16): DataFrame = {
-    val dims = 64
-    val subDim = dims / subspaces
     // model passes: iters assign/update jobs + the code pass — same
     // localCheckpoint rationale as ivfTopK's
     val vs = doubled(embeddings).localCheckpoint()
+    val cb = trainPqCodebooks(vs, subspaces, codebookSize, iters)
+    pqAdcProbe(vs, pqEncode(vs, cb), cb, queryId, k, rerank)
+  }
 
-    // codebooks(m)(j) = centroid j of subspace m
+  private val PqDims = 64
+
+  /** Per-subspace Lloyd trainer shared by [[pqTopk]] and
+    * [[ensurePqIndex]]: all M k-means problems ride ONE distributed job
+    * per iteration (subspace index exploded into the rows); centroid
+    * updates use exact-decimal sums so iterations are
+    * shuffle-order-reproducible; init = the first `codebookSize`
+    * vectors' sub-blocks (deterministic, no RNG). Returns
+    * codebooks(m)(j) = centroid j of subspace m — parameter-sized. */
+  private[llm] def trainPqCodebooks(vs: DataFrame, subspaces: Int,
+      codebookSize: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val subDim = PqDims / subspaces
     var cb: Array[Array[Array[Double]]] =
       vs.orderBy("vec_id").limit(codebookSize).collect()
         .map(_.getSeq[Double](1).toArray)
         .map(v => Array.tabulate(subspaces)(m => v.slice(m * subDim, (m + 1) * subDim)))
         .transpose.map(_.toArray)
 
-    // one long row per (vector, subspace): all M k-means assignments
-    // ride a single pass; sv is the sub-block
+    // one long row per (vector, subspace): sv is the sub-block
     val subRows = vs.select(col("vec_id"),
       posexplode(expr(s"transform(sequence(0, ${subspaces - 1}), m -> slice(v, m * $subDim + 1, $subDim))")))
       .select(col("vec_id"), col("pos").as("m"), col("col").as("sv"))
@@ -360,8 +371,14 @@ object Similarity {
         }
       }
     }
+    cb
+  }
 
-    // encode: M codes per vector in one map-side expression
+  /** Encode: M codes per vector in one map-side expression. */
+  private def pqEncode(vs: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame = {
+    val subspaces = cb.length
+    val codebookSize = cb.head.length
+    val subDim = PqDims / subspaces
     val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
     val n2 = cb.map(_.map(c => c.map(x => x * x).sum))
     def codeExpr(m: Int): Column = array_min(array((0 until codebookSize).map { j =>
@@ -370,19 +387,27 @@ object Similarity {
           + lit(n2(m)(j))).as("d"),
         lit(j).as("i"))
     }: _*)).getField("i")
-    val codes = vs.select(col("vec_id"),
+    vs.select(col("vec_id"),
       array((0 until subspaces).map(codeExpr): _*).as("codes"))
+  }
 
-    // ADC model for this query: LUT[m][j] = q_sub(m)·c_{m,j}
+  /** ADC query side shared by [[pqTopk]] and [[pqTopkPersisted]]:
+    * LUT[m][j] = q_sub(m)·c_{m,j} built driver-side; the corpus-wide
+    * pass reads M small ints per row from `codes`; floats are fetched
+    * (from `vs`) only for the k·rerank shortlist sliver. */
+  private def pqAdcProbe(vs: DataFrame, codes: DataFrame,
+      cb: Array[Array[Array[Double]]], queryId: Long, k: Int, rerank: Int): DataFrame = {
+    val subspaces = cb.length
+    val subDim = PqDims / subspaces
+    val n2 = cb.map(_.map(c => c.map(x => x * x).sum))
     val q = vs.filter(col("vec_id") === queryId)
       .select(col("v")).collect().head.getSeq[Double](0).toArray
     val qNorm = math.sqrt(q.map(x => x * x).sum)
-    val lut = Array.tabulate(subspaces, codebookSize) { (m, j) =>
+    val lut = Array.tabulate(subspaces, cb.head.length) { (m, j) =>
       cb(m)(j).zip(q.slice(m * subDim, (m + 1) * subDim)).map { case (c, x) => c * x }.sum
     }
     val lutLit = typedLit(lut.map(_.toSeq).toSeq)
     val cn2Lit = typedLit(n2.map(_.toSeq).toSeq)
-    // M table lookups per row — the corpus side contributes only codes
     val dotQ = aggregate(
       zip_with(col("codes"), sequence(lit(0), lit(subspaces - 1)),
         (c, m) => element_at(element_at(lutLit, m + 1), c + 1)),
@@ -406,6 +431,52 @@ object Similarity {
           nonzeroDenom(vecNorm(col("v")) * lit(qNorm)), 4) + lit(0.0)).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** PERSISTED PQ index epoch — the codes table IS the stored tier (the
+    * whole point of PQ at 100 TB: the corpus-wide ADC pass reads M
+    * small ints per row, never floats). `ensurePqIndex` trains the
+    * per-subspace codebooks once per epoch and stores (vec_id, codes)
+    * plus the parameter-sized codebook model table `<name>_model`
+    * (m, j, c). */
+  def ensurePqIndex(spark: org.apache.spark.sql.SparkSession, embeddings: DataFrame,
+      epoch: Long = 0L, subspaces: Int = 8, codebookSize: Int = 16,
+      iters: Int = 2): String = {
+    val tag = embeddings.inputFiles.headOption.getOrElse("mem")
+      .replaceAll("[^A-Za-z0-9]", "_")
+    val name = s"sim_pq_idx_${tag}_e$epoch"
+    if (!spark.catalog.tableExists(name)) {
+      for (n <- Seq(name, name + "_model")) {
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir") + s"/$n")
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) { fs.delete(loc, true); () }
+      }
+      val vs = doubled(embeddings).localCheckpoint()
+      val cb = trainPqCodebooks(vs, subspaces, codebookSize, iters)
+      import spark.implicits._
+      cb.zipWithIndex.flatMap { case (cents, m) =>
+        cents.zipWithIndex.map { case (c, j) => (m, j, c.toSeq) }
+      }.toSeq.toDF("m", "j", "c")
+        .write.mode("overwrite").saveAsTable(name + "_model")
+      pqEncode(vs, cb).write.mode("overwrite").saveAsTable(name)
+    }
+    name
+  }
+
+  /** [[pqTopk]] served from the PERSISTED epoch: codebooks read from the
+    * model table (parameter-sized), ADC shortlist scans the stored codes
+    * table, floats touched only for the query vector and the shortlist
+    * re-rank. Identical output to the in-session form at the same
+    * params (LlmOpsSpec pins it). */
+  def pqTopkPersisted(spark: org.apache.spark.sql.SparkSession, embeddings: DataFrame,
+      queryId: Long = 0, k: Int = 10, rerank: Int = 16, epoch: Long = 0L,
+      subspaces: Int = 8, codebookSize: Int = 16, iters: Int = 2): DataFrame = {
+    val name = ensurePqIndex(spark, embeddings, epoch, subspaces, codebookSize, iters)
+    val rows = spark.table(name + "_model").collect()
+    val byCell = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+    val cb = Array.tabulate(subspaces, codebookSize)((m, j) => byCell((m, j)))
+    pqAdcProbe(doubled(embeddings), spark.table(name), cb, queryId, k, rerank)
   }
 
   /** Multi-table LSH (sign random projection) approximate top-k: L

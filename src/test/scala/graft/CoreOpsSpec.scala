@@ -35,7 +35,7 @@ class CoreOpsSpec extends SparkSpec {
       // 48-bit fingerprint now packs two portable rolling folds and is
       // oracle-checked (the sim_quantized_topk promotion pattern)
       "sim_lsh_topk", "sim_ivf_topk",                // ANN, recall-gated
-      "sim_ivf_persisted",                           // ANN epoch artifact; equality+plan gated
+      "sim_ivf_persisted", "sim_pq_persisted",       // ANN epoch artifacts; equality+plan gated
       "sim_pq_topk",                                 // PQ-quantized ANN, recall + determinism gated
       "agg_hll_rollup",                              // HLL union estimate, 5%-gated above
       // text_fingerprint regained its oracle in round 2: the fold now runs

@@ -106,6 +106,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(t1 === t2)
   }
 
+  test("persisted pq epoch serves the exact in-session results from the stored code tier") {
+    for (qid <- Seq(0L, 7L)) {
+      val live = Similarity.pqTopk(embeddings, queryId = qid)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val persisted = Similarity.pqTopkPersisted(spark, embeddings, queryId = qid)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(live === persisted, s"persisted PQ diverged at qid=$qid")
+    }
+    // epoch reuse: second resolve neither retrains nor rewrites
+    val t1 = Similarity.ensurePqIndex(spark, embeddings)
+    assert(t1 === Similarity.ensurePqIndex(spark, embeddings))
+  }
+
   test("pq top-k achieves recall >= 0.8 vs brute force and is deterministic") {
     // uniform-random test embeddings are PQ's WORST case (no manifold
     // structure for the codebooks to learn), hence the generous default
