@@ -139,6 +139,9 @@ object SparkEntry {
     }),
     // --- LLM-pipeline: dedup ---
     "dedup_exact" -> ((s, d) => Dedup.exact(Corpus.docCorpus(Tables.documents(s, d)))),
+    // duplicate-group-size histogram + exact pair blowup per size (r7):
+    // the audit that decides collapse/sharding before a quadratic stage
+    "dedup_skew_profile" -> ((s, d) => Dedup.dupSkewProfile(Corpus.docCorpus(Tables.documents(s, d)))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Corpus.docCorpus(Tables.documents(s, d)))),
     "dedup_containment" -> ((s, d) => Dedup.ngramContainment(Corpus.docCorpus(Tables.documents(s, d)))),
     "dedup_containment_prefix" -> ((s, d) => Dedup.ngramContainmentPrefix(Corpus.docCorpus(Tables.documents(s, d)))),
@@ -1178,6 +1181,15 @@ object SparkEntry {
          |  count(*) OVER (PARTITION BY md5(text)) AS n_copies
          | FROM corpus) t
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    /* dedup_skew_profile: digest group sizes → histogram with the exact
+     * per-size pair blowup; integer `//` and every SUM cast BIGINT. */
+    "dedup_skew_profile" ->
+      s"""WITH corpus AS (${Corpus.docCorpusSql}),
+         |grp AS (SELECT md5(text) AS d, COUNT(*) AS g FROM corpus GROUP BY md5(text))
+         |SELECT g AS group_size, COUNT(*) AS n_groups,
+         | CAST(SUM(g) AS BIGINT) AS n_docs,
+         | CAST(SUM(g * (g - 1) // 2) AS BIGINT) AS n_pairs
+         |FROM grp GROUP BY g ORDER BY group_size""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $jaccardCtes
          |SELECT a_id, b_id, jaccard FROM jpairs ORDER BY a_id, b_id""".stripMargin,

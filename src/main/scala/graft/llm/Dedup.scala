@@ -47,6 +47,27 @@ object Dedup {
       .select(col("s.doc_id").as("doc_id"), col("n_copies"), col("s.n_chars").as("n_chars"))
       .orderBy("doc_id")
 
+  /** Duplicate-group-size PROFILE — the audit behind the collapse cost
+    * model made a first-class operator: per group size g, how many
+    * digest groups and how many docs, plus the exact pair blowup each
+    * size contributes (g·(g−1)/2 pairs per group — what an all-pairs
+    * stage would emit). Σ n_pairs / corpus size IS the E[g²]/E[g]-ish
+    * factor [[shouldCollapse]] estimates with a sketch; a pipeline runs
+    * this exact form to DECIDE collapse/sharding before committing a
+    * quadratic stage. One digest-keyed aggregate (24-byte rows, text
+    * never shuffles) then a histogram-sized rollup. */
+  def dupSkewProfile(corpus: DataFrame): DataFrame =
+    corpus
+      .select(md5(col("text")).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("g"))
+      .groupBy(col("g").as("group_size"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("g")).cast("long").as("n_docs"),
+        // integer div, not `/`: both engines' `/` is float division and
+        // a double round-trip here would be pointless ulp exposure
+        sum(expr("g * (g - 1) div 2")).cast("long").as("n_pairs"))
+      .orderBy("group_size")
+
   /** Duplicate-mass probe (r7): does this corpus carry enough identical
     * copies for representative collapse to pay its fixed digest-window
     * cost? One scan, two sketch aggregates, a 1-row collect. Collapse is
