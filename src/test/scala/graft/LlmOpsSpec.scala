@@ -20,6 +20,22 @@ class LlmOpsSpec extends SparkSpec {
     else ids.filter(_ % 7 == 0).map(i => (i, i + 100000L)).toSet
   }
 
+  test("dup skew profile is consistent with exact dedup's group structure") {
+    val corpus = Corpus.docCorpus(documents)
+    val prof = Dedup.dupSkewProfile(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // Σ n_docs over the histogram is exactly the corpus
+    assert(prof.map(_._3).sum === corpus.count())
+    // the histogram is a regrouping of exact()'s per-survivor n_copies:
+    // groups of size g in the profile == survivors with n_copies = g,
+    // and Σ n_pairs == Σ n_copies·(n_copies−1)/2 over survivors
+    val copies = Dedup.exact(corpus).select("n_copies")
+      .collect().map(_.getLong(0))
+    val bySize = copies.groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
+    assert(prof.map(t => t._1 -> t._2).toMap === bySize)
+    assert(prof.map(_._4).sum === copies.map(g => g * (g - 1) / 2).sum)
+  }
+
   test("minhash candidates include all exact-dup pairs and most near-dup pairs") {
     val cand = Dedup.minhashCandidates(Corpus.docCorpus(documents))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
