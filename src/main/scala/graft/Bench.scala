@@ -59,6 +59,9 @@ object Bench {
       // a once-per-epoch write-time cost like the band/bloom artifacts
       llm.Similarity.ensureIvfIndex(spark, Tables.embeddings(spark, sfDir))
       llm.Similarity.ensurePqIndex(spark, Tables.embeddings(spark, sfDir))
+      // text_bpe_encode_persisted times the ENCODE pass; merge-model
+      // training is a once-per-tokenizer-release write-time cost
+      llm.Bpe.ensureBpeModel(spark, Tables.documents(spark, sfDir))
       ()
     } catch { case _: Throwable => () }
     // SPARK_GRAFT_ONLY=q1,q2 — run a subset (local profiling; driver unsets it)

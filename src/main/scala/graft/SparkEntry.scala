@@ -470,6 +470,9 @@ object SparkEntry {
     // (driver loop = model params, the IVF discipline), compiled encode
     "text_bpe_train" -> ((s, d) => graft.llm.Bpe.bpeTrain(Tables.documents(s, d))),
     "text_bpe_encode" -> ((s, d) => graft.llm.Bpe.bpeEncode(Tables.documents(s, d))),
+    // tokenizer served from the PERSISTED merge-model epoch: zero
+    // training work on the encode path (BpeSpec pins equality + reuse)
+    "text_bpe_encode_persisted" -> ((s, d) => graft.llm.Bpe.bpeEncodePersisted(s, Tables.documents(s, d))),
     // co-citation host similarity with the in-degree cap (the df-cap
     // rule applied to the link graph)
     "graph_neighbor_jaccard" -> ((s, d) => graft.ops.Graph.neighborJaccard(Tables.documents(s, d))),

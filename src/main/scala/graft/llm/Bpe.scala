@@ -110,9 +110,14 @@ object Bpe {
   /** Encode every doc with the corpus-trained merges: token count, BPE
     * token count (the number a trainer's context-length budget is
     * denominated in), and the first 8 BPE symbols as a visibility head. */
-  def bpeEncode(documents: DataFrame, nMerges: Int = 40, topWords: Int = 2000): DataFrame = {
-    val merges = trainMerges(topWordCounts(documents, topWords), nMerges)
-      .map(t => (t._1, t._2))
+  def bpeEncode(documents: DataFrame, nMerges: Int = 40, topWords: Int = 2000): DataFrame =
+    encodeWith(documents,
+      trainMerges(topWordCounts(documents, topWords), nMerges).map(t => (t._1, t._2)))
+
+  /** The pure encode pass, shared by the in-session and persisted-model
+    * forms: map-side compiled expression, merge table shipped once per
+    * task, no shuffle before the presentation sort. */
+  private def encodeWith(documents: DataFrame, merges: Seq[(String, String)]): DataFrame =
     documents
       .withColumn("tok", TextOps.tokens(coalesce(col("text"), lit(""))))
       .withColumn("bpe", graft.functions.BpeExprs.bpeEncode(col("tok"), merges))
@@ -121,5 +126,47 @@ object Bpe {
         size(col("bpe")).cast("long").as("n_bpe_tokens"),
         concat_ws("|", slice(col("bpe"), 1, 8)).as("bpe_head"))
       .orderBy("doc_id")
+
+  /** PERSISTED tokenizer epoch — the [[graft.llm.Dedup.ensureBandIndex]]
+    * artifact discipline applied to the tokenizer, which is how every
+    * production pipeline actually runs BPE: the merge table is trained
+    * ONCE per tokenizer release and then applied unchanged to every
+    * corpus snapshot for months (retraining per encode job would change
+    * token ids under the model's feet). Stores [[bpeTrain]]'s
+    * (rank, left, right, pair_count) frame — parameter-sized: nMerges
+    * rows — as a warehouse table; returns the table name. */
+  def ensureBpeModel(spark: org.apache.spark.sql.SparkSession, documents: DataFrame,
+      epoch: Long = 0L, nMerges: Int = 40, topWords: Int = 2000): String = {
+    val tag = documents.inputFiles.headOption.getOrElse("mem")
+      .replaceAll("[^A-Za-z0-9]", "_")
+    val name = s"text_bpe_model_${tag}_e$epoch"
+    if (!spark.catalog.tableExists(name)) {
+      // in-memory catalog forgets tables across JVMs but the warehouse
+      // files survive — clear an orphan dir before re-creating
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$name")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) { fs.delete(loc, true); () }
+      bpeTrain(documents, nMerges, topWords)
+        .write.mode("overwrite").saveAsTable(name)
+    }
+    name
+  }
+
+  /** [[bpeEncode]] served from the PERSISTED merge model: the encode job
+    * plans ZERO training work — no word-count aggregate, no driver merge
+    * loop — just a parameter-sized model-table read and the same
+    * compiled map-side encode pass, so output is bit-identical to the
+    * in-session form at the same (nMerges, topWords) (BpeSpec pins the
+    * equality, the model-table contents, and epoch reuse). At 100 TB
+    * this is the only shape that works: training reads the corpus once
+    * per epoch; encoding reads it once per snapshot with the model as a
+    * broadcast-sized constant. */
+  def bpeEncodePersisted(spark: org.apache.spark.sql.SparkSession, documents: DataFrame,
+      epoch: Long = 0L, nMerges: Int = 40, topWords: Int = 2000): DataFrame = {
+    val name = ensureBpeModel(spark, documents, epoch, nMerges, topWords)
+    val merges = spark.table(name).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    encodeWith(documents, merges)
   }
 }

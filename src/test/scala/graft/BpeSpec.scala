@@ -112,6 +112,37 @@ class BpeSpec extends SparkSpec {
     assert(ratio < 0.9, s"40 merges must compress the corpus below 0.9 of code points, got $ratio")
   }
 
+  test("persisted bpe model epoch: bit-identical encode, stored model, epoch reuse") {
+    // same params → identical output: the persisted path is a pure
+    // serving-layer change (train once, read the model table, encode)
+    val live = Bpe.bpeEncode(documents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val persisted = Bpe.bpeEncodePersisted(spark, documents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(live === persisted, "persisted BPE encode diverged from in-session")
+    // the stored model IS bpeTrain's frame, row for row
+    val name = Bpe.ensureBpeModel(spark, documents)
+    val stored = spark.table(name).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val trained = Bpe.bpeTrain(documents).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(stored === trained, "stored merge table diverged from bpeTrain")
+    // epoch reuse: second resolve neither retrains nor rewrites
+    assert(name === Bpe.ensureBpeModel(spark, documents))
+    // the encode job itself plans no aggregate — training work lives
+    // entirely behind the epoch artifact, the encode pass is map-side
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    val enc = Bpe.bpeEncodePersisted(spark, documents)
+    enc.collect()
+    val nAgg = enc.queryExecution.executedPlan.collect {
+      case a: HashAggregateExec => a
+      case a: ObjectHashAggregateExec => a
+      case a: SortAggregateExec => a
+    }.size
+    assert(nAgg === 0, s"persisted BPE encode planned $nAgg aggregates:\n" +
+      enc.queryExecution.executedPlan)
+  }
+
   test("bpe survives hostile input: null, empty, whitespace-only docs") {
     val hostile = Seq(
       (1L, null.asInstanceOf[String]),
