@@ -412,6 +412,9 @@ object SparkEntry {
     "pipeline_split_hash" -> ((s, d) => TrainingPrep.splitAssign(Tables.documents(s, d))),
     "text_boilerplate" -> ((s, d) => TextAnalysis.boilerplateScrub(Tables.documents(s, d))),
     "pipeline_curation" -> ((s, d) => TrainingPrep.curate(Tables.documents(s, d))),
+    // per-source corpus nutrition label: docs / token mass / dup rate /
+    // dominant lang / mean quality in one pass + digest-distinct rollup
+    "pipeline_dataset_card" -> ((s, d) => TrainingPrep.datasetCard(Tables.documents(s, d))),
     // the production ORDERING shipped as one operator: exact dedup, then
     // prefix-containment over the survivors (ARCHITECTURE "Containment wall")
     "pipeline_dedup_ordered" -> ((s, d) => Dedup.orderedDedup(Corpus.docCorpus(Tables.documents(s, d)))),
@@ -2909,6 +2912,36 @@ object SparkEntry {
         | CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) < 'c' THEN 'train'
         |      WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) < 'e' THEN 'val'
         |      ELSE 'test' END AS split
-        |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+        |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    /* pipeline_dataset_card: per-source nutrition label. Quality is
+     * accumulated in exact integer 1e-4 units (the text_quality formula
+     * times 1e4, floored once per doc) and divided ONCE — mean_quality =
+     * floor(q_sum/n_docs + 0.5)/1e4 on BOTH sides, so no double
+     * re-rounding chain diverges; every integer aggregate CAST BIGINT
+     * (the round-6 HUGEINT lesson); dominant-lang tie-break is
+     * (n DESC, lang ASC NULLS LAST), the engine-pinned null order. */
+    "pipeline_dataset_card" ->
+      """WITH t AS (SELECT source, lang, md5(text) AS digest, string_split(text,' ') AS tok FROM documents),
+        |p AS (SELECT source, digest,
+        |  CAST(len(tok) AS BIGINT) AS n_words,
+        |  CAST(floor((CAST(len(list_distinct(tok)) AS DOUBLE)/len(tok)*0.5
+        |    + least(CAST(len(tok) AS DOUBLE)/100.0, 1.0)*0.3
+        |    + (1.0 - CAST(len(list_filter(tok, x -> x IN ('the','a','of','is'))) AS DOUBLE)/len(tok))*0.2)*1e4 + 0.5) AS BIGINT) AS q_units
+        | FROM t),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_words) AS BIGINT) AS total_words,
+        |  CAST(count(DISTINCT digest) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(q_units) AS BIGINT) AS q_sum
+        | FROM p GROUP BY source),
+        |l AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source, lang),
+        |tl AS (SELECT source, lang AS top_lang, n AS top_n,
+        |  row_number() OVER (PARTITION BY source ORDER BY n DESC, lang ASC NULLS LAST) AS rk FROM l)
+        |SELECT a.source AS source, n_docs, total_words,
+        | floor(CAST(n_docs - n_distinct AS DOUBLE)/n_docs*1e4 + 0.5)/1e4 AS dup_rate,
+        | top_lang,
+        | floor(CAST(top_n AS DOUBLE)/n_docs*1e4 + 0.5)/1e4 AS top_lang_share,
+        | floor(CAST(q_sum AS DOUBLE)/n_docs + 0.5)/1e4 AS mean_quality
+        |FROM a JOIN tl ON a.source = tl.source AND tl.rk = 1
+        |ORDER BY a.source""".stripMargin
   )
 }

@@ -504,4 +504,52 @@ object TrainingPrep {
         substring(md5(concat_ws(":", col("doc_id"), col("epoch_copy"))), 1, 8))
       .orderBy(col("shuffle_key"), col("doc_id"), col("epoch_copy"))
   }
+
+  /** Per-source DATASET CARD — the "nutrition label" a curation team
+    * publishes with every corpus release (docs, token mass, exact-dup
+    * rate, dominant language and its share, mean quality): one row per
+    * source, composing the dedup / token-count / language / quality
+    * facets the tier computes separately, as ONE pass over the text plus
+    * a digest-distinct rollup.
+    *
+    * Scale shape: the per-doc pass is map-side (tokens, digest, quality
+    * units from [[TextAnalysis.qualityMilliCol]] — all codegen'd); the
+    * only data-sized shuffle carries (source, digest) 24-byte rows for
+    * the distinct-digest count, and the language/top rollups move one
+    * row per (source, lang). Nothing data-sized reaches the driver; at
+    * 100 TB this is a scan plus source-keyed aggregates with map-side
+    * partials.
+    *
+    * Determinism: mean quality is accumulated in EXACT integer 1e-4
+    * units and divided once (floor(q_sum/n + 0.5)/1e4 — the identical
+    * expression on the oracle side, no double re-rounding chain);
+    * dominant language ties break (n desc, lang asc NULLS LAST), the
+    * engine-pinned null ordering. */
+  def datasetCard(documents: DataFrame): DataFrame = {
+    val perDoc = documents.select(
+      col("source"),
+      size(TextOps.tokens(coalesce(col("text"), lit("")))).cast("long").as("n_words"),
+      md5(coalesce(col("text"), lit(""))).as("digest"),
+      TextAnalysis.qualityMilliCol(col("text")).as("q_units"))
+    val agg = perDoc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_words")).as("total_words"),
+      countDistinct(col("digest")).as("n_distinct"),
+      sum(col("q_units")).as("q_sum"))
+    val langCounts = documents.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n").desc, col("lang").asc_nulls_last)
+    val topLang = langCounts
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("n").as("top_n"))
+    agg.join(topLang, "source")
+      .select(
+        col("source"), col("n_docs"), col("total_words"),
+        (floor((col("n_docs") - col("n_distinct")).cast("double") / col("n_docs") * 1e4 + 0.5) / 1e4).as("dup_rate"),
+        col("top_lang"),
+        (floor(col("top_n").cast("double") / col("n_docs") * 1e4 + 0.5) / 1e4).as("top_lang_share"),
+        (floor(col("q_sum").cast("double") / col("n_docs") + 0.5) / 1e4).as("mean_quality"))
+      .orderBy("source")
+  }
 }

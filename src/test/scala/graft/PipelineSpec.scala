@@ -340,4 +340,35 @@ class PipelineSpec extends SparkSpec {
       assert(hi._5 <= lo._5 + 0.0001, s"boost not monotone: $hi vs $lo")
     }
   }
+
+  test("dataset card: facets reconcile with their standalone computations") {
+    val documents = Tables.documents(spark, sfDir)
+    val card = graft.llm.TrainingPrep.datasetCard(documents).collect()
+    // the card partitions the corpus: per-source doc counts sum to the total
+    assert(card.map(_.getLong(1)).sum === documents.count())
+    // dup_rate reconciles with an independent per-source digest count,
+    // through the same one-rounding expression
+    val bySrc = documents.groupBy("source")
+      .agg(countDistinct(md5(col("text"))).as("nd"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    card.foreach { r =>
+      val (nd, n) = bySrc(r.getString(0))
+      assert(r.getLong(1) === n, s"n_docs mismatch for ${r.getString(0)}")
+      val dr = math.floor((n - nd).toDouble / n * 1e4 + 0.5) / 1e4
+      assert(r.getDouble(3) === dr, s"dup_rate mismatch for ${r.getString(0)}")
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0, "top_lang_share out of range")
+      assert(r.getDouble(6) > 0.0 && r.getDouble(6) <= 1.0, "mean_quality out of range")
+    }
+    // dominant language reconciles with a direct mode computation
+    val naive = documents.collect()
+      .groupBy(r => r.getString(r.fieldIndex("source")))
+      .map { case (s, rows) =>
+        val top = rows.groupBy(r => Option(r.getString(r.fieldIndex("lang"))))
+          .map { case (l, rs) => (l, rs.size) }.toSeq
+          .minBy { case (l, c) => (-c, l.isEmpty, l.getOrElse("")) }
+        s -> top._1.orNull
+      }
+    card.foreach(r => assert(r.getString(4) === naive(r.getString(0)),
+      s"top_lang mismatch for ${r.getString(0)}"))
+  }
 }
