@@ -308,6 +308,9 @@ object SparkEntry {
     // --- round 3 additions ---
     "agg_mode" -> ((s, d) => Aggregates.modePerGroup(Tables.orders(s, d))),
     "agg_histogram" -> ((s, d) => Aggregates.histogram(Tables.orders(s, d))),
+    // mergeable per-shard histogram tier → merged quantile estimates
+    // (the pre-aggregated percentile serving shape; all-integer cents)
+    "agg_quantile_rollup" -> ((s, d) => Aggregates.quantileRollup(Tables.orders(s, d))),
     "dq_outlier_zscore" -> ((s, d) => DataQuality.outlierZscore(Tables.lineitem(s, d))),
     "dq_outlier_mad" -> ((s, d) => DataQuality.outlierMad(Tables.customer(s, d))),
     "dedup_passage" -> ((s, d) => Dedup.passageDedup(Corpus.docCorpus(Tables.documents(s, d)))),
@@ -2326,6 +2329,23 @@ object SparkEntry {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
         |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+    /* agg_quantile_rollup: the shard→merge→cumulative chain in exact
+     * integer cents; ceil-division via // on pre-offset integers; the
+     * cumulative is the SAME triangular join as the Spark side (not a
+     * window) so both engines aggregate the identical bounded frame. */
+    "agg_quantile_rollup" ->
+      """WITH c AS (SELECT o_orderkey, CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS BIGINT) AS cents FROM orders),
+        |h AS (SELECT o_orderkey % 16 AS shard, cents // 100000 AS bucket, CAST(count(*) AS BIGINT) AS cc
+        | FROM c GROUP BY 1, 2),
+        |m AS (SELECT bucket, CAST(SUM(cc) AS BIGINT) AS cc FROM h GROUP BY bucket),
+        |n AS (SELECT CAST(SUM(cc) AS BIGINT) AS n FROM m),
+        |q AS (SELECT CAST(q AS BIGINT) AS q FROM (VALUES (50), (90), (99)) v(q)),
+        |th AS (SELECT q, n, (n * q + 99) // 100 AS th FROM q CROSS JOIN n),
+        |cum AS (SELECT a.bucket AS bucket, CAST(SUM(b.cc) AS BIGINT) AS cum
+        | FROM m a JOIN m b ON b.bucket <= a.bucket GROUP BY a.bucket)
+        |SELECT q, n AS n_rows, CAST(MIN(bucket) AS BIGINT) AS bucket,
+        | CAST(MIN(bucket) * 100000 AS BIGINT) AS est_lo_cents
+        |FROM th JOIN cum ON cum >= th GROUP BY q, n ORDER BY q""".stripMargin,
     "dq_outlier_mad" ->
       """WITH med AS (SELECT c_mktsegment,
         |  floor(quantile_cont(c_acctbal, 0.5)*1e2 + 0.5)/1e2 AS med

@@ -222,6 +222,52 @@ object Aggregates {
         max(col("o_totalprice")).as("max_price"))
       .orderBy("bucket")
 
+  /** MERGEABLE QUANTILE ROLLUP — the pre-aggregated serving tier for
+    * percentiles at 100 TB: each shard (standing in for a file/partition
+    * summary a warehouse would store) reduces to a fixed-boundary
+    * histogram over exact integer CENTS; shard histograms merge by
+    * bucket-count SUM — the mergeability law equi-width buckets buy that
+    * exact rank statistics don't (medians of medians are meaningless;
+    * histogram sums are exact) — and each requested quantile reads off
+    * the first bucket whose cumulative count reaches ceil(q·n/100),
+    * reported as the bucket's lower bound (error bounded by the bucket
+    * width, never by data size or skew).
+    *
+    * Scale shape: one scan → per-(shard, bucket) partial counts → bucket
+    * merge; everything after runs on the bucket frame, whose size is
+    * bounded by value-range/width (~600 rows here), NOT by row count —
+    * the cumulative step is a triangular self-join on that bounded frame
+    * (no global window, no driver collect). All arithmetic is integer
+    * (cents, ceil-division via pmod), so the oracle mirrors it exactly. */
+  def quantileRollup(orders: DataFrame, widthCents: Long = 100000L,
+                     qs: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val cents = (col("o_totalprice") * 100).cast("decimal(18,0)").cast("long")
+    // integer floor-division without a double round-trip: subtract the
+    // remainder first, so the division is exact at any magnitude
+    def idiv(a: org.apache.spark.sql.Column, b: Long) =
+      ((a - pmod(a, lit(b))) / lit(b)).cast("long")
+    val shardHist = orders
+      .select((col("o_orderkey") % 16).as("shard"), idiv(cents, widthCents).as("bucket"))
+      .groupBy("shard", "bucket").agg(count(lit(1)).as("c"))
+    val merged = shardHist.groupBy("bucket").agg(sum(col("c")).as("c"))
+      .localCheckpoint(eager = false)
+    val tot = merged.agg(sum(col("c")).as("n"))
+    // threshold rank per quantile: ceil(n*q/100) in exact integers
+    val th = qs.map(_.toLong).toDF("q")
+      .crossJoin(broadcast(tot))
+      .withColumn("th", idiv(col("n") * col("q") + lit(99L), 100L))
+    val cum = merged.as("a")
+      .join(merged.as("b"), col("b.bucket") <= col("a.bucket"))
+      .groupBy(col("a.bucket").as("bucket")).agg(sum(col("b.c")).as("cum"))
+    th.join(cum, col("cum") >= col("th"))
+      .groupBy("q", "n").agg(min(col("bucket")).as("bucket"))
+      .select(col("q"), col("n").as("n_rows"), col("bucket"),
+        (col("bucket") * widthCents).as("est_lo_cents"))
+      .orderBy("q")
+  }
+
   /** String aggregation (listagg): the distinct priorities of each order
     * status, sorted then joined — `collect_set` + `array_sort` keeps the
     * result order-independent (a bare `collect_list`/`string_agg` depends

@@ -132,6 +132,39 @@ class CoreOpsSpec extends SparkSpec {
     }
   }
 
+  test("quantile rollup: estimates bracket the exact percentiles; shard tier merges losslessly") {
+    val orders = Tables.orders(spark, sfDir)
+    val width = 100000L
+    val est = ops.Aggregates.quantileRollup(orders).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    // exact percentiles in the same integer cents, computed independently
+    val cents = orders.select(
+        (col("o_totalprice") * 100).cast("decimal(18,0)").cast("long").as("c"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length.toLong
+    assert(est.values.forall(_._1 === n), "n_rows mismatch")
+    for (q <- Seq(50L, 90L, 99L)) {
+      val exact = cents(((n * q + 99) / 100).toInt - 1) // ceil(q·n/100)-th value
+      val lo = est(q)._2
+      assert(lo <= exact && exact < lo + width,
+        s"p$q estimate $lo does not bracket exact $exact (width $width)")
+    }
+    // mergeability: the shard→merge histogram equals direct global bucketing
+    val direct = orders
+      .select((col("o_totalprice") * 100).cast("decimal(18,0)").cast("long").as("c"))
+      .groupBy((col("c") - pmod(col("c"), lit(width))).divide(lit(width)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaShards = orders
+      .select((col("o_orderkey") % 16).as("shard"),
+        ((col("o_totalprice") * 100).cast("decimal(18,0)").cast("long")).as("c"))
+      .groupBy(col("shard"), (col("c") - pmod(col("c"), lit(width))).divide(lit(width)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("bucket").agg(sum(col("n")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaShards === direct, "shard-tier merge diverged from direct bucketing")
+  }
+
   test("zscore outliers are sorted by |z| and bounded by the group extremes") {
     val out = ops.DataQuality.outlierZscore(Tables.lineitem(spark, sfDir)).collect()
     assert(out.length === 50)
