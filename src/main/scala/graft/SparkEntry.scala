@@ -311,6 +311,16 @@ object SparkEntry {
     // mergeable per-shard histogram tier → merged quantile estimates
     // (the pre-aggregated percentile serving shape; all-integer cents)
     "agg_quantile_rollup" -> ((s, d) => Aggregates.quantileRollup(Tables.orders(s, d))),
+    // incremental quantiles: a derived delta batch merged into the base
+    // histogram (the persisted-epoch shape, oracle-checked through the
+    // recompute path — the dsir_delta convention)
+    "agg_quantile_delta" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      Aggregates.quantileDelta(
+        o.filter(col("o_orderkey") % 4 =!= 1),
+        o.filter(col("o_orderkey") % 4 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(500.0)))
+    }),
     "dq_outlier_zscore" -> ((s, d) => DataQuality.outlierZscore(Tables.lineitem(s, d))),
     "dq_outlier_mad" -> ((s, d) => DataQuality.outlierMad(Tables.customer(s, d))),
     "dedup_passage" -> ((s, d) => Dedup.passageDedup(Corpus.docCorpus(Tables.documents(s, d)))),
@@ -2343,6 +2353,27 @@ object SparkEntry {
         |th AS (SELECT q, n, (n * q + 99) // 100 AS th FROM q CROSS JOIN n),
         |cum AS (SELECT a.bucket AS bucket, CAST(SUM(b.cc) AS BIGINT) AS cum
         | FROM m a JOIN m b ON b.bucket <= a.bucket GROUP BY a.bucket)
+        |SELECT q, n AS n_rows, CAST(MIN(bucket) AS BIGINT) AS bucket,
+        | CAST(MIN(bucket) * 100000 AS BIGINT) AS est_lo_cents
+        |FROM th JOIN cum ON cum >= th GROUP BY q, n ORDER BY q""".stripMargin,
+    /* agg_quantile_delta: base and delta reduce to bucket histograms
+     * separately, merge by SUM, then the same threshold/cumulative
+     * chain — the lossless-merge law means this equals recomputing
+     * over base ∪ delta, which is what this SQL does structurally. */
+    "agg_quantile_delta" ->
+      """WITH b AS (SELECT CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS BIGINT) // 100000 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS cc
+        | FROM orders WHERE o_orderkey % 4 <> 1 GROUP BY 1),
+        |d AS (SELECT CAST(CAST((o_totalprice + 500.0) * 100 AS DECIMAL(18,0)) AS BIGINT) // 100000 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS cc
+        | FROM orders WHERE o_orderkey % 4 = 1 GROUP BY 1),
+        |m AS (SELECT bucket, CAST(SUM(cc) AS BIGINT) AS cc
+        | FROM (SELECT * FROM b UNION ALL SELECT * FROM d) u GROUP BY bucket),
+        |n AS (SELECT CAST(SUM(cc) AS BIGINT) AS n FROM m),
+        |q AS (SELECT CAST(q AS BIGINT) AS q FROM (VALUES (50), (90), (99)) v(q)),
+        |th AS (SELECT q, n, (n * q + 99) // 100 AS th FROM q CROSS JOIN n),
+        |cum AS (SELECT a.bucket AS bucket, CAST(SUM(b2.cc) AS BIGINT) AS cum
+        | FROM m a JOIN m b2 ON b2.bucket <= a.bucket GROUP BY a.bucket)
         |SELECT q, n AS n_rows, CAST(MIN(bucket) AS BIGINT) AS bucket,
         | CAST(MIN(bucket) * 100000 AS BIGINT) AS est_lo_cents
         |FROM th JOIN cum ON cum >= th GROUP BY q, n ORDER BY q""".stripMargin,

@@ -241,18 +241,38 @@ object Aggregates {
     * (cents, ceil-division via pmod), so the oracle mirrors it exactly. */
   def quantileRollup(orders: DataFrame, widthCents: Long = 100000L,
                      qs: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
-    val spark = orders.sparkSession
-    import spark.implicits._
-    val cents = (col("o_totalprice") * 100).cast("decimal(18,0)").cast("long")
-    // integer floor-division without a double round-trip: subtract the
-    // remainder first, so the division is exact at any magnitude
-    def idiv(a: org.apache.spark.sql.Column, b: Long) =
-      ((a - pmod(a, lit(b))) / lit(b)).cast("long")
     val shardHist = orders
-      .select((col("o_orderkey") % 16).as("shard"), idiv(cents, widthCents).as("bucket"))
+      .select((col("o_orderkey") % 16).as("shard"),
+        idiv(totalpriceCents, widthCents).as("bucket"))
       .groupBy("shard", "bucket").agg(count(lit(1)).as("c"))
-    val merged = shardHist.groupBy("bucket").agg(sum(col("c")).as("c"))
-      .localCheckpoint(eager = false)
+    quantilesFromHist(shardHist.groupBy("bucket").agg(sum(col("c")).as("c")),
+      widthCents, qs)
+  }
+
+  /** Exact integer cents of `o_totalprice` — the house cents carrier
+    * (cf. sync/Cdc.scala): one decimal cast from the 2-decimal double,
+    * proven engine-parity by the cdc oracle. */
+  private def totalpriceCents: org.apache.spark.sql.Column =
+    (col("o_totalprice") * 100).cast("decimal(18,0)").cast("long")
+
+  /** Integer floor-division without a double round-trip: subtract the
+    * remainder first, so the division is exact at any magnitude. */
+  private def idiv(a: org.apache.spark.sql.Column, b: Long) =
+    ((a - pmod(a, lit(b))) / lit(b)).cast("long")
+
+  /** Direct (bucket, c) histogram of a frame's order values — the form a
+    * DELTA batch reduces to before merging with a stored base histogram. */
+  private[graft] def centsHist(df: DataFrame, widthCents: Long = 100000L): DataFrame =
+    df.select(idiv(totalpriceCents, widthCents).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+
+  /** Quantile read-off from a merged (bucket, c) histogram (see
+    * [[quantileRollup]] for the semantics and scale notes). */
+  private def quantilesFromHist(hist: DataFrame, widthCents: Long,
+                                qs: Seq[Int]): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val merged = hist.localCheckpoint(eager = false)
     val tot = merged.agg(sum(col("c")).as("n"))
     // threshold rank per quantile: ceil(n*q/100) in exact integers
     val th = qs.map(_.toLong).toDF("q")
@@ -267,6 +287,49 @@ object Aggregates {
         (col("bucket") * widthCents).as("est_lo_cents"))
       .orderBy("q")
   }
+
+  /** INCREMENTAL quantiles — [[quantileRollup]]'s histogram tier made an
+    * epoch artifact: the base corpus reduces ONCE to its bucket histogram
+    * (bounded by value-range/width, not rows), a delta batch reduces to
+    * its own, and updated percentiles come from the bucket-wise SUM of
+    * the two — the nightly-ingest shape where the 100 TB base is never
+    * rescanned. Exactness law: because equi-width buckets merge
+    * losslessly, the result is IDENTICAL to recomputing over base∪delta
+    * (QuantileSpec pins it; the oracle checks the recompute form). */
+  def quantileDelta(base: DataFrame, delta: DataFrame,
+                    widthCents: Long = 100000L,
+                    qs: Seq[Int] = Seq(50, 90, 99)): DataFrame =
+    quantilesFromHist(
+      centsHist(base, widthCents).unionByName(centsHist(delta, widthCents))
+        .groupBy("bucket").agg(sum(col("c")).as("c")),
+      widthCents, qs)
+
+  /** Persist the base histogram for an epoch (bucket-count rows — bounded
+    * by value-range/width, the ensureBandIndex artifact discipline). */
+  def ensureQuantileHist(spark: org.apache.spark.sql.SparkSession, base: DataFrame,
+                         epoch: Long = 0L, widthCents: Long = 100000L): String = {
+    val name = s"agg_quantile_hist_e${epoch}_w$widthCents"
+    if (!spark.catalog.tableExists(name)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$name")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) { fs.delete(loc, true); () }
+      centsHist(base, widthCents).write.mode("overwrite").saveAsTable(name)
+    }
+    name
+  }
+
+  /** [[quantileDelta]] through the PERSISTED epoch table — integer
+    * bucket counts make the equality with the recompute form exact. */
+  def quantileDeltaPersisted(spark: org.apache.spark.sql.SparkSession, base: DataFrame,
+                             delta: DataFrame, epoch: Long = 0L,
+                             widthCents: Long = 100000L,
+                             qs: Seq[Int] = Seq(50, 90, 99)): DataFrame =
+    quantilesFromHist(
+      spark.table(ensureQuantileHist(spark, base, epoch, widthCents))
+        .unionByName(centsHist(delta, widthCents))
+        .groupBy("bucket").agg(sum(col("c")).as("c")),
+      widthCents, qs)
 
   /** String aggregation (listagg): the distinct priorities of each order
     * status, sorted then joined — `collect_set` + `array_sort` keeps the

@@ -165,6 +165,26 @@ class CoreOpsSpec extends SparkSpec {
     assert(viaShards === direct, "shard-tier merge diverged from direct bucketing")
   }
 
+  test("quantile delta: merge equals full recompute; persisted epoch serves identically") {
+    val orders = Tables.orders(spark, sfDir)
+    val base = orders.filter(col("o_orderkey") % 4 =!= 1)
+    val delta = orders.filter(col("o_orderkey") % 4 === 1)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(500.0))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val viaDelta = rows(ops.Aggregates.quantileDelta(base, delta))
+    // lossless-merge law: base-hist + delta-hist ≡ recomputing the
+    // rollup chain over the full union
+    val full = rows(ops.Aggregates.quantileRollup(base.unionByName(delta)))
+    assert(viaDelta === full, "histogram merge diverged from full recompute")
+    // the persisted epoch table is a pure serving-layer change
+    val persisted = rows(ops.Aggregates.quantileDeltaPersisted(spark, base, delta, epoch = 3L))
+    assert(persisted === viaDelta, "persisted quantile epoch diverged")
+    // epoch reuse: second resolve neither recomputes nor rewrites
+    val t1 = ops.Aggregates.ensureQuantileHist(spark, base, epoch = 3L)
+    assert(t1 === ops.Aggregates.ensureQuantileHist(spark, base, epoch = 3L))
+  }
+
   test("zscore outliers are sorted by |z| and bounded by the group extremes") {
     val out = ops.DataQuality.outlierZscore(Tables.lineitem(spark, sfDir)).collect()
     assert(out.length === 50)
