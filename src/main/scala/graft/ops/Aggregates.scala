@@ -243,7 +243,7 @@ object Aggregates {
                      qs: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
     val shardHist = orders
       .select((col("o_orderkey") % 16).as("shard"),
-        idiv(totalpriceCents, widthCents).as("bucket"))
+        centsBucket(widthCents).as("bucket"))
       .groupBy("shard", "bucket").agg(count(lit(1)).as("c"))
     quantilesFromHist(shardHist.groupBy("bucket").agg(sum(col("c")).as("c")),
       widthCents, qs)
@@ -255,6 +255,12 @@ object Aggregates {
   private def totalpriceCents: org.apache.spark.sql.Column =
     (col("o_totalprice") * 100).cast("decimal(18,0)").cast("long")
 
+  /** The fixed-boundary bucket of a row's order value — the one
+    * expression the batch histogram, the delta path and the streaming
+    * maintenance all key on (shared so they can never drift). */
+  private[graft] def centsBucket(widthCents: Long): org.apache.spark.sql.Column =
+    idiv(totalpriceCents, widthCents)
+
   /** Integer floor-division without a double round-trip: subtract the
     * remainder first, so the division is exact at any magnitude. */
   private def idiv(a: org.apache.spark.sql.Column, b: Long) =
@@ -263,13 +269,13 @@ object Aggregates {
   /** Direct (bucket, c) histogram of a frame's order values — the form a
     * DELTA batch reduces to before merging with a stored base histogram. */
   private[graft] def centsHist(df: DataFrame, widthCents: Long = 100000L): DataFrame =
-    df.select(idiv(totalpriceCents, widthCents).as("bucket"))
+    df.select(centsBucket(widthCents).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("c"))
 
   /** Quantile read-off from a merged (bucket, c) histogram (see
     * [[quantileRollup]] for the semantics and scale notes). */
-  private def quantilesFromHist(hist: DataFrame, widthCents: Long,
-                                qs: Seq[Int]): DataFrame = {
+  private[graft] def quantilesFromHist(hist: DataFrame, widthCents: Long,
+                                       qs: Seq[Int]): DataFrame = {
     val spark = hist.sparkSession
     import spark.implicits._
     val merged = hist.localCheckpoint(eager = false)

@@ -403,4 +403,34 @@ class StreamingSpec extends SparkSpec {
         === Set(900001L, 900003L))
     } finally query.stop()
   }
+
+  test("streaming quantile histogram over chunks == batch tier; read-off matches rollup") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val orders = Tables.orders(spark, sfDir)
+    val rows = orders.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val stream = MemoryStream[(Long, Double)]
+    val query = graft.streaming.StreamingQuantile.bucketCounts(
+        stream.toDF().toDF("o_orderkey", "o_totalprice"))
+      .writeStream.format("memory").queryName("qhist").outputMode("complete").start()
+    try {
+      rows.grouped(math.max(1, rows.size / 4)).foreach { chunk =>
+        stream.addData(chunk); query.processAllAvailable()
+      }
+      // final streaming state == the batch histogram, bucket for bucket
+      val streamed = spark.table("qhist").orderBy("bucket").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val batch = graft.ops.Aggregates.centsHist(orders).orderBy("bucket").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(streamed === batch, "streaming histogram state diverged from batch tier")
+      // percentile read-off from the state == the batch rollup's answer
+      val fromState = graft.streaming.StreamingQuantile
+        .quantilesFromState(spark.table("qhist")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val rollup = graft.ops.Aggregates.quantileRollup(orders).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(fromState === rollup, "state read-off diverged from batch rollup")
+    } finally query.stop()
+  }
 }
