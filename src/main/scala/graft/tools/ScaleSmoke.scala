@@ -223,6 +223,31 @@ object ScaleSmoke {
       return
     }
 
+    // optional fifth arg "reportOnly" (r7): the reporting tier. The
+    // dataset card must scale LINEARLY — its one data-sized exchange
+    // carries (source, digest) 24-byte rows, so records ~ docs — while
+    // the quantile rollup's exchange must stay ~CONSTANT (per-(shard,
+    // bucket) partials: 16 × |buckets| rows regardless of row count;
+    // the bucket frame is bounded by value-range/width, not data). The
+    // replicated corpus is duplicate-HEAVY (identical texts per
+    // replica), stressing the card's distinct-digest count in the
+    // regime where it matters. Order-key shift is a MULTIPLE OF 16 so
+    // the rollup's shard assignment (o_orderkey % 16) is
+    // replica-invariant (the phash-shift lesson).
+    if (args.lift(4).contains("reportOnly")) {
+      val repDocs = spark.read.parquet(path).localCheckpoint()
+      val nRep = repDocs.count()
+      time(s"dataset_card_docs$nRep")(graft.llm.TrainingPrep.datasetCard(repDocs))
+      val orders = graft.Tables.orders(spark, sfDir)
+      val repOrd = (0 until factor).map(i =>
+          orders.withColumn("o_orderkey", col("o_orderkey") + lit(i * 3000000000L)))
+        .reduce(_ unionByName _).localCheckpoint()
+      val nOrd = repOrd.count()
+      time(s"quantile_rollup_ord$nOrd")(graft.ops.Aggregates.quantileRollup(repOrd))
+      spark.stop()
+      return
+    }
+
     // optional fifth arg "triOnly" (r7): the degree-ordered-orientation
     // contract on a SKEWED graph (the saturating host synthesis can't
     // produce one). Graph = hub-star (host n/2 links every host — the
