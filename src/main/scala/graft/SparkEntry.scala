@@ -363,6 +363,15 @@ object SparkEntry {
       val c = Tables.customer(s, d)
       DataQuality.snapshotDrift(Snapshots.oldSnapshot(c), Snapshots.newSnapshot(c))
     }),
+    // per-bucket PSI drift between order snapshots over the quantile
+    // tier's shared fixed boundaries (new = drop %43, +500.00 on %7)
+    "dq_drift_psi" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      DataQuality.driftPsi(o,
+        o.filter(col("o_orderkey") % 43 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") +
+            when(col("o_orderkey") % 7 === 0, lit(500.0)).otherwise(lit(0.0))))
+    }),
     "pipeline_quality_filter" -> ((s, d) => TrainingPrep.qualityFilter(Tables.documents(s, d))),
     "pipeline_quality_mix" -> ((s, d) => TrainingPrep.qualityMix(Tables.documents(s, d))),
     "pipeline_pack_sequences" -> ((s, d) => TrainingPrep.packSequences(Tables.documents(s, d))),
@@ -2759,6 +2768,25 @@ object SparkEntry {
          |   (CAST(t_o AS DOUBLE) * CAST(t_n AS DOUBLE)) * 0.5 AS tvd
          | FROM js CROSS JOIN ts GROUP BY t_o, t_n)
          |SELECT * FROM ra UNION ALL SELECT * FROM rs ORDER BY "column"""".stripMargin,
+    /* dq_drift_psi: both snapshots reduce to the quantile tier's fixed
+     * cents buckets; smoothed shares with the FIXED +1/+1024 constants;
+     * the (pn−po)·ln(pn/po) contribution rounds ONCE per bucket into
+     * integer nano-nats — the dsir micro-nat discipline. */
+    "dq_drift_psi" ->
+      """WITH ob AS (SELECT CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS BIGINT) // 100000 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS c_old FROM orders GROUP BY 1),
+        |newt AS (SELECT o_totalprice + CASE WHEN o_orderkey % 7 = 0 THEN 500.0 ELSE 0.0 END AS o_totalprice
+        | FROM orders WHERE o_orderkey % 43 <> 0),
+        |nb AS (SELECT CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS BIGINT) // 100000 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS c_new FROM newt GROUP BY 1),
+        |j AS (SELECT bucket, CAST(COALESCE(c_old, 0) AS BIGINT) AS c_old,
+        |  CAST(COALESCE(c_new, 0) AS BIGINT) AS c_new
+        | FROM ob FULL OUTER JOIN nb USING (bucket)),
+        |t AS (SELECT CAST(SUM(c_old) AS BIGINT) AS n_old, CAST(SUM(c_new) AS BIGINT) AS n_new FROM j)
+        |SELECT bucket, c_old, c_new,
+        | CAST(round(((c_new + 1.0) / (n_new + 1024.0) - (c_old + 1.0) / (n_old + 1024.0))
+        |  * ln(((c_new + 1.0) / (n_new + 1024.0)) / ((c_old + 1.0) / (n_old + 1024.0))) * 1e9, 0) AS BIGINT) AS psi_units
+        |FROM j CROSS JOIN t ORDER BY bucket""".stripMargin,
     "dq_profile" ->
       """WITH p AS (SELECT
         | count(l_quantity) AS qty_n, count(DISTINCT l_quantity) AS qty_d,

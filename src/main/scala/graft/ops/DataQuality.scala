@@ -166,6 +166,45 @@ object DataQuality {
       .orderBy("column")
   }
 
+  /** POPULATION STABILITY INDEX drift between two order snapshots, per
+    * histogram bucket — the production monitoring complement of
+    * [[snapshotDrift]]'s whole-column TVD: PSI's per-bucket
+    * contributions say WHICH part of the distribution moved (the
+    * actionable signal — "the $40-50k band doubled"), and because the
+    * buckets are the quantile tier's fixed boundaries
+    * ([[Aggregates.centsBucket]] — shared, so monitoring and serving
+    * can never drift onto different bins), both sides reduce to the
+    * same bounded histograms the percentile tier already maintains: at
+    * 100 TB this op can run ENTIRELY on two stored epoch histograms
+    * without touching a fact row.
+    *
+    * Determinism: smoothed shares p = (c+1)/(n+1024) with a FIXED
+    * additive constant (a bucket-count-dependent smoothing would make
+    * the score depend on which empty buckets happen to materialize);
+    * the transcendental contribution (pn−po)·ln(pn/po) rounds ONCE per
+    * bucket into integer nano-nats (the dsir micro-nat discipline —
+    * one rounding site, identical expression on both engines). */
+  def driftPsi(oldOrders: DataFrame, newOrders: DataFrame,
+               widthCents: Long = 100000L): DataFrame = {
+    val ho = Aggregates.centsHist(oldOrders, widthCents).withColumnRenamed("c", "c_old")
+    val hn = Aggregates.centsHist(newOrders, widthCents).withColumnRenamed("c", "c_new")
+    // lazy checkpoint: j feeds BOTH the totals and the output — without
+    // it each consumer re-executes the two fact scans (the census
+    // showed 4 scans for a 2-snapshot op)
+    val j = ho.join(hn, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("c_old"), lit(0L)).as("c_old"),
+        coalesce(col("c_new"), lit(0L)).as("c_new"))
+      .localCheckpoint(eager = false)
+    val tot = j.agg(sum(col("c_old")).as("n_old"), sum(col("c_new")).as("n_new"))
+    val po = (col("c_old") + lit(1.0)) / (col("n_old") + lit(1024.0))
+    val pn = (col("c_new") + lit(1.0)) / (col("n_new") + lit(1024.0))
+    j.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("c_old"), col("c_new"),
+        round((pn - po) * log(pn / po) * lit(1e9), 0).cast("bigint").as("psi_units"))
+      .orderBy("bucket")
+  }
+
   /** BENFORD first-significant-digit profile of a monetary column —
     * the classic fabricated-data screen (organic multiplicative values
     * follow P(d) = log10(1 + 1/d); synthesized or tampered columns

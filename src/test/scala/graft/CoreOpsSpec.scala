@@ -186,6 +186,21 @@ class CoreOpsSpec extends SparkSpec {
     assert(t1 === ops.Aggregates.ensureQuantileHist(spark, base, epoch = 3L))
   }
 
+  test("psi drift: zero on identical snapshots, positive and per-term nonnegative under drift") {
+    val o = Tables.orders(spark, sfDir)
+    val same = ops.DataQuality.driftPsi(o, o).collect()
+    assert(same.nonEmpty && same.forall(_.getLong(3) === 0L),
+      "identical snapshots must score zero PSI in every bucket")
+    val drifted = ops.DataQuality.driftPsi(o,
+      o.filter(col("o_orderkey") % 43 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") +
+          when(col("o_orderkey") % 7 === 0, lit(500.0)).otherwise(lit(0.0)))).collect()
+    // each (pn−po)·ln(pn/po) term is mathematically ≥ 0; rounding to
+    // nano-nats can only produce exact zeros, never negatives
+    assert(drifted.forall(_.getLong(3) >= 0L), "PSI contribution went negative")
+    assert(drifted.map(_.getLong(3)).sum > 0L, "perturbed snapshot must register drift")
+  }
+
   test("zscore outliers are sorted by |z| and bounded by the group extremes") {
     val out = ops.DataQuality.outlierZscore(Tables.lineitem(spark, sfDir)).collect()
     assert(out.length === 50)
