@@ -185,9 +185,19 @@ object DataQuality {
     * bucket into integer nano-nats (the dsir micro-nat discipline —
     * one rounding site, identical expression on both engines). */
   def driftPsi(oldOrders: DataFrame, newOrders: DataFrame,
-               widthCents: Long = 100000L): DataFrame = {
-    val ho = Aggregates.centsHist(oldOrders, widthCents).withColumnRenamed("c", "c_old")
-    val hn = Aggregates.centsHist(newOrders, widthCents).withColumnRenamed("c", "c_new")
+               widthCents: Long = 100000L): DataFrame =
+    driftPsiFromHists(
+      Aggregates.centsHist(oldOrders, widthCents),
+      Aggregates.centsHist(newOrders, widthCents))
+
+  /** [[driftPsi]] from two already-reduced (bucket, c) histograms — the
+    * form that makes the 100 TB claim literal: pass two
+    * [[Aggregates.ensureQuantileHist]] epoch tables and the monitor
+    * never touches a fact row (spec-pinned equal to the recompute
+    * form; counts are integers so the equality is exact). */
+  def driftPsiFromHists(oldHist: DataFrame, newHist: DataFrame): DataFrame = {
+    val ho = oldHist.withColumnRenamed("c", "c_old")
+    val hn = newHist.withColumnRenamed("c", "c_new")
     // lazy checkpoint: j feeds BOTH the totals and the output — without
     // it each consumer re-executes the two fact scans (the census
     // showed 4 scans for a 2-snapshot op)

@@ -199,6 +199,18 @@ class CoreOpsSpec extends SparkSpec {
     // nano-nats can only produce exact zeros, never negatives
     assert(drifted.forall(_.getLong(3) >= 0L), "PSI contribution went negative")
     assert(drifted.map(_.getLong(3)).sum > 0L, "perturbed snapshot must register drift")
+    // the stored-histogram form never touches a fact row and is exactly
+    // equal: two persisted quantile epochs feed the same monitor
+    val neu = o.filter(col("o_orderkey") % 43 =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice") +
+        when(col("o_orderkey") % 7 === 0, lit(500.0)).otherwise(lit(0.0)))
+    val hOld = spark.table(ops.Aggregates.ensureQuantileHist(spark, o, epoch = 11L))
+    val hNew = spark.table(ops.Aggregates.ensureQuantileHist(spark, neu, epoch = 12L))
+    val viaTables = ops.DataQuality.driftPsiFromHists(hOld, hNew).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(viaTables === drifted.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq,
+      "PSI from stored epoch histograms diverged from the recompute form")
   }
 
   test("zscore outliers are sorted by |z| and bounded by the group extremes") {
