@@ -132,7 +132,8 @@ object Bench {
       "graph_pagerank", "graph_components", "pipeline_dedup_ordered",
       "sim_pq_topk", "graph_triangles", "dedup_semantic",
       "pipeline_dsir_weights", "text_bpe_encode",
-      "join_fuzzy_match", "dedup_substring")
+      "join_fuzzy_match", "dedup_substring",
+      "pipeline_dataset_card", "agg_quantile_rollup")
     val shown = headline.flatMap(k => medians.get(k).map(k -> _))
     val qs = shown.map { case (k, v) => "\"" + k + "\":" + r2d(v) }
       .mkString("{", ",", "}")
