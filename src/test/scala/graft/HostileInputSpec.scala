@@ -396,4 +396,26 @@ class HostileInputSpec extends SparkSpec {
     // the 10k-token outlier (doc 8, kind video) still yields ≤ 4 frames
     assert(fs.filter(_.getLong(0) == 8L).length <= 4)
   }
+
+  test("reporting tier: dataset card on hostile docs; quantile/psi on empty frames") {
+    // the card must absorb null/empty text (coalesced digest + token
+    // count) and a null-quality doc (empty tokens → null q_units: SUM
+    // skips it, n_docs still counts it) without throwing or losing rows
+    val card = TrainingPrep.datasetCard(hostile).collect()
+    assert(card.map(_.getLong(1)).sum === hostile.count())
+    // two identical pairs among 8 docs of one source: 5≡6 (real dups)
+    // AND 1≡2 — null text coalesces to "" for the digest, so a null doc
+    // and an empty doc are the same zero-content document to the card
+    val crawl = card.find(_.getString(0) == "crawl").get
+    assert(crawl.getDouble(3) === math.floor(2.0 / 8 * 1e4 + 0.5) / 1e4, crawl)
+    // quantile machinery on an EMPTY order frame: no rows, never a throw
+    val emptyOrders = Seq.empty[(Long, Double)].toDF("o_orderkey", "o_totalprice")
+    assert(ops.Aggregates.quantileRollup(emptyOrders).collect().isEmpty)
+    assert(ops.DataQuality.driftPsi(emptyOrders, emptyOrders).collect().isEmpty)
+    // one-sided drift: an empty old snapshot against real rows still
+    // emits one row per new bucket, every contribution nonnegative
+    val one = Seq((1L, 1000.0), (2L, 250000.0)).toDF("o_orderkey", "o_totalprice")
+    val psi = ops.DataQuality.driftPsi(emptyOrders, one).collect()
+    assert(psi.length === 2 && psi.forall(_.getLong(3) >= 0L))
+  }
 }
