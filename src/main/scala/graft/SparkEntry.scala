@@ -2998,11 +2998,20 @@ object SparkEntry {
      * floor(q_sum/n_docs + 0.5)/1e4 on BOTH sides, so no double
      * re-rounding chain diverges; every integer aggregate CAST BIGINT
      * (the round-6 HUGEINT lesson); dominant-lang tie-break is
-     * (n DESC, lang ASC NULLS LAST), the engine-pinned null order. */
+     * (n DESC, lang ASC NULLS LAST), the engine-pinned null order.
+     * NULL-text parity (review finding r7): digest and word count run
+     * over COALESCE(text, '') — a null doc and an empty doc are the
+     * same zero-content document, mirroring the Spark side — while the
+     * quality units use RAW text (qualityMilliCol(col("text")) yields
+     * NULL on null text; SUM skips it identically on both engines). */
     "pipeline_dataset_card" ->
-      """WITH t AS (SELECT source, lang, md5(text) AS digest, string_split(text,' ') AS tok FROM documents),
+      """WITH t AS (SELECT source, lang,
+        |  md5(COALESCE(text, '')) AS digest,
+        |  string_split(COALESCE(text, ''), ' ') AS tokc,
+        |  string_split(text, ' ') AS tok
+        | FROM documents),
         |p AS (SELECT source, digest,
-        |  CAST(len(tok) AS BIGINT) AS n_words,
+        |  CAST(len(tokc) AS BIGINT) AS n_words,
         |  CAST(floor((CAST(len(list_distinct(tok)) AS DOUBLE)/len(tok)*0.5
         |    + least(CAST(len(tok) AS DOUBLE)/100.0, 1.0)*0.3
         |    + (1.0 - CAST(len(list_filter(tok, x -> x IN ('the','a','of','is'))) AS DOUBLE)/len(tok))*0.2)*1e4 + 0.5) AS BIGINT) AS q_units

@@ -136,22 +136,15 @@ object Bpe {
     * (rank, left, right, pair_count) frame — parameter-sized: nMerges
     * rows — as a warehouse table; returns the table name. */
   def ensureBpeModel(spark: org.apache.spark.sql.SparkSession, documents: DataFrame,
-      epoch: Long = 0L, nMerges: Int = 40, topWords: Int = 2000): String = {
-    val tag = documents.inputFiles.headOption.getOrElse("mem")
-      .replaceAll("[^A-Za-z0-9]", "_")
-    val name = s"text_bpe_model_${tag}_e$epoch"
-    if (!spark.catalog.tableExists(name)) {
-      // in-memory catalog forgets tables across JVMs but the warehouse
-      // files survive — clear an orphan dir before re-creating
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir") + s"/$name")
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) { fs.delete(loc, true); () }
-      bpeTrain(documents, nMerges, topWords)
+      epoch: Long = 0L, nMerges: Int = 40, topWords: Int = 2000): String =
+    // name carries the TRAINING PARAMS too: an epoch-only name would
+    // silently serve a 40-merge model to an 80-merge caller and break
+    // the bit-equality contract (review finding r7)
+    graft.Warehouse.ensure(spark,
+      s"text_bpe_model_${graft.Warehouse.srcTag(documents)}_e${epoch}_m${nMerges}_t$topWords") {
+      name => bpeTrain(documents, nMerges, topWords)
         .write.mode("overwrite").saveAsTable(name)
     }
-    name
-  }
 
   /** [[bpeEncode]] served from the PERSISTED merge model: the encode job
     * plans ZERO training work — no word-count aggregate, no driver merge

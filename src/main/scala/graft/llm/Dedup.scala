@@ -660,21 +660,12 @@ object Dedup {
     * per (source, epoch): the write happens on first call, every later
     * call resolves the existing table. */
   def ensureBandIndex(spark: SparkSession, index: DataFrame,
-                      epoch: Long = 0L, buckets: Int = 8): String = {
-    val name = s"dedup_band_idx_${srcTag(index)}_e$epoch"
-    if (!spark.catalog.tableExists(name)) {
-      // in-memory catalog forgets tables across JVMs but the warehouse
-      // files survive — clear any orphan dir before re-creating
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir") + s"/$name")
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) { fs.delete(loc, true); () }
-      minhashBandTable(index)
+                      epoch: Long = 0L, buckets: Int = 8): String =
+    graft.Warehouse.ensure(spark, s"dedup_band_idx_${srcTag(index)}_e$epoch") {
+      name => minhashBandTable(index)
         .write.bucketBy(buckets, "band", "bs").sortBy("band", "bs")
         .mode("overwrite").saveAsTable(name)
     }
-    name
-  }
 
   /** [[incrementalDedup]] through the PERSISTED index: resolves (or
     * builds, first call per epoch) the bucketed band table and probes

@@ -242,18 +242,8 @@ object Similarity {
     * centroids. */
   def ensureIvfIndex(spark: org.apache.spark.sql.SparkSession, embeddings: DataFrame,
       epoch: Long = 0L, nClusters: Int = 16, iters: Int = 2): String = {
-    val tag = embeddings.inputFiles.headOption.getOrElse("mem")
-      .replaceAll("[^A-Za-z0-9]", "_")
-    val name = s"sim_ivf_idx_${tag}_e$epoch"
-    if (!spark.catalog.tableExists(name)) {
-      // in-memory catalog forgets tables across JVMs but the warehouse
-      // files survive — clear orphan dirs before re-creating
-      for (n <- Seq(name, name + "_model")) {
-        val loc = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir") + s"/$n")
-        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) { fs.delete(loc, true); () }
-      }
+    val base = s"sim_ivf_idx_${graft.Warehouse.srcTag(embeddings)}_e$epoch"
+    graft.Warehouse.ensure(spark, base, companions = Seq(base + "_model")) { name =>
       val vs = doubled(embeddings).localCheckpoint()
       val cents = trainIvfCentroids(vs, nClusters, iters)
       import spark.implicits._
@@ -264,7 +254,6 @@ object Similarity {
         .write.bucketBy(nClusters, "cluster").sortBy("cluster")
         .mode("overwrite").saveAsTable(name)
     }
-    name
   }
 
   /** [[ivfTopK]] served from the PERSISTED epoch: the centroid model is
@@ -442,16 +431,8 @@ object Similarity {
   def ensurePqIndex(spark: org.apache.spark.sql.SparkSession, embeddings: DataFrame,
       epoch: Long = 0L, subspaces: Int = 8, codebookSize: Int = 16,
       iters: Int = 2): String = {
-    val tag = embeddings.inputFiles.headOption.getOrElse("mem")
-      .replaceAll("[^A-Za-z0-9]", "_")
-    val name = s"sim_pq_idx_${tag}_e$epoch"
-    if (!spark.catalog.tableExists(name)) {
-      for (n <- Seq(name, name + "_model")) {
-        val loc = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir") + s"/$n")
-        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) { fs.delete(loc, true); () }
-      }
+    val base = s"sim_pq_idx_${graft.Warehouse.srcTag(embeddings)}_e$epoch"
+    graft.Warehouse.ensure(spark, base, companions = Seq(base + "_model")) { name =>
       val vs = doubled(embeddings).localCheckpoint()
       val cb = trainPqCodebooks(vs, subspaces, codebookSize, iters)
       import spark.implicits._
@@ -461,7 +442,6 @@ object Similarity {
         .write.mode("overwrite").saveAsTable(name + "_model")
       pqEncode(vs, cb).write.mode("overwrite").saveAsTable(name)
     }
-    name
   }
 
   /** [[pqTopk]] served from the PERSISTED epoch: codebooks read from the

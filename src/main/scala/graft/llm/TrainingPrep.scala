@@ -323,19 +323,15 @@ object TrainingPrep {
   /** Persist the DSIR bucket-count model for an epoch (256 rows —
     * model params, the ensureBandIndex artifact discipline). */
   def ensureDsirTable(spark: org.apache.spark.sql.SparkSession, base: DataFrame,
-                      epoch: Long = 0L, targetLang: String = "en"): String = {
-    // keyed by epoch AND target lang: an epoch-only name silently served
-    // one language's bucket model to every target (review finding r6)
-    val name = s"dsir_counts_e${epoch}_$targetLang"
-    if (!spark.catalog.tableExists(name)) {
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir") + s"/$name")
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) { fs.delete(loc, true); () }
-      dsirCounts(base, targetLang).write.mode("overwrite").saveAsTable(name)
+                      epoch: Long = 0L, targetLang: String = "en"): String =
+    // keyed by source tag, epoch AND target lang: an epoch-only name
+    // silently served one language's bucket model to every target
+    // (review finding r6); the tag stops two corpora at the same epoch
+    // from sharing a model (the r7 quantile-hist finding)
+    graft.Warehouse.ensure(spark,
+      s"dsir_counts_${graft.Warehouse.srcTag(base)}_e${epoch}_$targetLang") {
+      name => dsirCounts(base, targetLang).write.mode("overwrite").saveAsTable(name)
     }
-    name
-  }
 
   /** [[dsirWeightsDelta]] through the PERSISTED epoch table — integer
     * fixed-point weights make the equality with the recompute form

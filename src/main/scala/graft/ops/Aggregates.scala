@@ -313,17 +313,15 @@ object Aggregates {
   /** Persist the base histogram for an epoch (bucket-count rows — bounded
     * by value-range/width, the ensureBandIndex artifact discipline). */
   def ensureQuantileHist(spark: org.apache.spark.sql.SparkSession, base: DataFrame,
-                         epoch: Long = 0L, widthCents: Long = 100000L): String = {
-    val name = s"agg_quantile_hist_e${epoch}_w$widthCents"
-    if (!spark.catalog.tableExists(name)) {
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir") + s"/$name")
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) { fs.delete(loc, true); () }
-      centsHist(base, widthCents).write.mode("overwrite").saveAsTable(name)
+                         epoch: Long = 0L, widthCents: Long = 100000L): String =
+    // tagged by source dataset (the sibling ensure* convention — an
+    // untagged name let two base frames at the same epoch share one
+    // histogram, review finding r7); frames DERIVED from the same files
+    // must use distinct epochs (Warehouse.srcTag scaladoc)
+    graft.Warehouse.ensure(spark,
+      s"agg_quantile_hist_${graft.Warehouse.srcTag(base)}_e${epoch}_w$widthCents") {
+      name => centsHist(base, widthCents).write.mode("overwrite").saveAsTable(name)
     }
-    name
-  }
 
   /** [[quantileDelta]] through the PERSISTED epoch table — integer
     * bucket counts make the equality with the recompute form exact. */

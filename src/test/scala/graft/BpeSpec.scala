@@ -130,11 +130,14 @@ class BpeSpec extends SparkSpec {
     // epoch reuse: second resolve neither retrains nor rewrites
     assert(name === Bpe.ensureBpeModel(spark, documents))
     // the encode job itself plans no aggregate — training work lives
-    // entirely behind the epoch artifact, the encode pass is map-side
+    // entirely behind the epoch artifact, the encode pass is map-side.
+    // PlanWalk, not a plain collect: under AQE executedPlan is an
+    // AdaptiveSparkPlanExec LEAF and collect would see nothing (review
+    // finding r7 — the assertion was vacuously green)
     import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
     val enc = Bpe.bpeEncodePersisted(spark, documents)
     enc.collect()
-    val nAgg = enc.queryExecution.executedPlan.collect {
+    val nAgg = PlanWalk.allNodes(enc.queryExecution.executedPlan).collect {
       case a: HashAggregateExec => a
       case a: ObjectHashAggregateExec => a
       case a: SortAggregateExec => a

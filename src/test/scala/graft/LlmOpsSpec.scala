@@ -949,8 +949,10 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     // integer fixed-point weights → the equality is exact, not approximate
     assert(persisted === recomputed && persisted.nonEmpty)
-    // model table keyed by epoch AND target lang
-    assert(spark.catalog.tableExists("dsir_counts_e7_en"))
+    // model table keyed by source tag, epoch AND target lang (r7:
+    // the tag stops two corpora at one epoch sharing a model)
+    val name = TrainingPrep.ensureDsirTable(spark, documents, epoch = 7L)
+    assert(name.endsWith("_e7_en") && spark.catalog.tableExists(name))
   }
 
   test("substring dedup: exact copies carry dup_share 1.0, uniques 0, near-dups in between") {
