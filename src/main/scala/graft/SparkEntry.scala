@@ -234,6 +234,9 @@ object SparkEntry {
     // fixed-budget per-group sample: k smallest md5(doc_id) per lang,
     // partial WindowGroupLimit below the exchange (plan-gated)
     "sample_reservoir_group" -> ((s, d) => Aggregates.reservoirByGroup(Tables.documents(s, d))),
+    // Efraimidis-Spirakis weighted reservoir: k largest ln(u)/w keys per
+    // lang, u from the portable md5 fold, w = n_chars (token-mass-aware)
+    "sample_weighted_reservoir" -> ((s, d) => Aggregates.weightedReservoirByGroup(Tables.documents(s, d))),
     "text_normalize_url" -> ((s, d) => TextAnalysis.normalizeUrls(Tables.documents(s, d))),
     "fn_struct" -> ((s, d) => ScalarFns.structFns(Tables.nation(s, d))),
     "analytics_q3_shipping" -> ((s, d) =>
@@ -2001,6 +2004,22 @@ object SparkEntry {
         | FROM documents)
         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, source FROM r
         |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+    /* sample_weighted_reservoir: u = (fold(md5(key)) + 1)/(P + 1) from
+     * the proven-portable rolling fold; the A-ES key ln(u)/w rounds
+     * ONCE into integer nano-units (ln's last-ulp wobble is the same
+     * accepted class as the dsir/lm_score sites); ties break doc_id. */
+    "sample_weighted_reservoir" ->
+      """WITH f AS (SELECT doc_id, lang, greatest(n_chars, 1) AS weight,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(md5(CAST(doc_id AS VARCHAR)),''), c -> CAST(unicode(c) AS BIGINT))),
+        |    (a,b) -> (a*31+b)%1000000007) AS fp
+        | FROM documents),
+        |ky AS (SELECT doc_id, lang, weight,
+        |  CAST(round(ln((fp + 1.0) / 1000000008.0) / weight * 1e9, 0) AS BIGINT) AS key_units FROM f),
+        |r AS (SELECT lang, doc_id, weight, key_units,
+        |  row_number() OVER (PARTITION BY lang ORDER BY key_units DESC, doc_id ASC) AS rk FROM ky)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, weight, key_units
+        |FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
     "text_normalize_url" ->
       """WITH u AS (SELECT doc_id,
         |  'HTTPS://Docs.Example.COM/' || lang || '/item/' || doc_id ||

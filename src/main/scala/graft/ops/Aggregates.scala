@@ -174,6 +174,33 @@ object Aggregates {
       .orderBy("lang", "rk")
   }
 
+  /** WEIGHTED reservoir per group — Efraimidis & Spirakis (IPL 2006)
+    * A-ES: each row draws key u^(1/w) and the k LARGEST keys per stratum
+    * form an exact weighted-without-replacement sample. Expressed in
+    * logs (ln(u)/w — monotone in u^(1/w), no overflow for tiny u), with
+    * u derived DETERMINISTICALLY from the portable rolling fold of
+    * md5(doc_id) (the house sampler rule: retried tasks, re-runs and
+    * other engines draw the SAME sample). Weight = n_chars floored at 1
+    * — longer documents proportionally likelier, the token-mass-aware
+    * subsampling shape a training mix actually uses. The transcendental
+    * key rounds ONCE per row into integer nano-units (the dsir
+    * discipline) and ties break on doc_id; same PARTIAL
+    * WindowGroupLimit scale shape as [[reservoirByGroup]] — every
+    * mapper ships at most k rows per group it touches. */
+  def weightedReservoirByGroup(documents: DataFrame, k: Int = 20): DataFrame = {
+    val fp = graft.functions.TextExprs.rollingFingerprint(md5(col("doc_id").cast("string")))
+    val u = (fp.cast("double") + lit(1.0)) / lit(1000000008.0) // fold ∈ [0, 1e9+7) → u ∈ (0, 1]
+    val wgt = greatest(col("n_chars"), lit(1L))
+    val w = Window.partitionBy(col("lang")).orderBy(col("key_units").desc, col("doc_id").asc)
+    documents
+      .withColumn("key_units", round(log(u) / wgt.cast("double") * lit(1e9), 0).cast("long"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"),
+        wgt.as("weight"), col("key_units"))
+      .orderBy("lang", "rk")
+  }
+
   /** Stratified deterministic sampling over `documents`: a different
     * key-mod rate per stratum — downsample the dominant language (en →
     * 20%) while keeping half of everything else. The training-data

@@ -186,6 +186,36 @@ class CoreOpsSpec extends SparkSpec {
     assert(t1 === ops.Aggregates.ensureQuantileHist(spark, base, epoch = 3L))
   }
 
+  test("weighted reservoir: matches a brute-force A-ES recomputation; bias toward heavy rows") {
+    val documents = Tables.documents(spark, sfDir)
+    val got = ops.Aggregates.weightedReservoirByGroup(documents).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // brute-force recomputation of the A-ES keys in plain Scala
+    val P = 1000000007L
+    def fold(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % P)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = documents.select("doc_id", "lang", "n_chars").collect()
+      .map { r =>
+        val (id, lang, nc) = (r.getLong(0), r.getString(1), r.getLong(2))
+        val w = math.max(nc, 1L)
+        val u = (fold(md5hex(id.toString)) + 1.0) / 1000000008.0
+        val key = math.round(math.log(u) / w * 1e9)
+        (lang, id, w, key)
+      }
+    val expect = rows.groupBy(_._1).iterator.flatMap { case (lang, rs) =>
+      rs.sortBy(t => (-t._4, t._2)).take(20).zipWithIndex
+        .map { case ((l, id, w, key), i) => (l, (i + 1).toLong, id, w, key) }
+    }.toSet
+    assert(got.toSet === expect, "weighted reservoir diverged from brute-force A-ES")
+    // bias law: the drawn sample's mean weight exceeds the corpus mean —
+    // weighting by n_chars must actually tilt the draw toward heavy docs
+    val sampleMean = got.map(_._4).sum.toDouble / got.length
+    val corpusMean = rows.map(_._3).sum.toDouble / rows.length
+    assert(sampleMean > corpusMean, s"sample mean $sampleMean ≤ corpus mean $corpusMean")
+  }
+
   test("psi drift: zero on identical snapshots, positive and per-term nonnegative under drift") {
     val o = Tables.orders(spark, sfDir)
     val same = ops.DataQuality.driftPsi(o, o).collect()
