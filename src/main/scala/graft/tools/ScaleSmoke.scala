@@ -244,6 +244,21 @@ object ScaleSmoke {
         .reduce(_ unionByName _).localCheckpoint()
       val nOrd = repOrd.count()
       time(s"quantile_rollup_ord$nOrd")(graft.ops.Aggregates.quantileRollup(repOrd))
+      // the epoch contrast: a FIXED 1× delta against the factor-grown
+      // base. The persisted path reads the bounded stored histogram +
+      // the delta (≈ FLAT in factor); the recompute twin rescans the
+      // grown base (≈ linear). Base histogram built untimed — it is
+      // the once-per-epoch write-time cost.
+      val delta = orders
+        .withColumn("o_orderkey", col("o_orderkey") + lit(900000000000L))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(500.0))
+        .localCheckpoint()
+      val nDelta = delta.count()
+      graft.ops.Aggregates.ensureQuantileHist(spark, repOrd, epoch = 9000L + factor)
+      time(s"quantile_delta_persisted_base${nOrd}_delta$nDelta")(
+        graft.ops.Aggregates.quantileDeltaPersisted(spark, repOrd, delta, epoch = 9000L + factor))
+      time(s"quantile_delta_recompute_base${nOrd}_delta$nDelta")(
+        graft.ops.Aggregates.quantileDelta(repOrd, delta))
       spark.stop()
       return
     }
