@@ -366,6 +366,15 @@ object SparkEntry {
       val c = Tables.customer(s, d)
       DataQuality.snapshotDrift(Snapshots.oldSnapshot(c), Snapshots.newSnapshot(c))
     }),
+    // two-sample KS drift over the same snapshots: max CDF gap in exact
+    // cross-multiplied integers, divided once for the reported D
+    "dq_drift_ks" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      DataQuality.driftKs(o,
+        o.filter(col("o_orderkey") % 43 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") +
+            when(col("o_orderkey") % 7 === 0, lit(500.0)).otherwise(lit(0.0))))
+    }),
     // per-bucket PSI drift between order snapshots over the quantile
     // tier's shared fixed boundaries (new = drop %43, +500.00 on %7)
     "dq_drift_psi" -> ((s, d) => {
@@ -2787,6 +2796,33 @@ object SparkEntry {
          |   (CAST(t_o AS DOUBLE) * CAST(t_n AS DOUBLE)) * 0.5 AS tvd
          | FROM js CROSS JOIN ts GROUP BY t_o, t_n)
          |SELECT * FROM ra UNION ALL SELECT * FROM rs ORDER BY "column"""".stripMargin,
+    /* dq_drift_ks: same bucket CTEs as dq_drift_psi; D's numerator is
+     * exact integer cross-multiplication (cum_old·n_new − cum_new·n_old
+     * in DECIMAL(38,0) on the Spark side, HUGEINT arithmetic kept
+     * INTERNAL here — only the once-divided rounded double and BIGINTs
+     * reach the output), tie-break min bucket. */
+    "dq_drift_ks" ->
+      """WITH ob AS (SELECT CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS BIGINT) // 100000 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS c_old FROM orders GROUP BY 1),
+        |newt AS (SELECT o_totalprice + CASE WHEN o_orderkey % 7 = 0 THEN 500.0 ELSE 0.0 END AS o_totalprice
+        | FROM orders WHERE o_orderkey % 43 <> 0),
+        |nb AS (SELECT CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS BIGINT) // 100000 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS c_new FROM newt GROUP BY 1),
+        |j AS (SELECT bucket, CAST(COALESCE(c_old, 0) AS BIGINT) AS c_old,
+        |  CAST(COALESCE(c_new, 0) AS BIGINT) AS c_new
+        | FROM ob FULL OUTER JOIN nb USING (bucket)),
+        |t AS (SELECT CAST(SUM(c_old) AS BIGINT) AS n_old, CAST(SUM(c_new) AS BIGINT) AS n_new FROM j),
+        |cum AS (SELECT a.bucket AS bucket, CAST(SUM(b.c_old) AS BIGINT) AS cum_old,
+        |  CAST(SUM(b.c_new) AS BIGINT) AS cum_new
+        | FROM j a JOIN j b ON b.bucket <= a.bucket GROUP BY a.bucket),
+        |g AS (SELECT bucket, abs(CAST(cum_old AS DECIMAL(38,0)) * n_new
+        |   - CAST(cum_new AS DECIMAL(38,0)) * n_old) AS gap, n_old, n_new
+        | FROM cum CROSS JOIN t),
+        |d AS (SELECT n_old, n_new, MAX(gap) AS d_num FROM g GROUP BY n_old, n_new)
+        |SELECT floor(CAST(d_num AS DOUBLE) / (CAST(d.n_old AS DOUBLE) * CAST(d.n_new AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ks_d,
+        | CAST(MIN(bucket) AS BIGINT) AS at_bucket, d.n_old AS n_old, d.n_new AS n_new
+        |FROM d JOIN g ON g.gap = d.d_num
+        |GROUP BY d.n_old, d.n_new, d_num""".stripMargin,
     /* dq_drift_psi: both snapshots reduce to the quantile tier's fixed
      * cents buckets; smoothed shares with the FIXED +1/+1024 constants;
      * the (pn−po)·ln(pn/po) contribution rounds ONCE per bucket into

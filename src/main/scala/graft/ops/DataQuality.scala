@@ -215,6 +215,51 @@ object DataQuality {
       .orderBy("bucket")
   }
 
+  /** Two-sample KOLMOGOROV–SMIRNOV drift statistic between order
+    * snapshots over the shared histogram boundaries — the third drift
+    * lens beside [[snapshotDrift]]'s TVD (total mass moved) and
+    * [[driftPsi]]'s per-bucket attribution: KS is the LARGEST gap
+    * between the two cumulative distributions, the statistic that
+    * catches a location/scale shift even when per-bucket masses barely
+    * move. Exactness: D is computed entirely in integers by
+    * cross-multiplication — D_num = max|cum_old·n_new − cum_new·n_old|
+    * over bucket boundaries, carried in DECIMAL(38,0) (cum·n can reach
+    * ~10¹⁸·10⁹) — and divided ONCE at the end for the reported double;
+    * no per-bucket floating point at all, so the oracle equality is
+    * exact, not rounded. Output: one row — D (rounded), the arg-max
+    * boundary bucket, and both sample sizes. The cumulative is the
+    * bounded-frame triangular join, the [[Aggregates.quantileRollup]]
+    * discipline. */
+  def driftKs(oldOrders: DataFrame, newOrders: DataFrame,
+              widthCents: Long = 100000L): DataFrame = {
+    val ho = Aggregates.centsHist(oldOrders, widthCents).withColumnRenamed("c", "c_old")
+    val hn = Aggregates.centsHist(newOrders, widthCents).withColumnRenamed("c", "c_new")
+    val j = ho.join(hn, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("c_old"), lit(0L)).as("c_old"),
+        coalesce(col("c_new"), lit(0L)).as("c_new"))
+      .localCheckpoint(eager = false)
+    val tot = j.agg(sum(col("c_old")).as("n_old"), sum(col("c_new")).as("n_new"))
+    val cum = j.as("a")
+      .join(j.as("b"), col("b.bucket") <= col("a.bucket"))
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(sum(col("b.c_old")).as("cum_old"), sum(col("b.c_new")).as("cum_new"))
+    val gap = (col("cum_old").cast("decimal(38,0)") * col("n_new").cast("decimal(38,0)")
+      - col("cum_new").cast("decimal(38,0)") * col("n_old").cast("decimal(38,0)"))
+    val gaps = cum.crossJoin(broadcast(tot))
+      .select(col("bucket"), abs(gap).as("gap"), col("n_old"), col("n_new"))
+      .localCheckpoint(eager = false)
+    val dmax = gaps.groupBy(col("n_old"), col("n_new")).agg(max(col("gap")).as("d_num"))
+    // arg-max boundary, deterministic tie-break to the smallest bucket
+    dmax.join(gaps.select(col("bucket"), col("gap")), col("gap") === col("d_num"))
+      .groupBy(col("n_old"), col("n_new"), col("d_num"))
+      .agg(min(col("bucket")).as("at_bucket"))
+      .select(
+        (floor(col("d_num").cast("double")
+          / (col("n_old").cast("double") * col("n_new").cast("double")) * 1e6 + 0.5) / 1e6).as("ks_d"),
+        col("at_bucket"), col("n_old"), col("n_new"))
+  }
+
   /** BENFORD first-significant-digit profile of a monetary column —
     * the classic fabricated-data screen (organic multiplicative values
     * follow P(d) = log10(1 + 1/d); synthesized or tampered columns

@@ -243,6 +243,33 @@ class CoreOpsSpec extends SparkSpec {
       "PSI from stored epoch histograms diverged from the recompute form")
   }
 
+  test("ks drift: zero on identical snapshots; matches a brute-force CDF-gap recompute") {
+    val o = Tables.orders(spark, sfDir)
+    val same = ops.DataQuality.driftKs(o, o).collect()
+    assert(same.length === 1 && same(0).getDouble(0) === 0.0)
+    val neu = o.filter(col("o_orderkey") % 43 =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice") +
+        when(col("o_orderkey") % 7 === 0, lit(500.0)).otherwise(lit(0.0)))
+    val got = ops.DataQuality.driftKs(o, neu).collect()(0)
+    // brute force: exact integer cumulative gap over the same buckets
+    def buckets(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select((col("o_totalprice") * 100).cast("decimal(18,0)").cast("long").as("c"))
+        .collect().map(_.getLong(0) / 100000L).groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    val (bo, bn) = (buckets(o), buckets(neu))
+    val all = (bo.keySet ++ bn.keySet).toSeq.sorted
+    val (nOld, nNew) = (bo.values.sum, bn.values.sum)
+    var (cumO, cumN) = (0L, 0L)
+    var best = BigInt(0); var at = Long.MaxValue
+    all.foreach { b =>
+      cumO += bo.getOrElse(b, 0L); cumN += bn.getOrElse(b, 0L)
+      val gap = (BigInt(cumO) * nNew - BigInt(cumN) * nOld).abs
+      if (gap > best) { best = gap; at = b }
+    }
+    val expD = math.floor(best.toDouble / (nOld.toDouble * nNew.toDouble) * 1e6 + 0.5) / 1e6
+    assert(got.getDouble(0) === expD && got.getDouble(0) > 0.0, got)
+    assert(got.getLong(1) === at && got.getLong(2) === nOld && got.getLong(3) === nNew, got)
+  }
+
   test("zscore outliers are sorted by |z| and bounded by the group extremes") {
     val out = ops.DataQuality.outlierZscore(Tables.lineitem(spark, sfDir)).collect()
     assert(out.length === 50)
