@@ -458,6 +458,9 @@ object SparkEntry {
     // link-graph centrality in fixed-point integer arithmetic — the
     // iterative-algorithm tier's oracle-checkable representative
     "graph_pagerank" -> ((s, d) => graft.ops.Graph.pagerank(Tables.documents(s, d))),
+    // deterministic LPA communities: 3 synchronous rounds, mode-of-
+    // neighbor labels, ties to the smallest label (oracle: unrolled CTEs)
+    "graph_label_propagation" -> ((s, d) => graft.ops.Graph.labelPropagation(Tables.documents(s, d))),
     // pagerank with dangling-mass redistribution over a graph that HAS
     // dangling hosts (dst residues escape the src set) — mass conserved
     // up to floor loss, GraphSpec pins the no-op law on clean graphs
@@ -630,6 +633,29 @@ object SparkEntry {
        |SELECT nodes.node, a3.a AS auth_units, h3.h AS hub_units
        |FROM nodes JOIN a3 ON a3.node = nodes.node JOIN h3 ON h3.node = nodes.node
        |ORDER BY nodes.node""".stripMargin
+  }
+
+  /** graph_label_propagation: the deterministic-LPA rounds unrolled —
+    * same undirected self-loop-free edge CTE as the Spark side, per
+    * round a (node, label) vote count and a (cnt DESC, label ASC)
+    * row_number top-1, isolated nodes coalescing to their own id. */
+  private val lpaOracleSql: String = {
+    def round(i: Int): String = {
+      val prev = s"l${i - 1}"
+      s"""v$i AS (SELECT e.dst AS node, l.label AS label, count(*) AS cnt
+         | FROM e JOIN $prev l ON l.node = e.src GROUP BY 1, 2),
+         |a$i AS (SELECT node, label,
+         |  row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rk FROM v$i),
+         |l$i AS (SELECT n.node, COALESCE(a.label, n.node) AS label
+         | FROM nodes n LEFT JOIN (SELECT node, label FROM a$i WHERE rk = 1) a ON a.node = n.node)""".stripMargin
+    }
+    s"""WITH e0 AS (SELECT DISTINCT doc_id % 200 AS src, (doc_id * 31 + doc_id // 7) % 200 AS dst FROM documents),
+       |e AS (SELECT src, dst FROM e0 WHERE src <> dst
+       | UNION SELECT dst AS src, src AS dst FROM e0 WHERE src <> dst),
+       |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e0 UNION ALL SELECT dst AS node FROM e0) u),
+       |l0 AS (SELECT node, node AS label FROM nodes),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT node, CAST(label AS BIGINT) AS label FROM l3 ORDER BY node""".stripMargin
   }
 
   private val pagerankOracleSql: String = {
@@ -1239,6 +1265,7 @@ object SparkEntry {
     "dedup_containment_prefix" -> containmentOracleSql,
     "pipeline_dedup_ordered" -> orderedDedupOracleSql,
     "graph_pagerank" -> pagerankOracleSql,
+    "graph_label_propagation" -> lpaOracleSql,
     "graph_pagerank_dangling" -> pagerankDanglingOracleSql,
     "graph_hits" -> hitsOracleSql,
     /* graph_degree_stats: same edge-synthesis CTE as pagerank/hits; the

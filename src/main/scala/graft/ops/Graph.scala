@@ -414,4 +414,53 @@ object Graph {
             + expr("(85 * (coalesce(inc, cast(0 as bigint)) + (dm div n))) div 100")).as("rank"))
     }
   }
+
+  /** COMMUNITY DETECTION by label propagation (Raghavan et al. 2007),
+    * made deterministic and hence oracle-checkable: synchronous rounds
+    * over the UNDIRECTED link graph, each node adopting the most
+    * frequent label among its neighbors with ties broken to the
+    * SMALLEST label (classic LPA breaks ties randomly — useless for a
+    * cross-engine contract), isolated nodes keeping their own id. A
+    * FIXED round count (3, the pagerank discipline) rather than
+    * convergence detection: "labels after R synchronous rounds" is a
+    * well-defined function of the graph, which is what a differential
+    * oracle can mirror as unrolled CTEs.
+    *
+    * Scale shape per round: one edge→label join (labels frame is
+    * node-sized — broadcast at these node counts, co-keyed shuffle at
+    * web scale), one (node, label) count aggregate, one window top-1
+    * with PARTIAL WindowGroupLimit. Node-bounded exchanges; rounds are
+    * lazily checkpointed like the pagerank loop. Contrast with
+    * [[components]]: CC answers "connected at all"; LPA's mode-of-
+    * neighbors dynamics split dense regions apart even inside one
+    * component — the community structure a crawl curator caps on. */
+  def labelPropagation(documents: DataFrame, rounds: Int = 3,
+                       nNodes: Int = 200): DataFrame = {
+    val (edges, nodes) = linkGraph(documents, nNodes)
+    // undirected view, self-loops dropped: a self-loop lets a node vote
+    // for its own label and freezes the dynamics
+    val und = edges.filter(col("src") =!= col("dst"))
+      .union(edges.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      val votes = und
+        .join(labels.select(col("node").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node")).orderBy(col("cnt").desc, col("label").asc)
+      val adopted = votes
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("node"), col("label").as("new_label"))
+      labels = labels.select(col("node"))
+        .join(adopted, Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("new_label"), col("node")).as("label"))
+        .localCheckpoint(eager = false)
+    }
+    labels.orderBy("node")
+  }
 }

@@ -252,4 +252,36 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(plain === flagged)
   }
+
+  test("graph_label_propagation matches an in-memory deterministic LPA") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = ops.Graph.labelPropagation(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // in-memory reference: same synthesis, 3 synchronous rounds,
+    // mode-of-neighbor labels with ties to the smallest label
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSeq
+    val e0 = ids.map(id => (id % 200, (id * 31 + id / 7) % 200)).distinct
+    val und = e0.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, (e._2, e._1))).distinct
+    val nodes = (e0.map(_._1) ++ e0.map(_._2)).distinct
+    val neigh = und.groupBy(_._2).map { case (d, es) => d -> es.map(_._1) }
+    var labels = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      labels = nodes.map { n =>
+        neigh.get(n) match {
+          case Some(ns) =>
+            val counts = ns.map(labels).groupBy(identity)
+              .map { case (l, xs) => (l, xs.size) }
+            n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+          case None => n -> labels(n)
+        }
+      }.toMap
+    }
+    assert(got === labels, s"first mismatches: ${
+      got.collect { case (k, v) if labels(k) != v => (k, v, labels(k)) }.take(3)}")
+    // the dynamics must actually form communities: fewer labels than
+    // nodes, more than one (an all-same answer would hide a join bug)
+    val k = got.values.toSet.size
+    assert(k > 1 && k < nodes.size, s"$k communities over ${nodes.size} nodes")
+  }
 }
