@@ -246,6 +246,18 @@ object SparkEntry {
         Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "agg_topk_sketch" -> ((s, d) => Aggregates.topkSketchByBucket(Tables.events(s, d))),
     "agg_hll_rollup" -> ((s, d) => Aggregates.hllDailyRollup(Tables.events(s, d))),
+    // sketch-tier epoch: stored per-day HLLs ∪ a derived next-day delta
+    // (new + returning users); exempt — CoreOpsSpec pins exact equality
+    // with the full recompute (HLL union is deterministic)
+    "agg_hll_delta" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Aggregates.hllDelta(s, ev,
+        ev.filter(col("event_id") % 5 === 0)
+          .withColumn("ts", col("ts") + expr("INTERVAL 30 DAYS"))
+          .withColumn("user_id",
+            when(col("event_id") % 2 === 0, col("user_id") + 5000000L)
+              .otherwise(col("user_id"))))
+    }),
     "join_asof_tolerance" -> ((s, d) => Joins.asOfTolerance(Tables.events(s, d), Tables.orders(s, d))),
     "fn_bitwise" -> ((s, d) => ScalarFns.bitwiseFns(Tables.part(s, d))),
     "agg_arg_max" -> ((s, d) => Aggregates.argMaxMin(Tables.customer(s, d))),

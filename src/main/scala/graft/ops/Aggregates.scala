@@ -136,6 +136,40 @@ object Aggregates {
       .crossJoin(events.agg(countDistinct(col("user_id")).as("exact_users")))
   }
 
+  /** The sketch tier's EPOCH form — [[hllDailyRollup]]'s stored half:
+    * per-day HLL sketches persisted once per epoch (binary column in a
+    * warehouse table, one row per day — the materialized granularity),
+    * so any later rollup or INCREMENTAL update merges stored sketches
+    * instead of rescanning events. HLL union is deterministic and
+    * lossless w.r.t. sketch state (union of sketches ≡ sketch of the
+    * union), so the delta path's estimate is spec-pinned EXACTLY equal
+    * to a full recompute — the quantile-histogram epoch discipline
+    * applied to the one summary family whose state isn't exact counts. */
+  def ensureHllDaily(spark: org.apache.spark.sql.SparkSession, events: DataFrame,
+                     epoch: Long = 0L): String =
+    graft.Warehouse.ensure(spark,
+      s"agg_hll_daily_${graft.Warehouse.srcTag(events)}_e$epoch") {
+      name => events
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+        .write.mode("overwrite").saveAsTable(name)
+    }
+
+  /** Incremental distinct-users estimate: stored per-day sketches ∪ a
+    * delta batch's fresh sketches → one union-merge. The 100 TB story:
+    * the historical corpus contributes |days| sketch rows, never raw
+    * events. Returns (n_slices, est_users). */
+  def hllDelta(spark: org.apache.spark.sql.SparkSession, events: DataFrame,
+               delta: DataFrame, epoch: Long = 0L): DataFrame = {
+    val stored = spark.table(ensureHllDaily(spark, events, epoch))
+    val fresh = delta
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+    stored.unionByName(fresh).agg(
+      count(lit(1)).as("n_slices"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+  }
+
   /** Heavy-hitter sketch aggregation: top-3 event types per user bucket
     * via the SpaceSaving `TypedImperativeAggregate`
     * (graft.functions.SpaceSavingTopK) — bounded O(capacity) state per

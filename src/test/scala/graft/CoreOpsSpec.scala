@@ -38,6 +38,7 @@ class CoreOpsSpec extends SparkSpec {
       "sim_ivf_persisted", "sim_pq_persisted",       // ANN epoch artifacts; equality+plan gated
       "sim_pq_topk",                                 // PQ-quantized ANN, recall + determinism gated
       "agg_hll_rollup",                              // HLL union estimate, 5%-gated above
+      "agg_hll_delta",                               // sketch epoch; exact-equality gate below
       // text_fingerprint regained its oracle in round 2: the fold now runs
       // over code points, expressible as DuckDB list_reduce
       // scan_csv_malformed left the exempt list in round 6: the per-class
@@ -241,6 +242,29 @@ class CoreOpsSpec extends SparkSpec {
     assert(viaTables === drifted.map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq,
       "PSI from stored epoch histograms diverged from the recompute form")
+  }
+
+  test("hll delta: stored-sketch union estimate EXACTLY equals the full recompute") {
+    val ev = Tables.events(spark, sfDir)
+    val delta = ev.filter(col("event_id") % 5 === 0)
+      .withColumn("ts", col("ts") + expr("INTERVAL 30 DAYS"))
+      .withColumn("user_id",
+        when(col("event_id") % 2 === 0, col("user_id") + 5000000L)
+          .otherwise(col("user_id")))
+    val viaEpoch = ops.Aggregates.hllDelta(spark, ev, delta, epoch = 21L).collect()(0)
+    // full recompute: one sketch pass over base ∪ delta at the same
+    // granularity — HLL union is deterministic, so equality is exact
+    val full = ev.select("ts", "user_id").unionByName(delta.select("ts", "user_id"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+      .agg(count(lit(1)).as("n"), hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect()(0)
+    assert(viaEpoch.getLong(0) === full.getLong(0), "slice count diverged")
+    assert(viaEpoch.getLong(1) === full.getLong(1),
+      s"epoch-path estimate ${viaEpoch.getLong(1)} != recompute ${full.getLong(1)}")
+    // epoch reuse: second resolve serves the stored table
+    val t1 = ops.Aggregates.ensureHllDaily(spark, ev, epoch = 21L)
+    assert(t1 === ops.Aggregates.ensureHllDaily(spark, ev, epoch = 21L))
   }
 
   test("ks drift: zero on identical snapshots; matches a brute-force CDF-gap recompute") {
