@@ -382,19 +382,13 @@ object SparkEntry {
     // cross-multiplied integers, divided once for the reported D
     "dq_drift_ks" -> ((s, d) => {
       val o = Tables.orders(s, d)
-      DataQuality.driftKs(o,
-        o.filter(col("o_orderkey") % 43 =!= 0)
-          .withColumn("o_totalprice", col("o_totalprice") +
-            when(col("o_orderkey") % 7 === 0, lit(500.0)).otherwise(lit(0.0))))
+      DataQuality.driftKs(o, Snapshots.perturbedOrders(o))
     }),
     // per-bucket PSI drift between order snapshots over the quantile
     // tier's shared fixed boundaries (new = drop %43, +500.00 on %7)
     "dq_drift_psi" -> ((s, d) => {
       val o = Tables.orders(s, d)
-      DataQuality.driftPsi(o,
-        o.filter(col("o_orderkey") % 43 =!= 0)
-          .withColumn("o_totalprice", col("o_totalprice") +
-            when(col("o_orderkey") % 7 === 0, lit(500.0)).otherwise(lit(0.0))))
+      DataQuality.driftPsi(o, Snapshots.perturbedOrders(o))
     }),
     "pipeline_quality_filter" -> ((s, d) => TrainingPrep.qualityFilter(Tables.documents(s, d))),
     "pipeline_quality_mix" -> ((s, d) => TrainingPrep.qualityMix(Tables.documents(s, d))),

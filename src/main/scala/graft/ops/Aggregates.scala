@@ -127,9 +127,7 @@ object Aggregates {
     * exact_users); the estimate is sketch-derived so the query is
     * oracle-exempt — CoreOpsSpec gates est within 5% of exact. */
   def hllDailyRollup(events: DataFrame): DataFrame = {
-    val daily = events
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+    val daily = dailySketches(events)
     daily.agg(
       count(lit(1)).as("n_days"),
       hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
@@ -145,29 +143,37 @@ object Aggregates {
     * union), so the delta path's estimate is spec-pinned EXACTLY equal
     * to a full recompute — the quantile-histogram epoch discipline
     * applied to the one summary family whose state isn't exact counts. */
+  /** The ONE per-day sketch expression every HLL site shares (rollup,
+    * epoch store, delta) — the exact-equality law depends on stored and
+    * fresh sketches using the same lgK, so the constant is named and
+    * the expression exists once. */
+  private val HllLgK = 14
+  private[graft] def dailySketches(df: DataFrame): DataFrame =
+    df.groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), HllLgK).as("sk"))
+
   def ensureHllDaily(spark: org.apache.spark.sql.SparkSession, events: DataFrame,
                      epoch: Long = 0L): String =
     graft.Warehouse.ensure(spark,
       s"agg_hll_daily_${graft.Warehouse.srcTag(events)}_e$epoch") {
-      name => events
-        .groupBy(to_date(col("ts")).as("day"))
-        .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
-        .write.mode("overwrite").saveAsTable(name)
+      name => dailySketches(events).write.mode("overwrite").saveAsTable(name)
     }
 
   /** Incremental distinct-users estimate: stored per-day sketches ∪ a
-    * delta batch's fresh sketches → one union-merge. The 100 TB story:
-    * the historical corpus contributes |days| sketch rows, never raw
-    * events. Returns (n_slices, est_users). */
+    * delta batch's fresh sketches, re-merged PER DAY first (a delta
+    * re-delivering part of an already-stored day folds into that day's
+    * sketch rather than double-counting a slice — the normal append
+    * case), then one global union. The 100 TB story: the historical
+    * corpus contributes |days| sketch rows, never raw events. Returns
+    * (n_days, est_users). */
   def hllDelta(spark: org.apache.spark.sql.SparkSession, events: DataFrame,
                delta: DataFrame, epoch: Long = 0L): DataFrame = {
     val stored = spark.table(ensureHllDaily(spark, events, epoch))
-    val fresh = delta
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
-    stored.unionByName(fresh).agg(
-      count(lit(1)).as("n_slices"),
-      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+    stored.unionByName(dailySketches(delta))
+      .groupBy("day").agg(hll_union_agg(col("sk")).as("sk"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
   }
 
   /** Heavy-hitter sketch aggregation: top-3 event types per user bucket

@@ -456,7 +456,10 @@ object Graph {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("node"), col("label").as("new_label"))
-      labels = labels.select(col("node"))
+      // anchor every round to the ONE checkpointed nodes frame (labels
+      // carries exactly the node set, so re-deriving it from the prior
+      // round's output would be the same set by a longer lineage)
+      labels = nodes
         .join(adopted, Seq("node"), "left_outer")
         .select(col("node"), coalesce(col("new_label"), col("node")).as("label"))
         .localCheckpoint(eager = false)

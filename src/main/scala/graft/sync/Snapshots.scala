@@ -14,6 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object Snapshots {
 
+  /** The drift-monitor pair's "new" ORDERS snapshot (dq_drift_psi /
+    * dq_drift_ks and their tests share this one derivation so the
+    * registry, oracle and specs can never drift apart): drop keys
+    * ≡0 (mod 43), bump o_totalprice by 500.00 for keys ≡0 (mod 7).
+    * Mirrored verbatim in both drift oracles. */
+  def perturbedOrders(orders: DataFrame): DataFrame =
+    orders
+      .filter(col("o_orderkey") % 43 =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice") +
+        when(col("o_orderkey") % 7 === 0, lit(500.0)).otherwise(lit(0.0)))
+
   /** Canonical string-domain snapshot: (slno, name, acctbal, segment). */
   def oldSnapshot(customer: DataFrame): DataFrame =
     customer

@@ -223,18 +223,14 @@ class CoreOpsSpec extends SparkSpec {
     assert(same.nonEmpty && same.forall(_.getLong(3) === 0L),
       "identical snapshots must score zero PSI in every bucket")
     val drifted = ops.DataQuality.driftPsi(o,
-      o.filter(col("o_orderkey") % 43 =!= 0)
-        .withColumn("o_totalprice", col("o_totalprice") +
-          when(col("o_orderkey") % 7 === 0, lit(500.0)).otherwise(lit(0.0)))).collect()
+      graft.sync.Snapshots.perturbedOrders(o)).collect()
     // each (pn−po)·ln(pn/po) term is mathematically ≥ 0; rounding to
     // nano-nats can only produce exact zeros, never negatives
     assert(drifted.forall(_.getLong(3) >= 0L), "PSI contribution went negative")
     assert(drifted.map(_.getLong(3)).sum > 0L, "perturbed snapshot must register drift")
     // the stored-histogram form never touches a fact row and is exactly
     // equal: two persisted quantile epochs feed the same monitor
-    val neu = o.filter(col("o_orderkey") % 43 =!= 0)
-      .withColumn("o_totalprice", col("o_totalprice") +
-        when(col("o_orderkey") % 7 === 0, lit(500.0)).otherwise(lit(0.0)))
+    val neu = graft.sync.Snapshots.perturbedOrders(o)
     val hOld = spark.table(ops.Aggregates.ensureQuantileHist(spark, o, epoch = 11L))
     val hNew = spark.table(ops.Aggregates.ensureQuantileHist(spark, neu, epoch = 12L))
     val viaTables = ops.DataQuality.driftPsiFromHists(hOld, hNew).collect()
@@ -265,15 +261,25 @@ class CoreOpsSpec extends SparkSpec {
     // epoch reuse: second resolve serves the stored table
     val t1 = ops.Aggregates.ensureHllDaily(spark, ev, epoch = 21L)
     assert(t1 === ops.Aggregates.ensureHllDaily(spark, ev, epoch = 21L))
+    // overlap robustness (the normal append case): a delta re-delivering
+    // a subset of already-stored days folds into those days' sketches —
+    // slice count stays the distinct-day count, and since the subset's
+    // registers are pointwise ≤ the stored day's, the estimate is
+    // EXACTLY the base-only estimate
+    val overlap = ev.filter(col("event_id") % 7 === 0)
+    val viaOverlap = ops.Aggregates.hllDelta(spark, ev, overlap, epoch = 21L).collect()(0)
+    val nDays = ev.select(to_date(col("ts"))).distinct().count()
+    assert(viaOverlap.getLong(0) === nDays, "overlapping delta double-counted a day slice")
+    val baseOnly = ops.Aggregates.hllDailyRollup(ev).collect()(0).getLong(1)
+    assert(viaOverlap.getLong(1) === baseOnly,
+      s"subset delta changed the estimate: ${viaOverlap.getLong(1)} vs $baseOnly")
   }
 
   test("ks drift: zero on identical snapshots; matches a brute-force CDF-gap recompute") {
     val o = Tables.orders(spark, sfDir)
     val same = ops.DataQuality.driftKs(o, o).collect()
     assert(same.length === 1 && same(0).getDouble(0) === 0.0)
-    val neu = o.filter(col("o_orderkey") % 43 =!= 0)
-      .withColumn("o_totalprice", col("o_totalprice") +
-        when(col("o_orderkey") % 7 === 0, lit(500.0)).otherwise(lit(0.0)))
+    val neu = graft.sync.Snapshots.perturbedOrders(o)
     val got = ops.DataQuality.driftKs(o, neu).collect()(0)
     // brute force: exact integer cumulative gap over the same buckets
     def buckets(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
