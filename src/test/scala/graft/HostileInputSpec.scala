@@ -417,5 +417,31 @@ class HostileInputSpec extends SparkSpec {
     val one = Seq((1L, 1000.0), (2L, 250000.0)).toDF("o_orderkey", "o_totalprice")
     val psi = ops.DataQuality.driftPsi(emptyOrders, one).collect()
     assert(psi.length === 2 && psi.forall(_.getLong(3) >= 0L))
+    // KS on empty frames: no rows, never a throw
+    assert(ops.DataQuality.driftKs(emptyOrders, emptyOrders).collect().isEmpty)
+  }
+
+  test("lpa and weighted reservoir survive degenerate inputs") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    // LPA on an empty corpus: no edges, no nodes, no rows — no throw
+    val emptyDocs = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(ops.Graph.labelPropagation(emptyDocs).collect().isEmpty)
+    // one doc → a single 2-node edge (7→18). A synchronous-LPA pair
+    // OSCILLATES — each node adopts the other's label every round, the
+    // textbook bipartite behavior — and the fixed odd round count makes
+    // the swapped state the deterministic answer, not a hang
+    val oneDoc = Seq((7L, "x", "en", "crawl", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val lone = ops.Graph.labelPropagation(oneDoc).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lone === Map(7L -> 18L, 18L -> 7L), lone)
+    // weighted reservoir on the hostile corpus: zero-length docs weight
+    // floors at 1 (ln(u)/0 would be -Inf), every row keeps a finite key,
+    // and no stratum exceeds k
+    val wr = ops.Aggregates.weightedReservoirByGroup(hostile, k = 3).collect()
+    assert(wr.nonEmpty && wr.forall(_.getLong(3) >= 1L), "weight floor violated")
+    assert(wr.groupBy(_.getString(0)).values.forall(_.length <= 3))
   }
 }

@@ -431,6 +431,18 @@ class StreamingSpec extends SparkSpec {
       val rollup = graft.ops.Aggregates.quantileRollup(orders).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
       assert(fromState === rollup, "state read-off diverged from batch rollup")
+      // streaming DRIFT MONITORING falls out of the same state: the
+      // running histogram feeds driftPsiFromHists against a stored
+      // baseline epoch, and must equal the batch monitor exactly
+      val baseline = graft.sync.Snapshots.perturbedOrders(orders)
+      val hBase = spark.table(
+        graft.ops.Aggregates.ensureQuantileHist(spark, baseline, epoch = 31L))
+      val viaStream = graft.ops.DataQuality
+        .driftPsiFromHists(hBase, spark.table("qhist"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val viaBatch = graft.ops.DataQuality.driftPsi(baseline, orders)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(viaStream === viaBatch, "streaming-state PSI diverged from the batch monitor")
     } finally query.stop()
   }
 }
