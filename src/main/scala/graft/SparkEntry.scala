@@ -519,6 +519,9 @@ object SparkEntry {
     // tokenizer served from the PERSISTED merge-model epoch: zero
     // training work on the encode path (BpeSpec pins equality + reuse)
     "text_bpe_encode_persisted" -> ((s, d) => graft.llm.Bpe.bpeEncodePersisted(s, Tables.documents(s, d))),
+    // per-lang tokenizer fertility (BPE tokens/word) from the persisted
+    // model — exempt (BPE-derived); BpeSpec pins an in-memory recompute
+    "text_bpe_fertility" -> ((s, d) => graft.llm.Bpe.bpeFertility(s, Tables.documents(s, d))),
     // co-citation host similarity with the in-degree cap (the df-cap
     // rule applied to the link graph)
     "graph_neighbor_jaccard" -> ((s, d) => graft.ops.Graph.neighborJaccard(Tables.documents(s, d))),

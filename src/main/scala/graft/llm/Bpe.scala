@@ -162,4 +162,37 @@ object Bpe {
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
     encodeWith(documents, merges)
   }
+
+  /** Per-language tokenizer FERTILITY from the persisted model — the
+    * metric every tokenizer paper reports per language (mT5, XLM-R,
+    * GPT-2 analyses): mean BPE tokens per word, plus code points per
+    * BPE token. A merge table trained on an English-heavy dict
+    * compresses English well and fragments the tail languages — high
+    * fertility = that language pays more context budget per word, the
+    * number a vocab-allocation decision runs on. Integer-ratio outputs
+    * rounded once (1e-4); one encode pass + a lang-keyed rollup. */
+  def bpeFertility(spark: org.apache.spark.sql.SparkSession, documents: DataFrame,
+      epoch: Long = 0L, nMerges: Int = 40, topWords: Int = 2000): DataFrame = {
+    val name = ensureBpeModel(spark, documents, epoch, nMerges, topWords)
+    val merges = spark.table(name).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val tok = TextOps.tokens(coalesce(col("text"), lit("")))
+    documents
+      .withColumn("bpe", graft.functions.BpeExprs.bpeEncode(tok, merges))
+      .select(col("lang"),
+        size(tok).cast("long").as("n_words"),
+        size(col("bpe")).cast("long").as("n_bpe"),
+        coalesce(length(col("text")).cast("long"), lit(0L)).as("n_cp"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("words"),
+        sum(col("n_bpe")).as("bpe_tokens"),
+        sum(col("n_cp")).as("code_points"))
+      .withColumn("fertility",
+        floor(col("bpe_tokens").cast("double") / col("words") * 1e4 + 0.5) / 1e4)
+      .withColumn("cp_per_token",
+        floor(col("code_points").cast("double") / col("bpe_tokens") * 1e4 + 0.5) / 1e4)
+      .orderBy("lang")
+  }
 }

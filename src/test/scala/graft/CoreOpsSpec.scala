@@ -49,6 +49,7 @@ class CoreOpsSpec extends SparkSpec {
       "mm_audio_windows",                            // WAV decode-derived, synthesis law gated in LlmOpsSpec
       "text_bpe_train", "text_bpe_encode",           // iterative merge loop not SQL-expressible, gated in BpeSpec
       "text_bpe_encode_persisted",                   // epoch artifact; equality+reuse+plan gated in BpeSpec
+      "text_bpe_fertility",                          // BPE-derived; BpeSpec recompute gate
       "dedup_semantic_trained")                      // Lloyd float training, gated in LlmOpsSpec
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt
     assert(missing.isEmpty, s"query without oracle and not exempt: $missing")
