@@ -333,21 +333,16 @@ object Graph {
     * localCheckpoint lineage truncation elsewhere: local checkpoints
     * die with executors; a warehouse table does not). */
   def ensureRankTable(spark: org.apache.spark.sql.SparkSession, documents: DataFrame,
-      epoch: Long = 0L, iters: Int = 3, nNodes: Int = 200, buckets: Int = 8): String = {
-    val name = s"graph_ranks_e$epoch"
-    if (!spark.catalog.tableExists(name)) {
-      // in-memory catalog forgets tables across JVMs but the warehouse
-      // files survive — clear any orphan dir before re-creating
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir") + s"/$name")
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) { fs.delete(loc, true); () }
-      pagerank(documents, iters, nNodes)
+      epoch: Long = 0L, iters: Int = 3, nNodes: Int = 200, buckets: Int = 8): String =
+    // tagged + param-keyed like every Warehouse artifact (r7 review
+    // class): an epoch-only name would serve one corpus's ranks — or
+    // one (iters, nNodes) setting's — to every caller at that epoch
+    graft.Warehouse.ensure(spark,
+      s"graph_ranks_${graft.Warehouse.srcTag(documents)}_e${epoch}_i${iters}_n$nNodes") {
+      name => pagerank(documents, iters, nNodes)
         .write.bucketBy(buckets, "node").sortBy("node")
         .mode("overwrite").saveAsTable(name)
     }
-    name
-  }
 
   /** Resume iterations from the PERSISTED epoch table. Fixed-point
     * arithmetic makes the resume exact: k persisted + m resumed

@@ -107,7 +107,9 @@ class GraphSpec extends SparkSpec {
       epoch = 991L, iters = 2, moreIters = 1).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaTable === three)
-    assert(spark.catalog.tableExists("graph_ranks_e991"))
+    // tagged + param-keyed name (r7 review class), still epoch-stable
+    val name = ops.Graph.ensureRankTable(spark, docs, epoch = 991L, iters = 2)
+    assert(name.endsWith("_e991_i2_n200") && spark.catalog.tableExists(name))
   }
 
   test("graph_triangles matches an in-memory enumeration and sees real triangles") {
