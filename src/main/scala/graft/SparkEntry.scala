@@ -390,6 +390,16 @@ object SparkEntry {
       val o = Tables.orders(s, d)
       DataQuality.driftPsi(o, Snapshots.perturbedOrders(o))
     }),
+    // the SAME KS statistic served from two PERSISTED quantile-histogram
+    // epochs (r8): the monitor never touches a fact row — integer bucket
+    // counts make the equality with the recompute form exact, so the
+    // oracle SQL is dq_drift_ks's verbatim
+    "dq_drift_ks_persisted" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      DataQuality.driftKsFromHists(
+        s.table(Aggregates.ensureQuantileHist(s, o, epoch = 8201L)),
+        s.table(Aggregates.ensureQuantileHist(s, Snapshots.perturbedOrders(o), epoch = 8202L)))
+    }),
     "pipeline_quality_filter" -> ((s, d) => TrainingPrep.qualityFilter(Tables.documents(s, d))),
     "pipeline_quality_mix" -> ((s, d) => TrainingPrep.qualityMix(Tables.documents(s, d))),
     "pipeline_pack_sequences" -> ((s, d) => TrainingPrep.packSequences(Tables.documents(s, d))),
@@ -823,6 +833,35 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (sketches, hash-derived ops)
     * are gated by ScalaTest instead. */
+  /* dq_drift_ks (+ its persisted-epoch twin — bit-equal serve, one
+   * oracle): same bucket CTEs as dq_drift_psi; D's numerator is exact
+   * integer cross-multiplication (cum_old·n_new − cum_new·n_old in
+   * DECIMAL(38,0) on the Spark side, HUGEINT arithmetic kept INTERNAL
+   * here — only the once-divided rounded double and BIGINTs reach the
+   * output), tie-break min bucket. */
+  private val driftKsOracleSql: String =
+    """WITH ob AS (SELECT CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS BIGINT) // 100000 AS bucket,
+      |  CAST(count(*) AS BIGINT) AS c_old FROM orders GROUP BY 1),
+      |newt AS (SELECT o_totalprice + CASE WHEN o_orderkey % 7 = 0 THEN 500.0 ELSE 0.0 END AS o_totalprice
+      | FROM orders WHERE o_orderkey % 43 <> 0),
+      |nb AS (SELECT CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS BIGINT) // 100000 AS bucket,
+      |  CAST(count(*) AS BIGINT) AS c_new FROM newt GROUP BY 1),
+      |j AS (SELECT bucket, CAST(COALESCE(c_old, 0) AS BIGINT) AS c_old,
+      |  CAST(COALESCE(c_new, 0) AS BIGINT) AS c_new
+      | FROM ob FULL OUTER JOIN nb USING (bucket)),
+      |t AS (SELECT CAST(SUM(c_old) AS BIGINT) AS n_old, CAST(SUM(c_new) AS BIGINT) AS n_new FROM j),
+      |cum AS (SELECT a.bucket AS bucket, CAST(SUM(b.c_old) AS BIGINT) AS cum_old,
+      |  CAST(SUM(b.c_new) AS BIGINT) AS cum_new
+      | FROM j a JOIN j b ON b.bucket <= a.bucket GROUP BY a.bucket),
+      |g AS (SELECT bucket, abs(CAST(cum_old AS DECIMAL(38,0)) * n_new
+      |   - CAST(cum_new AS DECIMAL(38,0)) * n_old) AS gap, n_old, n_new
+      | FROM cum CROSS JOIN t),
+      |d AS (SELECT n_old, n_new, MAX(gap) AS d_num FROM g GROUP BY n_old, n_new)
+      |SELECT floor(CAST(d_num AS DOUBLE) / (CAST(d.n_old AS DOUBLE) * CAST(d.n_new AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ks_d,
+      | CAST(MIN(bucket) AS BIGINT) AS at_bucket, d.n_old AS n_old, d.n_new AS n_new
+      |FROM d JOIN g ON g.gap = d.d_num
+      |GROUP BY d.n_old, d.n_new, d_num""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "scan_parquet" ->
       "SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity",
@@ -2832,33 +2871,11 @@ object SparkEntry {
          |   (CAST(t_o AS DOUBLE) * CAST(t_n AS DOUBLE)) * 0.5 AS tvd
          | FROM js CROSS JOIN ts GROUP BY t_o, t_n)
          |SELECT * FROM ra UNION ALL SELECT * FROM rs ORDER BY "column"""".stripMargin,
-    /* dq_drift_ks: same bucket CTEs as dq_drift_psi; D's numerator is
-     * exact integer cross-multiplication (cum_old·n_new − cum_new·n_old
-     * in DECIMAL(38,0) on the Spark side, HUGEINT arithmetic kept
-     * INTERNAL here — only the once-divided rounded double and BIGINTs
-     * reach the output), tie-break min bucket. */
-    "dq_drift_ks" ->
-      """WITH ob AS (SELECT CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS BIGINT) // 100000 AS bucket,
-        |  CAST(count(*) AS BIGINT) AS c_old FROM orders GROUP BY 1),
-        |newt AS (SELECT o_totalprice + CASE WHEN o_orderkey % 7 = 0 THEN 500.0 ELSE 0.0 END AS o_totalprice
-        | FROM orders WHERE o_orderkey % 43 <> 0),
-        |nb AS (SELECT CAST(CAST(o_totalprice * 100 AS DECIMAL(18,0)) AS BIGINT) // 100000 AS bucket,
-        |  CAST(count(*) AS BIGINT) AS c_new FROM newt GROUP BY 1),
-        |j AS (SELECT bucket, CAST(COALESCE(c_old, 0) AS BIGINT) AS c_old,
-        |  CAST(COALESCE(c_new, 0) AS BIGINT) AS c_new
-        | FROM ob FULL OUTER JOIN nb USING (bucket)),
-        |t AS (SELECT CAST(SUM(c_old) AS BIGINT) AS n_old, CAST(SUM(c_new) AS BIGINT) AS n_new FROM j),
-        |cum AS (SELECT a.bucket AS bucket, CAST(SUM(b.c_old) AS BIGINT) AS cum_old,
-        |  CAST(SUM(b.c_new) AS BIGINT) AS cum_new
-        | FROM j a JOIN j b ON b.bucket <= a.bucket GROUP BY a.bucket),
-        |g AS (SELECT bucket, abs(CAST(cum_old AS DECIMAL(38,0)) * n_new
-        |   - CAST(cum_new AS DECIMAL(38,0)) * n_old) AS gap, n_old, n_new
-        | FROM cum CROSS JOIN t),
-        |d AS (SELECT n_old, n_new, MAX(gap) AS d_num FROM g GROUP BY n_old, n_new)
-        |SELECT floor(CAST(d_num AS DOUBLE) / (CAST(d.n_old AS DOUBLE) * CAST(d.n_new AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ks_d,
-        | CAST(MIN(bucket) AS BIGINT) AS at_bucket, d.n_old AS n_old, d.n_new AS n_new
-        |FROM d JOIN g ON g.gap = d.d_num
-        |GROUP BY d.n_old, d.n_new, d_num""".stripMargin,
+    // see driftKsOracleSql for the KS CTE notes; the persisted-epoch
+    // serve is exactly equal to the recompute (integer bucket counts;
+    // spec-pinned), so both keys share one oracle
+    "dq_drift_ks_persisted" -> driftKsOracleSql,
+    "dq_drift_ks" -> driftKsOracleSql,
     /* dq_drift_psi: both snapshots reduce to the quantile tier's fixed
      * cents buckets; smoothed shares with the FIXED +1/+1024 constants;
      * the (pn−po)·ln(pn/po) contribution rounds ONCE per bucket into

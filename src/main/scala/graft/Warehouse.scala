@@ -1,45 +1,181 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** The one implementation of the persisted EPOCH-ARTIFACT resolution
   * every `ensure*` builder shares (band index, IVF/PQ indexes, BPE merge
-  * model, DSIR counts, quantile histogram): if the table is already in
-  * the catalog, serve it; otherwise clear any ORPHANED warehouse
-  * directory first (the in-memory catalog forgets tables across JVMs but
-  * the warehouse files survive — `saveAsTable` would refuse or, worse,
-  * append over the corpse) and run the builder's write. Centralized
-  * because the orphan-cleanup subtlety was copy-pasted five times and a
-  * fix to it (e.g. the lowercase normalization below) must hold
-  * everywhere at once.
+  * model, DSIR counts, quantile histogram, daily HLL, pagerank epochs):
+  * if the table is already in the catalog, serve it; otherwise clear any
+  * ORPHANED warehouse directory first (the in-memory catalog forgets
+  * tables across JVMs but the warehouse files survive — `saveAsTable`
+  * would refuse or, worse, append over the corpse) and run the builder's
+  * write. Centralized because the orphan-cleanup subtlety was
+  * copy-pasted five times and a fix to it (e.g. the lowercase
+  * normalization below) must hold everywhere at once.
   *
   * Identifier case: `saveAsTable` lowercases the on-disk directory, so
   * the orphan delete must target the LOWERCASED path or a mixed-case
   * artifact name would clean the wrong (nonexistent) directory and trip
   * over the real corpse at write time. `ensure` normalizes the whole
-  * name instead, so catalog name and directory always agree. */
+  * name instead, so catalog name and directory always agree.
+  *
+  * INTEGRITY (r8): resolve-by-name alone silently serves a STALE
+  * artifact when a caller derives a NEW frame from the SAME files
+  * without bumping the epoch — the srcTag-collision trap the old
+  * scaladoc could only warn about. `ensure` now records a build-time
+  * fingerprint of the SOURCE frame in a `<name>_meta` companion —
+  * (a) the canonicalized logical plan (catches a different DERIVATION
+  * of the same files: filters, column edits, different corpus mix) and
+  * (b) the input files' (path, length, mtime) statuses (catches the
+  * same path REWRITTEN in place) — and re-derives both at serve time,
+  * failing loudly on mismatch. Both fingerprints are metadata-only:
+  * zero data scanned on the serve path, so the check is free at 100 TB.
+  * The meta row also stores a CONTENT fingerprint of the artifact
+  * itself (row count + order-independent decimal-summed xxhash64 —
+  * the clustersFromPairs trick) for [[verifyContent]], the on-demand
+  * deep check a maintenance job runs against bit-rot; it scans the
+  * artifact, so it is not on the serve path by default.
+  */
 object Warehouse {
 
   /** First-input-file tag for artifact names: ties the artifact to its
     * source dataset so two datasets at the same epoch can never serve
     * each other's artifact. NOTE: frames DERIVED from the same files
     * (filters, column edits) share a tag — distinct derivations need
-    * distinct epochs, which is what the epoch parameter is for. */
+    * distinct epochs; since r8 `ensure` FAILS the serve on a srcTag
+    * collision instead of silently serving the stale artifact. */
   def srcTag(df: DataFrame): String =
     df.inputFiles.headOption.getOrElse("mem")
       .replaceAll("[^A-Za-z0-9]", "_").toLowerCase
 
+  /** Metadata-only source fingerprints: (derivation, file-status).
+    * The derivation half hashes the CANONICALIZED analyzed plan —
+    * expression ids are normalized, so two independently-built frames
+    * with the same derivation agree, while any filter/column/mix change
+    * differs. The file half hashes every input file's (path, length,
+    * modification time) — an in-place rewrite of the same path changes
+    * it without reading a byte of data. Frames with no files (e.g. a
+    * localCheckpoint) fingerprint as "mem" + their plan identity. */
+  private[graft] def sourceFingerprint(spark: SparkSession, df: DataFrame): (String, String) = {
+    val planFp = fp(df.queryExecution.analyzed.canonicalized.toString)
+    val files = df.inputFiles.sorted
+    val filesFp =
+      if (files.isEmpty) "mem"
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        fp(files.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val st = p.getFileSystem(conf).getFileStatus(p)
+          s"$f:${st.getLen}:${st.getModificationTime}"
+        }.mkString("\n"))
+      }
+    (planFp, filesFp)
+  }
+
+  private def fp(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Order-independent artifact content fingerprint: (row count,
+    * Σ xxhash64(all columns cast to string) carried in DECIMAL(38,0) so
+    * the sum never wraps differently across partitionings). One scan of
+    * the ARTIFACT (bounded: epoch artifacts are parameter- or
+    * bucket-sized) — used at build time and by [[verifyContent]]. */
+  private[graft] def contentFingerprint(df: DataFrame): (Long, String) = {
+    val cols = df.columns.sorted.map(c => col(c).cast("string"))
+    val r = df
+      .select(xxhash64(cols: _*).cast("decimal(38,0)").as("h"))
+      .agg(count(lit(1)), sum(col("h"))).head()
+    (r.getLong(0),
+      Option(r.getDecimal(1)).map(_.toBigInteger.toString).getOrElse("0"))
+  }
+
   /** Resolve-or-build: returns the (normalized) table name; `write`
     * runs only on first resolution and must create `name` (and any
-    * `companions`, e.g. an index's `<name>_model` table). */
-  def ensure(spark: SparkSession, rawName: String, companions: Seq[String] = Nil)
-            (write: String => Unit): String = {
+    * `companions`, e.g. an index's `<name>_model` table). When the
+    * builder passes its `source` frame, first resolution also writes
+    * the `<name>_meta` fingerprint companion, and every LATER
+    * resolution re-derives the source fingerprints and throws
+    * [[IllegalStateException]] if they differ from what built the
+    * artifact — the loud failure that replaces the silent stale-serve
+    * of an epoch collision. */
+  def ensure(spark: SparkSession, rawName: String, companions: Seq[String] = Nil,
+             source: Option[DataFrame] = None)(write: String => Unit): String = {
     val name = rawName.toLowerCase
+    val metaName = name + "_meta"
     if (!spark.catalog.tableExists(name)) {
-      (name +: companions.map(_.toLowerCase)).foreach(dropOrphanDir(spark, _))
+      (name +: metaName +: companions.map(_.toLowerCase))
+        .foreach(dropOrphanDir(spark, _))
       write(name)
+      source.foreach { df =>
+        val (planFp, filesFp) = sourceFingerprint(spark, df)
+        val (rows, contentFp) = contentFingerprint(spark.table(name))
+        import spark.implicits._
+        Seq((planFp, filesFp, rows, contentFp))
+          .toDF("plan_fp", "files_fp", "built_rows", "content_fp")
+          .write.mode("overwrite").saveAsTable(metaName)
+      }
+    } else source.foreach { df =>
+      if (spark.catalog.tableExists(metaName)) {
+        val m = spark.table(metaName).head()
+        val (planFp, filesFp) = sourceFingerprint(spark, df)
+        if (m.getAs[String]("plan_fp") != planFp)
+          throw new IllegalStateException(
+            s"epoch collision on artifact '$name': the caller's source frame " +
+            s"is a DIFFERENT derivation than the one that built it " +
+            s"(plan fingerprint ${planFp} != stored ${m.getAs[String]("plan_fp")}). " +
+            "Bump the epoch for the new derivation, or pass the original frame.")
+        if (m.getAs[String]("files_fp") != filesFp)
+          throw new IllegalStateException(
+            s"stale artifact '$name': its source files changed on disk since " +
+            "the build (length/mtime mismatch). Rebuild under a new epoch.")
+      }
     }
     name
+  }
+
+  /** On-demand DEEP integrity check: rescan artifact `name` and compare
+    * row count + content hash against the build-time meta row. Throws
+    * on mismatch; no-op (false) when the artifact has no meta (built
+    * before r8 or without a source). This is the maintenance-job tier —
+    * it reads the artifact, so it is deliberately NOT on the serve
+    * path. */
+  def verifyContent(spark: SparkSession, rawName: String): Boolean = {
+    val name = rawName.toLowerCase
+    val metaName = name + "_meta"
+    if (!spark.catalog.tableExists(metaName)) return false
+    val m = spark.table(metaName).head()
+    val (rows, contentFp) = contentFingerprint(spark.table(name))
+    if (rows != m.getAs[Long]("built_rows") || contentFp != m.getAs[String]("content_fp"))
+      throw new IllegalStateException(
+        s"artifact '$name' content drift: built (rows=${m.getAs[Long]("built_rows")}, " +
+        s"fp=${m.getAs[String]("content_fp")}) vs now (rows=$rows, fp=$contentFp)")
+    true
+  }
+
+  /** Epoch retention GC: among catalog tables starting with `prefix`,
+    * parse the epoch from the first `_e<digits>` group after the
+    * prefix, keep the `keepN` HIGHEST epochs, and drop every table (and
+    * its warehouse directory) from older epochs — companions (`_model`,
+    * `_meta`) carry the same epoch substring, so a family's tables live
+    * and die together. Returns the dropped table names (sorted), so a
+    * maintenance job can log exactly what it reclaimed. */
+  def retain(spark: SparkSession, prefix: String, keepN: Int): Seq[String] = {
+    require(keepN >= 1, s"retain keeps at least one epoch, got $keepN")
+    val p = prefix.toLowerCase
+    val epochRe = "_e(\\d+)".r
+    val tagged = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(p))
+      .flatMap { t => epochRe.findFirstMatchIn(t.drop(p.length)).map(m => t -> m.group(1).toLong) }
+    val keep = tagged.map(_._2).distinct.sorted(Ordering[Long].reverse).take(keepN).toSet
+    val doomed = tagged.collect { case (t, e) if !keep(e) => t }.sorted
+    doomed.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      dropOrphanDir(spark, t)
+    }
+    doomed.toSeq
   }
 
   private def dropOrphanDir(spark: SparkSession, name: String): Unit = {

@@ -141,7 +141,8 @@ object Bpe {
     // silently serve a 40-merge model to an 80-merge caller and break
     // the bit-equality contract (review finding r7)
     graft.Warehouse.ensure(spark,
-      s"text_bpe_model_${graft.Warehouse.srcTag(documents)}_e${epoch}_m${nMerges}_t$topWords") {
+      s"text_bpe_model_${graft.Warehouse.srcTag(documents)}_e${epoch}_m${nMerges}_t$topWords",
+      source = Some(documents)) {
       name => bpeTrain(documents, nMerges, topWords)
         .write.mode("overwrite").saveAsTable(name)
     }

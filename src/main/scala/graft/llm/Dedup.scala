@@ -95,12 +95,24 @@ object Dedup {
     * already know their data skip it via the `collapse: Option[Boolean]`
     * hint on the pair cores (orderedDedup passes Some(false) — its
     * stage-2 input is duplicate-free by construction). Plan-only
-    * consumers (PlanDump) pay one sketch scan per dedup key. */
-  private def shouldCollapse(df: DataFrame, key: org.apache.spark.sql.Column): Boolean = {
-    val r = df.agg(count(lit(1)), approx_count_distinct(key)).head()
-    val n = r.getLong(0)
-    n > 0 && (n - r.getLong(1)).toDouble / n > CollapseDupRatio
-  }
+    * consumers (PlanDump) pay one sketch scan per dedup key; PREFER the
+    * explicit hint when you know the corpus, since the probe's ~5%-rsd
+    * sketch can flap either way right at the 0.5 threshold. The result
+    * is memoized per (canonicalized plan, key) per JVM (r8 ADVICE):
+    * three dedup keys share one corpus plan, so a census pass probes
+    * once, not thrice, and repeat plan construction against the same
+    * frame is free; correctness-safe because collapse only trades cost,
+    * never results. */
+  private val collapseProbeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Boolean]()
+  private def shouldCollapse(df: DataFrame, key: org.apache.spark.sql.Column): Boolean =
+    collapseProbeCache.computeIfAbsent(
+      (df.queryExecution.analyzed.canonicalized.hashCode, key.toString),
+      _ => {
+        val r = df.agg(count(lit(1)), approx_count_distinct(key)).head()
+        val n = r.getLong(0)
+        n > 0 && (n - r.getLong(1)).toDouble / n > CollapseDupRatio
+      })
 
   /** Word-3-gram Jaccard near-dup pairs (threshold 0.5). Exact set
     * semantics — no hashing — so it IS oracle-expressible. The self-join
@@ -661,7 +673,8 @@ object Dedup {
     * call resolves the existing table. */
   def ensureBandIndex(spark: SparkSession, index: DataFrame,
                       epoch: Long = 0L, buckets: Int = 8): String =
-    graft.Warehouse.ensure(spark, s"dedup_band_idx_${srcTag(index)}_e$epoch") {
+    graft.Warehouse.ensure(spark, s"dedup_band_idx_${srcTag(index)}_e$epoch",
+        source = Some(index)) {
       name => minhashBandTable(index)
         .write.bucketBy(buckets, "band", "bs").sortBy("band", "bs")
         .mode("overwrite").saveAsTable(name)
@@ -817,12 +830,19 @@ object Dedup {
     * as the single-fold reference. */
   def simhash(corpus: DataFrame, bits: Int = 48): DataFrame =
     // hash each token once (both folds fused in one compiled code-point
-    // pass), then fold the ±1 bit votes per fingerprint bit
-    corpus
-      .withColumn("hs", transform(TextOps.tokens(col("text")),
-        t => graft.functions.TextExprs.rollingFingerprint48(t)))
-      .select(col("doc_id"), simhashVotes(bits).as("fingerprint"))
-      .orderBy("doc_id")
+    // pass), then fold the ±1 bit votes per fingerprint bit.
+    // bits > 48 would read constant-zero vote bits off the 48-bit packed
+    // token hash and silently degrade the fingerprint (r8 ADVICE — the
+    // r7 xxhash64→fingerprint48 move shrank the valid range)
+    {
+      require(bits >= 1 && bits <= 48,
+        s"simhash token hash carries 48 bits; got bits=$bits")
+      corpus
+        .withColumn("hs", transform(TextOps.tokens(col("text")),
+          t => graft.functions.TextExprs.rollingFingerprint48(t)))
+        .select(col("doc_id"), simhashVotes(bits).as("fingerprint"))
+        .orderBy("doc_id")
+    }
 
   /** ORACLE-CHECKED SimHash: the same bit-vote fold over the rolling
     * code-point fingerprint (30 usable bits, fp < 1e9+7 < 2^30) instead of
@@ -831,12 +851,15 @@ object Dedup {
     * the whole fingerprint hash-matches cross-engine. Same shuffle-free
     * per-row plan shape as [[simhash]]; xxhash64 stays the production
     * default (64 bits, better mixing). */
-  def simhashOracle(corpus: DataFrame, bits: Int = 30): DataFrame =
+  def simhashOracle(corpus: DataFrame, bits: Int = 30): DataFrame = {
+    require(bits >= 1 && bits <= 30,
+      s"simhashOracle token hash carries 30 bits (fp < 1e9+7 < 2^30); got bits=$bits")
     corpus
       .withColumn("hs", transform(TextOps.tokens(col("text")),
         t => graft.functions.TextExprs.rollingFingerprint(t)))
       .select(col("doc_id"), simhashVotes(bits).as("fingerprint"))
       .orderBy("doc_id")
+  }
 
   /** Near-dup clustering: connected components over the Jaccard candidate
     * pairs via iterative min-label propagation — the step that turns a

@@ -242,8 +242,12 @@ object Similarity {
     * centroids. */
   def ensureIvfIndex(spark: org.apache.spark.sql.SparkSession, embeddings: DataFrame,
       epoch: Long = 0L, nClusters: Int = 16, iters: Int = 2): String = {
-    val base = s"sim_ivf_idx_${graft.Warehouse.srcTag(embeddings)}_e$epoch"
-    graft.Warehouse.ensure(spark, base, companions = Seq(base + "_model")) { name =>
+    // name carries the TRAINING PARAMS (the ensureBpeModel convention,
+    // review finding r7): an epoch-only name would serve a 16-cluster
+    // assignment table to a 64-cluster caller — wrong buckets, silently
+    val base = s"sim_ivf_idx_${graft.Warehouse.srcTag(embeddings)}_e${epoch}_n${nClusters}_i$iters"
+    graft.Warehouse.ensure(spark, base, companions = Seq(base + "_model"),
+        source = Some(embeddings)) { name =>
       val vs = doubled(embeddings).localCheckpoint()
       val cents = trainIvfCentroids(vs, nClusters, iters)
       import spark.implicits._
@@ -431,8 +435,12 @@ object Similarity {
   def ensurePqIndex(spark: org.apache.spark.sql.SparkSession, embeddings: DataFrame,
       epoch: Long = 0L, subspaces: Int = 8, codebookSize: Int = 16,
       iters: Int = 2): String = {
-    val base = s"sim_pq_idx_${graft.Warehouse.srcTag(embeddings)}_e$epoch"
-    graft.Warehouse.ensure(spark, base, companions = Seq(base + "_model")) { name =>
+    // param-keyed like ensureIvfIndex: a stale codes table under
+    // different (subspaces, codebookSize) would slice sub-blocks at the
+    // wrong subDim in pqTopkPersisted — wrong neighbors, silently
+    val base = s"sim_pq_idx_${graft.Warehouse.srcTag(embeddings)}_e${epoch}_s${subspaces}_c${codebookSize}_i$iters"
+    graft.Warehouse.ensure(spark, base, companions = Seq(base + "_model"),
+        source = Some(embeddings)) { name =>
       val vs = doubled(embeddings).localCheckpoint()
       val cb = trainPqCodebooks(vs, subspaces, codebookSize, iters)
       import spark.implicits._

@@ -329,7 +329,8 @@ object TrainingPrep {
     // (review finding r6); the tag stops two corpora at the same epoch
     // from sharing a model (the r7 quantile-hist finding)
     graft.Warehouse.ensure(spark,
-      s"dsir_counts_${graft.Warehouse.srcTag(base)}_e${epoch}_$targetLang") {
+      s"dsir_counts_${graft.Warehouse.srcTag(base)}_e${epoch}_$targetLang",
+      source = Some(base)) {
       name => dsirCounts(base, targetLang).write.mode("overwrite").saveAsTable(name)
     }
 

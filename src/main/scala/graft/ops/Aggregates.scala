@@ -155,7 +155,8 @@ object Aggregates {
   def ensureHllDaily(spark: org.apache.spark.sql.SparkSession, events: DataFrame,
                      epoch: Long = 0L): String =
     graft.Warehouse.ensure(spark,
-      s"agg_hll_daily_${graft.Warehouse.srcTag(events)}_e$epoch") {
+      s"agg_hll_daily_${graft.Warehouse.srcTag(events)}_e$epoch",
+      source = Some(events)) {
       name => dailySketches(events).write.mode("overwrite").saveAsTable(name)
     }
 
@@ -386,7 +387,8 @@ object Aggregates {
     // histogram, review finding r7); frames DERIVED from the same files
     // must use distinct epochs (Warehouse.srcTag scaladoc)
     graft.Warehouse.ensure(spark,
-      s"agg_quantile_hist_${graft.Warehouse.srcTag(base)}_e${epoch}_w$widthCents") {
+      s"agg_quantile_hist_${graft.Warehouse.srcTag(base)}_e${epoch}_w$widthCents",
+      source = Some(base)) {
       name => centsHist(base, widthCents).write.mode("overwrite").saveAsTable(name)
     }
 

@@ -231,9 +231,22 @@ object DataQuality {
     * bounded-frame triangular join, the [[Aggregates.quantileRollup]]
     * discipline. */
   def driftKs(oldOrders: DataFrame, newOrders: DataFrame,
-              widthCents: Long = 100000L): DataFrame = {
-    val ho = Aggregates.centsHist(oldOrders, widthCents).withColumnRenamed("c", "c_old")
-    val hn = Aggregates.centsHist(newOrders, widthCents).withColumnRenamed("c", "c_new")
+              widthCents: Long = 100000L): DataFrame =
+    driftKsFromHists(
+      Aggregates.centsHist(oldOrders, widthCents),
+      Aggregates.centsHist(newOrders, widthCents))
+
+  /** [[driftKs]] from two already-reduced (bucket, c) histograms — the
+    * stored-epoch entry point shared with [[driftPsiFromHists]]: pass
+    * two [[Aggregates.ensureQuantileHist]] epoch tables and the monitor
+    * never touches a fact row. Counts are integers and D's numerator is
+    * exact integer cross-multiplication, so the equality with the
+    * recompute form is EXACT (spec-pinned), completing the drift
+    * family's epoch symmetry — TVD/PSI/KS all run off the same stored
+    * histogram artifacts at 100 TB. */
+  def driftKsFromHists(oldHist: DataFrame, newHist: DataFrame): DataFrame = {
+    val ho = oldHist.withColumnRenamed("c", "c_old")
+    val hn = newHist.withColumnRenamed("c", "c_new")
     val j = ho.join(hn, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("c_old"), lit(0L)).as("c_old"),

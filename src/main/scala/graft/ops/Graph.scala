@@ -338,7 +338,8 @@ object Graph {
     // class): an epoch-only name would serve one corpus's ranks — or
     // one (iters, nNodes) setting's — to every caller at that epoch
     graft.Warehouse.ensure(spark,
-      s"graph_ranks_${graft.Warehouse.srcTag(documents)}_e${epoch}_i${iters}_n$nNodes") {
+      s"graph_ranks_${graft.Warehouse.srcTag(documents)}_e${epoch}_i${iters}_n$nNodes",
+      source = Some(documents)) {
       name => pagerank(documents, iters, nNodes)
         .write.bucketBy(buckets, "node").sortBy("node")
         .mode("overwrite").saveAsTable(name)

@@ -42,10 +42,11 @@ object IncrementalAgg {
   /** Apply a changeset to a grouped aggregate. `old` is needed only to
     * reconstruct unchanged cells of partially-updated rows (joined on the
     * changed keys — a changeset-sized, not table-sized, join). */
-  def applyToAgg(baseAgg: DataFrame, changes: DataFrame, old: DataFrame): DataFrame = {
-    // NOTE: the changeset feeds multiple branches; pass a persisted
-    // changeset for large inputs (SyncPipeline.sync does) — op-filter
-    // pushdown makes the unpersisted recompute cheap at fixture scale
+  def applyToAgg(baseAgg: DataFrame, changes0: DataFrame, old: DataFrame): DataFrame = {
+    // changeset shared across the four op branches via lazy checkpoint
+    // (same rationale as applyToMinMax — one derivation of the diff
+    // chain, not one per branch)
+    val changes = changes0.localCheckpoint(eager = false)
     // whole-row JSON images ({"name":...,"acctbal":...,"segment":...}) —
     // decoded by field name, null-safely (see SnapshotDiff.rowImage)
     val imgSchema = org.apache.spark.sql.types.StructType(
@@ -103,9 +104,14 @@ object IncrementalAgg {
     *
     * Law (oracle-checked): `applyToMinMax(aggMinMax(old), diff, old) ≡
     * aggMinMax(apply(old, diff))`. */
-  def applyToMinMax(baseAgg: DataFrame, changes: DataFrame, old: DataFrame): DataFrame = {
-    // NOTE: like applyToAgg, persist the changeset upstream for large
-    // inputs; unpersisted, each branch recomputes with op-filter pushdown
+  def applyToMinMax(baseAgg: DataFrame, changes0: DataFrame, old: DataFrame): DataFrame = {
+    // the changeset feeds FIVE branches (inserts, deletes, patches,
+    // changed keys, and — through `updated` — both sides of the affected
+    // set); lazily checkpointed so all of them share ONE derivation of
+    // the diff chain instead of each replanning it (the r7 census showed
+    // 34 exchanges on this key — 2x the next-highest — all of them
+    // re-derived joins of the same old-vs-new diff)
+    val changes = changes0.localCheckpoint(eager = false)
     val imgSchema = org.apache.spark.sql.types.StructType(
       Seq("name", "acctbal", "segment").map(c =>
         org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
@@ -119,6 +125,8 @@ object IncrementalAgg {
     val patches = changes.filter(col("op") === "update")
       .groupBy(col("slno"))
       .agg(map_from_entries(collect_list(struct(col("col"), col("new_val")))).as("patch"))
+    // the patched-row frame feeds three consumers (both affected sides +
+    // newRows) — shared for the same reason as the changeset above
     val updated = old.join(patches, old("slno").cast("long") === patches("slno"))
       .select(
         old("segment").as("old_segment"),
@@ -126,13 +134,16 @@ object IncrementalAgg {
           .otherwise(old("segment")).as("new_segment"),
         when(map_contains_key(col("patch"), "acctbal"), element_at(col("patch"), "acctbal"))
           .otherwise(old("acctbal")).as("new_acctbal"))
+      .localCheckpoint(eager = false)
 
-    // affected groups: old/new side of updates, delete side, insert side
+    // affected groups (changeset-sized), derived ONCE and shared by both
+    // broadcast-join consumers below
     val affected = updated.select(col("old_segment").as("segment"))
       .unionByName(updated.select(col("new_segment").as("segment")))
       .unionByName(deletes.select(col("segment")))
       .unionByName(inserts.select(col("segment")))
       .distinct()
+      .localCheckpoint(eager = false)
 
     // rows of the NEW snapshot that land in an affected group:
     //  - untouched old rows (not updated, not deleted) already there

@@ -57,6 +57,10 @@ object PlanCensus {
       graft.llm.Bpe.ensureBpeModel(spark, Tables.documents(spark, sfDir))
       graft.ops.ScaleJoins.ensureBucketed(spark,
         Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir))
+      val ord = Tables.orders(spark, sfDir)
+      graft.ops.Aggregates.ensureQuantileHist(spark, ord, epoch = 8201L)
+      graft.ops.Aggregates.ensureQuantileHist(spark,
+        graft.sync.Snapshots.perturbedOrders(ord), epoch = 8202L)
       ()
     } catch { case _: Throwable => () }
 

@@ -241,6 +241,23 @@ class CoreOpsSpec extends SparkSpec {
       "PSI from stored epoch histograms diverged from the recompute form")
   }
 
+  test("ks drift: stored-histogram form exactly equals the recompute form") {
+    // the PSI law's missing symmetry (r8): KS now shares the same
+    // stored-histogram entry point, so the whole drift family (TVD via
+    // snapshotDrift, PSI, KS) runs off epoch artifacts — counts are
+    // integers and D is exact integer cross-multiplication, so the
+    // equality is EXACT, not rounded
+    val o = Tables.orders(spark, sfDir)
+    val neu = graft.sync.Snapshots.perturbedOrders(o)
+    def row(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val recompute = row(ops.DataQuality.driftKs(o, neu))
+    val hOld = spark.table(ops.Aggregates.ensureQuantileHist(spark, o, epoch = 13L))
+    val hNew = spark.table(ops.Aggregates.ensureQuantileHist(spark, neu, epoch = 14L))
+    assert(row(ops.DataQuality.driftKsFromHists(hOld, hNew)) === recompute,
+      "KS from stored epoch histograms diverged from the recompute form")
+  }
+
   test("hll delta: stored-sketch union estimate EXACTLY equals the full recompute") {
     val ev = Tables.events(spark, sfDir)
     val delta = ev.filter(col("event_id") % 5 === 0)

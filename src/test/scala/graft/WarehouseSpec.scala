@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Epoch-artifact INTEGRITY + LIFECYCLE laws (r8). The serve-time
+  * fingerprint check and the retention GC are the two halves the
+  * train-once/serve-many tier was missing: resolve-by-name alone
+  * silently served a stale artifact on a srcTag collision (same files,
+  * different derivation, unbumped epoch), and old epochs accumulated
+  * forever. Laws here:
+  *   1. poisoned epoch — same srcTag + same epoch + DIFFERENT derivation
+  *      must FAIL the serve, not serve the stale artifact;
+  *   2. an independently-constructed frame with the SAME derivation
+  *      serves fine (the check keys on canonicalized plans, not object
+  *      identity);
+  *   3. in-place source-file rewrite fails the serve via the
+  *      (path, length, mtime) half of the fingerprint;
+  *   4. verifyContent catches artifact content drift against the
+  *      build-time (rows, Σxxhash64) meta;
+  *   5. retain(prefix, keepN) drops all tables of older epochs —
+  *      companions included — and keeps the newest keepN serving. */
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("poisoned epoch: same files + same epoch + different derivation fails the serve") {
+    val base = Tables.orders(spark, sfDir)
+    ops.Aggregates.ensureQuantileHist(spark, base, epoch = 8101L)
+    // a DERIVED frame shares srcTag (same input files) — pre-r8 this
+    // silently served the stale full-table histogram
+    val derived = base.filter(col("o_orderkey") % 2 === 0)
+    val e = intercept[IllegalStateException] {
+      ops.Aggregates.ensureQuantileHist(spark, derived, epoch = 8101L)
+    }
+    assert(e.getMessage.contains("epoch collision"), e.getMessage)
+    // and the artifact itself is untouched: the ORIGINAL frame still serves
+    val again = ops.Aggregates.ensureQuantileHist(spark, base, epoch = 8101L)
+    assert(spark.table(again).count() > 0)
+  }
+
+  test("same derivation, independently constructed, serves without rebuild") {
+    val t1 = ops.Aggregates.ensureQuantileHist(
+      spark, Tables.orders(spark, sfDir), epoch = 8102L)
+    val before = spark.table(t1).collect().toSet
+    // fresh construction of the same plan — canonicalized equality, not
+    // object identity, is what the fingerprint keys on
+    val t2 = ops.Aggregates.ensureQuantileHist(
+      spark, Tables.orders(spark, sfDir), epoch = 8102L)
+    assert(t1 === t2)
+    assert(spark.table(t2).collect().toSet === before)
+  }
+
+  test("in-place source rewrite fails the serve on the file-status fingerprint") {
+    val path = "/tmp/graft_wh_spec_src"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.mode("overwrite").parquet(path)
+    val name = Warehouse.ensure(spark, "wh_spec_rewrite_e1",
+        source = Some(spark.read.parquet(path))) { n =>
+      spark.read.parquet(path).groupBy(col("v")).count()
+        .write.mode("overwrite").saveAsTable(n)
+    }
+    // rewrite the SAME path with different content (new part files /
+    // lengths / mtimes); the derivation — read parquet at this path —
+    // is unchanged, so only the file half of the fingerprint can catch it
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .write.mode("overwrite").parquet(path)
+    spark.catalog.refreshByPath(path)
+    val e = intercept[IllegalStateException] {
+      Warehouse.ensure(spark, name, source = Some(spark.read.parquet(path))) { n =>
+        fail(s"builder must not run on an existing table $n")
+      }
+    }
+    assert(e.getMessage.contains("stale artifact"), e.getMessage)
+  }
+
+  test("verifyContent: green after build, loud after artifact content drift") {
+    val docs = Tables.documents(spark, sfDir)
+    val name = Warehouse.ensure(spark, "wh_spec_content_e1", source = Some(docs)) { n =>
+      docs.groupBy(col("lang")).count().write.mode("overwrite").saveAsTable(n)
+    }
+    assert(Warehouse.verifyContent(spark, name))
+    // corrupt the artifact in place (meta untouched) — the deep check
+    // must see the (rows, content hash) drift
+    Seq(("xx", 999L)).toDF("lang", "count")
+      .write.mode("overwrite").saveAsTable(name)
+    val e = intercept[IllegalStateException] { Warehouse.verifyContent(spark, name) }
+    assert(e.getMessage.contains("content drift"), e.getMessage)
+  }
+
+  test("retain: older epochs dropped with their companions, newest keepN keep serving") {
+    val src = Tables.nation(spark, sfDir)
+    def build(epoch: Long): String =
+      Warehouse.ensure(spark, s"wh_spec_gc_e$epoch",
+          companions = Seq(s"wh_spec_gc_e${epoch}_model"), source = Some(src)) { n =>
+        src.groupBy(col("n_regionkey")).count().write.mode("overwrite").saveAsTable(n)
+        src.limit(1).write.mode("overwrite").saveAsTable(n + "_model")
+      }
+    val names = Seq(21L, 22L, 23L).map(build)
+    val dropped = Warehouse.retain(spark, "wh_spec_gc", keepN = 2)
+    assert(dropped === Seq("wh_spec_gc_e21", "wh_spec_gc_e21_meta", "wh_spec_gc_e21_model"),
+      s"dropped $dropped")
+    assert(!spark.catalog.tableExists("wh_spec_gc_e21"))
+    assert(!spark.catalog.tableExists("wh_spec_gc_e21_model"))
+    assert(!spark.catalog.tableExists("wh_spec_gc_e21_meta"))
+    // the kept epochs still serve — table readable AND fingerprint-clean
+    Seq(names(1), names(2)).foreach { n =>
+      assert(spark.table(n).count() > 0)
+      assert(Warehouse.verifyContent(spark, n))
+    }
+    // the warehouse directory of the dropped epoch is gone too
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/wh_spec_gc_e21")
+    assert(!loc.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(loc))
+  }
+}
