@@ -195,6 +195,14 @@ final case class JdbcTarget(url: String, table: String,
             }
             st.executeBatch()
             conn.commit()
+          } catch {
+            // the failing pass rolls back AS A UNIT (merge's contract) —
+            // and releases its row locks: an un-rolled-back embedded
+            // connection keeps them and stalls the next reader into a
+            // lock-wait abort instead of surfacing this error
+            case t: Throwable =>
+              try conn.rollback() catch { case _: Throwable => () }
+              throw t
           } finally st.close()
         } finally conn.close()
       }
@@ -204,8 +212,28 @@ final case class JdbcTarget(url: String, table: String,
   /** NOTE: expects a MATERIALIZED `changes` (SyncPipeline persists it
     * before calling merge): the three DML passes are separate actions,
     * and an unmaterialized changeset would be re-derived against the
-    * target table this method is actively mutating. */
-  def merge(spark: SparkSession, merged: DataFrame, changes: DataFrame, key: String): Unit = {
+    * target table this method is actively mutating.
+    *
+    * TRANSACTIONAL CONTRACT (r8, crash-mid-merge laws in PipelineSpec):
+    *  - `atomic = false` (default) is the HALF-APPLY-FAITHFUL mode,
+    *    matching the reference's per-statement error model
+    *    (syncquill.py:86-107 prints and continues — no cross-statement
+    *    transaction exists): each pass (deletes, one per updated
+    *    column, inserts) commits as its own transaction, so a failure
+    *    leaves every EARLIER pass applied, rolls back only the failing
+    *    pass's uncommitted batch, skips later passes, and rethrows.
+    *    Re-running after the fix is safe: the diff against the
+    *    half-applied table yields exactly the remaining ops.
+    *  - `atomic = true` wraps the whole changeset in ONE driver-side
+    *    transaction ([[execAtomic]]): on any failure the target is
+    *    byte-identical to its pre-merge state. Use when the target
+    *    grades consistency over the reference's resume-from-half model.
+    */
+  def merge(spark: SparkSession, merged: DataFrame, changes: DataFrame, key: String): Unit =
+    merge(spark, merged, changes, key, atomic = false)
+
+  def merge(spark: SparkSession, merged: DataFrame, changes: DataFrame, key: String,
+            atomic: Boolean): Unit = {
     val valueCols = merged.columns.filterNot(_ == key).toSeq
     // ONE small aggregate over the (materialized) changeset decides which
     // DML passes run and which columns updates touch. The changeset is
@@ -252,23 +280,68 @@ final case class JdbcTarget(url: String, table: String,
     // quoted (case-sensitive, lowercase) columns, while unquoted names
     // would be uppercased by the SQL parser and not match
     def q(id: String) = "\"" + id + "\""
+    val passes = Seq.newBuilder[(String, DataFrame)]
     if (opCols.exists(_._1 == "delete"))
-      execBatch(withStoredKey(changes.filter(col("op") === "delete"), None),
-        s"DELETE FROM $table WHERE ${q(key)} = ?")
+      passes += s"DELETE FROM $table WHERE ${q(key)} = ?" ->
+        withStoredKey(changes.filter(col("op") === "delete"), None)
     touched.foreach { c =>
-      execBatch(withStoredKey(
-          changes.filter(col("op") === "update" && col("col") === c), Some("new_val")),
-        s"UPDATE $table SET ${q(c)} = ? WHERE ${q(key)} = ?")
+      passes += s"UPDATE $table SET ${q(c)} = ? WHERE ${q(key)} = ?" ->
+        withStoredKey(
+          changes.filter(col("op") === "update" && col("col") === c), Some("new_val"))
     }
     // inserts carry the whole-row JSON image; decode it Spark-side
     if (opCols.exists(_._1 == "insert")) {
       val img = from_json(col("new_val"),
         org.apache.spark.sql.types.StructType(valueCols.map(c =>
           org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType))))
-      execBatch(changes.filter(col("op") === "insert")
-          .select(col("slno") +: valueCols.map(c => img.getField(c).as(c)): _*),
-        s"INSERT INTO $table (${(key +: valueCols).map(q).mkString(", ")}) VALUES (${Seq.fill(valueCols.size + 1)("?").mkString(", ")})")
+      passes += s"INSERT INTO $table (${(key +: valueCols).map(q).mkString(", ")}) VALUES (${Seq.fill(valueCols.size + 1)("?").mkString(", ")})" ->
+        changes.filter(col("op") === "insert")
+          .select(col("slno") +: valueCols.map(c => img.getField(c).as(c)): _*)
     }
+    if (atomic) execAtomic(passes.result())
+    else passes.result().foreach { case (sql, rows) => execBatch(rows, sql) }
+  }
+
+  /** ALL-OR-NOTHING apply: every pass's rows are collected FIRST (the
+    * changeset is the delta path — bounded by contract, never the
+    * corpus; and pulling every Spark read BEFORE the first DML statement
+    * removes the read-cursor-vs-write-lock interleaving by construction,
+    * the same ordering the storedKeys checkpoint buys the per-pass
+    * mode), then executed on ONE driver-side connection in ONE
+    * transaction: any failure rolls the whole changeset back and
+    * rethrows, leaving the target exactly at its pre-merge state
+    * (crash-mid-merge law in PipelineSpec). */
+  private def execAtomic(passes: Seq[(String, DataFrame)]): Unit = {
+    val mat = passes.map { case (sql, df) => (sql, df.collect()) }
+    java.lang.Class.forName(driver)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      try {
+        mat.foreach { case (sql, rows) =>
+          if (rows.nonEmpty) {
+            val st = conn.prepareStatement(sql)
+            try {
+              var n = 0
+              rows.foreach { r =>
+                (0 until r.length).foreach { i =>
+                  st.setString(i + 1, if (r.isNullAt(i)) null else r.get(i).toString)
+                }
+                st.addBatch()
+                n += 1
+                if (n % 500 == 0) { st.executeBatch(); () }
+              }
+              st.executeBatch()
+            } finally st.close()
+          }
+        }
+        conn.commit()
+      } catch {
+        case t: Throwable =>
+          try conn.rollback() catch { case _: Throwable => () }
+          throw t
+      }
+    } finally conn.close()
   }
 
   def truncateLoad(snapshot: DataFrame): Unit = {

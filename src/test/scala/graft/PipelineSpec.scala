@@ -194,6 +194,65 @@ class PipelineSpec extends SparkSpec {
     assert(r2 === SyncPipeline.SyncResult(0, 0, 0, 0))
   }
 
+  test("merge crash mid-apply: default mode half-applies faithfully, atomic mode rolls back") {
+    import graft.sync.JdbcTarget
+    import spark.implicits._
+    // a target with a PRIMARY KEY so a crafted changeset can make the
+    // LAST pass (inserts) fail deterministically mid-merge
+    def freshTarget(db: String): JdbcTarget = {
+      val url = s"jdbc:derby:memory:$db;create=true"
+      java.lang.Class.forName(graft.sync.Connectors.DerbyDriver)
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        st.execute("""CREATE TABLE CRASH_T ("slno" VARCHAR(50) NOT NULL, "name" VARCHAR(50), "seg" VARCHAR(50), PRIMARY KEY ("slno"))""")
+        st.execute("INSERT INTO CRASH_T VALUES ('1', 'one', 'a'), ('2', 'two', 'b'), ('3', 'three', 'c')")
+        st.close()
+      } finally conn.close()
+      JdbcTarget(url, "CRASH_T")
+    }
+    def rows(t: JdbcTarget) = t.read(spark).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val merged = Seq(("x", "y", "z")).toDF("slno", "name", "seg") // schema carrier
+    // delete 3, update 2, then an insert whose key '1' VIOLATES the PK
+    // (still present) — the insert pass runs LAST and fails
+    val poison = Seq(
+      ("delete", 3L, "", """{"name":"three","seg":"c"}""", null: String),
+      ("update", 2L, "name", "two", "two2"),
+      ("insert", 1L, "", null: String, """{"name":"dup","seg":"z"}""")
+    ).toDF("op", "slno", "col", "old_val", "new_val").localCheckpoint()
+
+    // HALF-APPLY contract (reference-faithful, syncquill.py:86-107):
+    // the passes BEFORE the failing insert stay committed, the failing
+    // pass rolls back as a unit, the error propagates
+    val half = freshTarget("synccrash1")
+    intercept[Exception] { half.merge(spark, merged, poison, "slno") }
+    assert(rows(half) === Set(("1", "one", "a"), ("2", "two2", "b")),
+      "default mode must keep the delete+update and lose only the failing insert")
+    // and a re-run after fixing the changeset completes the apply — the
+    // resume-from-half model the reference's error handling implies
+    val remainder = Seq(
+      ("insert", 9L, "", null: String, """{"name":"nine","seg":"z"}""")
+    ).toDF("op", "slno", "col", "old_val", "new_val").localCheckpoint()
+    half.merge(spark, merged, remainder, "slno")
+    assert(rows(half) === Set(("1", "one", "a"), ("2", "two2", "b"), ("9", "nine", "z")))
+
+    // ATOMIC contract: same poison changeset, one transaction — failure
+    // leaves the target byte-identical to its pre-merge state
+    val atomicT = freshTarget("synccrash2")
+    intercept[Exception] { atomicT.merge(spark, merged, poison, "slno", atomic = true) }
+    assert(rows(atomicT) === Set(("1", "one", "a"), ("2", "two", "b"), ("3", "three", "c")),
+      "atomic mode must roll the whole changeset back")
+    // and a clean changeset applies fully through the atomic path
+    val ok = Seq(
+      ("delete", 3L, "", """{"name":"three","seg":"c"}""", null: String),
+      ("update", 2L, "name", "two", "two2"),
+      ("insert", 9L, "", null: String, """{"name":"nine","seg":"z"}""")
+    ).toDF("op", "slno", "col", "old_val", "new_val").localCheckpoint()
+    atomicT.merge(spark, merged, ok, "slno", atomic = true)
+    assert(rows(atomicT) === Set(("1", "one", "a"), ("2", "two2", "b"), ("9", "nine", "z")))
+  }
+
   test("JDBC DML handles op classes larger than the statement batch (500)") {
     import graft.sync.{JdbcTarget, ParquetSource}
     val dir = tmpDir()
