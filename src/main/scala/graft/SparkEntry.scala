@@ -94,6 +94,9 @@ object SparkEntry {
     "fn_date" -> ((s, d) => ScalarFns.dateFns(Tables.orders(s, d))),
     "fn_math" -> ((s, d) => ScalarFns.mathFns(Tables.part(s, d))),
     "fn_array" -> ((s, d) => ScalarFns.arrayFns(Tables.embeddings(s, d))),
+    // grouped-array build (collect_list sorted by line number) + HOF
+    // post-processing — per-entity sequence features (r8)
+    "fn_array_agg" -> ((s, d) => ScalarFns.arrayAggHof(Tables.lineitem(s, d))),
     "fn_conditional" -> ((s, d) => ScalarFns.conditionalFns(Tables.part(s, d))),
     "fn_hash" -> ((s, d) => ScalarFns.hashFns(Tables.part(s, d))),
     "fn_map_json" -> ((s, d) => ScalarFns.mapJsonFns(Tables.events(s, d))),
@@ -153,6 +156,9 @@ object SparkEntry {
     // --- LLM-pipeline: similarity search ---
     "sim_cosine_pairs" -> ((s, d) => Similarity.cosinePairs(Tables.embeddings(s, d))),
     "sim_topk_search" -> ((s, d) => Similarity.topkSearch(Tables.embeddings(s, d))),
+    // max-inner-product scoring (r8): cosine's unnormalized sibling —
+    // the two-tower retrieval objective when norms carry signal
+    "sim_mips_topk" -> ((s, d) => Similarity.mipsTopK(Tables.embeddings(s, d))),
     "sim_quantized_topk" -> ((s, d) => Similarity.quantizedTopk(Tables.embeddings(s, d))),
     "sim_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
@@ -406,6 +412,9 @@ object SparkEntry {
     "join_asof_forward" -> ((s, d) => Joins.asOfForward(Tables.orders(s, d), Tables.events(s, d))),
     "win_time_range_frame" -> ((s, d) => Windows.timeRangeFrame(Tables.events(s, d))),
     "win_funnel_steps" -> ((s, d) => ops.Behavior.funnelSteps(Tables.events(s, d))),
+    // longest consecutive-active-day run per user — gaps-and-islands on
+    // the distinct (user, day) frame, ties to the latest start (r8)
+    "win_streak_days" -> ((s, d) => ops.Behavior.activityStreaks(Tables.events(s, d))),
     "agg_retention_cohort" -> ((s, d) => ops.Behavior.retentionCohort(Tables.events(s, d))),
     "scan_csv_malformed" -> ((s, d) => Scans.scanCsvMalformed(s, Tables.nation(s, d), d)),
     "dq_profile" -> ((s, d) => DataQuality.profile(Tables.lineitem(s, d))),
@@ -477,6 +486,9 @@ object SparkEntry {
     // deterministic LPA communities: 3 synchronous rounds, mode-of-
     // neighbor labels, ties to the smallest label (oracle: unrolled CTEs)
     "graph_label_propagation" -> ((s, d) => graft.ops.Graph.labelPropagation(Tables.documents(s, d))),
+    // single-source BFS hop counts over the link graph: broadcast
+    // frontier rounds, node-bounded state, min-level by anti-join (r8)
+    "graph_bfs_levels" -> ((s, d) => graft.ops.Graph.bfsLevels(Tables.documents(s, d))),
     // pagerank with dangling-mass redistribution over a graph that HAS
     // dangling hosts (dst residues escape the src set) — mass conserved
     // up to floor loss, GraphSpec pins the no-op law on clean graphs
@@ -497,6 +509,9 @@ object SparkEntry {
     "ts_rolling_anomaly" -> ((s, d) => TimeSeries.rollingAnomaly(Tables.events(s, d))),
     // α=1/2 depth-8 truncated EMA: power-of-two weights → exact integers
     "ts_ema" -> ((s, d) => TimeSeries.ema8(Tables.events(s, d))),
+    // OHLC candles per (user, 30-min bucket): arg-min/arg-max open and
+    // close via the min-struct draw, raw doubles pass through (r8)
+    "ts_resample_ohlc" -> ((s, d) => TimeSeries.resampleOhlc(Tables.events(s, d))),
     // FK-edge orphan audit (late-arriving-dimension fixture, one
     // outer-join aggregate pass per edge)
     "dq_referential_integrity" -> ((s, d) => DataQuality.referentialIntegrity(
@@ -1793,6 +1808,13 @@ object SparkEntry {
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         | round(list_dot_product(a.v,b.v)/nullif(sqrt(list_dot_product(a.v,a.v))*sqrt(list_dot_product(b.v,b.v)), 0), 4) + 0.0 AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id ORDER BY a_id, b_id""".stripMargin,
+    /* sim_mips_topk: the cosine oracle minus the norm division — raw
+     * list_dot_product, same sequential fold, one round site. */
+    "sim_mips_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT v AS q_v FROM e WHERE vec_id = 0)
+        |SELECT vec_id, round(list_dot_product(e.v, q.q_v), 4) + 0.0 AS dot
+        |FROM e, q WHERE e.vec_id <> 0 ORDER BY dot DESC, vec_id ASC LIMIT 10""".stripMargin,
     "sim_topk_search" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |q AS (SELECT v AS q_v FROM e WHERE vec_id = 0)
@@ -1881,6 +1903,61 @@ object SparkEntry {
         | md5(text) AS digest,
         | lower(hex(encode(substring(text, 1, 8)))) AS prefix_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+    /* ts_resample_ohlc: open/close via row_number arg-min/arg-max over
+     * the (ts, event_id) total order; high/low/open/close pass RAW
+     * doubles — no accumulation, no rounding site. */
+    "ts_resample_ohlc" ->
+      """WITH e AS (SELECT user_id, ts, event_id, value,
+        |  CAST(to_timestamp(CAST(floor(epoch(ts)/1800)*1800 AS BIGINT)) AS TIMESTAMP) AS bucket FROM events),
+        |r AS (SELECT user_id, bucket, ts, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id, bucket ORDER BY ts ASC, event_id ASC) AS ra,
+        |  row_number() OVER (PARTITION BY user_id, bucket ORDER BY ts DESC, event_id DESC) AS rz FROM e)
+        |SELECT user_id, bucket,
+        | max(CASE WHEN ra = 1 THEN value END) AS "open",
+        | max(value) AS high, min(value) AS low,
+        | max(CASE WHEN rz = 1 THEN value END) AS "close",
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM r GROUP BY user_id, bucket ORDER BY user_id, bucket""".stripMargin,
+    /* win_streak_days: gaps-and-islands on the DISTINCT (user, day)
+     * frame — day_number − row_number is island-constant; longest-streak
+     * ties break to the LATEST start (rk orders len DESC, from_day
+     * DESC, both engines). */
+    "win_streak_days" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |g AS (SELECT user_id, day,
+        |  date_diff('day', DATE '1970-01-01', day) - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp FROM d),
+        |i AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len, min(day) AS from_day
+        | FROM g GROUP BY user_id, grp),
+        |r AS (SELECT user_id, len, from_day,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY len DESC, from_day DESC) AS rk FROM i)
+        |SELECT user_id,
+        | max(CASE WHEN rk = 1 THEN len END) AS streak_days,
+        | max(CASE WHEN rk = 1 THEN from_day END) AS streak_start,
+        | CAST(count(*) AS BIGINT) AS n_streaks,
+        | CAST(SUM(len) AS BIGINT) AS active_days
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+    /* graph_bfs_levels: recursive-CTE BFS with UNION dedup and a depth
+     * cap; MIN(level) per node IS the hop count — the declarative twin
+     * of the engine's frontier/anti-join rounds. */
+    "graph_bfs_levels" ->
+      """WITH RECURSIVE edges AS (SELECT DISTINCT doc_id % 200 AS src, (doc_id * 31 + doc_id // 7) % 200 AS dst FROM documents),
+        |bfs(node, level) AS (
+        | SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS level
+        | UNION
+        | SELECT e.dst, b.level + 1 FROM bfs b JOIN edges e ON e.src = b.node WHERE b.level < 4)
+        |SELECT node, CAST(MIN(level) AS BIGINT) AS level FROM bfs GROUP BY node ORDER BY node""".stripMargin,
+    /* fn_array_agg: list built with an explicit ORDER BY (total order on
+     * line number), then list HOFs; quantities are integer-valued
+     * doubles so the folds are exact; the even test casts through BIGINT
+     * on both engines. */
+    "fn_array_agg" ->
+      """WITH g AS (SELECT l_orderkey, list(l_quantity ORDER BY l_linenumber, l_quantity) AS qs FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey, CAST(len(qs) AS BIGINT) AS n_items,
+        | list_sum(list_transform(qs, x -> x*x)) AS sum_sq,
+        | list_max(qs) AS max_qty,
+        | CAST(len(list_filter(qs, x -> CAST(x AS BIGINT) % 2 = 0)) AS BIGINT) AS n_even,
+        | qs[1] AS first_qty
+        |FROM g ORDER BY l_orderkey""".stripMargin,
     "stream_tumbling_batch" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -61,6 +61,27 @@ object Similarity {
       .limit(k)
   }
 
+  /** MAX-INNER-PRODUCT top-k (r8) — [[topkSearch]] minus the
+    * normalization: score = q·v raw, the retrieval objective when norms
+    * CARRY signal (popularity- or confidence-scaled document embeddings,
+    * the two-tower serving shape) rather than being noise to divide out.
+    * Same brute-force plan as the cosine baseline — one broadcast of the
+    * query row, one map-side dot pass, TakeOrdered k — and the same
+    * scale story: this is the oracle anchor; the bucketed/IVF/PQ tier
+    * serves it at 100 TB (ADC's dot-product LUT needs no norm at all).
+    * vecDot folds dims sequentially, so the double sum is
+    * order-deterministic cross-engine; rounded once to 4dp. */
+  def mipsTopK(embeddings: DataFrame, queryId: Long = 0, k: Int = 10): DataFrame = {
+    val vs = doubled(embeddings)
+    val q = vs.filter(col("vec_id") === queryId).select(col("v").as("q_v"))
+    vs.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (round(vecDot(col("v"), col("q_v")), 4) + lit(0.0)).as("dot"))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Scalar-quantized (int8) top-k: the STORAGE path of similarity
     * search at 100 TB — per-vector symmetric quantization (scale =
     * max|x|/127, codes in [-127,127]) cuts an embedding store 4× (1

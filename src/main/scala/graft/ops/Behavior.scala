@@ -127,4 +127,32 @@ object Behavior {
       .agg(count(lit(1)).as("n_matches"), min(col("event_id")).as("first_event"))
       .orderBy("user_id")
   }
+
+  /** ACTIVITY STREAKS (r8) — longest run of consecutive active DAYS per
+    * user, the retention metric next to [[retentionCohort]]'s cohort
+    * grid. Gaps-and-islands over the DISTINCT (user, day) frame:
+    * day_number − row_number is constant exactly on a consecutive run,
+    * so one user-partitioned window + two tiny aggregates do it — the
+    * fact shuffles once to day grain (map-side partial distinct), and
+    * every window below runs on users × active-days, independent of
+    * event volume. Ties on streak length break to the LATEST start
+    * (max-struct draw — the "current best" a retention dashboard
+    * reports); integer day arithmetic end to end, nothing to round. */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("grp",
+        datediff(col("day"), lit("1970-01-01").cast("date")) - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("from_day"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(struct(col("len"), col("from_day"))).getField("len").as("streak_days"),
+        max(struct(col("len"), col("from_day"))).getField("from_day").as("streak_start"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("active_days"))
+      .orderBy("user_id")
+  }
 }

@@ -462,4 +462,37 @@ object Graph {
     }
     labels.orderBy("node")
   }
+
+  /** BFS LEVELS (r8) — single-source forward reachability with hop
+    * count, the traversal primitive under "how far is every host from
+    * the seed" crawl-frontier questions. Standard frontier expansion,
+    * `maxDepth` synchronous rounds unrolled: frontier and visited are
+    * NODE-bounded frames; each round is one join + anti-join, with the
+    * frontier explicitly broadcast so the edge table NEVER shuffles
+    * (the pagerank step() doctrine — at 100 TB edges are the fact,
+    * frontiers are the tiny side). Levels are min-hop by construction:
+    * a node joins `visited` the first round it is reached and the
+    * anti-join bars any later (longer) assignment — the iterative twin
+    * of the oracle's recursive-CTE `MIN(level)`. Oracle-checked: the
+    * whole computation is integer arithmetic on the deterministic
+    * synthetic link graph. */
+  def bfsLevels(documents: DataFrame, source: Long = 0L, nNodes: Int = 200,
+                maxDepth: Int = 4): DataFrame = {
+    val (edges, _) = linkGraph(documents, nNodes)
+    val spark = documents.sparkSession
+    var frontier = spark.range(1)
+      .select(lit(source).as("node"), lit(0L).as("level"))
+      .localCheckpoint(eager = false)
+    var visited = frontier
+    for (d <- 1 to maxDepth) {
+      frontier = edges
+        .join(broadcast(frontier.select(col("node").as("src"))), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(broadcast(visited.select(col("node"))), Seq("node"), "left_anti")
+        .select(col("node"), lit(d.toLong).as("level"))
+        .localCheckpoint(eager = false)
+      visited = visited.unionByName(frontier).localCheckpoint(eager = false)
+    }
+    visited.orderBy("node")
+  }
 }

@@ -87,6 +87,35 @@ object ScalarFns {
       .orderBy("vec_id")
   }
 
+  /** GROUPED-array build + higher-order post-processing (r8) — the shape
+    * [[arrayFns]] doesn't cover: the array is BUILT from rows
+    * (collect_list per order, sorted by line number so the sequence is a
+    * total order, not shuffle luck), then folded with HOFs — per-entity
+    * sequence features, the feature-engineering primitive a training
+    * pipeline runs per document/session. The synthetic lineitem REUSES
+    * line numbers within an order, so the sort key is the full
+    * (l_linenumber, l_quantity) struct — a total order up to equal
+    * values, where any permutation is the identical list. Quantities
+    * are integer-valued doubles, so the sequential fold is exact and
+    * engine-portable; the
+    * even-count cast goes through BIGINT on both engines (double `%` on
+    * a fractional value would be fmod roulette). One hash aggregate
+    * with map-side partial lists; everything after runs at order grain. */
+  def arrayAggHof(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity")))).as("items"))
+      .select(col("l_orderkey"),
+        transform(col("items"), x => x.getField("l_quantity")).as("qs"))
+      .select(
+        col("l_orderkey"),
+        size(col("qs")).cast("long").as("n_items"),
+        aggregate(col("qs"), lit(0.0), (a, x) => a + x * x).as("sum_sq"),
+        array_max(col("qs")).as("max_qty"),
+        size(filter(col("qs"), x => x.cast("long") % 2 === 0)).cast("long").as("n_even"),
+        element_at(col("qs"), 1).as("first_qty"))
+      .orderBy("l_orderkey")
+
   /** Hash/digest family: content-addressing and checksumming for
     * pipeline provenance (md5/sha256 are bit-identical across engines;
     * xxhash64/crc32 are Spark-side — used for partitioning, not parity). */

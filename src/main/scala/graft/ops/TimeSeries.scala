@@ -246,4 +246,29 @@ object TimeSeries {
       .select(col("event_type"), col("day"), col("cents"), col("ema"))
       .orderBy("event_type", "day")
   }
+
+  /** OHLC RESAMPLE (r8) — the classic downsampling shape: per
+    * (user, 30-minute bucket), open/high/low/close of `value` plus the
+    * sample count. Open/close are arg-min/arg-max over the total order
+    * (ts, event_id) via the min-struct idiom (`agg_arg_max`'s trick), so
+    * ties are impossible and the draw is engine-portable; high/low/open/
+    * close pass RAW doubles through — no accumulation, no rounding site,
+    * nothing to drift. One hash aggregate with map-side partials: the
+    * exchange carries (user, bucket) partial structs, not events —
+    * exactly the candle-store build a 100 TB metrics pipeline runs, and
+    * the output grain (entities × buckets) is what every later window
+    * reads instead of raw events. */
+  def resampleOhlc(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+        window(col("ts"), "30 minutes").getField("start").as("bucket"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value"))).getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("ts"), col("event_id"), col("value"))).getField("value").as("close"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id", "bucket")
 }

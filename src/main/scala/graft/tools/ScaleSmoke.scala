@@ -219,6 +219,62 @@ object ScaleSmoke {
       val nRep = repDocs.count()
       time(s"pagerank_n${200 * factor}_docs$nRep")(
         graft.ops.Graph.pagerank(repDocs, nNodes = 200 * factor))
+      // r8 legs (VERDICT task 5): the two r7 additions inherit the same
+      // Pregel-in-SQL claim — per-round exchanges carry node-bounded
+      // rows (LPA's vote aggregate keys on (node, label); dangling mass
+      // is ONE extra broadcast scalar per iteration, never an exchange)
+      // — so wall must stay ~flat in corpus size at fixed node growth,
+      // like plain pagerank's 3.00/2.99 s at 30x/100x. shuffle_records
+      // under-reports here for the same lazy-checkpoint-materialization
+      // reason as pagerank (documented above the leg); wall is the
+      // instrument, the per-round plan shape is gated in PlanAuditSpec.
+      time(s"lpa_n${200 * factor}_docs$nRep")(
+        graft.ops.Graph.labelPropagation(repDocs, nNodes = 200 * factor))
+      time(s"pagerank_dangling_n${200 * factor}_docs$nRep")(
+        graft.ops.Graph.pagerankDangling(repDocs, nNodes = 200 * factor))
+      spark.stop()
+      return
+    }
+
+    // optional fifth arg "collapseOnly" (r8, VERDICT task 8): bracket the
+    // representative-collapse threshold (CollapseDupRatio = 0.5) by
+    // MEASUREMENT instead of extrapolating from the r7 endpoints (ratio
+    // 0.11 → bypass wins by ~1-2 s/key; ratio 0.97 → collapse wins by
+    // disk-overflow). Three duplicate ratios around the threshold —
+    // 1/3 (half the docs twice), 1/2 (all docs twice), 2/3 (all docs
+    // three times) — each timing the containment-prefix pair core with
+    // collapse FORCED on and off (the Some(_) hint skips the probe, so
+    // the timing isolates the machinery, not the sketch scan). The
+    // threshold is correctly placed if off wins at 1/3, the two are
+    // within noise near 1/2, and on wins at 2/3.
+    if (args.lift(4).contains("collapseOnly")) {
+      def replicated(copies: Int, fraction: Double): DataFrame = {
+        val extra = (1 until copies).map { i =>
+          val shifted = docs.withColumn("doc_id", col("doc_id") + lit(i * 30000000L))
+          if (fraction >= 1.0) shifted
+          // partial replication: only ~fraction of the base gets copies
+          else shifted.filter(pmod(col("doc_id") - lit(i * 30000000L), lit(100)) <
+            lit((fraction * 100).toInt))
+        }
+        (docs +: extra).reduce(_ unionByName _).localCheckpoint()
+      }
+      // untimed warmup absorbs whole-stage-codegen for BOTH paths, so
+      // the first timed leg isn't ~2 s heavier than its twin (the first
+      // cut of this leg showed exactly that artifact)
+      graft.llm.Dedup.ngramContainmentPrefixPairs(docs, collapse = Some(true))
+        .queryExecution.toRdd.count()
+      graft.llm.Dedup.ngramContainmentPrefixPairs(docs, collapse = Some(false))
+        .queryExecution.toRdd.count()
+      for ((tag, corpus) <- Seq(
+          "r033" -> replicated(2, 0.5),
+          "r050" -> replicated(2, 1.0),
+          "r067" -> replicated(3, 1.0))) {
+        val n = corpus.count()
+        time(s"containment_collapse_on_${tag}_d$n")(
+          graft.llm.Dedup.ngramContainmentPrefixPairs(corpus, collapse = Some(true)))
+        time(s"containment_collapse_off_${tag}_d$n")(
+          graft.llm.Dedup.ngramContainmentPrefixPairs(corpus, collapse = Some(false)))
+      }
       spark.stop()
       return
     }

@@ -286,4 +286,28 @@ class GraphSpec extends SparkSpec {
     val k = got.values.toSet.size
     assert(k > 1 && k < nodes.size, s"$k communities over ${nodes.size} nodes")
   }
+
+  test("bfs levels match a driver-side breadth-first search (r8)") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = ops.Graph.bfsLevels(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force over the same synthetic link-graph law
+    val edges = docs.select(
+        (org.apache.spark.sql.functions.col("doc_id") % 200).as("src"),
+        ((org.apache.spark.sql.functions.col("doc_id") * 31 +
+          org.apache.spark.sql.functions.expr("doc_id div 7")) % 200).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    var level = Map(0L -> 0L)
+    var frontier = Set(0L)
+    for (d <- 1L to 4L) {
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- level.keySet
+      level = level ++ frontier.map(_ -> d)
+    }
+    assert(got === level, s"first mismatches: ${
+      (got.keySet ++ level.keySet).filter(k => got.get(k) != level.get(k)).take(3)}")
+    // sanity: the seed is level 0 and levels never skip a value
+    assert(got(0L) === 0L)
+    assert(got.values.toSet === (0L to got.values.max).toSet)
+  }
 }

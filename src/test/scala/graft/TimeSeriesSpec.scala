@@ -237,4 +237,46 @@ class TimeSeriesSpec extends SparkSpec {
       assert(r.getDouble(5) === math.floor(flesch * 1e4 + 0.5) / 1e4)
     }
   }
+
+  test("ohlc resample matches a brute-force candle build (r8)") {
+    val ev = Tables.events(spark, sfDir)
+    val got = ops.TimeSeries.resampleOhlc(ev).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6))).toSeq
+    val raw = ev.select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    val expect = raw.groupBy { case (u, ts, _, _) =>
+        (u, new java.sql.Timestamp(ts.getTime / 1800000L * 1800000L))
+      }.map { case ((u, b), es) =>
+        val sorted = es.sortBy(e => (e._2.getTime, e._3))
+        (u, b, sorted.head._4, es.map(_._4).max, es.map(_._4).min,
+          sorted.last._4, es.length.toLong)
+      }.toSeq
+    assert(got.sorted === expect.sorted, "OHLC diverged from brute force")
+    // candle invariants: low <= open/close <= high, n >= 1
+    got.foreach { case (_, _, o, h, l, c, n) =>
+      assert(l <= o && o <= h && l <= c && c <= h && n >= 1L)
+    }
+  }
+
+  test("activity streaks match a brute-force run-length scan (r8)") {
+    val ev = Tables.events(spark, sfDir)
+    val got = ops.Behavior.activityStreaks(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toString, r.getLong(3), r.getLong(4)))
+      .toSeq
+    val days = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val expect = days.groupBy(_._1).map { case (u, ds) =>
+      val sorted = ds.map(_._2).distinct.sorted(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+      // split into runs of consecutive days
+      val runs = sorted.foldLeft(List.empty[List[java.time.LocalDate]]) {
+        case (acc @ (cur :: rest), d) if d.toEpochDay == cur.head.toEpochDay + 1 =>
+          (d :: cur) :: rest
+        case (acc, d) => List(d) :: acc
+      }.map(r => (r.length.toLong, r.last)) // (len, start day)
+      val best = runs.maxBy { case (len, start) => (len, start.toEpochDay) }
+      (u, best._1, best._2.toString, runs.length.toLong, sorted.length.toLong)
+    }.toSeq
+    assert(got.sorted === expect.sorted, "streaks diverged from brute force")
+  }
 }
