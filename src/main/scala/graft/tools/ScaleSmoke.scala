@@ -230,8 +230,14 @@ object ScaleSmoke {
       // instrument, the per-round plan shape is gated in PlanAuditSpec.
       time(s"lpa_n${200 * factor}_docs$nRep")(
         graft.ops.Graph.labelPropagation(repDocs, nNodes = 200 * factor))
+      // nDst must scale WITH the node space: at the default 211 every
+      // dst residue lands inside the widened src set and the graph has
+      // ZERO dangling hosts — the leg would time the D=0 no-op path
+      // (the first cut of this leg did exactly that: output rows froze
+      // at the src-residue count instead of tracking the node space)
       time(s"pagerank_dangling_n${200 * factor}_docs$nRep")(
-        graft.ops.Graph.pagerankDangling(repDocs, nNodes = 200 * factor))
+        graft.ops.Graph.pagerankDangling(repDocs, nNodes = 200 * factor,
+          nDst = 211 * factor))
       spark.stop()
       return
     }
