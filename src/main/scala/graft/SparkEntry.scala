@@ -512,6 +512,13 @@ object SparkEntry {
     // OHLC candles per (user, 30-min bucket): arg-min/arg-max open and
     // close via the min-struct draw, raw doubles pass through (r8)
     "ts_resample_ohlc" -> ((s, d) => TimeSeries.resampleOhlc(Tables.events(s, d))),
+    // CUSUM level-shift changepoint: D_t = n·S_t − t·T exact integers,
+    // argmax is a rank-1 filter (r8: registered — written in r6)
+    "ts_cusum_changepoint" -> ((s, d) => TimeSeries.cusumChangepoint(Tables.events(s, d))),
+    // lag-1..7 ACF from n-scaled exact integer centered moments (r8)
+    "ts_autocorr" -> ((s, d) => TimeSeries.autocorr(Tables.events(s, d))),
+    // day-of-week seasonal profile, locale-free epoch-day mod 7 (r8)
+    "ts_seasonal_dow" -> ((s, d) => TimeSeries.seasonalDow(Tables.events(s, d))),
     // FK-edge orphan audit (late-arriving-dimension fixture, one
     // outer-join aggregate pass per edge)
     "dq_referential_integrity" -> ((s, d) => DataQuality.referentialIntegrity(
@@ -1419,6 +1426,105 @@ object SparkEntry {
         |   + CASE WHEN c5 IS NULL THEN 0 ELSE 4 END + CASE WHEN c6 IS NULL THEN 0 ELSE 2 END
         |   + CASE WHEN c7 IS NULL THEN 0 ELSE 1 END AS DOUBLE) / 100 * 1e4 + 0.5)/1e4 AS ema
         |FROM l ORDER BY event_type, day""".stripMargin,
+    /* ts_cusum_changepoint: the scaled CUSUM statistic D_t = n·S_t − t·T
+       is an exact integer (both factors BIGINT-safe at this grain, the
+       product in DECIMAL(38,0)), so the argmax needs no float compare;
+       means/shift are one double division each on exact sums, rounded
+       once. */
+    "ts_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(value*100 AS DECIMAL(18,0)) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, day, cents,
+        |  row_number() OVER wo AS t,
+        |  CAST(SUM(cents) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s,
+        |  count(*) OVER wa AS nd,
+        |  CAST(SUM(cents) OVER wa AS BIGINT) AS tot
+        | FROM daily WINDOW wo AS (PARTITION BY event_type ORDER BY day),
+        |  wa AS (PARTITION BY event_type)),
+        |d AS (SELECT *,
+        |  CAST(nd AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))
+        |    - CAST(t AS DECIMAL(19,0)) * CAST(tot AS DECIMAL(19,0)) AS dd
+        | FROM s WHERE t < nd),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |  ORDER BY abs(dd) DESC, day ASC) AS rk FROM d)
+        |SELECT event_type, day AS cp_day, CAST(t AS BIGINT) AS t_cp,
+        | CAST(nd AS BIGINT) AS n_days,
+        | floor(CAST(s AS DOUBLE)/CAST(t AS DOUBLE)/100*1e4 + 0.5)/1e4 AS mean_before,
+        | floor(CAST(tot - s AS DOUBLE)/CAST(nd - t AS DOUBLE)/100*1e4 + 0.5)/1e4 AS mean_after,
+        | floor((CAST(tot - s AS DOUBLE)/CAST(nd - t AS DOUBLE)
+        |   - CAST(s AS DOUBLE)/CAST(t AS DOUBLE))/100*1e4 + 0.5)/1e4 AS shift
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    /* ts_autocorr: centered terms scaled by n (c_t = n·x_t − T) keep
+       every sum an exact integer; the n² factor cancels in the ratio.
+       Products go through DECIMAL(19,0) casts — BIGINT·BIGINT would
+       overflow-error in DuckDB at c² ~ 1e19+, and DECIMAL(38,0)
+       operands would silently promote the product to DOUBLE. */
+    "ts_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(value*100 AS DECIMAL(18,0)) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, day, cents,
+        |  count(*) OVER wa AS nd, CAST(SUM(cents) OVER wa AS BIGINT) AS tot,
+        |  lag(cents,1) OVER w AS l1, lag(cents,2) OVER w AS l2,
+        |  lag(cents,3) OVER w AS l3, lag(cents,4) OVER w AS l4,
+        |  lag(cents,5) OVER w AS l5, lag(cents,6) OVER w AS l6,
+        |  lag(cents,7) OVER w AS l7
+        | FROM daily WINDOW wa AS (PARTITION BY event_type),
+        |  w AS (PARTITION BY event_type ORDER BY day)),
+        |c AS (SELECT event_type,
+        |  CAST(nd*cents - tot AS DECIMAL(19,0)) AS c0,
+        |  CAST(nd*l1 - tot AS DECIMAL(19,0)) AS c1,
+        |  CAST(nd*l2 - tot AS DECIMAL(19,0)) AS c2,
+        |  CAST(nd*l3 - tot AS DECIMAL(19,0)) AS c3,
+        |  CAST(nd*l4 - tot AS DECIMAL(19,0)) AS c4,
+        |  CAST(nd*l5 - tot AS DECIMAL(19,0)) AS c5,
+        |  CAST(nd*l6 - tot AS DECIMAL(19,0)) AS c6,
+        |  CAST(nd*l7 - tot AS DECIMAL(19,0)) AS c7
+        | FROM b),
+        |g AS (SELECT event_type, SUM(c0*c0) AS den,
+        |  SUM(c0*c1) AS n1, count(c1) AS p1, SUM(c0*c2) AS n2, count(c2) AS p2,
+        |  SUM(c0*c3) AS n3, count(c3) AS p3, SUM(c0*c4) AS n4, count(c4) AS p4,
+        |  SUM(c0*c5) AS n5, count(c5) AS p5, SUM(c0*c6) AS n6, count(c6) AS p6,
+        |  SUM(c0*c7) AS n7, count(c7) AS p7
+        | FROM c GROUP BY 1),
+        |u AS (
+        |  SELECT event_type, 1 AS lg, n1 AS num, p1 AS np, den FROM g UNION ALL
+        |  SELECT event_type, 2, n2, p2, den FROM g UNION ALL
+        |  SELECT event_type, 3, n3, p3, den FROM g UNION ALL
+        |  SELECT event_type, 4, n4, p4, den FROM g UNION ALL
+        |  SELECT event_type, 5, n5, p5, den FROM g UNION ALL
+        |  SELECT event_type, 6, n6, p6, den FROM g UNION ALL
+        |  SELECT event_type, 7, n7, p7, den FROM g)
+        |SELECT event_type, CAST(lg AS BIGINT) AS lag, CAST(np AS BIGINT) AS n_pairs,
+        | floor(CAST(num AS DOUBLE)/CAST(den AS DOUBLE)*1e6 + 0.5)/1e6 AS acf
+        |FROM u ORDER BY event_type, lag""".stripMargin,
+    /* ts_seasonal_dow: weekday = epoch-day mod 7 (0 = Thursday) —
+       locale-free where named-weekday functions disagree on week
+       start; seasonal index = c·n/(n_dow·T) on exact integer sums. */
+    "ts_seasonal_dow" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(value*100 AS DECIMAL(18,0)) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |base AS (SELECT event_type, cents,
+        |  CAST(date_diff('day', DATE '1970-01-01', day) % 7 AS BIGINT) AS dow
+        | FROM daily),
+        |g AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(cents) AS BIGINT) AS c
+        | FROM base GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+        |  CAST(SUM(cents) AS BIGINT) AS tot
+        | FROM base GROUP BY 1)
+        |SELECT g.event_type, g.dow, g.n_days,
+        | floor(CAST(c AS DOUBLE)/CAST(n_days AS DOUBLE)/100*1e4 + 0.5)/1e4 AS mean_value,
+        | floor(CAST(c AS DOUBLE)*CAST(nd AS DOUBLE)
+        |   /(CAST(n_days AS DOUBLE)*CAST(tot AS DOUBLE))*1e4 + 0.5)/1e4 AS seasonal_idx
+        |FROM g JOIN t ON g.event_type = t.event_type
+        |ORDER BY g.event_type, g.dow""".stripMargin,
     "dq_referential_integrity" ->
       """WITH
         |e1 AS (SELECT 'lineitem.orderkey->orders' AS edge, count(*) AS child_rows,

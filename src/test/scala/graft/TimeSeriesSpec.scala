@@ -279,4 +279,80 @@ class TimeSeriesSpec extends SparkSpec {
     }.toSeq
     assert(got.sorted === expect.sorted, "streaks diverged from brute force")
   }
+
+  private def rfloor(x: Double, dp: Int): Double = {
+    val s = math.pow(10, dp); math.floor(x * s + 0.5) / s
+  }
+
+  /** Per-type day-sorted cents series from the shared driver reference. */
+  private def series(tpe: String): Seq[Long] =
+    refDaily.toSeq.collect { case ((t, d), c) if t == tpe => d.toEpochDay -> c }
+      .sortBy(_._1).map(_._2)
+
+  test("cusum changepoint matches a BigInt argmax re-derivation (r8)") {
+    val got = ops.TimeSeries.cusumChangepoint(Tables.events(spark, sfDir)).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val xs = series(r.getString(0))
+      val n = BigInt(xs.length)
+      val tot = BigInt(xs.sum)
+      val prefix = xs.scanLeft(BigInt(0))(_ + _).tail
+      // D_t = n·S_t − t·T for t < n; argmax |D| with earliest-day ties
+      val (dBest, tBest) = prefix.zipWithIndex.dropRight(1)
+        .map { case (s, i) => ((n * s - BigInt(i + 1) * tot).abs, i + 1) }
+        .maxBy { case (d, t) => (d, -t) }
+      assert(r.getLong(2) === tBest.toLong, s"t_cp for ${r.getString(0)}")
+      assert(r.getLong(3) === xs.length.toLong)
+      val s = prefix(tBest - 1)
+      val mb = s.toDouble / tBest / 100
+      val ma = (tot - s).toDouble / (xs.length - tBest) / 100
+      assert(r.getDouble(4) === rfloor(mb, 4) && r.getDouble(5) === rfloor(ma, 4))
+      assert(r.getDouble(6) === rfloor(ma - mb, 4))
+      assert(dBest > 0 || r.getDouble(6) === 0.0)
+    }
+  }
+
+  test("autocorr matches an exact-BigInt ACF re-derivation; r0 would be 1 (r8)") {
+    val got = ops.TimeSeries.autocorr(Tables.events(spark, sfDir)).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getString(0)).foreach { case (tpe, rows) =>
+      val xs = series(tpe).map(BigInt(_))
+      val n = BigInt(xs.length)
+      val tot = xs.sum
+      val c = xs.map(x => n * x - tot)
+      val den = c.map(x => x * x).sum
+      rows.foreach { r =>
+        val k = r.getLong(1).toInt
+        val pairs = c.drop(k).zip(c.dropRight(k))
+        assert(r.getLong(2) === (xs.length - k).toLong, s"n_pairs lag $k")
+        val num = pairs.map { case (a, b) => a * b }.sum
+        assert(r.getDouble(3) === rfloor(num.toDouble / den.toDouble, 6),
+          s"acf($tpe, $k)")
+        // ACF is bounded: |r_k| <= 1 up to rounding
+        assert(math.abs(r.getDouble(3)) <= 1.0)
+      }
+    }
+  }
+
+  test("seasonal dow profile matches grouped re-derivation; indexes average ~1 (r8)") {
+    val got = ops.TimeSeries.seasonalDow(Tables.events(spark, sfDir)).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getString(0)).foreach { case (tpe, rows) =>
+      val byDow = refDaily.toSeq.collect { case ((t, d), c) if t == tpe =>
+        (math.floorMod(d.toEpochDay, 7L), c) }.groupBy(_._1)
+      val nd = byDow.values.map(_.size).sum
+      val tot = byDow.values.flatMap(_.map(_._2)).sum
+      rows.foreach { r =>
+        val cs = byDow(r.getLong(1)).map(_._2)
+        assert(r.getLong(2) === cs.size.toLong)
+        assert(r.getDouble(3) === rfloor(cs.sum.toDouble / cs.size / 100, 4))
+        assert(r.getDouble(4) === rfloor(
+          cs.sum.toDouble * nd / (cs.size.toDouble * tot), 4))
+      }
+      // the weighted mean of seasonal indexes is 1 by construction:
+      // Σ_dow n_dow·idx_dow = n — check within rounding slack
+      val wsum = rows.map(r => r.getLong(2) * r.getDouble(4)).sum
+      assert(math.abs(wsum / nd - 1.0) < 1e-3, s"index mass for $tpe")
+    }
+  }
 }
