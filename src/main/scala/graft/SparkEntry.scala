@@ -367,6 +367,9 @@ object SparkEntry {
     "agg_bool" -> ((s, d) => Aggregates.boolAggs(Tables.orders(s, d))),
     "text_zipf" -> ((s, d) => TextAnalysis.zipfProfile(Tables.documents(s, d))),
     "stream_enrich_batch" -> ((s, d) => Streams.enrichBatch(Tables.events(s, d), Tables.customer(s, d))),
+    // watermark late-drop accounting: min-across-shards watermark over
+    // arrival micro-batches, deterministic jitter fixture (r8)
+    "stream_late_events_batch" -> ((s, d) => Streams.lateEventsBatch(Tables.events(s, d))),
     "ds_typed_pipeline" -> ((s, d) => TypedOps.typedCustomerSpend(Tables.orders(s, d))),
     "fn_explode_outer" -> ((s, d) => ScalarFns.explodeOuter(Tables.orders(s, d))),
     "fn_date_spine" -> ((s, d) => Analytics.dateSpineFill(s, Tables.orders(s, d))),
@@ -489,6 +492,9 @@ object SparkEntry {
     // single-source BFS hop counts over the link graph: broadcast
     // frontier rounds, node-bounded state, min-level by anti-join (r8)
     "graph_bfs_levels" -> ((s, d) => graft.ops.Graph.bfsLevels(Tables.documents(s, d))),
+    // k-core by iterative peeling: link-farm density screen; edges never
+    // shuffle, membership broadcasts and only shrinks (r8)
+    "graph_kcore" -> ((s, d) => graft.ops.Graph.kcore(Tables.documents(s, d))),
     // pagerank with dangling-mass redistribution over a graph that HAS
     // dangling hosts (dst residues escape the src set) — mass conserved
     // up to floor loss, GraphSpec pins the no-op law on clean graphs
@@ -519,6 +525,11 @@ object SparkEntry {
     "ts_autocorr" -> ((s, d) => TimeSeries.autocorr(Tables.events(s, d))),
     // day-of-week seasonal profile, locale-free epoch-day mod 7 (r8)
     "ts_seasonal_dow" -> ((s, d) => TimeSeries.seasonalDow(Tables.events(s, d))),
+    // trailing 7-day rolling MEDIAN + integer spike flag — the robust
+    // twin of ts_rolling_anomaly (r8)
+    "ts_rolling_median" -> ((s, d) => TimeSeries.rollingMedian(Tables.events(s, d))),
+    // A-Priori frequent co-purchase pairs over order baskets (r8)
+    "agg_copurchase_pairs" -> ((s, d) => Aggregates.copurchasePairs(Tables.lineitem(s, d))),
     // FK-edge orphan audit (late-arriving-dimension fixture, one
     // outer-join aggregate pass per edge)
     "dq_referential_integrity" -> ((s, d) => DataQuality.referentialIntegrity(
@@ -2052,6 +2063,96 @@ object SparkEntry {
         | UNION
         | SELECT e.dst, b.level + 1 FROM bfs b JOIN edges e ON e.src = b.node WHERE b.level < 4)
         |SELECT node, CAST(MIN(level) AS BIGINT) AS level FROM bfs GROUP BY node ORDER BY node""".stripMargin,
+    /* graph_kcore: six unrolled peeling rounds over the HALF-corpus
+       link graph — recompute within-survivor degree, drop nodes under
+       k=2, repeat; the spec pins that one more round changes nothing
+       at this graph, so the bounded unroll IS the k-core. m0 = und
+       endpoints (a self-loop-only node has no und rows and cannot
+       affect any degree). */
+    "graph_kcore" ->
+      """WITH e0 AS (SELECT DISTINCT doc_id % 200 AS src, (doc_id * 31 + doc_id // 7) % 200 AS dst FROM documents WHERE doc_id % 2 = 0),
+        |und AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT src, dst FROM e0 WHERE src <> dst
+        |  UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),
+        |m0 AS (SELECT DISTINCT src AS node FROM und),
+        |d1 AS (SELECT u.src AS node, count(*) AS dg FROM und u
+        |  JOIN m0 a ON u.src = a.node JOIN m0 b ON u.dst = b.node GROUP BY 1),
+        |m1 AS (SELECT node FROM d1 WHERE dg >= 2),
+        |d2 AS (SELECT u.src AS node, count(*) AS dg FROM und u
+        |  JOIN m1 a ON u.src = a.node JOIN m1 b ON u.dst = b.node GROUP BY 1),
+        |m2 AS (SELECT node FROM d2 WHERE dg >= 2),
+        |d3 AS (SELECT u.src AS node, count(*) AS dg FROM und u
+        |  JOIN m2 a ON u.src = a.node JOIN m2 b ON u.dst = b.node GROUP BY 1),
+        |m3 AS (SELECT node FROM d3 WHERE dg >= 2),
+        |d4 AS (SELECT u.src AS node, count(*) AS dg FROM und u
+        |  JOIN m3 a ON u.src = a.node JOIN m3 b ON u.dst = b.node GROUP BY 1),
+        |m4 AS (SELECT node FROM d4 WHERE dg >= 2),
+        |d5 AS (SELECT u.src AS node, count(*) AS dg FROM und u
+        |  JOIN m4 a ON u.src = a.node JOIN m4 b ON u.dst = b.node GROUP BY 1),
+        |m5 AS (SELECT node FROM d5 WHERE dg >= 2),
+        |d6 AS (SELECT u.src AS node, count(*) AS dg FROM und u
+        |  JOIN m5 a ON u.src = a.node JOIN m5 b ON u.dst = b.node GROUP BY 1),
+        |m6 AS (SELECT node FROM d6 WHERE dg >= 2)
+        |SELECT u.src AS node, CAST(count(*) AS BIGINT) AS core_deg FROM und u
+        |  JOIN m6 a ON u.src = a.node JOIN m6 b ON u.dst = b.node
+        |GROUP BY 1 ORDER BY node""".stripMargin,
+    /* ts_rolling_median: DuckDB's windowed median is quantile_cont —
+       identical to the explicit sorted-array middle (even windows
+       average the two middles; exact halves on integer cents). The
+       spike flag compares doubles built from exact integers on both
+       engines. */
+    "ts_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(value*100 AS DECIMAL(18,0)) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, cents,
+        |  CAST(count(*) OVER ww AS BIGINT) AS n_win,
+        |  CAST(median(cents) OVER ww AS DOUBLE) AS med_c
+        | FROM daily WINDOW ww AS (PARTITION BY event_type ORDER BY day
+        |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, cents, n_win,
+        | floor(med_c/100*1e4 + 0.5)/1e4 AS median_value,
+        | CAST(CAST(cents AS DOUBLE) > med_c*2.0 AS BIGINT) AS is_spike
+        |FROM w ORDER BY event_type, day""".stripMargin,
+    /* agg_copurchase_pairs: A-Priori downward closure makes the item
+       prefilter lossless (an item of a support-3 pair has item-support
+       >= 3); the oracle mirrors the prune so plans stay comparable. */
+    "agg_copurchase_pairs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |f AS (SELECT pk FROM (SELECT pk, count(*) AS c FROM b GROUP BY 1) WHERE c >= 3),
+        |fb AS (SELECT ok, pk FROM b WHERE pk IN (SELECT pk FROM f)),
+        |p AS (SELECT a.pk AS p1, c.pk AS p2, CAST(count(*) AS BIGINT) AS support
+        |  FROM fb a JOIN fb c ON a.ok = c.ok AND a.pk < c.pk GROUP BY 1, 2)
+        |SELECT p1, p2, support FROM p WHERE support >= 3
+        |ORDER BY support DESC, p1, p2""".stripMargin,
+    /* stream_late_events_batch: the engine's watermark rule made exact
+       in SQL — global watermark before batch b = min over source
+       shards of the max event time seen in batches < b, minus delay;
+       a shard with no history holds the watermark undefined. Arrival =
+       event time + (event_id mod 97) minutes deterministic jitter,
+       micro-batch = 1800 s arrival slot, shard = event_id mod 4. */
+    "stream_late_events_batch" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id % 4 AS shard,
+        |    (epoch_us(ts) + (event_id % 97) * 60000000) // 1800000000 AS batch_id
+        |  FROM events),
+        |bm AS (SELECT shard, batch_id, max(ts_us) AS bmax FROM e GROUP BY 1, 2),
+        |grid AS (SELECT s.shard, b.batch_id
+        |  FROM (SELECT DISTINCT batch_id FROM e) b
+        |  CROSS JOIN (VALUES (0), (1), (2), (3)) s(shard)),
+        |r AS (SELECT g.shard, g.batch_id,
+        |   max(bm.bmax) OVER (PARTITION BY g.shard ORDER BY g.batch_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rmax
+        | FROM grid g LEFT JOIN bm ON g.shard = bm.shard AND g.batch_id = bm.batch_id),
+        |wm AS (SELECT batch_id, CASE WHEN count(rmax) = 4 THEN min(rmax) END AS wm_us
+        | FROM r GROUP BY 1),
+        |l AS (SELECT event_type,
+        |  CASE WHEN wm_us IS NOT NULL AND ts_us < wm_us - 1800000000 THEN 1 ELSE 0 END AS late
+        | FROM e JOIN wm USING (batch_id))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(SUM(late) AS BIGINT) AS late_n,
+        | floor(CAST(SUM(late) AS DOUBLE)/CAST(count(*) AS DOUBLE)*1e4 + 0.5)/1e4 AS late_ratio
+        |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
     /* fn_array_agg: list built with an explicit ORDER BY (total order on
      * line number), then list HOFs; quantities are integer-valued
      * doubles so the folds are exact; the even test casts through BIGINT

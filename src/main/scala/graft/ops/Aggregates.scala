@@ -719,4 +719,30 @@ object Aggregates {
     g.select(col("n_name"), col("n_cust"), Det.rfloor(gini, 6).as("gini"))
       .orderBy("n_name")
   }
+
+  /** FREQUENT CO-PURCHASE PAIRS (r8) — market-basket mining over order
+    * baskets: pairs of parts bought together in ≥ `minSupport` orders.
+    * The scale mechanism is A-Priori downward closure (Agrawal/Srikant
+    * VLDB'94): an item inside a frequent pair is itself frequent, so
+    * pruning items with basket-count < minSupport BEFORE pairing is
+    * LOSSLESS — at 100 TB the prefilter is what keeps the per-basket
+    * pair fan-out (|basket|², the quadratic core) over the small
+    * frequent-item subset instead of the raw catalog. Pair generation
+    * is one self-equi-join keyed on the basket id: the exchange
+    * carries basket-item rows (post-prune), the fan-out happens
+    * join-local, bounded by basket size — never an item×item product.
+    * Output total-ordered by (support DESC, p1, p2). */
+  def copurchasePairs(lineitem: DataFrame, minSupport: Int = 3): DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val freq = items.groupBy("pk").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minSupport).select("pk")
+    val fitems = items.join(freq, Seq("pk"), "left_semi")
+    val pairs = fitems.select(col("ok"), col("pk").as("p1"))
+      .join(fitems.select(col("ok"), col("pk").as("p2")), "ok")
+      .filter(col("p1") < col("p2"))
+    pairs.groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy(col("support").desc, col("p1"), col("p2"))
+  }
 }

@@ -111,6 +111,38 @@ object TimeSeries {
       .orderBy("event_type", "day")
   }
 
+  /** Trailing 7-day ROLLING MEDIAN per series (r8) — the robust twin
+    * of [[rollingAnomaly]]'s mean/std: one wild day shifts a rolling
+    * mean for a week but leaves the rolling median untouched, so the
+    * spike flag survives contaminated baselines. The window collects
+    * ≤ 7 integer-cents values, sorts, and takes the exact middle
+    * (even windows average the two middles — exact halves on integer
+    * cents, bit-stable in double); the spike flag compares integers
+    * (cents > 2·median ⇔ cents·2 > a+b scaled), no float threshold.
+    *
+    * Scale: same day-grain story as every ts_ operator — the only
+    * data-sized shuffle is the daily aggregate; the 7-element window
+    * array is O(1) per row on the series × days frame. */
+  def rollingMedian(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-6, Window.currentRow)
+    val nw = col("nw")
+    dailyCents(events)
+      .withColumn("arr", sort_array(collect_list(col("cents")).over(w)))
+      .withColumn("nw", size(col("arr")).cast("long"))
+      .withColumn("med_c",
+        when(nw % 2 === 1,
+          element_at(col("arr"), ((nw + 1) / lit(2L)).cast("int")).cast("double"))
+        .otherwise((element_at(col("arr"), (nw / lit(2L)).cast("int"))
+            + element_at(col("arr"), (nw / lit(2L) + 1).cast("int")))
+          .cast("double") / 2.0))
+      .select(col("event_type"), col("day"), col("cents"), nw.as("n_win"),
+        Det.rfloor(col("med_c") / 100, 4).as("median_value"),
+        (col("cents").cast("double") > col("med_c") * 2.0).cast("long")
+          .as("is_spike"))
+      .orderBy("event_type", "day")
+  }
+
   /** CUSUM changepoint detection per series — the level-shift screen.
     *
     * The classic statistic is max_t |S_t − t·x̄| over the running sums;

@@ -84,6 +84,61 @@ object Streams {
       .orderBy("user_id", "session_id")
   }
 
+  /** WATERMARK ACCOUNTING in batch (r8) — how many events WOULD a
+    * streaming run drop as late, per type? The answer decides the
+    * watermark delay a production stream can afford, and it is
+    * computable exactly in batch because Structured Streaming's
+    * watermark is deterministic given arrival order: the global
+    * watermark before micro-batch b is `min` over source partitions of
+    * the max EVENT TIME that partition saw in batches < b, minus the
+    * delay — the min-across-partitions is the part naive models skip.
+    *
+    * Arrival fixture (the interpolate-dropout discipline): the
+    * synthetic stream arrives in perfect event-time order, where every
+    * watermark answer is trivially zero, so arrival time is perturbed
+    * by a deterministic per-event network jitter of `(event_id mod 97)`
+    * minutes; micro-batches are `batchSeconds` arrival-time slots and
+    * the source partition is `event_id mod nShards`.
+    *
+    * Scale shape: one (shard, batch) max aggregate over the facts, the
+    * running-max window runs on the BATCH-GRID frame (batches ×
+    * shards — event-volume-free, no partition-less window on facts),
+    * watermark joins back via broadcast. */
+  def lateEventsBatch(events: DataFrame, batchSeconds: Long = 1800,
+                      delaySeconds: Long = 1800, nShards: Int = 4): DataFrame = {
+    val busUs = batchSeconds * 1000000L
+    val delayUs = delaySeconds * 1000000L
+    val e = events.select(col("event_type"),
+      unix_micros(col("ts")).as("ts_us"),
+      (col("event_id") % nShards).cast("long").as("shard"),
+      expr(s"(unix_micros(ts) + (event_id % 97) * 60000000) div $busUs")
+        .as("batch_id"))
+    val bm = e.groupBy("shard", "batch_id").agg(max(col("ts_us")).as("bmax"))
+    val grid = e.select("batch_id").distinct()
+      .crossJoin(broadcast(
+        events.sparkSession.range(nShards).select(col("id").as("shard"))))
+    val wShard = Window.partitionBy("shard").orderBy("batch_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // a shard that has seen nothing yet holds the GLOBAL watermark back
+    // (count(rmax) < nShards → undefined → nothing is late): faithful
+    // to the engine's min-across-partitions rule
+    val wm = grid.join(bm, Seq("shard", "batch_id"), "left_outer")
+      .withColumn("rmax", max(col("bmax")).over(wShard))
+      .groupBy("batch_id")
+      .agg(when(count(col("rmax")) === nShards, min(col("rmax"))).as("wm_us"))
+    e.join(broadcast(wm), "batch_id")
+      .withColumn("late",
+        (col("wm_us").isNotNull && col("ts_us") < col("wm_us") - lit(delayUs))
+          .cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("late")).as("late_n"))
+      .select(col("event_type"), col("n"), col("late_n"),
+        graft.ops.Det.rfloor(
+          col("late_n").cast("double") / col("n").cast("double"), 4)
+          .as("late_ratio"))
+      .orderBy("event_type")
+  }
+
   /** Streaming tumbling agg with watermark — late rows beyond `delay` are
     * dropped and their windows finalized (append mode emits a window only
     * once its watermark passes). */

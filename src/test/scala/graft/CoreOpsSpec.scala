@@ -505,4 +505,29 @@ class CoreOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [") && plan.contains("IsNotNull"), plan)
   }
+
+  test("co-purchase pairs: A-Priori prune is lossless vs an unpruned brute recount (r8)") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, sfDir)
+    val got = ops.Aggregates.copurchasePairs(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force WITHOUT the item prefilter — downward closure says
+    // the pruned plan must lose nothing above the support threshold
+    val baskets = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (_, es) => es.map(_._2).distinct.sorted }
+    val counts = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    baskets.foreach { items =>
+      for (i <- items.indices; j <- i + 1 until items.length)
+        counts((items(i), items(j))) = counts.getOrElse((items(i), items(j)), 0L) + 1L
+    }
+    val expect = counts.filter(_._2 >= 3L).toMap
+    assert(got === expect, s"pair counts diverged (got ${got.size}, expect ${expect.size})")
+    assert(got.nonEmpty)
+    // every item inside a frequent pair is itself frequent (closure law)
+    val itemFreq = baskets.toSeq.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+    got.keys.foreach { case (a, b) =>
+      assert(itemFreq(a) >= 3 && itemFreq(b) >= 3)
+    }
+  }
 }

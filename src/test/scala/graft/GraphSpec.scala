@@ -310,4 +310,35 @@ class GraphSpec extends SparkSpec {
     assert(got(0L) === 0L)
     assert(got.values.toSet === (0L to got.values.max).toSet)
   }
+
+  test("kcore matches a driver-side peel; the bounded unroll reaches the true fixpoint (r8)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = Tables.documents(spark, sfDir)
+    val got = ops.Graph.kcore(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute peel over the same half-corpus synthetic link-graph law
+    val edges = docs.filter(col("doc_id") % 2 === 0).select(
+        (col("doc_id") % 200).as("src"),
+        ((col("doc_id") * 31 + expr("doc_id div 7")) % 200).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (s, d) => s != d }
+    val und = (edges ++ edges.map(_.swap)).distinct
+    val adj = und.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    var mem = adj.keySet
+    var prev = Set.empty[Long]
+    // peel to the TRUE fixpoint, counting rounds — the operator's
+    // 6-round unroll must cover it (else the bounded form lies)
+    var rounds = 0
+    while (mem != prev) {
+      prev = mem
+      mem = mem.filter(n => (adj(n) & mem).size >= 2)
+      rounds += 1
+    }
+    assert(rounds <= 6, s"fixpoint needs $rounds rounds, unroll has 6")
+    val expect = mem.map(n => n -> (adj(n) & mem).size.toLong).toMap
+    assert(got === expect, s"first mismatches: ${
+      (got.keySet ++ expect.keySet).filter(k => got.get(k) != expect.get(k)).take(3)}")
+    // core law: every member keeps >= k neighbors inside the core
+    assert(got.values.forall(_ >= 2L))
+  }
 }

@@ -445,4 +445,40 @@ class StreamingSpec extends SparkSpec {
       assert(viaStream === viaBatch, "streaming-state PSI diverged from the batch monitor")
     } finally query.stop()
   }
+
+  test("late-event accounting matches a driver-side replay of the min-across-shards watermark (r8)") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Streams.lateEventsBatch(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // replay: per (shard, batch) max event time, per-shard running max
+    // over STRICTLY EARLIER batches, global watermark = min over shards
+    val rows = ev.select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val busUs = 1800L * 1000000L
+    def batchOf(us: Long, id: Long): Long = Math.floorDiv(us + (id % 97) * 60000000L, busUs)
+    val byShardBatch = rows.groupBy { case (_, us, id) => (id % 4, batchOf(us, id)) }
+      .map { case (k, es) => k -> es.map(_._2).max }
+    val batches = byShardBatch.keySet.map(_._2).toSeq.sorted
+    val wm: Map[Long, Option[Long]] = batches.map { b =>
+      val perShard = (0L until 4L).map { s =>
+        val seen = byShardBatch.collect { case ((sh, bb), mx) if sh == s && bb < b => mx }
+        if (seen.isEmpty) None else Some(seen.max)
+      }
+      b -> (if (perShard.forall(_.isDefined)) Some(perShard.flatten.min) else None)
+    }.toMap
+    val expect = rows.groupBy(_._1).map { case (tpe, es) =>
+      val late = es.count { case (_, us, id) =>
+        wm(batchOf(us, id)).exists(w => us < w - busUs) }
+      tpe -> (es.length.toLong, late.toLong)
+    }
+    assert(got === expect, s"late accounting diverged: got $got expect $expect")
+    // non-triviality holds once batches are populated (sf0.01: ~12%
+    // late, oracle-checked); at the spec's sf0.001 the stream is so
+    // sparse the watermark never catches an event — only the exactness
+    // law applies there
+    if (rows.length >= 5000)
+      assert(got.values.map(_._2).sum > 0, "jitter fixture produced no late events")
+    got.values.foreach { case (n, l) => assert(l < n) }
+  }
 }

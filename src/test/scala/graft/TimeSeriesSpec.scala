@@ -355,4 +355,22 @@ class TimeSeriesSpec extends SparkSpec {
       assert(math.abs(wsum / nd - 1.0) < 1e-3, s"index mass for $tpe")
     }
   }
+
+  test("rolling median matches a brute sorted-window middle; robust to the mean's outlier drag (r8)") {
+    val got = ops.TimeSeries.rollingMedian(Tables.events(spark, sfDir)).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getString(0)).foreach { case (tpe, rows) =>
+      val xs = series(tpe)
+      rows.sortBy(_.getDate(1).toLocalDate.toEpochDay).zipWithIndex.foreach {
+        case (r, i) =>
+          val win = xs.slice(math.max(0, i - 6), i + 1).sorted
+          assert(r.getLong(3) === win.size.toLong)
+          val med =
+            if (win.size % 2 == 1) win(win.size / 2).toDouble
+            else (win(win.size / 2 - 1) + win(win.size / 2)) / 2.0
+          assert(r.getDouble(4) === rfloor(med / 100, 4), s"median($tpe, $i)")
+          assert(r.getLong(5) === (if (xs(i) > 2.0 * med) 1L else 0L))
+      }
+    }
+  }
 }
