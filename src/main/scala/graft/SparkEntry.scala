@@ -528,6 +528,9 @@ object SparkEntry {
     // trailing 7-day rolling MEDIAN + integer spike flag — the robust
     // twin of ts_rolling_anomaly (r8)
     "ts_rolling_median" -> ((s, d) => TimeSeries.rollingMedian(Tables.events(s, d))),
+    // LTTB downsampling, parallel-anchor variant: per-bucket triangle
+    // argmax on exact scaled integer cross-products (r8)
+    "ts_downsample_lttb" -> ((s, d) => TimeSeries.downsampleLttb(Tables.events(s, d))),
     // A-Priori frequent co-purchase pairs over order baskets (r8)
     "agg_copurchase_pairs" -> ((s, d) => Aggregates.copurchasePairs(Tables.lineitem(s, d))),
     // FK-edge orphan audit (late-arriving-dimension fixture, one
@@ -2115,6 +2118,44 @@ object SparkEntry {
         | floor(med_c/100*1e4 + 0.5)/1e4 AS median_value,
         | CAST(CAST(cents AS DOUBLE) > med_c*2.0 AS BIGINT) AS is_spike
         |FROM w ORDER BY event_type, day""".stripMargin,
+    /* ts_downsample_lttb: parallel-anchor LTTB — anchors are the
+       neighboring buckets' mean points (rationals sum/cnt), so the
+       triangle-area argmax runs on the dA²·dC-scaled integer cross
+       product; DECIMAL(19,0) factor casts keep the products exact. */
+    "ts_downsample_lttb" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(value*100 AS DECIMAL(18,0)) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |b0 AS (SELECT event_type, day, cents,
+        |  CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS x,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+        |  count(*) OVER (PARTITION BY event_type) AS n FROM daily),
+        |i AS (SELECT *, ((t - 2) * 10) // (n - 2) AS b FROM b0 WHERE t > 1 AND t < n),
+        |ba AS (SELECT event_type, b, CAST(SUM(x) AS BIGINT) AS sx,
+        |  CAST(SUM(cents) AS BIGINT) AS sy, CAST(count(*) AS BIGINT) AS cnt
+        | FROM i GROUP BY 1, 2),
+        |f AS (SELECT event_type, x AS fx, cents AS fy, day AS fday FROM b0 WHERE t = 1),
+        |l AS (SELECT event_type, x AS lx, cents AS ly, day AS lday FROM b0 WHERE t = n AND n > 1),
+        |an AS (SELECT ba.event_type, b,
+        |  coalesce(lag(sx) OVER wb, fx) AS axn, coalesce(lag(sy) OVER wb, fy) AS ayn,
+        |  coalesce(lag(cnt) OVER wb, 1) AS da,
+        |  coalesce(lead(sx) OVER wb, lx) AS cxn, coalesce(lead(sy) OVER wb, ly) AS cyn,
+        |  coalesce(lead(cnt) OVER wb, 1) AS dc
+        | FROM ba JOIN f USING (event_type) JOIN l USING (event_type)
+        | WINDOW wb AS (PARTITION BY ba.event_type ORDER BY b)),
+        |s AS (SELECT i.event_type, i.day, i.cents, i.b,
+        |  abs(CAST(cxn*da - axn*dc AS DECIMAL(19,0)) * CAST(i.cents*da - ayn AS DECIMAL(19,0))
+        |    - CAST(cyn*da - ayn*dc AS DECIMAL(19,0)) * CAST(i.x*da - axn AS DECIMAL(19,0))) AS a2
+        | FROM i JOIN an ON i.event_type = an.event_type AND i.b = an.b),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type, b
+        |  ORDER BY a2 DESC, day ASC) AS rk FROM s)
+        |SELECT event_type, fday AS day, fy AS cents, 'first' AS role FROM f
+        |UNION ALL
+        |SELECT event_type, day, cents, 'bucket' FROM r WHERE rk = 1
+        |UNION ALL
+        |SELECT event_type, lday, ly, 'last' FROM l
+        |ORDER BY event_type, day""".stripMargin,
     /* agg_copurchase_pairs: A-Priori downward closure makes the item
        prefilter lossless (an item of a support-3 pair has item-support
        >= 3); the oracle mirrors the prune so plans stay comparable. */

@@ -143,6 +143,80 @@ object TimeSeries {
       .orderBy("event_type", "day")
   }
 
+  /** LTTB DOWNSAMPLING per series (r8) — Largest-Triangle-Three-Buckets
+    * (Steinarsson 2013), the dashboard renderer's operator: reduce a
+    * series to `buckets` points that preserve visual shape (peaks and
+    * valleys survive; uniform striding would erase them). This is the
+    * PARALLEL-ANCHOR variant: the classic algorithm anchors each
+    * bucket's triangle on the PREVIOUSLY SELECTED point (a sequential
+    * chain), here anchors are the neighboring buckets' mean points —
+    * every bucket selects independently, so the operator is one
+    * map-side argmax instead of an n-step recursion; first/last points
+    * are always kept, interior points split evenly into buckets by
+    * rank.
+    *
+    * Determinism: the triangle-area argmax is computed on EXACT
+    * integers — anchor means are rationals sum/cnt, so the cross
+    * product is scaled by dA²·dC (the common denominator): area ∝
+    * |(cxn·dA − axn·dC)(py·dA − ayn) − (cyn·dA − ayn·dC)(px·dA − axn)|,
+    * all BIGINT factors, DECIMAL(38,0) products — no float enters the
+    * comparison; ties → earliest day.
+    *
+    * Scale: the day-grain aggregate is the only data-sized shuffle;
+    * bucket means are a bucket-count frame broadcast back onto the
+    * series × days frame; the argmax is a per-bucket rank-1 filter. */
+  def downsampleLttb(events: DataFrame, buckets: Int = 12): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val wa = Window.partitionBy("event_type")
+    val nb = buckets - 2
+    require(nb >= 1, "need at least 3 buckets")
+    val base = dailyCents(events)
+      .withColumn("x", datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
+      .withColumn("t", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wa))
+    val interior = base.filter(col("t") > 1 && col("t") < col("n"))
+      .withColumn("b", expr(s"((t - 2) * $nb) div (n - 2)"))
+    val bagg = interior.groupBy("event_type", "b")
+      .agg(sum(col("x")).as("sx"), sum(col("cents")).as("sy"),
+        count(lit(1)).as("cnt"))
+    val firsts = base.filter(col("t") === 1)
+      .select(col("event_type"), col("x").as("fx"), col("cents").as("fy"),
+        col("day").as("fday"))
+    val lasts = base.filter(col("t") === col("n") && col("n") > 1)
+      .select(col("event_type"), col("x").as("lx"), col("cents").as("ly"),
+        col("day").as("lday"))
+    val wb = Window.partitionBy("event_type").orderBy("b")
+    // anchors: A = previous non-empty bucket's mean (or the first
+    // point), C = next non-empty bucket's mean (or the last point) —
+    // rationals carried as (numerator, denominator)
+    val anchors = bagg
+      .join(firsts.drop("fday"), "event_type").join(lasts.drop("lday"), "event_type")
+      .select(col("event_type"), col("b"),
+        coalesce(lag(col("sx"), 1).over(wb), col("fx")).as("axn"),
+        coalesce(lag(col("sy"), 1).over(wb), col("fy")).as("ayn"),
+        coalesce(lag(col("cnt"), 1).over(wb), lit(1L)).as("da"),
+        coalesce(lead(col("sx"), 1).over(wb), col("lx")).as("cxn"),
+        coalesce(lead(col("sy"), 1).over(wb), col("ly")).as("cyn"),
+        coalesce(lead(col("cnt"), 1).over(wb), lit(1L)).as("dc"))
+    val d19 = "decimal(19,0)"
+    val scored = interior.join(broadcast(anchors), Seq("event_type", "b"))
+      .withColumn("a2", abs(
+        (col("cxn") * col("da") - col("axn") * col("dc")).cast(d19)
+          * (col("cents") * col("da") - col("ayn")).cast(d19)
+        - (col("cyn") * col("da") - col("ayn") * col("dc")).cast(d19)
+          * (col("x") * col("da") - col("axn")).cast(d19)))
+      .withColumn("rk", row_number().over(Window.partitionBy("event_type", "b")
+        .orderBy(col("a2").desc, col("day").asc)))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day"), col("cents"), lit("bucket").as("role"))
+    firsts.select(col("event_type"), col("fday").as("day"), col("fy").as("cents"),
+        lit("first").as("role"))
+      .unionByName(scored)
+      .unionByName(lasts.select(col("event_type"), col("lday").as("day"),
+        col("ly").as("cents"), lit("last").as("role")))
+      .orderBy("event_type", "day")
+  }
+
   /** CUSUM changepoint detection per series — the level-shift screen.
     *
     * The classic statistic is max_t |S_t − t·x̄| over the running sums;

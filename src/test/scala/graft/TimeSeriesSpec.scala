@@ -356,6 +356,43 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("lttb downsample matches a driver replay; endpoints kept, one point per bucket (r8)") {
+    val got = ops.TimeSeries.downsampleLttb(Tables.events(spark, sfDir)).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getLong(2), r.getString(3)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (tpe, rows) =>
+      val xs = refDaily.toSeq.collect { case ((t, d), c) if t == tpe =>
+        d.toEpochDay -> c }.sortBy(_._1)
+      val n = xs.length
+      // replay the parallel-anchor selection with BigInt cross products
+      val interior = xs.slice(1, n - 1).zipWithIndex
+        .map { case (p, i) => (i.toLong * 10 / (n - 2), p) }
+      val byB = interior.groupBy(_._1).map { case (b, ps) =>
+        b -> ps.map(_._2) }.toSeq.sortBy(_._1)
+      val sums = byB.map { case (b, ps) =>
+        (b, ps.map(_._1).sum, ps.map(_._2).sum, ps.length.toLong) }
+      val expectSel = byB.zipWithIndex.map { case ((b, ps), bi) =>
+        val (axn, ayn, da) = if (bi == 0) (xs.head._1, xs.head._2, 1L)
+          else { val p = sums(bi - 1); (p._2, p._3, p._4) }
+        val (cxn, cyn, dc) = if (bi == byB.length - 1) (xs.last._1, xs.last._2, 1L)
+          else { val p = sums(bi + 1); (p._2, p._3, p._4) }
+        ps.map { case (px, py) =>
+          val a2 = ((BigInt(cxn) * da - BigInt(axn) * dc) * (BigInt(py) * da - ayn)
+            - (BigInt(cyn) * da - BigInt(ayn) * dc) * (BigInt(px) * da - axn)).abs
+          (a2, px, py)
+        }.maxBy { case (a2, px, _) => (a2, -px) }
+      }.map { case (_, px, py) => (px, py) }
+      val expect = ((xs.head._1, xs.head._2, "first") +:
+        expectSel.map { case (x, y) => (x, y, "bucket") }) :+
+        (xs.last._1, xs.last._2, "last")
+      assert(rows.sortBy(_._2).map(r => (r._2, r._3, r._4)) === expect,
+        s"lttb selection diverged for $tpe")
+      // cardinality: endpoints + one survivor per non-empty bucket
+      assert(rows.length === byB.length + 2)
+    }
+  }
+
   test("rolling median matches a brute sorted-window middle; robust to the mean's outlier drag (r8)") {
     val got = ops.TimeSeries.rollingMedian(Tables.events(spark, sfDir)).collect()
     assert(got.nonEmpty)
