@@ -238,6 +238,10 @@ object ScaleSmoke {
       time(s"pagerank_dangling_n${200 * factor}_docs$nRep")(
         graft.ops.Graph.pagerankDangling(repDocs, nNodes = 200 * factor,
           nDst = 211 * factor))
+      // r8: k-core joins the ladder — same broadcast-membership claim
+      // (edges never shuffle; the membership frame only shrinks)
+      time(s"kcore_n${200 * factor}_docs$nRep")(
+        graft.ops.Graph.kcore(repDocs, nNodes = 200 * factor))
       spark.stop()
       return
     }
