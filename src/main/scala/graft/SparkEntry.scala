@@ -531,6 +531,12 @@ object SparkEntry {
     // LTTB downsampling, parallel-anchor variant: per-bucket triangle
     // argmax on exact scaled integer cross-products (r8)
     "ts_downsample_lttb" -> ((s, d) => TimeSeries.downsampleLttb(Tables.events(s, d))),
+    // trend/seasonal/residual split via centered 7-day MA + dow means of
+    // the 7·x−Σ exact-integer detrended carrier (r8)
+    "ts_stl_decompose" -> ((s, d) => TimeSeries.stlDecompose(Tables.events(s, d))),
+    // LSH-candidate feature table for a learned dedup classifier:
+    // jaccard/hamming/len-ratio/same-lang, all portable-hash (r8)
+    "pipeline_dedup_features" -> ((s, d) => Dedup.dedupFeatures(Tables.documents(s, d))),
     // A-Priori frequent co-purchase pairs over order baskets (r8)
     "agg_copurchase_pairs" -> ((s, d) => Aggregates.copurchasePairs(Tables.lineitem(s, d))),
     // FK-edge orphan audit (late-arriving-dimension fixture, one
@@ -2156,6 +2162,35 @@ object SparkEntry {
         |UNION ALL
         |SELECT event_type, lday, ly, 'last' FROM l
         |ORDER BY event_type, day""".stripMargin,
+    /* ts_stl_decompose: detrended carrier = 7·x − Σwindow (exact
+       integer, no division until the end); each component is one
+       double formula on exact sums, rounded once; edges (partial MA
+       windows) stay null through to the residual. */
+    "ts_stl_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(value*100 AS DECIMAL(18,0)) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, cents,
+        |  count(*) OVER w7 AS tw, CAST(SUM(cents) OVER w7 AS BIGINT) AS tsum
+        | FROM daily WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+        |   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |b AS (SELECT event_type, day, cents,
+        |  CASE WHEN tw = 7 THEN tsum END AS t7,
+        |  CASE WHEN tw = 7 THEN cents*7 - tsum END AS d7,
+        |  CAST(date_diff('day', DATE '1970-01-01', day) % 7 AS BIGINT) AS dow
+        | FROM w),
+        |seas AS (SELECT event_type, dow, CAST(SUM(d7) AS BIGINT) AS sd7,
+        |  CAST(count(*) AS BIGINT) AS nd
+        | FROM b WHERE d7 IS NOT NULL GROUP BY 1, 2)
+        |SELECT b.event_type, b.day,
+        | floor(CAST(cents AS DOUBLE)/100*1e4 + 0.5)/1e4 AS value,
+        | floor(CAST(t7 AS DOUBLE)/7/100*1e4 + 0.5)/1e4 AS trend,
+        | floor(CAST(sd7 AS DOUBLE)/CAST(nd*7 AS DOUBLE)/100*1e4 + 0.5)/1e4 AS seasonal,
+        | floor((CAST(cents AS DOUBLE) - CAST(t7 AS DOUBLE)/7
+        |   - CAST(sd7 AS DOUBLE)/CAST(nd*7 AS DOUBLE))/100*1e4 + 0.5)/1e4 AS resid
+        |FROM b LEFT JOIN seas s ON b.event_type = s.event_type AND b.dow = s.dow
+        |ORDER BY b.event_type, b.day""".stripMargin,
     /* agg_copurchase_pairs: A-Priori downward closure makes the item
        prefilter lossless (an item of a support-3 pair has item-support
        >= 3); the oracle mirrors the prune so plans stay comparable. */
@@ -2968,6 +3003,44 @@ object SparkEntry {
         |  CASE WHEN c_custkey % 7 = 2 THEN NULL ELSE c_acctbal END AS bal FROM customer) t
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "dedup_minhash_oracle" -> minhashOracleSql,
+    /* pipeline_dedup_features: the classifier feature frame — LSH
+       candidates (the shared minhash CTEs) joined to per-doc portable
+       features: shingle-fingerprint-set Jaccard (collision behavior
+       identical by construction), two-fold 48-bit SimHash Hamming,
+       length ratio, same-lang. */
+    "pipeline_dedup_features" ->
+      s"""WITH $minhashCtes,
+         |fl AS (SELECT doc_id, list_distinct(list_transform(shs,
+         |  sh -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(sh,''), c -> CAST(unicode(c) AS BIGINT))),
+         |    (a,b) -> (a*31+b)%${graft.llm.Dedup.MinhashP}))) AS fps FROM sh),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus),
+         |tf AS (SELECT doc_id,
+         |  ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(t,''), c -> CAST(unicode(c) AS BIGINT))),
+         |    (a,b) -> (a*31+b)%1000000007) % 16777216) << 24)
+         |  + (list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(t,''), c -> CAST(unicode(c) AS BIGINT))),
+         |    (a,b) -> (a*131+b)%999999937) % 16777216) AS f FROM tok),
+         |votes2 AS (SELECT doc_id, b.b AS b,
+         |  CAST(SUM(CASE WHEN (f >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+         | FROM tf CROSS JOIN (SELECT unnest(range(48)) AS b) b GROUP BY doc_id, b.b),
+         |fpt AS (SELECT doc_id,
+         |  CAST(SUM(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS fp
+         | FROM votes2 GROUP BY doc_id),
+         |meta AS (SELECT doc_id, lang, n_chars FROM corpus)
+         |SELECT c.a_id, c.b_id,
+         | floor(CAST(len(list_intersect(fa.fps, fb.fps)) AS DOUBLE)
+         |   / CAST(len(list_distinct(fa.fps || fb.fps)) AS DOUBLE)*1e4 + 0.5)/1e4 AS jaccard,
+         | CAST(bit_count(xor(pa.fp, pb.fp)) AS BIGINT) AS hamming,
+         | floor(CAST(least(ma.n_chars, mb.n_chars) AS DOUBLE)
+         |   / CAST(greatest(ma.n_chars, mb.n_chars) AS DOUBLE)*1e4 + 0.5)/1e4 AS len_ratio,
+         | CAST(ma.lang = mb.lang AS BIGINT) AS same_lang
+         |FROM cand c
+         | JOIN fl fa ON c.a_id = fa.doc_id JOIN fl fb ON c.b_id = fb.doc_id
+         | JOIN fpt pa ON c.a_id = pa.doc_id JOIN fpt pb ON c.b_id = pb.doc_id
+         | JOIN meta ma ON c.a_id = ma.doc_id JOIN meta mb ON c.b_id = mb.doc_id
+         |ORDER BY c.a_id, c.b_id""".stripMargin,
     "dedup_cluster_banded" ->
       s"""WITH RECURSIVE $minhashCtes,
          |edges AS (SELECT a_id AS src, b_id AS dst FROM cand

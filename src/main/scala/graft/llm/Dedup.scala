@@ -1457,4 +1457,55 @@ object Dedup {
           .orderBy("a_id", "b_id")
     }
   }
+
+  /** DEDUP-CLASSIFIER FEATURE TABLE (r8) — the training-data frame for
+    * a LEARNED near-dup model: for every LSH candidate pair, the
+    * signals a classifier (or a human threshold-tuner) consumes —
+    * exact shingle Jaccard, SimHash Hamming distance, length ratio,
+    * same-language flag. Production near-dup systems tune thresholds
+    * on exactly this table (candidates are cheap, labels are
+    * expensive — the features rank which candidates deserve review).
+    *
+    * Everything is the portable hash family, so the WHOLE frame is
+    * oracle-checked: candidates from the affine-minhash band join
+    * ([[minhashBandedCandidates]]), Jaccard over distinct shingle
+    * ROLLING-FINGERPRINT sets (collision behavior identical on both
+    * engines by construction), Hamming over the two-fold 48-bit
+    * [[simhash]] fingerprint.
+    *
+    * Scale shape: per-doc features (shingle-fp set, fingerprint, meta)
+    * are ONE map-side pass over the corpus — the HOF folds never
+    * shuffle; the candidate frame (LSH-bounded, not n²) joins the
+    * per-doc frame twice on doc_id. At 100 TB the per-doc frame is the
+    * persisted artifact and candidate batches join against it. */
+  def dedupFeatures(documents: DataFrame): DataFrame = {
+    val corpus = graft.llm.Corpus.docCorpus(documents)
+      .localCheckpoint(eager = false)
+    val feats = corpus
+      .withColumn("hs", transform(TextOps.tokens(col("text")),
+        t => graft.functions.TextExprs.rollingFingerprint48(t)))
+      .select(col("doc_id"),
+        array_distinct(transform(
+          TextOps.shingles(TextOps.tokens(col("text")), 3),
+          s => graft.functions.TextExprs.rollingFingerprint(s))).as("fps"),
+        simhashVotes(48).as("fp"), col("lang"), col("n_chars"))
+      .localCheckpoint(eager = false)
+    minhashBandedCandidates(corpus)
+      .join(feats.select(col("doc_id").as("a_id"), col("fps").as("a_fps"),
+        col("fp").as("a_fp"), col("lang").as("a_lang"),
+        col("n_chars").as("a_len")), "a_id")
+      .join(feats.select(col("doc_id").as("b_id"), col("fps").as("b_fps"),
+        col("fp").as("b_fp"), col("lang").as("b_lang"),
+        col("n_chars").as("b_len")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        graft.ops.Det.rfloor(
+          size(array_intersect(col("a_fps"), col("b_fps"))).cast("double")
+            / size(array_union(col("a_fps"), col("b_fps"))).cast("double"), 4)
+          .as("jaccard"),
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long").as("hamming"),
+        graft.ops.Det.rfloor(least(col("a_len"), col("b_len")).cast("double")
+          / greatest(col("a_len"), col("b_len")).cast("double"), 4).as("len_ratio"),
+        (col("a_lang") === col("b_lang")).cast("long").as("same_lang"))
+      .orderBy("a_id", "b_id")
+  }
 }

@@ -217,6 +217,44 @@ object TimeSeries {
       .orderBy("event_type", "day")
   }
 
+  /** STL-style DECOMPOSITION per series (r8) — value = trend + seasonal
+    * + residual, the monitoring lens that answers "is today's number a
+    * trend move, the usual weekday dip, or a real anomaly". Moving-
+    * average flavor: trend = centered 7-day MA (defined only on full
+    * windows — edges stay null, the [[interpolateLinear]] edge
+    * discipline), seasonal = day-of-week mean of the DETRENDED series,
+    * residual = the rest. Exactness: the detrended carrier is
+    * 7·x_t − Σwindow (an exact integer — no division until the end),
+    * the seasonal sum stays integer, and each output component is ONE
+    * double formula on exact sums rounded once — identical ASTs on
+    * both engines.
+    *
+    * Scale: two windows + one (series, dow) aggregate on the day-grain
+    * frame; the 7-row-per-series seasonal profile broadcasts back. */
+  def stlDecompose(events: DataFrame): DataFrame = {
+    val w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    val base = dailyCents(events)
+      .withColumn("tw", count(lit(1)).over(w7))
+      .withColumn("tsum", sum(col("cents")).over(w7))
+      .withColumn("t7", when(col("tw") === 7, col("tsum")))
+      .withColumn("d7", when(col("tw") === 7, col("cents") * 7 - col("tsum")))
+      .withColumn("dow",
+        pmod(datediff(col("day"), to_date(lit("1970-01-01"))), lit(7)).cast("long"))
+    val seas = base.filter(col("d7").isNotNull)
+      .groupBy("event_type", "dow")
+      .agg(sum(col("d7")).as("sd7"), count(lit(1)).as("nd"))
+    base.join(broadcast(seas), Seq("event_type", "dow"), "left_outer")
+      .select(col("event_type"), col("day"),
+        Det.rfloor(col("cents").cast("double") / 100, 4).as("value"),
+        Det.rfloor(col("t7").cast("double") / 7 / 100, 4).as("trend"),
+        Det.rfloor(col("sd7").cast("double")
+          / (col("nd") * 7).cast("double") / 100, 4).as("seasonal"),
+        Det.rfloor((col("cents").cast("double") - col("t7").cast("double") / 7
+          - col("sd7").cast("double") / (col("nd") * 7).cast("double")) / 100, 4)
+          .as("resid"))
+      .orderBy("event_type", "day")
+  }
+
   /** CUSUM changepoint detection per series — the level-shift screen.
     *
     * The classic statistic is max_t |S_t − t·x̄| over the running sums;

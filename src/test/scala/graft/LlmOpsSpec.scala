@@ -996,4 +996,36 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(persisted === recomputed)
   }
+
+  test("dedup features: exact-dup pairs score perfect, near-dups near-perfect, bounds hold (r8)") {
+    val feats = Dedup.dedupFeatures(Tables.documents(spark, sfDir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getLong(3), r.getDouble(4), r.getLong(5)))).toMap
+    assert(feats.nonEmpty)
+    // feature bounds on every candidate pair
+    feats.values.foreach { case (jac, ham, lr, sl) =>
+      assert(jac >= 0.0 && jac <= 1.0 && ham >= 0L && ham <= 48L)
+      assert(lr > 0.0 && lr <= 1.0 && (sl == 0L || sl == 1L))
+    }
+    // injected exact copies (doc_id ≡ 0 mod 7 → +100000) share every
+    // band, so the pair MUST be a candidate with perfect features
+    // (a < 100000 guard: ids 100000+7k are themselves copies, and
+    // (copy_of_x, near_of_x) also differ by exactly 100000)
+    val exactPairs = feats.filter { case ((a, b), _) =>
+      a < 100000 && a % 7 == 0 && b == a + 100000 }
+    assert(exactPairs.nonEmpty, "exact-dup pairs missing from candidates")
+    exactPairs.values.foreach { case (jac, ham, lr, sl) =>
+      assert(jac === 1.0 && ham === 0L && lr === 1.0 && sl === 1L)
+    }
+    // near copies (3-token tail appended) that surfaced as candidates
+    // score high jaccard and small hamming — the separation a
+    // classifier needs
+    val nearPairs = feats.filter { case ((a, b), _) =>
+      a < 100000 && a % 10 == 5 && b == a + 200000 }
+    assert(nearPairs.nonEmpty, "no near-dup candidate pairs surfaced")
+    nearPairs.values.foreach { case (jac, ham, _, _) =>
+      assert(jac >= 0.5, s"near-dup jaccard $jac")
+      assert(ham <= 12L, s"near-dup hamming $ham")
+    }
+  }
 }

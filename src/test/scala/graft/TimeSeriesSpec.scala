@@ -393,6 +393,33 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("stl decompose: components reconstruct the value; trend matches a driver MA (r8)") {
+    val got = ops.TimeSeries.stlDecompose(Tables.events(spark, sfDir)).collect()
+    assert(got.nonEmpty)
+    var interior = 0
+    got.groupBy(_.getString(0)).foreach { case (tpe, rows) =>
+      val xs = series(tpe)
+      rows.sortBy(_.getDate(1).toLocalDate.toEpochDay).zipWithIndex.foreach {
+        case (r, i) =>
+          assert(r.getDouble(2) === rfloor(xs(i) / 100.0, 4)) // value
+          if (i < 3 || i >= xs.length - 3) {
+            assert(r.isNullAt(3) && r.isNullAt(5),
+              s"edge row $i of $tpe should have null trend/resid")
+          } else {
+            interior += 1
+            val t = xs.slice(i - 3, i + 4).sum / 7.0 / 100
+            assert(r.getDouble(3) === rfloor(t, 4), s"trend($tpe,$i)")
+            // reconstruction: value ≈ trend + seasonal + resid, each
+            // rounded separately → ≤ 2e-4 slack
+            val recon = r.getDouble(3) + r.getDouble(4) + r.getDouble(5)
+            assert(math.abs(r.getDouble(2) - recon) <= 2e-4,
+              s"reconstruction($tpe,$i): ${r.getDouble(2)} vs $recon")
+          }
+      }
+    }
+    assert(interior > 0)
+  }
+
   test("rolling median matches a brute sorted-window middle; robust to the mean's outlier drag (r8)") {
     val got = ops.TimeSeries.rollingMedian(Tables.events(spark, sfDir)).collect()
     assert(got.nonEmpty)
