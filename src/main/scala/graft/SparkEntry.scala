@@ -539,6 +539,22 @@ object SparkEntry {
     "pipeline_dedup_features" -> ((s, d) => Dedup.dedupFeatures(Tables.documents(s, d))),
     // A-Priori frequent co-purchase pairs over order baskets (r8)
     "agg_copurchase_pairs" -> ((s, d) => Aggregates.copurchasePairs(Tables.lineitem(s, d))),
+    // confidence/lift scoring of the frequent pairs, both directions;
+    // item supports and the basket count ride broadcasts (r8)
+    "agg_assoc_rules" -> ((s, d) => Aggregates.assocRules(Tables.lineitem(s, d))),
+    // Holt's double exponential smoothing (α=β=1/2): the FULL recursion
+    // in floor-halved integer cents, replayed by a recursive CTE (r8)
+    "ts_holt" -> ((s, d) => TimeSeries.holtLinear(Tables.events(s, d))),
+    // strongly connected components: closure by iterated squaring on the
+    // node²-bounded residue graph, scc_id from the mutual self-join (r8)
+    "graph_scc" -> ((s, d) => graft.ops.Graph.scc(Tables.documents(s, d))),
+    // three-way keyed merge (base/ours/theirs): per-cell take-one-side
+    // rule, convergent edits, conflict classes — multi-writer sync (r8)
+    "diff_merge_3way" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      SnapshotDiff.merge3Way(Snapshots.oldSnapshot(c),
+        Snapshots.oursSnapshot(c), Snapshots.theirsSnapshot(c), "slno")
+    }),
     // FK-edge orphan audit (late-arriving-dimension fixture, one
     // outer-join aggregate pass per edge)
     "dq_referential_integrity" -> ((s, d) => DataQuality.referentialIntegrity(
@@ -841,6 +857,55 @@ object SparkEntry {
        |UNION ALL
        |SELECT 'update', o_slno, 'segment', o_segment, n_segment
        | FROM j WHERE o_slno IS NOT NULL AND n_slno IS NOT NULL AND o_segment IS DISTINCT FROM n_segment""".stripMargin
+
+  /** Three-way merge oracle, generated from the column list so the
+    * per-cell rule is written once — the SQL mirror of
+    * SnapshotDiff.merge3Way's per-column when-chains. */
+  private val merge3Sql: String = {
+    val cols = Seq("name", "acctbal", "segment")
+    def oNe(c: String) = s"(o_$c IS DISTINCT FROM b_$c)"
+    def tNe(c: String) = s"(t_$c IS DISTINCT FROM b_$c)"
+    def sNe(c: String) = s"(o_$c IS DISTINCT FROM t_$c)"
+    def conf(c: String) =
+      s"((in_b AND in_o AND in_t AND ${oNe(c)} AND ${tNe(c)} AND ${sNe(c)})" +
+        s" OR (NOT in_b AND in_o AND in_t AND ${sNe(c)}))"
+    val changedO = cols.map(oNe).mkString("(", " OR ", ")")
+    val changedT = cols.map(tNe).mkString("(", " OR ", ")")
+    val sidesEq = cols.map(c => s"(NOT ${sNe(c)})").mkString("(", " AND ", ")")
+    val anyConf = cols.map(conf).mkString("(", " OR ", ")")
+    val surviving = "((in_o AND in_t) OR (NOT in_b AND (in_o OR in_t)))"
+    def mergedC(c: String) =
+      s"CASE WHEN NOT $surviving OR ${conf(c)} THEN NULL\n" +
+        s"  WHEN in_b AND in_o AND in_t THEN (CASE WHEN ${oNe(c)} THEN o_$c" +
+        s" WHEN ${tNe(c)} THEN t_$c ELSE b_$c END)\n" +
+        s"  WHEN NOT in_b AND in_o THEN o_$c ELSE t_$c END AS $c"
+    val action =
+      s"CASE WHEN in_b AND in_o AND in_t THEN (\n" +
+        s"  CASE WHEN $anyConf THEN 'conflict'\n" +
+        s"   WHEN NOT $changedO AND NOT $changedT THEN 'keep'\n" +
+        s"   WHEN $changedO AND NOT $changedT THEN 'ours'\n" +
+        s"   WHEN NOT $changedO AND $changedT THEN 'theirs'\n" +
+        s"   WHEN $sidesEq THEN 'both' ELSE 'merged' END)\n" +
+        s" WHEN in_b AND in_o THEN (CASE WHEN $changedO THEN 'delete_conflict' ELSE 'delete_theirs' END)\n" +
+        s" WHEN in_b AND in_t THEN (CASE WHEN $changedT THEN 'delete_conflict' ELSE 'delete_ours' END)\n" +
+        s" WHEN in_b THEN 'delete_both'\n" +
+        s" WHEN in_o AND in_t THEN (CASE WHEN $sidesEq THEN 'insert_both' ELSE 'insert_conflict' END)\n" +
+        s" WHEN in_o THEN 'insert_ours' ELSE 'insert_theirs' END AS action"
+    val confCols = "concat_ws(','," +
+      cols.map(c => s" CASE WHEN ${conf(c)} THEN '$c' END").mkString(",") +
+      ") AS conflict_cols"
+    s"WITH bt AS (${Snapshots.oldSql}),\n" +
+      s"ot AS (${Snapshots.oursSql}),\n" +
+      s"tt AS (${Snapshots.theirsSql}),\n" +
+      "j AS (SELECT b.slno AS bk, o.slno AS ok, t.slno AS tk,\n  " +
+      cols.map(c => s"b.$c AS b_$c, o.$c AS o_$c, t.$c AS t_$c").mkString(",\n  ") +
+      "\n FROM bt b FULL OUTER JOIN ot o ON b.slno = o.slno\n" +
+      " FULL OUTER JOIN tt t ON COALESCE(b.slno, o.slno) = t.slno),\n" +
+      "f AS (SELECT *, bk IS NOT NULL AS in_b, ok IS NOT NULL AS in_o, tk IS NOT NULL AS in_t FROM j)\n" +
+      s"SELECT CAST(COALESCE(bk, ok, tk) AS BIGINT) AS slno,\n $action,\n $confCols,\n " +
+      cols.map(mergedC).mkString(",\n ") +
+      "\nFROM f ORDER BY slno"
+  }
 
   private val diffPositionalSql =
     s"""WITH bq AS (${Snapshots.bqSql}), sheet AS (${Snapshots.sheetSql}),
@@ -2202,6 +2267,72 @@ object SparkEntry {
         |  FROM fb a JOIN fb c ON a.ok = c.ok AND a.pk < c.pk GROUP BY 1, 2)
         |SELECT p1, p2, support FROM p WHERE support >= 3
         |ORDER BY support DESC, p1, p2""".stripMargin,
+    /* agg_assoc_rules: confidence and lift are single double formulas
+       over exact BIGINT counts (products < 2^53), rounded once via the
+       rfloor idiom — identical ASTs on both engines. */
+    "agg_assoc_rules" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |ic AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+        |f AS (SELECT pk, c FROM ic WHERE c >= 3),
+        |fb AS (SELECT ok, pk FROM b WHERE pk IN (SELECT pk FROM f)),
+        |p AS (SELECT a.pk AS p1, c2.pk AS p2, CAST(count(*) AS BIGINT) AS support
+        |  FROM fb a JOIN fb c2 ON a.ok = c2.ok AND a.pk < c2.pk GROUP BY 1, 2
+        |  HAVING CAST(count(*) AS BIGINT) >= 3),
+        |nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM b),
+        |d AS (SELECT p1 AS ante, p2 AS cons, support FROM p
+        |  UNION ALL SELECT p2, p1, support FROM p)
+        |SELECT d.ante, d.cons, d.support, fa.c AS n_ante, fc.c AS n_cons, nb.n_baskets,
+        | floor(CAST(d.support AS DOUBLE) / CAST(fa.c AS DOUBLE) * 1e6 + 0.5)/1e6 AS confidence,
+        | floor(CAST(d.support AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
+        |   / (CAST(fa.c AS DOUBLE) * CAST(fc.c AS DOUBLE)) * 1e6 + 0.5)/1e6 AS lift
+        |FROM d JOIN f fa ON fa.pk = d.ante JOIN f fc ON fc.pk = d.cons CROSS JOIN nb
+        |ORDER BY d.ante, d.cons""".stripMargin,
+    /* ts_holt: the full Holt recursion replayed by a recursive CTE —
+       every step is one floor-halving of integer cents (exact in IEEE
+       double), so the sequential recurrence is bit-exact on both
+       engines; forecast = prior level + prior trend, null on day 1. */
+    "ts_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(value*100 AS DECIMAL(18,0)) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |num AS (SELECT event_type, day, cents,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn FROM daily),
+        |holt(event_type, rn, day, cents, l, b, f) AS (
+        |  SELECT event_type, rn, day, cents, cents, CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
+        |   FROM num WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.event_type, d.rn, d.day, d.cents,
+        |    CAST(floor(CAST(d.cents + h.l + h.b AS DOUBLE) / 2) AS BIGINT),
+        |    CAST(floor(CAST(CAST(floor(CAST(d.cents + h.l + h.b AS DOUBLE) / 2) AS BIGINT)
+        |      - h.l + h.b AS DOUBLE) / 2) AS BIGINT),
+        |    h.l + h.b
+        |  FROM holt h JOIN num d ON d.event_type = h.event_type AND d.rn = h.rn + 1)
+        |SELECT event_type, day, cents,
+        | floor(CAST(l AS DOUBLE)/100*1e4 + 0.5)/1e4 AS level,
+        | floor(CAST(b AS DOUBLE)/100*1e4 + 0.5)/1e4 AS trend,
+        | floor(CAST(f AS DOUBLE)/100*1e4 + 0.5)/1e4 AS forecast
+        |FROM holt ORDER BY event_type, day""".stripMargin,
+    /* graph_scc: mutual reachability from the recursive-CTE transitive
+       closure of the half-corpus mod-250 link graph; scc_id = least
+       member id, all integer arithmetic. */
+    "graph_scc" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT doc_id % 250 AS src, (doc_id * 31 + doc_id // 7) % 250 AS dst
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |e2 AS (SELECT src, dst FROM edges WHERE src <> dst),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |reach(src, dst) AS (SELECT src, dst FROM e2
+        |  UNION SELECT r.src, e.dst FROM reach r JOIN e2 e ON e.src = r.dst),
+        |mutual AS (SELECT r1.src AS node, r1.dst AS m
+        |  FROM reach r1 JOIN reach r2 ON r2.src = r1.dst AND r2.dst = r1.src),
+        |ids AS (SELECT n.node, LEAST(n.node, COALESCE(MIN(m.m), n.node)) AS scc_id
+        |  FROM nodes n LEFT JOIN mutual m ON m.node = n.node GROUP BY n.node),
+        |sz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size FROM ids GROUP BY 1)
+        |SELECT i.node, i.scc_id, s.scc_size FROM ids i JOIN sz s USING (scc_id)
+        |ORDER BY i.node""".stripMargin,
+    /* diff_merge_3way: generated from the column list — see merge3Sql. */
+    "diff_merge_3way" -> merge3Sql,
     /* stream_late_events_batch: the engine's watermark rule made exact
        in SQL — global watermark before batch b = min over source
        shards of the max event time seen in batches < b, minus delay;

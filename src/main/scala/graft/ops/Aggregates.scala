@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -744,5 +744,49 @@ object Aggregates {
     pairs.groupBy("p1", "p2").agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
       .orderBy(col("support").desc, col("p1"), col("p2"))
+  }
+
+  /** ASSOCIATION RULES (r8) — the step after [[copurchasePairs]]:
+    * each frequent pair read in both directions as antecedent →
+    * consequent, scored by confidence (`support(a,b)/support(a)` —
+    * P(b|a)) and lift (`support(a,b)·N / (support(a)·support(b))` —
+    * how far co-occurrence beats independence; >1 is a real
+    * association, the recommender/substitution signal).
+    *
+    * Exactness: all counts are BIGINT; confidence and lift are single
+    * double formulas over exact integers well under 2⁵³ (support·N ≤
+    * ~10¹⁰ at sf0.1), rounded once via [[Det.rfloor]] — the identical
+    * AST runs in the oracle. Scale: the pair frame rides the
+    * [[copurchasePairs]] A-Priori machinery (item prefilter lossless,
+    * fan-out basket-bounded); item supports and the 1-row basket count
+    * are catalog-/constant-sized broadcasts, so scoring adds zero
+    * data-sized shuffles on top of the pair mining. */
+  def assocRules(lineitem: DataFrame, minSupport: Int = 3): DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val counts = items.groupBy("pk").agg(count(lit(1)).as("c"))
+    val freq = counts.filter(col("c") >= minSupport)
+    val fitems = items.join(freq.select("pk"), Seq("pk"), "left_semi")
+    val pairs = fitems.select(col("ok"), col("pk").as("p1"))
+      .join(fitems.select(col("ok"), col("pk").as("p2")), "ok")
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    val nb = items.select("ok").distinct().agg(count(lit(1)).as("n_baskets"))
+    val directed = pairs
+      .select(col("p1").as("ante"), col("p2").as("cons"), col("support"))
+      .unionByName(pairs
+        .select(col("p2").as("ante"), col("p1").as("cons"), col("support")))
+    val d = (c: Column) => c.cast("double")
+    directed
+      .join(broadcast(freq.select(col("pk").as("ante"), col("c").as("n_ante"))), "ante")
+      .join(broadcast(freq.select(col("pk").as("cons"), col("c").as("n_cons"))), "cons")
+      .crossJoin(broadcast(nb))
+      .select(col("ante"), col("cons"), col("support"),
+        col("n_ante"), col("n_cons"), col("n_baskets"),
+        Det.rfloor(d(col("support")) / d(col("n_ante")), 6).as("confidence"),
+        Det.rfloor(d(col("support")) * d(col("n_baskets")) /
+          (d(col("n_ante")) * d(col("n_cons"))), 6).as("lift"))
+      .orderBy("ante", "cons")
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -402,6 +402,57 @@ object TimeSeries {
     * exactly the candle-store build a 100 TB metrics pipeline runs, and
     * the output grain (entities × buckets) is what every later window
     * reads instead of raw events. */
+  /** HOLT'S LINEAR TREND smoothing (r8) — double exponential smoothing
+    * with α = β = 1/2: `level_t = ⌊(y_t + level_{t−1} + trend_{t−1})/2⌋`,
+    * `trend_t = ⌊(level_t − level_{t−1} + trend_{t−1})/2⌋`, one-step
+    * forecast `f_t = level_{t−1} + trend_{t−1}` (null on each series'
+    * first day, [[interpolateLinear]]'s edge discipline) — [[ema8]]'s
+    * level-only smoothing plus the trend term, the simplest forecast a
+    * capacity dashboard runs.
+    *
+    * Unlike EMA8's truncated closed form, the FULL recursion ships
+    * here: the state is integer cents and each step is one
+    * floor-halving (exact in IEEE double far below 2⁵³ — deterministic
+    * on any engine), so the whole recurrence is replayable bit-exactly
+    * by the oracle's recursive CTE — the same fixed-point discipline
+    * as [[graft.ops.Graph.pagerank]], applied to a sequential scan. An
+    * inherently sequential recurrence can't be a window frame; it runs
+    * as one `aggregate` HOF over each series' day-sorted array. That
+    * is NOT a scale liability: the recursion runs at the day grain
+    * AFTER the data-sized aggregation, so the array length is bounded
+    * by the calendar span, not the row count (the [[stlDecompose]] /
+    * text_zipf argument — at 100 TB the exchange still carries
+    * (series, day) partials, never events). */
+  def holtLinear(events: DataFrame): DataFrame = {
+    val outT = "array<struct<day:date,cents:bigint,level:bigint,trend:bigint,forecast:bigint>>"
+    def half(c: Column) = floor(c.cast("double") / 2.0).cast("long")
+    val init = struct(lit(0L).as("l"), lit(0L).as("b"),
+      lit(0).as("n"), array().cast(outT).as("out"))
+    val stepped = dailyCents(events)
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("cents")))).as("arr"))
+      .withColumn("res", aggregate(col("arr"), init, (acc, x) => {
+        val y = x.getField("cents")
+        val first = acc.getField("n") === 0
+        val f = acc.getField("l") + acc.getField("b")
+        val l2 = when(first, y).otherwise(half(y + f))
+        val b2 = when(first, lit(0L))
+          .otherwise(half(l2 - acc.getField("l") + acc.getField("b")))
+        struct(l2.as("l"), b2.as("b"), (acc.getField("n") + 1).as("n"),
+          concat(acc.getField("out"), array(struct(
+            x.getField("day").as("day"), y.as("cents"),
+            l2.as("level"), b2.as("trend"),
+            when(first, lit(null).cast("long")).otherwise(f).as("forecast")))).as("out"))
+      }))
+      .select(col("event_type"), explode(col("res.out")).as("r"))
+    stepped.select(col("event_type"), col("r.day").as("day"),
+        col("r.cents").as("cents"),
+        Det.rfloor(col("r.level").cast("double") / 100, 4).as("level"),
+        Det.rfloor(col("r.trend").cast("double") / 100, 4).as("trend"),
+        Det.rfloor(col("r.forecast").cast("double") / 100, 4).as("forecast"))
+      .orderBy("event_type", "day")
+  }
+
   def resampleOhlc(events: DataFrame): DataFrame =
     events
       .select(col("user_id"),

@@ -199,4 +199,80 @@ object SnapshotDiff {
         col("r.is_current").as("is_current"): _*)
       .orderBy(key, "version")
   }
+
+  /** THREE-WAY KEYED MERGE (r8) — the multi-writer sync case the
+    * reference's one-directional diff cannot express: two branches
+    * (`ours`, `theirs`) both diverged from a common `base`, and the
+    * merge must take each side's non-overlapping edits, recognize
+    * convergent edits, and flag true conflicts instead of silently
+    * last-writer-winning them (the reference's apply path,
+    * syncquill.py:78-107, always lets the sheet side win).
+    *
+    * Cell rule (per value column): untouched → base; changed on one
+    * side → that side; changed identically on both → the shared value;
+    * changed differently on both → NULL + the column listed in
+    * `conflict_cols`. Row rule: deletes beat no-ops, a delete against
+    * a modification is `delete_conflict`, keys absent from base are
+    * inserts (`insert_both` only when the sides agree cell-for-cell).
+    * All comparisons are null-safe (`<=>`), in the string domain like
+    * the rest of the diff family.
+    *
+    * Scale: two hash-partitioned full outer joins on the key — the
+    * same one-shuffle-per-side shape as [[diffKeyed]] with a third
+    * snapshot, no driver materialization, AQE-handled skew. Output is
+    * key-unique so `ORDER BY slno` is a total order. */
+  def merge3Way(base: DataFrame, ours: DataFrame, theirs: DataFrame,
+      key: String): DataFrame = {
+    val cols = base.columns.filterNot(_ == key).toSeq
+    require(ours.columns.toSeq == base.columns.toSeq &&
+      theirs.columns.toSeq == base.columns.toSeq,
+      "merge snapshots must share a schema")
+    val b = base.select(col(key).as("bk") +: cols.map(c => col(c).as(s"b_$c")): _*)
+    val o = ours.select(col(key).as("ok") +: cols.map(c => col(c).as(s"o_$c")): _*)
+    val t = theirs.select(col(key).as("tk") +: cols.map(c => col(c).as(s"t_$c")): _*)
+    val j = b.join(o, col("bk") === col("ok"), "full_outer")
+      .join(t, coalesce(col("bk"), col("ok")) === col("tk"), "full_outer")
+    val inB = col("bk").isNotNull
+    val inO = col("ok").isNotNull
+    val inT = col("tk").isNotNull
+    def oNe(c: String) = !(col(s"o_$c") <=> col(s"b_$c"))
+    def tNe(c: String) = !(col(s"t_$c") <=> col(s"b_$c"))
+    def sidesNe(c: String) = !(col(s"o_$c") <=> col(s"t_$c"))
+    def conflictC(c: String) =
+      (inB && inO && inT && oNe(c) && tNe(c) && sidesNe(c)) ||
+        (!inB && inO && inT && sidesNe(c))
+    val changedO = cols.map(oNe).reduce(_ || _)
+    val changedT = cols.map(tNe).reduce(_ || _)
+    val sidesEq = cols.map(c => !sidesNe(c)).reduce(_ && _)
+    val anyConflict = cols.map(conflictC).reduce(_ || _)
+    val surviving = (inO && inT) || (!inB && (inO || inT))
+    def mergedC(c: String) = when(!surviving || conflictC(c), lit(null).cast("string"))
+      .when(inB && inO && inT,
+        when(oNe(c), col(s"o_$c")).when(tNe(c), col(s"t_$c")).otherwise(col(s"b_$c")))
+      .when(!inB && inO, col(s"o_$c"))
+      .otherwise(col(s"t_$c"))
+    val action = when(inB && inO && inT,
+        when(anyConflict, "conflict")
+          .when(!changedO && !changedT, "keep")
+          .when(changedO && !changedT, "ours")
+          .when(!changedO && changedT, "theirs")
+          .when(sidesEq, "both")
+          .otherwise("merged"))
+      .when(inB && inO && !inT,
+        when(changedO, "delete_conflict").otherwise("delete_theirs"))
+      .when(inB && !inO && inT,
+        when(changedT, "delete_conflict").otherwise("delete_ours"))
+      .when(inB && !inO && !inT, "delete_both")
+      .when(!inB && inO && inT,
+        when(sidesEq, "insert_both").otherwise("insert_conflict"))
+      .when(!inB && inO, "insert_ours")
+      .otherwise("insert_theirs")
+    val conflictCols = concat_ws(",",
+      cols.map(c => when(conflictC(c), lit(c)).otherwise(lit(null).cast("string"))): _*)
+    j.select(Seq(
+        coalesce(col("bk"), col("ok"), col("tk")).cast("long").as("slno"),
+        action.as("action"), conflictCols.as("conflict_cols")) ++
+        cols.map(c => mergedC(c).as(c)): _*)
+      .orderBy("slno")
+  }
 }

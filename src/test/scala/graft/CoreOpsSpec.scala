@@ -530,4 +530,37 @@ class CoreOpsSpec extends SparkSpec {
       assert(itemFreq(a) >= 3 && itemFreq(b) >= 3)
     }
   }
+
+  test("assoc rules: counts match a brute recount, confidence/lift replay exactly (r8)") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, sfDir)
+    val rules = ops.Aggregates.assocRules(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7))).toMap
+    assert(rules.nonEmpty)
+    // brute item/basket counts from the raw baskets
+    val baskets = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nBaskets = baskets.map(_._1).distinct.length.toLong
+    val itemFreq = baskets.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val pairs = ops.Aggregates.copurchasePairs(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every frequent pair yields exactly two directed rules; no extras
+    assert(rules.size === 2 * pairs.size)
+    def rf6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    pairs.foreach { case ((a, b), s) =>
+      for (((x, y), sup) <- Seq((a, b) -> s, (b, a) -> s)) {
+        val (gs, na, nc, nb, conf, lift) = rules((x, y))
+        assert(gs === sup && na === itemFreq(x) && nc === itemFreq(y) && nb === nBaskets)
+        assert(conf === rf6(sup.toDouble / na))
+        assert(lift === rf6(sup.toDouble * nb / (na.toDouble * nc.toDouble)))
+        assert(conf > 0 && conf <= 1.0)
+      }
+    }
+    // lift symmetry: both directions of a pair share the lift value
+    pairs.keys.foreach { case (a, b) =>
+      assert(rules((a, b))._6 === rules((b, a))._6)
+    }
+  }
 }

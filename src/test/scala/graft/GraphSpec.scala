@@ -341,4 +341,41 @@ class GraphSpec extends SparkSpec {
     // core law: every member keeps >= k neighbors inside the core
     assert(got.values.forall(_ >= 2L))
   }
+
+  test("scc matches a driver-side mutual-reachability brute force (r8)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = Tables.documents(spark, sfDir)
+    val rows = ops.Graph.scc(docs).collect()
+    val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotSize = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // brute: per-node forward BFS over the same directed synthesis law
+    val edges = docs.filter(col("doc_id") % 2 === 0).select(
+        (col("doc_id") % 250).as("src"),
+        ((col("doc_id") * 31 + expr("doc_id div 7")) % 250).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val adj = edges.filter(e => e._1 != e._2)
+      .groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    def reach(n: Long): Set[Long] = {
+      var seen = Set.empty[Long]; var frontier = adj.getOrElse(n, Set.empty)
+      while (frontier.nonEmpty) {
+        seen ++= frontier
+        frontier = frontier.flatMap(m => adj.getOrElse(m, Set.empty)) -- seen
+      }
+      seen
+    }
+    val fwd = nodes.map(n => n -> reach(n)).toMap
+    val expect = nodes.map { n =>
+      val mutual = fwd(n).filter(m => fwd(m).contains(n))
+      n -> (mutual + n).min
+    }.toMap
+    assert(got === expect, s"first mismatches: ${
+      (got.keySet ++ expect.keySet).filter(k => got.get(k) != expect.get(k)).take(3)}")
+    // size column agrees with the id grouping; ids are least members
+    val sizes = expect.values.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    nodes.foreach(n => assert(gotSize(n) === sizes(expect(n))))
+    assert(expect.forall { case (n, id) => id <= n })
+    // the graph must exercise the operator: at least one non-trivial SCC
+    assert(sizes.values.max > 1, "fixture graph has no cycle — SCC vacuous")
+  }
 }

@@ -121,4 +121,58 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(byOp.getOrElse("update", 0L) > 0)
     d.unpersist()
   }
+
+  test("merge3Way: one-sided merge degenerates to taking ours (r8)") {
+    val base = Snapshots.oldSnapshot(customer)
+    val ours = Snapshots.oursSnapshot(customer)
+    // theirs == base: every surviving row must equal ours' row verbatim
+    val m = SnapshotDiff.merge3Way(base, ours, base, "slno").cache()
+    assert(m.filter(col("action").isin("conflict", "theirs", "both", "merged",
+      "delete_conflict", "insert_conflict", "insert_theirs", "delete_both")).count() === 0)
+    val survivors = m.filter(!col("action").startsWith("delete"))
+      .select(col("slno"), col("name"), col("acctbal"), col("segment"))
+    val oursAll = ours.select(col("slno").cast("long").as("slno"),
+      col("name"), col("acctbal"), col("segment"))
+    assert(survivors.exceptAll(oursAll).count() === 0)
+    assert(oursAll.exceptAll(survivors).count() === 0)
+    m.unpersist()
+  }
+
+  test("merge3Way: swapping ours/theirs mirrors actions and preserves cells (r8)") {
+    val base = Snapshots.oldSnapshot(customer)
+    val ours = Snapshots.oursSnapshot(customer)
+    val theirs = Snapshots.theirsSnapshot(customer)
+    val ab = SnapshotDiff.merge3Way(base, ours, theirs, "slno")
+    val ba = SnapshotDiff.merge3Way(base, theirs, ours, "slno")
+    val swap = Map("ours" -> "theirs", "theirs" -> "ours",
+      "delete_ours" -> "delete_theirs", "delete_theirs" -> "delete_ours",
+      "insert_ours" -> "insert_theirs", "insert_theirs" -> "insert_ours")
+    val abRows = ab.collect().map(r => r.getLong(0) -> r).toMap
+    val baRows = ba.collect().map(r => r.getLong(0) -> r).toMap
+    assert(abRows.keySet === baRows.keySet)
+    abRows.foreach { case (k, r) =>
+      val s = baRows(k)
+      assert(swap.getOrElse(r.getString(1), r.getString(1)) === s.getString(1), s"action@$k")
+      assert(r.getString(2) === s.getString(2), s"conflict_cols@$k")
+      (3 to 5).foreach(i => assert(r.get(i) === s.get(i), s"cell $i@$k"))
+    }
+  }
+
+  test("merge3Way: the synthesis populates every class, spot keys classify right (r8)") {
+    val m = SnapshotDiff.merge3Way(Snapshots.oldSnapshot(customer),
+        Snapshots.oursSnapshot(customer), Snapshots.theirsSnapshot(customer), "slno")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    // hand-derived classifications from the documented moduli
+    assert(m(35L) === ("conflict", "acctbal"))  // +100 (ours) vs +50 (theirs)
+    assert(m(22L) === ("conflict", "segment"))  // OURS-SEG vs THEIRS-SEG
+    assert(m(13L) === ("both", ""))             // convergent upper(name)
+    assert(m(55L) === ("merged", ""))           // ours segment + theirs acctbal
+    assert(m(21L)._1 === "delete_ours")
+    assert(m(27L)._1 === "delete_theirs")
+    assert(m(105L)._1 === "delete_conflict")    // ours deleted, theirs bumped
+    assert(m(149L) === ("insert_both", ""))     // mod-50 hole, untouched by either
+    assert(m(49L) === ("insert_conflict", "acctbal")) // hole + ours-only bump
+    assert(m(1L) === ("keep", ""))
+    assert(m(7L)._1 === "ours"); assert(m(5L)._1 === "theirs")
+  }
 }

@@ -437,4 +437,34 @@ class TimeSeriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("holt linear smoothing replays the floor-halved recursion in BigInt (r8)") {
+    val got = ops.TimeSeries.holtLinear(Tables.events(spark, sfDir)).collect()
+    assert(got.nonEmpty)
+    def half(x: BigInt): BigInt = // floor division by 2 (not trunc-to-zero)
+      if (x >= 0) x / 2 else -((-x + 1) / 2)
+    got.groupBy(_.getString(0)).foreach { case (tpe, rows) =>
+      val xs = series(tpe)
+      val sorted = rows.sortBy(_.getDate(1).toLocalDate.toEpochDay)
+      assert(sorted.length === xs.length, s"row count for $tpe")
+      var l = BigInt(xs.head); var b = BigInt(0)
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val y = BigInt(xs(i))
+        val fc: Option[BigInt] = if (i == 0) None else Some(l + b)
+        if (i > 0) {
+          val l2 = half(y + l + b)
+          b = half(l2 - l + b)
+          l = l2
+        }
+        assert(r.getLong(2) === xs(i), s"cents($tpe, $i)")
+        assert(r.getDouble(3) === rfloor(l.toDouble / 100, 4), s"level($tpe, $i)")
+        assert(r.getDouble(4) === rfloor(b.toDouble / 100, 4), s"trend($tpe, $i)")
+        fc match {
+          case None => assert(r.isNullAt(5), s"forecast($tpe, 0) must be null")
+          case Some(f) =>
+            assert(r.getDouble(5) === rfloor(f.toDouble / 100, 4), s"forecast($tpe, $i)")
+        }
+      }
+    }
+  }
 }
