@@ -242,6 +242,15 @@ object ScaleSmoke {
       // (edges never shuffle; the membership frame only shrinks)
       time(s"kcore_n${200 * factor}_docs$nRep")(
         graft.ops.Graph.kcore(repDocs, nNodes = 200 * factor))
+      // r8 second batch: SCC's contract is different from the Pregel
+      // tier — the closure is NODE²-bounded and CORPUS-independent, so
+      // this leg holds nNodes at the 250 default while docs grow
+      // factor×: closure rows (and every squaring join's exchange) must
+      // stay ~constant and wall ~flat; the only data-sized stage is the
+      // first distinct. (A widened-node leg would measure the n² cost —
+      // that is exactly the documented boundary at which the FW-BW
+      // coloring loop replaces the closure form.)
+      time(s"scc_n250_docs$nRep")(graft.ops.Graph.scc(repDocs))
       spark.stop()
       return
     }
