@@ -555,6 +555,21 @@ object SparkEntry {
       SnapshotDiff.merge3Way(Snapshots.oldSnapshot(c),
         Snapshots.oursSnapshot(c), Snapshots.theirsSnapshot(c), "slno")
     }),
+    // hop-limited closeness + harmonic centrality: all-sources BFS with
+    // broadcast (root, node) frontiers — edges never shuffle (r8)
+    "graph_closeness" -> ((s, d) => graft.ops.Graph.closeness(Tables.documents(s, d))),
+    // key-continuity audit by fixed-width bucket: edge spans from each
+    // bucket's own domain — no neighbor lookup, no global order. The
+    // driver's orderkeys are DENSE, so the extract-defect fixture drops
+    // a contiguous range (spans buckets) plus every 53rd key ≡ 3 —
+    // the interpolate-dropout synthesis discipline (r8)
+    "dq_sequential_gaps" -> ((s, d) => DataQuality.sequentialGaps(
+      Tables.orders(s, d).filter(!col("o_orderkey").between(400, 440) &&
+        col("o_orderkey") % 53 =!= 3))),
+    // per-doc eval-overlap stats; the 1/20 flag compares 20·hits ≥ grams
+    // in exact integers (r8)
+    "pipeline_contamination_report" -> ((s, d) =>
+      TrainingPrep.contaminationReport(Tables.documents(s, d))),
     // FK-edge orphan audit (late-arriving-dimension fixture, one
     // outer-join aggregate pass per edge)
     "dq_referential_integrity" -> ((s, d) => DataQuality.referentialIntegrity(
@@ -2333,6 +2348,83 @@ object SparkEntry {
         |ORDER BY i.node""".stripMargin,
     /* diff_merge_3way: generated from the column list — see merge3Sql. */
     "diff_merge_3way" -> merge3Sql,
+    /* graph_closeness: recursive-CTE all-sources BFS, min level per
+       (root, node), level counts pivoted so every formula is one fixed
+       AST over exact BIGINTs. */
+    "graph_closeness" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT doc_id % 200 AS src, (doc_id * 31 + doc_id // 7) % 200 AS dst
+        |  FROM documents),
+        |e AS (SELECT src, dst FROM edges WHERE src <> dst),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) u),
+        |bfs(root, node, level) AS (
+        |  SELECT node, node, 0 FROM nodes
+        |  UNION SELECT b.root, e.dst, b.level + 1
+        |   FROM bfs b JOIN e ON e.src = b.node WHERE b.level < 4),
+        |lv AS (SELECT root, node, MIN(level) AS level FROM bfs GROUP BY 1, 2),
+        |c AS (SELECT root,
+        |  CAST(SUM(CASE WHEN level = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |  CAST(SUM(CASE WHEN level = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |  CAST(SUM(CASE WHEN level = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |  CAST(SUM(CASE WHEN level = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+        | FROM lv WHERE level > 0 GROUP BY root),
+        |p AS (SELECT n.node, COALESCE(c.c1, 0) AS c1, COALESCE(c.c2, 0) AS c2,
+        |  COALESCE(c.c3, 0) AS c3, COALESCE(c.c4, 0) AS c4
+        | FROM nodes n LEFT JOIN c ON c.root = n.node)
+        |SELECT node,
+        | c1 * 1 + c2 * 1 + c3 * 1 + c4 * 1 AS n_reached,
+        | c1 * 1 + c2 * 2 + c3 * 3 + c4 * 4 AS sum_dist,
+        | CASE WHEN c1 * 1 + c2 * 2 + c3 * 3 + c4 * 4 > 0 THEN
+        |   floor(CAST(c1 * 1 + c2 * 1 + c3 * 1 + c4 * 1 AS DOUBLE)
+        |     / CAST(c1 * 1 + c2 * 2 + c3 * 3 + c4 * 4 AS DOUBLE) * 1e6 + 0.5)/1e6
+        | END AS closeness,
+        | floor((CAST(c1 AS DOUBLE)/1.0 + CAST(c2 AS DOUBLE)/2.0
+        |   + CAST(c3 AS DOUBLE)/3.0 + CAST(c4 AS DOUBLE)/4.0) * 1e6 + 0.5)/1e6 AS harmonic
+        |FROM p ORDER BY node""".stripMargin,
+    /* dq_sequential_gaps: global naive lead-window gaps and the bucketed
+       form agree by construction; the oracle runs the bucketed law
+       verbatim (the equivalence to the naive form is a spec law). */
+    "dq_sequential_gaps" ->
+      """WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders
+        |  WHERE NOT (o_orderkey BETWEEN 400 AND 440) AND o_orderkey % 53 <> 3),
+        |kb AS (SELECT k, k // 32 AS b FROM keys),
+        |r AS (SELECT k, b, CASE WHEN lag(k) OVER (PARTITION BY b ORDER BY k) IS NULL
+        |   OR lag(k) OVER (PARTITION BY b ORDER BY k) < k - 1 THEN 1 ELSE 0 END AS rs FROM kb)
+        |SELECT b AS bucket, MIN(k) AS first_key, MAX(k) AS last_key,
+        | CAST(count(*) AS BIGINT) AS n_keys,
+        | MAX(k) - MIN(k) + 1 - CAST(count(*) AS BIGINT) AS missing_internal,
+        | CAST(SUM(rs) AS BIGINT) - 1 AS gap_runs,
+        | MIN(k) - b * 32 AS lead_missing,
+        | (b + 1) * 32 - 1 - MAX(k) AS trail_missing
+        |FROM r GROUP BY b ORDER BY bucket""".stripMargin,
+    /* pipeline_contamination_report: decontaminate's gram CTEs with
+       counts; the 1/20 flag is the exact-integer compare. */
+    "pipeline_contamination_report" -> {
+      val k = 13
+      val terms = (1 to k).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS t,
+         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) < 'c' THEN 'train'
+         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) < 'e' THEN 'val'
+         |       ELSE 'test' END AS split FROM documents),
+         |sh AS (SELECT doc_id, split, list_distinct(list_transform(range(len(t)-${k - 1}),
+         |  i -> $terms)) AS shs FROM base),
+         |ev AS (SELECT DISTINCT unnest(shs) AS g FROM sh WHERE split = 'test'),
+         |tg AS (SELECT doc_id, unnest(shs) AS g FROM sh WHERE split = 'train'),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tg GROUP BY 1),
+         |hit AS (SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM tg JOIN ev ON ev.g = tg.g GROUP BY 1)
+         |SELECT b.doc_id, COALESCE(tot.n_grams, 0) AS n_grams,
+         | COALESCE(hit.n_hits, 0) AS n_hits,
+         | CASE WHEN COALESCE(tot.n_grams, 0) > 0 THEN
+         |   floor(CAST(COALESCE(hit.n_hits, 0) AS DOUBLE)
+         |     / CAST(tot.n_grams AS DOUBLE) * 1e6 + 0.5)/1e6 END AS overlap_frac,
+         | CAST(COALESCE(tot.n_grams, 0) > 0
+         |   AND COALESCE(hit.n_hits, 0) * 20 >= COALESCE(tot.n_grams, 0) AS INT) AS flagged
+         |FROM base b LEFT JOIN tot ON tot.doc_id = b.doc_id
+         | LEFT JOIN hit ON hit.doc_id = b.doc_id
+         |WHERE b.split = 'train' ORDER BY b.doc_id""".stripMargin
+    },
     /* stream_late_events_batch: the engine's watermark rule made exact
        in SQL — global watermark before batch b = min over source
        shards of the max event time seen in batches < b, minus delay;

@@ -266,6 +266,39 @@ object TrainingPrep {
       .orderBy("doc_id")
   }
 
+  /** CONTAMINATION REPORT (r8) — the auditing twin of
+    * [[decontaminate]]: instead of a drop flag, per train doc the
+    * distinct-k-gram count, how many of those grams appear in the eval
+    * set, the overlap fraction, and a flag at threshold 1/20. The flag
+    * compares `20·hits ≥ grams` in EXACT integers (the lossless-bound
+    * discipline — a double `hits/grams ≥ 0.05` misrounds at exactly
+    * the boundary counts the threshold exists for); the fraction is
+    * display-only, one rounded division. Same scale shape as
+    * decontaminate: the eval gram set broadcasts, the train gram frame
+    * aggregates doc-keyed with map-side partials — adding counts to
+    * the probe costs one aggregate, no new data-sized shuffle. */
+  def contaminationReport(documents: DataFrame, k: Int = 13): DataFrame = {
+    val withSplit = documents.select(col("doc_id"), col("text"),
+      splitCol(col("doc_id")).as("split"))
+    val train = withSplit.filter(col("split") === "train")
+    val grams = docGrams(train, k).distinct()
+    val tot = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = grams.join(broadcast(evalGramSet(documents, k)), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    train.select("doc_id")
+      .join(tot, Seq("doc_id"), "left").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .select(col("doc_id"), col("n_grams"), col("n_hits"),
+        when(col("n_grams") > 0, graft.ops.Det.rfloor(
+          col("n_hits").cast("double") / col("n_grams").cast("double"), 6))
+          .as("overlap_frac"),
+        (col("n_grams") > 0 && col("n_hits") * 20 >= col("n_grams"))
+          .cast("int").as("flagged"))
+      .orderBy("doc_id")
+  }
+
   /** The eval side of [[decontaminate]]: the distinct word-k-gram set
     * of the `test` split — small by construction, the broadcast /
     * stream-static probe side (see

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality constraint checking — the validation pass a pipeline runs
@@ -353,5 +354,42 @@ object DataQuality {
       .unionByName(edge("orders.custkey->customer", orders, "o_custkey", customer, "c_custkey", Some(97)))
       .unionByName(edge("nation.regionkey->region", nation, "n_regionkey", region, "r_regionkey", None))
       .orderBy("edge")
+  }
+
+  /** KEY-CONTINUITY AUDIT by fixed-width bucket (r8) — the "did the
+    * extract drop a range" check: per bucket `[b·W, (b+1)·W)` of the
+    * key domain, how many keys exist, how many are missing INSIDE the
+    * observed span, how many maximal missing runs interrupt it, and
+    * the missing spans at the bucket's leading/trailing edges.
+    *
+    * The naive gap report (`lead(k) OVER (ORDER BY k)`) is a global
+    * total order — diff_positional's scale liability. Fixed-width
+    * buckets make the audit fully partition-parallel with NO neighbor
+    * lookup at all: a bucket's edge spans are computable from its own
+    * min/max against its own domain edges (`first − b·W` missing
+    * before, `(b+1)·W − 1 − last` after), a boundary gap spanning
+    * empty buckets is simply those buckets' absence plus the edge
+    * spans of the buckets around it, and the internal missing count
+    * is pure arithmetic (`span − n_keys`). Only the RUN count needs a
+    * window — partitioned by bucket. One distinct + one aggregate;
+    * output is bucket-grain. */
+  def sequentialGaps(orders: DataFrame, width: Long = 32L): DataFrame = {
+    val keys = orders.select(col("o_orderkey").as("k")).distinct()
+      .withColumn("b", expr(s"k div $width"))
+    val w = Window.partitionBy("b").orderBy("k")
+    val runStart = when(lag(col("k"), 1).over(w).isNull ||
+      lag(col("k"), 1).over(w) < col("k") - 1, 1L).otherwise(0L)
+    keys.withColumn("rs", runStart)
+      .groupBy("b")
+      .agg(min(col("k")).as("first_key"), max(col("k")).as("last_key"),
+        count(lit(1)).as("n_keys"),
+        (sum(col("rs")) - 1).as("gap_runs"))
+      .select(col("b").as("bucket"), col("first_key"), col("last_key"),
+        col("n_keys"),
+        (col("last_key") - col("first_key") + 1 - col("n_keys")).as("missing_internal"),
+        col("gap_runs"),
+        (col("first_key") - col("b") * width).as("lead_missing"),
+        ((col("b") + 1) * width - 1 - col("last_key")).as("trail_missing"))
+      .orderBy("bucket")
   }
 }

@@ -609,4 +609,58 @@ object Graph {
       .select(col("node"), col("scc_id"), col("scc_size"))
       .orderBy("node")
   }
+
+  /** HOP-LIMITED CLOSENESS CENTRALITY (r8) — per host: how many hosts
+    * it reaches within `maxDepth` hops, the total hop distance, the
+    * classic within-radius closeness (reached/Σdist) and the harmonic
+    * sum (Σ 1/d — the form that stays defined on disconnected graphs,
+    * Boldi-Vigna "Axioms for Centrality" 2014). The hop cap is the
+    * standard scale compromise: exact all-pairs distances are the
+    * [[scc]] closure's n² problem with a distance dimension on top,
+    * while a 4-hop ball already separates hubs from periphery on a
+    * small-diameter web graph.
+    *
+    * Mechanism: [[bfsLevels]] run from EVERY source at once — the
+    * frontier carries (root, node) pairs, node²-bounded like the scc
+    * closure; edges join the broadcast frontier and NEVER shuffle (the
+    * pagerank step doctrine). Level counts pivot to c1..c4 columns,
+    * so each output formula is one fixed AST over exact BIGINTs —
+    * deterministic double division only at the end, mirrored by the
+    * oracle's recursive-CTE min-level BFS. */
+  def closeness(documents: DataFrame, nNodes: Int = 200,
+      maxDepth: Int = 4): DataFrame = {
+    val (edges, nodes) = linkGraph(documents, nNodes)
+    val e = edges.filter(col("src") =!= col("dst"))
+    var frontier = nodes.select(col("node").as("root"), col("node"))
+      .localCheckpoint(eager = false)
+    var visited = frontier.withColumn("level", lit(0L))
+    val levels = (1 to maxDepth).map { d =>
+      frontier = e
+        .join(broadcast(frontier.select(col("root"), col("node").as("src"))), "src")
+        .select(col("root"), col("dst").as("node")).distinct()
+        .join(broadcast(visited.select(col("root"), col("node"))),
+          Seq("root", "node"), "left_anti")
+        .localCheckpoint(eager = false)
+      val lv = frontier.withColumn("level", lit(d.toLong))
+      visited = visited.unionByName(lv).localCheckpoint(eager = false)
+      lv
+    }
+    val cAggs = (1 to maxDepth).map(d =>
+      sum(when(col("level") === d, 1L).otherwise(0L)).as(s"c$d"))
+    val c = levels.reduce(_ unionByName _)
+      .groupBy("root")
+      .agg(cAggs.head, cAggs.tail: _*)
+    val reached = (1 to maxDepth).map(d => col(s"c$d")).reduce(_ + _)
+    val sumDist = (1 to maxDepth).map(d => col(s"c$d") * d).reduce(_ + _)
+    val harmonic = (1 to maxDepth).map(d =>
+      col(s"c$d").cast("double") / d.toDouble).reduce(_ + _)
+    nodes.join(c, col("node") === col("root"), "left")
+      .select(col("node") +: (1 to maxDepth).map(d =>
+        coalesce(col(s"c$d"), lit(0L)).as(s"c$d")): _*)
+      .select(col("node"), reached.as("n_reached"), sumDist.as("sum_dist"),
+        when(sumDist > 0, Det.rfloor(
+          reached.cast("double") / sumDist.cast("double"), 6)).as("closeness"),
+        Det.rfloor(harmonic, 6).as("harmonic"))
+      .orderBy("node")
+  }
 }

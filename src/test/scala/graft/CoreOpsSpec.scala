@@ -563,4 +563,39 @@ class CoreOpsSpec extends SparkSpec {
       assert(rules((a, b))._6 === rules((b, a))._6)
     }
   }
+
+  test("sequential-gaps audit: bucket rows replay from raw keys and encode the naive gap list losslessly (r8)") {
+    import org.apache.spark.sql.functions.col
+    // driver orderkeys are dense — same extract-defect fixture as the
+    // registered key: a bucket-spanning range hole + scattered drops
+    val orders = Tables.orders(spark, sfDir)
+      .filter(!col("o_orderkey").between(400, 440) && col("o_orderkey") % 53 =!= 3)
+    val W = 32L
+    val rows = ops.DataQuality.sequentialGaps(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val keys = orders.select(col("o_orderkey")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val byBucket = keys.groupBy(_ / W)
+    assert(rows.map(_._1).toSet === byBucket.keySet)
+    rows.foreach { case (b, first, last, n, missIn, runs, lead, trail) =>
+      val ks = byBucket(b).sorted
+      assert(first === ks.head && last === ks.last && n === ks.length.toLong)
+      assert(missIn === ks.last - ks.head + 1 - ks.length)
+      val trueRuns = ks.sliding(2).count { case Array(a, c) => c > a + 1; case _ => false }
+      assert(runs === trueRuns.toLong, s"gap_runs@$b")
+      assert(lead === ks.head - b * W && trail === (b + 1) * W - 1 - ks.last)
+    }
+    // losslessness: the report reconstructs the naive global missing-key
+    // count — cross-bucket gaps decompose as trail + empty buckets + lead
+    val naiveMissing = (keys.head to keys.last).length - keys.length
+    val sorted = rows.sortBy(_._1)
+    val internal = sorted.map(_._5).sum
+    val boundary = sorted.sliding(2).collect {
+      case Array(a, c) => a._8 + (c._1 - a._1 - 1) * W + c._7
+    }.sum
+    assert(internal + boundary === naiveMissing.toLong)
+    // the TPC-H orderkey synthesis is sparse — the audit must see gaps
+    assert(naiveMissing > 0 && internal > 0)
+  }
 }

@@ -378,4 +378,43 @@ class GraphSpec extends SparkSpec {
     // the graph must exercise the operator: at least one non-trivial SCC
     assert(sizes.values.max > 1, "fixture graph has no cycle — SCC vacuous")
   }
+
+  test("closeness matches a driver-side hop-limited BFS re-derivation (r8)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = Tables.documents(spark, sfDir)
+    val rows = ops.Graph.closeness(docs).collect()
+    val edges = docs.select(
+        (col("doc_id") % 200).as("src"),
+        ((col("doc_id") * 31 + expr("doc_id div 7")) % 200).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val adj = edges.filter(e => e._1 != e._2)
+      .groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    def levels(root: Long): Map[Long, Int] = {
+      var seen = Map(root -> 0); var frontier = Set(root)
+      for (d <- 1 to 4) {
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- seen.keySet
+        seen = seen ++ frontier.map(_ -> d)
+      }
+      seen - root
+    }
+    assert(rows.map(_.getLong(0)).toSet === nodes.toSet)
+    var nonZero = 0
+    rows.foreach { r =>
+      val lv = levels(r.getLong(0))
+      val c = (1 to 4).map(d => lv.count(_._2 == d).toLong)
+      val reached = c.sum
+      val sumDist = c.zipWithIndex.map { case (n, i) => n * (i + 1) }.sum
+      assert(r.getLong(1) === reached, s"reached@${r.getLong(0)}")
+      assert(r.getLong(2) === sumDist, s"sum_dist@${r.getLong(0)}")
+      def rf6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      if (sumDist > 0) {
+        assert(r.getDouble(3) === rf6(reached.toDouble / sumDist))
+        nonZero += 1
+      } else assert(r.isNullAt(3))
+      val harm = c(0) / 1.0 + c(1) / 2.0 + c(2) / 3.0 + c(3) / 4.0
+      assert(r.getDouble(4) === rf6(harm), s"harmonic@${r.getLong(0)}")
+    }
+    assert(nonZero > 0)
+  }
 }

@@ -936,6 +936,34 @@ class LlmOpsSpec extends SparkSpec {
       s"${got.values.sum}/${got.size} flagged")
   }
 
+  test("contamination report: counts replay from raw grams, flag is the exact 1/20 compare (r8)") {
+    val got = TrainingPrep.contaminationReport(documents).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val rows = documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+    def grams(t: String): Set[String] =
+      t.split(" ", -1).sliding(13).filter(_.length == 13).map(_.mkString(" ")).toSet
+    val ev = rows.filter(r => refSplit(r._1) == "test").flatMap(r => grams(r._2)).toSet
+    val train = rows.filter(r => refSplit(r._1) == "train").toMap
+    assert(got.keySet === train.keySet)
+    train.foreach { case (id, t) =>
+      val g = grams(t); val h = g.intersect(ev)
+      val r = got(id)
+      assert(r.getLong(1) === g.size.toLong, s"n_grams@$id")
+      assert(r.getLong(2) === h.size.toLong, s"n_hits@$id")
+      if (g.isEmpty) assert(r.isNullAt(3))
+      else assert(r.getDouble(3) ===
+        math.floor(h.size.toDouble / g.size * 1e6 + 0.5) / 1e6, s"frac@$id")
+      assert(r.getInt(4) === (if (g.nonEmpty && h.size * 20 >= g.size) 1 else 0), s"flag@$id")
+    }
+    // consistency with the drop-flag twin: contaminated ⟺ n_hits ≥ 1
+    val dec = TrainingPrep.decontaminate(documents).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { case (id, r) =>
+      assert((r.getLong(2) > 0) === (dec(id) == 1), s"twin@$id")
+    }
+  }
+
   test("dsir delta through the persisted count table matches the recompute form exactly") {
     val delta = documents.filter(col("doc_id") % 4 === 1)
       .withColumn("doc_id", col("doc_id") + 400000)
