@@ -733,8 +733,11 @@ object Aggregates {
     * join-local, bounded by basket size — never an item×item product.
     * Output total-ordered by (support DESC, p1, p2). */
   def copurchasePairs(lineitem: DataFrame, minSupport: Int = 3): DataFrame = {
+    // shared by the frequency count and both pair-join sides — one
+    // basket scan, not three (the assocRules checkpoint discipline)
     val items = lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .localCheckpoint(eager = false)
     val freq = items.groupBy("pk").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minSupport).select("pk")
     val fitems = items.join(freq, Seq("pk"), "left_semi")
@@ -762,10 +765,16 @@ object Aggregates {
     * are catalog-/constant-sized broadcasts, so scoring adds zero
     * data-sized shuffles on top of the pair mining. */
   def assocRules(lineitem: DataFrame, minSupport: Int = 3): DataFrame = {
+    // the distinct-basket frame feeds FIVE consumers (item counts, both
+    // pair-join sides, the basket count, the prune) — lazily checkpoint
+    // it so the plan scans lineitem once, not five times (21→~10
+    // exchanges in the census without it)
     val items = lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .localCheckpoint(eager = false)
     val counts = items.groupBy("pk").agg(count(lit(1)).as("c"))
     val freq = counts.filter(col("c") >= minSupport)
+      .localCheckpoint(eager = false)
     val fitems = items.join(freq.select("pk"), Seq("pk"), "left_semi")
     val pairs = fitems.select(col("ok"), col("pk").as("p1"))
       .join(fitems.select(col("ok"), col("pk").as("p2")), "ok")
