@@ -570,6 +570,10 @@ object SparkEntry {
     // in exact integers (r8)
     "pipeline_contamination_report" -> ((s, d) =>
       TrainingPrep.contaminationReport(Tables.documents(s, d))),
+    // fasttext-shaped linear quality scorer apply: hashed token weights,
+    // exact integer dot product, keep = sign — one map-side pass (r8)
+    "pipeline_quality_classifier" -> ((s, d) =>
+      TrainingPrep.qualityClassifier(Tables.documents(s, d))),
     // FK-edge orphan audit (late-arriving-dimension fixture, one
     // outer-join aggregate pass per edge)
     "dq_referential_integrity" -> ((s, d) => DataQuality.referentialIntegrity(
@@ -2398,6 +2402,24 @@ object SparkEntry {
         | MIN(k) - b * 32 AS lead_missing,
         | (b + 1) * 32 - 1 - MAX(k) AS trail_missing
         |FROM r GROUP BY b ORDER BY bucket""".stripMargin,
+    /* pipeline_quality_classifier: the portable rolling-fingerprint
+       fold per token (the proven list_reduce mirror), weight =
+       (fp mod 2001) − 1000, exact integer sum; score is one rounded
+       division, keep the exact sign — no transcendental anywhere. */
+    "pipeline_quality_classifier" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |w AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(list_sum(list_transform(t, s ->
+        |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |       list_transform(string_split(s, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, b) -> (a*31+b) % 1000000007) % 2001) - 1000)), 0) AS BIGINT) AS score_units
+        | FROM tok)
+        |SELECT doc_id, n_tokens, score_units,
+        | CASE WHEN n_tokens > 0 THEN
+        |   floor(CAST(score_units AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000.0) * 1e6 + 0.5)/1e6
+        | END AS score,
+        | CAST(score_units > 0 AS INT) AS keep
+        |FROM w ORDER BY doc_id""".stripMargin,
     /* pipeline_contamination_report: decontaminate's gram CTEs with
        counts; the 1/20 flag is the exact-integer compare. */
     "pipeline_contamination_report" -> {

@@ -266,6 +266,36 @@ object TrainingPrep {
       .orderBy("doc_id")
   }
 
+  /** QUALITY-CLASSIFIER APPLY (r8) — the fasttext-shaped linear scorer
+    * every curation pipeline runs at full corpus width: per doc, the
+    * bag-of-words dot product with a hashed weight table, normalized
+    * by length, plus the keep decision. Weights here are a
+    * DETERMINISTIC stand-in model (`(fp(token) mod 2001) − 1000`,
+    * fixed-point 1e-3 units over the portable rolling fingerprint) —
+    * the POINT is the apply machinery: per-token hash → weight →
+    * exact integer sum, one map-side pass, no shuffle before the
+    * final sort. The sigmoid is deliberately NOT applied: `exp` is a
+    * transcendental the two engines may round differently (the
+    * sqrt-not-pow doctrine), it is monotone so the keep decision
+    * (`Σ > 0`, exact integers) and any threshold comparison are
+    * identical on the linear score, and a real serving path thresholds
+    * the logit anyway. */
+  def qualityClassifier(documents: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(coalesce(col("text"), lit("")))
+    val weights = transform(toks, t =>
+      graft.functions.TextExprs.rollingFingerprint(t) % 2001L - 1000L)
+    documents
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(weights, lit(0L), (a, x) => a + x).as("score_units"))
+      .select(col("doc_id"), col("n_tokens"), col("score_units"),
+        when(col("n_tokens") > 0, graft.ops.Det.rfloor(
+          col("score_units").cast("double") /
+            (col("n_tokens").cast("double") * 1000.0), 6)).as("score"),
+        (col("score_units") > 0).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** CONTAMINATION REPORT (r8) — the auditing twin of
     * [[decontaminate]]: instead of a drop flag, per train doc the
     * distinct-k-gram count, how many of those grams appear in the eval

@@ -964,6 +964,36 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("quality classifier: scores replay from the token fold, keep is the exact sign (r8)") {
+    val got = TrainingPrep.qualityClassifier(documents).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val rows = documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+    def fp(s: String): Long = {
+      var a = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        a = (a * 31 + cp) % 1000000007L
+        i += Character.charCount(cp)
+      }
+      a
+    }
+    assert(got.keySet === rows.map(_._1).toSet)
+    rows.foreach { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val units = toks.map(s => fp(s) % 2001L - 1000L).sum
+      val r = got(id)
+      assert(r.getLong(1) === toks.length.toLong, s"n_tokens@$id")
+      assert(r.getLong(2) === units, s"units@$id")
+      assert(r.getDouble(3) ===
+        math.floor(units.toDouble / (toks.length * 1000.0) * 1e6 + 0.5) / 1e6, s"score@$id")
+      assert(r.getInt(4) === (if (units > 0) 1 else 0), s"keep@$id")
+    }
+    // a stand-in model must still DISCRIMINATE: both classes present
+    val keeps = got.values.map(_.getInt(4)).toSeq
+    assert(keeps.contains(1) && keeps.contains(0))
+  }
+
   test("dsir delta through the persisted count table matches the recompute form exactly") {
     val delta = documents.filter(col("doc_id") % 4 === 1)
       .withColumn("doc_id", col("doc_id") + 400000)
