@@ -418,6 +418,10 @@ object SparkEntry {
     // longest consecutive-active-day run per user — gaps-and-islands on
     // the distinct (user, day) frame, ties to the latest start (r8)
     "win_streak_days" -> ((s, d) => ops.Behavior.activityStreaks(Tables.events(s, d))),
+    // last-touch attribution: purchases credited to the most recent
+    // prior view/click within 7 days, else direct — two ignoreNulls
+    // last() frames on one user_id exchange, lag in exact µs (r8)
+    "win_attribution" -> ((s, d) => ops.Behavior.lastTouchAttribution(Tables.events(s, d))),
     "agg_retention_cohort" -> ((s, d) => ops.Behavior.retentionCohort(Tables.events(s, d))),
     "scan_csv_malformed" -> ((s, d) => Scans.scanCsvMalformed(s, Tables.nation(s, d), d)),
     "dq_profile" -> ((s, d) => DataQuality.profile(Tables.lineitem(s, d))),
@@ -472,6 +476,10 @@ object SparkEntry {
     // mT5-style temperature sampling weights per language (alpha = 0.3)
     "pipeline_lang_temperature" -> ((s, d) => TrainingPrep.langTemperature(Tables.documents(s, d))),
     "pipeline_split_hash" -> ((s, d) => TrainingPrep.splitAssign(Tables.documents(s, d))),
+    // leakage-safe split at the GROUP grain: md5(source) so same-site
+    // near-dup siblings can never straddle train/eval; doc-level
+    // column rides along for the straddle audit (r8)
+    "pipeline_split_group" -> ((s, d) => TrainingPrep.splitAssignGrouped(Tables.documents(s, d))),
     "text_boilerplate" -> ((s, d) => TextAnalysis.boilerplateScrub(Tables.documents(s, d))),
     "pipeline_curation" -> ((s, d) => TrainingPrep.curate(Tables.documents(s, d))),
     // per-source corpus nutrition label: docs / token mass / dup rate /
@@ -542,6 +550,10 @@ object SparkEntry {
     // confidence/lift scoring of the frequent pairs, both directions;
     // item supports and the basket count ride broadcasts (r8)
     "agg_assoc_rules" -> ((s, d) => Aggregates.assocRules(Tables.lineitem(s, d))),
+    // count-min sketch in relational form: depth×width cell table from
+    // one two-phase agg, point query = min over rows; probe slice
+    // carries exact counts so est ≥ exact is data (r8)
+    "agg_countmin" -> ((s, d) => Aggregates.countMinTokens(Tables.documents(s, d))),
     // Holt's double exponential smoothing (α=β=1/2): the FULL recursion
     // in floor-halved integer cents, replayed by a recursive CTE (r8)
     "ts_holt" -> ((s, d) => TimeSeries.holtLinear(Tables.events(s, d))),
@@ -2306,6 +2318,31 @@ object SparkEntry {
         |   / (CAST(fa.c AS DOUBLE) * CAST(fc.c AS DOUBLE)) * 1e6 + 0.5)/1e6 AS lift
         |FROM d JOIN f fa ON fa.pk = d.ante JOIN f fc ON fc.pk = d.cons CROSS JOIN nb
         |ORDER BY d.ante, d.cons""".stripMargin,
+    /* agg_countmin: the four hash rows are the portable rolling-
+       fingerprint fold under distinct (mult, modulus) pairs — every
+       sketch cell, estimate and overcount is exact integer arithmetic
+       both engines reproduce bit-for-bit. */
+    "agg_countmin" -> {
+      def fold(m: Long, mod: Long): String =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform(string_split(token, ''), c -> CAST(unicode(c) AS BIGINT))), " +
+          s"(a, b) -> (a*$m+b) % $mod) % 512"
+      val cs = Seq((31L, 1000000007L), (131L, 999999937L),
+        (137L, 999999893L), (257L, 998244353L)).map { case (m, mod) => fold(m, mod) }
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS token FROM documents),
+         |f AS (SELECT token, ${cs(0)} AS c0, ${cs(1)} AS c1, ${cs(2)} AS c2, ${cs(3)} AS c3 FROM tok),
+         |cells AS (SELECT unnest([0,1,2,3]) AS i, unnest([c0,c1,c2,c3]) AS cell FROM f),
+         |sketch AS (SELECT i, cell, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2),
+         |probe AS (SELECT DISTINCT token FROM tok WHERE doc_id % 101 = 0),
+         |pf AS (SELECT token, ${cs(0)} AS c0, ${cs(1)} AS c1, ${cs(2)} AS c2, ${cs(3)} AS c3 FROM probe),
+         |pc AS (SELECT token, unnest([0,1,2,3]) AS i, unnest([c0,c1,c2,c3]) AS cell FROM pf),
+         |est AS (SELECT token, MIN(cnt) AS n_est FROM pc JOIN sketch USING (i, cell) GROUP BY 1),
+         |exact AS (SELECT token, CAST(count(*) AS BIGINT) AS n_exact FROM tok
+         |  WHERE token IN (SELECT token FROM probe) GROUP BY 1)
+         |SELECT est.token, n_exact, n_est, n_est - n_exact AS overcount
+         |FROM est JOIN exact ON est.token = exact.token
+         |ORDER BY est.token""".stripMargin
+    },
     /* ts_holt: the full Holt recursion replayed by a recursive CTE —
        every step is one floor-halving of integer cents (exact in IEEE
        double), so the sequential recurrence is bit-exact on both
@@ -2486,6 +2523,30 @@ object SparkEntry {
         | CAST(len(list_filter(qs, x -> CAST(x AS BIGINT) % 2 = 0)) AS BIGINT) AS n_even,
         | qs[1] AS first_qty
         |FROM g ORDER BY l_orderkey""".stripMargin,
+    /* win_attribution: two IGNORE NULLS last_value frames over the
+       user-ordered stream (ts, event_id is the unique total order);
+       the lookback compare is exact µs timestamps, the value total is
+       the streaming windows' decimal(18,2) pattern, lag in integer µs
+       via epoch_us/unix_micros — no floats anywhere but the final
+       value cast. */
+    "win_attribution" ->
+      """WITH a AS (SELECT *,
+        | LAST_VALUE(CASE WHEN event_type IN ('view','click') THEN ts END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_ts,
+        | LAST_VALUE(CASE WHEN event_type IN ('view','click') THEN event_type END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_type
+        |FROM events),
+        |p AS (SELECT
+        |  CASE WHEN lt_ts >= ts - INTERVAL 7 DAY THEN lt_type ELSE 'direct' END AS channel,
+        |  value,
+        |  CASE WHEN lt_ts >= ts - INTERVAL 7 DAY THEN epoch_us(ts) - epoch_us(lt_ts) END AS lag_us
+        | FROM a WHERE event_type = 'purchase')
+        |SELECT channel, CAST(count(*) AS BIGINT) AS conversions,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        | CAST(SUM(lag_us) AS BIGINT) AS total_lag_us
+        |FROM p GROUP BY 1 ORDER BY channel""".stripMargin,
     "stream_tumbling_batch" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -3690,6 +3751,17 @@ object SparkEntry {
         | row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rk FROM q)
         |SELECT doc_id, source, quality, rk FROM r WHERE rk <= 10
         |ORDER BY source, rk""".stripMargin,
+    /* pipeline_split_group: the same md5 first-hex-digit law applied to
+       the group key; doc_split rides along for the straddle audit. */
+    "pipeline_split_group" ->
+      """SELECT doc_id, source,
+        | CASE WHEN substr(md5(source),1,1) < 'c' THEN 'train'
+        |      WHEN substr(md5(source),1,1) < 'e' THEN 'val'
+        |      ELSE 'test' END AS split,
+        | CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) < 'c' THEN 'train'
+        |      WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) < 'e' THEN 'val'
+        |      ELSE 'test' END AS doc_split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "pipeline_split_hash" ->
       """SELECT doc_id,
         | CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) < 'c' THEN 'train'

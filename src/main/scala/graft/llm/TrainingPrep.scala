@@ -156,6 +156,25 @@ object TrainingPrep {
       .select(col("doc_id"), splitCol(col("doc_id")).as("split"))
       .orderBy("doc_id")
 
+  /** GROUP-LEVEL (leakage-safe) SPLIT (r8) — hash the GROUP key
+    * (source/domain), not the doc id: near-duplicates and boilerplate
+    * cluster within a source, so a doc-level split leaks eval content
+    * into train through same-site siblings (the C4/Pile lesson —
+    * dedup and splits must share a grain). Hashing the group key keeps
+    * every doc of a source in ONE split by construction — still pure
+    * map-side arithmetic, zero shuffle, zero group-list state: no
+    * distinct-sources frame, no join; two docs agreeing on `source`
+    * agree on md5(source). The doc-level column rides along so the
+    * straddle audit (sources whose doc-level splits disagree) is one
+    * groupBy away; LlmOpsSpec pins coherence AND that doc-level
+    * splitting does straddle sources on this corpus. */
+  def splitAssignGrouped(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("source"),
+        splitCol(col("source")).as("split"),
+        splitCol(col("doc_id")).as("doc_split"))
+      .orderBy("doc_id")
+
   /** DETERMINISTIC GLOBAL SHUFFLE + SHARDING — the final pass before
     * training ingestion: examples must reach the trainer in an order
     * uncorrelated with crawl/curation order (adjacent same-site docs in

@@ -798,4 +798,45 @@ object Aggregates {
           (d(col("n_ante")) * d(col("n_cons"))), 6).as("lift"))
       .orderBy("ante", "cons")
   }
+
+  /** COUNT-MIN SKETCH, relational form (r8) — point-frequency estimates
+    * over the token stream (Cormode/Muthukrishnan '05) expressed as
+    * plain SQL so the WHOLE sketch is oracle-checkable, unlike the
+    * buffer-based SpaceSaving aggregate: depth×width cells are rows of
+    * a `(i, cell) → cnt` table built by ONE two-phase hash aggregate
+    * (map-side combine collapses each partition to ≤ depth·width
+    * partial rows — the exchange is sketch-sized no matter the corpus),
+    * a point query is `min over i of cnt[i][h_i(key)]`. Hash rows are
+    * the portable rolling fingerprint under 4 distinct (mult, modulus)
+    * pairs, so DuckDB reproduces every cell bit-for-bit. The probe
+    * frame (distinct tokens of the doc_id % probeMod slice) carries the
+    * exact corpus count beside the estimate — the CM guarantee
+    * `est ≥ exact` becomes data in the output, and the exact side is
+    * the correctness harness only: the production path at 100 TB
+    * serves point queries from the ≤ depth·width-row sketch alone. */
+  def countMinTokens(documents: DataFrame,
+                     width: Int = 512, probeMod: Int = 101): DataFrame = {
+    val params = Seq((31L, 1000000007L), (131L, 999999937L),
+      (137L, 999999893L), (257L, 998244353L))
+    def cells(t: Column): Column = posexplode(
+      array(params.map(p =>
+        graft.functions.TextExprs.rollingFingerprint(t, p._1, p._2) % width): _*))
+    val tok = documents.select(col("doc_id"),
+      explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
+    val sketch = tok
+      .select(cells(col("token")).as(Seq("i", "cell")))
+      .groupBy("i", "cell").agg(count(lit(1)).as("cnt"))
+    val probe = tok.filter(col("doc_id") % probeMod === 0)
+      .select("token").distinct()
+    val est = probe
+      .select(col("token"), cells(col("token")).as(Seq("i", "cell")))
+      .join(broadcast(sketch), Seq("i", "cell"))
+      .groupBy("token").agg(min(col("cnt")).as("n_est"))
+    val exact = tok.join(broadcast(probe), Seq("token"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("n_exact"))
+    est.join(exact, Seq("token"))
+      .select(col("token"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overcount"))
+      .orderBy("token")
+  }
 }

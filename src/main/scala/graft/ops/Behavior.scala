@@ -155,4 +155,41 @@ object Behavior {
         sum(col("len")).as("active_days"))
       .orderBy("user_id")
   }
+
+  /** LAST-TOUCH ATTRIBUTION (r8) — the marketing-analytics close of the
+    * funnel family: each purchase is credited to the user's most recent
+    * prior touch event (view/click) within a lookback window, else
+    * 'direct'. One user_id exchange carries everything: the two
+    * `last(_, ignoreNulls)` frames (touch ts, touch type) share the
+    * funnel's window stack, the purchase filter then collapses the fact
+    * to |purchases| rows and the final channel rollup is a 3-row
+    * aggregate with map-side partials. Lag accounting stays in exact
+    * integer microseconds (`unix_micros` on both engines); the value
+    * total goes through the decimal(18,2) accumulation pattern the
+    * streaming windows use. At 100 TB the plan is: one hash exchange on
+    * user_id, windows, filter, tiny agg — no self-join per channel. */
+  def lastTouchAttribution(events: DataFrame,
+                           lookbackDays: Int = 7): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin("view", "click")
+    val attributed = events
+      .withColumn("lt_ts", last(when(isTouch, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("lt_type", last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("in_window",
+        col("lt_ts") >= col("ts") - expr(s"INTERVAL $lookbackDays DAYS"))
+      .select(
+        when(col("in_window"), col("lt_type")).otherwise("direct").as("channel"),
+        col("value"),
+        when(col("in_window"),
+          unix_micros(col("ts")) - unix_micros(col("lt_ts"))).as("lag_us"))
+    attributed
+      .groupBy("channel")
+      .agg(
+        count(lit(1)).as("conversions"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        sum(col("lag_us")).as("total_lag_us"))
+      .orderBy("channel")
+  }
 }

@@ -18,9 +18,12 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     * ONE definition (it had been copy-pasted into two suites; a law
     * change with a missed copy would silently test against the stale
     * law). */
-  def refSplit(id: Long): String = {
+  def refSplit(id: Long): String = refSplitKey(id.toString)
+
+  /** Same law over an arbitrary string key (the group-grain split). */
+  def refSplitKey(key: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
     if (h.head < 'c') "train" else if (h.head < 'e') "val" else "test"
   }
 

@@ -280,6 +280,35 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.sorted === expect.sorted, "streaks diverged from brute force")
   }
 
+  test("last-touch attribution matches a brute-force per-user replay (r8)") {
+    val ev = Tables.events(spark, sfDir)
+    val got = ops.Behavior.lastTouchAttribution(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    val raw = ev.select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val lookbackUs = 7L * 24 * 3600 * 1000000L
+    val attributed = raw.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      sorted.zipWithIndex.collect { case ((_, us, _, "purchase", v), i) =>
+        sorted.take(i).filter(e => e._4 == "view" || e._4 == "click").lastOption match {
+          case Some(t) if us - t._2 <= lookbackUs => (t._4, v, Some(us - t._2))
+          case _ => ("direct", v, None)
+        }
+      }
+    }
+    val expect = attributed.groupBy(_._1).map { case (ch, rs) =>
+      ch -> ((rs.size.toLong,
+        rs.map(r => BigDecimal(r._2).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble,
+        rs.flatMap(_._3).reduceOption(_ + _)))
+    }
+    assert(got === expect, "attribution diverged from brute force")
+    // the fixture must exercise all three channels or the test is vacuous
+    assert(got.keySet === Set("click", "view", "direct"))
+  }
+
   private def rfloor(x: Double, dp: Int): Double = {
     val s = math.pow(10, dp); math.floor(x * s + 0.5) / s
   }
