@@ -507,6 +507,9 @@ object SparkEntry {
     // dangling hosts (dst residues escape the src set) — mass conserved
     // up to floor loss, GraphSpec pins the no-op law on clean graphs
     "graph_pagerank_dangling" -> ((s, d) => graft.ops.Graph.pagerankDangling(Tables.documents(s, d))),
+    // personalized pagerank: teleport mass restricted to a seed set —
+    // the TrustRank / crawl-frontier proximity ranking (r8)
+    "graph_ppr" -> ((s, d) => graft.ops.Graph.personalizedPagerank(Tables.documents(s, d))),
     // HITS hubs/authorities: same fixed-point integer discipline
     "graph_hits" -> ((s, d) => graft.ops.Graph.hits(Tables.documents(s, d))),
     // the SoCC'14 star clustering over a second edge source — host-graph
@@ -554,6 +557,15 @@ object SparkEntry {
     // one two-phase agg, point query = min over rows; probe slice
     // carries exact counts so est ≥ exact is data (r8)
     "agg_countmin" -> ((s, d) => Aggregates.countMinTokens(Tables.documents(s, d))),
+    // incremental count-min: stored sketch epoch + delta cells, merged
+    // cellwise (sketch linearity); base corpus never rescanned (r8)
+    "agg_countmin_delta" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Aggregates.countMinDelta(s, docs,
+        docs.filter(col("doc_id") % 4 === 2)
+          .withColumn("doc_id", col("doc_id") + 500000L)
+          .withColumn("text", concat(col("text"), lit(" cm delta probe"))))
+    }),
     // Holt's double exponential smoothing (α=β=1/2): the FULL recursion
     // in floor-halved integer cents, replayed by a recursive CTE (r8)
     "ts_holt" -> ((s, d) => TimeSeries.holtLinear(Tables.events(s, d))),
@@ -807,6 +819,31 @@ object SparkEntry {
        |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges) u),
        |nt AS (SELECT COUNT(*) AS n FROM nodes),
        |r0 AS (SELECT node, 1000000000000 // n AS rank FROM nodes CROSS JOIN nt),
+       |${(1 to 3).map(iter).mkString(",\n")}
+       |SELECT node, rank AS rank_units FROM r3 ORDER BY node""".stripMargin
+  }
+
+  /** graph_ppr: the pagerank CTEs with the teleport CASE-gated to the
+    * seed residue (node % 17 = 0) and divided by |S| (the 1-row st
+    * CTE) instead of n — mirroring Graph.personalizedPagerank's
+    * fixed-point arithmetic exactly. */
+  private val pprOracleSql: String = {
+    def iter(i: Int): String = {
+      val prev = s"r${i - 1}"
+      s"""c$i AS (SELECT e.dst AS node, (r.rank // d.deg) AS c
+         | FROM edges e JOIN deg d ON e.src = d.src JOIN $prev r ON r.node = e.src),
+         |i$i AS (SELECT node, CAST(SUM(c) AS BIGINT) AS inc FROM c$i GROUP BY node),
+         |r$i AS (SELECT nodes.node,
+         |  CAST((CASE WHEN nodes.node % 17 = 0 THEN 150000000000 // ns ELSE 0 END)
+         |    + ((85 * COALESCE(inc, 0)) // 100) AS BIGINT) AS rank
+         | FROM nodes CROSS JOIN st LEFT JOIN i$i ON i$i.node = nodes.node)""".stripMargin
+    }
+    s"""WITH edges AS (SELECT DISTINCT doc_id % 200 AS src, (doc_id * 31 + doc_id // 7) % 200 AS dst FROM documents),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges) u),
+       |st AS (SELECT COUNT(*) AS ns FROM nodes WHERE node % 17 = 0),
+       |r0 AS (SELECT node, CAST(CASE WHEN node % 17 = 0 THEN 1000000000000 // ns ELSE 0 END AS BIGINT) AS rank
+       | FROM nodes CROSS JOIN st),
        |${(1 to 3).map(iter).mkString(",\n")}
        |SELECT node, rank AS rank_units FROM r3 ORDER BY node""".stripMargin
   }
@@ -1453,6 +1490,7 @@ object SparkEntry {
     "graph_pagerank" -> pagerankOracleSql,
     "graph_label_propagation" -> lpaOracleSql,
     "graph_pagerank_dangling" -> pagerankDanglingOracleSql,
+    "graph_ppr" -> pprOracleSql,
     "graph_hits" -> hitsOracleSql,
     /* graph_degree_stats: same edge-synthesis CTE as pagerank/hits; the
      * node-set left join puts degree-0 nodes in the histogram (none
@@ -2342,6 +2380,30 @@ object SparkEntry {
          |SELECT est.token, n_exact, n_est, n_est - n_exact AS overcount
          |FROM est JOIN exact ON est.token = exact.token
          |ORDER BY est.token""".stripMargin
+    },
+    /* agg_countmin_delta: full recompute over base ∪ synthesized delta
+       — matching means the Spark side's stored-epoch + cellwise-merge
+       path is exactly equal to recomputation (sketch linearity). */
+    "agg_countmin_delta" -> {
+      def fold(m: Long, mod: Long): String =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform(string_split(token, ''), c -> CAST(unicode(c) AS BIGINT))), " +
+          s"(a, b) -> (a*$m+b) % $mod) % 512"
+      val cs = Seq((31L, 1000000007L), (131L, 999999937L),
+        (137L, 999999893L), (257L, 998244353L)).map { case (m, mod) => fold(m, mod) }
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 500000, text || ' cm delta probe' FROM documents WHERE doc_id % 4 = 2),
+         |tok AS (SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS token FROM corpus),
+         |f AS (SELECT token, ${cs(0)} AS c0, ${cs(1)} AS c1, ${cs(2)} AS c2, ${cs(3)} AS c3 FROM tok),
+         |cells AS (SELECT unnest([0,1,2,3]) AS i, unnest([c0,c1,c2,c3]) AS cell FROM f),
+         |sketch AS (SELECT i, cell, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2),
+         |probe AS (SELECT DISTINCT token FROM tok WHERE doc_id >= 500000 AND doc_id % 3 = 0),
+         |pf AS (SELECT token, ${cs(0)} AS c0, ${cs(1)} AS c1, ${cs(2)} AS c2, ${cs(3)} AS c3 FROM probe),
+         |pc AS (SELECT token, unnest([0,1,2,3]) AS i, unnest([c0,c1,c2,c3]) AS cell FROM pf)
+         |SELECT token, MIN(cnt) AS n_est FROM pc JOIN sketch USING (i, cell)
+         |GROUP BY 1 ORDER BY token""".stripMargin
     },
     /* ts_holt: the full Holt recursion replayed by a recursive CTE —
        every step is one floor-halving of integer cents (exact in IEEE

@@ -814,22 +814,34 @@ object Aggregates {
     * `est ≥ exact` becomes data in the output, and the exact side is
     * the correctness harness only: the production path at 100 TB
     * serves point queries from the ≤ depth·width-row sketch alone. */
+  /** The four (mult, modulus) hash-row constants shared by every
+    * count-min consumer and mirrored by the oracle SQL generator. */
+  private[graft] val CmParams = Seq((31L, 1000000007L), (131L, 999999937L),
+    (137L, 999999893L), (257L, 998244353L))
+
+  private def cmCells(t: Column, width: Int): Column = posexplode(
+    array(CmParams.map(p =>
+      graft.functions.TextExprs.rollingFingerprint(t, p._1, p._2) % width): _*))
+
+  private def cmTokens(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
+
+  /** The depth×width cell table — linear in its input, so sketches of
+    * disjoint corpora merge by cellwise sum (the delta path's law). */
+  private def cmSketch(documents: DataFrame, width: Int): DataFrame =
+    cmTokens(documents)
+      .select(cmCells(col("token"), width).as(Seq("i", "cell")))
+      .groupBy("i", "cell").agg(count(lit(1)).as("cnt"))
+
   def countMinTokens(documents: DataFrame,
                      width: Int = 512, probeMod: Int = 101): DataFrame = {
-    val params = Seq((31L, 1000000007L), (131L, 999999937L),
-      (137L, 999999893L), (257L, 998244353L))
-    def cells(t: Column): Column = posexplode(
-      array(params.map(p =>
-        graft.functions.TextExprs.rollingFingerprint(t, p._1, p._2) % width): _*))
-    val tok = documents.select(col("doc_id"),
-      explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
-    val sketch = tok
-      .select(cells(col("token")).as(Seq("i", "cell")))
-      .groupBy("i", "cell").agg(count(lit(1)).as("cnt"))
+    val tok = cmTokens(documents)
+    val sketch = cmSketch(documents, width)
     val probe = tok.filter(col("doc_id") % probeMod === 0)
       .select("token").distinct()
     val est = probe
-      .select(col("token"), cells(col("token")).as(Seq("i", "cell")))
+      .select(col("token"), cmCells(col("token"), width).as(Seq("i", "cell")))
       .join(broadcast(sketch), Seq("i", "cell"))
       .groupBy("token").agg(min(col("cnt")).as("n_est"))
     val exact = tok.join(broadcast(probe), Seq("token"), "left_semi")
@@ -837,6 +849,46 @@ object Aggregates {
     est.join(exact, Seq("token"))
       .select(col("token"), col("n_exact"), col("n_est"),
         (col("n_est") - col("n_exact")).as("overcount"))
+      .orderBy("token")
+  }
+
+  /** Persisted count-min epoch: the cell table saved once per (source,
+    * width, epoch) — width is in the artifact name (the ensureBpeModel
+    * param-key convention: a different width is a different artifact,
+    * never a silent stale serve). */
+  def ensureCountMin(spark: org.apache.spark.sql.SparkSession,
+                     documents: DataFrame,
+                     width: Int = 512, epoch: Long = 0L): String =
+    graft.Warehouse.ensure(spark,
+      s"agg_cm_sketch_${graft.Warehouse.srcTag(documents)}_w${width}_e$epoch",
+      source = Some(documents)) { name =>
+      cmSketch(documents, width).write.mode("overwrite").saveAsTable(name)
+    }
+
+  /** INCREMENTAL COUNT-MIN (r8) — corpus-wide frequency estimates for a
+    * delta batch's tokens without rescanning the base corpus: the
+    * sketch is LINEAR (cells of base ∪ delta = cellwise sum of the two
+    * sketches), so the stored epoch table + the delta's own cells give
+    * the merged sketch in one ≤ depth·width-row aggregate. The probe
+    * ("how common are the incoming batch's tokens corpus-wide" — the
+    * novelty screen) reads ONLY the merged sketch; the base corpus
+    * never reappears after the epoch build. The oracle recomputes the
+    * whole thing from base ∪ delta — passing means stored-path ≡
+    * full recompute, the epoch discipline's exactness law, checkable
+    * here because every cell is deterministic integer arithmetic. */
+  def countMinDelta(spark: org.apache.spark.sql.SparkSession,
+                    documents: DataFrame, delta: DataFrame,
+                    width: Int = 512, probeMod: Int = 3,
+                    epoch: Long = 0L): DataFrame = {
+    val stored = spark.table(ensureCountMin(spark, documents, width, epoch))
+    val merged = stored.unionByName(cmSketch(delta, width))
+      .groupBy("i", "cell").agg(sum(col("cnt")).as("cnt"))
+    val probe = cmTokens(delta).filter(col("doc_id") % probeMod === 0)
+      .select("token").distinct()
+    probe
+      .select(col("token"), cmCells(col("token"), width).as(Seq("i", "cell")))
+      .join(broadcast(merged), Seq("i", "cell"))
+      .groupBy("token").agg(min(col("cnt")).as("n_est"))
       .orderBy("token")
   }
 }

@@ -127,6 +127,48 @@ object Graph {
       .orderBy("node")
   }
 
+  /** PERSONALIZED PAGERANK (r8) — the teleport vector restricted to a
+    * SEED SET instead of uniform: rank mass leaks back only to seeds,
+    * so scores measure proximity-to-the-seeds, the "more hosts like
+    * these trusted ones" crawl-frontier ranking (TrustRank,
+    * Gyöngyi et al. VLDB'04) and the recommendation form of pagerank.
+    * Same fixed-point integer doctrine as [[pagerank]] — the only
+    * change is WHERE the 15% teleport lands: `[node ∈ S]·(15%·scale
+    * div |S|)`, with |S| a 1-row broadcast frame like n. Seeds here
+    * are the deterministic residue `node % seedMod = 0` (a seed LIST
+    * would broadcast identically). Non-seeds can reach rank 0 exactly
+    * (nothing teleports to them and floor division truncates) — the
+    * spec pins that seeds strictly dominate the uniform prior and
+    * that some non-seed ranks differ from plain pagerank. Plan shape
+    * per iteration: identical to [[pagerank]] (broadcast dims onto
+    * the edge scan, one dst-keyed node-bounded aggregate). */
+  def personalizedPagerank(documents: DataFrame, iters: Int = 3,
+      nNodes: Int = 200, seedMod: Int = 17): DataFrame = {
+    val scale = 1000000000000L
+    val (edges, nodes) = linkGraph(documents, nNodes)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val isSeed = col("node") % seedMod === 0
+    val sTot = nodes.filter(isSeed).agg(count(lit(1)).as("ns"))
+    var ranks = nodes.crossJoin(broadcast(sTot))
+      .select(col("node"),
+        when(isSeed, expr(s"$scale div ns")).otherwise(lit(0L)).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(broadcast(deg), "src")
+        .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
+        .select(col("dst").as("node"), expr("rank div deg").as("c"))
+      val incoming = contrib.groupBy("node").agg(sum(col("c")).as("inc"))
+      ranks = nodes.crossJoin(broadcast(sTot))
+        .join(incoming, Seq("node"), "left_outer")
+        .select(col("node"),
+          (when(isSeed, expr(s"${scale * 15 / 100} div ns")).otherwise(lit(0L))
+            + expr("(85 * coalesce(inc, cast(0 as bigint))) div 100")).as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    ranks.select(col("node"), col("rank").as("rank_units"))
+      .orderBy("node")
+  }
+
   /** HITS hubs & authorities (Kleinberg JACM '99) over the same
     * synthesized host link graph as [[pagerank]] — the SECOND classic
     * link fixed point, and the one a crawl pipeline wants next to

@@ -46,6 +46,41 @@ class GraphSpec extends SparkSpec {
     assert(got.values.toSet.size > 100, s"only ${got.values.toSet.size} distinct ranks")
   }
 
+  test("graph_ppr matches an in-memory seeded fixed point; proximity concentrates on seeds (r8)") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = ops.Graph.personalizedPagerank(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSeq
+    // driver-side reference: pagerank recursion with the seeded teleport
+    val edges = ids.map(id => (id % 200, (id * 31 + id / 7) % 200)).distinct
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val seeds = nodes.filter(_ % 17 == 0)
+    val ns = seeds.size
+    var ranks = nodes.map(nd => nd -> (if (nd % 17 == 0) scale / ns else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val inc = edges
+        .map { case (s, d) => d -> ranks(s) / deg(s) }
+        .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+      ranks = nodes.map(nd =>
+        nd -> ((if (nd % 17 == 0) scale * 15 / 100 / ns else 0L)
+          + 85 * inc.getOrElse(nd, 0L) / 100)).toMap
+    }
+    assert(got.keySet === ranks.keySet)
+    val diffs = got.collect { case (k, v) if ranks(k) != v => (k, v, ranks(k)) }
+    assert(diffs.isEmpty, s"first mismatches: ${diffs.take(3)}")
+    // proximity semantics: mean seed rank strictly dominates mean
+    // non-seed rank, and plain pagerank disagrees on some non-seed
+    val (sd, nsd) = got.partition(_._1 % 17 == 0)
+    assert(sd.values.sum / sd.size > nsd.values.sum / nsd.size,
+      "seeds do not dominate — teleport restriction had no effect")
+    val plain = ops.Graph.pagerank(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nsd.exists { case (k, v) => plain(k) != v })
+    // mass stays bounded by the injected teleport mass (floor loss only)
+    assert(got.values.sum <= scale)
+  }
+
   test("graph_pagerank invariants: teleport floor, bounded mass, monotone floor loss") {
     val docs = Tables.documents(spark, sfDir)
     def ranksAt(iters: Int): Map[Long, Long] =

@@ -1024,6 +1024,50 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("count-min delta: stored-epoch merge equals a full replay; serve is bit-stable (r8)") {
+    val delta = documents.filter(col("doc_id") % 4 === 2)
+      .withColumn("doc_id", col("doc_id") + 500000L)
+      .withColumn("text", concat(col("text"), lit(" cm delta probe")))
+    val got = graft.ops.Aggregates.countMinDelta(spark, documents, delta).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    // brute replay over base ∪ delta with the same folds
+    val params = graft.ops.Aggregates.CmParams
+    def fp(s: String, m: Long, mod: Long): Long = {
+      var a = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i); a = (a * m + cp) % mod; i += Character.charCount(cp)
+      }
+      a
+    }
+    val union = documents.select("doc_id", "text").collect() ++
+      delta.select("doc_id", "text").collect()
+    val tokens = union.flatMap(r =>
+      Option(r.getString(1)).getOrElse("").split(" ", -1).map(r.getLong(0) -> _))
+    val sketch = new scala.collection.mutable.HashMap[(Int, Long), Long]().withDefaultValue(0L)
+    tokens.foreach { case (_, tok) =>
+      params.zipWithIndex.foreach { case ((m, mod), i) =>
+        sketch((i, fp(tok, m, mod) % 512)) += 1L
+      }
+    }
+    val probe = tokens.collect { case (id, tok) if id >= 500000 && id % 3 == 0 => tok }.toSet
+    assert(got.keySet === probe)
+    got.foreach { case (tok, est) =>
+      val want = params.zipWithIndex.map { case ((m, mod), i) =>
+        sketch((i, fp(tok, m, mod) % 512)) }.min
+      assert(est === want, s"est@$tok")
+    }
+    // the synthesized probe token must see BOTH corpora: 'probe' occurs
+    // once per delta doc but also rides the sketch with base mass ≥ 0;
+    // 'cm' count must be ≥ the delta size (each delta doc appends one)
+    val nDelta = delta.count()
+    assert(got("cm") >= nDelta)
+    // second resolution serves the same stored epoch bit-for-bit
+    val again = graft.ops.Aggregates.countMinDelta(spark, documents, delta).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
+
   test("quality classifier: scores replay from the token fold, keep is the exact sign (r8)") {
     val got = TrainingPrep.qualityClassifier(documents).collect()
       .map(r => r.getLong(0) -> r).toMap
