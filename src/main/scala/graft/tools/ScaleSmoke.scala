@@ -251,6 +251,55 @@ object ScaleSmoke {
       // that is exactly the documented boundary at which the FW-BW
       // coloring loop replaces the closure form.)
       time(s"scc_n250_docs$nRep")(graft.ops.Graph.scc(repDocs))
+      // r8 third batch: personalized pagerank inherits the pagerank
+      // claim verbatim (same per-iteration plan, only the teleport
+      // expression differs) — the leg exists so the claim is measured,
+      // not inferred from the sibling
+      time(s"ppr_n${200 * factor}_docs$nRep")(
+        graft.ops.Graph.personalizedPagerank(repDocs, nNodes = 200 * factor))
+      spark.stop()
+      return
+    }
+
+    // optional fifth arg "cmOnly" (r8): the count-min bounded-exchange
+    // claim, measured. Unique-text replicas (the twinsOnly rotation)
+    // grow token mass factor× while the sketch exchange must stay
+    // ≤ tasks·depth·width partial rows — shuffle_records ~flat as docs
+    // grow is the whole point of a sketch. The delta leg holds the
+    // delta FIXED while the persisted base sketch grows factor×: probe
+    // cost must track the delta (the bloom/band-index discipline).
+    // Attribution rides along under MAU growth (users factor×,
+    // per-user history constant): wall and exchange linear, one user
+    // exchange (the behaviorOnly funnel law applied to the r8 key).
+    if (args.lift(4).contains("cmOnly")) {
+      val cmPath = s"/tmp/scale_smoke_cm_x$factor"
+      (0 until factor).map { i =>
+          val shifted = docs.withColumn("doc_id", col("doc_id") + lit(i * 30000000L))
+          if (i == 0) shifted
+          else shifted.withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1"))
+        }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(cmPath)
+      val uq = spark.read.parquet(cmPath).localCheckpoint()
+      val nUq = uq.count()
+      time(s"countmin_d$nUq")(graft.ops.Aggregates.countMinTokens(uq))
+      val delta = docs.withColumn("doc_id", col("doc_id") + lit(900000000L))
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", "dx_$1"))
+      var cmName: String = null
+      time(s"cm_index_build_x$factor") {
+        cmName = graft.ops.Aggregates.ensureCountMin(spark, uq, epoch = 10L + factor)
+        uq.select(col("doc_id")).limit(1) // build cost is above (bloom_build pattern)
+      }
+      println(s"""{"smoke":"cm_index","factor":$factor,"docs":$nUq,"index_table":"$cmName"}""")
+      time(s"cm_delta_probe_x$factor")(
+        graft.ops.Aggregates.countMinDelta(spark, uq, delta, epoch = 10L + factor))
+      val events = graft.Tables.events(spark, sfDir)
+      val repEv = (0 until factor).map(i =>
+          events.withColumn("user_id", col("user_id") + lit(i * 10000000L))
+            .withColumn("event_id", col("event_id") + lit(i * 1000000000L)))
+        .reduce(_ unionByName _).localCheckpoint()
+      val nEv = repEv.count()
+      time(s"attribution_ev$nEv")(graft.ops.Behavior.lastTouchAttribution(repEv))
       spark.stop()
       return
     }
