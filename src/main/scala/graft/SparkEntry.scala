@@ -510,6 +510,9 @@ object SparkEntry {
     // personalized pagerank: teleport mass restricted to a seed set —
     // the TrustRank / crawl-frontier proximity ranking (r8)
     "graph_ppr" -> ((s, d) => graft.ops.Graph.personalizedPagerank(Tables.documents(s, d))),
+    // Newman modularity of the LPA partition: per-community Q
+    // contribution from an exact integer numerator (r8)
+    "graph_modularity" -> ((s, d) => graft.ops.Graph.modularity(Tables.documents(s, d))),
     // HITS hubs/authorities: same fixed-point integer discipline
     "graph_hits" -> ((s, d) => graft.ops.Graph.hits(Tables.documents(s, d))),
     // the SoCC'14 star clustering over a second edge source — host-graph
@@ -759,7 +762,10 @@ object SparkEntry {
     * same undirected self-loop-free edge CTE as the Spark side, per
     * round a (node, label) vote count and a (cnt DESC, label ASC)
     * row_number top-1, isolated nodes coalescing to their own id. */
-  private val lpaOracleSql: String = {
+  /** The LPA label CTEs (through l3), shared by the LPA oracle and the
+    * modularity oracle so the two cannot diverge onto different
+    * partitions. */
+  private val lpaCtes: String = {
     def round(i: Int): String = {
       val prev = s"l${i - 1}"
       s"""v$i AS (SELECT e.dst AS node, l.label AS label, count(*) AS cnt
@@ -769,14 +775,39 @@ object SparkEntry {
          |l$i AS (SELECT n.node, COALESCE(a.label, n.node) AS label
          | FROM nodes n LEFT JOIN (SELECT node, label FROM a$i WHERE rk = 1) a ON a.node = n.node)""".stripMargin
     }
-    s"""WITH e0 AS (SELECT DISTINCT doc_id % 200 AS src, (doc_id * 31 + doc_id // 7) % 200 AS dst FROM documents),
+    s"""e0 AS (SELECT DISTINCT doc_id % 200 AS src, (doc_id * 31 + doc_id // 7) % 200 AS dst FROM documents),
        |e AS (SELECT src, dst FROM e0 WHERE src <> dst
        | UNION SELECT dst AS src, src AS dst FROM e0 WHERE src <> dst),
        |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e0 UNION ALL SELECT dst AS node FROM e0) u),
        |l0 AS (SELECT node, node AS label FROM nodes),
-       |${(1 to 3).map(round).mkString(",\n")}
-       |SELECT node, CAST(label AS BIGINT) AS label FROM l3 ORDER BY node""".stripMargin
+       |${(1 to 3).map(round).mkString(",\n")}""".stripMargin
   }
+
+  private val lpaOracleSql: String =
+    s"""WITH $lpaCtes
+       |SELECT node, CAST(label AS BIGINT) AS label FROM l3 ORDER BY node""".stripMargin
+
+  /** graph_modularity: Newman's Q per LPA community — integer
+    * numerator (4·m·e_c − d_c²), one double division, floor-rounded
+    * at 9dp on both engines. */
+  private val modularityOracleSql: String =
+    s"""WITH $lpaCtes,
+       |mu AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0 WHERE src <> dst),
+       |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM mu),
+       |degu AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+       | FROM (SELECT a AS node FROM mu UNION ALL SELECT b AS node FROM mu) t GROUP BY 1),
+       |dc AS (SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  CAST(SUM(COALESCE(d.deg, 0)) AS BIGINT) AS deg_sum
+       | FROM l3 l LEFT JOIN degu d ON d.node = l.node GROUP BY 1),
+       |ec AS (SELECT la.label AS label, CAST(COUNT(*) AS BIGINT) AS intra
+       | FROM mu JOIN l3 la ON la.node = mu.a JOIN l3 lb ON lb.node = mu.b
+       | WHERE la.label = lb.label GROUP BY 1)
+       |SELECT CAST(dc.label AS BIGINT) AS label, n_nodes, deg_sum,
+       | CAST(COALESCE(intra, 0) AS BIGINT) AS intra_edges,
+       | floor(CAST(4 * m * COALESCE(intra, 0) - deg_sum * deg_sum AS DOUBLE)
+       |   / (4.0 * m * m) * 1e9 + 0.5) / 1e9 AS contrib
+       |FROM dc LEFT JOIN ec ON ec.label = dc.label CROSS JOIN mm
+       |ORDER BY label""".stripMargin
 
   private val pagerankOracleSql: String = {
     def iter(i: Int): String = {
@@ -1491,6 +1522,7 @@ object SparkEntry {
     "graph_label_propagation" -> lpaOracleSql,
     "graph_pagerank_dangling" -> pagerankDanglingOracleSql,
     "graph_ppr" -> pprOracleSql,
+    "graph_modularity" -> modularityOracleSql,
     "graph_hits" -> hitsOracleSql,
     /* graph_degree_stats: same edge-synthesis CTE as pagerank/hits; the
      * node-set left join puts degree-0 nodes in the histogram (none

@@ -505,6 +505,52 @@ object Graph {
     labels.orderBy("node")
   }
 
+  /** MODULARITY (r8) — Newman's Q for the LPA partition, the "are
+    * these communities real" score a curator reads before capping on
+    * them: Q = Σ_c (e_c/m − (d_c/2m)²) over the undirected self-loop-
+    * free graph (e_c intra-community edges, d_c degree mass, m total
+    * edges). Per-community contribution is ONE division of an exact
+    * integer numerator — `(4·m·e_c − d_c²) / (4m²)` — so both engines
+    * compute identical 9dp values (the gini/assoc-rules lossless-
+    * numerator discipline). Plan shape: the undirected edge set and
+    * LPA's label frame are both node/edge-bounded; intra-edge counting
+    * is two broadcast label joins onto the canonical edge list, the
+    * rollup is |labels|-sized. Invariants pinned in GraphSpec:
+    * Σ d_c = 2m, Σ e_c ≤ m, each contribution ≤ e_c/m. */
+  def modularity(documents: DataFrame, nNodes: Int = 200,
+                 rounds: Int = 3): DataFrame = {
+    val labels = labelPropagation(documents, rounds, nNodes)
+      .select(col("node"), col("label"))
+    val (edges, _) = linkGraph(documents, nNodes)
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val m = und.agg(count(lit(1)).as("m"))
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val dc = labels.join(deg, Seq("node"), "left_outer")
+      .groupBy("label").agg(
+        count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("deg"), lit(0L))).as("deg_sum"))
+    val ec = und
+      .join(broadcast(labels.select(col("node").as("a"), col("label").as("la"))), "a")
+      .join(broadcast(labels.select(col("node").as("b"), col("label").as("lb"))), "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("intra_edges"))
+    val e = coalesce(col("intra_edges"), lit(0L))
+    dc.join(ec, Seq("label"), "left_outer").crossJoin(broadcast(m))
+      .select(col("label"), col("n_nodes"), col("deg_sum"),
+        e.as("intra_edges"),
+        Det.rfloor(
+          (lit(4L) * col("m") * e - col("deg_sum") * col("deg_sum")).cast("double")
+            / (lit(4.0) * col("m").cast("double") * col("m").cast("double")),
+          9).as("contrib"))
+      .orderBy("label")
+  }
+
   /** BFS LEVELS (r8) — single-source forward reachability with hop
     * count, the traversal primitive under "how far is every host from
     * the seed" crawl-frontier questions. Standard frontier expansion,

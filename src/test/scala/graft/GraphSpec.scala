@@ -81,6 +81,35 @@ class GraphSpec extends SparkSpec {
     assert(got.values.sum <= scale)
   }
 
+  test("graph_modularity replays from edges + LPA labels; degree-mass laws hold (r8)") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = ops.Graph.modularity(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val labels = ops.Graph.labelPropagation(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSeq
+    val e0 = ids.map(id => (id % 200, (id * 31 + id / 7) % 200)).distinct
+    val und = e0.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val m = und.size.toLong
+    val deg = (und.map(_._1) ++ und.map(_._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val expect = labels.groupBy(_._2).map { case (lbl, members) =>
+      val nodes = members.keySet
+      val dsum = nodes.toSeq.map(n => deg.getOrElse(n, 0L)).sum
+      val intra = und.count(e => nodes(e._1) && nodes(e._2)).toLong
+      val contrib = math.floor(
+        (4L * m * intra - dsum * dsum).toDouble / (4.0 * m * m) * 1e9 + 0.5) / 1e9
+      lbl -> ((nodes.size.toLong, dsum, intra, contrib))
+    }
+    assert(got === expect, "modularity diverged from the in-memory replay")
+    // mass laws: every degree is in exactly one community, intra ≤ m
+    assert(got.values.map(_._2).sum === 2 * m)
+    assert(got.values.map(_._3).sum <= m)
+    assert(got.values.map(_._1).sum === labels.size.toLong)
+  }
+
   test("graph_pagerank invariants: teleport floor, bounded mass, monotone floor loss") {
     val docs = Tables.documents(spark, sfDir)
     def ranksAt(iters: Int): Map[Long, Long] =

@@ -317,6 +317,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming attribution over ordered chunks == batch channel rollup (r8)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val evs = loadEvents().take(5000)
+    def us(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    val aevs = evs.map(e => graft.streaming.StreamingAttribution.AttrEv(
+      e.user_id, e.event_type, us(e.ts), e.event_id, e.value))
+    val stream = MemoryStream[graft.streaming.StreamingAttribution.AttrEv]
+    val query = graft.streaming.StreamingAttribution.attributions(stream.toDS())
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      aevs.grouped(1700).foreach { chunk =>
+        stream.addData(chunk); query.processAllAvailable()
+      }
+      val rows = spark.table("attr").collect()
+        .map(r => (r.getString(1), r.getDouble(2), r.getLong(3)))
+      // roll up per channel exactly like the batch operator: count,
+      // decimal(18,2)-accumulated value, exact µs lag total (direct = none)
+      val got = rows.groupBy(_._1).map { case (ch, rs) =>
+        ch -> ((rs.size.toLong,
+          rs.map(r => BigDecimal(r._2).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+            .sum.toDouble,
+          if (ch == "direct") None else Some(rs.map(_._3).sum)))
+      }
+      val batch = ops.Behavior.lastTouchAttribution(evs.toDF()).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+      assert(got === batch, "stream attribution diverged from batch")
+      assert(got.keySet === Set("view", "click", "direct"))
+    } finally {
+      query.stop()
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("watermarked stream-stream join matches the batch join") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
