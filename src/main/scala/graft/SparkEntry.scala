@@ -216,6 +216,10 @@ object SparkEntry {
       Multimodal.frameSample(Tables.documents(s, d)) }),
     "mm_audio_windows" -> ((s, d) => { implicit val sp: SparkSession = s
       Multimodal.audioWindows(Tables.documents(s, d)) }),
+    // shot-boundary detection: |Δ mean luma| over EVERY adjacent frame
+    // pair, flag over threshold; pure map fan-out, decode-exempt (r8)
+    "mm_scene_cuts" -> ((s, d) => { implicit val sp: SparkSession = s
+      Multimodal.sceneCuts(Tables.documents(s, d)) }),
     // --- streaming (batch-equivalent forms; true streaming in StreamingSpec) ---
     "stream_tumbling_batch" -> ((s, d) => Streams.tumblingBatch(Tables.events(s, d))),
     "stream_sliding_batch" -> ((s, d) => Streams.slidingBatch(Tables.events(s, d))),
@@ -548,6 +552,12 @@ object SparkEntry {
     // trend/seasonal/residual split via centered 7-day MA + dow means of
     // the 7·x−Σ exact-integer detrended carrier (r8)
     "ts_stl_decompose" -> ((s, d) => TimeSeries.stlDecompose(Tables.events(s, d))),
+    // robust residual anomaly: median/MAD score of the STL resid —
+    // flags only what trend + weekly structure can't explain (r8)
+    "ts_anomaly_stl" -> ((s, d) => TimeSeries.anomalyStl(Tables.events(s, d))),
+    // interval coalesce: merge overlapping per-user validity windows
+    // into maximal spans — two windows on one user exchange (r8)
+    "win_interval_merge" -> ((s, d) => Windows.intervalMerge(Tables.events(s, d))),
     // LSH-candidate feature table for a learned dedup classifier:
     // jaccard/hamming/len-ratio/same-lang, all portable-hash (r8)
     "pipeline_dedup_features" -> ((s, d) => Dedup.dedupFeatures(Tables.documents(s, d))),
@@ -878,6 +888,34 @@ object SparkEntry {
        |${(1 to 3).map(iter).mkString(",\n")}
        |SELECT node, rank AS rank_units FROM r3 ORDER BY node""".stripMargin
   }
+
+  /** The STL decomposition CTEs (through `stl`), shared by the
+    * decomposition oracle and the residual-anomaly oracle so the two
+    * cannot diverge onto different residuals. */
+  private val stlCtes: String =
+    """daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(SUM(CAST(CAST(value*100 AS DECIMAL(18,0)) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |w AS (SELECT event_type, day, cents,
+      |  count(*) OVER w7 AS tw, CAST(SUM(cents) OVER w7 AS BIGINT) AS tsum
+      | FROM daily WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+      |   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |b AS (SELECT event_type, day, cents,
+      |  CASE WHEN tw = 7 THEN tsum END AS t7,
+      |  CASE WHEN tw = 7 THEN cents*7 - tsum END AS d7,
+      |  CAST(date_diff('day', DATE '1970-01-01', day) % 7 AS BIGINT) AS dow
+      | FROM w),
+      |seas AS (SELECT event_type, dow, CAST(SUM(d7) AS BIGINT) AS sd7,
+      |  CAST(count(*) AS BIGINT) AS nd
+      | FROM b WHERE d7 IS NOT NULL GROUP BY 1, 2),
+      |stl AS (SELECT b.event_type, b.day,
+      | floor(CAST(cents AS DOUBLE)/100*1e4 + 0.5)/1e4 AS value,
+      | floor(CAST(t7 AS DOUBLE)/7/100*1e4 + 0.5)/1e4 AS trend,
+      | floor(CAST(sd7 AS DOUBLE)/CAST(nd*7 AS DOUBLE)/100*1e4 + 0.5)/1e4 AS seasonal,
+      | floor((CAST(cents AS DOUBLE) - CAST(t7 AS DOUBLE)/7
+      |   - CAST(sd7 AS DOUBLE)/CAST(nd*7 AS DOUBLE))/100*1e4 + 0.5)/1e4 AS resid
+      | FROM b LEFT JOIN seas s ON b.event_type = s.event_type AND b.dow = s.dow)""".stripMargin
 
   /** dedup_minhash_oracle SQL, GENERATED from the same constants the
     * Spark operator uses (Dedup.MinhashParams) so the two sides cannot
@@ -2333,30 +2371,30 @@ object SparkEntry {
        double formula on exact sums, rounded once; edges (partial MA
        windows) stay null through to the residual. */
     "ts_stl_decompose" ->
-      """WITH daily AS (
-        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-        |    CAST(SUM(CAST(CAST(value*100 AS DECIMAL(18,0)) AS BIGINT)) AS BIGINT) AS cents
-        |  FROM events GROUP BY 1, 2),
-        |w AS (SELECT event_type, day, cents,
-        |  count(*) OVER w7 AS tw, CAST(SUM(cents) OVER w7 AS BIGINT) AS tsum
-        | FROM daily WINDOW w7 AS (PARTITION BY event_type ORDER BY day
-        |   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-        |b AS (SELECT event_type, day, cents,
-        |  CASE WHEN tw = 7 THEN tsum END AS t7,
-        |  CASE WHEN tw = 7 THEN cents*7 - tsum END AS d7,
-        |  CAST(date_diff('day', DATE '1970-01-01', day) % 7 AS BIGINT) AS dow
-        | FROM w),
-        |seas AS (SELECT event_type, dow, CAST(SUM(d7) AS BIGINT) AS sd7,
-        |  CAST(count(*) AS BIGINT) AS nd
-        | FROM b WHERE d7 IS NOT NULL GROUP BY 1, 2)
-        |SELECT b.event_type, b.day,
-        | floor(CAST(cents AS DOUBLE)/100*1e4 + 0.5)/1e4 AS value,
-        | floor(CAST(t7 AS DOUBLE)/7/100*1e4 + 0.5)/1e4 AS trend,
-        | floor(CAST(sd7 AS DOUBLE)/CAST(nd*7 AS DOUBLE)/100*1e4 + 0.5)/1e4 AS seasonal,
-        | floor((CAST(cents AS DOUBLE) - CAST(t7 AS DOUBLE)/7
-        |   - CAST(sd7 AS DOUBLE)/CAST(nd*7 AS DOUBLE))/100*1e4 + 0.5)/1e4 AS resid
-        |FROM b LEFT JOIN seas s ON b.event_type = s.event_type AND b.dow = s.dow
-        |ORDER BY b.event_type, b.day""".stripMargin,
+      s"""WITH $stlCtes
+         |SELECT event_type, day, value, trend, seasonal, resid FROM stl
+         |ORDER BY event_type, day""".stripMargin,
+    /* ts_anomaly_stl: robust score on the STL residual — median/MAD
+       per series via quantile_cont, each rfloor'd to 4dp BEFORE
+       feeding arithmetic (the dq_outlier_mad parity discipline);
+       edge-day null resid stays null through score and flag. */
+    "ts_anomaly_stl" ->
+      s"""WITH $stlCtes,
+         |med AS (SELECT event_type,
+         |  floor(quantile_cont(resid, 0.5)*1e4 + 0.5)/1e4 AS med
+         | FROM stl GROUP BY 1),
+         |dev AS (SELECT s.event_type, s.day, s.value, s.resid, m.med,
+         |  abs(s.resid - m.med) AS adev
+         | FROM stl s JOIN med m USING (event_type)),
+         |mad AS (SELECT event_type,
+         |  floor(quantile_cont(adev, 0.5)*1e4 + 0.5)/1e4 AS mad
+         | FROM dev GROUP BY 1)
+         |SELECT d.event_type, d.day, d.value, d.resid,
+         | CASE WHEN m.mad > 0 THEN
+         |   floor((d.resid - d.med)/m.mad*1e4 + 0.5)/1e4 END AS score,
+         | CAST(d.adev > 3.0*m.mad AS INT) AS is_anomaly
+         |FROM dev d JOIN mad m USING (event_type)
+         |ORDER BY d.event_type, d.day""".stripMargin,
     /* agg_copurchase_pairs: A-Priori downward closure makes the item
        prefilter lossless (an item of a support-3 pair has item-support
        >= 3); the oracle mirrors the prune so plans stay comparable. */
@@ -2388,6 +2426,21 @@ object SparkEntry {
         |   / (CAST(fa.c AS DOUBLE) * CAST(fc.c AS DOUBLE)) * 1e6 + 0.5)/1e6 AS lift
         |FROM d JOIN f fa ON fa.pk = d.ante JOIN f fc ON fc.pk = d.cons CROSS JOIN nb
         |ORDER BY d.ante, d.cons""".stripMargin,
+    /* win_interval_merge: the running-max-end island law in exact µs;
+       strict > so touching spans merge, (s, event_id) the unique
+       total order on both engines. */
+    "win_interval_merge" ->
+      """WITH iv AS (SELECT user_id, event_id,
+        |  epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e FROM events),
+        |m AS (SELECT *, MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
+        | FROM iv),
+        |f AS (SELECT *, CASE WHEN run_max IS NULL OR s > run_max THEN 1 ELSE 0 END AS new_island FROM m),
+        |g AS (SELECT *, CAST(SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island FROM f)
+        |SELECT user_id, island, MIN(s) AS start_us, MAX(e) AS end_us,
+        | MAX(e) - MIN(s) AS duration_us, CAST(count(*) AS BIGINT) AS n_intervals
+        |FROM g GROUP BY 1, 2 ORDER BY user_id, island""".stripMargin,
     /* agg_countmin: the four hash rows are the portable rolling-
        fingerprint fold under distinct (mult, modulus) pairs — every
        sketch cell, estimate and overcount is exact integer arithmetic

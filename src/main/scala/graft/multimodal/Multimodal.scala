@@ -432,6 +432,42 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** SCENE-CUT DETECTION (r8) — the shot-boundary pass a video
+    * curation pipeline runs before per-scene sampling/captioning:
+    * walk EVERY decoded frame (frameSample takes k of them; a cut can
+    * hide between any two), score each adjacent pair by |Δ mean luma|
+    * (the classic cheap boundary feature — a real pipeline adds
+    * histogram/edge deltas, consumed through this same row shape),
+    * flag a cut where the delta clears `threshold`. Frame 0 has no
+    * predecessor: delta and flag stay null. Same fan-out contract as
+    * the sampler: one input row → n_frames rows inside the partition,
+    * no shuffle before the presentation sort, one decode call per
+    * 64-row batch. Decode-derived → oracle-exempt; LlmOpsSpec replays
+    * deltas and flags from the y4m synthesis law and pins both flag
+    * classes present. */
+  def sceneCuts(documents: DataFrame, threshold: Double = 0.01)
+               (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    asMediaItems(documents)
+      .filter(_.kind == "video")
+      .mapPartitions { it =>
+        it.grouped(DecodeBatch).flatMap { batch => // one decode call per batch
+          batch.flatMap { m =>
+            val frames = y4mFrameMeans(m.content)
+            frames.indices.map { i =>
+              val delta = if (i == 0) None else Some(math.abs(frames(i) - frames(i - 1)))
+              (m.doc_id, i, frames.length, frames(i), delta,
+                delta.map(d => if (d > threshold) 1 else 0))
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "n_frames", "mean_luma", "delta", "is_cut")
+      .withColumn("mean_luma", round(col("mean_luma"), 6))
+      .withColumn("delta", round(col("delta"), 6))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Windowed AUDIO SEGMENTATION over the decoded PCM — the
     * "voice-activity / energy segmentation" pass of an audio pipeline:
     * the stream splits into `nWin` equal windows, each emitted as its

@@ -255,6 +255,40 @@ object TimeSeries {
       .orderBy("event_type", "day")
   }
 
+  /** STL-RESIDUAL ANOMALY FLAGS (r8) — the monitoring op the
+    * decomposition exists for: a raw z-score on the series flags every
+    * weekend as anomalous on weekly-seasonal data; scoring the STL
+    * RESIDUAL (trend and day-of-week effect already removed) flags
+    * only what the structure can't explain. Robust scoring — median +
+    * MAD per series (the dq_outlier_mad discipline: each percentile
+    * rfloor'd BEFORE it feeds arithmetic, so downstream doubles are
+    * bit-identical cross-engine; medians are order statistics, no
+    * accumulation-order hazard). Edge days (incomplete 7-day trend
+    * window) carry null resid and stay null through score and flag on
+    * both engines. Scale: the resid frame is day-grain (event-volume-
+    * free); two tiny aggregates broadcast back. */
+  def anomalyStl(events: DataFrame, k: Double = 3.0): DataFrame = {
+    // day-grain and consumed three times (base, med, mad chains) — the
+    // lazy checkpoint keeps the FACT scan at one, not eight (census
+    // showed the uncheckpointed form re-deriving the decomposition per
+    // consumer; at 100 TB the events scan is the whole cost)
+    val base = stlDecompose(events)
+      .select(col("event_type"), col("day"), col("value"), col("resid"))
+      .localCheckpoint(eager = false)
+    val med = base.groupBy("event_type")
+      .agg(Det.rfloor(expr("percentile(resid, 0.5)"), 4).as("med"))
+    val dev = base.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("resid") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(Det.rfloor(expr("percentile(adev, 0.5)"), 4).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .select(col("event_type"), col("day"), col("value"), col("resid"),
+        when(col("mad") > 0,
+          Det.rfloor((col("resid") - col("med")) / col("mad"), 4)).as("score"),
+        (col("adev") > lit(k) * col("mad")).cast("int").as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
   /** CUSUM changepoint detection per series — the level-shift screen.
     *
     * The classic statistic is max_t |S_t − t·x̄| over the running sums;

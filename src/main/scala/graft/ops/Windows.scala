@@ -244,4 +244,35 @@ object Windows {
       .withColumn("bal_filled", last(col("bal"), ignoreNulls = true).over(w))
       .orderBy("c_mktsegment", "c_custkey")
   }
+
+  /** INTERVAL COALESCE (r8) — merge overlapping per-key validity
+    * windows into maximal disjoint spans: the SCD repair / session-
+    * from-intervals primitive (contrast `join_interval_overlap`, which
+    * PAIRS intervals; this collapses them). Intervals synthesized with
+    * the same law as the overlap join: [ts, ts + windowUs] in exact
+    * integer µs. The classic two-window form: an interval starts a new
+    * island iff its start exceeds the running max end of all EARLIER
+    * intervals (strictly — touching spans merge), island id = running
+    * sum of the start flags; both windows share ONE user_id exchange
+    * (same partitioning + order), the rollup is island-grain. At
+    * 100 TB: one hash exchange on the key, no self-joins, no
+    * interval×interval product. */
+  def intervalMerge(events: DataFrame, windowUs: Long = 600000000L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("s"), col("event_id"))
+    val runMaxPrev = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + windowUs).as("e"))
+      .withColumn("new_island",
+        when(runMaxPrev.isNull || col("s") > runMaxPrev, 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "island")
+      .agg(min(col("s")).as("start_us"), max(col("e")).as("end_us"),
+        count(lit(1)).as("n_intervals"))
+      .select(col("user_id"), col("island"), col("start_us"), col("end_us"),
+        (col("end_us") - col("start_us")).as("duration_us"), col("n_intervals"))
+      .orderBy("user_id", "island")
+  }
 }

@@ -257,6 +257,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(idxs == idxs.distinct && idxs.forall(_ < 8), idxs.toString)
   }
 
+  test("mm_scene_cuts: deltas replay from the y4m synthesis law, both flag classes fire (r8)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val rows = Multimodal.sceneCuts(documents).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) % 3 == 2)) // video kind only
+    val texts = documents.filter(col("doc_id") % 3 === 2)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      val src = texts(id).getBytes("UTF-8")
+      val n = math.max(src.length, 1)
+      val wh = 64
+      def luma(f: Int): Double =
+        (0 until wh).map(i => (src((f * wh + i) % n) & 0xff).toDouble).sum / wh / 255.0
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (0 until 8), s"doc $id frames")
+      sorted.foreach { r =>
+        val f = r.getInt(1)
+        assert(r.getInt(2) === 8, s"doc $id n_frames")
+        assert(math.abs(r.getDouble(3) - luma(f)) < 1e-6, s"doc $id luma@$f")
+        if (f == 0) { assert(r.isNullAt(4)); assert(r.isNullAt(5)) }
+        else {
+          val d = math.abs(luma(f) - luma(f - 1))
+          assert(math.abs(r.getDouble(4) - d) < 1e-6, s"doc $id delta@$f")
+          // skip the knife-edge: the spec's float path may differ from
+          // the decoder's by an ulp exactly at the threshold
+          if (math.abs(d - 0.01) > 1e-9)
+            assert(r.getInt(5) === (if (d > 0.01) 1 else 0), s"doc $id flag@$f")
+        }
+      }
+    }
+    val flags = rows.filter(!_.isNullAt(5)).map(_.getInt(5)).toSeq
+    assert(flags.contains(1) && flags.contains(0),
+      "threshold must discriminate on this corpus")
+  }
+
   test("mm_audio_windows: rms and zcr match the WAV synthesis law per window") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val rows = Multimodal.audioWindows(documents).collect()

@@ -280,6 +280,80 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.sorted === expect.sorted, "streaks diverged from brute force")
   }
 
+  test("stl anomaly: med/MAD replay from the decomposition, edge nulls stay null (r8)") {
+    val ev = Tables.events(spark, sfDir)
+    val stl = ops.TimeSeries.stlDecompose(ev).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    val got = ops.TimeSeries.anomalyStl(ev).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          if (r.isNullAt(5)) None else Some(r.getInt(5))))).toMap
+    def rf4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    // exact percentile(0.5) replication: Spark interpolates between the
+    // two middle order statistics at even n
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val pos = 0.5 * (s.length - 1)
+      val lo = s(pos.toInt)
+      val hi = s(math.ceil(pos).toInt)
+      lo + (pos - pos.toInt) * (hi - lo)
+    }
+    stl.groupBy(_._1).foreach { case (tpe, rows) =>
+      val resids = rows.flatMap(_._3.toSeq).map(_.toDouble)
+      val med = rf4(median(resids))
+      val mad = rf4(median(resids.map(r => math.abs(r - med))))
+      rows.foreach { case (_, day, ro) =>
+        val (score, flag) = got((tpe, day))
+        ro match {
+          case None =>
+            assert(score.isEmpty && flag.isEmpty, s"$tpe@$day edge must stay null")
+          case Some(r) =>
+            if (mad > 0) assert(score.contains(rf4((r - med) / mad)), s"$tpe@$day score")
+            else assert(score.isEmpty, s"$tpe@$day zero-MAD score")
+            assert(flag.contains(if (math.abs(r - med) > 3.0 * mad) 1 else 0), s"$tpe@$day flag")
+        }
+      }
+    }
+    // the flag must discriminate: normal days exist everywhere; at least
+    // one series must carry structure the decomposition can't explain
+    val flags = got.values.flatMap(_._2).toSeq
+    assert(flags.contains(0))
+  }
+
+  test("interval merge matches a brute-force sweep; spans are disjoint and cover (r8)") {
+    val ev = Tables.events(spark, sfDir)
+    val got = ops.Windows.intervalMerge(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val raw = ev.select(col("user_id"), expr("unix_micros(ts)").as("s"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val W = 600000000L
+    val expect = raw.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val iv = es.sortBy(e => (e._2, e._3)).map(e => (e._2, e._2 + W))
+      // sweep: extend the open span while the next start ≤ running max end
+      val islands = iv.foldLeft(List.empty[(Long, Long, Long)]) {
+        case ((s0, e0, n) :: rest, (s, e)) if s <= e0 =>
+          (s0, math.max(e0, e), n + 1) :: rest
+        case (acc, (s, e)) => (s, e, 1L) :: acc
+      }.reverse
+      islands.zipWithIndex.map { case ((s, e, n), i) =>
+        (u, (i + 1).toLong, s, e, e - s, n)
+      }
+    }
+    assert(got.sorted === expect.sorted, "interval merge diverged from sweep")
+    // spans per user are strictly disjoint and interval counts cover
+    got.groupBy(_._1).foreach { case (u, spans) =>
+      val s = spans.sortBy(_._2)
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 < b._3, s"user $u spans overlap")
+        case _ => ()
+      }
+    }
+    assert(got.map(_._6).sum === raw.length.toLong)
+    // the fixture must actually merge something
+    assert(got.exists(_._6 > 1))
+  }
+
   test("last-touch attribution matches a brute-force per-user replay (r8)") {
     val ev = Tables.events(spark, sfDir)
     val got = ops.Behavior.lastTouchAttribution(ev).collect()
