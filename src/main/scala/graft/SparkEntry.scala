@@ -426,6 +426,13 @@ object SparkEntry {
     // prior view/click within 7 days, else direct — two ignoreNulls
     // last() frames on one user_id exchange, lag in exact µs (r8)
     "win_attribution" -> ((s, d) => ops.Behavior.lastTouchAttribution(Tables.events(s, d))),
+    // windowFunnel semantics: steps must complete inside a 24h window
+    // anchored at the user's first view — three chained conditional
+    // window mins on one user exchange, exact µs bounds (r8)
+    "win_funnel_windowed" -> ((s, d) => ops.Behavior.funnelWindowed(Tables.events(s, d))),
+    // classifier-eval confusion matrix over the shared langid CTEs:
+    // off-diagonal mass IS the mis-filtered data (r8)
+    "dq_langid_confusion" -> ((s, d) => TextAnalysis.langidConfusion(Tables.documents(s, d))),
     "agg_retention_cohort" -> ((s, d) => ops.Behavior.retentionCohort(Tables.events(s, d))),
     "scan_csv_malformed" -> ((s, d) => Scans.scanCsvMalformed(s, Tables.nation(s, d), d)),
     "dq_profile" -> ((s, d) => DataQuality.profile(Tables.lineitem(s, d))),
@@ -888,6 +895,25 @@ object SparkEntry {
        |${(1 to 3).map(iter).mkString(",\n")}
        |SELECT node, rank AS rank_units FROM r3 ORDER BY node""".stripMargin
   }
+
+  /** The langid score/prediction CTEs (through `p`), shared by the
+    * per-doc langid oracle and the confusion-matrix rollup so the two
+    * cannot diverge onto different predictions. */
+  private val langidCtes: String =
+    """s AS (SELECT doc_id, lang AS lang_declared,
+      | floor(CAST(len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und'))) AS DOUBLE)/len(string_split(text,' '))*1e4 + 0.5)/1e4 AS score_de,
+      | floor(CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','is'))) AS DOUBLE)/len(string_split(text,' '))*1e4 + 0.5)/1e4 AS score_en,
+      | floor(CAST(len(list_filter(string_split(text,' '), x -> x IN ('el','los','y','que'))) AS DOUBLE)/len(string_split(text,' '))*1e4 + 0.5)/1e4 AS score_es,
+      | floor(CAST(len(list_filter(string_split(text,' '), x -> x IN ('le','la','et','les'))) AS DOUBLE)/len(string_split(text,' '))*1e4 + 0.5)/1e4 AS score_fr
+      | FROM documents),
+      |p AS (SELECT *,
+      | CASE WHEN score_en IS NULL THEN 'und'
+      |  WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+      |  WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+      |  WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+      |  WHEN score_fr >= score_es THEN 'fr'
+      |  ELSE 'es' END AS lang_pred
+      |FROM s)""".stripMargin
 
   /** The STL decomposition CTEs (through `stl`), shared by the
     * decomposition oracle and the residual-anomaly oracle so the two
@@ -2185,20 +2211,20 @@ object SparkEntry {
         | round(tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)/df), 4) AS score, rn
         |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
     "text_langid" ->
-      """WITH s AS (SELECT doc_id, lang AS lang_declared,
-        | floor(CAST(len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und'))) AS DOUBLE)/len(string_split(text,' '))*1e4 + 0.5)/1e4 AS score_de,
-        | floor(CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','is'))) AS DOUBLE)/len(string_split(text,' '))*1e4 + 0.5)/1e4 AS score_en,
-        | floor(CAST(len(list_filter(string_split(text,' '), x -> x IN ('el','los','y','que'))) AS DOUBLE)/len(string_split(text,' '))*1e4 + 0.5)/1e4 AS score_es,
-        | floor(CAST(len(list_filter(string_split(text,' '), x -> x IN ('le','la','et','les'))) AS DOUBLE)/len(string_split(text,' '))*1e4 + 0.5)/1e4 AS score_fr
-        | FROM documents)
-        |SELECT doc_id, lang_declared, score_de, score_en, score_es, score_fr,
-        | CASE WHEN score_en IS NULL THEN 'und'
-        |  WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
-        |  WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
-        |  WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
-        |  WHEN score_fr >= score_es THEN 'fr'
-        |  ELSE 'es' END AS lang_pred
-        |FROM s ORDER BY doc_id""".stripMargin,
+      s"""WITH $langidCtes
+         |SELECT doc_id, lang_declared, score_de, score_en, score_es, score_fr, lang_pred
+         |FROM p ORDER BY doc_id""".stripMargin,
+    /* dq_langid_confusion: the classifier-eval rollup over the shared
+       langid CTEs — per (declared, predicted) cell count plus the
+       row-share within the declared class (one rounded division). */
+    "dq_langid_confusion" ->
+      s"""WITH $langidCtes
+         |SELECT lang_declared, lang_pred, CAST(count(*) AS BIGINT) AS n,
+         | CAST(SUM(count(*)) OVER (PARTITION BY lang_declared) AS BIGINT) AS n_declared,
+         | floor(CAST(count(*) AS DOUBLE)
+         |   / CAST(SUM(count(*)) OVER (PARTITION BY lang_declared) AS DOUBLE)*1e4 + 0.5)/1e4 AS share
+         |FROM p GROUP BY lang_declared, lang_pred
+         |ORDER BY lang_declared, lang_pred""".stripMargin,
     "text_quality" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS tok FROM documents)
         |SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens,
@@ -2426,6 +2452,25 @@ object SparkEntry {
         |   / (CAST(fa.c AS DOUBLE) * CAST(fc.c AS DOUBLE)) * 1e6 + 0.5)/1e6 AS lift
         |FROM d JOIN f fa ON fa.pk = d.ante JOIN f fc ON fc.pk = d.cons CROSS JOIN nb
         |ORDER BY d.ante, d.cons""".stripMargin,
+    /* win_funnel_windowed: the chained conditional window mins with
+       the t1-anchored deadline, all in exact integer µs. */
+    "win_funnel_windowed" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |w1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+        |  OVER (PARTITION BY user_id) AS t1 FROM e),
+        |w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND us > t1
+        |   AND us <= t1 + 86400000000 THEN us END)
+        |  OVER (PARTITION BY user_id) AS t2 FROM w1),
+        |w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us > t2
+        |   AND us <= t1 + 86400000000 THEN us END)
+        |  OVER (PARTITION BY user_id) AS t3 FROM w2),
+        |g AS (SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
+        | FROM w3 GROUP BY 1)
+        |SELECT user_id,
+        | CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |      WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS level,
+        | t1 AS entry_us
+        |FROM g ORDER BY user_id""".stripMargin,
     /* win_interval_merge: the running-max-end island law in exact µs;
        strict > so touching spans merge, (s, event_id) the unique
        total order on both engines. */

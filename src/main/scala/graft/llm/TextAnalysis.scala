@@ -159,6 +159,25 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** LANGID CONFUSION MATRIX (r8) — the classifier-eval rollup over
+    * [[langId]]: per (declared, predicted) cell count plus the share
+    * within the declared class (the per-class recall diagonal). The
+    * audit every curation stack runs before trusting a language
+    * filter: off-diagonal mass IS the mis-filtered data. Shares the
+    * langid prediction (and its oracle CTEs) so the eval can never
+    * drift from the classifier it evaluates. Scale: the per-doc score
+    * pass is map-side; the rollup exchange carries ≤ |langs|² cells. */
+  def langidConfusion(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("lang_declared")
+    langId(documents)
+      .groupBy("lang_declared", "lang_pred").agg(count(lit(1)).as("n"))
+      .withColumn("n_declared", sum(col("n")).over(w))
+      .select(col("lang_declared"), col("lang_pred"), col("n"), col("n_declared"),
+        graft.ops.Det.rfloor(
+          col("n").cast("double") / col("n_declared").cast("double"), 4).as("share"))
+      .orderBy("lang_declared", "lang_pred")
+  }
+
   /** The weighted quality score as a pure per-row Column over a text
     * column — shared by [[qualityScore]] and the domain-cap quota so both
     * rank on the identical rfloor'd value (and both oracle CTEs mirror

@@ -156,6 +156,38 @@ object Behavior {
       .orderBy("user_id")
   }
 
+  /** TIME-BOUNDED FUNNEL (r8) — the windowFunnel semantics:
+    * [[funnelSteps]] counts eventual completion (a purchase a year
+    * after the view converts); this counts completion INSIDE a window
+    * anchored at the user's first step-1 event — step k must land
+    * strictly after step k−1 AND within `windowUs` of t1. The anchor
+    * is deterministic (first view), a contract-able simplification of
+    * ClickHouse's any-chain slide — the chain-extension rule past t1
+    * is identical. Same execution shape as the unbounded funnel:
+    * three chained conditional window mins on ONE user_id exchange,
+    * exact integer µs bounds, per-user level row out. */
+  def funnelWindowed(events: DataFrame,
+                     windowUs: Long = 24L * 3600 * 1000000L,
+                     steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.size == 3, "funnelWindowed is specialized to 3 steps")
+    val w = Window.partitionBy("user_id")
+    val deadline = col("t1") + lit(windowUs)
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("t1", min(when(col("event_type") === steps(0), col("us"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === steps(1)
+        && col("us") > col("t1") && col("us") <= deadline, col("us"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === steps(2)
+        && col("us") > col("t2") && col("us") <= deadline, col("us"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1).otherwise(0).as("level"),
+        col("t1").as("entry_us"))
+      .orderBy("user_id")
+  }
+
   /** LAST-TOUCH ATTRIBUTION (r8) — the marketing-analytics close of the
     * funnel family: each purchase is credited to the user's most recent
     * prior touch event (view/click) within a lookback window, else

@@ -1104,6 +1104,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("langid confusion is exactly the regrouped per-doc langid output (r8)") {
+    val per = TextAnalysis.langId(documents).collect()
+      .map(r => (r.getString(1), r.getString(6)))
+    val got = TextAnalysis.langidConfusion(documents).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val cells = per.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val declared = per.groupBy(_._1).map { case (k, xs) => k -> xs.length.toLong }
+    assert(got.keySet === cells.keySet)
+    got.foreach { case ((d, p), (n, nd, share)) =>
+      assert(n === cells((d, p)), s"cell $d/$p")
+      assert(nd === declared(d), s"declared $d")
+      assert(share === math.floor(n.toDouble / nd * 1e4 + 0.5) / 1e4, s"share $d/$p")
+    }
+    // shares within a declared class sum to ~1 (rounding each cell)
+    got.keys.groupBy(_._1).foreach { case (d, ks) =>
+      val s = ks.map(k => got(k)._3).sum
+      assert(math.abs(s - 1.0) < 1e-3, s"$d shares sum $s")
+    }
+  }
+
   test("quality classifier: scores replay from the token fold, keep is the exact sign (r8)") {
     val got = TrainingPrep.qualityClassifier(documents).collect()
       .map(r => r.getLong(0) -> r).toMap

@@ -354,6 +354,33 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.exists(_._6 > 1))
   }
 
+  test("windowed funnel matches a brute-force per-user replay; bound tightens levels (r8)") {
+    val ev = Tables.events(spark, sfDir)
+    val got = ops.Behavior.funnelWindowed(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    val raw = ev.select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val W = 24L * 3600 * 1000000L
+    val expect = raw.groupBy(_._1).map { case (u, es) =>
+      val t1 = es.collect { case (_, us, "view") => us }.minOption
+      val dl = t1.map(_ + W)
+      val t2 = t1.flatMap(a => es.collect {
+        case (_, us, "click") if us > a && us <= dl.get => us }.minOption)
+      val t3 = t2.flatMap(b => es.collect {
+        case (_, us, "purchase") if us > b && us <= dl.get => us }.minOption)
+      u -> ((if (t3.isDefined) 3 else if (t2.isDefined) 2 else if (t1.isDefined) 1 else 0, t1))
+    }
+    assert(got === expect, "windowed funnel diverged from replay")
+    // the bound must BITE on this fixture: windowed completion count is
+    // strictly below the unbounded funnel's step-3 reach
+    val unbounded = ops.Behavior.funnelSteps(ev).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val w3 = got.values.count(_._1 == 3).toLong
+    assert(w3 < unbounded(3), s"windowed $w3 vs unbounded ${unbounded(3)}")
+    assert(w3 > 0, "nobody completes inside the window — fixture vacuous")
+  }
+
   test("last-touch attribution matches a brute-force per-user replay (r8)") {
     val ev = Tables.events(spark, sfDir)
     val got = ops.Behavior.lastTouchAttribution(ev).collect()
