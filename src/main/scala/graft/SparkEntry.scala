@@ -56,6 +56,12 @@ object SparkEntry {
     "join_interval_overlap" -> ((s, d) => Joins.intervalOverlap(Tables.events(s, d))),
     // entity resolution: blocking-key candidates + in-block edit distance
     "join_fuzzy_match" -> ((s, d) => Joins.fuzzyMatch(Tables.customer(s, d))),
+    // null-safe dim lookup: NULL-key facts land on the designated
+    // UNKNOWN row via <=> (hash-joinable, plans as BHJ) (r8)
+    "join_null_safe" -> ((s, d) => Joins.nullSafeJoin(Tables.customer(s, d), Tables.nation(s, d))),
+    // TPC-DS Q88 fold: 8 subquery scans → ONE scan of conditional
+    // aggregates; census pins filescan=1, zero joins (r8)
+    "analytics_multiband_scan" -> ((s, d) => Analytics.multibandScan(Tables.events(s, d))),
     // --- aggregation ---
     "agg_hash_group" -> ((s, d) => Aggregates.pricingSummary(Tables.lineitem(s, d))),
     "agg_count_distinct" -> ((s, d) => Aggregates.countDistinctCustomers(Tables.orders(s, d))),
@@ -2452,6 +2458,28 @@ object SparkEntry {
         |   / (CAST(fa.c AS DOUBLE) * CAST(fc.c AS DOUBLE)) * 1e6 + 0.5)/1e6 AS lift
         |FROM d JOIN f fa ON fa.pk = d.ante JOIN f fc ON fc.pk = d.cons CROSS JOIN nb
         |ORDER BY d.ante, d.cons""".stripMargin,
+    /* join_null_safe: IS NOT DISTINCT FROM mirrors <=>; the UNKNOWN
+       dim row catches the NULL-key facts. */
+    "join_null_safe" ->
+      """WITH dim AS (SELECT CAST(n_nationkey AS BIGINT) AS k, n_name FROM nation
+        |  UNION ALL SELECT NULL, 'UNKNOWN'),
+        |f AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE CAST(c_nationkey AS BIGINT) END AS k,
+        |  c_acctbal FROM customer)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM f JOIN dim ON f.k IS NOT DISTINCT FROM dim.k
+        |GROUP BY 1 ORDER BY n_name""".stripMargin,
+    /* analytics_multiband_scan: the 8-band conditional aggregates,
+       generated from the same band bounds the Spark side uses. */
+    "analytics_multiband_scan" -> {
+      val cols = (0 until 8).flatMap { b =>
+        val in = s"hour(ts) >= ${b * 3} AND hour(ts) < ${(b + 1) * 3}"
+        Seq(s"CAST(count_if($in) AS BIGINT) AS n_band$b",
+          s"CAST(SUM(CASE WHEN $in THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS val_band$b")
+      }
+      s"SELECT\n ${cols.mkString(",\n ")}\nFROM events"
+    },
     /* win_funnel_windowed: the chained conditional window mins with
        the t1-anchored deadline, all in exact integer µs. */
     "win_funnel_windowed" ->

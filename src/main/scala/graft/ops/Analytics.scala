@@ -605,4 +605,23 @@ object Analytics {
       .select(col("s_name"), col("s_acctbal"))
       .orderBy("s_name")
   }
+
+  /** MULTI-BAND SINGLE-SCAN (r8) — the TPC-DS Q88 pattern: eight
+    * time-band metrics that a naive author writes as eight subqueries
+    * cross-joined (eight fact scans, eight aggregates) fold into ONE
+    * scan with conditional aggregates — `count(when(band, 1))` per
+    * band inside a single two-phase hash aggregate. The plan claim IS
+    * the operator: census pins filescan = 1, agg = partial+final,
+    * zero joins, for 16 output metrics. Bands = 3-hour UTC slots;
+    * value totals through the decimal(18,2) accumulation pattern. */
+  def multibandScan(events: DataFrame): DataFrame = {
+    val h = hour(col("ts"))
+    val dec = col("value").cast("decimal(18,2)")
+    val cols = (0 until 8).flatMap { b =>
+      val in = h >= b * 3 && h < (b + 1) * 3
+      Seq(count(when(in, 1)).as(s"n_band$b"),
+        sum(when(in, dec)).cast("double").as(s"val_band$b"))
+    }
+    events.agg(cols.head, cols.tail: _*)
+  }
 }

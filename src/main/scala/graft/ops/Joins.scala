@@ -323,4 +323,31 @@ object Joins {
       .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"), col("dist"))
       .orderBy("a_key", "b_key")
   }
+
+  /** NULL-SAFE EQUALITY JOIN (r8) — the unknown-member dimension
+    * lookup: facts with a NULL key (late-arriving / unresolvable
+    * dimension) must land on the dimension's designated UNKNOWN row,
+    * not silently drop out of an inner join. Spark's `<=>`
+    * (EqualNullSafe) is a HASH-JOINABLE key — this plans as a plain
+    * broadcast hash join; the naive rewrite
+    * `a.k = b.k OR (a.k IS NULL AND b.k IS NULL)` degrades to a
+    * nested-loop product, which is the trap this operator exists to
+    * document. One designated NULL row on the dim side keeps the
+    * null×null match bounded at |null facts|·1 — never a null-bucket
+    * cross product. */
+  def nullSafeJoin(customer: DataFrame, nation: DataFrame): DataFrame = {
+    val dim = nation
+      .select(col("n_nationkey").cast("long").as("k"), col("n_name"))
+      .unionByName(nation.select(lit(null).cast("long").as("k"),
+        lit("UNKNOWN").as("n_name")).limit(1))
+    val fact = customer.select(col("c_custkey"),
+      when(col("c_custkey") % 13 === 0, lit(null).cast("long"))
+        .otherwise(col("c_nationkey").cast("long")).as("k"),
+      col("c_acctbal"))
+    fact.join(broadcast(dim), fact("k") <=> dim("k"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"))
+      .orderBy("n_name")
+  }
 }

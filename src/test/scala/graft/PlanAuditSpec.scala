@@ -38,6 +38,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("join_null_safe: <=> stays a broadcast HASH join, and the UNKNOWN row catches nulls (r8)") {
+    val df = ops.Joins.nullSafeJoin(Tables.customer(spark, sfDir), Tables.nation(spark, sfDir))
+    val p = planOf(df)
+    // the whole point: EqualNullSafe is hash-joinable — the OR-rewrite
+    // would show BroadcastNestedLoopJoin here
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("NestedLoop"), p)
+    val rows = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cust = Tables.customer(spark, sfDir).select("c_custkey").collect().map(_.getLong(0))
+    assert(rows("UNKNOWN") === cust.count(_ % 13 == 0).toLong)
+    // inner join loses nobody: every customer lands exactly once
+    assert(rows.values.sum === cust.length.toLong)
+  }
+
+  test("analytics_multiband_scan: 16 metrics from ONE scan, one two-phase agg, no joins (r8)") {
+    val df = ops.Analytics.multibandScan(Tables.events(spark, sfDir))
+    val p = planOf(df)
+    assert("Scan |FileScan".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+    // bands partition the day: counts sum to the full table
+    val r = df.collect().head
+    val total = (0 until 8).map(b => r.getLong(b * 2)).sum
+    assert(total === Tables.events(spark, sfDir).count())
+  }
+
   test("sim_topk_search: broadcast query side + TakeOrderedAndProject") {
     val p = planOf(llm.Similarity.topkSearch(Tables.embeddings(spark, sfDir)))
     assert(p.contains("BroadcastNestedLoopJoin"), p)
