@@ -441,6 +441,19 @@ object SparkEntry {
     "dq_langid_confusion" -> ((s, d) => TextAnalysis.langidConfusion(Tables.documents(s, d))),
     "agg_retention_cohort" -> ((s, d) => ops.Behavior.retentionCohort(Tables.events(s, d))),
     "scan_csv_malformed" -> ((s, d) => Scans.scanCsvMalformed(s, Tables.nation(s, d), d)),
+    // PERMISSIVE JSONL triage: truncated / type-mismatch → corrupt,
+    // missing field → null_padded (NOT corrupt) (r8)
+    "scan_jsonl_malformed" -> ((s, d) => Scans.scanJsonlMalformed(s, Tables.nation(s, d), d)),
+    // error-safe arithmetic: try_divide/try_cast/try_add turn the
+    // row-level ANSI error into NULL instead of killing the job (r8)
+    "fn_try_arith" -> ((s, d) => ScalarFns.tryArith(Tables.events(s, d))),
+    // Pareto audit: customers carrying 80% of revenue per segment,
+    // exact 5·cum ≥ 4·total integer threshold (r8)
+    "win_cumulative_share" -> ((s, d) => Windows.cumulativeShare(
+      Tables.orders(s, d), Tables.customer(s, d))),
+    // per-host link reciprocity: mutual-link spam signal, one
+    // self-semi-join against the transposed edge list (r8)
+    "graph_reciprocity" -> ((s, d) => graft.ops.Graph.reciprocity(Tables.documents(s, d))),
     "dq_profile" -> ((s, d) => DataQuality.profile(Tables.lineitem(s, d))),
     // Benford first-digit screen on the monetary column (integer-only
     // digit extraction — portable across engines)
@@ -3320,6 +3333,63 @@ object SparkEntry {
         | UNION ALL
         | SELECT 'good', (SELECT count(*) FROM nation)) t
         |ORDER BY class""".stripMargin,
+    /* scan_jsonl_malformed: the fixture law — 2 corrupt (truncated,
+       type-mismatch), 1 null_padded (missing field parses clean),
+       every nation row good. */
+    "scan_jsonl_malformed" ->
+      """SELECT class, n FROM (
+        | SELECT 'corrupt' AS class, CAST(2 AS BIGINT) AS n
+        | UNION ALL
+        | SELECT 'good', (SELECT count(*) FROM nation)
+        | UNION ALL
+        | SELECT 'null_padded', CAST(1 AS BIGINT)) t
+        |ORDER BY class""".stripMargin,
+    /* fn_try_arith: DuckDB has TRY_CAST but no try_divide/try_add —
+       the mirror encodes the SEMANTICS (NULLIF guard, overflow CASE
+       with the addition only on the non-overflowing branch). */
+    "fn_try_arith" ->
+      s"""SELECT event_id,
+         | value / NULLIF(CAST(event_id % 5 AS DOUBLE), 0.0) AS td,
+         | TRY_CAST(CAST(event_id % 100 AS VARCHAR)
+         |   || (CASE WHEN event_id % 2 = 1 THEN 'x' ELSE '' END) AS BIGINT) AS tc,
+         | CASE WHEN event_id % 2000 > 1000 THEN CAST(NULL AS BIGINT)
+         |      ELSE CAST(${Long.MaxValue - 1000L} AS BIGINT) + (event_id % 2000) END AS ta
+         |FROM events ORDER BY event_id""".stripMargin,
+    /* win_cumulative_share: integer-cents revenue, the 80% boundary as
+       exact cross-multiplication, decile share one rounded division. */
+    "win_cumulative_share" ->
+      """WITH spend AS (SELECT o_custkey,
+        |  CAST(SUM(CAST(CAST(o_totalprice*100 AS DECIMAL(18,0)) AS BIGINT)) AS BIGINT) AS cents
+        | FROM orders GROUP BY 1),
+        |j AS (SELECT s.o_custkey, s.cents, c.c_mktsegment
+        | FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey),
+        |r AS (SELECT *,
+        |  CAST(row_number() OVER w AS INT) AS rk,
+        |  CAST(SUM(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |  CAST(SUM(cents) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS total,
+        |  CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
+        | FROM j WINDOW w AS (PARTITION BY c_mktsegment ORDER BY cents DESC, o_custkey))
+        |SELECT c_mktsegment, MIN(n) AS n_cust, MIN(total) AS total_cents,
+        | CAST(MIN(CASE WHEN cum*5 >= total*4 THEN rk END) AS INT) AS n80,
+        | floor(CAST(MAX(CASE WHEN rk = (n + 9) // 10 THEN cum END) AS DOUBLE)
+        |   / CAST(MIN(total) AS DOUBLE) * 1e4 + 0.5)/1e4 AS share_top_decile
+        |FROM r GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    /* graph_reciprocity: edge list semi-joined against its transpose;
+       deg-0 hosts keep a row with null recip/ratio. */
+    "graph_reciprocity" ->
+      """WITH e0 AS (SELECT DISTINCT doc_id % 200 AS src, (doc_id * 31 + doc_id // 7) % 200 AS dst FROM documents),
+        |e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+        |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0) u),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY 1),
+        |rc AS (SELECT a.src AS node, CAST(count(*) AS BIGINT) AS n_recip
+        | FROM e a WHERE EXISTS (SELECT 1 FROM e b WHERE b.src = a.dst AND b.dst = a.src)
+        | GROUP BY 1)
+        |SELECT n.node, COALESCE(d.out_deg, 0) AS out_deg,
+        | CASE WHEN d.out_deg IS NOT NULL THEN COALESCE(rc.n_recip, 0) END AS n_recip,
+        | CASE WHEN d.out_deg IS NOT NULL THEN
+        |   floor(CAST(COALESCE(rc.n_recip, 0) AS DOUBLE)/CAST(d.out_deg AS DOUBLE)*1e4 + 0.5)/1e4 END AS ratio
+        |FROM nodes n LEFT JOIN deg d ON d.node = n.node LEFT JOIN rc ON rc.node = n.node
+        |ORDER BY n.node""".stripMargin,
     "maintenance_compact" ->
       """SELECT event_id, user_id, event_type,
         | CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value

@@ -551,6 +551,37 @@ object Graph {
       .orderBy("label")
   }
 
+  /** RECIPROCITY (r8) — per-host fraction of out-links whose reverse
+    * edge exists: mutual linking is the link-exchange / mirror-ring
+    * spam signal (organic webs are mostly asymmetric), and global
+    * reciprocity is a standard digraph statistic. One self-semi-join
+    * of the edge list against its own transpose — edge-keyed hash
+    * join, no fan-out (each edge matches its unique reverse or
+    * nothing); degree-0-after-self-loop-drop hosts keep a row via the
+    * node-set left join (ratio null there, mirroring degreeStats). */
+  def reciprocity(documents: DataFrame, nNodes: Int = 200): DataFrame = {
+    val (edges, nodes) = linkGraph(documents, nNodes)
+    val e = edges.filter(col("src") =!= col("dst"))
+      .localCheckpoint(eager = false)
+    val recip = e.join(e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("n_recip"))
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
+    nodes
+      .join(deg, Seq("node"), "left_outer")
+      .join(recip, Seq("node"), "left_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        // no out-edges → no reciprocity to speak of: n_recip/ratio null
+        // (0/0 would be NaN, and NaN stringification is engine lore)
+        when(col("out_deg").isNotNull,
+          coalesce(col("n_recip"), lit(0L))).as("n_recip"),
+        when(col("out_deg").isNotNull, Det.rfloor(
+          coalesce(col("n_recip"), lit(0L)).cast("double")
+            / col("out_deg").cast("double"), 4)).as("ratio"))
+      .orderBy("node")
+  }
+
   /** BFS LEVELS (r8) — single-source forward reachability with hop
     * count, the traversal primitive under "how far is every host from
     * the seed" crawl-frontier questions. Standard frontier expansion,

@@ -170,6 +170,28 @@ object ScalarFns {
       .orderBy("n_nationkey")
   }
 
+  /** ERROR-SAFE ARITHMETIC (r8) — the `try_*` family: under ANSI
+    * semantics a single bad row (divide-by-zero, overflow, uncastable
+    * string) kills a 100 TB job at hour three; `try_divide` /
+    * `try_cast` / `try_add` turn the row-level error into NULL so the
+    * pipeline quarantines instead of dying. Each column exercises one
+    * failure class with a deterministic mix of failing and passing
+    * rows; the oracle mirrors the SEMANTICS (NULLIF guard, TRY_CAST,
+    * overflow CASE) since DuckDB has no try_add. */
+  def tryArith(events: DataFrame): DataFrame = {
+    events.select(
+      col("event_id"),
+      // /0 for event_id % 5 == 0 → null, real quotient otherwise
+      expr("try_divide(value, cast(event_id % 5 as double))").as("td"),
+      // castable on even ids, garbage suffix on odd → null
+      expr("""try_cast(concat(cast(event_id % 100 as string),
+             | case when event_id % 2 = 1 then 'x' else '' end) as bigint)""".stripMargin)
+        .as("tc"),
+      // overflows Long.Max for event_id % 2000 > 1000 → null
+      expr(s"try_add(${Long.MaxValue - 1000L}L, event_id % 2000)").as("ta"))
+      .orderBy("event_id")
+  }
+
   /** JSON/map family on `events.props`. */
   def mapJsonFns(events: DataFrame): DataFrame =
     events.select(

@@ -171,6 +171,50 @@ object Scans {
     } finally { parsed.unpersist(); () }
   }
 
+  /** PERMISSIVE JSONL ingest triage (r8) — the JSON twin of
+    * [[scanCsvMalformed]]: unparseable lines and type-mismatched
+    * fields land in `_corrupt_record`, parseable-but-incomplete
+    * objects survive as null-padded rows, and the triage classifies
+    * all three — the decision frame for a quarantine path. The bad
+    * lines are the three real-world classes: truncated JSON, a
+    * type-mismatched field, a missing field (which is NOT corrupt —
+    * schema-on-read fills null; conflating the two is how good rows
+    * end up quarantined). Same persist-then-release discipline as the
+    * CSV scan (Spark disallows filtering on the corrupt column
+    * straight off the scan). */
+  def scanJsonlMalformed(spark: SparkSession, nation: DataFrame, tag: String = ""): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val dir = stagingDir("jsonl_malformed", tag)
+    val good = nation.select(concat(
+      lit("""{"slno": """), col("n_nationkey"),
+      lit(""", "name": """"), col("n_name"),
+      lit("""", "rkey": """), col("n_regionkey"), lit("}")).as("line"))
+    val bad = spark.createDataFrame(Seq(
+      Tuple1("""{"slno": 1, "name": "TRUNCATED"""),
+      Tuple1("""{"slno": "not_a_number", "name": "BADTYPE", "rkey": 2}"""),
+      Tuple1("""{"slno": 5, "name": "MISSING_RKEY"}"""))).toDF("line")
+    good.unionByName(bad).coalesce(1).write.mode("overwrite").text(dir)
+    val schema = StructType(Seq(
+      StructField("slno", LongType), StructField("name", StringType),
+      StructField("rkey", LongType), StructField("_corrupt_record", StringType)))
+    val parsed = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .persist()
+    try {
+      val rows = parsed
+        .select(
+          when(col("_corrupt_record").isNotNull, lit("corrupt"))
+            .when(col("slno").isNull || col("name").isNull || col("rkey").isNull, lit("null_padded"))
+            .otherwise(lit("good")).as("class"))
+        .groupBy("class").agg(count(lit(1)).as("n"))
+        .orderBy("class")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      spark.createDataFrame(rows).toDF("class", "n")
+    } finally { parsed.unpersist(); () }
+  }
+
   /** R2: fail-fast validation over a deterministically dirtied snapshot of
     * `customer` (the clean test tables have no violations, so we inject
     * them with key-derived CASEs — same derivation in the oracle SQL).

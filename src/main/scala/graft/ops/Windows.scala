@@ -245,6 +245,41 @@ object Windows {
       .orderBy("c_mktsegment", "c_custkey")
   }
 
+  /** PARETO / CUMULATIVE-SHARE AUDIT (r8) — the 80/20 question per
+    * segment: how many top customers carry 80% of revenue, and what
+    * share does the top decile hold. Revenue in exact integer cents;
+    * the 80% threshold is the EXACT integer cross-multiplication
+    * `5·cum ≥ 4·total` (a double cumshare ≥ 0.8 compare misrounds at
+    * exactly the boundary customer — the lossless-bound discipline);
+    * the only divisions are the two final rounded shares. One
+    * customer-keyed aggregate, one segment window stack on a
+    * |customers|-grain frame, |segments|-row output. */
+  def cumulativeShare(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val spend = orders
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice") * 100).cast("decimal(18,0)").cast("bigint")).as("cents"))
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("cents").desc, col("o_custkey"))
+    val ranked = spend
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum", sum(col("cents")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total", sum(col("cents")).over(Window.partitionBy("c_mktsegment")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("c_mktsegment")))
+    ranked
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        min(col("n")).as("n_cust"),
+        min(col("total")).as("total_cents"),
+        min(when(col("cum") * 5 >= col("total") * 4, col("rk"))).as("n80"),
+        Det.rfloor(max(when(col("rk") === expr("(n + 9) div 10"),
+          col("cum"))).cast("double") / min(col("total")).cast("double"), 4)
+          .as("share_top_decile"))
+      .orderBy("c_mktsegment")
+  }
+
   /** INTERVAL COALESCE (r8) — merge overlapping per-key validity
     * windows into maximal disjoint spans: the SCD repair / session-
     * from-intervals primitive (contrast `join_interval_overlap`, which

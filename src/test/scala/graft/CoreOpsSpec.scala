@@ -470,6 +470,56 @@ class CoreOpsSpec extends SparkSpec {
     assert(out.values.sum === Tables.nation(spark, sfDir).count() + 3)
   }
 
+  test("malformed JSONL: corrupt vs null-padded classes split exactly as injected (r8)") {
+    val out = ops.Scans.scanJsonlMalformed(spark, Tables.nation(spark, sfDir), sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // truncated + type-mismatch quarantine; the missing-field object
+    // parses clean with a null — conflating it with corrupt is how
+    // good rows end up quarantined
+    assert(out.getOrElse("corrupt", 0L) === 2L, s"$out")
+    assert(out.getOrElse("null_padded", 0L) === 1L, s"$out")
+    assert(out.getOrElse("good", 0L) === Tables.nation(spark, sfDir).count())
+  }
+
+  test("try_* family: each failure class yields null exactly on its failing rows (r8)") {
+    val rows = ops.ScalarFns.tryArith(Tables.events(spark, sfDir)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.isNullAt(1) === (id % 5 == 0), s"td@$id")
+      assert(r.isNullAt(2) === (id % 2 == 1), s"tc@$id")
+      if (!r.isNullAt(2)) assert(r.getLong(2) === id % 100, s"tc val@$id")
+      assert(r.isNullAt(3) === (id % 2000 > 1000), s"ta@$id")
+      if (!r.isNullAt(3)) assert(r.getLong(3) === Long.MaxValue - 1000L + id % 2000, s"ta val@$id")
+    }
+  }
+
+  test("pareto share: n80 is the exact integer boundary, replayed per segment (r8)") {
+    val got = ops.Windows.cumulativeShare(
+        Tables.orders(spark, sfDir), Tables.customer(spark, sfDir)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4))))
+      .toMap
+    val spend = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice") * 100).cast("decimal(18,0)").cast("bigint")).as("cents"))
+      .join(Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .collect().map(r => (r.getString(3), r.getLong(0), r.getLong(1)))
+    spend.groupBy(_._1).foreach { case (seg, rs) =>
+      val sorted = rs.map(r => (r._3, r._2)).sortBy { case (c, k) => (-c, k) }
+      val total = sorted.map(_._1).sum
+      val cums = sorted.scanLeft(0L)(_ + _._1).tail
+      val n80 = cums.indexWhere(c => c * 5 >= total * 4) + 1
+      val k = (sorted.length + 9) / 10
+      val share = math.floor(cums(k - 1).toDouble / total * 1e4 + 0.5) / 1e4
+      val (nCust, totCents, gotN80, gotShare) = got(seg)
+      assert(nCust === sorted.length.toLong, s"$seg n")
+      assert(totCents === total, s"$seg total")
+      assert(gotN80 === n80, s"$seg n80")
+      assert(gotShare === share, s"$seg decile share")
+    }
+  }
+
   test("time range frame: trailing window really spans 2 hours") {
     val rows = ops.Windows.timeRangeFrame(Tables.events(spark, sfDir)).collect()
       .groupBy(_.getLong(0))

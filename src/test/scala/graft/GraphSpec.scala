@@ -110,6 +110,35 @@ class GraphSpec extends SparkSpec {
     assert(got.values.map(_._1).sum === labels.size.toLong)
   }
 
+  test("graph_reciprocity matches an in-memory transpose count (r8)") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = ops.Graph.reciprocity(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSeq
+    val e = ids.map(id => (id % 200, (id * 31 + id / 7) % 200)).distinct
+      .filter(p => p._1 != p._2)
+    val eset = e.toSet
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    assert(got.keySet === nodes.toSet)
+    nodes.foreach { n =>
+      val out = e.count(_._1 == n).toLong
+      val rec = e.count(p => p._1 == n && eset((p._2, p._1))).toLong
+      val (gOut, gRec, gRatio) = got(n)
+      assert(gOut === out, s"out@$n")
+      if (out == 0) assert(gRec.isEmpty && gRatio.isEmpty, s"deg0@$n")
+      else {
+        assert(gRec.contains(rec), s"recip@$n")
+        assert(gRatio.contains(math.floor(rec.toDouble / out * 1e4 + 0.5) / 1e4), s"ratio@$n")
+      }
+    }
+    // the synthesized graph must carry SOME mutual links or the
+    // operator is untested; and not all — asymmetry is the norm
+    val ratios = got.values.flatMap(_._3).toSeq
+    assert(ratios.exists(_ > 0) && ratios.exists(_ < 1))
+  }
+
   test("graph_pagerank invariants: teleport floor, bounded mass, monotone floor loss") {
     val docs = Tables.documents(spark, sfDir)
     def ranksAt(iters: Int): Map[Long, Long] =
