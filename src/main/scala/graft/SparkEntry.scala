@@ -521,6 +521,9 @@ object SparkEntry {
     // seeded deterministic global shuffle + 16-way sharding (the
     // trainer-ingestion ordering pass)
     "pipeline_shuffle_shard" -> ((s, d) => TrainingPrep.shuffleShard(Tables.documents(s, d))),
+    // write the shard files for real, read them back, manifest with an
+    // order-free content fingerprint — the delivery-fidelity gate (r8)
+    "pipeline_shard_manifest" -> ((s, d) => TrainingPrep.shardManifest(s, Tables.documents(s, d), tag = d)),
     // link-graph centrality in fixed-point integer arithmetic — the
     // iterative-algorithm tier's oracle-checkable representative
     "graph_pagerank" -> ((s, d) => graft.ops.Graph.pagerank(Tables.documents(s, d))),
@@ -4041,6 +4044,22 @@ object SparkEntry {
         | row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rk FROM q)
         |SELECT doc_id, source, quality, rk FROM r WHERE rk <= 10
         |ORDER BY source, rk""".stripMargin,
+    /* pipeline_shard_manifest: the manifest recomputed from the SOURCE
+       rows — matching the Spark side's read-back-from-written-files
+       manifest proves delivery fidelity end to end. */
+    "pipeline_shard_manifest" ->
+      """WITH d AS (SELECT substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+        |  COALESCE(text, '') AS text FROM documents),
+        |t AS (SELECT shard,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |    (a, b) -> (a*31+b) % 1000000007) AS DECIMAL(38,0)) AS fp
+        | FROM d)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        | CAST(SUM(fp) AS DECIMAL(38,0)) AS content_fp
+        |FROM t GROUP BY 1 ORDER BY shard""".stripMargin,
     /* pipeline_split_group: the same md5 first-hex-digit law applied to
        the group key; doc_split rides along for the straddle audit. */
     "pipeline_split_group" ->

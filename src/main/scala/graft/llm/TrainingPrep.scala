@@ -196,6 +196,39 @@ object TrainingPrep {
       .orderBy("shuffle_key", "doc_id")
   }
 
+  /** SHARD MANIFEST (r8) — the delivery contract of the sharding pass:
+    * actually WRITE the 16 shard files (partitionBy on the md5 shard
+    * digit), read them BACK, and emit per shard the doc count, token
+    * mass and an order-free content fingerprint (decimal sum of the
+    * portable rolling fingerprint — the Warehouse content_fp trick).
+    * The oracle computes the same manifest from the SOURCE rows, so a
+    * pass proves delivery fidelity end to end: nothing lost, nothing
+    * duplicated, nothing mutated between the corpus and the files a
+    * trainer will actually read. Reproducibility (same corpus → byte-
+    * stable manifest across runs) is the spec law — the property that
+    * makes a training run resumable and an artifact auditable. */
+  def shardManifest(spark: org.apache.spark.sql.SparkSession,
+                    documents: DataFrame,
+                    seed: Long = 42L, tag: String = ""): DataFrame = {
+    val dir = sys.props("java.io.tmpdir") + "/graft_shards_" +
+      java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(s"$tag:$seed").toLong & 0xffffffffL)
+    val key = md5(concat_ws(":", lit(seed.toString), col("doc_id").cast("string")))
+    documents
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+        substring(key, 1, 1).as("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    spark.read.parquet(dir)
+      .select(col("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        graft.functions.TextExprs.rollingFingerprint(col("text"))
+          .cast("decimal(38,0)").as("fp"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("fp")).as("content_fp"))
+      .orderBy("shard")
+  }
+
   /** CURATION CAPSTONE: the web-corpus intake chain as ONE lazy plan —
     * boilerplate scrub → quality gate on the CLEANED text (scoring the
     * raw text would let a document ride on boilerplate it no longer

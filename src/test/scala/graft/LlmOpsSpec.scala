@@ -1125,6 +1125,24 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("shard manifest: byte-stable across runs, agrees with the shuffle-shard law (r8)") {
+    val m1 = TrainingPrep.shardManifest(spark, documents, tag = sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDecimal(3)))).toMap
+    val m2 = TrainingPrep.shardManifest(spark, documents, tag = sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDecimal(3)))).toMap
+    assert(m1 === m2, "manifest not reproducible across runs")
+    // shard doc counts agree with the shuffle-shard assignment law
+    val shards = TrainingPrep.shuffleShard(documents).collect()
+      .map(_.getString(2)).groupBy(identity).map { case (s, xs) => s -> xs.length.toLong }
+    assert(m1.view.mapValues(_._1).toMap === shards)
+    // nothing lost or duplicated between corpus and written files
+    assert(m1.values.map(_._1).sum === documents.count())
+    // a different seed is a different epoch-order: manifest moves
+    val m3 = TrainingPrep.shardManifest(spark, documents, seed = 7L, tag = sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m3 !== m1.view.mapValues(_._1).toMap)
+  }
+
   test("quality classifier: scores replay from the token fold, keep is the exact sign (r8)") {
     val got = TrainingPrep.qualityClassifier(documents).collect()
       .map(r => r.getLong(0) -> r).toMap
