@@ -47,6 +47,7 @@ class CoreOpsSpec extends SparkSpec {
       "mm_image_phash",                              // aHash over decoded raster, gated in LlmOpsSpec
       "mm_frame_sample",                             // y4m decode-derived, synthesis law gated in LlmOpsSpec
       "mm_audio_windows",                            // WAV decode-derived, synthesis law gated in LlmOpsSpec
+      "mm_scene_cuts",                               // y4m decode-derived, synthesis law gated in LlmOpsSpec
       "text_bpe_train", "text_bpe_encode",           // iterative merge loop not SQL-expressible, gated in BpeSpec
       "text_bpe_encode_persisted",                   // epoch artifact; equality+reuse+plan gated in BpeSpec
       "text_bpe_fertility",                          // BPE-derived; BpeSpec recompute gate
