@@ -261,6 +261,33 @@ object ScaleSmoke {
       return
     }
 
+    // optional fifth arg "r8cOnly": the late-round-8 single-exchange
+    // operators under realistic growth — interval merge and windowed
+    // funnel under MAU-style user growth (users factor×, per-user
+    // history constant → wall and exchange linear, ONE user exchange),
+    // the Pareto audit under order growth (customer-keyed agg +
+    // segment windows on the |customers|-grain frame — the exchange
+    // tracks customers, not orders).
+    if (args.lift(4).contains("r8cOnly")) {
+      val events = graft.Tables.events(spark, sfDir)
+      val repEv = (0 until factor).map(i =>
+          events.withColumn("user_id", col("user_id") + lit(i * 10000000L))
+            .withColumn("event_id", col("event_id") + lit(i * 1000000000L)))
+        .reduce(_ unionByName _).localCheckpoint()
+      val nEv = repEv.count()
+      time(s"interval_merge_ev$nEv")(graft.ops.Windows.intervalMerge(repEv))
+      time(s"funnel_windowed_ev$nEv")(graft.ops.Behavior.funnelWindowed(repEv))
+      val orders = graft.Tables.orders(spark, sfDir)
+      val cust = graft.Tables.customer(spark, sfDir)
+      val repOrd = (0 until factor).map(i =>
+          orders.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L)))
+        .reduce(_ unionByName _).localCheckpoint()
+      val nOrd = repOrd.count()
+      time(s"cumulative_share_o$nOrd")(graft.ops.Windows.cumulativeShare(repOrd, cust))
+      spark.stop()
+      return
+    }
+
     // optional fifth arg "cmOnly" (r8): the count-min bounded-exchange
     // claim, measured. Unique-text replicas (the twinsOnly rotation)
     // grow token mass factor× while the sketch exchange must stay
