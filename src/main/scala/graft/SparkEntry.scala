@@ -439,6 +439,12 @@ object SparkEntry {
     // classifier-eval confusion matrix over the shared langid CTEs:
     // off-diagonal mass IS the mis-filtered data (r8)
     "dq_langid_confusion" -> ((s, d) => TextAnalysis.langidConfusion(Tables.documents(s, d))),
+    // Gopher heuristic rule flags: every band compared in exact
+    // cross-multiplied integers, per-doc attributable drops (r8)
+    "text_gopher_flags" -> ((s, d) => TextAnalysis.gopherFlags(Tables.documents(s, d))),
+    // rules-as-data audit (the Deequ shape): rule table broadcast onto
+    // one unpivoted scan, |rules|-group exchange (r8)
+    "dq_rules_audit" -> ((s, d) => DataQuality.rulesAudit(Tables.lineitem(s, d))),
     "agg_retention_cohort" -> ((s, d) => ops.Behavior.retentionCohort(Tables.events(s, d))),
     "scan_csv_malformed" -> ((s, d) => Scans.scanCsvMalformed(s, Tables.nation(s, d), d)),
     // PERMISSIVE JSONL triage: truncated / type-mismatch → corrupt,
@@ -4044,6 +4050,45 @@ object SparkEntry {
         | row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rk FROM q)
         |SELECT doc_id, source, quality, rk FROM r WHERE rk <= 10
         |ORDER BY source, rk""".stripMargin,
+    /* text_gopher_flags: every band is an exact integer cross-multiply
+       on both engines; mean_wlen is display-only. */
+    "text_gopher_flags" ->
+      """WITH t AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS tok FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(tok) AS BIGINT) AS n_words,
+        |  CAST(COALESCE(list_sum(list_transform(tok, w -> CAST(length(w) AS BIGINT))), 0) AS BIGINT) AS sum_len,
+        |  CAST(len(list_filter(tok, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+        |  CAST(len(list_intersect(list_distinct(tok),
+        |    ['the','a','of','is'])) AS BIGINT) AS n_stop
+        | FROM t)
+        |SELECT doc_id, n_words,
+        | floor(CAST(sum_len AS DOUBLE)/CAST(n_words AS DOUBLE)*1e4 + 0.5)/1e4 AS mean_wlen,
+        | CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS ok_count,
+        | CAST(sum_len >= n_words*3 AND sum_len <= n_words*10 AS INT) AS ok_wlen,
+        | CAST(n_alpha*5 >= n_words*4 AS INT) AS ok_alpha,
+        | CAST(n_stop >= 2 AS INT) AS ok_stop,
+        | CAST(n_words >= 50 AND n_words <= 100000 AND sum_len >= n_words*3
+        |   AND sum_len <= n_words*10 AND n_alpha*5 >= n_words*4 AND n_stop >= 2 AS INT) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    /* dq_rules_audit: UNION-ALL unpivot + VALUES rule table. */
+    "dq_rules_audit" ->
+      """WITH a AS (
+        | SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+        | UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+        | UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
+        | UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem),
+        |r AS (SELECT col_name, op, CAST(bound AS DOUBLE) AS bound FROM (VALUES
+        | ('l_quantity','min',5.0), ('l_quantity','max',50.0),
+        | ('l_discount','max',0.08), ('l_tax','min',0.0),
+        | ('l_extendedprice','min',1000.0)) t(col_name, op, bound))
+        |SELECT a.col_name, op, bound,
+        | CAST(count(*) AS BIGINT) AS n_checked,
+        | CAST(SUM(CASE WHEN (op = 'min' AND v < bound) OR (op = 'max' AND v > bound)
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        | CAST(SUM(CASE WHEN (op = 'min' AND v < bound) OR (op = 'max' AND v > bound)
+        |   THEN 1 ELSE 0 END) = 0 AS INT) AS pass
+        |FROM a JOIN r USING (col_name)
+        |GROUP BY 1, 2, 3 ORDER BY col_name, op""".stripMargin,
     /* pipeline_shard_manifest: the manifest recomputed from the SOURCE
        rows — matching the Spark side's read-back-from-written-files
        manifest proves delivery fidelity end to end. */

@@ -159,6 +159,47 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** GOPHER RULE FLAGS (r8) — the classic heuristic rule set (Rae et
+    * al. 2021, Appendix A1, adapted to this corpus's single-line
+    * shape) as a per-doc FLAG TABLE rather than a score: word-count
+    * band, mean-word-length band, alpha-word share, minimum stop-word
+    * diversity. Every rule is EXACT integer arithmetic — the bands
+    * compare cross-multiplied (`3n ≤ Σlen ≤ 10n`, `5·n_alpha ≥ 4·n`),
+    * never a rounded ratio, so the keep decision is bit-identical on
+    * any engine (the lossless-bound discipline); mean_wlen is emitted
+    * rounded for the human, the FLAG reads the integers. One map-side
+    * pass; the flag table is what a curation run stores so every drop
+    * is attributable to a rule. */
+  def gopherFlags(documents: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(coalesce(col("text"), lit("")))
+    val n = size(toks).cast("long")
+    val sumLen = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val nAlpha = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long")
+    // Gopher's canonical list is (the, be, to, of, and, that, have,
+    // with); this corpus's English function-word vocabulary is the
+    // langid stop set — same rule, corpus-matched list (with Gopher's
+    // list the flag is constant-0 here and gates nothing)
+    val stops = Seq("the", "a", "of", "is")
+    val nStop = size(array_intersect(array_distinct(toks),
+      array(stops.map(lit): _*))).cast("long")
+    documents
+      .select(col("doc_id"), n.as("n_words"), sumLen.as("sum_len"),
+        nAlpha.as("n_alpha"), nStop.as("n_stop_kinds"))
+      .select(col("doc_id"), col("n_words"),
+        graft.ops.Det.rfloor(col("sum_len").cast("double")
+          / col("n_words").cast("double"), 4).as("mean_wlen"),
+        (col("n_words") >= 50 && col("n_words") <= 100000).cast("int").as("ok_count"),
+        (col("sum_len") >= col("n_words") * 3
+          && col("sum_len") <= col("n_words") * 10).cast("int").as("ok_wlen"),
+        (col("n_alpha") * 5 >= col("n_words") * 4).cast("int").as("ok_alpha"),
+        (col("n_stop_kinds") >= 2).cast("int").as("ok_stop"))
+      .withColumn("keep",
+        (col("ok_count") === 1 && col("ok_wlen") === 1
+          && col("ok_alpha") === 1 && col("ok_stop") === 1).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** LANGID CONFUSION MATRIX (r8) — the classifier-eval rollup over
     * [[langId]]: per (declared, predicted) cell count plus the share
     * within the declared class (the per-class recall diagonal). The

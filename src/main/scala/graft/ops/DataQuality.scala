@@ -56,6 +56,37 @@ object DataQuality {
     * inputs in both engines. At 100 TB the exact medians become
     * approx-percentile sketches (agg_approx_quantiles is the gated
     * bounded-state path). */
+  /** RULES-AS-DATA AUDIT (r8) — the Deequ/Great-Expectations shape:
+    * the rule set is a FRAME (column, op, bound), not code, so ops
+    * teams add checks without a deploy. The audited columns unpivot
+    * once (`stack` — one scan however many rules), the rule table
+    * broadcasts onto the long frame, violations are conditional
+    * counts; the exchange carries |rules| partial groups per task, no
+    * matter the fact size. Bounds are chosen so the fixture exercises
+    * both outcomes — passing rules AND firing rules — or the audit
+    * gate itself would be untested. */
+  def rulesAudit(lineitem: DataFrame): DataFrame = {
+    val rules = lineitem.sparkSession.createDataFrame(Seq(
+      ("l_quantity", "min", 5.0), ("l_quantity", "max", 50.0),
+      ("l_discount", "max", 0.08), ("l_tax", "min", 0.0),
+      ("l_extendedprice", "min", 1000.0)
+    )).toDF("col_name", "op", "bound")
+    val long = lineitem.select(expr(
+      """stack(4,
+        | 'l_quantity', CAST(l_quantity AS DOUBLE),
+        | 'l_discount', CAST(l_discount AS DOUBLE),
+        | 'l_tax', CAST(l_tax AS DOUBLE),
+        | 'l_extendedprice', CAST(l_extendedprice AS DOUBLE)) AS (col_name, v)""".stripMargin))
+    val violated = (col("op") === "min" && col("v") < col("bound")) ||
+      (col("op") === "max" && col("v") > col("bound"))
+    long.join(broadcast(rules), "col_name")
+      .groupBy("col_name", "op", "bound")
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(violated, 1L).otherwise(0L)).as("n_violations"))
+      .withColumn("pass", (col("n_violations") === 0).cast("int"))
+      .orderBy("col_name", "op")
+  }
+
   def outlierMad(customer: DataFrame, k: Double = 3.0): DataFrame = {
     val med = customer.groupBy(col("c_mktsegment"))
       .agg(Det.rfloor(expr("percentile(c_acctbal, 0.5)"), 2).as("med"))

@@ -521,6 +521,31 @@ class CoreOpsSpec extends SparkSpec {
     }
   }
 
+  test("rules audit: violation counts replay per rule; both outcomes fire (r8)") {
+    val got = ops.DataQuality.rulesAudit(Tables.lineitem(spark, sfDir)).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getLong(3), r.getLong(4), r.getInt(5)))).toMap
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_quantity", "l_discount", "l_tax", "l_extendedprice").collect()
+    def colv(r: org.apache.spark.sql.Row, c: String): Double = c match {
+      case "l_quantity" => r.getDouble(0); case "l_discount" => r.getDouble(1)
+      case "l_tax" => r.getDouble(2); case _ => r.getDouble(3)
+    }
+    val rules = Seq(("l_quantity", "min", 5.0), ("l_quantity", "max", 50.0),
+      ("l_discount", "max", 0.08), ("l_tax", "min", 0.0), ("l_extendedprice", "min", 1000.0))
+    assert(got.keySet === rules.map(r => (r._1, r._2)).toSet)
+    rules.foreach { case (c, op, b) =>
+      val viol = li.count(r => if (op == "min") colv(r, c) < b else colv(r, c) > b).toLong
+      val (bound, nChecked, nViol, pass) = got((c, op))
+      assert(bound === b)
+      assert(nChecked === li.length.toLong, s"$c/$op checked")
+      assert(nViol === viol, s"$c/$op violations")
+      assert(pass === (if (viol == 0) 1 else 0), s"$c/$op pass")
+    }
+    val passes = got.values.map(_._4).toSeq
+    assert(passes.contains(0) && passes.contains(1), "rule fixture must exercise both outcomes")
+  }
+
   test("time range frame: trailing window really spans 2 hours") {
     val rows = ops.Windows.timeRangeFrame(Tables.events(spark, sfDir)).collect()
       .groupBy(_.getLong(0))

@@ -1125,6 +1125,32 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("gopher flags replay from raw text in exact integers; both keep classes fire (r8)") {
+    val got = TextAnalysis.gopherFlags(documents).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val rows = documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+    val stops = Set("the", "a", "of", "is")
+    rows.foreach { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val n = toks.length.toLong
+      val sumLen = toks.map(_.length.toLong).sum
+      val nAlpha = toks.count(_.exists(c =>
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toLong
+      val nStop = toks.toSet.intersect(stops).size.toLong
+      val r = got(id)
+      assert(r.getLong(1) === n, s"n@$id")
+      assert(r.getDouble(2) === math.floor(sumLen.toDouble / n * 1e4 + 0.5) / 1e4, s"wlen@$id")
+      assert(r.getInt(3) === (if (n >= 50 && n <= 100000) 1 else 0), s"count@$id")
+      assert(r.getInt(4) === (if (sumLen >= 3 * n && sumLen <= 10 * n) 1 else 0), s"wband@$id")
+      assert(r.getInt(5) === (if (nAlpha * 5 >= n * 4) 1 else 0), s"alpha@$id")
+      assert(r.getInt(6) === (if (nStop >= 2) 1 else 0), s"stop@$id")
+      assert(r.getInt(7) === (if (r.getInt(3) + r.getInt(4) + r.getInt(5) + r.getInt(6) == 4) 1 else 0))
+    }
+    val keeps = got.values.map(_.getInt(7)).toSeq
+    assert(keeps.contains(0) && keeps.contains(1), "rule set gates nothing on this corpus")
+  }
+
   test("shard manifest: byte-stable across runs, agrees with the shuffle-shard law (r8)") {
     val m1 = TrainingPrep.shardManifest(spark, documents, tag = sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDecimal(3)))).toMap
