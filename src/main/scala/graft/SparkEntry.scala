@@ -112,6 +112,12 @@ object SparkEntry {
       SnapshotDiff.diffKeyed(Snapshots.oldSnapshot(c), Snapshots.newSnapshot(c), "slno")
         .orderBy("op", "slno", "col")
     }),
+    // bucketed count+fingerprint pre-check: the rsync/Merkle idea at
+    // table grain — only mismatched ranges get the cell diff (r8)
+    "diff_bucket_reconcile" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      SnapshotDiff.bucketReconcile(Snapshots.oldSnapshot(c), Snapshots.newSnapshot(c))
+    }),
     "diff_positional" -> ((s, d) => {
       val c = Tables.customer(s, d)
       SnapshotDiff.diffPositional(Snapshots.bqSnapshot(c), Snapshots.sheetSnapshot(c), "slno")
@@ -1502,6 +1508,27 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
     "diff_keyed" ->
       s"""SELECT * FROM ($diffKeyedBody) t ORDER BY op, slno, col""",
+    /* diff_bucket_reconcile: per-bucket counts + decimal fingerprint
+       sums over the same snapshot CTEs; match = counts equal AND
+       fingerprints not-distinct. */
+    "diff_bucket_reconcile" ->
+      s"""WITH oldt AS (${Snapshots.oldSql}), newt AS (${Snapshots.newSql}),
+         |o AS (SELECT slno // 4 AS bucket, CAST(count(*) AS BIGINT) AS n_old,
+         |  CAST(SUM(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(CAST(slno AS VARCHAR) || '|' || name || '|' || acctbal || '|' || segment, ''),
+         |      c -> CAST(unicode(c) AS BIGINT))), (a, b) -> (a*31+b) % 1000000007) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS fp_old
+         | FROM oldt GROUP BY 1),
+         |n AS (SELECT slno // 4 AS bucket, CAST(count(*) AS BIGINT) AS n_new,
+         |  CAST(SUM(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(CAST(slno AS VARCHAR) || '|' || name || '|' || acctbal || '|' || segment, ''),
+         |      c -> CAST(unicode(c) AS BIGINT))), (a, b) -> (a*31+b) % 1000000007) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS fp_new
+         | FROM newt GROUP BY 1)
+         |SELECT COALESCE(o.bucket, n.bucket) AS bucket,
+         | COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new,
+         | CAST(COALESCE(n_old, 0) = COALESCE(n_new, 0)
+         |   AND fp_old IS NOT DISTINCT FROM fp_new AS INT) AS is_match
+         |FROM o FULL OUTER JOIN n ON o.bucket = n.bucket
+         |ORDER BY bucket""".stripMargin,
     "diff_scd2" ->
       s"""WITH oldt AS (${Snapshots.oldSql}), newt AS (${Snapshots.newSql}),
          |j AS (SELECT o.slno AS k, n.slno AS nk,

@@ -44,6 +44,44 @@ object SnapshotDiff {
     org.apache.spark.sql.types.StructType(cols.map(c =>
       org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
 
+  /** BUCKET RECONCILE (r8) — the cheap pre-diff a sync engine runs
+    * FIRST: per key-range bucket, row count and an order-free content
+    * fingerprint (decimal sum of the portable row fingerprint) on each
+    * side; a bucket with equal counts and fingerprints needs NO cell
+    * diff, so the expensive [[diffKeyed]] runs only over mismatched
+    * ranges. At 100 TB this is the difference between diffing 2×10¹¹
+    * rows and diffing the ~0.1% of buckets a nightly batch actually
+    * touched (the rsync/Merkle idea at table grain — one aggregate
+    * pass per side, bucket-grain full outer join, no row ever crosses
+    * sides). The bucket grain is the tuning knob and must sit below
+    * the change SPACING or every bucket is dirty and nothing prunes:
+    * this fixture perturbs every multiple of 7, and a run of 7+
+    * consecutive keys always contains one — so the default is 4
+    * keys/bucket (measured match rate 23% at sf0.1); a nightly batch
+    * with 0.1% churn would run thousands of keys per bucket.
+    * Fingerprint collisions: a false "match" needs the SUM of
+    * ~10⁹-range fingerprints to collide per bucket — and the law spec
+    * pins mismatched buckets ≡ buckets diffKeyed actually touches on
+    * this fixture. */
+  def bucketReconcile(old: DataFrame, neu: DataFrame, key: String = "slno",
+                      bucketSize: Long = 4L): DataFrame = {
+    def side(df: DataFrame, p: String): DataFrame = {
+      val fp = graft.functions.TextExprs.rollingFingerprint(
+        concat_ws("|", df.columns.map(col).toIndexedSeq: _*))
+      df.select(expr(s"$key div $bucketSize").as("bucket"),
+          fp.cast("decimal(38,0)").as("fp"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as(s"n_$p"), sum(col("fp")).as(s"fp_$p"))
+    }
+    side(old, "old").join(side(neu, "new"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        (coalesce(col("n_old"), lit(0L)) === coalesce(col("n_new"), lit(0L))
+          && col("fp_old") <=> col("fp_new")).cast("int").as("is_match"))
+      .orderBy("bucket")
+  }
+
   /** Keyed snapshot diff: old vs new joined on `key` (hash-partitioned
     * full outer join), cell diffs per value column, whole-row entries for
     * inserts/deletes. Scales: one shuffle each side, no driver

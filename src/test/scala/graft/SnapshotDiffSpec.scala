@@ -108,6 +108,23 @@ class SnapshotDiffSpec extends SparkSpec {
     log.unpersist(); applied.unpersist()
   }
 
+  test("bucket reconcile: mismatches are exactly the diff-touched buckets; clean ones prune (r8)") {
+    val old = graft.sync.Snapshots.oldSnapshot(customer)
+    val neu = graft.sync.Snapshots.newSnapshot(customer)
+    val rec = graft.sync.SnapshotDiff.bucketReconcile(old, neu).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    val touched = graft.sync.SnapshotDiff.diffKeyed(old, neu, "slno").collect()
+      .map(_.getLong(1) / 4).toSet
+    val mismatched = rec.collect { case (b, (_, _, 0)) => b }.toSet
+    assert(mismatched === touched,
+      s"extra: ${mismatched -- touched}, missed: ${touched -- mismatched}")
+    // the pre-check must PRUNE something on this fixture or it's inert
+    assert(rec.values.exists(_._3 == 1))
+    // counts reconcile with the raw sides
+    assert(rec.values.map(_._1).sum === old.count())
+    assert(rec.values.map(_._2).sum === neu.count())
+  }
+
   test("keyed diff classifies inserts/deletes/updates correctly") {
     val old = Snapshots.oldSnapshot(customer)
     val neu = Snapshots.newSnapshot(customer)
