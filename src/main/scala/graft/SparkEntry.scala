@@ -489,6 +489,9 @@ object SparkEntry {
     // PERSISTED path: the band index is a bucketed warehouse table
     // (built on first call per epoch, resolved thereafter) — the daily-
     // delta probe joins it exchange-free on the index side (PlanAuditSpec)
+    // nightly-batch verdict frame: exact/near/quality screens composed
+    // over the SAME stored band index dedup_delta_index serves (r8)
+    "pipeline_delta_intake" -> ((s, d) => TrainingPrep.deltaIntake(s, Tables.documents(s, d))),
     "dedup_delta_index" -> ((s, d) => {
       val corpus = Corpus.docCorpus(Tables.documents(s, d))
       Dedup.incrementalDedupPersisted(s,
@@ -3687,6 +3690,30 @@ object SparkEntry {
     // compute bands for ALL corpus docs; index×delta candidates are the
     // cand rows crossing the 100000 id split (index ids < 100000 ≤ delta
     // ids, so a_id<b_id already orients them)
+    /* pipeline_delta_intake: the composed verdict mirrored from the
+       shared minhash CTEs (near screen), a digest self-join (exact
+       screen) and the text_quality formula — first-match CASE order
+       is the contract: exact beats near beats quality. */
+    "pipeline_delta_intake" ->
+      s"""WITH $minhashCtes,
+         |exact_d AS (SELECT DISTINCT d.doc_id FROM corpus d
+         |  JOIN corpus b ON b.doc_id < 100000 AND md5(d.text) = md5(b.text)
+         |  WHERE d.doc_id >= 100000),
+         |near_hit AS (SELECT DISTINCT b_id AS doc_id FROM cand
+         |             WHERE a_id < 100000 AND b_id >= 100000),
+         |qv AS (SELECT doc_id,
+         |  floor((CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)/len(string_split(text,' '))*0.5
+         |    + least(CAST(len(string_split(text,' ')) AS DOUBLE)/100.0, 1.0)*0.3
+         |    + (1.0 - CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','is'))) AS DOUBLE)/len(string_split(text,' ')))*0.2)*1e4 + 0.5)/1e4 AS quality
+         | FROM corpus WHERE doc_id >= 100000)
+         |SELECT q.doc_id, q.quality,
+         | CASE WHEN e.doc_id IS NOT NULL THEN 'dup_exact'
+         |      WHEN n.doc_id IS NOT NULL THEN 'dup_near'
+         |      WHEN q.quality < 0.59 THEN 'low_quality'
+         |      ELSE 'keep' END AS verdict
+         |FROM qv q LEFT JOIN exact_d e ON e.doc_id = q.doc_id
+         |LEFT JOIN near_hit n ON n.doc_id = q.doc_id
+         |ORDER BY q.doc_id""".stripMargin,
     "dedup_delta_index" ->
       s"""WITH $minhashCtes,
          |dropped AS (SELECT DISTINCT b_id AS doc_id FROM cand

@@ -229,6 +229,57 @@ object TrainingPrep {
       .orderBy("shard")
   }
 
+  /** DELTA-INTAKE CAPSTONE (r8) — the NIGHTLY-BATCH verdict in one
+    * frame: every incoming (delta) document classified `dup_exact`
+    * (digest matches the stored corpus), `dup_near` (banded-LSH hit
+    * against the persisted band index — the SAME artifact
+    * `dedup_delta_index` serves from), `low_quality` (the quality
+    * gate), or `keep`, with the quality score attached so every drop
+    * is attributable. This is the composition the individual
+    * operators exist FOR: exact screen is a digest-keyed semi-join
+    * (16-byte rows; the bloom twin screens map-side at scale),
+    * near screen reads the stored epoch artifact and shuffles only
+    * the delta, quality is map-side — the base corpus is never
+    * rescanned. The near-screen's recall boundary shows honestly:
+    * banded LSH misses a few true near-dups, and those flow to the
+    * quality/keep tiers instead of silently vanishing. */
+  def deltaIntake(spark: org.apache.spark.sql.SparkSession,
+                  documents: DataFrame, epoch: Long = 0L,
+                  minQuality: Double = 0.59): DataFrame = {
+    val corpus = Corpus.docCorpus(documents)
+    // base stays UN-checkpointed: the band-index artifact name derives
+    // from its source files, and this capstone must resolve the SAME
+    // stored index dedup_delta_index built (a checkpointed base would
+    // tag as "mem" and silently build a second artifact)
+    val base = corpus.filter(col("doc_id") < 100000)
+    // delta feeds three consumers (digest screen, probe, quality) and
+    // the base digests two — checkpoint both or the plan re-derives
+    // the 3-way corpus union per consumer (census: 30 file scans and
+    // 13 exchanges uncheckpointed; 1 scan and 4 exchanges after). At
+    // 100 TB the digest frame is the stored digest tier anyway.
+    val delta = corpus.filter(col("doc_id") >= 100000)
+      .localCheckpoint(eager = false)
+    val baseDg = base.select(md5(col("text")).as("dg")).distinct()
+      .localCheckpoint(eager = false)
+    val exactHits = delta.select(col("doc_id"), md5(col("text")).as("dg"))
+      .join(baseDg, Seq("dg"), "left_semi")
+      .select(col("doc_id"), lit(1).as("is_exact"))
+    val nearSurvivors = Dedup.incrementalDedupPersisted(spark, base, delta, epoch)
+      .select(col("doc_id"), lit(1).as("survived_near"))
+    delta
+      .join(exactHits, Seq("doc_id"), "left_outer")
+      .join(nearSurvivors, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        TextAnalysis.qualityCol(col("text")).as("quality"),
+        col("is_exact"), col("survived_near"))
+      .select(col("doc_id"), col("quality"),
+        when(col("is_exact") === 1, "dup_exact")
+          .when(col("survived_near").isNull, "dup_near")
+          .when(col("quality") < minQuality, "low_quality")
+          .otherwise("keep").as("verdict"))
+      .orderBy("doc_id")
+  }
+
   /** CURATION CAPSTONE: the web-corpus intake chain as ONE lazy plan —
     * boilerplate scrub → quality gate on the CLEANED text (scoring the
     * raw text would let a document ride on boilerplate it no longer

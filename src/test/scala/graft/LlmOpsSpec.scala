@@ -1151,6 +1151,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(keeps.contains(0) && keeps.contains(1), "rule set gates nothing on this corpus")
   }
 
+  test("delta intake: verdicts compose the individual screens exactly (r8)") {
+    val got = TrainingPrep.deltaIntake(spark, documents).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val corpus = Corpus.docCorpus(documents)
+    val baseTexts = corpus.filter(col("doc_id") < 100000)
+      .select("text").collect().map(_.getString(0)).toSet
+    val delta = corpus.filter(col("doc_id") >= 100000)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(got.keySet === delta.map(_._1).toSet)
+    // exact verdict ⟺ text present in the base corpus
+    delta.foreach { case (id, t) =>
+      assert((got(id) == "dup_exact") === baseTexts(t), s"exact@$id")
+    }
+    // near verdict ⟺ (non-exact) AND dropped by the persisted probe —
+    // the same stored artifact dedup_delta_index serves from
+    val survivors = Dedup.incrementalDedupPersisted(spark,
+        corpus.filter(col("doc_id") < 100000),
+        corpus.filter(col("doc_id") >= 100000))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    delta.foreach { case (id, t) =>
+      if (!baseTexts(t)) {
+        if (!survivors(id)) assert(got(id) === "dup_near", s"near@$id")
+        else assert(got(id) == "keep" || got(id) == "low_quality", s"tail@$id")
+      }
+    }
+    // both dup classes fire, and the LSH recall boundary shows honestly
+    // as a (small) keep/low_quality tail instead of silent loss
+    val verdicts = got.values.toSet
+    assert(verdicts.contains("dup_exact") && verdicts.contains("dup_near"))
+  }
+
   test("shard manifest: byte-stable across runs, agrees with the shuffle-shard law (r8)") {
     val m1 = TrainingPrep.shardManifest(spark, documents, tag = sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDecimal(3)))).toMap
