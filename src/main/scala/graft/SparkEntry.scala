@@ -492,6 +492,9 @@ object SparkEntry {
     // nightly-batch verdict frame: exact/near/quality screens composed
     // over the SAME stored band index dedup_delta_index serves (r8)
     "pipeline_delta_intake" -> ((s, d) => TrainingPrep.deltaIntake(s, Tables.documents(s, d))),
+    // packing-planner histogram: 16-token buckets, exact naive-padding
+    // waste at seq 512, running token share on the tiny frame (r8)
+    "pipeline_length_histogram" -> ((s, d) => TrainingPrep.lengthHistogram(Tables.documents(s, d))),
     "dedup_delta_index" -> ((s, d) => {
       val corpus = Corpus.docCorpus(Tables.documents(s, d))
       Dedup.incrementalDedupPersisted(s,
@@ -3690,6 +3693,22 @@ object SparkEntry {
     // compute bands for ALL corpus docs; index×delta candidates are the
     // cand rows crossing the 100000 id split (index ids < 100000 ≤ delta
     // ids, so a_id<b_id already orients them)
+    /* pipeline_length_histogram: integer bucket/waste arithmetic, one
+       rounded division for the running share; the single-partition
+       window runs on the ≤ maxlen/16-row bucket frame. */
+    "pipeline_length_histogram" ->
+      """WITH d AS (SELECT CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS len FROM documents),
+        |p AS (SELECT len, len // 16 AS bucket,
+        |  ((len + 511) // 512) * 512 - len AS waste FROM d),
+        |b AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len) AS BIGINT) AS n_tokens, CAST(SUM(waste) AS BIGINT) AS pad_waste
+        | FROM p GROUP BY 1),
+        |c AS (SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY bucket
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |  CAST(SUM(n_tokens) OVER () AS BIGINT) AS total FROM b)
+        |SELECT bucket, n_docs, n_tokens, pad_waste,
+        | floor(CAST(cum AS DOUBLE)/CAST(total AS DOUBLE)*1e4 + 0.5)/1e4 AS cum_share
+        |FROM c ORDER BY bucket""".stripMargin,
     /* pipeline_delta_intake: the composed verdict mirrored from the
        shared minhash CTEs (near screen), a digest self-join (exact
        screen) and the text_quality formula — first-match CASE order

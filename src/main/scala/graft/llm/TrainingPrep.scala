@@ -229,6 +229,37 @@ object TrainingPrep {
       .orderBy("shard")
   }
 
+  /** LENGTH HISTOGRAM / PACKING PLANNER (r8) — the frame a sequence-
+    * packing pass is tuned on: documents bucketed by token length
+    * (16-token buckets — sized to the fixture's 10-100-token docs so
+    * the histogram has real shape), per bucket the doc count, token mass,
+    * cumulative token share, and the padding a NAIVE one-doc-per-
+    * sequence layout would waste at `seqLen` — `Σ (⌈len/seqLen⌉·seqLen
+    * − len)`, exact integers — which is precisely the cost
+    * [[packSequences]] exists to avoid. The histogram is bounded by
+    * max-doc-length/64 rows, so the running-share window runs on a
+    * tiny frame (the quantile-histogram discipline); the one division
+    * is the final rounded share. */
+  def lengthHistogram(documents: DataFrame, seqLen: Long = 512L): DataFrame = {
+    val n = size(TextOps.tokens(coalesce(col("text"), lit("")))).cast("long")
+    val perDoc = documents.select(n.as("len"))
+      .select(col("len"), expr("len div 16").as("bucket"),
+        (expr(s"(len + ${seqLen - 1}) div $seqLen") * seqLen - col("len")).as("waste"))
+    val byBucket = perDoc.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_tokens"),
+        sum(col("waste")).as("pad_waste"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    byBucket
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .crossJoin(broadcast(byBucket.agg(sum(col("n_tokens")).as("total_tokens"))))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"), col("pad_waste"),
+        graft.ops.Det.rfloor(col("cum_tokens").cast("double")
+          / col("total_tokens").cast("double"), 4).as("cum_share"))
+      .orderBy("bucket")
+  }
+
   /** DELTA-INTAKE CAPSTONE (r8) — the NIGHTLY-BATCH verdict in one
     * frame: every incoming (delta) document classified `dup_exact`
     * (digest matches the stored corpus), `dup_near` (banded-LSH hit

@@ -1151,6 +1151,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(keeps.contains(0) && keeps.contains(1), "rule set gates nothing on this corpus")
   }
 
+  test("length histogram: buckets, waste and shares replay from raw lengths (r8)") {
+    val got = TrainingPrep.lengthHistogram(documents).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val lens = documents.select("text").collect()
+      .map(r => Option(r.getString(0)).getOrElse("").split(" ", -1).length.toLong)
+    val byBucket = lens.groupBy(_ / 16)
+    assert(got.keySet === byBucket.keySet)
+    val total = lens.sum
+    var cum = 0L
+    byBucket.keys.toSeq.sorted.foreach { b =>
+      val ls = byBucket(b)
+      cum += ls.sum
+      val (nDocs, nTok, waste, share) = got(b)
+      assert(nDocs === ls.size.toLong, s"docs@$b")
+      assert(nTok === ls.sum, s"tokens@$b")
+      assert(waste === ls.map(l => ((l + 511) / 512) * 512 - l).sum, s"waste@$b")
+      assert(share === math.floor(cum.toDouble / total * 1e4 + 0.5) / 1e4, s"share@$b")
+    }
+    // the planner frame must have shape: several buckets, share reaching 1
+    assert(got.size >= 3)
+    assert(got(byBucket.keys.max)._4 === 1.0)
+  }
+
   test("delta intake: verdicts compose the individual screens exactly (r8)") {
     val got = TrainingPrep.deltaIntake(spark, documents).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
