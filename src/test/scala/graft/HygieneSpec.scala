@@ -112,7 +112,10 @@ class HygieneSpec extends SparkSpec {
   }
 
   test("partition-less Window appears ONLY at the two contract sites") {
-    val allowed = Set("diff_positional", "text_zipf")
+    // pipeline_length_histogram joined in r8: its running-share window
+    // runs over the ≤ maxlen/16-row BUCKET frame (bounded by the
+    // length-bucket domain, never by corpus rows — the text_zipf class)
+    val allowed = Set("diff_positional", "text_zipf", "pipeline_length_histogram")
     assert(bareWindowOffenders == allowed,
       s"unexpected partition-less Window sites: ${bareWindowOffenders -- allowed}; " +
         s"missing contract sites: ${allowed -- bareWindowOffenders}")
