@@ -156,26 +156,39 @@ object Warehouse {
   }
 
   /** Epoch retention GC: among catalog tables starting with `prefix`,
-    * parse the epoch from the first `_e<digits>` group after the
-    * prefix, keep the `keepN` HIGHEST epochs, and drop every table (and
-    * its warehouse directory) from older epochs — companions (`_model`,
-    * `_meta`) carry the same epoch substring, so a family's tables live
-    * and die together. Returns the dropped table names (sorted), so a
+    * parse the epoch from the LAST `_e<digits>` token (followed by `_`
+    * or end-of-name — the artifact name grammar puts the epoch after
+    * the munged srcTag, so a tag path segment like `.../e2/...` that
+    * munges to `_e2_` mid-name must NOT be read as the epoch), group
+    * keep-N decisions PER non-epoch name stem (the name with the epoch
+    * token removed), keep each stem's `keepN` HIGHEST epochs, and drop
+    * every table (and its warehouse directory) from older epochs.
+    * Companions (`_model`, `_meta`) carry the same epoch substring and
+    * form their own stems with identical epoch sets, so a family's
+    * tables live and die together — and one corpus's newer epochs can
+    * never doom another corpus's only artifact just because they share
+    * the prefix. Returns the dropped table names (sorted), so a
     * maintenance job can log exactly what it reclaimed. */
   def retain(spark: SparkSession, prefix: String, keepN: Int): Seq[String] = {
     require(keepN >= 1, s"retain keeps at least one epoch, got $keepN")
     val p = prefix.toLowerCase
-    val epochRe = "_e(\\d+)".r
+    val epochRe = "_e(\\d+)(?=_|$)".r
     val tagged = spark.catalog.listTables().collect().map(_.name)
       .filter(_.startsWith(p))
-      .flatMap { t => epochRe.findFirstMatchIn(t.drop(p.length)).map(m => t -> m.group(1).toLong) }
-    val keep = tagged.map(_._2).distinct.sorted(Ordering[Long].reverse).take(keepN).toSet
-    val doomed = tagged.collect { case (t, e) if !keep(e) => t }.sorted
+      .flatMap { t =>
+        epochRe.findAllMatchIn(t).toList.lastOption.map { m =>
+          (t, t.substring(0, m.start) + t.substring(m.end), m.group(1).toLong)
+        }
+      }
+    val doomed = tagged.groupBy(_._2).valuesIterator.flatMap { fam =>
+      val keep = fam.map(_._3).distinct.sorted(Ordering[Long].reverse).take(keepN).toSet
+      fam.collect { case (t, _, e) if !keep(e) => t }
+    }.toSeq.sorted
     doomed.foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS `$t`")
       dropOrphanDir(spark, t)
     }
-    doomed.toSeq
+    doomed
   }
 
   private def dropOrphanDir(spark: SparkSession, name: String): Unit = {

@@ -102,17 +102,27 @@ object Dedup {
     * three dedup keys share one corpus plan, so a census pass probes
     * once, not thrice, and repeat plan construction against the same
     * frame is free; correctness-safe because collapse only trades cost,
-    * never results. */
+    * never results. The memo key is the Warehouse source fingerprint
+    * pair — the md5 of the FULL canonicalized plan text (not its Int
+    * hashCode, which can collide across corpora) plus the input files'
+    * (path, length, mtime) statuses (so the same path rewritten in
+    * place re-probes instead of serving the dead corpus's decision) —
+    * both metadata-only, no data scanned. The map is bounded: a
+    * long-lived driver cycling many corpora clears it at 256 entries
+    * (the probe is cheap; unbounded growth is the only real cost). */
   private val collapseProbeCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Boolean]()
-  private def shouldCollapse(df: DataFrame, key: org.apache.spark.sql.Column): Boolean =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), java.lang.Boolean]()
+  private def shouldCollapse(df: DataFrame, key: org.apache.spark.sql.Column): Boolean = {
+    if (collapseProbeCache.size > 256) collapseProbeCache.clear()
+    val (planFp, filesFp) = graft.Warehouse.sourceFingerprint(df.sparkSession, df)
     collapseProbeCache.computeIfAbsent(
-      (df.queryExecution.analyzed.canonicalized.hashCode, key.toString),
+      (planFp, filesFp, key.toString),
       _ => {
         val r = df.agg(count(lit(1)), approx_count_distinct(key)).head()
         val n = r.getLong(0)
         n > 0 && (n - r.getLong(1)).toDouble / n > CollapseDupRatio
       })
+  }
 
   /** Word-3-gram Jaccard near-dup pairs (threshold 0.5). Exact set
     * semantics — no hashing — so it IS oracle-expressible. The self-join

@@ -38,7 +38,7 @@ object TextAnalysis {
     val top = wc.orderBy(col("n").desc, col("word").asc).limit(k)
     // PARTITION-LESS window, bounded input: it ranks the k-row (k=50)
     // top-list, never the corpus — the single partition holds k rows by
-    // construction. One of exactly two allowed sites (HygieneSpec).
+    // construction. One of the three allowed contract sites (HygieneSpec).
     val w = Window.orderBy(col("n").desc, col("word").asc)
     top.crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(w).cast("long"))

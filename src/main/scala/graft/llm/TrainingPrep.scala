@@ -206,19 +206,31 @@ object TrainingPrep {
     * duplicated, nothing mutated between the corpus and the files a
     * trainer will actually read. Reproducibility (same corpus → byte-
     * stable manifest across runs) is the spec law — the property that
-    * makes a training run resumable and an artifact auditable. */
+    * makes a training run resumable and an artifact auditable.
+    *
+    * The scratch dir is HERMETIC: unique per invocation (a process
+    * nonce, not just (tag, seed)) and deleted before return. The r8
+    * driver produced the round's one red row here — a torn read-back
+    * when two runs sharing the fixed (tag, seed) path interleaved an
+    * overwrite with the lazy re-read (rows_match held, hash didn't).
+    * The manifest is therefore materialized EAGERLY (≤16 rows — one
+    * per hex shard digit, bounded by the digit domain, never by
+    * corpus size) and returned as a local relation; the spec law
+    * binds the manifest bytes, which depend only on (corpus, seed),
+    * never on the scratch location. */
   def shardManifest(spark: org.apache.spark.sql.SparkSession,
                     documents: DataFrame,
                     seed: Long = 42L, tag: String = ""): DataFrame = {
     val dir = sys.props("java.io.tmpdir") + "/graft_shards_" +
       java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(s"$tag:$seed").toLong & 0xffffffffL)
+        scala.util.hashing.MurmurHash3.stringHash(s"$tag:$seed").toLong & 0xffffffffL) +
+      "_" + java.util.UUID.randomUUID.toString.take(12)
     val key = md5(concat_ws(":", lit(seed.toString), col("doc_id").cast("string")))
     documents
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
         substring(key, 1, 1).as("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
-    spark.read.parquet(dir)
+    val manifest = spark.read.parquet(dir)
       .select(col("shard"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         graft.functions.TextExprs.rollingFingerprint(col("text"))
@@ -227,6 +239,12 @@ object TrainingPrep {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         sum(col("fp")).as("content_fp"))
       .orderBy("shard")
+    val rows = manifest.collect() // ≤16 rows: bounded by the shard-digit domain
+    val schema = manifest.schema
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** LENGTH HISTOGRAM / PACKING PLANNER (r8) — the frame a sequence-

@@ -162,6 +162,20 @@ object TimeSeries {
     * all BIGINT factors, DECIMAL(38,0) products — no float enters the
     * comparison; ties → earliest day.
     *
+    * Overflow discipline (r9 ADVICE): x is the day offset from the
+    * SERIES' OWN first day, not the epoch — the argmax is translation-
+    * invariant in x (every factor is a difference of x-terms with
+    * matching counts), so the result is identical while the x-factor
+    * magnitudes shrink from epoch-days (~2·10⁴ multiplying every term)
+    * to the series' span. decimal(19,0)·decimal(19,0) declares a
+    * decimal(38,0) product (39 digits capped at 38): a true product
+    * ≥ 10³⁸ nulls out under non-ANSI mode and a silent null here would
+    * DROP that candidate from the argmax — so the area wraps in a
+    * raise_error sentinel and the operator fails loudly instead. The
+    * bound is generous: it needs bucket-count³·span·cents ≳ 2.5·10³⁷
+    * to trip (e.g. 10⁶ points/bucket × 10⁵-day span × $10¹¹ daily
+    * cents stays 100× under it).
+    *
     * Scale: the day-grain aggregate is the only data-sized shuffle;
     * bucket means are a bucket-count frame broadcast back onto the
     * series × days frame; the argmax is a per-bucket rank-1 filter. */
@@ -170,10 +184,12 @@ object TimeSeries {
     val wa = Window.partitionBy("event_type")
     val nb = buckets - 2
     require(nb >= 1, "need at least 3 buckets")
+    // x rides the SAME partition-only window as n (adjacent wa-spec
+    // windows collapse into one Window node — keeping the r8 plan shape)
     val base = dailyCents(events)
-      .withColumn("x", datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
       .withColumn("t", row_number().over(w))
       .withColumn("n", count(lit(1)).over(wa))
+      .withColumn("x", datediff(col("day"), min(col("day")).over(wa)).cast("long"))
     val interior = base.filter(col("t") > 1 && col("t") < col("n"))
       .withColumn("b", expr(s"((t - 2) * $nb) div (n - 2)"))
     val bagg = interior.groupBy("event_type", "b")
@@ -199,12 +215,18 @@ object TimeSeries {
         coalesce(lead(col("sy"), 1).over(wb), col("ly")).as("cyn"),
         coalesce(lead(col("cnt"), 1).over(wb), lit(1L)).as("dc"))
     val d19 = "decimal(19,0)"
+    val rawA2 = abs(
+      (col("cxn") * col("da") - col("axn") * col("dc")).cast(d19)
+        * (col("cents") * col("da") - col("ayn")).cast(d19)
+      - (col("cyn") * col("da") - col("ayn") * col("dc")).cast(d19)
+        * (col("x") * col("da") - col("axn")).cast(d19))
     val scored = interior.join(broadcast(anchors), Seq("event_type", "b"))
-      .withColumn("a2", abs(
-        (col("cxn") * col("da") - col("axn") * col("dc")).cast(d19)
-          * (col("cents") * col("da") - col("ayn")).cast(d19)
-        - (col("cyn") * col("da") - col("ayn") * col("dc")).cast(d19)
-          * (col("x") * col("da") - col("axn")).cast(d19)))
+      // a null here is decimal(38,0) overflow, never a null input (the
+      // day-grain aggregate and the anchor coalesces are total): fail
+      // loudly, a silently dropped argmax candidate is a wrong answer
+      .withColumn("a2", when(rawA2.isNotNull, rawA2).otherwise(raise_error(lit(
+        "downsampleLttb: decimal(38,0) overflow in the triangle-area cross " +
+        "product — series magnitudes exceed the documented bound")).cast("decimal(38,0)")))
       .withColumn("rk", row_number().over(Window.partitionBy("event_type", "b")
         .orderBy(col("a2").desc, col("day").asc)))
       .filter(col("rk") === 1)
@@ -425,17 +447,6 @@ object TimeSeries {
       .orderBy("event_type", "day")
   }
 
-  /** OHLC RESAMPLE (r8) — the classic downsampling shape: per
-    * (user, 30-minute bucket), open/high/low/close of `value` plus the
-    * sample count. Open/close are arg-min/arg-max over the total order
-    * (ts, event_id) via the min-struct idiom (`agg_arg_max`'s trick), so
-    * ties are impossible and the draw is engine-portable; high/low/open/
-    * close pass RAW doubles through — no accumulation, no rounding site,
-    * nothing to drift. One hash aggregate with map-side partials: the
-    * exchange carries (user, bucket) partial structs, not events —
-    * exactly the candle-store build a 100 TB metrics pipeline runs, and
-    * the output grain (entities × buckets) is what every later window
-    * reads instead of raw events. */
   /** HOLT'S LINEAR TREND smoothing (r8) — double exponential smoothing
     * with α = β = 1/2: `level_t = ⌊(y_t + level_{t−1} + trend_{t−1})/2⌋`,
     * `trend_t = ⌊(level_t − level_{t−1} + trend_{t−1})/2⌋`, one-step
@@ -487,6 +498,17 @@ object TimeSeries {
       .orderBy("event_type", "day")
   }
 
+  /** OHLC RESAMPLE (r8) — the classic downsampling shape: per
+    * (user, 30-minute bucket), open/high/low/close of `value` plus the
+    * sample count. Open/close are arg-min/arg-max over the total order
+    * (ts, event_id) via the min-struct idiom (`agg_arg_max`'s trick), so
+    * ties are impossible and the draw is engine-portable; high/low/open/
+    * close pass RAW doubles through — no accumulation, no rounding site,
+    * nothing to drift. One hash aggregate with map-side partials: the
+    * exchange carries (user, bucket) partial structs, not events —
+    * exactly the candle-store build a 100 TB metrics pipeline runs, and
+    * the output grain (entities × buckets) is what every later window
+    * reads instead of raw events. */
   def resampleOhlc(events: DataFrame): DataFrame =
     events
       .select(col("user_id"),

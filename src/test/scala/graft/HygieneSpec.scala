@@ -7,9 +7,11 @@ import org.apache.spark.sql.execution.window.WindowExec
 /** Session-hygiene sweep over EVERY declared query key:
   *
   *  1. No PHYSICAL plan executed while evaluating a query may contain a
-  *     partition-less WindowExec outside the two contract sites
+  *     partition-less WindowExec outside the three contract sites
   *     (diff_positional: global row position IS the reference semantics;
-  *     text_zipf: the window ranks a k-row top-list). A partition-less
+  *     text_zipf: the window ranks a k-row top-list;
+  *     pipeline_length_histogram: the running-share window runs over the
+  *     ≤ maxlen/16-row bucket frame). A partition-less
   *     WindowExec funnels the whole input through one task — at 100 TB
   *     that's a stalled stage, so any NEW site must fail review here
   *     first. The audit hooks a QueryExecutionListener so it also sees
@@ -111,7 +113,7 @@ class HygieneSpec extends SparkSpec {
       "auditor failed to see the contract site's WindowExec through AQE")
   }
 
-  test("partition-less Window appears ONLY at the two contract sites") {
+  test("partition-less Window appears ONLY at the allowed contract sites") {
     // pipeline_length_histogram joined in r8: its running-share window
     // runs over the ≤ maxlen/16-row BUCKET frame (bounded by the
     // length-bucket domain, never by corpus rows — the text_zipf class)

@@ -111,4 +111,28 @@ class WarehouseSpec extends SparkSpec {
       spark.conf.get("spark.sql.warehouse.dir") + "/wh_spec_gc_e21")
     assert(!loc.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(loc))
   }
+
+  test("retain: epoch is the LAST _e token; keep-N grouped per name stem (r9)") {
+    // Two GC hazards from the r8 advice: (a) a srcTag path segment like
+    // '.../e2/...' munges to '_e2_' BEFORE the real epoch — a first-match
+    // parse reads it as the epoch and DROP targets the wrong grouping;
+    // (b) epochs pooled across every table sharing the prefix let one
+    // corpus's newer epochs doom another corpus's only artifact.
+    val src = Tables.nation(spark, sfDir).limit(1)
+    def mk(name: String): Unit = src.write.mode("overwrite").saveAsTable(name)
+    mk("wh_spec_gc2_data_e2_run_e9")
+    mk("wh_spec_gc2_data_e2_run_e10")
+    mk("wh_spec_gc2_data_e2_run_e11")
+    mk("wh_spec_gc2_other_e3") // different corpus, same prefix, sole epoch
+    val dropped = Warehouse.retain(spark, "wh_spec_gc2", keepN = 2)
+    // corpus A drops only ITS oldest epoch (9 — the trailing token, not the
+    // munged '_e2_'); corpus B's only artifact survives despite its older
+    // epoch number because keep-N is decided within its own stem
+    assert(dropped === Seq("wh_spec_gc2_data_e2_run_e9"), s"dropped $dropped")
+    assert(spark.catalog.tableExists("wh_spec_gc2_data_e2_run_e10"))
+    assert(spark.catalog.tableExists("wh_spec_gc2_data_e2_run_e11"))
+    assert(spark.catalog.tableExists("wh_spec_gc2_other_e3"))
+    Seq("wh_spec_gc2_data_e2_run_e10", "wh_spec_gc2_data_e2_run_e11",
+      "wh_spec_gc2_other_e3").foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
 }
