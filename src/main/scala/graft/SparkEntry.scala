@@ -118,6 +118,13 @@ object SparkEntry {
       val c = Tables.customer(s, d)
       SnapshotDiff.bucketReconcile(Snapshots.oldSnapshot(c), Snapshots.newSnapshot(c))
     }),
+    // reconcile + cell-diff composed: the cell diff runs ONLY over the
+    // mismatched buckets; output pinned ≡ the full diff_keyed (r9)
+    "diff_reconciled" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      SnapshotDiff.diffReconciled(Snapshots.oldSnapshot(c), Snapshots.newSnapshot(c), "slno")
+        .orderBy("op", "slno", "col")
+    }),
     "diff_positional" -> ((s, d) => {
       val c = Tables.customer(s, d)
       SnapshotDiff.diffPositional(Snapshots.bqSnapshot(c), Snapshots.sheetSnapshot(c), "slno")
@@ -1513,6 +1520,11 @@ object SparkEntry {
         | json_keys(props)[1] AS first_key
         |FROM events ORDER BY event_id""".stripMargin,
     "diff_keyed" ->
+      s"""SELECT * FROM ($diffKeyedBody) t ORDER BY op, slno, col""",
+    /* diff_reconciled: deliberately the SAME SQL as diff_keyed — the
+       operator's contract is that bucket pruning changes the PLAN, never
+       the changeset, so the oracle pins reconciled ≡ full diff. */
+    "diff_reconciled" ->
       s"""SELECT * FROM ($diffKeyedBody) t ORDER BY op, slno, col""",
     /* diff_bucket_reconcile: per-bucket counts + decimal fingerprint
        sums over the same snapshot CTEs; match = counts equal AND

@@ -285,13 +285,19 @@ object TrainingPrep {
     * `dedup_delta_index` serves from), `low_quality` (the quality
     * gate), or `keep`, with the quality score attached so every drop
     * is attributable. This is the composition the individual
-    * operators exist FOR: exact screen is a digest-keyed semi-join
-    * (16-byte rows; the bloom twin screens map-side at scale),
-    * near screen reads the stored epoch artifact and shuffles only
-    * the delta, quality is map-side — the base corpus is never
-    * rescanned. The near-screen's recall boundary shows honestly:
-    * banded LSH misses a few true near-dups, and those flow to the
-    * quality/keep tiers instead of silently vanishing. */
+    * operators exist FOR: the exact screen probes the PERSISTED
+    * Bloom epoch artifact map-side first (r9 — the same filter
+    * `dedup_bloom_prefilter` serves; no false negatives, so the
+    * verdict frame is bit-identical), and only Bloom hits (true
+    * dups + false positives) reach the digest-keyed semi-join
+    * against the stored digest tier — at 100 TB the never-seen
+    * bulk of a nightly delta passes with ZERO index contact and
+    * zero shuffle; near screen reads the stored band-index epoch
+    * artifact and shuffles only the delta, quality is map-side —
+    * the base corpus is never rescanned. The near-screen's recall
+    * boundary shows honestly: banded LSH misses a few true
+    * near-dups, and those flow to the quality/keep tiers instead
+    * of silently vanishing. */
   def deltaIntake(spark: org.apache.spark.sql.SparkSession,
                   documents: DataFrame, epoch: Long = 0L,
                   minQuality: Double = 0.59): DataFrame = {
@@ -310,7 +316,15 @@ object TrainingPrep {
       .localCheckpoint(eager = false)
     val baseDg = base.select(md5(col("text")).as("dg")).distinct()
       .localCheckpoint(eager = false)
-    val exactHits = delta.select(col("doc_id"), md5(col("text")).as("dg"))
+    // Bloom screen AHEAD of the semi-join: a no-hit is provably absent
+    // from the base (no false negatives), so it never touches the digest
+    // tier; a null filter means an empty base — nothing can be exact
+    val bloom = Dedup.ensureBloomIndex(spark, base, epoch)
+    val deltaDg = delta.select(col("doc_id"), md5(col("text")).as("dg"))
+    val bloomHits =
+      if (bloom == null) deltaDg.filter(lit(false))
+      else deltaDg.filter(graft.functions.Sketches.bloomMightContain(bloom, col("dg")))
+    val exactHits = bloomHits
       .join(baseDg, Seq("dg"), "left_semi")
       .select(col("doc_id"), lit(1).as("is_exact"))
     val nearSurvivors = Dedup.incrementalDedupPersisted(spark, base, delta, epoch)

@@ -82,6 +82,39 @@ object SnapshotDiff {
       .orderBy("bucket")
   }
 
+  /** RECONCILED DIFF (r9) — [[bucketReconcile]] and [[diffKeyed]]
+    * composed into the production nightly-sync shape the two keys
+    * previously demonstrated separately: compute the bucket-grain
+    * count+fingerprint comparison, then run the cell diff ONLY over
+    * the mismatched buckets, in one lazy plan. The changeset is
+    * EXACTLY the full [[diffKeyed]] output (the reconcile law —
+    * a clean bucket has equal counts and an order-free fingerprint
+    * match, so it contributes no changeset rows; SnapshotDiffSpec
+    * pins mismatched ≡ diff-touched and this operator's output ≡
+    * the unpruned diff, and the oracle for `diff_reconciled` IS the
+    * `diff_keyed` SQL).
+    *
+    * Scale shape: one aggregate pass per side at bucket grain (rows
+    * never cross sides), then each side is SEMI-JOINED against the
+    * dirty-bucket list before the wide full-outer diff join — at
+    * 100 TB with 0.1% nightly churn the expensive shuffle carries
+    * ~0.1% of the rows instead of all of them. The dirty list is
+    * broadcast deliberately: reconcile exists BECAUSE dirty ≪ total
+    * (a corpus where most buckets are dirty should skip reconcile
+    * and run [[diffKeyed]] directly — the collapse-threshold class
+    * of decision), so the list is churn-sized, not corpus-sized. */
+  def diffReconciled(old: DataFrame, neu: DataFrame, key: String = "slno",
+                     bucketSize: Long = 4L): DataFrame = {
+    val dirty = bucketReconcile(old, neu, key, bucketSize)
+      .filter(col("is_match") === 0)
+      .select(col("bucket"))
+    def prune(df: DataFrame): DataFrame =
+      df.withColumn("bucket", expr(s"$key div $bucketSize"))
+        .join(broadcast(dirty), Seq("bucket"), "left_semi")
+        .drop("bucket")
+    diffKeyed(prune(old), prune(neu), key)
+  }
+
   /** Keyed snapshot diff: old vs new joined on `key` (hash-partitioned
     * full outer join), cell diffs per value column, whole-row entries for
     * inserts/deletes. Scales: one shuffle each side, no driver

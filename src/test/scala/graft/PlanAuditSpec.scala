@@ -31,6 +31,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
   }
 
+  test("pipeline_delta_intake: bloom screen is a map-side filter in the exact-screen plan (r9)") {
+    val p = planOf(SparkEntry.queries("pipeline_delta_intake")(spark, sfDir))
+    // the Bloom probe compiles to a BloomFilterMightContain over a binary
+    // literal (the persisted epoch artifact) — a FILTER on the delta scan,
+    // so the never-seen bulk dies before the digest semi-join's exchange
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("diff_reconciled: dirty-bucket prune is a broadcast semi-join below the wide diff join (r9)") {
+    val p = planOf(SparkEntry.queries("diff_reconciled")(spark, sfDir))
+    // two broadcast LeftSemi prunes (one per side) feed the full-outer
+    // cell diff — the wide join must see only mismatched buckets
+    assert("BroadcastHashJoin .*LeftSemi".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("NestedLoop"), p)
+  }
+
   test("join_multiway: dimension broadcast, no shuffle of nation") {
     val p = planOf(ops.Joins.multiwayStar(
       Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),

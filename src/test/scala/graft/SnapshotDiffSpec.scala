@@ -125,6 +125,28 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(rec.values.map(_._2).sum === neu.count())
   }
 
+  test("reconciled diff: changeset EXACTLY equals the full diff; clean buckets skip the cell diff (r9)") {
+    val old = Snapshots.oldSnapshot(customer)
+    val neu = Snapshots.newSnapshot(customer)
+    val full = SnapshotDiff.diffKeyed(old, neu, "slno")
+    val reconciled = SnapshotDiff.diffReconciled(old, neu, "slno")
+    // the composition law: pruning clean buckets changes the plan, never
+    // the changeset
+    assert(reconciled.exceptAll(full).count() === 0L)
+    assert(full.exceptAll(reconciled).count() === 0L)
+    // ...and the pruning is REAL on this fixture (non-vacuous: the wide
+    // diff join must see strictly fewer rows than the raw sides), or the
+    // operator is just diffKeyed with extra steps
+    val dirty = SnapshotDiff.bucketReconcile(old, neu)
+      .filter(col("is_match") === 0).select("bucket").collect()
+      .map(_.getLong(0)).toSet
+    val oldPruned = old.filter(expr("slno div 4").isin(dirty.toSeq: _*)).count()
+    assert(oldPruned < old.count(), "fixture has no clean buckets — pruning is vacuous")
+    // empty-diff degenerate: identical sides reconcile to an empty dirty
+    // list and an empty changeset (no crash on the empty semi-join side)
+    assert(SnapshotDiff.diffReconciled(old, old, "slno").count() === 0L)
+  }
+
   test("keyed diff classifies inserts/deletes/updates correctly") {
     val old = Snapshots.oldSnapshot(customer)
     val neu = Snapshots.newSnapshot(customer)
