@@ -639,6 +639,8 @@ object SparkEntry {
     // strongly connected components: closure by iterated squaring on the
     // node²-bounded residue graph, scc_id from the mutual self-join (r8)
     "graph_scc" -> ((s, d) => graft.ops.Graph.scc(Tables.documents(s, d))),
+    // node-linear-state coloring twin; answer pinned ≡ graph_scc (r9)
+    "graph_scc_coloring" -> ((s, d) => graft.ops.Graph.sccColoring(Tables.documents(s, d))),
     // three-way keyed merge (base/ours/theirs): per-cell take-one-side
     // rule, convergent edits, conflict classes — multi-writer sync (r8)
     "diff_merge_3way" -> ((s, d) => {
@@ -1041,6 +1043,24 @@ object SparkEntry {
       |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** The SCC oracle (shared verbatim by graph_scc and its node-linear
+    * coloring twin graph_scc_coloring — the algorithms must agree). */
+  private val sccSql =
+    """WITH RECURSIVE edges AS (
+      |  SELECT DISTINCT doc_id % 250 AS src, (doc_id * 31 + doc_id // 7) % 250 AS dst
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |e2 AS (SELECT src, dst FROM edges WHERE src <> dst),
+      |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      |reach(src, dst) AS (SELECT src, dst FROM e2
+      |  UNION SELECT r.src, e.dst FROM reach r JOIN e2 e ON e.src = r.dst),
+      |mutual AS (SELECT r1.src AS node, r1.dst AS m
+      |  FROM reach r1 JOIN reach r2 ON r2.src = r1.dst AND r2.dst = r1.src),
+      |ids AS (SELECT n.node, LEAST(n.node, COALESCE(MIN(m.m), n.node)) AS scc_id
+      |  FROM nodes n LEFT JOIN mutual m ON m.node = n.node GROUP BY n.node),
+      |sz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size FROM ids GROUP BY 1)
+      |SELECT i.node, i.scc_id, s.scc_size FROM ids i JOIN sz s USING (scc_id)
+      |ORDER BY i.node""".stripMargin
 
   /** Body of the keyed-diff changeset as a DuckDB SELECT (shared by
     * diff_keyed and agg_changeset_summary). */
@@ -2659,21 +2679,11 @@ object SparkEntry {
     /* graph_scc: mutual reachability from the recursive-CTE transitive
        closure of the half-corpus mod-250 link graph; scc_id = least
        member id, all integer arithmetic. */
-    "graph_scc" ->
-      """WITH RECURSIVE edges AS (
-        |  SELECT DISTINCT doc_id % 250 AS src, (doc_id * 31 + doc_id // 7) % 250 AS dst
-        |  FROM documents WHERE doc_id % 2 = 0),
-        |e2 AS (SELECT src, dst FROM edges WHERE src <> dst),
-        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-        |reach(src, dst) AS (SELECT src, dst FROM e2
-        |  UNION SELECT r.src, e.dst FROM reach r JOIN e2 e ON e.src = r.dst),
-        |mutual AS (SELECT r1.src AS node, r1.dst AS m
-        |  FROM reach r1 JOIN reach r2 ON r2.src = r1.dst AND r2.dst = r1.src),
-        |ids AS (SELECT n.node, LEAST(n.node, COALESCE(MIN(m.m), n.node)) AS scc_id
-        |  FROM nodes n LEFT JOIN mutual m ON m.node = n.node GROUP BY n.node),
-        |sz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size FROM ids GROUP BY 1)
-        |SELECT i.node, i.scc_id, s.scc_size FROM ids i JOIN sz s USING (scc_id)
-        |ORDER BY i.node""".stripMargin,
+    "graph_scc" -> sccSql,
+    /* graph_scc_coloring: deliberately the SAME SQL as graph_scc — the
+       coloring algorithm's contract is node-linear STATE with an
+       identical answer (the diff_reconciled oracle discipline). */
+    "graph_scc_coloring" -> sccSql,
     /* diff_merge_3way: generated from the column list — see merge3Sql. */
     "diff_merge_3way" -> merge3Sql,
     /* graph_closeness: recursive-CTE all-sources BFS, min level per

@@ -729,6 +729,127 @@ object Graph {
       .orderBy("node")
   }
 
+  /** SCC by FORWARD-MIN COLORING + BACKWARD CONFIRMATION (r9) — the
+    * NODE-LINEAR-STATE scale twin of [[scc]]'s iterated-squaring
+    * closure (the FW-BW/coloring family: Orzan's coloring step, the
+    * distributed-SCC shape of Hong et al. / Slota et al.). The closure
+    * form is provably-bounded but node²-HEAVY — the r9 `sccOnly`
+    * ladder measured it exactly quadratic in the residue space (wall
+    * ×3.9 and exchange records ×4.00 per node-space doubling, already
+    * 277 s at n=2500 locally) — so past a few thousand hosts THIS is
+    * the production path: every frame here is node- or edge-linear,
+    * never node².
+    *
+    * Round structure (outer peel, repeated until no node remains):
+    *  1. COLOR: forward min-propagation to fixpoint — color(v) =
+    *     min({v} ∪ ancestors(v)) within the remaining subgraph; each
+    *     step is one edge join against the broadcast node-bounded
+    *     color frame ([[bfsLevels]] doctrine — edges never shuffle).
+    *  2. CONFIRM: a node r with color(r)=r is a root; grow S backward
+    *     from the roots along edges that stay INSIDE the root's color
+    *     class. Theorem (the coloring-SCC invariant): S(r) is exactly
+    *     SCC(r) — every v⇄r has color r (a smaller ancestor of v
+    *     would be a smaller ancestor of r), and every path v→…→r lies
+    *     wholly inside color class r (a path node with a smaller
+    *     ancestor would recolor r), so the within-class backward
+    *     growth loses nothing.
+    *  3. PEEL: assign scc_id = r (the class min — for s∈SCC(r) with
+    *     s<r, s would be a smaller ancestor of r), remove S, restrict
+    *     edges, repeat. Every round extracts at least the SCC of the
+    *     remaining minimum (it is always its own root), and on real
+    *     link graphs many roots resolve per round.
+    *
+    * Output is IDENTICAL to [[scc]] (same ids, same sizes) — the
+    * oracle for `graph_scc_coloring` is deliberately the `graph_scc`
+    * SQL, the diff_reconciled discipline: the algorithm changes the
+    * plan, never the answer. Convergence is data-dependent (propagation
+    * rounds ≈ remaining diameter, peels ≈ SCC-DAG depth residue), so
+    * unlike the closure's provable ⌈log₂ n⌉ bound the unrolls are
+    * MEASURED-CASCADE contracts ([[kcore]] class) with LOUD exhaustion:
+    * a graph that needs more rounds fails the require instead of
+    * returning a wrong answer. */
+  def sccColoring(documents: DataFrame, nNodes: Int = 250, sparsity: Int = 2,
+                  maxPeels: Int = 12, maxProp: Int = 24): DataFrame = {
+    val base = documents.filter(col("doc_id") % sparsity === 0)
+      .select((col("doc_id") % nNodes).as("src"),
+        ((col("doc_id") * 31 + expr("doc_id div 7")) % nNodes).as("dst"))
+      .distinct()
+    val allNodes = base.select(col("src").as("node"))
+      .union(base.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = false)
+    var remaining = allNodes
+    var edges = base.filter(col("src") =!= col("dst")).localCheckpoint(eager = false)
+    var acc: DataFrame = null
+    var remCount = remaining.count()
+    var peels = 0
+    while (remCount > 0) {
+      require(peels < maxPeels,
+        s"sccColoring: $remCount nodes unresolved after $maxPeels peels — raise maxPeels")
+      peels += 1
+      // 1. forward min-color fixpoint (color frame node-bounded, broadcast)
+      var color = remaining.select(col("node"), col("node").as("color"))
+        .localCheckpoint(eager = false)
+      var converged = false
+      var prop = 0
+      while (!converged) {
+        require(prop < maxProp,
+          s"sccColoring: color propagation not converged in $maxProp rounds — raise maxProp")
+        prop += 1
+        val pushed = edges
+          .join(broadcast(color.select(col("node").as("src"), col("color"))), "src")
+          .groupBy(col("dst").as("node")).agg(min(col("color")).as("in_color"))
+        val next = color.join(pushed, Seq("node"), "left_outer")
+          .select(col("node"),
+            least(col("color"), coalesce(col("in_color"), col("color"))).as("color"))
+          .localCheckpoint(eager = false)
+        // one job: materializes next's checkpoint AND tests the fixpoint
+        converged = next.as("a")
+          .join(color.as("b"), col("a.node") === col("b.node"))
+          .filter(col("a.color") =!= col("b.color")).count() == 0
+        color = next
+      }
+      // 2. backward confirmation within each color class, from the roots
+      var s = color.filter(col("node") === col("color"))
+        .select(col("node"), col("color")).localCheckpoint(eager = false)
+      var grew = true
+      prop = 0
+      while (grew) {
+        require(prop < maxProp,
+          s"sccColoring: backward growth not converged in $maxProp rounds — raise maxProp")
+        prop += 1
+        val newS = edges
+          .join(broadcast(s.select(col("node").as("dst"), col("color"))), "dst")
+          .select(col("src").as("node"), col("color"))
+          // the step must stay inside the class: color(u) must equal the
+          // class it is joining (semi-join on BOTH node and color)
+          .join(broadcast(color), Seq("node", "color"), "left_semi")
+          .join(broadcast(s), Seq("node"), "left_anti")
+          .distinct()
+          .localCheckpoint(eager = false)
+        val n = newS.count()
+        grew = n > 0
+        if (grew) s = s.unionByName(newS).localCheckpoint(eager = false)
+      }
+      // 3. peel the confirmed SCCs
+      val found = s.select(col("node"), col("color").as("scc_id"))
+        .localCheckpoint(eager = false)
+      acc = (if (acc == null) found else acc.unionByName(found))
+        .localCheckpoint(eager = false)
+      remaining = remaining
+        .join(broadcast(found.select(col("node"))), Seq("node"), "left_anti")
+        .localCheckpoint(eager = false)
+      edges = edges
+        .join(broadcast(found.select(col("node").as("src"))), Seq("src"), "left_anti")
+        .join(broadcast(found.select(col("node").as("dst"))), Seq("dst"), "left_anti")
+        .localCheckpoint(eager = false)
+      remCount = remaining.count()
+    }
+    val sizes = acc.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
+    acc.join(broadcast(sizes), "scc_id")
+      .select(col("node"), col("scc_id"), col("scc_size"))
+      .orderBy("node")
+  }
+
   /** HOP-LIMITED CLOSENESS CENTRALITY (r8) — per host: how many hosts
     * it reaches within `maxDepth` hops, the total hop distance, the
     * classic within-radius closeness (reached/Σdist) and the harmonic

@@ -691,6 +691,14 @@ object ScaleSmoke {
       val nRep = repDocs.count()
       time(s"scc_n${250 * factor}_docs$nRep")(
         graft.ops.Graph.scc(repDocs, nNodes = 250 * factor))
+      // the r9 coloring twin on the SAME widened graph: node-linear
+      // state, so its cost must grow ~linearly where the closure grows
+      // quadratically — the measured crossover that makes it the
+      // production path (raise the cascade caps with the graph: a wider
+      // residue space means longer paths before the fixpoint)
+      time(s"scc_coloring_n${250 * factor}_docs$nRep")(
+        graft.ops.Graph.sccColoring(repDocs, nNodes = 250 * factor,
+          maxPeels = 12 + 4 * factor, maxProp = 24 * factor))
       spark.stop()
       return
     }
