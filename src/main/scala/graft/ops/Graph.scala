@@ -844,6 +844,10 @@ object Graph {
         .localCheckpoint(eager = false)
       remCount = remaining.count()
     }
+    // empty graph: no peel ever ran — emit the empty (node, scc_id) frame
+    // instead of NPE-ing on the null accumulator
+    if (acc == null)
+      acc = allNodes.select(col("node"), col("node").as("scc_id"))
     val sizes = acc.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
     acc.join(broadcast(sizes), "scc_id")
       .select(col("node"), col("scc_id"), col("scc_size"))

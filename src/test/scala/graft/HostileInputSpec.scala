@@ -320,6 +320,18 @@ class HostileInputSpec extends SparkSpec {
     // never a fabricated self-pair
     assert(ops.Graph.neighborJaccard(empty).collect().isEmpty)
     assert(ops.Graph.neighborJaccard(one).collect().isEmpty)
+    // both SCC forms: empty → empty (the coloring twin's accumulator
+    // starts null — r9 guard); the single even doc (id 8 → edge
+    // 8 → (8·31+1) % 250 = 249) yields two trivial SCCs, twins agree
+    assert(ops.Graph.scc(empty).collect().isEmpty)
+    assert(ops.Graph.sccColoring(empty).collect().isEmpty)
+    val two = Seq((8L, "solo")).toDF("doc_id", "text")
+    val sc = ops.Graph.scc(two).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val scC = ops.Graph.sccColoring(two).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sc === scC, s"twins disagree: $sc vs $scC")
+    assert(sc.forall(_._3 == 1L), s"single edge fabricated a cycle: $sc")
   }
 
   test("sequence detect: null ts orders deterministically, null event_type never matches") {
