@@ -133,6 +133,22 @@ class DiffPropertySpec extends SparkSpec {
     })
   }
 
+  test("law: diffReconciled == diffKeyed for arbitrary pairs and bucket grains (r9)") {
+    // the composition law under adversarial inputs: whatever the churn
+    // pattern (including all-dirty, all-clean, empty sides) and whatever
+    // the bucket grain, pruning clean buckets must never change the
+    // changeset — the fingerprint screen has no false "match" on this
+    // domain and no false mismatch by construction
+    val bucketGen = Gen.oneOf(1L, 2L, 4L, 7L, 100L)
+    check("reconcile law")(Prop.forAll(genSnapshot, genSnapshot, bucketGen) { (ra, rb, bs) =>
+      val a = DiffLaws.toSnapshot(spark, ra)
+      val b = DiffLaws.toSnapshot(spark, rb)
+      val full = SnapshotDiff.diffKeyed(a, b, "slno")
+      val rec = SnapshotDiff.diffReconciled(a, b, "slno", bucketSize = bs)
+      rec.exceptAll(full).count() == 0L && full.exceptAll(rec).count() == 0L
+    })
+  }
+
   test("law: except and intersect partition the left side") {
     check("set complement")(Prop.forAll(genSnapshot, genSnapshot) { (ra, rb) =>
       val a = DiffLaws.toSnapshot(spark, ra).select("slno").distinct()
