@@ -636,11 +636,15 @@ object SparkEntry {
     // Holt's double exponential smoothing (α=β=1/2): the FULL recursion
     // in floor-halved integer cents, replayed by a recursive CTE (r8)
     "ts_holt" -> ((s, d) => TimeSeries.holtLinear(Tables.events(s, d))),
+    // rolling-origin forecast audit over the same recursion's state (r9)
+    "ts_holt_backtest" -> ((s, d) => TimeSeries.holtBacktest(Tables.events(s, d))),
     // strongly connected components: closure by iterated squaring on the
     // node²-bounded residue graph, scc_id from the mutual self-join (r8)
     "graph_scc" -> ((s, d) => graft.ops.Graph.scc(Tables.documents(s, d))),
     // node-linear-state coloring twin; answer pinned ≡ graph_scc (r9)
     "graph_scc_coloring" -> ((s, d) => graft.ops.Graph.sccColoring(Tables.documents(s, d))),
+    // the SCC quotient DAG: cross-component citation structure (r9)
+    "graph_condensation" -> ((s, d) => graft.ops.Graph.condensation(Tables.documents(s, d))),
     // three-way keyed merge (base/ours/theirs): per-cell take-one-side
     // rule, convergent edits, conflict classes — multi-writer sync (r8)
     "diff_merge_3way" -> ((s, d) => {
@@ -1044,9 +1048,31 @@ object SparkEntry {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
-  /** The SCC oracle (shared verbatim by graph_scc and its node-linear
-    * coloring twin graph_scc_coloring — the algorithms must agree). */
-  private val sccSql =
+  /** The Holt recursion as a recursive CTE (shared by ts_holt and
+    * ts_holt_backtest — the backtest scores exactly the state the
+    * smoother fitted). */
+  private val holtCtes =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(SUM(CAST(CAST(value*100 AS DECIMAL(18,0)) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |num AS (SELECT event_type, day, cents,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn FROM daily),
+      |holt(event_type, rn, day, cents, l, b, f) AS (
+      |  SELECT event_type, rn, day, cents, cents, CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
+      |   FROM num WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.event_type, d.rn, d.day, d.cents,
+      |    CAST(floor(CAST(d.cents + h.l + h.b AS DOUBLE) / 2) AS BIGINT),
+      |    CAST(floor(CAST(CAST(floor(CAST(d.cents + h.l + h.b AS DOUBLE) / 2) AS BIGINT)
+      |      - h.l + h.b AS DOUBLE) / 2) AS BIGINT),
+      |    h.l + h.b
+      |  FROM holt h JOIN num d ON d.event_type = h.event_type AND d.rn = h.rn + 1)""".stripMargin
+
+  /** The SCC CTE chain (shared by graph_scc, its node-linear coloring
+    * twin graph_scc_coloring — the algorithms must agree — and the
+    * condensation DAG, which quotients the same ids). */
+  private val sccCtes =
     """WITH RECURSIVE edges AS (
       |  SELECT DISTINCT doc_id % 250 AS src, (doc_id * 31 + doc_id // 7) % 250 AS dst
       |  FROM documents WHERE doc_id % 2 = 0),
@@ -1057,7 +1083,10 @@ object SparkEntry {
       |mutual AS (SELECT r1.src AS node, r1.dst AS m
       |  FROM reach r1 JOIN reach r2 ON r2.src = r1.dst AND r2.dst = r1.src),
       |ids AS (SELECT n.node, LEAST(n.node, COALESCE(MIN(m.m), n.node)) AS scc_id
-      |  FROM nodes n LEFT JOIN mutual m ON m.node = n.node GROUP BY n.node),
+      |  FROM nodes n LEFT JOIN mutual m ON m.node = n.node GROUP BY n.node)""".stripMargin
+
+  private val sccSql = sccCtes +
+    """,
       |sz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size FROM ids GROUP BY 1)
       |SELECT i.node, i.scc_id, s.scc_size FROM ids i JOIN sz s USING (scc_id)
       |ORDER BY i.node""".stripMargin
@@ -2654,28 +2683,27 @@ object SparkEntry {
        every step is one floor-halving of integer cents (exact in IEEE
        double), so the sequential recurrence is bit-exact on both
        engines; forecast = prior level + prior trend, null on day 1. */
-    "ts_holt" ->
-      """WITH RECURSIVE daily AS (
-        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-        |    CAST(SUM(CAST(CAST(value*100 AS DECIMAL(18,0)) AS BIGINT)) AS BIGINT) AS cents
-        |  FROM events GROUP BY 1, 2),
-        |num AS (SELECT event_type, day, cents,
-        |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn FROM daily),
-        |holt(event_type, rn, day, cents, l, b, f) AS (
-        |  SELECT event_type, rn, day, cents, cents, CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
-        |   FROM num WHERE rn = 1
-        |  UNION ALL
-        |  SELECT d.event_type, d.rn, d.day, d.cents,
-        |    CAST(floor(CAST(d.cents + h.l + h.b AS DOUBLE) / 2) AS BIGINT),
-        |    CAST(floor(CAST(CAST(floor(CAST(d.cents + h.l + h.b AS DOUBLE) / 2) AS BIGINT)
-        |      - h.l + h.b AS DOUBLE) / 2) AS BIGINT),
-        |    h.l + h.b
-        |  FROM holt h JOIN num d ON d.event_type = h.event_type AND d.rn = h.rn + 1)
+    "ts_holt" -> (holtCtes +
+      """
         |SELECT event_type, day, cents,
         | floor(CAST(l AS DOUBLE)/100*1e4 + 0.5)/1e4 AS level,
         | floor(CAST(b AS DOUBLE)/100*1e4 + 0.5)/1e4 AS trend,
         | floor(CAST(f AS DOUBLE)/100*1e4 + 0.5)/1e4 AS forecast
-        |FROM holt ORDER BY event_type, day""".stripMargin,
+        |FROM holt ORDER BY event_type, day""".stripMargin),
+    /* ts_holt_backtest: the same recursion's UN-rounded state scored
+       h steps ahead (h = 1..3) against the actual — exact integer
+       cents until the final per-group means; the lead is the rn + h
+       self-join of the recursion frame. */
+    "ts_holt_backtest" -> (holtCtes +
+      """,
+        |led AS (SELECT event_type, rn, l, b, unnest([1, 2, 3]) AS h FROM holt),
+        |errs AS (SELECT e.event_type, CAST(e.h AS BIGINT) AS horizon,
+        |   a.cents - (e.l + e.h * e.b) AS err
+        |  FROM led e JOIN num a ON a.event_type = e.event_type AND a.rn = e.rn + e.h)
+        |SELECT event_type, horizon, CAST(count(*) AS BIGINT) AS n,
+        | floor(CAST(CAST(SUM(ABS(err)) AS BIGINT) AS DOUBLE)/count(*)/100*1e4 + 0.5)/1e4 AS mae,
+        | floor(CAST(CAST(SUM(err) AS BIGINT) AS DOUBLE)/count(*)/100*1e4 + 0.5)/1e4 AS bias
+        |FROM errs GROUP BY 1, 2 ORDER BY event_type, horizon""".stripMargin),
     /* graph_scc: mutual reachability from the recursive-CTE transitive
        closure of the half-corpus mod-250 link graph; scc_id = least
        member id, all integer arithmetic. */
@@ -2684,6 +2712,16 @@ object SparkEntry {
        coloring algorithm's contract is node-linear STATE with an
        identical answer (the diff_reconciled oracle discipline). */
     "graph_scc_coloring" -> sccSql,
+    /* graph_condensation: the SCC quotient DAG over the shared CTEs —
+       distinct cross-component edges with crossing-edge counts. */
+    "graph_condensation" -> (sccCtes +
+      """
+        |SELECT i1.scc_id AS scc_src, i2.scc_id AS scc_dst,
+        |  CAST(count(*) AS BIGINT) AS n_links
+        |FROM e2 e JOIN ids i1 ON i1.node = e.src JOIN ids i2 ON i2.node = e.dst
+        |WHERE i1.scc_id <> i2.scc_id
+        |GROUP BY 1, 2
+        |ORDER BY scc_src, scc_dst""".stripMargin),
     /* diff_merge_3way: generated from the column list — see merge3Sql. */
     "diff_merge_3way" -> merge3Sql,
     /* graph_closeness: recursive-CTE all-sources BFS, min level per

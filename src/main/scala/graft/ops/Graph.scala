@@ -854,6 +854,34 @@ object Graph {
       .orderBy("node")
   }
 
+  /** SCC CONDENSATION DAG (r9) — the quotient graph over [[scc]]'s
+    * components: one row per distinct (scc_src → scc_dst) pair of
+    * DIFFERENT components, with the count of underlying host edges
+    * crossing it. This is the frame a link-farm analysis actually
+    * reads: intra-SCC edges (the mutual rings) collapse away and what
+    * remains is the acyclic citation structure BETWEEN rings — which
+    * farm feeds which, and how thickly. Composes [[scc]]'s ids with
+    * one broadcast of the node-bounded id map onto each edge endpoint
+    * (edges never shuffle — the membership-broadcast doctrine), then a
+    * pair-grain aggregate; every frame is ≤ edges and the output is
+    * ≤ SCC-pair-bounded. Oracle: the shared SCC CTEs + the same two
+    * id joins, all integer. */
+  def condensation(documents: DataFrame, nNodes: Int = 250, sparsity: Int = 2): DataFrame = {
+    val ids = scc(documents, nNodes, sparsity).select(col("node"), col("scc_id"))
+      .localCheckpoint(eager = false)
+    val e = documents.filter(col("doc_id") % sparsity === 0)
+      .select((col("doc_id") % nNodes).as("src"),
+        ((col("doc_id") * 31 + expr("doc_id div 7")) % nNodes).as("dst"))
+      .distinct()
+      .filter(col("src") =!= col("dst"))
+    e.join(broadcast(ids.select(col("node").as("src"), col("scc_id").as("scc_src"))), "src")
+      .join(broadcast(ids.select(col("node").as("dst"), col("scc_id").as("scc_dst"))), "dst")
+      .filter(col("scc_src") =!= col("scc_dst"))
+      .groupBy("scc_src", "scc_dst")
+      .agg(count(lit(1)).as("n_links"))
+      .orderBy("scc_src", "scc_dst")
+  }
+
   /** HOP-LIMITED CLOSENESS CENTRALITY (r8) — per host: how many hosts
     * it reaches within `maxDepth` hops, the total hop distance, the
     * classic within-radius closeness (reached/Σdist) and the harmonic

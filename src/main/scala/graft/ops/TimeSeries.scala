@@ -469,11 +469,25 @@ object TimeSeries {
     * text_zipf argument — at 100 TB the exchange still carries
     * (series, day) partials, never events). */
   def holtLinear(events: DataFrame): DataFrame = {
+    val st = holtState(events)
+    st.select(col("event_type"), col("day"), col("cents"),
+        Det.rfloor(col("level_c").cast("double") / 100, 4).as("level"),
+        Det.rfloor(col("trend_c").cast("double") / 100, 4).as("trend"),
+        Det.rfloor(col("forecast_c").cast("double") / 100, 4).as("forecast"))
+      .orderBy("event_type", "day")
+  }
+
+  /** The Holt recursion's INTEGER state — (event_type, day, cents,
+    * level_c, trend_c, forecast_c) in exact cents — shared by
+    * [[holtLinear]] (which formats it) and [[holtBacktest]] (which
+    * must forecast from the UN-rounded state, or horizon errors would
+    * carry presentation rounding). */
+  private def holtState(events: DataFrame): DataFrame = {
     val outT = "array<struct<day:date,cents:bigint,level:bigint,trend:bigint,forecast:bigint>>"
     def half(c: Column) = floor(c.cast("double") / 2.0).cast("long")
     val init = struct(lit(0L).as("l"), lit(0L).as("b"),
       lit(0).as("n"), array().cast(outT).as("out"))
-    val stepped = dailyCents(events)
+    dailyCents(events)
       .groupBy("event_type")
       .agg(sort_array(collect_list(struct(col("day"), col("cents")))).as("arr"))
       .withColumn("res", aggregate(col("arr"), init, (acc, x) => {
@@ -490,12 +504,45 @@ object TimeSeries {
             when(first, lit(null).cast("long")).otherwise(f).as("forecast")))).as("out"))
       }))
       .select(col("event_type"), explode(col("res.out")).as("r"))
-    stepped.select(col("event_type"), col("r.day").as("day"),
-        col("r.cents").as("cents"),
-        Det.rfloor(col("r.level").cast("double") / 100, 4).as("level"),
-        Det.rfloor(col("r.trend").cast("double") / 100, 4).as("trend"),
-        Det.rfloor(col("r.forecast").cast("double") / 100, 4).as("forecast"))
-      .orderBy("event_type", "day")
+      .select(col("event_type"), col("r.day").as("day"),
+        col("r.cents").as("cents"), col("r.level").as("level_c"),
+        col("r.trend").as("trend_c"), col("r.forecast").as("forecast_c"))
+  }
+
+  /** HOLT ROLLING-ORIGIN BACKTEST (r9) — the audit every production
+    * forecaster ships with: from each day's fitted state, the h-step
+    * forecast `level_t + h·trend_t` (h = 1..3) scored against the
+    * actual `y_{t+h}`, rolled up per (series, horizon) into n, MAE and
+    * BIAS (signed mean error — a forecaster can have small MAE and
+    * still lean systematically; bias is the column a capacity planner
+    * reads first). Errors are exact integer cents end to end (the
+    * state is [[holtState]]'s un-rounded recursion; presentation
+    * rounding happens once, on the final per-group means), so the
+    * whole frame is oracle-replayable.
+    *
+    * Scale shape: one window pass over the day-grain state frame (3
+    * leads share one (series, day) sort — the lag_lead class), a
+    * 3-way stack to long form, one series×horizon-bounded aggregate.
+    * The recursion's own cost is [[holtLinear]]'s, already bounded by
+    * the calendar span, not the row count. */
+  def holtBacktest(events: DataFrame, horizons: Int = 3): DataFrame = {
+    require(horizons >= 1 && horizons <= 8, "1..8 forecast horizons")
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val withLeads = (1 to horizons).foldLeft(holtState(events)) { (df, h) =>
+      df.withColumn(s"a$h", lead(col("cents"), h).over(w))
+    }
+    val stacked = withLeads.select(col("event_type"), expr(
+      s"stack($horizons, " + (1 to horizons).map(h =>
+        s"CAST($h AS BIGINT), a$h - (level_c + $h * trend_c)").mkString(", ") +
+      ") AS (horizon, err)"))
+    stacked.filter(col("err").isNotNull)
+      .groupBy("event_type", "horizon")
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("err"))).as("sae"), sum(col("err")).as("se"))
+      .select(col("event_type"), col("horizon"), col("n"),
+        Det.rfloor(col("sae").cast("double") / col("n") / 100, 4).as("mae"),
+        Det.rfloor(col("se").cast("double") / col("n") / 100, 4).as("bias"))
+      .orderBy("event_type", "horizon")
   }
 
   /** OHLC RESAMPLE (r8) — the classic downsampling shape: per

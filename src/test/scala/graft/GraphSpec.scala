@@ -494,6 +494,31 @@ class GraphSpec extends SparkSpec {
     assert(t.map(r => r.getLong(1) <= r.getLong(0)).forall(identity))
   }
 
+  test("condensation: quotient DAG matches a driver re-derivation and is acyclic (r9)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = Tables.documents(spark, sfDir)
+    val got = ops.Graph.condensation(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // driver brute: scc ids (trusted — gated by its own test) + edge map
+    val ids = ops.Graph.scc(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = docs.filter(col("doc_id") % 2 === 0).select(
+        (col("doc_id") % 250).as("src"),
+        ((col("doc_id") * 31 + expr("doc_id div 7")) % 250).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(e => e._1 != e._2)
+    val expect = edges.map(e => (ids(e._1), ids(e._2))).filter(p => p._1 != p._2)
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    assert(got === expect, s"first diffs: ${
+      (got.keySet ++ expect.keySet).filter(k => got.get(k) != expect.get(k)).take(3)}")
+    // the quotient of SCCs is acyclic BY THEOREM — a mutual pair here
+    // would mean two components that reach each other, i.e. one SCC
+    assert(!got.keySet.exists { case (a, b) => got.contains((b, a)) },
+      "condensation contains a 2-cycle — SCC quotient must be a DAG")
+    // accounting: cross-component links + intra-component links = all links
+    val intra = edges.count(e => ids(e._1) == ids(e._2)).toLong
+    assert(got.values.sum + intra === edges.length.toLong)
+  }
+
   test("closeness matches a driver-side hop-limited BFS re-derivation (r8)") {
     import org.apache.spark.sql.functions.{col, expr}
     val docs = Tables.documents(spark, sfDir)

@@ -568,6 +568,40 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("holt backtest replays per-horizon errors from the BigInt recursion (r9)") {
+    val got = ops.TimeSeries.holtBacktest(Tables.events(spark, sfDir)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.nonEmpty)
+    def half(x: BigInt): BigInt = if (x >= 0) x / 2 else -((-x + 1) / 2)
+    val types = got.keySet.map(_._1)
+    types.foreach { tpe =>
+      val xs = series(tpe)
+      // replay the recursion, collecting the state per origin
+      var l = BigInt(xs.head); var b = BigInt(0)
+      val state = xs.zipWithIndex.map { case (y, i) =>
+        if (i > 0) {
+          val l2 = half(BigInt(y) + l + b)
+          b = half(l2 - l + b); l = l2
+        }
+        (l, b)
+      }
+      (1 to 3).foreach { h =>
+        val errs = state.indices.dropRight(h).map { t =>
+          BigInt(xs(t + h)) - (state(t)._1 + BigInt(h) * state(t)._2)
+        }
+        val (n, mae, bias) = got((tpe, h.toLong))
+        assert(n === errs.length.toLong, s"n($tpe, h=$h)")
+        assert(mae === rfloor(errs.map(_.abs).sum.toDouble / errs.length / 100, 4),
+          s"mae($tpe, h=$h)")
+        assert(bias === rfloor(errs.sum.toDouble / errs.length / 100, 4),
+          s"bias($tpe, h=$h)")
+      }
+    }
+    // the audit must be non-vacuous: some bias must be nonzero somewhere
+    assert(got.values.exists(_._3 != 0.0))
+  }
+
   test("holt linear smoothing replays the floor-halved recursion in BigInt (r8)") {
     val got = ops.TimeSeries.holtLinear(Tables.events(spark, sfDir)).collect()
     assert(got.nonEmpty)
