@@ -54,6 +54,9 @@ object SparkEntry {
     // time-binned interval overlap join (equi-join on (user, bin), 3×
     // one-side replication, exactly-once matching — no theta BNL)
     "join_interval_overlap" -> ((s, d) => Joins.intervalOverlap(Tables.events(s, d))),
+    // 2-D grid-cell blocking for a within-radius geo join: lossless
+    // pigeonhole cells, exact integer dist² residual (r9)
+    "join_spatial_grid" -> ((s, d) => Joins.spatialGrid(Tables.customer(s, d), Tables.supplier(s, d))),
     // entity resolution: blocking-key candidates + in-block edit distance
     "join_fuzzy_match" -> ((s, d) => Joins.fuzzyMatch(Tables.customer(s, d))),
     // null-safe dim lookup: NULL-key facts land on the designated
@@ -192,6 +195,9 @@ object SparkEntry {
     // --- LLM-pipeline: text analysis ---
     "text_tokenize_wordcount" -> ((s, d) => TextAnalysis.tokenizeWordcount(Tables.documents(s, d))),
     "text_ngrams" -> ((s, d) => TextAnalysis.ngramCounts(Tables.documents(s, d))),
+    // PMI collocations: integer score_key ranking (tfidf discipline),
+    // rfloor'd ln display value (r9)
+    "text_collocations" -> ((s, d) => TextAnalysis.collocations(Tables.documents(s, d))),
     "text_stats_by_lang" -> ((s, d) => TextAnalysis.statsByLang(Tables.documents(s, d))),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
@@ -243,6 +249,9 @@ object SparkEntry {
     "stream_tumbling_batch" -> ((s, d) => Streams.tumblingBatch(Tables.events(s, d))),
     "stream_sliding_batch" -> ((s, d) => Streams.slidingBatch(Tables.events(s, d))),
     "stream_session_batch" -> ((s, d) => Streams.sessionBatch(Tables.events(s, d))),
+    // keyed throttle (one delivery per key per TTL) replayed exactly:
+    // per-key greedy walk against the LAST KEPT event (r9)
+    "stream_throttle_batch" -> ((s, d) => Streams.throttleBatch(Tables.events(s, d))),
     // --- subqueries (Catalyst decorrelation) ---
     "sub_scalar_correlated" -> ((s, d) => Subqueries.scalarCorrelated(s, Tables.customer(s, d))),
     "sub_in_semijoin" -> ((s, d) => Subqueries.inSubquery(s, Tables.customer(s, d), Tables.orders(s, d))),
@@ -530,6 +539,9 @@ object SparkEntry {
     "pipeline_domain_cap" -> ((s, d) => TrainingPrep.domainCap(Tables.documents(s, d))),
     // mT5-style temperature sampling weights per language (alpha = 0.3)
     "pipeline_lang_temperature" -> ((s, d) => TrainingPrep.langTemperature(Tables.documents(s, d))),
+    // stride-scheduled mixture reading order: any prefix holds each lang
+    // to its weight within one stride; all-integer virtual time (r9)
+    "pipeline_interleave_mixture" -> ((s, d) => TrainingPrep.interleaveMixture(Tables.documents(s, d))),
     "pipeline_split_hash" -> ((s, d) => TrainingPrep.splitAssign(Tables.documents(s, d))),
     // leakage-safe split at the GROUP grain: md5(source) so same-site
     // near-dup siblings can never straddle train/eval; doc-level
@@ -663,6 +675,9 @@ object SparkEntry {
     "dq_sequential_gaps" -> ((s, d) => DataQuality.sequentialGaps(
       Tables.orders(s, d).filter(!col("o_orderkey").between(400, 440) &&
         col("o_orderkey") % 53 =!= 3))),
+    // per-(type, ingest-shard) staleness vs the corpus max event time —
+    // the stuck-shard audit behind every watermark advance (r9)
+    "dq_freshness" -> ((s, d) => DataQuality.freshness(Tables.events(s, d))),
     // per-doc eval-overlap stats; the 1/20 flag compares 20·hits ≥ grams
     // in exact integers (r8)
     "pipeline_contamination_report" -> ((s, d) =>
@@ -691,6 +706,9 @@ object SparkEntry {
     "text_readability" -> ((s, d) => TextAnalysis.readability(Tables.documents(s, d))),
     // per-host triangle counts — the local-clustering (link-farm) signal
     "graph_triangles" -> ((s, d) => graft.ops.Graph.triangles(Tables.documents(s, d))),
+    // per-node clustering coefficient: 2T/deg(deg-1) over the shared
+    // undirected graph — the clique-density refinement of triangles (r9)
+    "graph_clustering_coeff" -> ((s, d) => graft.ops.Graph.clusteringCoeff(Tables.documents(s, d))),
     // SemDeDup: cluster-then-prune semantic dedup over the vector corpus
     "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(Corpus.vecCorpus(Tables.embeddings(s, d)))),
     // DSIR importance weights: hashed-feature log-ratio scoring in
@@ -1326,6 +1344,20 @@ object SparkEntry {
         | SELECT c_custkey AS k, c_acctbal AS bal, c_mktsegment AS segment
         | FROM customer WHERE c_custkey % 2 = 1) t
         |ORDER BY k""".stripMargin,
+    /* join_spatial_grid: the oracle is the honest quadratic
+     * cross-filter over the same synthesized integer coordinates —
+     * the grid blocking must be invisible in the answer (lossless
+     * pigeonhole; same discipline as diff_reconciled's verbatim SQL). */
+    "join_spatial_grid" ->
+      """WITH c AS (SELECT c_custkey, (c_custkey * 2654435761) % 10000 AS cx,
+        |  (c_custkey * 40503) % 10000 AS cy FROM customer),
+        |s AS (SELECT s_suppkey, (s_suppkey * 7919) % 10000 AS sx,
+        |  (s_suppkey * 104729) % 10000 AS sy FROM supplier)
+        |SELECT c_custkey, s_suppkey,
+        |  (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) AS dist2
+        |FROM c CROSS JOIN s
+        |WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= 22500
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
     /* join_interval_overlap: the oracle is the plain theta join — exact
      * µs arithmetic (epoch_us ≡ unix_micros), strict < on both bounds
      * (half-open windows: touching intervals do NOT overlap). */
@@ -2045,6 +2077,30 @@ object SparkEntry {
         |   UNION ALL SELECT z FROM tri) t GROUP BY node)
         |SELECT nodes.node, COALESCE(pn.n, 0) AS n_triangles
         |FROM nodes LEFT JOIN pn ON pn.node = nodes.node ORDER BY nodes.node""".stripMargin,
+    /* graph_clustering_coeff: the triangles CTEs plus an undirected
+     * degree CTE; cc = 2T/deg(deg-1) through the rfloor mirror
+     * (floor(v*1e4+0.5)/1e4), deg<2 pinned to 0.0 on both sides. */
+    "graph_clustering_coeff" ->
+      """WITH e0 AS (SELECT DISTINCT doc_id % 200 AS src, (doc_id * 31 + doc_id // 7) % 200 AS dst FROM documents),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0) u),
+        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e0 WHERE src <> dst),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+        |  (SELECT a AS node FROM e UNION ALL SELECT b FROM e) d GROUP BY node),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pn AS (SELECT node, COUNT(*) AS n FROM
+        |  (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        |   UNION ALL SELECT z FROM tri) t GROUP BY node)
+        |SELECT nodes.node, COALESCE(deg.deg, 0) AS deg,
+        |  COALESCE(pn.n, 0) AS n_triangles,
+        |  CASE WHEN COALESCE(deg.deg, 0) >= 2
+        |    THEN floor((2.0 * COALESCE(pn.n, 0)) / (deg.deg * (deg.deg - 1)) * 10000.0 + 0.5) / 10000.0 + 0.0
+        |    ELSE 0.0 END AS coeff
+        |FROM nodes LEFT JOIN deg ON deg.node = nodes.node
+        |LEFT JOIN pn ON pn.node = nodes.node ORDER BY nodes.node""".stripMargin,
     /* pipeline_decontaminate: split CASE = the splitCol md5 law;
      * 13-gram terms generated from the same k the Spark op uses. */
     "pipeline_decontaminate" -> {
@@ -2317,6 +2373,27 @@ object SparkEntry {
       """WITH tok AS (SELECT string_split(text,' ') AS t FROM documents),
         |bg AS (SELECT unnest(list_transform(range(len(t)-1), i -> t[i+1] || ' ' || t[i+2])) AS ngram FROM tok)
         |SELECT ngram, count(*) AS n FROM bg GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 100""".stripMargin,
+    /* text_collocations: the ranking key is the exact integer
+     * (cxy·1e12)//(cx·cy) — ln only appears in the rounded display pmi,
+     * so the top-100 cut can't flap on libm last-ulp differences. */
+    "text_collocations" ->
+      """WITH tok AS (SELECT string_split(text,' ') AS t FROM documents),
+        |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM
+        |  (SELECT unnest(t) AS w FROM tok) u GROUP BY w),
+        |n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n1 FROM uc),
+        |bc AS (SELECT ngram, CAST(count(*) AS BIGINT) AS cxy FROM
+        |  (SELECT unnest(list_transform(range(len(t)-1), i -> t[i+1] || ' ' || t[i+2])) AS ngram FROM tok) b
+        |  GROUP BY ngram),
+        |n2 AS (SELECT CAST(sum(cxy) AS BIGINT) AS n2 FROM bc),
+        |j AS (SELECT ngram, cxy, split_part(ngram, ' ', 1) AS w1,
+        |  split_part(ngram, ' ', 2) AS w2 FROM bc WHERE cxy >= 5)
+        |SELECT j.ngram, j.cxy, a.c AS cx, b.c AS cy,
+        |  (j.cxy * 1000000000000) // (a.c * b.c) AS score_key,
+        |  floor(ln((CAST(j.cxy AS DOUBLE) * n1.n1 * n1.n1) /
+        |    (CAST(n2.n2 AS DOUBLE) * a.c * b.c)) * 10000.0 + 0.5) / 10000.0 + 0.0 AS pmi
+        |FROM j JOIN uc a ON a.w = j.w1 JOIN uc b ON b.w = j.w2
+        |CROSS JOIN n1 CROSS JOIN n2
+        |ORDER BY score_key DESC, j.ngram ASC LIMIT 100""".stripMargin,
     "text_stats_by_lang" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(SUM(n_chars) AS DOUBLE)/count(n_chars) AS avg_chars,
@@ -2758,6 +2835,21 @@ object SparkEntry {
         | floor((CAST(c1 AS DOUBLE)/1.0 + CAST(c2 AS DOUBLE)/2.0
         |   + CAST(c3 AS DOUBLE)/3.0 + CAST(c4 AS DOUBLE)/4.0) * 1e6 + 0.5)/1e6 AS harmonic
         |FROM p ORDER BY node""".stripMargin,
+    /* dq_freshness: staleness vs the corpus max event time — all-integer
+       epoch-µs arithmetic (// floor division on non-negative lags), the
+       same 6h/24h CASE buckets. */
+    "dq_freshness" ->
+      """WITH s AS (SELECT event_type, user_id % 20 AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events, MAX(epoch_us(ts)) AS max_us
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT MAX(max_us) AS g_us FROM s)
+        |SELECT event_type, shard, n_events,
+        |  max_us // 1000000 AS last_seen_s,
+        |  (g_us - max_us) // 60000000 AS lag_min,
+        |  CASE WHEN (g_us - max_us) // 60000000 < 360 THEN 'fresh'
+        |       WHEN (g_us - max_us) // 60000000 < 1440 THEN 'lagging'
+        |       ELSE 'stale' END AS staleness
+        |FROM s CROSS JOIN g ORDER BY event_type, shard""".stripMargin,
     /* dq_sequential_gaps: global naive lead-window gaps and the bucketed
        form agree by construction; the oracle runs the bucketed law
        verbatim (the equivalence to the naive form is a spec law). */
@@ -2903,6 +2995,25 @@ object SparkEntry {
         | min(ts_us) AS start_us, max(ts_us) AS end_us,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    /* stream_throttle_batch: the rn+1 recursive CTE threads the same
+     * last-KEPT state the Spark aggregate HOF carries — the holt
+     * recursion shape applied to the greedy throttle walk. */
+    "stream_throttle_batch" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_type, event_id,
+        |  epoch_us(ts) AS ts_us,
+        |  CAST(row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rn FROM events),
+        |walk(user_id, event_type, rn, event_id, ts_us, last_us, keep) AS (
+        |  SELECT user_id, event_type, rn, event_id, ts_us, ts_us, TRUE
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.user_id, d.event_type, d.rn, d.event_id, d.ts_us,
+        |    CASE WHEN d.ts_us - w.last_us >= 259200000000 THEN d.ts_us ELSE w.last_us END,
+        |    d.ts_us - w.last_us >= 259200000000
+        |  FROM walk w JOIN e d ON d.user_id = w.user_id
+        |    AND d.event_type = w.event_type AND d.rn = w.rn + 1)
+        |SELECT user_id, event_type, event_id, ts_us FROM walk WHERE keep
+        |ORDER BY user_id, event_type, ts_us, event_id""".stripMargin,
     "text_chunk" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS tok FROM documents),
         |c AS (SELECT doc_id, tok,
@@ -4172,6 +4283,17 @@ object SparkEntry {
         | floor(a_units * 10000.0 / a_tot + 0.5) / 10000.0 + 0.0 AS weight,
         | floor(a_units * 1.0 / a_tot * nn / n * 10000.0 + 0.5) / 10000.0 + 0.0 AS boost
         |FROM s ORDER BY lang""".stripMargin,
+    /* pipeline_interleave_mixture: virtual time = rn · (2520 // weight),
+     * all integers; the order is a sort key, never a global rank. */
+    "pipeline_interleave_mixture" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, rn,
+        |  rn * (CASE lang WHEN 'en' THEN 504 WHEN 'zh' THEN 1260
+        |        WHEN 'de' THEN 2520 WHEN 'es' THEN 2520 WHEN 'fr' THEN 2520
+        |        ELSE 2520 END) AS vt
+        |FROM r ORDER BY vt, lang ASC NULLS LAST, doc_id""".stripMargin,
     "pipeline_domain_cap" ->
       """WITH t AS (SELECT doc_id, source, string_split(text,' ') AS tok FROM documents),
         |q AS (SELECT doc_id, source,

@@ -83,6 +83,54 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("ngram").asc)
       .limit(100)
 
+  /** PMI COLLOCATIONS (r9) — the corpus-linguistics staple: bigrams
+    * whose words co-occur far more than their unigram frequencies
+    * predict (pmi = ln(c_xy·N1² / (N2·c_x·c_y))), the signal behind
+    * multi-word-expression vocab entries, tokenizer merge seeding, and
+    * boilerplate-phrase detection. `minCount` drops the hapax tail
+    * (PMI is noise-maximal at c_xy=1 — a classic failure mode).
+    *
+    * Ranking discipline is [[tfidf]]'s: the ORDER key is the exact
+    * integer `(c_xy·10¹²) div (c_x·c_y)` (order-equivalent to PMI for
+    * fixed N1/N2 since ln is monotone), so the top-k cut can never
+    * flap on a cross-engine libm last-ulp; the emitted pmi is the
+    * rfloor(ln·,4) display value. The 10¹² scale bounds c_xy ≤ 9·10⁶
+    * before BIGINT overflow — past that, stage the division
+    * ((c_xy·10⁶ div c_x)·10⁶ div c_y), same determinism.
+    *
+    * Plan: token mass shuffles once per vocabulary aggregate (unigram +
+    * bigram — both map-side combining); the survivor frame after
+    * minCount is collocation-sized and the two unigram joins are
+    * vocab-keyed hash joins. Final top-k is sort-limit
+    * (TakeOrderedAndProject), never a partition-less window. */
+  def collocations(documents: DataFrame, minCount: Long = 5, topK: Int = 100): DataFrame = {
+    val tok = documents.select(TextOps.tokens(col("text")).as("t"))
+      .localCheckpoint(eager = false) // unigram AND bigram passes scan it
+    val uni = tok.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // totaled once, joined twice
+    val n1 = uni.agg(sum(col("c")).as("n1"))
+    val big = tok.select(explode(TextOps.bigrams(col("t"))).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cxy"))
+      .localCheckpoint(eager = false) // totaled AND filtered
+    val n2 = big.agg(sum(col("cxy")).as("n2"))
+    big.filter(col("cxy") >= minCount)
+      // tokens are whitespace-split, so the bigram's single interior
+      // space splits it back losslessly (oracle: split_part)
+      .withColumn("w1", substring_index(col("ngram"), " ", 1))
+      .withColumn("w2", substring_index(col("ngram"), " ", -1))
+      .join(uni.select(col("w").as("w1"), col("c").as("cx")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("cy")), "w2")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("ngram"), col("cxy"), col("cx"), col("cy"),
+        expr("(cxy * 1000000000000) div (cx * cy)").as("score_key"),
+        graft.ops.Det.rfloor(
+          log((col("cxy").cast("double") * col("n1") * col("n1")) /
+            (col("n2").cast("double") * col("cx") * col("cy"))), 4).as("pmi"))
+      .orderBy(col("score_key").desc, col("ngram").asc)
+      .limit(topK)
+  }
+
   /** Per-language document stats (count, avg chars, distinct sources). */
   def statsByLang(documents: DataFrame): DataFrame =
     documents

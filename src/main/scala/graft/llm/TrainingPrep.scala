@@ -602,6 +602,49 @@ object TrainingPrep {
     * repo's other rounded-transcendental sites (ln, log10). Scale
     * shape: one lang-count aggregate (map-side partial); everything
     * after runs on the ≤|langs|-row frame. */
+  /** STRIDE-SCHEDULED MIXTURE INTERLEAVE (r9) — the reader-side
+    * realization of a mixture spec (the weights [[langTemperature]]
+    * computes): emit a deterministic global reading order in which any
+    * prefix holds each language in proportion to its weight, to within
+    * one stride — the classic stride-scheduling bound (Waldspurger &
+    * Weihl, OSDI '94), the same arithmetic as WFQ packet scheduling.
+    * A trainer streaming this order sees the committed mixture from
+    * step one, instead of whatever the shard layout happened to serialize
+    * (the failure mode: a corpus sorted by source front-loads one
+    * distribution and the early loss curve trains on it).
+    *
+    * Mechanism: per language, rn = arrival index (row_number by doc_id,
+    * a PARTITIONED window); virtual time vt = rn · (STRIDE div w). The
+    * global order is (vt, lang, doc_id) — pure per-row arithmetic, all
+    * integers (weights divide STRIDE=2520 = lcm(1..10), so the stride is
+    * exact). NO global window: the order is emitted as a sort key, the
+    * reader's `ORDER BY` — a sort, not a single-task rank. The
+    * prefix-share law (per-prefix deviation ≤ 1 stride until a language
+    * exhausts) is property-tested in PipelineSpec.
+    *
+    * Plan: one partitioned window per language slice + a map-side CASE —
+    * the only exchanges are the lang hash-partition and the presentation
+    * sort. At 100 TB the schedule never materializes a global rank. */
+  def interleaveMixture(documents: DataFrame,
+      weights: Map[String, Int] = Map("en" -> 5, "zh" -> 2, "de" -> 1, "es" -> 1, "fr" -> 1)
+  ): DataFrame = {
+    val stride = 2520 // lcm(1..10): every weight ≤ 10 divides it exactly
+    require(weights.values.forall(w => w >= 1 && w <= 10 && stride % w == 0),
+      s"weights must be in [1,10] (divide $stride): $weights")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+    // the per-lang PASS (stride div weight) folds to a plan-time CASE of
+    // exact integer literals — no runtime division at all
+    val passCase = weights.foldLeft(lit(stride.toLong)) { case (acc, (l, wt)) =>
+      when(col("lang") === l, lit((stride / wt).toLong)).otherwise(acc)
+    }
+    documents
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("vt", col("rn") * passCase)
+      .orderBy(col("vt").asc, col("lang").asc_nulls_last, col("doc_id").asc)
+  }
+
   def langTemperature(documents: DataFrame, alpha: Double = 0.3): DataFrame = {
     val counts = documents.groupBy("lang").agg(count(lit(1)).as("n"))
     val withTotals = counts.crossJoin(broadcast(counts.agg(sum(col("n")).as("nn"))))

@@ -423,4 +423,42 @@ object DataQuality {
         ((col("b") + 1) * width - 1 - col("last_key")).as("trail_missing"))
       .orderBy("bucket")
   }
+
+  /** INGEST FRESHNESS AUDIT (r9) — per (event_type, ingest shard), how
+    * far behind the freshest data in the corpus that slice's newest
+    * event sits. The audit every multi-shard ingest runs before
+    * advancing a watermark or publishing a snapshot: one stuck shard
+    * holds the GLOBAL watermark back ([[graft.streaming.Streams]]
+    * late-events semantics), and this table names it. The reference
+    * point is the corpus max event time, NOT wall clock — deterministic
+    * and replayable (an audit keyed to now() can never be re-verified).
+    *
+    * Shards are synthesized as `user_id % nShards` (the fixture has no
+    * shard column; a real ingest passes its own). Output per slice:
+    * event count, last-seen epoch second, minutes behind the corpus
+    * max (exact integer floor division — no float), and the staleness
+    * bucket an alerting rule keys on (fresh < 6 h, lagging < 24 h,
+    * stale beyond).
+    *
+    * Plan: one map-side-combining aggregate to the (type × shard) grain
+    * — the exchange carries nShards·|types| partial rows, never events —
+    * then the corpus max joins back as a broadcast 1-row scalar (the
+    * allowed BNLJ-1-row class). At 100 TB this is a map-mostly scan
+    * whose output is alert-table sized. */
+  def freshness(events: DataFrame, nShards: Int = 20): DataFrame = {
+    val perSlice = events
+      .groupBy(col("event_type"), (col("user_id") % nShards).as("shard"))
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_micros(col("ts"))).as("max_us"))
+    val global = perSlice.agg(max(col("max_us")).as("g_us"))
+    perSlice.crossJoin(broadcast(global))
+      .select(col("event_type"), col("shard"), col("n_events"),
+        expr("max_us div 1000000").as("last_seen_s"),
+        expr("(g_us - max_us) div 60000000").as("lag_min"))
+      .withColumn("staleness",
+        when(col("lag_min") < 360, "fresh")
+          .when(col("lag_min") < 1440, "lagging")
+          .otherwise("stale"))
+      .orderBy("event_type", "shard")
+  }
 }

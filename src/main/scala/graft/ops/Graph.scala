@@ -322,6 +322,45 @@ object Graph {
       .orderBy("node")
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT (r9) — per node, how close its
+    * neighborhood is to a clique: cc = 2·T(v) / (deg(v)·(deg(v)−1)) over
+    * the UNDIRECTED distinct-neighbor graph, the per-node refinement of
+    * [[triangles]] (which counts T(v) but says nothing about how many
+    * wedges COULD have closed). The signal a crawl pipeline reads from
+    * it: link farms and mirror clusters sit near cc=1 (everyone links to
+    * everyone), organic hubs near 0 — the within-neighborhood density
+    * complement to the in-degree-tail spam signal in [[degreeStats]].
+    *
+    * Plan: the wedge/close joins are exactly [[trianglesFromEdges]]
+    * (degree-ordered orientation, each triangle counted once from every
+    * vertex via the 3-way explode); the undirected degree frame is
+    * node-sized and joins back broadcast. cc is an integer ratio
+    * (2T / deg·(deg−1)) emitted through Det.rfloor — no float enters
+    * the comparison until the final rounded column; deg<2 nodes (no
+    * possible wedge) emit 0.0 by definition rather than NULL, because a
+    * quality filter thresholds cc and an isolated host is "not clique-y",
+    * not "unknown". Everything is node- or wedge-bounded; the triangle
+    * core's m^{3/2} contract is the binding cost (measured on the
+    * graphOnly ladder). */
+  def clusteringCoeff(documents: DataFrame, nNodes: Int = 200): DataFrame = {
+    val (edges, nodes) = linkGraph(documents, nNodes)
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    trianglesFromEdges(edges, nodes)
+      .join(broadcast(deg), Seq("node"), "left_outer")
+      .select(col("node"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        col("n_triangles"),
+        when(coalesce(col("deg"), lit(0L)) >= 2,
+          Det.rfloor((lit(2.0) * col("n_triangles")) / (col("deg") * (col("deg") - 1)), 4))
+          .otherwise(lit(0.0)).as("coeff"))
+      .orderBy("node")
+  }
+
   /** Host SIMILARITY by shared out-neighbors (co-citation Jaccard):
     * two hosts that link to the same targets serve related content —
     * the "same-publisher / mirror-site" signal a crawl pipeline uses to

@@ -182,6 +182,52 @@ object Joins {
       .orderBy("s_id")
   }
 
+  /** GRID-BUCKETED SPATIAL JOIN (r9) — the 2-D generalization of
+    * [[thetaRangeBucketed]]'s band trick, the shape every geo
+    * within-radius join takes at scale (geohash / S2-cell blocking):
+    * pairs within Euclidean radius r of each other, found by an
+    * EQUI-join on r-sized grid cells instead of a theta BNL. One side
+    * carries its one home cell; the other probes its 3×3 cell
+    * neighborhood (bounded 9× replication of the SMALLER side — the
+    * composite-key replication rule from [[intervalOverlap]]). Any pair
+    * within r is within one cell step in each axis, so the blocking is
+    * LOSSLESS (pigeonhole on the r-sized grid); the exact integer
+    * distance² filter then rejects corner candidates. No float enters
+    * the predicate: coordinates, cells and dist² are all BIGINT.
+    *
+    * The fixture has no geometry, so coordinates are synthesized
+    * deterministically from the keys (multiplicative hashing onto a
+    * 10000×10000 grid — the urlDedup/linkGraph synthesis discipline),
+    * mirrored verbatim by the oracle, whose join is the honest
+    * quadratic cross-filter. At 100 TB: shuffle keyed by cell, per-cell
+    * density bounds the fan-out (the skew dial is cell size, exactly
+    * the bucket-grain dial of `diff_bucket_reconcile`). */
+  def spatialGrid(customer: DataFrame, supplier: DataFrame, radius: Long = 150L): DataFrame = {
+    val size = 10000L
+    // the packed cell id strides y-cells by 1000: keep the axis cell
+    // count (plus the ±1 probe margin) inside one stride
+    require(radius > 0 && size / radius + 2 < 1000L,
+      s"radius $radius out of range for the $size grid / 1000 stride")
+    val cust = customer.select(col("c_custkey"),
+      ((col("c_custkey") * 2654435761L) % size).as("cx"),
+      ((col("c_custkey") * 40503L) % size).as("cy"))
+      .withColumn("cell",
+        (expr(s"cx div $radius") * 1000L) + expr(s"cy div $radius"))
+    val supp = supplier.select(col("s_suppkey"),
+      ((col("s_suppkey") * 7919L) % size).as("sx"),
+      ((col("s_suppkey") * 104729L) % size).as("sy"))
+    val probes = supp.withColumn("cell", explode(array(
+      (for { dx <- -1 to 1; dy <- -1 to 1 } yield
+        (expr(s"sx div $radius") + dx) * 1000L + (expr(s"sy div $radius") + dy)): _*)))
+    cust.join(probes, Seq("cell"))
+      .filter((col("cx") - col("sx")) * (col("cx") - col("sx"))
+        + (col("cy") - col("sy")) * (col("cy") - col("sy")) <= radius * radius)
+      .select(col("c_custkey"), col("s_suppkey"),
+        ((col("cx") - col("sx")) * (col("cx") - col("sx"))
+          + (col("cy") - col("sy")) * (col("cy") - col("sy"))).as("dist2"))
+      .orderBy("c_custkey", "s_suppkey")
+  }
+
   /** Nearest as-of join — pandas `merge_asof(direction='nearest')`,
     * completing the family ([[asOf]] backward, forward + tolerance
     * variants registered separately): for each purchase event, the

@@ -162,6 +162,48 @@ object Streams {
     events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** KEYED THROTTLE replayed exactly in batch (r9) — the rate-limiter
+    * every notification/alerting stream runs as stateful
+    * mapGroupsWithState ("at most one delivery per key per TTL"): per
+    * (user, event_type) in (event time, id) order, keep the first
+    * event, then each event at least `ttl` after the LAST KEPT one.
+    * The recurrence depends on the last KEPT element — not the previous
+    * row — so no window/lag form expresses it; it is a linear scan per
+    * key, exactly the state a streaming throttle carries (one timestamp
+    * per key — bounded, with the TTL itself as the eviction story).
+    *
+    * Batch realization: per-key sorted array + a codegen'd `aggregate`
+    * HOF carrying (last_kept, kept[]) — the holtLinear per-series-scan
+    * discipline; per-key state is bounded by events-per-key (the
+    * sessionBatch grain). All comparisons in integer µs. The oracle is
+    * a rn+1 recursive CTE threading the same last-kept state (the holt
+    * recursion shape) — both sides replay the identical greedy walk.
+    *
+    * Scale: one hash exchange to the key grain (map-side collect_list
+    * partials), then per-row HOF work — no iteration, no driver state;
+    * key cardinality bounds memory exactly as the streaming twin's
+    * state store does. */
+  def throttleBatch(events: DataFrame, ttlHours: Int = 72): DataFrame = {
+    val ttlUs = ttlHours * 3600L * 1000000L
+    events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .groupBy("user_id", "event_type")
+      .agg(array_sort(collect_list(struct(col("ts_us"), col("event_id")))).as("evs"))
+      .select(col("user_id"), col("event_type"),
+        explode(expr(
+          s"""aggregate(evs,
+             |  named_struct('last_us', cast(-1 as bigint),
+             |    'kept', cast(array() as array<struct<ts_us: bigint, event_id: bigint>>)),
+             |  (acc, e) -> IF(acc.last_us < 0 OR e.ts_us - acc.last_us >= $ttlUs,
+             |    named_struct('last_us', e.ts_us, 'kept', array_append(acc.kept, e)),
+             |    acc),
+             |  acc -> acc.kept)""".stripMargin)).as("e"))
+      .select(col("user_id"), col("event_type"),
+        col("e.event_id").as("event_id"), col("e.ts_us").as("ts_us"))
+      .orderBy("user_id", "event_type", "ts_us", "event_id")
+  }
+
   /** Per-user running state for [[flatMapUserStats]]. */
   final case class UserState(nEvents: Long, sumValue: Double, maxValue: Double)
   final case class UserUpdate(user_id: Long, n_events: Long, sum_value: Double,

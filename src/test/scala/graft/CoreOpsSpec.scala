@@ -640,6 +640,51 @@ class CoreOpsSpec extends SparkSpec {
     }
   }
 
+  test("spatial grid join: cell blocking is lossless vs the brute cross-filter (r9)") {
+    val cust = Tables.customer(spark, sfDir)
+    val supp = Tables.supplier(spark, sfDir)
+    val got = ops.Joins.spatialGrid(cust, supp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cs = cust.select("c_custkey").collect().map(_.getLong(0))
+    val ss = supp.select("s_suppkey").collect().map(_.getLong(0))
+    val expect = (for {
+      ck <- cs.toSeq
+      sk <- ss.toSeq
+      cx = (ck * 2654435761L) % 10000
+      cy = (ck * 40503L) % 10000
+      sx = (sk * 7919L) % 10000
+      sy = (sk * 104729L) % 10000
+      d2 = (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)
+      if d2 <= 150L * 150L
+    } yield (ck, sk, d2)).sortBy(t => (t._1, t._2))
+    assert(got.toSeq === expect)
+    assert(got.nonEmpty, "no pairs within radius — vacuous fixture")
+  }
+
+  test("freshness audit: per-slice lag replays from raw events, buckets respect the thresholds (r9)") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val got = ops.DataQuality.freshness(Tables.events(spark, sfDir)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    val raw = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1) % 20, r.getLong(2)))
+    val slices = raw.groupBy(e => (e._1, e._2))
+    val gUs = raw.map(_._3).max
+    assert(got.map(g => (g._1, g._2)).toSet === slices.keySet)
+    got.foreach { case (typ, shard, n, lastS, lagMin, bucket) =>
+      val us = slices((typ, shard)).map(_._3)
+      assert(n === us.length.toLong, s"n@$typ/$shard")
+      assert(lastS === us.max / 1000000L)
+      assert(lagMin === (gUs - us.max) / 60000000L)
+      val expect = if (lagMin < 360) "fresh" else if (lagMin < 1440) "lagging" else "stale"
+      assert(bucket === expect, s"bucket@$typ/$shard")
+    }
+    // lag is measured against the corpus max, so at least one slice is
+    // exactly current — the audit's fixed point
+    assert(got.exists(_._5 === 0L), "no slice at lag 0 — reference point broken")
+  }
+
   test("sequential-gaps audit: bucket rows replay from raw keys and encode the naive gap list losslessly (r8)") {
     import org.apache.spark.sql.functions.col
     // driver orderkeys are dense — same extract-defect fixture as the

@@ -519,6 +519,42 @@ class GraphSpec extends SparkSpec {
     assert(got.values.sum + intra === edges.length.toLong)
   }
 
+  test("clustering coefficient: 2T/deg(deg-1) replays from the undirected edge set (r9)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = Tables.documents(spark, sfDir)
+    val rows = ops.Graph.clusteringCoeff(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val edges = docs.select(
+        (col("doc_id") % 200).as("src"),
+        ((col("doc_id") * 31 + expr("doc_id div 7")) % 200).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = und.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    assert(rows.map(_._1).toSeq === nodes.toSeq) // coverage + node order
+    rows.foreach { case (node, deg, tri, coeff) =>
+      val nbrs = adj.getOrElse(node, Set.empty[Long])
+      assert(deg === nbrs.size.toLong, s"deg@$node")
+      val t = nbrs.toSeq.combinations(2).count {
+        case Seq(a, b) => adj(a).contains(b)
+        case _ => false
+      }
+      assert(tri === t.toLong, s"tri@$node")
+      val expect =
+        if (deg < 2) 0.0
+        else math.floor(2.0 * t / (deg * (deg - 1)) * 10000.0 + 0.5) / 10000.0
+      assert(coeff === expect, s"coeff@$node")
+      assert(coeff >= 0.0 && coeff <= 1.0)
+    }
+    // triangle column agrees with the standalone triangles operator —
+    // same core, pinned so a refactor of either can't drift them apart
+    val triOp = ops.Graph.triangles(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (node, _, tri, _) => assert(triOp(node) === tri) }
+  }
+
   test("closeness matches a driver-side hop-limited BFS re-derivation (r8)") {
     import org.apache.spark.sql.functions.{col, expr}
     val docs = Tables.documents(spark, sfDir)

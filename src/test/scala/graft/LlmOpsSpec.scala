@@ -152,6 +152,37 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("collocations: integer-ranked PMI top-100 replays from a driver tokenization (r9)") {
+    val rows = TextAnalysis.collocations(documents).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty, "vacuous fixture: no bigram reached minCount")
+    val toks = documents.select("text").collect()
+      .map(_.getString(0).split(" ", -1).toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val n1 = uni.values.sum
+    val bc = toks.flatMap(t => t.sliding(2).filter(_.length == 2).map(p => p(0) + " " + p(1)))
+      .groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
+    val n2 = bc.values.sum
+    val expect = bc.toSeq.filter(_._2 >= 5).map { case (g, cxy) =>
+      val i = g.indexOf(' ') // tokens carry no spaces: the single interior space
+      val (w1, w2) = (g.substring(0, i), g.substring(i + 1))
+      val (cx, cy) = (uni(w1), uni(w2))
+      val key = cxy * 1000000000000L / (cx * cy)
+      val pmi = math.floor(math.log(cxy.toDouble * n1 * n1 / (n2.toDouble * cx * cy))
+        * 10000.0 + 0.5) / 10000.0
+      (g, cxy, cx, cy, key, pmi)
+    }.sortBy(t => (-t._5, t._1)).take(100)
+    assert(rows.toSeq === expect)
+    // monotone-ln law: a strictly larger integer key can undercut the
+    // displayed pmi only by floor slack (one key unit + one rounding step)
+    rows.sliding(2).foreach {
+      case Array(a, b) if a._5 > b._5 => assert(a._6 >= b._6 - 2e-4,
+        s"pmi inversion across key order: $a vs $b")
+      case _ =>
+    }
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     val fp = TextAnalysis.fingerprint(documents).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val fp2 = TextAnalysis.fingerprint(documents).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -400,6 +400,39 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("interleave mixture: exact stride replay and the prefix-share bound (r9)") {
+    val weights = Map("en" -> 5, "zh" -> 2, "de" -> 1, "es" -> 1, "fr" -> 1)
+    val rows = graft.llm.TrainingPrep.interleaveMixture(Tables.documents(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // exact replay: per-lang arrival index, vt = rn · (2520 div w)
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (l, xs) =>
+      val pass = 2520L / weights.getOrElse(l, 1)
+      xs.map(_._1).sorted.zipWithIndex.map { case (id, i) =>
+        (id, l, (i + 1).toLong, (i + 1) * pass)
+      }
+    }.sortBy(t => (t._4, t._2, t._1))
+    assert(rows.toSeq === expect)
+    // stride-scheduling law: until the first language exhausts, every
+    // prefix holds each language within ~one slot of its weighted share
+    val byLang = docs.groupBy(_._2).map { case (l, xs) => l -> xs.length }
+    val wTot = weights.values.sum
+    val firstExhaust = byLang.map { case (l, n) =>
+      n.toLong * wTot / weights.getOrElse(l, 1)
+    }.min.toInt min rows.length
+    val langsSeq = rows.map(_._2)
+    var maxDev = 0.0
+    for (k <- 1 to firstExhaust) {
+      val prefix = langsSeq.take(k)
+      weights.foreach { case (l, w) =>
+        val dev = math.abs(prefix.count(_ == l) - k.toDouble * w / wTot)
+        maxDev = math.max(maxDev, dev)
+      }
+    }
+    assert(maxDev <= 1.5 + 1e-9, s"prefix-share deviation $maxDev exceeds the stride bound")
+  }
+
   test("dataset card: facets reconcile with their standalone computations") {
     val documents = Tables.documents(spark, sfDir)
     val card = graft.llm.TrainingPrep.datasetCard(documents).collect()

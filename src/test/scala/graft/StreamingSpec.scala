@@ -103,6 +103,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("throttle batch: per-key greedy walk replays against the LAST KEPT event (r9)") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val ttlUs = 72L * 3600L * 1000000L
+    val got = Streams.throttleBatch(Tables.events(spark, sfDir)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val raw = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expect = raw.groupBy(e => (e._1, e._2)).toSeq.flatMap { case (_, evs) =>
+      val sorted = evs.sortBy(e => (e._4, e._3))
+      var lastKept = Long.MinValue
+      sorted.filter { e =>
+        val keep = lastKept == Long.MinValue || e._4 - lastKept >= ttlUs
+        if (keep) lastKept = e._4
+        keep
+      }
+    }.sortBy(e => (e._1, e._2, e._4, e._3))
+    assert(got.toSeq === expect.toSeq)
+    // throttle contract: kept events per key are >= ttl apart, and the
+    // walk actually drops something (non-vacuous fixture)
+    got.groupBy(e => (e._1, e._2)).values.foreach { ks =>
+      ks.map(_._4).sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b - a >= ttlUs, "kept events closer than ttl")
+        case _ =>
+      }
+    }
+    assert(got.length < raw.length, "throttle kept everything — vacuous fixture")
+  }
+
   test("flatMapGroupsWithState accumulates per-user state across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
