@@ -703,6 +703,52 @@ object ScaleSmoke {
       return
     }
 
+    // optional fifth arg "r9bOnly": the second r9 operator batch's
+    // scale claims, measured:
+    //  - freshness under event growth: the agg exchange carries
+    //    (type × shard) partial slices per task, so shuffle_records
+    //    must stay ~FLAT while events grow factor× (the rulesAudit
+    //    bounded-exchange class);
+    //  - throttleBatch under event growth: ONE hash exchange to the key
+    //    grain (collect_list partials) — records ≈ events, LINEAR,
+    //    never pair-shaped; per-key state grows but stays key-bounded
+    //    (the streaming state-store analogy);
+    //  - spatialGrid under point growth: the cell equi-join's exchange
+    //    is inputs + 9× the probing (smaller) side — LINEAR in points;
+    //    the within-radius ANSWER grows ~density² (a true property of
+    //    the question, not the plan), so the smoke radius is 15 to keep
+    //    the presentation sort answer-bounded and the input linearity
+    //    visible in the records;
+    //  - collocations under doc growth: token mass shuffles once per
+    //    vocabulary aggregate — records ~ tokens (linear), the
+    //    tfidf/wordcount exchange class; the survivor join legs are
+    //    vocab-bounded.
+    if (args.lift(4).contains("r9bOnly")) {
+      val events = graft.Tables.events(spark, sfDir)
+      val repEv = (0 until factor).map(i =>
+          events.withColumn("event_id", col("event_id") + lit(i * 100000000L)))
+        .reduce(_ unionByName _).localCheckpoint()
+      val nEv = repEv.count()
+      time(s"freshness_e$nEv")(graft.ops.DataQuality.freshness(repEv))
+      time(s"throttle_e$nEv")(graft.streaming.Streams.throttleBatch(repEv))
+      val cust = graft.Tables.customer(spark, sfDir)
+      val supp = graft.Tables.supplier(spark, sfDir)
+      val repCust = (0 until factor).map(i =>
+          cust.withColumn("c_custkey", col("c_custkey") + lit(i * 20000000L)))
+        .reduce(_ unionByName _).localCheckpoint()
+      val repSupp = (0 until factor).map(i =>
+          supp.withColumn("s_suppkey", col("s_suppkey") + lit(i * 20000000L)))
+        .reduce(_ unionByName _).localCheckpoint()
+      val nPts = repCust.count() + repSupp.count()
+      time(s"spatial_grid_p$nPts")(
+        graft.ops.Joins.spatialGrid(repCust, repSupp, radius = 15L))
+      val repDocs = spark.read.parquet(path).localCheckpoint()
+      val nRep = repDocs.count()
+      time(s"collocations_d$nRep")(graft.llm.TextAnalysis.collocations(repDocs))
+      spark.stop()
+      return
+    }
+
     // optional fifth arg "orderedOnly": the production ordering
     // (exact → containment-prefix on survivors, one operator) vs RAW
     // prefix-containment on the duplicate-heavy replicated corpus —
