@@ -599,6 +599,9 @@ object SparkEntry {
     "ts_rolling_anomaly" -> ((s, d) => TimeSeries.rollingAnomaly(Tables.events(s, d))),
     // α=1/2 depth-8 truncated EMA: power-of-two weights → exact integers
     "ts_ema" -> ((s, d) => TimeSeries.ema8(Tables.events(s, d))),
+    // SMA crossover (golden/death): sign via exact integer
+    // cross-multiplication, never a float comparison (r9)
+    "ts_sma_cross" -> ((s, d) => TimeSeries.smaCross(Tables.events(s, d))),
     // OHLC candles per (user, 30-min bucket): arg-min/arg-max open and
     // close via the min-struct draw, raw doubles pass through (r8)
     "ts_resample_ohlc" -> ((s, d) => TimeSeries.resampleOhlc(Tables.events(s, d))),
@@ -695,6 +698,9 @@ object SparkEntry {
     // double accumulators are shuffle-order-dependent — these are not)
     "agg_skew_kurtosis" -> ((s, d) => Aggregates.skewKurtosis(Tables.lineitem(s, d))),
     // Gini of per-customer spend within nation, rank-weighted exact form
+    // decile lift/gains table over the distributed global-ntile core —
+    // the propensity-scorer eval readout (r9)
+    "agg_decile_lift" -> ((s, d) => Aggregates.decileLift(Tables.events(s, d))),
     "agg_gini" -> ((s, d) => Aggregates.giniSpend(
       Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
     // global token-budget cut via the two-phase histogram (bounded-bucket
@@ -1812,6 +1818,26 @@ object SparkEntry {
         | floor(zv*1e4 + 0.5)/1e4 AS z,
         | CAST(zv IS NOT NULL AND abs(zv) > 2 AS BIGINT) AS is_anomaly
         |FROM zz ORDER BY event_type, day""".stripMargin,
+    /* ts_sma_cross: the above/below state is sum_s·cnt_l vs sum_l·cnt_s
+     * — exact integer cross-multiplication, no float predicate. */
+    "ts_sma_cross" ->
+      """WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  CAST(SUM(CAST(CAST(value*100 AS DECIMAL(18,0)) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, day,
+        |  CAST(SUM(cents) OVER ws AS BIGINT) AS sum_s, CAST(COUNT(*) OVER ws AS BIGINT) AS cnt_s,
+        |  CAST(SUM(cents) OVER wl AS BIGINT) AS sum_l, CAST(COUNT(*) OVER wl AS BIGINT) AS cnt_l
+        | FROM daily WINDOW
+        |  ws AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+        |  wl AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT *, CASE WHEN sum_s * cnt_l > sum_l * cnt_s THEN 1 ELSE 0 END AS above,
+        |  lag(CASE WHEN sum_s * cnt_l > sum_l * cnt_s THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY event_type ORDER BY day) AS prev_above FROM r)
+        |SELECT event_type, day,
+        |  CASE WHEN above = 1 THEN 'golden' ELSE 'death' END AS direction,
+        |  sum_s * cnt_l - sum_l * cnt_s AS margin
+        |FROM s WHERE prev_above IS NOT NULL AND above <> prev_above
+        |ORDER BY event_type, day""".stripMargin,
     "ts_ema" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -1981,6 +2007,25 @@ object SparkEntry {
         | floor(m3/(m2*sqrt(m2))*1e6 + 0.5)/1e6 AS skewness,
         | floor((m4/(m2*m2) - 3.0)*1e6 + 0.5)/1e6 AS kurtosis
         |FROM c ORDER BY l_returnflag""".stripMargin,
+    /* agg_decile_lift: plain ntile implements the identical exact
+     * first-n%k-buckets-get-ceil arithmetic as the distributed
+     * globalNtile core; rates/lift through the rfloor mirror. */
+    "agg_decile_lift" ->
+      """WITH u AS (SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type <> 'purchase'
+        |    THEN CAST(floor(value*100+0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS score_cents,
+        |  CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15
+        |    THEN 1 ELSE 0 END AS label
+        |  FROM events GROUP BY user_id),
+        |b AS (SELECT *, CAST(ntile(10) OVER (ORDER BY score_cents DESC, user_id) AS BIGINT) AS decile FROM u),
+        |p AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(label) AS BIGINT) AS n_pos FROM b GROUP BY decile),
+        |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS tot_n,
+        |  CAST(sum(n_pos) AS BIGINT) AS tot_pos FROM p)
+        |SELECT decile, n_users, n_pos,
+        | floor(n_pos*1.0/n_users*10000+0.5)/10000+0.0 AS pos_rate,
+        | floor((n_pos*1.0/n_users)/(tot_pos*1.0/tot_n)*10000+0.5)/10000+0.0 AS lift
+        |FROM p CROSS JOIN t ORDER BY decile""".stripMargin,
     "agg_gini" ->
       """WITH spend AS (
         |  SELECT o_custkey, SUM(CAST(CAST(o_totalprice*100 AS DECIMAL(18,0)) AS BIGINT)) AS cents

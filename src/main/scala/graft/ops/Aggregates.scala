@@ -891,4 +891,42 @@ object Aggregates {
       .groupBy("token").agg(min(col("cnt")).as("n_est"))
       .orderBy("token")
   }
+
+  /** DECILE LIFT TABLE (r9) — the model-eval readout every propensity
+    * or quality scorer ships with (the curve behind
+    * `pipeline_quality_classifier`-style scores): rank entities by
+    * score, cut into k equal buckets, and per bucket report the
+    * positive rate and its LIFT over the base rate. A score with no
+    * signal reads lift ≈ 1 everywhere; a useful one front-loads.
+    * Fixture framing: score = a user's non-purchase activity (exact
+    * cents), label = heavy purchaser (≥ 15 purchase events) —
+    * activity→conversion propensity (every synthetic user purchases at
+    * least once, so a bare did-purchase label would be vacuous).
+    *
+    * Deciles come from [[Windows.globalNtile]] — the two-pass
+    * range-partition rank, NEVER `ntile() OVER ()`'s single-task
+    * global window (the canonical 100 TB failure; the oracle uses
+    * plain ntile, which implements the identical first-n%k-buckets-
+    * get-⌈n/k⌉ arithmetic). Scores are exact integer cents; the only
+    * doubles are the final rounded rate/lift columns. Plan: one
+    * map-side-combining aggregate to the user grain, the pinned range
+    * exchange, then a k-row aggregate + broadcast 1-row totals. */
+  def decileLift(events: DataFrame, k: Int = 10): DataFrame = {
+    val users = events.groupBy("user_id").agg(
+      sum(when(col("event_type") =!= "purchase",
+        expr("cast(floor(value * 100 + 0.5) as bigint)")).otherwise(0L)).as("score_cents"),
+      when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 15, 1L)
+        .otherwise(0L).as("label"))
+    val bucketed = Windows.globalNtile(users, k,
+      Seq(col("score_cents").desc, col("user_id").asc), "decile")
+    val per = bucketed.groupBy("decile").agg(
+      count(lit(1)).as("n_users"), sum(col("label")).as("n_pos"))
+    per.crossJoin(broadcast(
+        per.agg(sum(col("n_users")).as("tot_n"), sum(col("n_pos")).as("tot_pos"))))
+      .select(col("decile"), col("n_users"), col("n_pos"),
+        Det.rfloor(col("n_pos").cast("double") / col("n_users"), 4).as("pos_rate"),
+        Det.rfloor((col("n_pos").cast("double") / col("n_users"))
+          / (col("tot_pos").cast("double") / col("tot_n")), 4).as("lift"))
+      .orderBy("decile")
+  }
 }

@@ -447,6 +447,42 @@ object TimeSeries {
       .orderBy("event_type", "day")
   }
 
+  /** SMA CROSSOVER DETECTOR (r9) — the classic trend-shift signal: per
+    * series, the days where the short trailing mean (7 rows) crosses
+    * the long one (28 rows) — "golden" when the short side comes out on
+    * top (demand accelerating), "death" when it drops below (the alert
+    * a capacity planner pages on). The edge-of-series frames carry
+    * fewer rows, so means are over the ACTUAL frame counts.
+    *
+    * Determinism: the comparison never touches a float — sma_s > sma_l
+    * ⟺ sum_s·cnt_l > sum_l·cnt_s by cross-multiplication on exact
+    * integer cents (the `downsampleLttb` discipline applied to a
+    * predicate); `margin` emits the exact integer difference. A tie
+    * (margin 0) counts as "not above", so the state is total and
+    * cross-engine stable.
+    *
+    * Scale: all four rolling sums share ONE partitioned sort (series ×
+    * day grain — calendar-bounded after the daily aggregate, never
+    * events); output is crossing-days only. */
+  def smaCross(events: DataFrame, shortN: Int = 7, longN: Int = 28): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val ws = w.rowsBetween(-(shortN - 1), 0)
+    val wl = w.rowsBetween(-(longN - 1), 0)
+    val above = (col("sum_s") * col("cnt_l") > col("sum_l") * col("cnt_s")).cast("int")
+    dailyCents(events)
+      .withColumn("sum_s", sum(col("cents")).over(ws))
+      .withColumn("cnt_s", count(lit(1)).over(ws))
+      .withColumn("sum_l", sum(col("cents")).over(wl))
+      .withColumn("cnt_l", count(lit(1)).over(wl))
+      .withColumn("above", above)
+      .withColumn("prev_above", lag(col("above"), 1).over(w))
+      .filter(col("prev_above").isNotNull && col("above") =!= col("prev_above"))
+      .select(col("event_type"), col("day"),
+        when(col("above") === 1, "golden").otherwise("death").as("direction"),
+        (col("sum_s") * col("cnt_l") - col("sum_l") * col("cnt_s")).as("margin"))
+      .orderBy("event_type", "day")
+  }
+
   /** HOLT'S LINEAR TREND smoothing (r8) — double exponential smoothing
     * with α = β = 1/2: `level_t = ⌊(y_t + level_{t−1} + trend_{t−1})/2⌋`,
     * `trend_t = ⌊(level_t − level_{t−1} + trend_{t−1})/2⌋`, one-step

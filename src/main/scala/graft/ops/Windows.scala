@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -120,19 +120,36 @@ object Windows {
     *      buckets hold ceil(n/k) rows) — a map-side CASE, no shuffle.
     * Both passes reuse the same range exchange; nothing is globally
     * sorted on one node. */
-  def ntileQuartiles(customer: DataFrame, k: Int = 4): DataFrame = {
+  def ntileQuartiles(customer: DataFrame, k: Int = 4): DataFrame =
+    globalNtile(
+      customer.select(col("c_custkey"), col("c_acctbal")),
+      k, Seq(col("c_acctbal").asc, col("c_custkey").asc), "quartile")
+      .orderBy("c_custkey")
+
+  /** The distributed global-ntile core (extracted r9 so the lift table
+    * can reuse it): appends `bucketCol` ∈ [1, k] assigned by exact ntile
+    * arithmetic over the TOTAL order `sortCols` — first n%k buckets hold
+    * ⌈n/k⌉ rows. Two passes over ONE pinned range exchange:
+    *   1. range-partition + sort-within-partition on the total order;
+    *   2. a P-long per-partition count collect (model parameters, not
+    *      data) → broadcast cumulative offsets;
+    *   3. global rank = offset(pid) + local position
+    *      (monotonically_increasing_id after the partition-local sort
+    *      encodes pid<<33 | position); bucket via the exact arithmetic —
+    *      a map-side CASE, no further shuffle.
+    * localCheckpoint: BOTH passes must see the SAME range boundaries,
+    * but RangePartitioner seeds its reservoir sample with the RDD id —
+    * two plan executions can draw different boundaries (observed at
+    * sf0.1: counts from pass 1 misaligned with pass 2's partitions →
+    * quartiles off by a partition). Materializing the exchange once
+    * pins the partitioning; it is also the efficient form — the shuffle
+    * output is computed once, scanned twice. */
+  private[graft] def globalNtile(df: DataFrame, k: Int,
+      sortCols: Seq[Column], bucketCol: String): DataFrame = {
     val parts = 32
-    // localCheckpoint: BOTH passes (counts, rank) must see the SAME range
-    // boundaries, but RangePartitioner seeds its reservoir sample with the
-    // RDD id — two plan executions can draw different boundaries (observed
-    // at sf0.1: per-partition counts from pass 1 misaligned with pass 2's
-    // partitions → quartiles off by a partition). Materializing the
-    // exchange once pins the partitioning; it is also the efficient form —
-    // the shuffle output is computed once, scanned twice.
-    val base = customer
-      .select(col("c_custkey"), col("c_acctbal"))
-      .repartitionByRange(parts, col("c_acctbal").asc, col("c_custkey").asc)
-      .sortWithinPartitions(col("c_acctbal").asc, col("c_custkey").asc)
+    val base = df
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
       .localCheckpoint()
     val counts = new Array[Long](parts)
     base.groupBy(spark_partition_id().as("pid")).agg(count(lit(1)).as("cnt"))
@@ -145,13 +162,12 @@ object Windows {
     val pid = shiftright(col("mid"), 33).cast("int")
     val rank = element_at(offArr, pid + 1) + (col("mid") bitwiseAND ((1L << 33) - 1)) + 1L
     val bigCut = rem * (q + 1) // last rank held by a ceil-sized bucket
-    val quartile = when(rank <= bigCut, (rank - 1) / (q + 1) + 1)
+    val bucket = when(rank <= bigCut, (rank - 1) / (q + 1) + 1)
       .otherwise(lit(rem) + (rank - 1 - bigCut) / greatest(lit(q), lit(1L)) + 1)
     base
       .withColumn("mid", monotonically_increasing_id())
-      .select(col("c_custkey"), col("c_acctbal"),
-        quartile.cast("long").as("quartile"))
-      .orderBy("c_custkey")
+      .withColumn(bucketCol, bucket.cast("long"))
+      .drop("mid")
   }
 
   /** TIME-interval range frame: per-user trailing 2-hour average over

@@ -640,6 +640,39 @@ class CoreOpsSpec extends SparkSpec {
     }
   }
 
+  test("decile lift: exact cut replay, balanced buckets, weighted lift averages to 1 (r9)") {
+    import org.apache.spark.sql.functions.col
+    val got = ops.Aggregates.decileLift(Tables.events(spark, sfDir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._1).toSeq === (1L to 10L))
+    // driver replay: per-user score cents + heavy-purchaser label
+    val raw = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val users = raw.groupBy(_._1).toSeq.map { case (u, es) =>
+      val score = es.filter(_._2 != "purchase")
+        .map(e => math.floor(e._3 * 100 + 0.5).toLong).sum
+      val label = if (es.count(_._2 == "purchase") >= 15) 1L else 0L
+      (u, score, label)
+    }.sortBy(t => (-t._2, t._1))
+    val n = users.length
+    val q = n / 10; val rem = n % 10
+    val sizes = (0 until 10).map(i => if (i < rem) q + 1 else q)
+    val cuts = sizes.scanLeft(0)(_ + _)
+    got.zipWithIndex.foreach { case ((_, nu, np, rate, lift), i) =>
+      val slice = users.slice(cuts(i), cuts(i + 1))
+      assert(nu === slice.length.toLong, s"size@${i + 1}")
+      assert(np === slice.map(_._3).sum, s"pos@${i + 1}")
+      val totPos = users.map(_._3).sum
+      val expRate = math.floor(np.toDouble / nu * 10000 + 0.5) / 10000
+      val expLift = math.floor((np.toDouble / nu) / (totPos.toDouble / n) * 10000 + 0.5) / 10000
+      assert(rate === expRate && lift === expLift, s"rate/lift@${i + 1}")
+    }
+    // lift is a relative measure: its user-weighted average is 1
+    val wavg = got.map(g => g._5 * g._2).sum / n
+    assert(math.abs(wavg - 1.0) < 0.01, s"weighted lift $wavg")
+  }
+
   test("spatial grid join: cell blocking is lossless vs the brute cross-filter (r9)") {
     val cust = Tables.customer(spark, sfDir)
     val supp = Tables.supplier(spark, sfDir)

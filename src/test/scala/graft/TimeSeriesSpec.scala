@@ -568,6 +568,39 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("sma crossover replays from a driver rolling-sum walk; sign never touches a float (r9)") {
+    import org.apache.spark.sql.functions.{col, lit, sum, to_date}
+    val got = ops.TimeSeries.smaCross(Tables.events(spark, sfDir)).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getString(2), r.getLong(3)))
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum((col("value") * lit(100)).cast("decimal(18,0)").cast("bigint")).as("cents"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val expect = daily.groupBy(_._1).toSeq.flatMap { case (t, xs) =>
+      val s = xs.sortBy(_._2)
+      val cents = s.map(_._3)
+      def roll(i: Int, n: Int): (Long, Long) = {
+        val lo = math.max(0, i - n + 1)
+        (cents.slice(lo, i + 1).sum, (i - lo + 1).toLong)
+      }
+      val states = s.indices.map { i =>
+        val (ss, cs) = roll(i, 7)
+        val (sl, cl) = roll(i, 28)
+        (s(i)._2, ss * cl > sl * cs, ss * cl - sl * cs)
+      }
+      states.sliding(2).collect {
+        case Seq((_, pa, _), (d, a, m)) if a != pa =>
+          (t, d, if (a) "golden" else "death", m)
+      }
+    }.sortBy(x => (x._1, x._2))
+    assert(got.toSeq === expect)
+    assert(got.nonEmpty, "no crossings — vacuous fixture")
+    // margin sign encodes direction exactly
+    got.foreach { case (_, _, dir, m) =>
+      assert(if (dir == "golden") m > 0 else m <= 0)
+    }
+  }
+
   test("holt backtest replays per-horizon errors from the BigInt recursion (r9)") {
     val got = ops.TimeSeries.holtBacktest(Tables.events(spark, sfDir)).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
