@@ -182,6 +182,9 @@ object SparkEntry {
     // the two-tower retrieval objective when norms carry signal
     "sim_mips_topk" -> ((s, d) => Similarity.mipsTopK(Tables.embeddings(s, d))),
     "sim_quantized_topk" -> ((s, d) => Similarity.quantizedTopk(Tables.embeddings(s, d))),
+    // two-stage retrieval: int8 shortlist -> exact rerank; both stages
+    // deterministic, so fully oracle-checked (r9)
+    "sim_rerank" -> ((s, d) => Similarity.rerankTopk(Tables.embeddings(s, d))),
     "sim_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     // IVF served from the PERSISTED epoch artifact (r7): bucketed
@@ -715,6 +718,9 @@ object SparkEntry {
     // per-node clustering coefficient: 2T/deg(deg-1) over the shared
     // undirected graph — the clique-density refinement of triangles (r9)
     "graph_clustering_coeff" -> ((s, d) => graft.ops.Graph.clusteringCoeff(Tables.documents(s, d))),
+    // DeepWalk sampling: hash-driven (retry-safe) 4-hop walks from every
+    // node, dead ends absorb; steps are unrolled broadcast joins (r9)
+    "graph_random_walk" -> ((s, d) => graft.ops.Graph.randomWalk(Tables.documents(s, d))),
     // SemDeDup: cluster-then-prune semantic dedup over the vector corpus
     "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(Corpus.vecCorpus(Tables.embeddings(s, d)))),
     // DSIR importance weights: hashed-feature log-ratio scoring in
@@ -2122,6 +2128,36 @@ object SparkEntry {
         |   UNION ALL SELECT z FROM tri) t GROUP BY node)
         |SELECT nodes.node, COALESCE(pn.n, 0) AS n_triangles
         |FROM nodes LEFT JOIN pn ON pn.node = nodes.node ORDER BY nodes.node""".stripMargin,
+    /* graph_random_walk: the hop out of u at step t is adjacency index
+     * (u·31 + 17t) mod outdeg(u) + 1 over the dst-sorted ranking — all
+     * non-negative integers, so % agrees across engines; dead ends
+     * COALESCE to stay put. Four unrolled hop CTEs. */
+    "graph_random_walk" ->
+      """WITH e0 AS (SELECT DISTINCT doc_id % 200 AS src, (doc_id * 31 + doc_id // 7) % 200 AS dst FROM documents),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0) u),
+        |adj AS (SELECT src, dst,
+        |  CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) AS idx FROM e0),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e0 GROUP BY src),
+        |w0 AS (SELECT node AS start, node AS cur FROM nodes),
+        |w1 AS (SELECT w.start, COALESCE(a.dst, w.cur) AS cur FROM w0 w
+        |  LEFT JOIN deg ON deg.src = w.cur
+        |  LEFT JOIN adj a ON a.src = w.cur AND a.idx = (w.cur * 31 + 17) % deg.d + 1),
+        |w2 AS (SELECT w.start, COALESCE(a.dst, w.cur) AS cur FROM w1 w
+        |  LEFT JOIN deg ON deg.src = w.cur
+        |  LEFT JOIN adj a ON a.src = w.cur AND a.idx = (w.cur * 31 + 34) % deg.d + 1),
+        |w3 AS (SELECT w.start, COALESCE(a.dst, w.cur) AS cur FROM w2 w
+        |  LEFT JOIN deg ON deg.src = w.cur
+        |  LEFT JOIN adj a ON a.src = w.cur AND a.idx = (w.cur * 31 + 51) % deg.d + 1),
+        |w4 AS (SELECT w.start, COALESCE(a.dst, w.cur) AS cur FROM w3 w
+        |  LEFT JOIN deg ON deg.src = w.cur
+        |  LEFT JOIN adj a ON a.src = w.cur AND a.idx = (w.cur * 31 + 68) % deg.d + 1)
+        |SELECT start, CAST(0 AS BIGINT) AS step, cur AS node FROM w0
+        |UNION ALL SELECT start, CAST(1 AS BIGINT), cur FROM w1
+        |UNION ALL SELECT start, CAST(2 AS BIGINT), cur FROM w2
+        |UNION ALL SELECT start, CAST(3 AS BIGINT), cur FROM w3
+        |UNION ALL SELECT start, CAST(4 AS BIGINT), cur FROM w4
+        |ORDER BY start, step""".stripMargin,
     /* graph_clustering_coeff: the triangles CTEs plus an undirected
      * degree CTE; cc = 2T/deg(deg-1) through the rfloor mirror
      * (floor(v*1e4+0.5)/1e4), deg<2 pinned to 0.0 on both sides. */
@@ -2410,6 +2446,27 @@ object SparkEntry {
         |q AS (SELECT dq AS q_v FROM d WHERE vec_id = 0)
         |SELECT vec_id, round(list_dot_product(d.dq, q.q_v)/nullif(sqrt(list_dot_product(d.dq,d.dq))*sqrt(list_dot_product(q.q_v,q.q_v)), 0), 4) + 0.0 AS cos_q
         |FROM d, q WHERE vec_id <> 0 ORDER BY cos_q DESC, vec_id ASC LIMIT 10""".stripMargin,
+    /* sim_rerank: stage 1 is the quantized CTEs verbatim cut at 50;
+     * stage 2 re-scores only the shortlist at full precision — both
+     * cuts on (rounded score, vec_id), so fully hash-checkable. */
+    "sim_rerank" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |sq AS (SELECT vec_id, v,
+        |  CASE WHEN list_max(list_transform(v, x -> abs(x)))/127.0 = 0 THEN 1.0
+        |       ELSE list_max(list_transform(v, x -> abs(x)))/127.0 END AS s FROM e),
+        |d AS (SELECT vec_id,
+        |  list_transform(v, x -> greatest(least(floor(x/s + 0.5), 127.0), -127.0) * s) AS dq
+        | FROM sq),
+        |q AS (SELECT dq AS q_v FROM d WHERE vec_id = 0),
+        |short AS (SELECT vec_id,
+        |  round(list_dot_product(d.dq, q.q_v)/nullif(sqrt(list_dot_product(d.dq,d.dq))*sqrt(list_dot_product(q.q_v,q.q_v)), 0), 4) + 0.0 AS cos_q
+        | FROM d, q WHERE vec_id <> 0 ORDER BY cos_q DESC, vec_id ASC LIMIT 50),
+        |qe AS (SELECT v AS qe_v FROM e WHERE vec_id = 0)
+        |SELECT s.vec_id,
+        |  round(list_dot_product(e.v, qe.qe_v)/nullif(sqrt(list_dot_product(e.v,e.v))*sqrt(list_dot_product(qe.qe_v,qe.qe_v)), 0), 4) + 0.0 AS cos,
+        |  s.cos_q
+        |FROM short s JOIN e ON e.vec_id = s.vec_id CROSS JOIN qe
+        |ORDER BY cos DESC, s.vec_id ASC LIMIT 10""".stripMargin,
     "text_tokenize_wordcount" ->
       """SELECT word, count(*) AS n
         |FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents) t

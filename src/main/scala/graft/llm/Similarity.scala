@@ -114,6 +114,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** TWO-STAGE RERANK (r9) — the production retrieval shape the
+    * single-stage keys anchor: a CHEAP approximate scorer (the int8
+    * symmetric-quantized cosine of [[quantizedTopk]] — 4× less vector
+    * I/O, the storage tier a 100 TB store actually scans) builds a
+    * `shortK` shortlist, then the EXACT full-precision cosine re-scores
+    * only those candidates and cuts the final k. Precision comes from
+    * stage 2, recall from stage-1's shortlist margin (shortK ≫ k
+    * absorbs quantization rank noise — LlmOpsSpec measures the fixture
+    * margin and pins stage-2 ≡ brute whenever the shortlist covers).
+    * Both stages are deterministic (rounded score + id tiebreak), so
+    * unlike the LSH/IVF/PQ tier this two-stage form is fully
+    * ORACLE-CHECKED end to end.
+    *
+    * Scale: stage 1 is the quantized broadcast-query scan (sort-limit,
+    * TakeOrdered); stage 2 touches exactly shortK raw vectors via a
+    * broadcast shortlist semi-probe — the full-precision tier is never
+    * scanned corpus-wide. */
+  def rerankTopk(embeddings: DataFrame, queryId: Long = 0, k: Int = 10,
+                 shortK: Int = 50): DataFrame = {
+    val shortlist = quantizedTopk(embeddings, queryId, shortK) // (vec_id, cos_q)
+    val vs = doubled(embeddings).withColumn("nrm", vecNorm(col("v")))
+    val q = vs.filter(col("vec_id") === queryId)
+      .select(col("v").as("q_v"), col("nrm").as("q_n"))
+    vs.join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (round(vecDot(col("v"), col("q_v")) / nonzeroDenom(col("nrm") * col("q_n")), 4)
+          + lit(0.0)).as("cos"),
+        col("cos_q"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** k-NN JOIN: top-k neighbours for EVERY vector in a query set at once
     * (the batch form of [[topkSearch]] — an embedding pipeline scores
     * whole query batches, not one id at a time). The bounded query side is

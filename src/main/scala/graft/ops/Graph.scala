@@ -404,6 +404,47 @@ object Graph {
       .orderBy("a", "b")
   }
 
+  /** DETERMINISTIC RANDOM WALK (r9) — the DeepWalk/node2vec sampling
+    * primitive: from every node, a `steps`-hop walk where the hop out
+    * of node u at step t picks out-neighbor index
+    * `(u·31 + t·17) mod outdeg(u)` over the dst-sorted adjacency — a
+    * HASH-driven draw, not an RNG (the `sample_deterministic` rule:
+    * retried tasks and both engines must take the same walk; a
+    * production embedding pipeline swaps in a seeded splittable hash,
+    * same plan). Dead ends (dst-only hosts, outdeg 0) absorb: the walk
+    * stays put for its remaining steps — trajectory length stays
+    * uniform, the co-occurrence window arithmetic downstream of a
+    * DeepWalk stays rectangular.
+    *
+    * Plan: adjacency ranked once (partitioned window over node-bounded
+    * edges), then `steps` UNROLLED left joins — frontier frames are
+    * node-sized, edges ride broadcasts (the bfsLevels doctrine), no
+    * fixpoint loop because the horizon is a parameter. Output is the
+    * full trajectory grid (start × step), the shape a skip-gram
+    * window consumes. */
+  def randomWalk(documents: DataFrame, nNodes: Int = 200, steps: Int = 4): DataFrame = {
+    val (edges, nodes) = linkGraph(documents, nNodes)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src").orderBy("dst")
+    val adj = edges.withColumn("idx", row_number().over(w).cast("long"))
+      .localCheckpoint(eager = false) // one ranking, `steps` probes
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+      .localCheckpoint(eager = false)
+    var cur = nodes.select(col("node").as("start"), col("node").as("cur"))
+    var frames = Seq(cur.select(col("start"), lit(0L).as("step"), col("cur").as("node")))
+    for (t <- 1 to steps) {
+      cur = cur
+        .join(broadcast(deg.select(col("src").as("cur"), col("d"))), Seq("cur"), "left_outer")
+        .join(broadcast(adj.select(col("src").as("a_src"), col("idx").as("a_idx"),
+            col("dst").as("a_dst"))),
+          col("a_src") === col("cur")
+            && col("a_idx") === pmod(col("cur") * 31 + lit(17L * t), col("d")) + 1,
+          "left_outer")
+        .select(col("start"), coalesce(col("a_dst"), col("cur")).as("cur"))
+      frames :+= cur.select(col("start"), lit(t.toLong).as("step"), col("cur").as("node"))
+    }
+    frames.reduce(_ unionByName _).orderBy("start", "step")
+  }
+
   /** Persist a pagerank epoch as a bucketed TABLE and return its name —
     * the [[graft.llm.Dedup.ensureBandIndex]] artifact discipline applied
     * to the iterative tier: the epoch's ranks live in the warehouse

@@ -519,6 +519,34 @@ class GraphSpec extends SparkSpec {
     assert(got.values.sum + intra === edges.length.toLong)
   }
 
+  test("random walk replays a driver hash-walk; dead ends absorb; trajectories rectangular (r9)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = Tables.documents(spark, sfDir)
+    val got = ops.Graph.randomWalk(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val edges = docs.select(
+        (col("doc_id") % 200).as("src"),
+        ((col("doc_id") * 31 + expr("doc_id div 7")) % 200).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).sorted }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val expect = nodes.flatMap { start =>
+      var cur = start
+      (0 to 4).map { t =>
+        if (t > 0) cur = adj.get(cur) match {
+          case Some(ns) => ns(((cur * 31 + 17L * t) % ns.length).toInt)
+          case None => cur // dead end absorbs
+        }
+        (start, t.toLong, cur)
+      }
+    }.sortBy(x => (x._1, x._2))
+    assert(got.toSeq === expect.toSeq)
+    // rectangular grid: every start emits exactly steps+1 rows
+    assert(got.groupBy(_._1).values.forall(_.length == 5))
+    // the walk actually moves somewhere (non-vacuous)
+    assert(got.exists(r => r._2 > 0 && r._3 != r._1))
+  }
+
   test("clustering coefficient: 2T/deg(deg-1) replays from the undirected edge set (r9)") {
     import org.apache.spark.sql.functions.{col, expr}
     val docs = Tables.documents(spark, sfDir)

@@ -152,6 +152,30 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("rerank: two-stage equals brute exactly when the shortlist covers; deterministic (r9)") {
+    val k = 10
+    val rerank = Similarity.rerankTopk(embeddings, k = k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = Similarity.topkSearch(embeddings, k = k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // the shortlist margin (50 ≫ 10) absorbs int8 rank noise on the
+    // fixture: measure coverage, and GIVEN coverage the law is exact
+    // equality — stage 2 scores with the brute's own formula
+    val shortIds = Similarity.quantizedTopk(embeddings, k = 50).collect()
+      .map(_.getLong(0)).toSet
+    val covered = brute.map(_._1).count(shortIds.contains)
+    assert(covered >= 9, s"int8 shortlist covers only $covered/10 true neighbors")
+    if (covered == k) assert(rerank.toSeq === brute.toSeq)
+    // exact-cos ordering within the rerank output, and determinism
+    rerank.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+      case _ =>
+    }
+    val again = Similarity.rerankTopk(embeddings, k = k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(again.toSeq === rerank.toSeq)
+  }
+
   test("collocations: integer-ranked PMI top-100 replays from a driver tokenization (r9)") {
     val rows = TextAnalysis.collocations(documents).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
