@@ -925,8 +925,11 @@ object Aggregates {
         per.agg(sum(col("n_users")).as("tot_n"), sum(col("n_pos")).as("tot_pos"))))
       .select(col("decile"), col("n_users"), col("n_pos"),
         Det.rfloor(col("n_pos").cast("double") / col("n_users"), 4).as("pos_rate"),
-        Det.rfloor((col("n_pos").cast("double") / col("n_users"))
-          / (col("tot_pos").cast("double") / col("tot_n")), 4).as("lift"))
+        // a zero base rate leaves lift undefined — NULL, not a
+        // divide-by-zero abort (ANSI) and not a fabricated number
+        when(col("tot_pos") > 0,
+          Det.rfloor((col("n_pos").cast("double") / col("n_users"))
+            / (col("tot_pos").cast("double") / col("tot_n")), 4)).as("lift"))
       .orderBy("decile")
   }
 }

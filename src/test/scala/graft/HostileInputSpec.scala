@@ -456,4 +456,48 @@ class HostileInputSpec extends SparkSpec {
     assert(wr.nonEmpty && wr.forall(_.getLong(3) >= 1L), "weight floor violated")
     assert(wr.groupBy(_.getString(0)).values.forall(_.length <= 3))
   }
+
+  test("r9 operators survive hostile shapes: null text/lang, empty frames, tied timestamps") {
+    import spark.implicits._
+    // collocations over null/empty/whitespace/multibyte text: null
+    // tokenization explodes to nothing, no fabricated mass below minCount
+    val coll = TextAnalysis.collocations(hostile, minCount = 2, topK = 10).collect()
+    assert(coll.nonEmpty && coll.forall(_.getLong(1) >= 2L))
+    // interleave with a NULL lang: default weight, NULLS LAST at equal vt
+    val nullLang = Seq((100L, "x", null.asInstanceOf[String], "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val mix = TrainingPrep.interleaveMixture(hostile.unionByName(nullLang)).collect()
+    assert(mix.length === 9 && mix.exists(r => r.isNullAt(1) && r.getLong(0) === 100L))
+    // empty corpus: graph ops return empty frames, never throw
+    val emptyDocs = hostile.filter(col("doc_id") < 0)
+    assert(ops.Graph.clusteringCoeff(emptyDocs).collect().isEmpty)
+    assert(ops.Graph.randomWalk(emptyDocs).collect().isEmpty)
+    // spatial grid: the packed-cell stride guard fires LOUDLY on a
+    // radius that would alias cells instead of silently corrupting pairs
+    intercept[IllegalArgumentException] {
+      ops.Joins.spatialGrid(
+        Seq((1L, "n", 1, 0.0, "m")).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+        Seq((1L, "s", 1, 0.0)).toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+        radius = 5L)
+    }
+    // throttle: equal-timestamp ties break on event_id; a lone event per
+    // key is kept; the second tied event is within ttl and drops
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t9 = java.sql.Timestamp.valueOf("2024-01-09 00:00:00") // > 72h later
+    val ev = Seq(
+      (1L, "click", 11L, t0, 0.0), (1L, "click", 10L, t0, 0.0),
+      (1L, "click", 12L, t9, 0.0), (2L, "view", 20L, t0, 0.0)
+    ).toDF("user_id", "event_type", "event_id", "ts", "value")
+    val kept = graft.streaming.Streams.throttleBatch(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(kept.toSeq === Seq((1L, 10L), (1L, 12L), (2L, 20L)), kept.toSeq)
+    // freshness and sma-cross on an empty stream: empty, not a throw
+    val emptyEv = ev.filter(col("event_id") < 0)
+    assert(ops.DataQuality.freshness(emptyEv).collect().isEmpty)
+    assert(ops.TimeSeries.smaCross(emptyEv).collect().isEmpty)
+    // decile lift where NO user reaches the label threshold: rates are
+    // 0, the lift ratio is honestly undefined — NULL, never a throw
+    val lift = ops.Aggregates.decileLift(ev).collect()
+    assert(lift.forall(r => r.getDouble(3) === 0.0 && r.isNullAt(4)))
+  }
 }
