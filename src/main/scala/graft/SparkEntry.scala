@@ -545,6 +545,9 @@ object SparkEntry {
     // stride-scheduled mixture reading order: any prefix holds each lang
     // to its weight within one stride; all-integer virtual time (r9)
     "pipeline_interleave_mixture" -> ((s, d) => TrainingPrep.interleaveMixture(Tables.documents(s, d))),
+    // shard balance audit over the SAME md5 assignment shuffle_shard
+    // writes — fidelity (manifest) vs balance (this) (r9)
+    "pipeline_shard_skew" -> ((s, d) => TrainingPrep.shardSkew(Tables.documents(s, d))),
     "pipeline_split_hash" -> ((s, d) => TrainingPrep.splitAssign(Tables.documents(s, d))),
     // leakage-safe split at the GROUP grain: md5(source) so same-site
     // near-dup siblings can never straddle train/eval; doc-level
@@ -704,6 +707,9 @@ object SparkEntry {
     // decile lift/gains table over the distributed global-ntile core —
     // the propensity-scorer eval readout (r9)
     "agg_decile_lift" -> ((s, d) => Aggregates.decileLift(Tables.events(s, d))),
+    // cohort LTV curve: cumulative spend per customer by (first-order
+    // month, months since) — exact integer month/cents arithmetic (r9)
+    "agg_cohort_ltv" -> ((s, d) => Aggregates.cohortLtv(Tables.orders(s, d))),
     "agg_gini" -> ((s, d) => Aggregates.giniSpend(
       Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
     // global token-budget cut via the two-phase histogram (bounded-bucket
@@ -2013,6 +2019,24 @@ object SparkEntry {
         | floor(m3/(m2*sqrt(m2))*1e6 + 0.5)/1e6 AS skewness,
         | floor((m4/(m2*m2) - 3.0)*1e6 + 0.5)/1e6 AS kurtosis
         |FROM c ORDER BY l_returnflag""".stripMargin,
+    /* agg_cohort_ltv: integer month index (year·12+month), exact cents,
+     * cohort-partitioned running sum; the one double is the rfloor'd
+     * per-customer LTV. */
+    "agg_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey AS cust,
+        |  year(o_orderdate)*12 + month(o_orderdate) AS ym,
+        |  CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS cents
+        | FROM orders WHERE o_orderdate IS NOT NULL),
+        |f AS (SELECT cust, MIN(ym) AS cohort_ym FROM o GROUP BY cust),
+        |cs AS (SELECT cohort_ym, CAST(count(*) AS BIGINT) AS n_customers FROM f GROUP BY cohort_ym),
+        |per AS (SELECT f.cohort_ym, o.ym - f.cohort_ym AS m,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_m
+        | FROM o JOIN f ON f.cust = o.cust GROUP BY 1, 2),
+        |cum AS (SELECT *, CAST(SUM(cents_m) OVER (PARTITION BY cohort_ym ORDER BY m
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents FROM per)
+        |SELECT cohort_ym, m, n_customers, cents_m, cum_cents,
+        |  floor(cum_cents*1.0/n_customers/100*100+0.5)/100 + 0.0 AS ltv
+        |FROM cum JOIN cs USING (cohort_ym) ORDER BY cohort_ym, m""".stripMargin,
     /* agg_decile_lift: plain ntile implements the identical exact
      * first-n%k-buckets-get-ceil arithmetic as the distributed
      * globalNtile core; rates/lift through the rfloor mirror. */
@@ -4385,6 +4409,19 @@ object SparkEntry {
         | floor(a_units * 10000.0 / a_tot + 0.5) / 10000.0 + 0.0 AS weight,
         | floor(a_units * 1.0 / a_tot * nn / n * 10000.0 + 0.5) / 10000.0 + 0.0 AS boost
         |FROM s ORDER BY lang""".stripMargin,
+    /* pipeline_shard_skew: the shuffle_shard md5 assignment verbatim;
+     * shares through the rfloor mirror (division first, then ·1e4). */
+    "pipeline_shard_skew" ->
+      """WITH s AS (SELECT substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+        |  len(string_split(text,' ')) AS toks FROM documents),
+        |g AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(toks) AS BIGINT) AS n_tokens FROM s GROUP BY shard),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS tt FROM g)
+        |SELECT shard, n_docs, n_tokens,
+        |  floor(n_docs*1.0/td*10000.0+0.5)/10000.0 + 0.0 AS doc_share,
+        |  floor(n_tokens*1.0/tt*10000.0+0.5)/10000.0 + 0.0 AS token_share
+        |FROM g CROSS JOIN t ORDER BY shard""".stripMargin,
     /* pipeline_interleave_mixture: virtual time = rn · (2520 // weight),
      * all integers; the order is a sort key, never a global rank. */
     "pipeline_interleave_mixture" ->

@@ -602,6 +602,30 @@ object TrainingPrep {
     * repo's other rounded-transcendental sites (ln, log10). Scale
     * shape: one lang-count aggregate (map-side partial); everything
     * after runs on the ≤|langs|-row frame. */
+  /** SHARD SKEW AUDIT (r9) — is the shuffle actually balanced? Per
+    * shard of the SAME md5 assignment [[shuffleShard]] writes and
+    * [[shardManifest]] delivers: doc count, token mass, and each
+    * share of the total (rfloor'd integer ratios). A hot shard is the
+    * delivery-side failure the manifest can't see (fidelity ≠
+    * balance): one overweight file serializes the trainer's input
+    * pipeline exactly like a skewed reducer serializes a shuffle —
+    * this table is the go/no-go read before a pack-and-ship. One
+    * map-side aggregate to the 16-shard grain + a broadcast 1-row
+    * total; the exchange carries shards × tasks partials, never docs. */
+  def shardSkew(documents: DataFrame, seed: Long = 42L): DataFrame = {
+    val g = documents
+      .select(substring(md5(concat_ws(":", lit(seed.toString),
+        col("doc_id").cast("string"))), 1, 1).as("shard"),
+        size(TextOps.tokens(col("text"))).cast("long").as("toks"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    g.crossJoin(broadcast(g.agg(sum(col("n_docs")).as("td"), sum(col("n_tokens")).as("tt"))))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        graft.ops.Det.rfloor(col("n_docs").cast("double") / col("td"), 4).as("doc_share"),
+        graft.ops.Det.rfloor(col("n_tokens").cast("double") / col("tt"), 4).as("token_share"))
+      .orderBy("shard")
+  }
+
   /** STRIDE-SCHEDULED MIXTURE INTERLEAVE (r9) — the reader-side
     * realization of a mixture spec (the weights [[langTemperature]]
     * computes): emit a deterministic global reading order in which any

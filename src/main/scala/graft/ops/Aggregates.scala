@@ -892,6 +892,46 @@ object Aggregates {
       .orderBy("token")
   }
 
+  /** COHORT LTV CURVE (r9) — the companion readout to
+    * `agg_retention_cohort`: per (first-order cohort month, months
+    * since), the cohort's cumulative spend per customer — the curve a
+    * growth model fits and a payback analysis reads. Month arithmetic
+    * is exact integers (ym = year·12 + month — never
+    * engine-specific months_between fractional rules); spend is exact
+    * cents; the single double is the final rfloor'd per-customer LTV.
+    * Months with no orders simply have no row (the curve is defined at
+    * observed points; a reporting layer forward-fills).
+    *
+    * Plan: order-grain map work, one customer-grain aggregate (first
+    * order), one (cohort × month) aggregate, a cohort-partitioned
+    * running sum, and a broadcast cohort-size dim — the exchange never
+    * carries more than (cohorts × months) + customers partial rows. */
+  def cohortLtv(orders: DataFrame): DataFrame = {
+    val o = orders
+      .filter(col("o_orderdate").isNotNull)
+      .select(col("o_custkey").as("cust"),
+        // cast: Spark's year/month are INT where DuckDB's are BIGINT —
+        // the comparator is type-strict
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long").as("ym"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+    val first = o.groupBy("cust").agg(min(col("ym")).as("cohort_ym"))
+      .localCheckpoint(eager = false) // joined to orders AND sized
+    val cohortSize = first.groupBy("cohort_ym").agg(count(lit(1)).as("n_customers"))
+    val per = o.join(first, "cust")
+      .groupBy(col("cohort_ym"), (col("ym") - col("cohort_ym")).as("m"))
+      .agg(sum(col("cents")).as("cents_m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cohort_ym").orderBy("m")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    per.withColumn("cum_cents", sum(col("cents_m")).over(w))
+      .join(broadcast(cohortSize), "cohort_ym")
+      .select(col("cohort_ym"), col("m"), col("n_customers"),
+        col("cents_m"), col("cum_cents"),
+        Det.rfloor(col("cum_cents").cast("double") / col("n_customers") / 100.0, 2).as("ltv"))
+      .orderBy("cohort_ym", "m")
+  }
+
   /** DECILE LIFT TABLE (r9) — the model-eval readout every propensity
     * or quality scorer ships with (the curve behind
     * `pipeline_quality_classifier`-style scores): rank entities by

@@ -640,6 +640,41 @@ class CoreOpsSpec extends SparkSpec {
     }
   }
 
+  test("cohort LTV: curve replays from raw orders and is non-decreasing per cohort (r9)") {
+    import org.apache.spark.sql.functions.col
+    val got = ops.Aggregates.cohortLtv(Tables.orders(spark, sfDir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val raw = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate").isNotNull)
+      .select("o_custkey", "o_orderdate", "o_totalprice").collect()
+      .map { r =>
+        // o_orderdate is TIMESTAMP_NTZ → the row carries a LocalDateTime
+        // (zone-free, exactly the wall-clock fields year/month read)
+        val d = r.getAs[java.time.LocalDateTime](1)
+        (r.getLong(0), d.getYear.toLong * 12 + d.getMonthValue,
+          math.floor(r.getDouble(2) * 100 + 0.5).toLong)
+      }
+    val firstYm = raw.groupBy(_._1).map { case (c, os) => c -> os.map(_._2).min }
+    val cohorts = firstYm.values.groupBy(identity).map { case (ym, xs) => ym -> xs.size.toLong }
+    val perMonth = raw.groupBy(o => (firstYm(o._1), o._2 - firstYm(o._1)))
+      .map { case (k, os) => k -> os.map(_._3).sum }
+    val expect = perMonth.keys.toSeq.sorted.map { case (cym, m) =>
+      val cum = perMonth.filter(p => p._1._1 == cym && p._1._2 <= m).values.sum
+      val n = cohorts(cym)
+      (cym, m, n, perMonth((cym, m)), cum,
+        math.floor(cum.toDouble / n / 100 * 100 + 0.5) / 100)
+    }
+    assert(got.toSeq === expect)
+    // the curve is cumulative: LTV never decreases within a cohort
+    got.groupBy(_._1).values.foreach { rows =>
+      rows.sortBy(_._2).map(_._6).sliding(2).foreach {
+        case Array(a, b) => assert(b >= a, "LTV decreased")
+        case _ =>
+      }
+    }
+  }
+
   test("decile lift: exact cut replay, balanced buckets, weighted lift averages to 1 (r9)") {
     import org.apache.spark.sql.functions.col
     val got = ops.Aggregates.decileLift(Tables.events(spark, sfDir)).collect()

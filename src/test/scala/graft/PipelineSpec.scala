@@ -400,6 +400,22 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("shard skew audit: accounts for every doc/token on the shuffle_shard assignment (r9)") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = graft.llm.TrainingPrep.shardSkew(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    // accounting: shard doc counts sum to the corpus; shares sum to ~1
+    assert(got.map(_._2).sum === docs.count())
+    assert(math.abs(got.map(_._4).sum - 1.0) < 0.002)
+    assert(math.abs(got.map(_._5).sum - 1.0) < 0.002)
+    // same assignment shuffle_shard writes: per-shard doc counts agree
+    val fromShuffle = graft.llm.TrainingPrep.shuffleShard(docs).collect()
+      .groupBy(_.getString(2)).map { case (s, xs) => s -> xs.length.toLong }
+    assert(got.map(g => g._1 -> g._2).toMap === fromShuffle)
+    // hex-digit shard domain only
+    assert(got.forall(g => g._1.length == 1 && "0123456789abcdef".contains(g._1)))
+  }
+
   test("interleave mixture: exact stride replay and the prefix-share bound (r9)") {
     val weights = Map("en" -> 5, "zh" -> 2, "de" -> 1, "es" -> 1, "fr" -> 1)
     val rows = graft.llm.TrainingPrep.interleaveMixture(Tables.documents(spark, sfDir))
