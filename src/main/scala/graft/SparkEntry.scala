@@ -449,6 +449,10 @@ object SparkEntry {
     "pipeline_pack_sequences" -> ((s, d) => TrainingPrep.packSequences(Tables.documents(s, d))),
     "join_asof_forward" -> ((s, d) => Joins.asOfForward(Tables.orders(s, d), Tables.events(s, d))),
     "win_time_range_frame" -> ((s, d) => Windows.timeRangeFrame(Tables.events(s, d))),
+    // minutes since the user's last purchase STRICTLY BEFORE each event
+    // (-1 sentinel before the first) — the churn-model recency
+    // feature at event grain (r9)
+    "win_recency" -> ((s, d) => Windows.recencyFeature(Tables.events(s, d))),
     "win_funnel_steps" -> ((s, d) => ops.Behavior.funnelSteps(Tables.events(s, d))),
     // longest consecutive-active-day run per user — gaps-and-islands on
     // the distinct (user, day) frame, ties to the latest start (r8)
@@ -4296,6 +4300,19 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
         |  RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+    /* win_recency: unbounded-to-1-PRECEDING frame (an event never sees
+     * itself); -1 sentinel keeps the feature column non-null BIGINT. */
+    "win_recency" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |r AS (SELECT user_id, event_id, event_type, ts_us,
+        |  MAX(CASE WHEN event_type = 'purchase' THEN ts_us END) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_marker_us
+        | FROM e)
+        |SELECT user_id, event_id, event_type, ts_us,
+        |  CASE WHEN last_marker_us IS NULL THEN CAST(-1 AS BIGINT)
+        |       ELSE (ts_us - last_marker_us) // 60000000 END AS mins_since_marker
+        |FROM r ORDER BY user_id, ts_us, event_id""".stripMargin,
     "win_funnel_steps" ->
       """WITH ev AS (
         | -- µs truncation: Spark's ts is µs; if the driver fixture ever

@@ -170,6 +170,35 @@ object Windows {
       .drop("mid")
   }
 
+  /** RECENCY FEATURE (r9) — minutes since the user's LAST marker event
+    * (default 'purchase') strictly BEFORE each event: the classic
+    * feature-engineering window every churn/propensity model consumes
+    * ("time since last conversion"). The frame is rows-unbounded-to-1-
+    * PRECEDING, so an event never sees itself (a purchase row measures
+    * the gap to the PREVIOUS purchase — the inter-purchase interval).
+    * Events before the first marker emit the -1 sentinel: the feature
+    * column stays non-null BIGINT (a trainer's featurizer wants a
+    * fixed-width numeric, not a null to impute downstream); lag in
+    * exact integer µs floor-division.
+    *
+    * Scale: one user-partitioned sort — frames never leave the
+    * partition; output is event-grain (a feature column, not an
+    * aggregate), exactly the shape a feature store materializes. */
+  def recencyFeature(events: DataFrame, markerType: String = "purchase"): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("last_marker_us",
+        max(when(col("event_type") === markerType, col("ts_us"))).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"),
+        when(col("last_marker_us").isNull, lit(-1L))
+          .otherwise(expr("(ts_us - last_marker_us) div 60000000"))
+          .as("mins_since_marker"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   /** TIME-interval range frame: per-user trailing 2-hour average over
     * event time — the frame every "rolling metric over the last N
     * hours" dashboard needs. The frame is defined on EPOCH SECONDS

@@ -640,6 +640,28 @@ class CoreOpsSpec extends SparkSpec {
     }
   }
 
+  test("recency feature replays per-user; a purchase row measures the inter-purchase gap (r9)") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val got = ops.Windows.recencyFeature(Tables.events(spark, sfDir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val raw = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expect = raw.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+      val s = evs.sortBy(e => (e._4, e._2))
+      var last = Long.MinValue
+      s.map { e =>
+        val v = if (last == Long.MinValue) -1L else (e._4 - last) / 60000000L
+        val out = (e._1, e._2, e._3, e._4, v)
+        if (e._3 == "purchase") last = e._4 // marker visible only STRICTLY after
+        out
+      }
+    }.sortBy(e => (e._1, e._4, e._2))
+    assert(got.toSeq === expect)
+    // both regimes present: a real gap and the before-first sentinel
+    assert(got.exists(_._5 > 0L) && got.exists(_._5 === -1L))
+  }
+
   test("cohort LTV: curve replays from raw orders and is non-decreasing per cohort (r9)") {
     import org.apache.spark.sql.functions.col
     val got = ops.Aggregates.cohortLtv(Tables.orders(spark, sfDir)).collect()
