@@ -96,7 +96,11 @@ object TextAnalysis {
     * flap on a cross-engine libm last-ulp; the emitted pmi is the
     * rfloor(ln·,4) display value. The 10¹² scale bounds c_xy ≤ 9·10⁶
     * before BIGINT overflow — past that, stage the division
-    * ((c_xy·10⁶ div c_x)·10⁶ div c_y), same determinism.
+    * ((c_xy·10⁶ div c_x)·10⁶ div c_y), same determinism. The bound is
+    * GUARDED at runtime (assert_true folded into the score projection):
+    * Spark's non-ANSI multiply would wrap silently and corrupt the
+    * top-k where DuckDB raises — the spatialGrid require() discipline,
+    * loud on both engines instead of silently divergent.
     *
     * Plan: token mass shuffles once per vocabulary aggregate (unigram +
     * bigram — both map-side combining); the survivor frame after
@@ -123,7 +127,12 @@ object TextAnalysis {
       .join(uni.select(col("w").as("w2"), col("c").as("cy")), "w2")
       .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
       .select(col("ngram"), col("cxy"), col("cx"), col("cy"),
-        expr("(cxy * 1000000000000) div (cx * cy)").as("score_key"),
+        // `+ ifnull(assert_true(...), 0)` adds exact 0 on every in-bound
+        // row and raises before the wrapped product can reach the sort
+        expr("(cxy * 1000000000000) div (cx * cy) + ifnull(assert_true(" +
+          "cxy <= 9223372, 'collocations: cxy exceeds the 10^12 " +
+          "score scale (BIGINT would wrap) - use the staged division " +
+          "((cxy*10^6 div cx)*10^6 div cy)'), 0)").as("score_key"),
         graft.ops.Det.rfloor(
           log((col("cxy").cast("double") * col("n1") * col("n1")) /
             (col("n2").cast("double") * col("cx") * col("cy"))), 4).as("pmi"))

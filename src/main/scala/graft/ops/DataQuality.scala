@@ -453,7 +453,12 @@ object DataQuality {
     val global = perSlice.agg(max(col("max_us")).as("g_us"))
     perSlice.crossJoin(broadcast(global))
       .select(col("event_type"), col("shard"), col("n_events"),
-        expr("max_us div 1000000").as("last_seen_s"),
+        // FLOOR division, not `div` (truncate-toward-zero): the oracle's
+        // `//` floors, and max_us is raw epoch-µs — a pre-1970 event is
+        // negative and truncation would diverge. `a - pmod(a,b)` is the
+        // largest multiple of b ≤ a, all-integer, exact for any sign.
+        expr("(max_us - pmod(max_us, 1000000)) div 1000000").as("last_seen_s"),
+        // lag is max-relative, provably ≥ 0: here div == floor.
         expr("(g_us - max_us) div 60000000").as("lag_min"))
       .withColumn("staleness",
         when(col("lag_min") < 360, "fresh")

@@ -940,14 +940,27 @@ object Graph {
     * crossing it. This is the frame a link-farm analysis actually
     * reads: intra-SCC edges (the mutual rings) collapse away and what
     * remains is the acyclic citation structure BETWEEN rings — which
-    * farm feeds which, and how thickly. Composes [[scc]]'s ids with
-    * one broadcast of the node-bounded id map onto each edge endpoint
+    * farm feeds which, and how thickly. Composes the SCC id map with
+    * one broadcast of the node-bounded map onto each edge endpoint
     * (edges never shuffle — the membership-broadcast doctrine), then a
     * pair-grain aggregate; every frame is ≤ edges and the output is
     * ≤ SCC-pair-bounded. Oracle: the shared SCC CTEs + the same two
-    * id joins, all integer. */
-  def condensation(documents: DataFrame, nNodes: Int = 250, sparsity: Int = 2): DataFrame = {
-    val ids = scc(documents, nNodes, sparsity).select(col("node"), col("scc_id"))
+    * id joins, all integer.
+    *
+    * The id source is [[sccColoring]] (r10 — it had been [[scc]]'s
+    * iterated-squaring closure): the two are spec-pinned to IDENTICAL
+    * ids, so the oracle stays the shared SCC SQL (the diff_reconciled
+    * discipline — the composition changes the plan, never the answer),
+    * but the quotient now inherits the NODE-LINEAR state of the
+    * coloring loop instead of the closure's n² frames — the sccOnly
+    * ladder measured the closure 277 s at n=2500 where coloring reads
+    * ~10 s flat, so past a few thousand hosts only this composition
+    * can run at all (the r10 condensation ladder leg holds a n=5000
+    * point the closure form cannot reach). */
+  def condensation(documents: DataFrame, nNodes: Int = 250, sparsity: Int = 2,
+                   maxPeels: Int = 12, maxProp: Int = 24): DataFrame = {
+    val ids = sccColoring(documents, nNodes, sparsity, maxPeels, maxProp)
+      .select(col("node"), col("scc_id"))
       .localCheckpoint(eager = false)
     val e = documents.filter(col("doc_id") % sparsity === 0)
       .select((col("doc_id") % nNodes).as("src"),

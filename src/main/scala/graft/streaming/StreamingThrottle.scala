@@ -1,0 +1,130 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** Streaming keyed throttle — the continuous twin of
+  * [[Streams.throttleBatch]] ("at most one delivery per key per TTL"),
+  * the rate-limiter shape every notification/alerting stream runs.
+  *
+  * The batch law is a GREEDY WALK over each key's events in (event
+  * time, id) order: keep the first, then each event at least `ttl`
+  * after the LAST KEPT one. The walk is order-sensitive, so a
+  * processing-order streaming throttle diverges the moment chunks
+  * arrive out of order. This twin therefore separates ARRIVAL from
+  * DECISION — the canonical event-time pattern `transformWithState`
+  * exists for:
+  *
+  *   - arrivals append to a per-key `ListState` buffer of
+  *     (ts_us, event_id) — 16 bytes/undecided event, nothing else;
+  *   - decisions happen only for events at or below the WATERMARK
+  *     (no earlier event can still arrive): the ready slice is sorted
+  *     and replayed through the greedy recurrence against a per-key
+  *     `ValueState` (started, last_kept_us) — exactly the one-timestamp
+  *     state the batch operator's doc names, with started as an
+  *     EXPLICIT boolean (a -1 sentinel would break on pre-epoch
+  *     negative-µs events — the r9 ADVICE finding on the batch form);
+  *   - a key with a non-empty buffer registers an event-time TIMER one
+  *     ms past the current watermark, so tails flush as the watermark
+  *     advances even if the key never receives another row.
+  *
+  * Convergence law (gated in StreamingSpec): for any chunking and any
+  * arrival order whose lateness the watermark delay covers, the union
+  * of emitted rows equals `throttleBatch` on the same events. Kept
+  * rows are emitted exactly once (Append mode — a decision below the
+  * watermark is final, never retracted). Rows arriving later than the
+  * watermark allows are dropped by Spark ahead of the processor — the
+  * standard event-time contract, identical to windowed aggregation.
+  *
+  * Scale: state per key = one (bool, long) + only the UNDECIDED tail of
+  * the buffer (bounded by events per key per watermark-delay window,
+  * not by stream length) on RocksDB; keys shard across executors by
+  * the groupByKey exchange. The TTL itself is the eviction story for
+  * idle keys in production (state TTL = ttl + watermark delay keeps
+  * semantics exact: any later event is ≥ ttl past last_kept anyway,
+  * and a forgotten (started,last) state then re-keeps — identical
+  * output). */
+object StreamingThrottle {
+
+  /** Input row — the four columns the batch form consumes. */
+  final case class ThrottleEv(user_id: Long, event_type: String,
+                              event_id: Long, ts: java.sql.Timestamp)
+
+  /** A delivery the throttle let through (the batch form's output row). */
+  final case class Kept(user_id: Long, event_type: String,
+                        event_id: Long, ts_us: Long)
+
+  class Processor(ttlUs: Long)
+      extends StatefulProcessor[(Long, String), ThrottleEv, Kept] {
+
+    @transient private var buf: ListState[(Long, Long)] = _     // (ts_us, event_id) awaiting decision
+    @transient private var thr: ValueState[(Boolean, Long)] = _ // (started, last_kept_us)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[(Long, Long)]("buf",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+      thr = getHandle.getValueState[(Boolean, Long)]("thr",
+        Encoders.product[(Boolean, Long)], TTLConfig.NONE)
+    }
+
+    // full-precision µs, the batch operator's unix_micros (getTime holds
+    // millis; getNanos holds the sub-second part including the millis)
+    private def usOf(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    /** Decide everything at or below the watermark; return (kept rows,
+      * whether undecided events remain buffered). */
+    private def drain(key: (Long, String), wmUs: Long): (Iterator[Kept], Boolean) = {
+      val all = buf.get().toArray
+      if (all.isEmpty) return (Iterator.empty, false)
+      val (ready, pending) = all.partition(_._1 <= wmUs)
+      if (ready.isEmpty) return (Iterator.empty, true)
+      buf.clear()
+      if (pending.nonEmpty) buf.appendList(pending)
+      var (started, last) = if (thr.exists()) thr.get() else (false, 0L)
+      val kept = Array.newBuilder[Kept]
+      ready.sortInPlace() // tuple ordering == the batch (ts_us, event_id) sort
+      ready.foreach { e =>
+        if (!started || e._1 - last >= ttlUs) {
+          started = true; last = e._1
+          kept += Kept(key._1, key._2, e._2, e._1)
+        }
+      }
+      thr.update((started, last))
+      (kept.result().iterator, pending.nonEmpty)
+    }
+
+    private def afterDrain(pending: Boolean, timerValues: TimerValues): Unit =
+      if (pending) getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1)
+
+    override def handleInputRows(key: (Long, String), rows: Iterator[ThrottleEv],
+                                 timerValues: TimerValues): Iterator[Kept] = {
+      rows.foreach(e => buf.appendValue((usOf(e.ts), e.event_id)))
+      val (out, pending) = drain(key, timerValues.getCurrentWatermarkInMs() * 1000L)
+      afterDrain(pending, timerValues)
+      out
+    }
+
+    override def handleExpiredTimer(key: (Long, String), timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[Kept] = {
+      val (out, pending) = drain(key, timerValues.getCurrentWatermarkInMs() * 1000L)
+      afterDrain(pending, timerValues)
+      out
+    }
+  }
+
+  /** Wire the processor over an event stream (must carry `ts` for the
+    * watermark; `delay` bounds tolerated disorder). */
+  def kept(events: DataFrame, ttlHours: Int = 72,
+           delay: String = "10 minutes"): Dataset[Kept] = {
+    import events.sparkSession.implicits._
+    val ttlUs = ttlHours * 3600L * 1000000L
+    events
+      .withWatermark("ts", delay)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+      .as[ThrottleEv]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .transformWithState(new Processor(ttlUs), TimeMode.EventTime(), OutputMode.Append())
+  }
+}

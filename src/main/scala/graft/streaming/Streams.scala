@@ -173,9 +173,13 @@ object Streams {
     * per key — bounded, with the TTL itself as the eviction story).
     *
     * Batch realization: per-key sorted array + a codegen'd `aggregate`
-    * HOF carrying (last_kept, kept[]) — the holtLinear per-series-scan
-    * discipline; per-key state is bounded by events-per-key (the
-    * sessionBatch grain). All comparisons in integer µs. The oracle is
+    * HOF carrying (started, last_kept, kept[]) — the holtLinear
+    * per-series-scan discipline; per-key state is bounded by
+    * events-per-key (the sessionBatch grain). All comparisons in
+    * integer µs. "Nothing kept yet" is an EXPLICIT boolean, not a
+    * timestamp sentinel: a `-1` sentinel overloads the timestamp
+    * domain and breaks on pre-1970 (negative epoch-µs) events, where
+    * the oracle's sentinel-free recursion is correct. The oracle is
     * a rn+1 recursive CTE threading the same last-kept state (the holt
     * recursion shape) — both sides replay the identical greedy walk.
     *
@@ -193,10 +197,11 @@ object Streams {
       .select(col("user_id"), col("event_type"),
         explode(expr(
           s"""aggregate(evs,
-             |  named_struct('last_us', cast(-1 as bigint),
+             |  named_struct('started', false, 'last_us', cast(0 as bigint),
              |    'kept', cast(array() as array<struct<ts_us: bigint, event_id: bigint>>)),
-             |  (acc, e) -> IF(acc.last_us < 0 OR e.ts_us - acc.last_us >= $ttlUs,
-             |    named_struct('last_us', e.ts_us, 'kept', array_append(acc.kept, e)),
+             |  (acc, e) -> IF(NOT acc.started OR e.ts_us - acc.last_us >= $ttlUs,
+             |    named_struct('started', true, 'last_us', e.ts_us,
+             |      'kept', array_append(acc.kept, e)),
              |    acc),
              |  acc -> acc.kept)""".stripMargin)).as("e"))
       .select(col("user_id"), col("event_type"),

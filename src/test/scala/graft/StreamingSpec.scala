@@ -184,6 +184,70 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("throttle batch: pre-epoch (negative-µs) events replay the same greedy walk (r10)") {
+    // the ADVICE finding: a -1 'nothing kept yet' sentinel breaks on
+    // negative epoch-µs — after keeping a pre-1970 event, every later
+    // event would be kept regardless of TTL. Explicit started-flag law:
+    // t=-100h kept, t=-50h dropped (50h < 72h TTL), t=0h dropped
+    // (100h-from-kept... no: vs last KEPT at -100h → 100h ≥ 72h KEPT),
+    // t=+30h dropped (30h since the +0h keep).
+    import spark.implicits._
+    def ts(h: Long) = new Timestamp(h * 3600L * 1000L)
+    val evs = Seq(
+      (1L, ts(-100), 7L, "alert", 0.0),
+      (2L, ts(-50), 7L, "alert", 0.0),
+      (3L, ts(0), 7L, "alert", 0.0),
+      (4L, ts(30), 7L, "alert", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val kept = Streams.throttleBatch(evs).select("event_id").collect().map(_.getLong(0))
+    assert(kept.toSeq === Seq(1L, 3L),
+      s"pre-epoch greedy walk wrong: kept ${kept.mkString(",")}")
+  }
+
+  test("streaming throttle: out-of-order chunks converge to the batch greedy walk (r10)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StreamingThrottle
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // fixture events in ts order, then disorder WITHIN 150-event blocks
+    // (~4.5 days of fixture time — inside the 10-day watermark delay, so
+    // every decision the processor takes is watermark-final)
+    val evs = loadEvents()
+    val rnd = new scala.util.Random(7)
+    val scrambled = evs.grouped(150).flatMap(b => rnd.shuffle(b)).toSeq
+    val stream = MemoryStream[Ev]
+    val query = StreamingThrottle.kept(stream.toDF(), ttlHours = 72, delay = "10 days")
+      .writeStream.format("memory").queryName("thr").outputMode("append").start()
+    try {
+      scrambled.grouped(220).foreach { chunk =>
+        stream.addData(chunk); query.processAllAvailable()
+      }
+      // flush: a far-future sentinel advances the watermark past every
+      // real event; the pending-tail timers fire on the watermark batch
+      val sentinelTs = Timestamp.valueOf("2024-06-01 00:00:00")
+      stream.addData(Ev(-1L, sentinelTs, -99L, "zz_sentinel", 0.0))
+      query.processAllAvailable()
+      val streamed = spark.table("thr")
+        .filter(col("user_id") =!= -99L)
+        .select("user_id", "event_type", "event_id", "ts_us")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(identity).toSeq
+      val batch = Streams.throttleBatch(Tables.events(spark, sfDir)).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(identity).toSeq
+      assert(streamed.size === batch.size,
+        s"streamed kept ${streamed.size} vs batch ${batch.size}")
+      assert(streamed === batch)
+      assert(batch.size < evs.size, "throttle kept everything — vacuous fixture")
+    } finally {
+      query.stop()
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("streaming CDC: out-of-order chunked changelog converges to the batch compaction") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
