@@ -749,6 +749,85 @@ object ScaleSmoke {
       return
     }
 
+    // optional fifth arg "r10Only": the seven r9 keys whose scale claims
+    // were argued, not measured (VERDICT r9 task 4), plus the composed
+    // condensation's past-the-closure ladder point (task 5):
+    //  - decileLift: the ONE new exchange pattern of r9 — the pinned
+    //    range exchange of the globalNtile core; records must be ~rows
+    //    (one pass to rank, partial-agg'd decile rollup after);
+    //  - randomWalk: 4 unrolled broadcast hop joins — edges never
+    //    shuffle; the exchange carries only the per-hop distinct
+    //    frontier aggregate, node²-bounded, corpus-INDEPENDENT (docs
+    //    grow, frontier constant);
+    //  - recencyFeature / smaCross / holtBacktest: user-partitioned
+    //    window/scan families — one hash exchange to the key grain,
+    //    records ≈ rows, never pair-shaped;
+    //  - cohortLtv: (cohort-month × age) grain rollup after one
+    //    customer-grain exchange — records ≈ orders + grain;
+    //  - interleaveMixture: per-lang arrival windows + the presentation
+    //    sort (a range exchange) — records ≈ 2×docs, NO global rank;
+    //  - condensation (nNodes widened 250·factor, the sccOnly ladder
+    //    geometry): now composed over sccColoring's node-LINEAR loop, so
+    //    a n=5000 point (factor 20) is reachable where the closure form
+    //    measured 277 s already at n=2500.
+    if (args.lift(4).contains("r10Only")) {
+      // several r10 targets do their heavy exchange at CONSTRUCTION time
+      // (globalNtile's eager-checkpointed range exchange, the coloring
+      // loop's per-round jobs), which the executed-plan walker cannot
+      // see — so this leg's records metric is a LISTENER total of
+      // shuffle records written across ALL jobs in the timed block
+      // (construction included). Comparable within the leg, not across
+      // legs.
+      def timeAll(name: String)(df: => DataFrame): Unit = {
+        val recs = new java.util.concurrent.atomic.AtomicLong(0L)
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = te.taskMetrics
+            if (m != null) recs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          val t0 = System.nanoTime()
+          val d = df
+          val n = d.queryExecution.toRdd.count()
+          val dt = math.floor((System.nanoTime() - t0) / 1e7 + 0.5) / 100
+          Thread.sleep(500) // listener bus is async; let TaskEnd events settle
+          println(s"""{"smoke":"$name","factor":$factor,"rows":$n,"sec":$dt,"shuffle_records_alljobs":${recs.get()}}""")
+        } finally {
+          spark.sparkContext.removeSparkListener(listener)
+          spark.catalog.clearCache()
+          System.gc()
+        }
+      }
+      val events = graft.Tables.events(spark, sfDir)
+      val repEv = (0 until factor).map(i =>
+          events.withColumn("event_id", col("event_id") + lit(i * 100000000L)))
+        .reduce(_ unionByName _).localCheckpoint()
+      val nEv = repEv.count()
+      timeAll(s"decile_lift_e$nEv")(graft.ops.Aggregates.decileLift(repEv))
+      timeAll(s"win_recency_e$nEv")(graft.ops.Windows.recencyFeature(repEv))
+      timeAll(s"sma_cross_e$nEv")(graft.ops.TimeSeries.smaCross(repEv))
+      timeAll(s"holt_backtest_e$nEv")(graft.ops.TimeSeries.holtBacktest(repEv))
+      val orders = graft.Tables.orders(spark, sfDir)
+      val repOrd = (0 until factor).map(i =>
+          orders.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L)))
+        .reduce(_ unionByName _).localCheckpoint()
+      val nOrd = repOrd.count()
+      timeAll(s"cohort_ltv_o$nOrd")(graft.ops.Aggregates.cohortLtv(repOrd))
+      val repDocs = spark.read.parquet(path).localCheckpoint()
+      val nRep = repDocs.count()
+      timeAll(s"interleave_mixture_d$nRep")(
+        graft.llm.TrainingPrep.interleaveMixture(repDocs))
+      timeAll(s"random_walk_d$nRep")(graft.ops.Graph.randomWalk(repDocs))
+      timeAll(s"condensation_coloring_n${250 * factor}_docs$nRep")(
+        graft.ops.Graph.condensation(repDocs, nNodes = 250 * factor,
+          maxPeels = 12 + 4 * factor, maxProp = 24 * factor))
+      spark.stop()
+      return
+    }
+
     // optional fifth arg "orderedOnly": the production ordering
     // (exact → containment-prefix on survivors, one operator) vs RAW
     // prefix-containment on the duplicate-heavy replicated corpus —
