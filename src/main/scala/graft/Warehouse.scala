@@ -170,25 +170,37 @@ object Warehouse {
     * the prefix. Returns the dropped table names (sorted), so a
     * maintenance job can log exactly what it reclaimed. */
   def retain(spark: SparkSession, prefix: String, keepN: Int): Seq[String] = {
+    val doomed = retainPlan(
+      spark.catalog.listTables().collect().map(_.name).toSeq, prefix, keepN)
+    doomed.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      dropOrphanDir(spark, t)
+    }
+    doomed
+  }
+
+  /** The pure decision core of [[retain]] — which of `tables` to drop.
+    * Extracted (r10) so the name grammar can be PROPERTY-tested against
+    * an independent token-wise reference over adversarial name soups
+    * (epoch-shaped tokens in every path-segment position, multi-corpus
+    * pools, leading-zero epochs) without paying catalog round-trips per
+    * generated case — the drop side stays in [[retain]]. */
+  private[graft] def retainPlan(tables: Seq[String], prefix: String,
+                                keepN: Int): Seq[String] = {
     require(keepN >= 1, s"retain keeps at least one epoch, got $keepN")
     val p = prefix.toLowerCase
     val epochRe = "_e(\\d+)(?=_|$)".r
-    val tagged = spark.catalog.listTables().collect().map(_.name)
+    val tagged = tables
       .filter(_.startsWith(p))
       .flatMap { t =>
         epochRe.findAllMatchIn(t).toList.lastOption.map { m =>
           (t, t.substring(0, m.start) + t.substring(m.end), m.group(1).toLong)
         }
       }
-    val doomed = tagged.groupBy(_._2).valuesIterator.flatMap { fam =>
+    tagged.groupBy(_._2).valuesIterator.flatMap { fam =>
       val keep = fam.map(_._3).distinct.sorted(Ordering[Long].reverse).take(keepN).toSet
       fam.collect { case (t, _, e) if !keep(e) => t }
     }.toSeq.sorted
-    doomed.foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS `$t`")
-      dropOrphanDir(spark, t)
-    }
-    doomed
   }
 
   private def dropOrphanDir(spark: SparkSession, name: String): Unit = {

@@ -135,4 +135,81 @@ class WarehouseSpec extends SparkSpec {
     Seq("wh_spec_gc2_data_e2_run_e10", "wh_spec_gc2_data_e2_run_e11",
       "wh_spec_gc2_other_e3").foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
+
+  test("retain: property sweep over hostile name soups (r10)") {
+    // The r9 grammar fix was spec-pinned on two handwritten cases; this
+    // sweep generates adversarial pools — epoch-shaped tokens in EVERY
+    // path-segment position, multiple corpora sharing the prefix,
+    // leading-zero epochs, companion suffixes, tables with no epoch at
+    // all, and names outside the prefix — and checks the plan against
+    // an INDEPENDENT token-wise reference parse plus the retention laws.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val seg: Gen[String] = Gen.frequency(
+      4 -> Gen.oneOf("data", "run", "idx", "m", "x9", "v2a"),
+      3 -> Gen.chooseNum(0, 12).map(i => s"e$i"),   // decoy epoch tokens
+      1 -> Gen.const("e007"),                        // leading zeros
+      1 -> Gen.const("ee5"))                         // near-miss token
+    val family: Gen[Seq[String]] = for {
+      nSegs <- Gen.chooseNum(0, 3)
+      segs <- Gen.listOfN(nSegs, seg)
+      epochs <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 20L)).map(_.distinct)
+      comp <- Gen.someOf(Seq("_model", "_meta"))
+    } yield {
+      val stem = ("whp_gc" +: segs).mkString("_")
+      epochs.flatMap(e => s"${stem}_e$e" +: comp.map(c => s"${stem}_e$e$c").toSeq)
+    }
+    val pool: Gen[(Seq[String], Int)] = for {
+      fams <- Gen.nonEmptyListOf(family)
+      noise <- Gen.someOf(Seq("whp_gc_plain", "whp_gc_e", "whp_gc_exx_7",
+        "other_prefix_e1", "whp_gc")) // epoch-free / foreign-prefix noise
+      keepN <- Gen.chooseNum(1, 3)
+    } yield ((fams.flatten ++ noise).distinct, keepN)
+    // independent reference: token-split parse (the regex-free reading
+    // of the grammar — epoch = LAST "_"-delimited token of form e<digits>
+    // at position > 0; stem = the name with that token spliced out)
+    def refPlan(tables: Seq[String], prefix: String, keepN: Int): Seq[String] = {
+      val tagged = tables.filter(_.startsWith(prefix)).flatMap { t =>
+        val toks = t.split("_", -1)
+        val idx = toks.zipWithIndex.lastIndexWhere {
+          case (tok, i) => i > 0 && tok.matches("e\\d+")
+        }
+        if (idx < 0) None
+        else Some((t,
+          (toks.take(idx) ++ toks.drop(idx + 1)).mkString("_"),
+          toks(idx).drop(1).toLong))
+      }
+      tagged.groupBy(_._2).valuesIterator.flatMap { fam =>
+        val keep = fam.map(_._3).distinct.sorted(Ordering[Long].reverse)
+          .take(keepN).toSet
+        fam.collect { case (t, _, e) if !keep(e) => t }
+      }.toSeq.sorted
+    }
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(300)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L))
+    val res = SCTest.check(params, Prop.forAll(pool) { case (tables, keepN) =>
+      val planned = Warehouse.retainPlan(tables, "whp_gc", keepN)
+      val ref = refPlan(tables, "whp_gc", keepN)
+      val survivors = tables.filterNot(planned.toSet)
+      // law 1: the regex grammar == the token-wise reference, exactly
+      val parity = planned == ref
+      // law 2: epoch-free and foreign-prefix names are never dropped
+      val noiseSafe = planned.forall(t =>
+        t.startsWith("whp_gc") && "_e(\\d+)(?=_|$)".r.findFirstIn(t).isDefined)
+      // law 3: every stem keeps at least one epoch (sole epochs survive)
+      val keepsOne = {
+        def stemOf(t: String) = {
+          val m = "_e(\\d+)(?=_|$)".r.findAllMatchIn(t).toList.last
+          t.substring(0, m.start) + t.substring(m.end)
+        }
+        val stems = tables.filter(t => t.startsWith("whp_gc") &&
+          "_e(\\d+)(?=_|$)".r.findFirstIn(t).isDefined).groupBy(stemOf)
+        stems.forall { case (s, fam) =>
+          survivors.exists(t => fam.contains(t))
+        }
+      }
+      parity && noiseSafe && keepsOne
+    })
+    assert(res.passed, s"retain property sweep: $res")
+  }
 }
