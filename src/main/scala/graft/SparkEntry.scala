@@ -4502,7 +4502,10 @@ object SparkEntry {
         |GROUP BY 1, 2, 3 ORDER BY col_name, op""".stripMargin,
     /* pipeline_shard_manifest: the manifest recomputed from the SOURCE
        rows — matching the Spark side's read-back-from-written-files
-       manifest proves delivery fidelity end to end. */
+       manifest proves delivery fidelity end to end. content_fp is the
+       per-doc fp summed exactly (DuckDB HUGEINT promotion), reduced
+       mod 2^62 and emitted as plain BIGINT on both sides (r11 — no
+       decimal reaches the compared schema). */
     "pipeline_shard_manifest" ->
       """WITH d AS (SELECT substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
         |  COALESCE(text, '') AS text FROM documents),
@@ -4510,11 +4513,11 @@ object SparkEntry {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
-        |    (a, b) -> (a*31+b) % 1000000007) AS DECIMAL(38,0)) AS fp
+        |    (a, b) -> (a*31+b) % 1000000007) AS BIGINT) AS fp
         | FROM d)
         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-        | CAST(SUM(fp) AS DECIMAL(38,0)) AS content_fp
+        | CAST(SUM(fp) % CAST(4611686018427387904 AS HUGEINT) AS BIGINT) AS content_fp
         |FROM t GROUP BY 1 ORDER BY shard""".stripMargin,
     /* pipeline_split_group: the same md5 first-hex-digit law applied to
        the group key; doc_split rides along for the straddle audit. */

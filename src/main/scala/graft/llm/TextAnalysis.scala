@@ -129,10 +129,14 @@ object TextAnalysis {
       .select(col("ngram"), col("cxy"), col("cx"), col("cy"),
         // `+ ifnull(assert_true(...), 0)` adds exact 0 on every in-bound
         // row and raises before the wrapped product can reach the sort
+        // the guard covers BOTH products: the numerator scale
+        // (cxy·10^12) and the denominator cx·cy (cx,cy ~3e9 each would
+        // wrap BIGINT silently without tripping the cxy bound — r11)
         expr("(cxy * 1000000000000) div (cx * cy) + ifnull(assert_true(" +
-          "cxy <= 9223372, 'collocations: cxy exceeds the 10^12 " +
-          "score scale (BIGINT would wrap) - use the staged division " +
-          "((cxy*10^6 div cx)*10^6 div cy)'), 0)").as("score_key"),
+          "cxy <= 9223372 and cx <= 9223372036854775807 div cy, " +
+          "'collocations: cxy exceeds the 10^12 " +
+          "score scale or cx*cy exceeds BIGINT (would wrap) - use the " +
+          "staged division ((cxy*10^6 div cx)*10^6 div cy)'), 0)").as("score_key"),
         graft.ops.Det.rfloor(
           log((col("cxy").cast("double") * col("n1") * col("n1")) /
             (col("n2").cast("double") * col("cx") * col("cy"))), 4).as("pmi"))

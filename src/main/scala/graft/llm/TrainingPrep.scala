@@ -231,7 +231,24 @@ object TrainingPrep {
     * of this operator. The read-back uses the writer's EXPLICIT schema
     * (partition-column type inference is environment-sensitive: a
     * driver session with different inference conf must not be able to
-    * change the read-back shard type). */
+    * change the read-back shard type).
+    *
+    * PORTABLE FINGERPRINT TYPE (r11): the driver row stayed red
+    * (hash-only) for a third round while the r10 self-check ran clean
+    * — operator and file round-trip exonerated, leaving the manifest's
+    * one nonstandard-typed column, the DECIMAL(38,0) `content_fp`
+    * sum, as the only builder-controlled variable (decimal
+    * stringification is the classic Arrow-level comparator divergence
+    * class — the r7 HUGEINT lesson). The fold is therefore re-emitted
+    * BIGINT-safe: per-doc fp (< 1e9 by construction, mod 1000000007)
+    * summed in wide arithmetic then reduced mod 2^62 and cast to
+    * BIGINT on BOTH sides. 2^62 headroom means the wide sum is exact
+    * (DuckDB promotes SUM(BIGINT) to HUGEINT; Spark sums in
+    * DECIMAL(38,0)) and the reduced value is plain 64-bit integer
+    * everywhere — no decimal ever reaches the output schema. The
+    * order-free delivery-fidelity law is unchanged: a lost, duplicated
+    * or mutated doc still moves the modular sum with probability
+    * 1 - 2^-62 per shard. */
   def shardManifest(spark: org.apache.spark.sql.SparkSession,
                     documents: DataFrame,
                     seed: Long = 42L, tag: String = ""): DataFrame = {
@@ -250,13 +267,19 @@ object TrainingPrep {
           .cast("decimal(38,0)").as("fp"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
-        sum(col("fp")).as("content_fp"))
+        // exact wide sum, reduced mod 2^62 to a portable BIGINT (r11)
+        (sum(col("fp")) % lit(new java.math.BigDecimal("4611686018427387904")))
+          .cast("long").as("content_fp"))
       .orderBy("shard")
     src.write.mode("overwrite").partitionBy("shard").parquet(dir)
     try {
       val manifest = manifestOf(spark.read.schema(src.schema).parquet(dir))
       val rows = manifest.collect() // ≤16 rows: bounded by the shard-digit domain
-      val srcRows = manifestOf(src).collect()
+      // self-check doubles the source scan — conf-gated so production
+      // sharding can turn it off once the r8-r10 driver flake is closed
+      val selfCheck =
+        spark.conf.get("spark.graft.shardManifest.selfCheck", "true").toBoolean
+      val srcRows = if (selfCheck) manifestOf(src).collect() else rows
       if (!rows.sameElements(srcRows)) {
         def render(rs: Array[org.apache.spark.sql.Row]): String =
           rs.map(_.mkString("(", ", ", ")")).mkString("\n  ")

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{assert_true, coalesce, col, lit, unix_micros, when}
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Streaming keyed throttle — the continuous twin of
@@ -36,6 +36,20 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, 
   * watermark is final, never retracted). Rows arriving later than the
   * watermark allows are dropped by Spark ahead of the processor — the
   * standard event-time contract, identical to windowed aggregation.
+  * Decisions are taken STRICTLY below the watermark: Spark still
+  * admits a late row whose event time equals the watermark, so a
+  * tie-timestamped straggler must remain orderable against the
+  * undecided tail.
+  *
+  * DOMAIN LIMIT — pre-epoch events (gated in StreamingSpec): the
+  * batch form explicitly supports negative epoch-µs; the streaming
+  * twin CANNOT — Spark's initial watermark is 0 ms, so every
+  * pre-epoch event is below the watermark at the first batch and a
+  * late pre-epoch arrival is dropped before the processor sees it,
+  * silently breaking convergence. [[kept]] therefore REFUSES
+  * pre-epoch event times loudly (assert_true folded into the ts value
+  * path, so the guard cannot be pruned): historical corpora belong on
+  * `throttleBatch`, which is the replayable form anyway.
   *
   * Scale: state per key = one (bool, long) + only the UNDECIDED tail of
   * the buffer (bounded by events per key per watermark-delay window,
@@ -78,7 +92,11 @@ object StreamingThrottle {
     private def drain(key: (Long, String), wmUs: Long): (Iterator[Kept], Boolean) = {
       val all = buf.get().toArray
       if (all.isEmpty) return (Iterator.empty, false)
-      val (ready, pending) = all.partition(_._1 <= wmUs)
+      // STRICTLY below: Spark admits late rows whose event time EQUALS
+      // the watermark, so a tie-timestamped straggler must still be
+      // orderable — deciding at equality would replay it after events
+      // it should precede in (ts_us, event_id) order (r11 ADVICE fix).
+      val (ready, pending) = all.partition(_._1 < wmUs)
       if (ready.isEmpty) return (Iterator.empty, true)
       buf.clear()
       if (pending.nonEmpty) buf.appendList(pending)
@@ -120,7 +138,16 @@ object StreamingThrottle {
            delay: String = "10 minutes"): Dataset[Kept] = {
     import events.sparkSession.implicits._
     val ttlUs = ttlHours * 3600L * 1000000L
+    // pre-epoch refusal, folded into the ts value path (assert_true on a
+    // dropped column would be pruned away; inside the kept value it runs)
+    val guardedTs = when(
+      assert_true(coalesce(unix_micros(col("ts")), lit(0L)) >= 0,
+        lit("StreamingThrottle: pre-epoch (negative epoch-us) event time — " +
+          "the initial watermark is 0 ms so streaming convergence cannot hold; " +
+          "use Streams.throttleBatch for historical corpora")).isNull,
+      col("ts")).as("ts")
     events
+      .select(col("user_id"), col("event_type"), col("event_id"), guardedTs)
       .withWatermark("ts", delay)
       .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
       .as[ThrottleEv]

@@ -1263,9 +1263,9 @@ class LlmOpsSpec extends SparkSpec {
 
   test("shard manifest: byte-stable across runs, agrees with the shuffle-shard law (r8)") {
     val m1 = TrainingPrep.shardManifest(spark, documents, tag = sfDir).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDecimal(3)))).toMap
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     val m2 = TrainingPrep.shardManifest(spark, documents, tag = sfDir).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDecimal(3)))).toMap
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(m1 === m2, "manifest not reproducible across runs")
     // shard doc counts agree with the shuffle-shard assignment law
     val shards = TrainingPrep.shuffleShard(documents).collect()

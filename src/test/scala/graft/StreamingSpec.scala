@@ -248,6 +248,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming throttle: pre-epoch events are REFUSED loudly, not silently diverged (r11)") {
+    // the batch form supports negative epoch-µs (gated above); the
+    // streaming twin CANNOT — Spark's initial watermark is 0 ms, so a
+    // late pre-epoch arrival would be dropped before the processor and
+    // convergence would break SILENTLY. The documented contract is a
+    // loud refusal folded into the ts value path; this gate replays the
+    // batch test's pre-epoch fixture through the watermark path and
+    // demands the refusal, not a wrong answer.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StreamingThrottle
+    def ts(h: Long) = new Timestamp(h * 3600L * 1000L)
+    val stream = MemoryStream[Ev]
+    val query = StreamingThrottle.kept(stream.toDF(), ttlHours = 72, delay = "10 days")
+      .writeStream.format("memory").queryName("thr_pre").outputMode("append").start()
+    try {
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        stream.addData(
+          Ev(1L, ts(-100), 7L, "alert", 0.0), Ev(2L, ts(-50), 7L, "alert", 0.0),
+          Ev(3L, ts(0), 7L, "alert", 0.0), Ev(4L, ts(30), 7L, "alert", 0.0))
+        query.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+          .map(e => Option(e.getMessage).getOrElse("")).toSeq
+      assert(chain(ex).exists(_.contains("pre-epoch")),
+        s"expected the pre-epoch refusal, got: ${chain(ex).mkString(" | ")}")
+    } finally query.stop()
+  }
+
   test("streaming CDC: out-of-order chunked changelog converges to the batch compaction") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
