@@ -899,25 +899,41 @@ object Graph {
         def push(c: DataFrame): DataFrame = edges
           .join(broadcast(c.select(col("node").as("src"), col("color"))), "src")
           .groupBy(col("dst").as("node")).agg(min(col("color")).as("color"))
-        var next = color
+        // combine color and the exact-k-step frames by UNION + one
+        // min-aggregate — a join-free combine runs as one exchange
+        // stage, where a per-step left-outer join would spawn one
+        // auto-broadcast sub-job each (r11 job-count shave). c0 rides
+        // along (non-null only on the color rows) so the fixpoint test
+        // is a filter-count on the SAME materializing job.
+        var parts = color.select(col("node"), col("color"),
+          col("color").as("c0"))
         var pk = color
-        for (k <- 1 to stride) {
+        for (_ <- 1 to stride) {
           pk = push(pk)
-          next = next.join(pk.select(col("node"), col("color").as(s"p$k")),
-              Seq("node"), "left_outer")
-            .select(col("node"),
-              least(col("color"), coalesce(col(s"p$k"), col("color"))).as("color"))
+          parts = parts.unionByName(
+            pk.select(col("node"), col("color"), lit(null).cast("long").as("c0")))
         }
-        val nextCp = next.localCheckpoint(eager = false)
-        // one job: materializes next's checkpoint AND tests the fixpoint
-        converged = nextCp.as("a")
-          .join(color.as("b"), col("a.node") === col("b.node"))
-          .filter(col("a.color") =!= col("b.color")).count() == 0
-        color = nextCp
+        val nextCp = parts.groupBy("node")
+          .agg(min(col("color")).as("color"), max(col("c0")).as("c0"))
+          .select(col("node"), col("color"), (col("color") < col("c0")).as("chg"))
+          .localCheckpoint(eager = false)
+        converged = nextCp.filter(col("chg")).count() == 0
+        color = nextCp.select(col("node"), col("color"))
       }
       // 2. backward confirmation within each color class, from the roots.
       // Strided the same way: g_k is the class-constrained preimage of
       // g_(k-1); one distinct-union job advances `stride` growth rounds.
+      // The class constraint (a path step must stay inside its color
+      // class) is pre-joined onto the EDGES once per peel — classEdges
+      // keeps only edges whose endpoints share a color — so each growth
+      // step is ONE broadcast, not two (r11 job-count shave).
+      val classEdges = edges
+        .join(broadcast(color.select(col("node").as("src"), col("color"))), "src")
+        .join(broadcast(color.select(col("node").as("dst"),
+          col("color").as("dst_color"))), "dst")
+        .filter(col("color") === col("dst_color"))
+        .select(col("src"), col("dst"), col("color"))
+        .localCheckpoint(eager = false)
       var s = color.filter(col("node") === col("color"))
         .select(col("node"), col("color")).localCheckpoint(eager = false)
       var sCount = s.count()
@@ -927,12 +943,10 @@ object Graph {
         require(prop < propBudget,
           s"sccColoring: backward growth not converged in $propBudget rounds — raise maxProp")
         prop += stride
-        def grow(g: DataFrame): DataFrame = edges
-          .join(broadcast(g.select(col("node").as("dst"), col("color"))), "dst")
+        def grow(g: DataFrame): DataFrame = classEdges
+          .join(broadcast(g.select(col("node").as("dst"), col("color"))),
+            Seq("dst", "color"))
           .select(col("src").as("node"), col("color"))
-          // the step must stay inside the class: color(u) must equal the
-          // class it is joining (semi-join on BOTH node and color)
-          .join(broadcast(color), Seq("node", "color"), "left_semi")
           .distinct()
         var acc = s
         var gk = s

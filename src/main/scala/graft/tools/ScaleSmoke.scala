@@ -88,6 +88,37 @@ object ScaleSmoke {
       System.gc()
     }
 
+    // Several iterative targets do their heavy exchange at CONSTRUCTION
+    // time (globalNtile's eager-checkpointed range exchange, the coloring
+    // loop's per-round jobs), which the executed-plan walker cannot see —
+    // so this variant's records metric is a LISTENER total of shuffle
+    // records written across ALL jobs in the timed block (construction
+    // included). Comparable within a leg, not across legs. (Hoisted from
+    // the r10 leg in r11 — the r11 condensation rung reuses it.)
+    def timeAll(name: String)(df: => DataFrame): Unit = {
+      val recs = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) recs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val t0 = System.nanoTime()
+        val d = df
+        val n = d.queryExecution.toRdd.count()
+        val dt = math.floor((System.nanoTime() - t0) / 1e7 + 0.5) / 100
+        Thread.sleep(500) // listener bus is async; let TaskEnd events settle
+        println(s"""{"smoke":"$name","factor":$factor,"rows":$n,"sec":$dt,"shuffle_records_alljobs":${recs.get()}}""")
+      } finally {
+        spark.sparkContext.removeSparkListener(listener)
+        spark.catalog.clearCache()
+        System.gc()
+      }
+    }
+
     // optional fifth arg "bloomOnly": incremental-dedup smoke in the
     // 100 TB regime the operator exists for — an index too big to
     // BROADCAST (auto-broadcast off, so the plain anti-join must
@@ -771,36 +802,6 @@ object ScaleSmoke {
     //    a n=5000 point (factor 20) is reachable where the closure form
     //    measured 277 s already at n=2500.
     if (args.lift(4).contains("r10Only")) {
-      // several r10 targets do their heavy exchange at CONSTRUCTION time
-      // (globalNtile's eager-checkpointed range exchange, the coloring
-      // loop's per-round jobs), which the executed-plan walker cannot
-      // see — so this leg's records metric is a LISTENER total of
-      // shuffle records written across ALL jobs in the timed block
-      // (construction included). Comparable within the leg, not across
-      // legs.
-      def timeAll(name: String)(df: => DataFrame): Unit = {
-        val recs = new java.util.concurrent.atomic.AtomicLong(0L)
-        val listener = new org.apache.spark.scheduler.SparkListener {
-          override def onTaskEnd(
-              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-            val m = te.taskMetrics
-            if (m != null) recs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
-          }
-        }
-        spark.sparkContext.addSparkListener(listener)
-        try {
-          val t0 = System.nanoTime()
-          val d = df
-          val n = d.queryExecution.toRdd.count()
-          val dt = math.floor((System.nanoTime() - t0) / 1e7 + 0.5) / 100
-          Thread.sleep(500) // listener bus is async; let TaskEnd events settle
-          println(s"""{"smoke":"$name","factor":$factor,"rows":$n,"sec":$dt,"shuffle_records_alljobs":${recs.get()}}""")
-        } finally {
-          spark.sparkContext.removeSparkListener(listener)
-          spark.catalog.clearCache()
-          System.gc()
-        }
-      }
       val events = graft.Tables.events(spark, sfDir)
       val repEv = (0 until factor).map(i =>
           events.withColumn("event_id", col("event_id") + lit(i * 100000000L)))
@@ -824,6 +825,80 @@ object ScaleSmoke {
       timeAll(s"condensation_coloring_n${250 * factor}_docs$nRep")(
         graft.ops.Graph.condensation(repDocs, nNodes = 250 * factor,
           maxPeels = 12 + 4 * factor, maxProp = 24 * factor))
+      spark.stop()
+      return
+    }
+
+    // optional fifth arg "r11Only": the two r10-changed paths, one rung
+    // beyond their r10 ladders (VERDICT r10 task 6):
+    //  - condensation at n=250·factor (run with factor 40 → n=10000,
+    //    double the r10 ladder top; the closure form already read 277 s
+    //    at n=2500): another node-space doubling must stay node-LINEAR —
+    //    all-jobs shuffle records ~×2 per doubling, wall flat-ish.
+    //    Peel/prop budgets left at 0 → derived from nNodes (r11 law).
+    //  - StreamingThrottle state-size ladder: the scale claim is that
+    //    state per key is ONE (bool,long) plus only the UNDECIDED TAIL
+    //    of the buffer — bounded by events inside the disorder horizon
+    //    (watermark delay), never by stream length. Measured two ways:
+    //    stream length grows at fixed horizon (state must stay ~flat),
+    //    horizon widens at fixed length (state must track the horizon).
+    //    Metric: max numRowsTotal / memoryUsedBytes over the run from
+    //    StreamingQueryProgress.stateOperators (RocksDB provider, the
+    //    production store).
+    if (args.lift(4).contains("r11Only")) {
+      val repDocs = spark.read.parquet(path).localCheckpoint()
+      val nRep = repDocs.count()
+      timeAll(s"condensation_coloring_n${250 * factor}_docs$nRep")(
+        graft.ops.Graph.condensation(repDocs, nNodes = 250 * factor))
+
+      // ---- StreamingThrottle state ladder ----
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.StreamingThrottle
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      implicit val evEnc: org.apache.spark.sql.Encoder[StreamingThrottle.ThrottleEv] =
+        org.apache.spark.sql.Encoders.product[StreamingThrottle.ThrottleEv]
+      val keys = 50
+      def throttleStateRun(nEvents: Int, horizonMin: Int): Unit = {
+        // one event per key per minute, round-robin across keys, then
+        // disorder WITHIN horizon-sized blocks (the lateness the
+        // watermark delay is sized to cover)
+        val base = 1704067200000L // 2024-01-01T00:00:00Z — fixture epoch
+        val evs = (0 until nEvents).map { i =>
+          StreamingThrottle.ThrottleEv(i % keys, "alert", i.toLong,
+            new java.sql.Timestamp(base + (i / keys).toLong * 60000L))
+        }
+        val blockEvs = keys * horizonMin / 2 // disorder stays inside the delay
+        val rnd = new scala.util.Random(7)
+        val scrambled = evs.grouped(math.max(1, blockEvs)).flatMap(b => rnd.shuffle(b)).toSeq
+        val stream = MemoryStream[StreamingThrottle.ThrottleEv]
+        val query = StreamingThrottle.kept(stream.toDF(), ttlHours = 1,
+            delay = s"$horizonMin minutes")
+          .writeStream.format("memory")
+          .queryName(s"thr_scale_${nEvents}_$horizonMin")
+          .outputMode("append").start()
+        var maxRows = 0L; var maxBytes = 0L; var kept = 0L
+        try {
+          scrambled.grouped(2000).foreach { chunk =>
+            stream.addData(chunk); query.processAllAvailable()
+            val p = query.lastProgress
+            if (p != null && p.stateOperators.nonEmpty) {
+              maxRows = math.max(maxRows, p.stateOperators(0).numRowsTotal)
+              maxBytes = math.max(maxBytes, p.stateOperators(0).memoryUsedBytes)
+            }
+          }
+          kept = spark.table(s"thr_scale_${nEvents}_$horizonMin").count()
+        } finally query.stop()
+        println(s"""{"smoke":"throttle_state_n${nEvents}_h$horizonMin","events":$nEvents,"horizon_min":$horizonMin,"kept":$kept,"max_state_rows":$maxRows,"max_state_bytes":$maxBytes}""")
+      }
+      // length ladder at fixed horizon: state must stay ~flat
+      throttleStateRun(20000, 60)
+      throttleStateRun(40000, 60)
+      throttleStateRun(80000, 60)
+      // horizon ladder at fixed length: state must track the horizon
+      throttleStateRun(40000, 30)
+      throttleStateRun(40000, 120)
       spark.stop()
       return
     }
