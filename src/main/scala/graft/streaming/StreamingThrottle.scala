@@ -69,7 +69,25 @@ object StreamingThrottle {
   final case class Kept(user_id: Long, event_type: String,
                         event_id: Long, ts_us: Long)
 
-  class Processor(ttlUs: Long)
+  /** Max-tracking AccumulatorV2 — the state-size ladder's instrument.
+    * The store-level metrics cannot see the undecided tail (RocksDB
+    * numRowsTotal counts state KEYS per column family; memoryUsedBytes
+    * tracks the memtable, i.e. bytes ever written — both measured as
+    * artifacts in the first r11 ladder run), so the processor gauges
+    * its own buffer length at every drain. */
+  class MaxAccumulator extends org.apache.spark.util.AccumulatorV2[Long, Long] {
+    private var m = 0L
+    override def isZero: Boolean = m == 0L
+    override def copy(): MaxAccumulator = { val c = new MaxAccumulator; c.m = m; c }
+    override def reset(): Unit = m = 0L
+    override def add(v: Long): Unit = m = math.max(m, v)
+    override def merge(o: org.apache.spark.util.AccumulatorV2[Long, Long]): Unit =
+      m = math.max(m, o.value)
+    override def value: Long = m
+  }
+
+  class Processor(ttlUs: Long,
+                  tailGauge: Option[MaxAccumulator] = None)
       extends StatefulProcessor[(Long, String), ThrottleEv, Kept] {
 
     @transient private var buf: ListState[(Long, Long)] = _     // (ts_us, event_id) awaiting decision
@@ -91,6 +109,7 @@ object StreamingThrottle {
       * whether undecided events remain buffered). */
     private def drain(key: (Long, String), wmUs: Long): (Iterator[Kept], Boolean) = {
       val all = buf.get().toArray
+      tailGauge.foreach(_.add(all.length.toLong)) // per-key undecided tail
       if (all.isEmpty) return (Iterator.empty, false)
       // STRICTLY below: Spark admits late rows whose event time EQUALS
       // the watermark, so a tie-timestamped straggler must still be
@@ -135,7 +154,8 @@ object StreamingThrottle {
   /** Wire the processor over an event stream (must carry `ts` for the
     * watermark; `delay` bounds tolerated disorder). */
   def kept(events: DataFrame, ttlHours: Int = 72,
-           delay: String = "10 minutes"): Dataset[Kept] = {
+           delay: String = "10 minutes",
+           tailGauge: Option[MaxAccumulator] = None): Dataset[Kept] = {
     import events.sparkSession.implicits._
     val ttlUs = ttlHours * 3600L * 1000000L
     // pre-epoch refusal, folded into the ts value path (assert_true on a
@@ -152,6 +172,7 @@ object StreamingThrottle {
       .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
       .as[ThrottleEv]
       .groupByKey(e => (e.user_id, e.event_type))
-      .transformWithState(new Processor(ttlUs), TimeMode.EventTime(), OutputMode.Append())
+      .transformWithState(new Processor(ttlUs, tailGauge),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

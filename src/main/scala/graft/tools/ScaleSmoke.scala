@@ -846,10 +846,14 @@ object ScaleSmoke {
     //    StreamingQueryProgress.stateOperators (RocksDB provider, the
     //    production store).
     if (args.lift(4).contains("r11Only")) {
-      val repDocs = spark.read.parquet(path).localCheckpoint()
-      val nRep = repDocs.count()
-      timeAll(s"condensation_coloring_n${250 * factor}_docs$nRep")(
-        graft.ops.Graph.condensation(repDocs, nNodes = 250 * factor))
+      // sixth arg "throttleOnly" skips the (long) condensation rung when
+      // iterating on the throttle ladder
+      if (!args.lift(5).contains("throttleOnly")) {
+        val repDocs = spark.read.parquet(path).localCheckpoint()
+        val nRep = repDocs.count()
+        timeAll(s"condensation_coloring_n${250 * factor}_docs$nRep")(
+          graft.ops.Graph.condensation(repDocs, nNodes = 250 * factor))
+      }
 
       // ---- StreamingThrottle state ladder ----
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -873,8 +877,16 @@ object ScaleSmoke {
         val rnd = new scala.util.Random(7)
         val scrambled = evs.grouped(math.max(1, blockEvs)).flatMap(b => rnd.shuffle(b)).toSeq
         val stream = MemoryStream[StreamingThrottle.ThrottleEv]
+        // the per-key undecided-tail gauge: the store-level metrics
+        // cannot see list length (numRowsTotal counts state keys per
+        // column family — it reads keys×2 flat; memoryUsedBytes tracks
+        // the RocksDB memtable, i.e. bytes ever written — it grows with
+        // stream length by construction), so the processor reports its
+        // own buffer length at every drain via a max accumulator
+        val gauge = new StreamingThrottle.MaxAccumulator
+        spark.sparkContext.register(gauge, s"tail_${nEvents}_$horizonMin")
         val query = StreamingThrottle.kept(stream.toDF(), ttlHours = 1,
-            delay = s"$horizonMin minutes")
+            delay = s"$horizonMin minutes", tailGauge = Some(gauge))
           .writeStream.format("memory")
           .queryName(s"thr_scale_${nEvents}_$horizonMin")
           .outputMode("append").start()
@@ -890,7 +902,7 @@ object ScaleSmoke {
           }
           kept = spark.table(s"thr_scale_${nEvents}_$horizonMin").count()
         } finally query.stop()
-        println(s"""{"smoke":"throttle_state_n${nEvents}_h$horizonMin","events":$nEvents,"horizon_min":$horizonMin,"kept":$kept,"max_state_rows":$maxRows,"max_state_bytes":$maxBytes}""")
+        println(s"""{"smoke":"throttle_state_n${nEvents}_h$horizonMin","events":$nEvents,"horizon_min":$horizonMin,"kept":$kept,"max_key_tail":${gauge.value},"max_state_rows":$maxRows,"max_state_bytes":$maxBytes}""")
       }
       // length ladder at fixed horizon: state must stay ~flat
       throttleStateRun(20000, 60)
