@@ -494,6 +494,69 @@ class GraphSpec extends SparkSpec {
     assert(t.map(r => r.getLong(1) <= r.getLong(0)).forall(identity))
   }
 
+  test("sccColoring: equals a driver-side Tarjan on random doc-id subsets (r11)") {
+    // property gate for the r11 strided loop (union-min combine, chg-flag
+    // convergence, per-peel classEdges): the fixture test pins ONE graph;
+    // this pins five random ones against an independent reference.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val nNodes = 40 + trial * 10
+      val ids = Seq.fill(500)(rnd.nextInt(1000000).toLong).distinct
+      // mirror the operator's synthesized-edge law exactly
+      val pairs = ids.filter(_ % 2 == 0)
+        .map(id => (id % nNodes, (id * 31 + id / 7) % nNodes)).distinct
+      val nodes = (pairs.map(_._1) ++ pairs.map(_._2)).distinct.sorted
+      val adj = pairs.filter(p => p._1 != p._2).groupBy(_._1)
+        .map { case (s, es) => s -> es.map(_._2) }
+      // iterative Tarjan
+      val index = scala.collection.mutable.Map[Long, Int]()
+      val low = scala.collection.mutable.Map[Long, Int]()
+      val onStack = scala.collection.mutable.Set[Long]()
+      val stack = scala.collection.mutable.Stack[Long]()
+      val comp = scala.collection.mutable.Map[Long, Long]()
+      var counter = 0
+      def strongconnect(v0: Long): Unit = {
+        // explicit work stack: (node, child iterator)
+        val work = scala.collection.mutable.Stack[(Long, Iterator[Long])]()
+        def enter(v: Long): Unit = {
+          index(v) = counter; low(v) = counter; counter += 1
+          stack.push(v); onStack += v
+          work.push((v, adj.getOrElse(v, Seq.empty).iterator))
+        }
+        enter(v0)
+        while (work.nonEmpty) {
+          val (v, it) = work.top
+          if (it.hasNext) {
+            val w = it.next()
+            if (!index.contains(w)) enter(w)
+            else if (onStack(w)) low(v) = math.min(low(v), index(w))
+          } else {
+            work.pop()
+            if (work.nonEmpty) {
+              val p = work.top._1
+              low(p) = math.min(low(p), low(v))
+            }
+            if (low(v) == index(v)) {
+              val members = scala.collection.mutable.Buffer[Long]()
+              var w = -1L
+              do { w = stack.pop(); onStack -= w; members += w } while (w != v)
+              val id = members.min
+              members.foreach(m => comp(m) = id)
+            }
+          }
+        }
+      }
+      nodes.foreach(v => if (!index.contains(v)) strongconnect(v))
+      val sizes = comp.values.groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+      val expect = nodes.map(v => (v, comp(v), sizes(comp(v)))).toSet
+      val got = ops.Graph.sccColoring(ids.toDF("doc_id"), nNodes = nNodes)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expect, s"trial $trial (nNodes=$nNodes): first diffs ${
+        ((got -- expect) ++ (expect -- got)).take(3)}")
+    }
+  }
+
   test("condensation: quotient DAG matches a driver re-derivation and is acyclic (r9)") {
     import org.apache.spark.sql.functions.{col, expr}
     val docs = Tables.documents(spark, sfDir)
