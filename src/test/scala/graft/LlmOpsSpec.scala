@@ -1262,6 +1262,14 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("shard manifest: byte-stable across runs, agrees with the shuffle-shard law (r8)") {
+    // r11 type pin: the three-round driver hash-red traced to the one
+    // DECIMAL(38,0) output column; the fingerprint is now a mod-2^62
+    // BIGINT and must never regress to decimal (the class of divergence
+    // the repo's HUGEINT history documents)
+    val schema = TrainingPrep.shardManifest(spark, documents, tag = sfDir).schema
+    assert(schema.map(f => f.name -> f.dataType.typeName) === Seq(
+      "shard" -> "string", "n_docs" -> "long",
+      "n_tokens" -> "long", "content_fp" -> "long"))
     val m1 = TrainingPrep.shardManifest(spark, documents, tag = sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     val m2 = TrainingPrep.shardManifest(spark, documents, tag = sfDir).collect()
