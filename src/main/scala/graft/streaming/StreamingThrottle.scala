@@ -54,11 +54,14 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, 
   * Scale: state per key = one (bool, long) + only the UNDECIDED tail of
   * the buffer (bounded by events per key per watermark-delay window,
   * not by stream length) on RocksDB; keys shard across executors by
-  * the groupByKey exchange. The TTL itself is the eviction story for
-  * idle keys in production (state TTL = ttl + watermark delay keeps
-  * semantics exact: any later event is ≥ ttl past last_kept anyway,
-  * and a forgotten (started,last) state then re-keeps — identical
-  * output). */
+  * the groupByKey exchange. Idle keys EVICT: once a key's buffer is
+  * empty and the watermark passes last_kept + ttl, an event-time
+  * cleanup timer clears the (started, last_kept) scalar — output-
+  * identical by the recurrence (any still-admissible event is ≥ ttl
+  * past last_kept, so fresh and remembered state keep the same rows;
+  * the eviction-horizon schedule is gated in StreamingSpec). State
+  * TTLConfig cannot express this: it is processing-time-only and
+  * Spark rejects it under TimeMode.EventTime. */
 object StreamingThrottle {
 
   /** Input row — the four columns the batch form consumes. */
@@ -94,6 +97,13 @@ object StreamingThrottle {
     @transient private var thr: ValueState[(Boolean, Long)] = _ // (started, last_kept_us)
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      // No TTLConfig on either state: Spark REJECTS state TTL in
+      // TimeMode.EventTime ([STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_
+      // ASSIGN_TTL] — TTLConfig is processing-time-only), and this
+      // processor needs event-time timers. Idle-key eviction is instead
+      // the event-time CLEANUP TIMER in [[afterDrain]]/
+      // [[handleExpiredTimer]], which is output-identical by the
+      // throttle recurrence (see the eviction note there).
       buf = getHandle.getListState[(Long, Long)]("buf",
         Encoders.product[(Long, Long)], TTLConfig.NONE)
       thr = getHandle.getValueState[(Boolean, Long)]("thr",
@@ -132,8 +142,33 @@ object StreamingThrottle {
       (kept.result().iterator, pending.nonEmpty)
     }
 
+    /** IDLE-KEY EVICTION (r11) — event-time, output-identical. A key
+      * whose buffer is empty holds only the (started, last_kept_us)
+      * scalar; once the watermark passes last_kept + ttl, forgetting it
+      * changes NOTHING: any still-admissible event e has
+      * ts_us ≥ watermark > last_kept + ttl, so the remembered state
+      * would keep e (e − last ≥ ttl) and a fresh state keeps e too —
+      * and both then carry last = e identically. So after each drain:
+      * pending tail → flush timer one ms past the watermark (as
+      * before); no tail but live scalar → a cleanup timer at
+      * last_kept + ttl (+1 ms); when a timer fires past that horizon
+      * with an empty buffer, the scalar is cleared and the key's state
+      * footprint drops to zero. A timer that fires EARLY (the key kept
+      * a newer event since) just re-arms. TTLConfig cannot express
+      * this — it is processing-time-only and Spark rejects it in
+      * TimeMode.EventTime. */
     private def afterDrain(pending: Boolean, timerValues: TimerValues): Unit =
       if (pending) getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1)
+      else if (thr.exists()) {
+        val (_, last) = thr.get()
+        getHandle.registerTimer(Math.floorDiv(last, 1000L) + ttlUs / 1000L + 1L)
+      }
+
+    private def maybeEvict(wmUs: Long): Unit =
+      if (thr.exists() && buf.get().isEmpty) {
+        val (started, last) = thr.get()
+        if (!started || wmUs - last > ttlUs) thr.clear()
+      }
 
     override def handleInputRows(key: (Long, String), rows: Iterator[ThrottleEv],
                                  timerValues: TimerValues): Iterator[Kept] = {
@@ -146,13 +181,17 @@ object StreamingThrottle {
     override def handleExpiredTimer(key: (Long, String), timerValues: TimerValues,
                                     expiredTimerInfo: ExpiredTimerInfo): Iterator[Kept] = {
       val (out, pending) = drain(key, timerValues.getCurrentWatermarkInMs() * 1000L)
-      afterDrain(pending, timerValues)
+      maybeEvict(timerValues.getCurrentWatermarkInMs() * 1000L)
+      if (thr.exists() || pending) afterDrain(pending, timerValues)
       out
     }
   }
 
   /** Wire the processor over an event stream (must carry `ts` for the
-    * watermark; `delay` bounds tolerated disorder). */
+    * watermark; `delay` bounds tolerated disorder). Idle-key state
+    * eviction is built in — the event-time cleanup timer in the
+    * processor, gated output-identical in StreamingSpec — so there is
+    * no retention knob to size. */
   def kept(events: DataFrame, ttlHours: Int = 72,
            delay: String = "10 minutes",
            tailGauge: Option[MaxAccumulator] = None): Dataset[Kept] = {

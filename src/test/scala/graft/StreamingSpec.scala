@@ -278,6 +278,48 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming throttle: idle-key eviction is output-identical across the eviction horizon (r11)") {
+    // the event-time cleanup timer clears a key's (started, last_kept)
+    // scalar once the watermark passes last_kept + ttl with an empty
+    // buffer. This schedule FORCES that path for key 7 — key 8's late
+    // events drag the watermark far past key 7's eviction horizon
+    // before key 7 speaks again — and then demands the post-eviction
+    // walk equals the batch greedy walk on the same events.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StreamingThrottle
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def ts(h: Long) = new Timestamp(1704067200000L + h * 3600L * 1000L)
+    val chunk1 = Seq(Ev(1L, ts(0), 7L, "alert", 0.0))          // key 7: kept, then idle
+    val chunk2 = Seq(Ev(2L, ts(200), 8L, "alert", 0.0))        // wm -> ~199h >> 0h+72h: key 7 evicts
+    val chunk3 = Seq(Ev(3L, ts(210), 7L, "alert", 0.0),        // key 7 fresh state: kept (210-0 >= 72 too)
+                     Ev(4L, ts(220), 7L, "alert", 0.0))        // 10h since 210h keep: dropped
+    val sentinel = Ev(-1L, ts(10000), -99L, "zz_sentinel", 0.0)
+    val all = (chunk1 ++ chunk2 ++ chunk3)
+      .map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val stream = MemoryStream[Ev]
+    val query = StreamingThrottle.kept(stream.toDF(), ttlHours = 72, delay = "1 hour")
+      .writeStream.format("memory").queryName("thr_evict").outputMode("append").start()
+    try {
+      Seq(chunk1, chunk2, chunk3, Seq(sentinel)).foreach { c =>
+        stream.addData(c); query.processAllAvailable()
+      }
+      val streamed = spark.table("thr_evict").filter(col("user_id") =!= -99L)
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      val batch = Streams.throttleBatch(all).select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(streamed === batch)
+      assert(batch === Seq(1L, 2L, 3L)) // the schedule is non-vacuous: one drop
+    } finally {
+      query.stop()
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("streaming CDC: out-of-order chunked changelog converges to the batch compaction") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
