@@ -101,7 +101,7 @@ object StreamingThrottle {
       // TimeMode.EventTime ([STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_
       // ASSIGN_TTL] — TTLConfig is processing-time-only), and this
       // processor needs event-time timers. Idle-key eviction is instead
-      // the event-time CLEANUP TIMER in [[afterDrain]]/
+      // the event-time CLEANUP TIMER in [[reconcileTimers]]/
       // [[handleExpiredTimer]], which is output-identical by the
       // throttle recurrence (see the eviction note there).
       buf = getHandle.getListState[(Long, Long)]("buf",
@@ -156,25 +156,51 @@ object StreamingThrottle {
       * footprint drops to zero. A timer that fires EARLY (the key kept
       * a newer event since) just re-arms. TTLConfig cannot express
       * this — it is processing-time-only and Spark rejects it in
-      * TimeMode.EventTime. */
-    private def afterDrain(pending: Boolean, timerValues: TimerValues): Unit =
-      if (pending) getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1)
-      else if (thr.exists()) {
-        val (_, last) = thr.get()
-        getHandle.registerTimer(Math.floorDiv(last, 1000L) + ttlUs / 1000L + 1L)
+      * TimeMode.EventTime.
+      *
+      * Timer hygiene (r12): the desired timer set per key is exactly
+      * ONE timestamp (the flush tick, or the eviction horizon, or
+      * nothing once evicted), so each decision point RECONCILES the
+      * registered set against that target — every stale timer (an old
+      * flush tick superseded by a later drain, a horizon left behind by
+      * a newer kept event) is deleted rather than left to fire early
+      * and re-arm (the r11 ADVICE churn finding). `exclude` carries the
+      * timestamp of a timer currently mid-fire: Spark removes it itself
+      * after handleExpiredTimer returns, so deleting it here would
+      * double-remove. */
+    private def reconcileTimers(pending: Boolean, timerValues: TimerValues,
+                                exclude: Long = Long.MinValue): Unit = {
+      val want: Option[Long] =
+        if (pending) Some(timerValues.getCurrentWatermarkInMs() + 1)
+        else if (thr.exists()) {
+          val (_, last) = thr.get()
+          Some(Math.floorDiv(last, 1000L) + ttlUs / 1000L + 1L)
+        } else None
+      var present = false
+      getHandle.listTimers().foreach { t =>
+        val ts = t.asInstanceOf[Long]
+        if (want.contains(ts)) present = true
+        else if (ts != exclude) getHandle.deleteTimer(ts)
       }
+      want.foreach(ts => if (!present) getHandle.registerTimer(ts))
+    }
 
     private def maybeEvict(wmUs: Long): Unit =
       if (thr.exists() && buf.get().isEmpty) {
-        val (started, last) = thr.get()
-        if (!started || wmUs - last > ttlUs) thr.clear()
+        // started is invariantly TRUE here: drain writes thr only after
+        // replaying at least one ready event, and the greedy walk always
+        // keeps the first of those when started is false (r11 ADVICE —
+        // the old `!started ||` arm was unreachable, and would have
+        // evicted WITHOUT a horizon check had it ever become reachable)
+        val (_, last) = thr.get()
+        if (wmUs - last > ttlUs) thr.clear()
       }
 
     override def handleInputRows(key: (Long, String), rows: Iterator[ThrottleEv],
                                  timerValues: TimerValues): Iterator[Kept] = {
       rows.foreach(e => buf.appendValue((usOf(e.ts), e.event_id)))
       val (out, pending) = drain(key, timerValues.getCurrentWatermarkInMs() * 1000L)
-      afterDrain(pending, timerValues)
+      reconcileTimers(pending, timerValues)
       out
     }
 
@@ -182,7 +208,8 @@ object StreamingThrottle {
                                     expiredTimerInfo: ExpiredTimerInfo): Iterator[Kept] = {
       val (out, pending) = drain(key, timerValues.getCurrentWatermarkInMs() * 1000L)
       maybeEvict(timerValues.getCurrentWatermarkInMs() * 1000L)
-      if (thr.exists() || pending) afterDrain(pending, timerValues)
+      reconcileTimers(pending, timerValues,
+        exclude = expiredTimerInfo.getExpiryTimeInMs())
       out
     }
   }

@@ -894,10 +894,15 @@ object ScaleSmoke {
         try {
           scrambled.grouped(2000).foreach { chunk =>
             stream.addData(chunk); query.processAllAvailable()
-            val p = query.lastProgress
-            if (p != null && p.stateOperators.nonEmpty) {
-              maxRows = math.max(maxRows, p.stateOperators(0).numRowsTotal)
-              maxBytes = math.max(maxBytes, p.stateOperators(0).memoryUsedBytes)
+            // EVERY microbatch of the chunk, not just the last
+            // (lastProgress missed intra-chunk peaks — r11 ADVICE);
+            // recentProgress is a rolling buffer, so re-seeing a batch
+            // is harmless under max
+            query.recentProgress.foreach { p =>
+              if (p != null && p.stateOperators.nonEmpty) {
+                maxRows = math.max(maxRows, p.stateOperators(0).numRowsTotal)
+                maxBytes = math.max(maxBytes, p.stateOperators(0).memoryUsedBytes)
+              }
             }
           }
           kept = spark.table(s"thr_scale_${nEvents}_$horizonMin").count()
@@ -911,6 +916,75 @@ object ScaleSmoke {
       // horizon ladder at fixed length: state must track the horizon
       throttleStateRun(40000, 30)
       throttleStateRun(40000, 120)
+      spark.stop()
+      return
+    }
+
+    // optional fifth arg "r12Only": the throttle EVICTION-footprint rung
+    // (VERDICT r11 task 6). The r11 ladder bounded the PEAK (undecided
+    // tail flat under stream growth); this rung pins the RETURN PATH —
+    // that idle-key eviction actually takes state back DOWN, so a
+    // notification stream whose key population churns (users come and
+    // go) holds state ~ live keys, not ~ all keys ever seen. Schedule:
+    // a BURST population speaks only in the first 10 minutes of event
+    // time, a small PERSISTENT population keeps speaking for 3 hours;
+    // with ttl = 1 h the watermark crosses every burst key's eviction
+    // horizon mid-run, so final state rows must track the persistent
+    // population alone while peak rows track the burst population. A
+    // state leak (eviction silently stopped) reads post_idle ≈ peak.
+    if (args.lift(4).contains("r12Only")) {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.StreamingThrottle
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      implicit val evEnc: org.apache.spark.sql.Encoder[StreamingThrottle.ThrottleEv] =
+        org.apache.spark.sql.Encoders.product[StreamingThrottle.ThrottleEv]
+      val persistentKeys = 8
+      def evictRun(burstKeys: Int): Unit = {
+        val base = 1704067200000L // 2024-01-01T00:00:00Z — fixture epoch
+        def ev(key: Long, minute: Long, id: Long) =
+          StreamingThrottle.ThrottleEv(key, "alert", id,
+            new java.sql.Timestamp(base + minute * 60000L))
+        // burst phase: every burst key speaks twice inside minutes 0-9
+        val burst = (0 until burstKeys).flatMap { k =>
+          Seq(ev(k.toLong, (k % 5).toLong, k.toLong * 2),
+              ev(k.toLong, 5L + (k % 5), k.toLong * 2 + 1))
+        }
+        // persistent phase: keys beyond the burst id space tick every
+        // minute from minute 10 to 180 — the watermark they drag
+        // (delay 5 min) crosses burst horizon last_kept(≤9min) + 60min
+        // = ~69min well before the end
+        val persist = (10L to 180L).flatMap { m =>
+          (0 until persistentKeys).map(p =>
+            ev(1000000L + p, m, 10000000L + m * 100 + p))
+        }
+        val stream = MemoryStream[StreamingThrottle.ThrottleEv]
+        val query = StreamingThrottle.kept(stream.toDF(), ttlHours = 1,
+            delay = "5 minutes")
+          .writeStream.format("memory").queryName(s"thr_evict_$burstKeys")
+          .outputMode("append").start()
+        var peak = 0L; var postIdle = 0L; var kept = 0L
+        try {
+          (burst.grouped(2000).toSeq ++ persist.grouped(2000).toSeq).foreach { c =>
+            stream.addData(c); query.processAllAvailable()
+            query.recentProgress.foreach { p =>
+              if (p != null && p.stateOperators.nonEmpty)
+                peak = math.max(peak, p.stateOperators(0).numRowsTotal)
+            }
+          }
+          val p = query.lastProgress
+          if (p != null && p.stateOperators.nonEmpty)
+            postIdle = p.stateOperators(0).numRowsTotal
+          kept = spark.table(s"thr_evict_$burstKeys").count()
+        } finally query.stop()
+        println(s"""{"smoke":"throttle_evict_b$burstKeys","burst_keys":$burstKeys,"persistent_keys":$persistentKeys,"kept":$kept,"peak_state_rows":$peak,"post_idle_state_rows":$postIdle}""")
+      }
+      // burst-population ladder: peak must track burst keys, post-idle
+      // must stay at the persistent floor regardless
+      evictRun(200)
+      evictRun(400)
+      evictRun(800)
       spark.stop()
       return
     }

@@ -305,8 +305,16 @@ class StreamingSpec extends SparkSpec {
     val query = StreamingThrottle.kept(stream.toDF(), ttlHours = 72, delay = "1 hour")
       .writeStream.format("memory").queryName("thr_evict").outputMode("append").start()
     try {
-      Seq(chunk1, chunk2, chunk3, Seq(sentinel)).foreach { c =>
-        stream.addData(c); query.processAllAvailable()
+      // the output-identity assertion below holds BY DESIGN whether or
+      // not eviction ever fires (that is the point of the eviction law),
+      // so it cannot catch a regression that silently stops evicting —
+      // a state leak (the r11 ADVICE finding). The store metrics close
+      // that hole: numRowsTotal after each chunk settles is the key's
+      // actual footprint, and it must DROP when the watermark crosses an
+      // idle key's horizon.
+      def stateRows(): Long = query.lastProgress.stateOperators(0).numRowsTotal
+      val totals = Seq(chunk1, chunk2, chunk3, Seq(sentinel)).map { c =>
+        stream.addData(c); query.processAllAvailable(); stateRows()
       }
       val streamed = spark.table("thr_evict").filter(col("user_id") =!= -99L)
         .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
@@ -314,6 +322,20 @@ class StreamingSpec extends SparkSpec {
         .collect().map(_.getLong(0)).sorted.toSeq
       assert(streamed === batch)
       assert(batch === Seq(1L, 2L, 3L)) // the schedule is non-vacuous: one drop
+      // after chunk2 the watermark (~199h) is past key 7's horizon
+      // (0h + 72h): key 7's scalar must be GONE, leaving key 8 alone —
+      // an unevicted leak would read 2 here
+      assert(totals(1) === 1L,
+        s"key 7 not evicted after its horizon: state rows ${totals(1)} (want 1)")
+      // the sentinel flush (wm ~10000h) crosses key 7's AND key 8's
+      // horizons: only the sentinel key's scalar may remain
+      assert(totals(3) === 1L,
+        s"idle keys not evicted at the final watermark: state rows ${totals(3)} (want 1)")
+      // and eviction must show as actual row REMOVAL in the store
+      // metrics, not just a stable total masking add/remove churn
+      assert(query.recentProgress.exists(
+        _.stateOperators.exists(_.numRowsRemoved > 0)),
+        "no batch ever reported numRowsRemoved > 0 — eviction never fired")
     } finally {
       query.stop()
       prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
