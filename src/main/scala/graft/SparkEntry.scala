@@ -411,12 +411,20 @@ object SparkEntry {
     "text_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables.documents(s, d))),
     "dedup_embedding_bucketed" -> ((s, d) => Dedup.embeddingBucketedDedup(Corpus.vecCorpus(Tables.embeddings(s, d)))),
     // index = original vectors (<100000), delta = the perturbed near-dup
-    // arrivals — the incoming batch is exactly what SHOULD be rejected,
-    // except near-dups whose perturbation flips a sign bit
+    // arrivals (all rejected: the ×1.01+0.001 perturbation preserves
+    // every sign bucket in the fixture) UNIONED with a NOVEL slice —
+    // sign-flipped copies of every tenth-plus-five vector, which land in
+    // the complementary bucket and survive. Both branches now fire at
+    // the driver: rows > 0 (the survivors) and rows < |delta| (the
+    // drops) — the r11 verdict's vacuous 0-vs-0 fixture finding.
     "dedup_embedding_delta" -> ((s, d) => {
       val vc = Corpus.vecCorpus(Tables.embeddings(s, d))
+      val novel = vc.filter(col("vec_id") < 100000 && col("vec_id") % 10 === 5)
+        .select((col("vec_id") + 200000).as("vec_id"),
+          transform(col("v"), x => x * lit(-1.0)).as("v"))
       Dedup.embeddingDeltaDedup(
-        vc.filter(col("vec_id") < 100000), vc.filter(col("vec_id") >= 100000))
+        vc.filter(col("vec_id") < 100000),
+        vc.filter(col("vec_id") >= 100000).unionByName(novel))
     }),
     "dq_snapshot_drift" -> ((s, d) => {
       val c = Tables.customer(s, d)
@@ -1323,7 +1331,8 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     "join_left_anti" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= DATE '1998-01-01')
         |ORDER BY c_custkey""".stripMargin,
     "join_outer" ->
       """WITH o AS (SELECT c_custkey AS o_key, c_acctbal AS o_bal FROM customer WHERE c_custkey % 10 <> 3),
@@ -4212,18 +4221,27 @@ object SparkEntry {
          |ORDER BY vec_id""".stripMargin,
     "dedup_embedding_delta" ->
       s"""WITH v AS (${Corpus.vecCorpusSql}),
-         |b AS (SELECT vec_id, v,
+         |dv AS (SELECT vec_id, v FROM v WHERE vec_id >= 100000
+         | UNION ALL
+         | SELECT vec_id + 200000 AS vec_id, list_transform(v, x -> x * -1.0) AS v
+         | FROM v WHERE vec_id < 100000 AND vec_id % 10 = 5),
+         |bi AS (SELECT vec_id, v,
          |  (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END +
          |   CASE WHEN v[3] > 0 THEN 4 ELSE 0 END + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END +
          |   CASE WHEN v[5] > 0 THEN 16 ELSE 0 END + CASE WHEN v[6] > 0 THEN 32 ELSE 0 END +
          |   CASE WHEN v[7] > 0 THEN 64 ELSE 0 END + CASE WHEN v[8] > 0 THEN 128 ELSE 0 END) AS bucket,
-         |  sqrt(list_dot_product(v, v)) AS nrm FROM v),
+         |  sqrt(list_dot_product(v, v)) AS nrm FROM v WHERE vec_id < 100000),
+         |bd AS (SELECT vec_id, v,
+         |  (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END +
+         |   CASE WHEN v[3] > 0 THEN 4 ELSE 0 END + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END +
+         |   CASE WHEN v[5] > 0 THEN 16 ELSE 0 END + CASE WHEN v[6] > 0 THEN 32 ELSE 0 END +
+         |   CASE WHEN v[7] > 0 THEN 64 ELSE 0 END + CASE WHEN v[8] > 0 THEN 128 ELSE 0 END) AS bucket,
+         |  sqrt(list_dot_product(v, v)) AS nrm FROM dv),
          |dr AS (SELECT DISTINCT d.vec_id AS vec_id
-         | FROM b d JOIN b i ON d.bucket = i.bucket
-         |  AND d.vec_id >= 100000 AND i.vec_id < 100000
+         | FROM bd d JOIN bi i ON d.bucket = i.bucket
          | WHERE round(list_dot_product(d.v, i.v) / nullif(d.nrm * i.nrm, 0), 4) + 0.0 >= 0.99)
-         |SELECT vec_id FROM v WHERE vec_id >= 100000
-         | AND vec_id NOT IN (SELECT vec_id FROM dr)
+         |SELECT vec_id FROM dv
+         | WHERE vec_id NOT IN (SELECT vec_id FROM dr)
          |ORDER BY vec_id""".stripMargin,
     "dq_snapshot_drift" ->
       s"""WITH oldt AS (${Snapshots.oldSql}), newt AS (${Snapshots.newSql}),

@@ -1270,8 +1270,14 @@ class LlmOpsSpec extends SparkSpec {
     assert(schema.map(f => f.name -> f.dataType.typeName) === Seq(
       "shard" -> "string", "n_docs" -> "long",
       "n_tokens" -> "long", "content_fp" -> "long"))
-    val m1 = TrainingPrep.shardManifest(spark, documents, tag = sfDir).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // the delivery self-check defaults OFF since r12 (the r8-r10 flake it
+    // instrumented is closed) — arm it here so the read-back-vs-source
+    // comparison branch stays exercised by the suite
+    val m1 = try {
+      spark.conf.set("spark.graft.shardManifest.selfCheck", "true")
+      TrainingPrep.shardManifest(spark, documents, tag = sfDir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    } finally spark.conf.unset("spark.graft.shardManifest.selfCheck")
     val m2 = TrainingPrep.shardManifest(spark, documents, tag = sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(m1 === m2, "manifest not reproducible across runs")
