@@ -159,7 +159,10 @@ object Bench {
     val unstableJson =
       s""","steady_unstable":${unstable.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     try {
-      val w = new java.io.PrintWriter("bench_full.json")
+      // subset runs (SPARK_GRAFT_ONLY set — profiling/triage) must not
+      // clobber the committed close artifact; they get a scratch file
+      val artifact = if (only.isDefined) "bench_subset.json" else "bench_full.json"
+      val w = new java.io.PrintWriter(artifact)
       try w.println(s"""{"total":$total,"n":${results.size},"runs":$runs,"calib_1t":${r2d(calib1)},"calib_allcore":${r2d(calibAll)},"sf":"$sfDir"$errJson$unstableJson,"queries":$fullJson}""")
       finally w.close()
     } catch { case _: Throwable => () }
