@@ -18,33 +18,43 @@ cleared ambient, per-key min/max spreads ran 2-4x, and the r11 settle
 windows disagreed per key by 2-3x in BOTH directions while totals
 agreed within 5%. A single shared-host close simply cannot price an
 individual key, so the gate now requires TWO-CONSECUTIVE-CLOSE
-confirmation: a key HARD-FAILS only when it breaches (2x budget AND
-+0.25 normalized seconds) in the CURRENT close AND in the PRIOR close
-persisted in bench_prior.json. A single-close breach is a FLAG — first
-offense, reported for triage, exit 0 — because one close cannot
-distinguish a regression from a wave (replayed on the r8-r11 closes:
-single-close breaches 1/0/12/28, two-close confirmations 1 — and that
-one key isolated-triaged ambient). A genuine regression persists and
-is caught one close later; ambient noise decorrelates between closes
-(measured: the r10/r11 breach sets share 1 key of 12/28).
+confirmation ON THE MIN RUN: a key HARD-FAILS only when its normalized
+MIN-of-runs breaches (2x budget AND +0.25 normalized seconds) in the
+CURRENT close AND in the PRIOR close persisted in bench_prior.json.
+The min is the right hard-fail estimator because a genuine kept-shape
+regression (codegen fallback, broadcast demotion, an eager probe)
+slows EVERY run including the fastest, while an ambient wave inflates
+the median of 3 far more often than the min — and almost never the min
+in two consecutive closes. Measured on the real artifacts (r10/r11
+driver closes + two r12 settle windows, all vs the same budgets):
+median-breach counts 11/27/12/9 with consecutive-pair median-confirms
+0/3/0; MIN-breach counts 6/13/5/4 with consecutive-pair min-confirms
+0/0/0 — every nominal breach in four windows isolated-triaged ambient,
+so zero is the correct reading. A MEDIAN breach is still reported as a
+FLAG — first offense, exit 0, triage isolated — which keeps the
+intermittent-regression class (sometimes-fast, sometimes-slow — the
+class the min can't see) visible alongside Bench's own
+steady_unstable list. A genuine regression persists and is caught one
+close later.
 
 Usage:
     python3 tools/bench_budget.py update [bench_full.json]
         regenerate bench_budget.json from a bench artifact
     python3 tools/bench_budget.py check  [bench_full.json]
-        two-consecutive-close gate (see above). Exit 1 on any CONFIRMED
-        breach or REMOVED key (vanished from the bench = coverage
-        regression). NEW keys (no budget) are reported, not failed.
-        Without bench_prior.json, falls back to the strict single-close
-        gate (every breach fails).
+        two-consecutive-close min-run gate (see above). Exit 1 on any
+        CONFIRMED breach or REMOVED key (vanished from the bench =
+        coverage regression). NEW keys (no budget) are reported, not
+        failed. Without bench_prior.json, falls back to the strict
+        single-close gate (every min-breach fails).
     python3 tools/bench_budget.py roll   [bench_full.json]
-        persist this close's normalized medians to bench_prior.json —
-        the close ritual's last step, so the NEXT close confirms
-        against this one. Commit the file with the close.
+        persist this close's normalized medians AND mins to
+        bench_prior.json — the close ritual's last step, so the NEXT
+        close confirms against this one. Commit the file with the close.
     python3 tools/bench_budget.py selftest
-        seeded-regression self-check: a 3x-slowed key present in BOTH
-        closes must fail; the same breach in only one close must flag,
-        not fail; the no-prior fallback must fail it outright.
+        seeded-regression self-check: a 3x-slowed key (min and median)
+        present in BOTH closes must fail; a median-only or one-close
+        breach must flag, not fail; the no-prior fallback must fail a
+        min-breach outright.
 
 Close ritual: run `check` beside `PlanCensus --check`; triage FLAGged
 keys with the isolated 6-run recipe (SPARK_GRAFT_ONLY=key
@@ -64,15 +74,17 @@ ABS_FLOOR = 0.25  # normalized seconds
 
 
 def load_bench(path):
+    """Returns ({key: (normalized_med, normalized_min)}, calib)."""
     with open(path) as f:
         b = json.load(f)
     calib = b.get("calib_1t") or 1.0
-    return {k: v["med"] / calib for k, v in b["queries"].items()}, calib
+    return ({k: (v["med"] / calib, v.get("min", v["med"]) / calib)
+             for k, v in b["queries"].items()}, calib)
 
 
 def update(bench_path):
     norm, calib = load_bench(bench_path)
-    out = {k: round(v, 3) for k, v in sorted(norm.items())}
+    out = {k: round(v[0], 3) for k, v in sorted(norm.items())}
     with open(BUDGET_PATH, "w") as f:
         json.dump(out, f, indent=0, sort_keys=True)
         f.write("\n")
@@ -82,32 +94,36 @@ def update(bench_path):
 def roll(bench_path):
     norm, calib = load_bench(bench_path)
     out = {"calib_1t": calib, "source": os.path.basename(bench_path),
-           "norm": {k: round(v, 3) for k, v in sorted(norm.items())}}
+           "norm": {k: round(v[0], 3) for k, v in sorted(norm.items())},
+           "norm_min": {k: round(v[1], 3) for k, v in sorted(norm.items())}}
     with open(PRIOR_PATH, "w") as f:
         json.dump(out, f, indent=0, sort_keys=True)
         f.write("\n")
-    print(f"[budget] rolled {len(norm)} normalized medians (calib_1t={calib}) "
+    print(f"[budget] rolled {len(norm)} normalized medians+mins (calib_1t={calib}) "
           "to bench_prior.json — the next close confirms against this one")
 
 
-def over(budget, norm, k):
+def over(budget, val, k):
     """The per-key breach predicate: 2x budget AND past the absolute floor."""
-    v = norm.get(k)
-    return (v is not None and k in budget
-            and v > budget[k] * RATIO and v - budget[k] > ABS_FLOOR)
+    return (val is not None and k in budget
+            and val > budget[k] * RATIO and val - budget[k] > ABS_FLOOR)
 
 
 def check_maps(budget, norm, prior):
-    """Pure comparison. Returns (confirmed, flagged, new, removed):
-    confirmed = breaches in the current close ALSO breaching in the prior
-    close (prior=None -> every current breach is confirmed: strict
-    single-close fallback); flagged = first-offense breaches."""
-    breach = [k for k in norm if over(budget, norm, k)]
+    """Pure comparison. norm: {k: (med, min)}; prior: None or
+    {k: (med, min)}. Returns (confirmed, flagged, new, removed):
+    confirmed = MIN-run breaches in the current close whose MIN also
+    breached in the prior close (prior=None -> every current min-breach
+    is confirmed: strict single-close fallback); flagged = every other
+    med- or min-breach (first offense / median-only wave)."""
+    med_breach = {k for k, v in norm.items() if over(budget, v[0], k)}
+    min_breach = {k for k, v in norm.items() if over(budget, v[1], k)}
     if prior is None:
-        confirmed, flagged = breach, []
+        confirmed = min_breach
     else:
-        confirmed = [k for k in breach if over(budget, prior, k)]
-        flagged = [k for k in breach if not over(budget, prior, k)]
+        confirmed = {k for k in min_breach
+                     if k in prior and over(budget, prior[k][1], k)}
+    flagged = (med_breach | min_breach) - confirmed
     new = sorted(set(norm) - set(budget))
     removed = sorted(set(budget) - set(norm))
     return sorted(confirmed), sorted(flagged), new, removed
@@ -120,26 +136,31 @@ def check(bench_path):
     prior = None
     if os.path.exists(PRIOR_PATH):
         with open(PRIOR_PATH) as f:
-            prior = json.load(f)["norm"]
+            p = json.load(f)
+        pm, pmin = p["norm"], p.get("norm_min", p["norm"])
+        prior = {k: (pm[k], pmin.get(k, pm[k])) for k in pm}
     confirmed, flagged, new, removed = check_maps(budget, norm, prior)
     for k in confirmed:
-        why = (f"breached in TWO consecutive closes (prior {prior[k]:.3f})"
+        why = (f"MIN breached in TWO consecutive closes (prior min {prior[k][1]:.3f})"
                if prior is not None else
                "no prior close to confirm against (strict single-close gate)")
-        print(f"[budget] FAIL {k}: normalized {norm[k]:.3f} vs budget "
-              f"{budget[k]:.3f} ({norm[k]/budget[k]:.1f}x) — {why}")
+        print(f"[budget] FAIL {k}: normalized med {norm[k][0]:.3f} / min "
+              f"{norm[k][1]:.3f} vs budget {budget[k]:.3f} "
+              f"({norm[k][1]/budget[k]:.1f}x on the min) — {why}")
     for k in flagged:
-        pv = prior.get(k)
-        ps = f"{pv:.3f}" if pv is not None else "absent"
-        print(f"[budget] FLAG {k}: normalized {norm[k]:.3f} vs budget "
-              f"{budget[k]:.3f} ({norm[k]/budget[k]:.1f}x) — first offense "
-              f"(prior close {ps}); triage isolated, fails NEXT close if it persists")
+        pv = prior.get(k) if prior is not None else None
+        ps = (f"prior close med {pv[0]:.3f} / min {pv[1]:.3f}"
+              if pv is not None else "no prior entry")
+        print(f"[budget] FLAG {k}: normalized med {norm[k][0]:.3f} / min "
+              f"{norm[k][1]:.3f} vs budget {budget[k]:.3f} "
+              f"({norm[k][0]/budget[k]:.1f}x on the med) — {ps}; "
+              "triage isolated, min-confirms NEXT close if real")
     for k in new:
-        print(f"[budget] NEW {k}: normalized {norm[k]:.3f} (no committed budget; "
+        print(f"[budget] NEW {k}: normalized {norm[k][0]:.3f} (no committed budget; "
               "run update with this change)")
     for k in removed:
         print(f"[budget] REMOVED {k}: budgeted but absent from the bench")
-    mode = "two-close" if prior is not None else "single-close (no bench_prior.json)"
+    mode = "two-close min" if prior is not None else "single-close (no bench_prior.json)"
     print(f"[budget] {len(norm)} keys checked (calib_1t={calib}, {mode}): "
           f"{len(confirmed)} confirmed over budget, {len(flagged)} flagged, "
           f"{len(new)} new, {len(removed)} removed")
@@ -148,31 +169,35 @@ def check(bench_path):
 
 def selftest():
     budget = {"fast_key": 0.4, "slow_key": 1.0, "tiny_key": 0.05,
-              "gone_key": 0.3, "wave_key": 0.6, "healed_key": 0.5}
-    norm = {
-        "fast_key": 0.5,    # 1.25x: fine
-        "slow_key": 3.0,    # 3x AND +2.0s in BOTH closes: the seeded regression
-        "tiny_key": 0.15,   # 3x but under the absolute floor: noise, fine
-        "new_key": 0.2,     # unbudgeted: reported, not failed
-        "wave_key": 1.5,    # 2.5x NOW but fine in the prior close: first offense
-        "healed_key": 0.45, # breached in the prior close, fine now: pass
+              "gone_key": 0.3, "wave_key": 0.6, "healed_key": 0.5,
+              "flappy_key": 0.8}
+    norm = {  # {key: (normalized_med, normalized_min)}
+        "fast_key": (0.5, 0.4),     # 1.25x: fine
+        "slow_key": (3.0, 2.8),     # 3x med AND min in BOTH closes: the regression
+        "tiny_key": (0.15, 0.14),   # 3x but under the absolute floor: noise, fine
+        "new_key": (0.2, 0.2),      # unbudgeted: reported, not failed
+        "wave_key": (1.5, 1.4),     # min-breach NOW, fine in the prior close: flag
+        "healed_key": (0.45, 0.4),  # breached in the prior close, fine now: pass
+        "flappy_key": (2.5, 0.9),   # med-breach both closes, min never: flag only
     }
     prior = {
-        "fast_key": 0.41, "slow_key": 2.9, "tiny_key": 0.05,
-        "wave_key": 0.55, "healed_key": 1.8,
+        "fast_key": (0.41, 0.38), "slow_key": (2.9, 2.7),
+        "tiny_key": (0.05, 0.05), "wave_key": (0.55, 0.5),
+        "healed_key": (1.8, 1.7), "flappy_key": (2.6, 0.85),
     }
     confirmed, flagged, new, removed = check_maps(budget, norm, prior)
     assert confirmed == ["slow_key"], f"seeded 2-close regression not caught: {confirmed}"
-    assert flagged == ["wave_key"], f"first-offense wave misclassified: {flagged}"
+    assert flagged == ["flappy_key", "wave_key"], f"flag set wrong: {flagged}"
     assert new == ["new_key"], new
     assert removed == ["gone_key"], removed
-    # no-prior fallback: strict single-close — the wave fails too
+    # no-prior fallback: strict single-close — every min-breach fails
     confirmed1, flagged1, _, _ = check_maps(budget, norm, None)
     assert confirmed1 == ["slow_key", "wave_key"], confirmed1
-    assert flagged1 == [], flagged1
+    assert flagged1 == ["flappy_key"], flagged1
     print("[budget] selftest OK: seeded 3x key caught in both modes, "
-          "first-offense wave flags (two-close) / fails (fallback), healed "
-          "key passes, floor and new/removed classification correct")
+          "one-close min-breach flags (two-close) / fails (fallback), "
+          "median-only flap never hard-fails, healed key passes, floor "
+          "and new/removed classification correct")
 
 
 def main():
