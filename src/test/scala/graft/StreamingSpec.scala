@@ -248,6 +248,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming throttle: convergence holds across randomized disorder seeds and chunkings (r12)") {
+    // the r10 gate fixes one (seed, block, chunk) schedule; this sweep
+    // randomizes all three so the timer-reconciliation machinery (r12 —
+    // stale-timer deletion per drain) is gated against arrival orders
+    // it did not grow up with. Any schedule whose disorder stays inside
+    // the watermark delay must replay the exact batch greedy walk.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StreamingThrottle
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val evs = loadEvents()
+    val batch = Streams.throttleBatch(Tables.events(spark, sfDir)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(identity).toSeq
+    try {
+      for ((seed, block, chunk) <- Seq((101, 90, 333), (202, 250, 170), (303, 40, 77))) {
+        val rnd = new scala.util.Random(seed)
+        val scrambled = evs.grouped(block).flatMap(b => rnd.shuffle(b)).toSeq
+        val stream = MemoryStream[Ev]
+        val qn = s"thr_rand_$seed"
+        val query = StreamingThrottle.kept(stream.toDF(), ttlHours = 72, delay = "10 days")
+          .writeStream.format("memory").queryName(qn).outputMode("append").start()
+        try {
+          scrambled.grouped(chunk).foreach { c =>
+            stream.addData(c); query.processAllAvailable()
+          }
+          stream.addData(Ev(-1L, Timestamp.valueOf("2024-06-01 00:00:00"), -99L, "zz_sentinel", 0.0))
+          query.processAllAvailable()
+          val streamed = spark.table(qn)
+            .filter(col("user_id") =!= -99L)
+            .select("user_id", "event_type", "event_id", "ts_us")
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+            .sortBy(identity).toSeq
+          assert(streamed === batch,
+            s"schedule (seed=$seed, block=$block, chunk=$chunk) diverged from the batch walk")
+        } finally query.stop()
+      }
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("streaming throttle: pre-epoch events are REFUSED loudly, not silently diverged (r11)") {
     // the batch form supports negative epoch-µs (gated above); the
     // streaming twin CANNOT — Spark's initial watermark is 0 ms, so a
