@@ -167,7 +167,13 @@ object StreamingThrottle {
       * and re-arm (the r11 ADVICE churn finding). `exclude` carries the
       * timestamp of a timer currently mid-fire: Spark removes it itself
       * after handleExpiredTimer returns, so deleting it here would
-      * double-remove. */
+      * double-remove. The desired timestamp can never EQUAL the
+      * excluded one (which would skip the re-register and then lose the
+      * timer to Spark's own removal): a timer fires only once the
+      * watermark reaches it (T ≤ wm), the flush tick is wm+1 > T, and a
+      * surviving horizon satisfies last+ttl ≥ wm ≥ T so the horizon
+      * tick last+ttl+1 > T — both candidates sit strictly above any
+      * mid-fire timestamp. */
     private def reconcileTimers(pending: Boolean, timerValues: TimerValues,
                                 exclude: Long = Long.MinValue): Unit = {
       val want: Option[Long] =
