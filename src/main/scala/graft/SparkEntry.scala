@@ -4101,43 +4101,52 @@ object SparkEntry {
      * expressions on both sides; 3-pair long format via UNION ALL over
      * the tiny moment CTE. */
     "agg_corr_matrix" ->
-      """WITH m AS (SELECT l_returnflag,
+      """WITH c AS (SELECT l_returnflag,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS DECIMAL(12,0)) AS q,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(14,0)) AS p,
+        |  CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS DECIMAL(8,0)) AS d
+        | FROM lineitem),
+        |m AS (SELECT l_returnflag,
         |  CAST(count(*) AS DOUBLE) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
-        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
-        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sdd,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sqd,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS spd
-        | FROM lineitem GROUP BY l_returnflag)
+        |  CAST(SUM(q) AS DOUBLE) AS sq,
+        |  CAST(SUM(p) AS DOUBLE) AS sp,
+        |  CAST(SUM(d) AS DOUBLE) AS sd,
+        |  CAST(SUM(q * q) AS DOUBLE) AS sqq,
+        |  CAST(SUM(p * p) AS DOUBLE) AS spp,
+        |  CAST(SUM(d * d) AS DOUBLE) AS sdd,
+        |  CAST(SUM(q * p) AS DOUBLE) AS sqp,
+        |  CAST(SUM(q * d) AS DOUBLE) AS sqd,
+        |  CAST(SUM(p * d) AS DOUBLE) AS spd
+        | FROM c GROUP BY l_returnflag)
         |SELECT l_returnflag, var_a, var_b, corr, cov_samp, CAST(n AS BIGINT) AS n FROM (
         | SELECT l_returnflag, n, 'quantity' AS var_a, 'extendedprice' AS var_b,
         |  (n*sqp - sq*sp) / sqrt((n*sqq - sq*sq) * (n*spp - sp*sp)) AS corr,
-        |  (n*sqp - sq*sp) / (n*(n-1)) AS cov_samp FROM m
+        |  (n*sqp - sq*sp) / (n*(n-1)) / 10000.0 AS cov_samp FROM m
         | UNION ALL
         | SELECT l_returnflag, n, 'quantity', 'discount',
         |  (n*sqd - sq*sd) / sqrt((n*sqq - sq*sq) * (n*sdd - sd*sd)),
-        |  (n*sqd - sq*sd) / (n*(n-1)) FROM m
+        |  (n*sqd - sq*sd) / (n*(n-1)) / 10000.0 FROM m
         | UNION ALL
         | SELECT l_returnflag, n, 'extendedprice', 'discount',
         |  (n*spd - sp*sd) / sqrt((n*spp - sp*sp) * (n*sdd - sd*sd)),
-        |  (n*spd - sp*sd) / (n*(n-1)) FROM m) t
+        |  (n*spd - sp*sd) / (n*(n-1)) / 10000.0 FROM m) t
         |ORDER BY l_returnflag, var_a, var_b""".stripMargin,
     "agg_regr" ->
-      """WITH m AS (SELECT l_returnflag,
+      """WITH c AS (SELECT l_returnflag,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS DECIMAL(12,0)) AS x,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(14,0)) AS y
+        | FROM lineitem),
+        |m AS (SELECT l_returnflag,
         |  CAST(count(*) AS DOUBLE) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
-        | FROM lineitem GROUP BY l_returnflag)
+        |  CAST(SUM(x) AS DOUBLE) AS sx,
+        |  CAST(SUM(y) AS DOUBLE) AS sy,
+        |  CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |  CAST(SUM(y * y) AS DOUBLE) AS syy,
+        |  CAST(SUM(x * y) AS DOUBLE) AS sxy
+        | FROM c GROUP BY l_returnflag)
         |SELECT l_returnflag,
         | (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
-        | (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS intercept,
+        | (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n / 100.0 AS intercept,
         | (n*sxy - sx*sy) * (n*sxy - sx*sy) / ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS r2,
         | CAST(n AS BIGINT) AS n
         |FROM m ORDER BY l_returnflag""".stripMargin,

@@ -491,15 +491,24 @@ object Aggregates {
     // it from every moment while count(*) keeps the row) where the
     // oracle's (18,2) keeps it. A (8,2) variant that keeps the per-row
     // product long-backed was measured and bought nothing: the cost
-    // floor is the SIX product-sum buffers (sum of decimal(p,4) is
-    // p+10 — BigDecimal-backed at any input precision; summing scaled
-    // longs instead overflows at ~6e19 for price² at sf0.1 alone), so
-    // ~1.4 s at sf0.1 is the honest price of an EXACT 10-moment pass:
-    // per-row CPU, perfectly linear, one exchange of 10-number frames.
+    // floor is the SIX product-sum buffers, so ~1.4 s at sf0.1 is the
+    // honest price of an EXACT 10-moment pass: per-row CPU, perfectly
+    // linear, one exchange of 10-number frames.
+    //
+    // The 2-decimal inputs are scaled ×100 to exact INTEGERS (r12), so
+    // every moment is a scale-0 decimal sum and the decimal→double cast
+    // is ONE correctly-rounded integer conversion on both engines.
+    // The earlier fractional-decimal moments hit DuckDB's two-step
+    // wide-decimal cast (double(unscaled) / 10^scale — double-rounded,
+    // ±1 ULP vs the JVM's correctly-rounded BigDecimal path; verified
+    // value-for-value in the r12 investigation), which surfaced as
+    // last-ULP corr drift at sf0.001. corr is scale-invariant under
+    // x→100x, so only cov_samp re-scales — one exact /10^4 both
+    // engines share.
     val cast = lineitem.select(col("l_returnflag"),
-      col("l_quantity").cast("decimal(18,2)").as("q"),
-      col("l_extendedprice").cast("decimal(18,2)").as("p"),
-      col("l_discount").cast("decimal(18,2)").as("d"))
+      (col("l_quantity").cast("decimal(18,2)") * lit(100)).cast("decimal(12,0)").as("q"),
+      (col("l_extendedprice").cast("decimal(18,2)") * lit(100)).cast("decimal(14,0)").as("p"),
+      (col("l_discount").cast("decimal(18,2)") * lit(100)).cast("decimal(8,0)").as("d"))
     val q = col("q"); val p = col("p"); val d = col("d")
     val m = cast.groupBy(col("l_returnflag")).agg(
       count(lit(1)).cast("double").as("n"),
@@ -517,7 +526,9 @@ object Aggregates {
       val cov = n * sab - sa * sb
       struct(lit(name_a).as("var_a"), lit(name_b).as("var_b"),
         (cov / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))).as("corr"),
-        (cov / (n * (n - 1))).as("cov_samp"))
+        // moments carry ×100-scaled values, so the raw covariance is
+        // 10^4 × the true one: one exact final division, both engines
+        (cov / (n * (n - 1)) / lit(10000.0)).as("cov_samp"))
     }
     m.select(col("l_returnflag"), col("n").cast("long").as("n"),
         explode(array(
@@ -536,8 +547,14 @@ object Aggregates {
     * dependent). The moments are map-side-combinable sums, so the whole
     * regression costs one scan + one tiny shuffle at any scale. */
   def regrStats(lineitem: DataFrame): DataFrame = {
-    val x = col("l_quantity").cast("decimal(18,2)")
-    val y = col("l_extendedprice").cast("decimal(18,2)")
+    // ×100-scaled integer moments, the [[corrMatrix]] r12 discipline:
+    // scale-0 decimal sums make the double cast a single correctly
+    // rounded conversion on BOTH engines (DuckDB's fractional-decimal
+    // cast double-rounds — the sf0.001 last-ULP r2 drift). slope and
+    // r2 are invariant under the common x,y→100x,100y scaling; the
+    // intercept scales by 100, undone by one exact final division.
+    val x = (col("l_quantity").cast("decimal(18,2)") * lit(100)).cast("decimal(12,0)")
+    val y = (col("l_extendedprice").cast("decimal(18,2)") * lit(100)).cast("decimal(14,0)")
     val m = lineitem.groupBy(col("l_returnflag")).agg(
       count(lit(1)).cast("double").as("n"),
       sum(x).cast("double").as("sx"),
@@ -551,7 +568,7 @@ object Aggregates {
     m.select(
         col("l_returnflag"),
         (cov / varX).as("slope"),
-        ((col("sy") - cov / varX * col("sx")) / col("n")).as("intercept"),
+        ((col("sy") - cov / varX * col("sx")) / col("n") / lit(100.0)).as("intercept"),
         (cov * cov / (varX * varY)).as("r2"),
         col("n").cast("long").as("n"))
       .orderBy("l_returnflag")
