@@ -1085,8 +1085,8 @@ object SparkEntry {
     """SELECT l_returnflag, l_linestatus,
       | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+      | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * 10000 AS DECIMAL(26,0))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+      | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))) * 1000000 AS DECIMAL(26,0))) AS DOUBLE) / 1000000.0 AS sum_charge,
       | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
       | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
       | CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
@@ -1481,17 +1481,21 @@ object SparkEntry {
         | count(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "agg_stats" ->
-      """WITH m AS (SELECT l_returnflag, count(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
-        | FROM lineitem GROUP BY l_returnflag)
+      """WITH c AS (SELECT l_returnflag,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS DECIMAL(12,0)) AS x,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(14,0)) AS y
+        | FROM lineitem),
+        |m AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(SUM(x) AS DOUBLE) AS sx,
+        |  CAST(SUM(y) AS DOUBLE) AS sy,
+        |  CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |  CAST(SUM(y * y) AS DOUBLE) AS syy,
+        |  CAST(SUM(x * y) AS DOUBLE) AS sxy
+        | FROM c GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        | round((sxx - sx*sx/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE) - 1.0), 4) AS var_qty,
-        | round(sqrt((sxx - sx*sx/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE) - 1.0)), 4) AS std_qty,
-        | round((sxy - sx*sy/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE) - 1.0), 4) AS cov_qty_price,
+        | round((sxx - sx*sx/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE) - 1.0) / 10000.0, 4) AS var_qty,
+        | round(sqrt((sxx - sx*sx/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE) - 1.0)) / 100.0, 4) AS std_qty,
+        | round((sxy - sx*sy/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE) - 1.0) / 10000.0, 4) AS cov_qty_price,
         | round(((sxy - sx*sy/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE) - 1.0))
         |   / (sqrt((sxx - sx*sx/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE) - 1.0))
         |      * sqrt((syy - sy*sy/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE) - 1.0))), 6) AS corr_qty_price
@@ -3815,16 +3819,17 @@ object SparkEntry {
     "dq_outlier_zscore" ->
       """WITH st AS (
         | SELECT l_returnflag, count(*) AS n,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(14,0))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(14,0))
+        |         * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(14,0))) AS DOUBLE) AS sxx
         | FROM lineitem GROUP BY l_returnflag),
         |sm AS (SELECT l_returnflag, sx / CAST(n AS DOUBLE) AS mean,
         |  sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS std
         | FROM st)
         |SELECT l.l_returnflag, l_orderkey, l_linenumber, l_partkey, l_extendedprice,
-        | floor((l_extendedprice - mean) / std * 1e4 + 0.5) / 1e4 AS z
+        | floor((l_extendedprice * 100.0 - mean) / std * 1e4 + 0.5) / 1e4 AS z
         |FROM lineitem l JOIN sm ON l.l_returnflag = sm.l_returnflag
-        |ORDER BY abs((l_extendedprice - mean) / std) DESC,
+        |ORDER BY abs((l_extendedprice * 100.0 - mean) / std) DESC,
         | l_orderkey, l_linenumber, l_partkey, l_suppkey
         |LIMIT 50""".stripMargin,
     "dedup_passage" ->
@@ -3913,8 +3918,8 @@ object SparkEntry {
         |ORDER BY c.c_mktsegment""".stripMargin,
     "agg_weighted_avg" ->
       """SELECT l_returnflag,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) /
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS wavg_price,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * 10000 AS DECIMAL(26,0))) AS DOUBLE) /
+        | CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS DECIMAL(26,0))) AS DOUBLE) / 100.0 AS wavg_price,
         | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "fn_unpivot" ->

@@ -23,8 +23,11 @@ object Aggregates {
       .agg(
         Det.dsum(col("l_quantity"), 2).as("sum_qty"),
         Det.dsum(col("l_extendedprice"), 2).as("sum_base_price"),
-        sum(discPrice).cast("double").as("sum_disc_price"),
-        sum(discPrice * Det.onePlus(col("l_tax"))).cast("double").as("sum_charge"),
+        // scale-4/scale-6 product sums cross dsum's 2^53 unscaled bound
+        // within 2x of the sf0.1 fixture (5.1e15 for charge) — the
+        // integer-scaled form stays single-rounded at any magnitude (r12)
+        Det.dsumExact(discPrice, 4).as("sum_disc_price"),
+        Det.dsumExact(discPrice * Det.onePlus(col("l_tax")), 6).as("sum_charge"),
         Det.davg(col("l_quantity"), 2).as("avg_qty"),
         Det.davg(col("l_extendedprice"), 2).as("avg_price"),
         Det.davg(col("l_discount"), 2).as("avg_disc"),
@@ -451,8 +454,13 @@ object Aggregates {
     lineitem
       .groupBy(col("l_returnflag"))
       .agg(
-        (sum(Det.price(col("l_extendedprice")) * col("l_quantity").cast("decimal(12,2)")).cast("double") /
-          sum(col("l_quantity").cast("decimal(12,2)")).cast("double")).as("wavg_price"),
+        // both sums integer-scaled (×10^4 and ×10^2) so each double cast
+        // is single-rounded at any magnitude (r12); the ratio then carries
+        // a net ×100 undone by one exact division both engines share
+        ((sum((Det.price(col("l_extendedprice")) * col("l_quantity").cast("decimal(12,2)") * lit(10000L))
+            .cast("decimal(26,0)")).cast("double") /
+          sum((col("l_quantity").cast("decimal(12,2)") * lit(100L))
+            .cast("decimal(26,0)")).cast("double")) / lit(100.0)).as("wavg_price"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
@@ -596,8 +604,13 @@ object Aggregates {
     * shuffle order and can't hash-match across engines. The moments
     * shuffle as decimals (associative), so the result is bit-stable. */
   def stats(lineitem: DataFrame): DataFrame = {
-    val x = col("l_quantity").cast("decimal(18,2)")
-    val y = col("l_extendedprice").cast("decimal(18,2)")
+    // ×100-scaled integer moments (the corrMatrix/regrStats r12
+    // discipline — the raw syy crosses dsum-class double-rounding at
+    // 7.4e18 unscaled even at sf0.001): variances and covariance come
+    // back scaled by 10^4, undone by exact final divisions; corr is
+    // invariant under the common scaling.
+    val x = (col("l_quantity").cast("decimal(18,2)") * lit(100)).cast("decimal(12,0)")
+    val y = (col("l_extendedprice").cast("decimal(18,2)") * lit(100)).cast("decimal(14,0)")
     val m = lineitem.groupBy(col("l_returnflag")).agg(
       count(lit(1)).as("n"),
       sum(x).cast("double").as("sx"),
@@ -611,9 +624,9 @@ object Aggregates {
     val covXY = (col("sxy") - col("sx") * col("sy") / n) / (n - lit(1.0))
     m.select(
       col("l_returnflag"), col("n"),
-      round(varX, 4).as("var_qty"),
-      round(sqrt(varX), 4).as("std_qty"),
-      round(covXY, 4).as("cov_qty_price"),
+      round(varX / lit(10000.0), 4).as("var_qty"),
+      round(sqrt(varX) / lit(100.0), 4).as("std_qty"),
+      round(covXY / lit(10000.0), 4).as("cov_qty_price"),
       round(covXY / (sqrt(varX) * sqrt(varY)), 6).as("corr_qty_price"))
       .orderBy("l_returnflag")
   }

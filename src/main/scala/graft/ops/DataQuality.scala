@@ -112,7 +112,11 @@ object DataQuality {
     * z = (x - sx/n) / sqrt((sxx - sx·sx/n)/(n-1)) in the same IEEE op
     * order, so ordering by |z| is deterministic; output z is rfloor'd. */
   def outlierZscore(lineitem: DataFrame, topN: Int = 50): DataFrame = {
-    val x = col("l_extendedprice").cast("decimal(18,2)")
+    // ×100-scaled integer moments (r12): the raw sxx crossed the
+    // fractional-decimal→double double-rounding bound (7.4e18 unscaled
+    // at sf0.1); z is invariant under the common scaling of x, mean and
+    // std, with the row side lifted by one identical ×100.0 double op
+    val x = (col("l_extendedprice").cast("decimal(18,2)") * lit(100)).cast("decimal(14,0)")
     val stats = lineitem.groupBy(col("l_returnflag")).agg(
       count(lit(1)).as("n"),
       sum(x).cast("double").as("sx"),
@@ -122,7 +126,7 @@ object DataQuality {
     val std = sqrt((col("sxx") - col("sx") * col("sx") / nD) / (nD - lit(1.0)))
     val st = stats.select(col("l_returnflag"), mean.as("mean"), std.as("std"))
     lineitem.join(broadcast(st), "l_returnflag")
-      .withColumn("z", (col("l_extendedprice") - col("mean")) / col("std"))
+      .withColumn("z", (col("l_extendedprice") * lit(100.0) - col("mean")) / col("std"))
       .orderBy(abs(col("z")).desc, col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"))
       .limit(topN)

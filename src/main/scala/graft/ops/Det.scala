@@ -17,9 +17,28 @@ object Det {
 
   /** Order-independent sum of a double column: exact decimal accumulation,
     * emitted as double. Mirror in SQL:
-    * `CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)`. */
+    * `CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)`.
+    *
+    * MAGNITUDE BOUND (r12): the final fractional-decimal→double cast is
+    * double-rounded by DuckDB (double(unscaled) / 10^scale) once the
+    * UNSCALED sum — value × 10^scale — passes 2^53 ≈ 9.0e15, where the
+    * JVM's BigDecimal path rounds once; the two can then differ by 1 ULP
+    * and every downstream digit diverges. Keep dsum for sums bounded by
+    * value < 9.0e15 / 10^scale per group; past that use [[dsumExact]]. */
   def dsum(c: Column, scale: Int = 4): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  /** Like [[dsum]] for an ALREADY-exact decimal expression, single-rounded
+    * at ANY magnitude (r12): the summand is multiplied up to a scale-0
+    * integer before summing — integer→double is correctly rounded on both
+    * engines at every width (verified through the 2^53+1 tie and hugeint
+    * range) — and the one final division by the exact power of ten is the
+    * identical IEEE op on both sides. Mirror in SQL:
+    * `CAST(SUM(CAST(x * 10^s AS DECIMAL(26,0))) AS DOUBLE) / 10^s.0`. */
+  def dsumExact(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale) // exact powers of ten up to 1e15
+    sum((c * lit(f.toLong)).cast("decimal(26,0)")).cast("double") / lit(f)
+  }
 
   /** Order-independent mean: exact decimal sum divided by count, both sides
     * double/bigint division — identical IEEE result in Spark and DuckDB.
