@@ -47,7 +47,7 @@ object Warehouse {
     * collision instead of silently serving the stale artifact. */
   def srcTag(df: DataFrame): String =
     df.inputFiles.headOption.getOrElse("mem")
-      .replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+      .replaceAll("[^A-Za-z0-9]", "_").toLowerCase(java.util.Locale.ROOT)
 
   /** Metadata-only source fingerprints: (derivation, file-status).
     * The derivation half hashes the CANONICALIZED analyzed plan —
@@ -103,10 +103,10 @@ object Warehouse {
     * of an epoch collision. */
   def ensure(spark: SparkSession, rawName: String, companions: Seq[String] = Nil,
              source: Option[DataFrame] = None)(write: String => Unit): String = {
-    val name = rawName.toLowerCase
+    val name = rawName.toLowerCase(java.util.Locale.ROOT)
     val metaName = name + "_meta"
     if (!spark.catalog.tableExists(name)) {
-      (name +: metaName +: companions.map(_.toLowerCase))
+      (name +: metaName +: companions.map(_.toLowerCase(java.util.Locale.ROOT)))
         .foreach(dropOrphanDir(spark, _))
       write(name)
       source.foreach { df =>
@@ -143,7 +143,7 @@ object Warehouse {
     * it reads the artifact, so it is deliberately NOT on the serve
     * path. */
   def verifyContent(spark: SparkSession, rawName: String): Boolean = {
-    val name = rawName.toLowerCase
+    val name = rawName.toLowerCase(java.util.Locale.ROOT)
     val metaName = name + "_meta"
     if (!spark.catalog.tableExists(metaName)) return false
     val m = spark.table(metaName).head()
@@ -188,7 +188,7 @@ object Warehouse {
   private[graft] def retainPlan(tables: Seq[String], prefix: String,
                                 keepN: Int): Seq[String] = {
     require(keepN >= 1, s"retain keeps at least one epoch, got $keepN")
-    val p = prefix.toLowerCase
+    val p = prefix.toLowerCase(java.util.Locale.ROOT)
     val epochRe = "_e(\\d+)(?=_|$)".r
     val tagged = tables
       .filter(_.startsWith(p))

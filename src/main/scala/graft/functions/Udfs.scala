@@ -18,7 +18,7 @@ object Udfs {
 
   /** R6-style cell canonicalization: trim + lowercase + empty→null. */
   val normalizeCell: String => String = s =>
-    if (s == null) null else { val t = s.trim.toLowerCase; if (t.isEmpty) null else t }
+    if (s == null) null else { val t = s.trim.toLowerCase(java.util.Locale.ROOT); if (t.isEmpty) null else t }
 
   /** Scalar UDF demonstration on `part`: register `norm_cell`, apply it,
     * and assert-by-construction equality with the built-in formulation
