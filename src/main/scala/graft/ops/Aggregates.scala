@@ -130,12 +130,26 @@ object Aggregates {
     * exact_users); the estimate is sketch-derived so the query is
     * oracle-exempt — CoreOpsSpec gates est within 5% of exact. */
   def hllDailyRollup(events: DataFrame): DataFrame = {
-    val daily = dailySketches(events)
+    val daily = canonicalSketchFold(dailySketches(events), col("day"))
     daily.agg(
       count(lit(1)).as("n_days"),
       hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
       .crossJoin(events.agg(countDistinct(col("user_id")).as("exact_users")))
   }
+
+  /** Canonical fold order for a SKETCH-TIER frame about to be union-
+    * aggregated: one partition, rows sorted on `by`. The r13 finding:
+    * `hll_union_agg`'s result is NOT invariant to its merge tree — the
+    * same 60 day-sketches estimated 2996 with 4 shuffle partitions and
+    * 2992 with 7 at sf0.1 (registers merge associatively, but the
+    * gadget's serialized state differs by fold shape and the final
+    * estimate reads that state). A single sorted partition fixes ONE
+    * tree, so the estimate is a function of the input SET again —
+    * invariant across partition counts, task order, and cluster layout.
+    * Scale-safe by construction: every caller folds the POST-SKETCH
+    * tier, O(|days|) rows of parameter-sized state, never raw events. */
+  private def canonicalSketchFold(sketches: DataFrame, by: Column*): DataFrame =
+    sketches.repartition(1).sortWithinPartitions(by: _*)
 
   /** The sketch tier's EPOCH form — [[hllDailyRollup]]'s stored half:
     * per-day HLL sketches persisted once per epoch (binary column in a
@@ -173,8 +187,13 @@ object Aggregates {
   def hllDelta(spark: org.apache.spark.sql.SparkSession, events: DataFrame,
                delta: DataFrame, epoch: Long = 0L): DataFrame = {
     val stored = spark.table(ensureHllDaily(spark, events, epoch))
-    stored.unionByName(dailySketches(delta))
+    // both union layers fold in canonical order (r13): the per-day
+    // stored-vs-fresh pair sorts on (day, sketch bytes) so neither
+    // shuffle-fetch order nor the partition count picks the merge tree
+    val perDay = canonicalSketchFold(
+        stored.unionByName(dailySketches(delta)), col("day"), col("sk"))
       .groupBy("day").agg(hll_union_agg(col("sk")).as("sk"))
+    canonicalSketchFold(perDay, col("day"))
       .agg(
         count(lit(1)).as("n_days"),
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))

@@ -272,6 +272,11 @@ class CoreOpsSpec extends SparkSpec {
     val full = ev.select("ts", "user_id").unionByName(delta.select("ts", "user_id"))
       .groupBy(to_date(col("ts")).as("day"))
       .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+      // same canonical fold discipline as the product path (r13): the
+      // union estimate is a function of the merge tree, so the law
+      // "union of sketches ≡ sketch of the union" is only testable with
+      // BOTH sides folding in one fixed order
+      .repartition(1).sortWithinPartitions("day")
       .agg(count(lit(1)).as("n"), hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
       .collect()(0)
     assert(viaEpoch.getLong(0) === full.getLong(0), "slice count diverged")
