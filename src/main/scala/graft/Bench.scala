@@ -36,6 +36,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The three HygieneSpec-gated bounded-contract sites (diff_positional,
+    // text_zipf, pipeline_length_histogram) emit hundreds of WindowExec
+    // "No Partition Defined" warnings over a 300-key × 3-run bench,
+    // burying the close tail the driver captures (~2KB). Silence ONLY
+    // that logger, ONLY here — tests keep the warning as a tripwire for
+    // any NEW partition-less window sneaking in.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // Warmup: touch each table once (codegen + parquet footers + page
     // cache) so the first timed query doesn't absorb session startup.
     Tables.names.foreach { t =>

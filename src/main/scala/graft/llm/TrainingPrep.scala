@@ -283,6 +283,11 @@ object TrainingPrep {
       // the row ever reddens again
       val selfCheck =
         spark.conf.get("spark.graft.shardManifest.selfCheck", "false").toBoolean
+      if (!selfCheck)
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          "shardManifest delivery self-check DISARMED " +
+            "(spark.graft.shardManifest.selfCheck=false): manifest is built " +
+            "from read-back files without the source-vs-readback comparison")
       val srcRows = if (selfCheck) manifestOf(src).collect() else rows
       if (!rows.sameElements(srcRows)) {
         def render(rs: Array[org.apache.spark.sql.Row]): String =

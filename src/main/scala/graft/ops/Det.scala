@@ -36,6 +36,10 @@ object Det {
     * identical IEEE op on both sides. Mirror in SQL:
     * `CAST(SUM(CAST(x * 10^s AS DECIMAL(26,0))) AS DOUBLE) / 10^s.0`. */
   def dsumExact(c: Column, scale: Int): Column = {
+    // math.pow is exact only while 10^scale fits a double's 53-bit
+    // mantissa; past 15 the Long factor would silently drift and every
+    // summand would scale wrongly — fail loudly instead.
+    require(scale >= 0 && scale <= 15, s"dsumExact scale must be in [0,15], got $scale")
     val f = math.pow(10, scale) // exact powers of ten up to 1e15
     sum((c * lit(f.toLong)).cast("decimal(26,0)")).cast("double") / lit(f)
   }

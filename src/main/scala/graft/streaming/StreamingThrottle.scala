@@ -182,9 +182,12 @@ object StreamingThrottle {
           val (_, last) = thr.get()
           Some(Math.floorDiv(last, 1000L) + ttlUs / 1000L + 1L)
         } else None
+      // materialize before deleting: the state-store API does not
+      // promise listTimers' iterator tolerates concurrent deleteTimer
+      // (RocksDB/HDFS providers happen to today — r12 ADVICE)
+      val timers: List[Long] = getHandle.listTimers().toList
       var present = false
-      getHandle.listTimers().foreach { t =>
-        val ts = t.asInstanceOf[Long]
+      timers.foreach { ts =>
         if (want.contains(ts)) present = true
         else if (ts != exclude) getHandle.deleteTimer(ts)
       }

@@ -62,6 +62,7 @@ SPARK_GRAFT_RUNS=6, idle machine); on intended changes (new keys,
 faster plans) run `update` and commit the file WITH the change that
 moved it; finish with `roll`.
 """
+import hashlib
 import json
 import os
 import sys
@@ -71,6 +72,15 @@ BUDGET_PATH = os.path.join(HERE, "..", "bench_budget.json")
 PRIOR_PATH = os.path.join(HERE, "..", "bench_prior.json")
 RATIO = 2.0
 ABS_FLOOR = 0.25  # normalized seconds
+
+
+def budget_hash():
+    """Content hash of the committed budget file, so a prior close can
+    record WHICH budgets its confirmation window was armed against.
+    Running `update` between closes rebases budgets and would silently
+    reset the two-close window; the hash makes that visible in check."""
+    with open(BUDGET_PATH, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:16]
 
 
 def load_bench(path):
@@ -94,6 +104,7 @@ def update(bench_path):
 def roll(bench_path):
     norm, calib = load_bench(bench_path)
     out = {"calib_1t": calib, "source": os.path.basename(bench_path),
+           "budget_sha": budget_hash(),
            "norm": {k: round(v[0], 3) for k, v in sorted(norm.items())},
            "norm_min": {k: round(v[1], 3) for k, v in sorted(norm.items())}}
     with open(PRIOR_PATH, "w") as f:
@@ -139,6 +150,13 @@ def check(bench_path):
             p = json.load(f)
         pm, pmin = p["norm"], p.get("norm_min", p["norm"])
         prior = {k: (pm[k], pmin.get(k, pm[k])) for k in pm}
+        psha = p.get("budget_sha")
+        if psha is not None and psha != budget_hash():
+            print("[budget] WARN: bench_budget.json changed since the prior "
+                  f"close was rolled (prior budget_sha {psha}, current "
+                  f"{budget_hash()}) — the two-close confirmation window is "
+                  "evaluating the prior close against REBASED budgets; "
+                  "re-leveled keys' prior breaches may be stale")
     confirmed, flagged, new, removed = check_maps(budget, norm, prior)
     for k in confirmed:
         why = (f"MIN breached in TWO consecutive closes (prior min {prior[k][1]:.3f})"
