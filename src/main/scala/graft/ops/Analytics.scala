@@ -485,11 +485,22 @@ object Analytics {
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("ps_partkey")
-    val regionalMin = derivedPartSupp(lineitem)
+    // r13: the p_size probe is the query's most selective predicate (~2% of
+    // parts) but it used to apply AFTER the fact-wide aggregate + window —
+    // the derived-partsupp exchange and the window exchange carried every
+    // part. A broadcast SEMI-join of the sized partkeys BELOW the aggregate
+    // (guide §3.2: reduce the big side before shuffling it) is lossless:
+    // restricting the grouping key's domain commutes with the per-(part,
+    // supp) aggregate and with the per-part window min. Plan: both
+    // exchanges now carry only the sized parts' rows.
+    val sizedParts = part.filter(col("p_size") === size)
+    val regionalMin = derivedPartSupp(
+        lineitem.join(broadcast(sizedParts.select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"), "left_semi"))
       .join(broadcast(rsup), col("ps_suppkey") === col("s_suppkey"))
       .withColumn("mc_cost", min(col("ps_supplycost")).over(w))
       .filter(col("ps_supplycost") === col("mc_cost"))
-    part.filter(col("p_size") === size)
+    sizedParts
       .join(regionalMin, col("p_partkey") === col("ps_partkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
         col("p_brand"), col("ps_supplycost"))
@@ -517,8 +528,12 @@ object Analytics {
       .join(broadcast(nation.filter(col("n_name") === nationName)),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"))
-    val perPart = derivedPartSupp(lineitem)
-      .join(broadcast(natSup), col("ps_suppkey") === col("s_suppkey"), "left_semi")
+    // r13: the one-nation supplier semi-join (~1/25 of suppliers) pushed
+    // BELOW the fact aggregate (guide §3.2) — the derived-partsupp exchange
+    // now carries only the nation's rows; restriction on the ps_suppkey
+    // grouping key commutes with the aggregate, so the result is identical.
+    val perPart = derivedPartSupp(
+        lineitem.join(broadcast(natSup), col("l_suppkey") === col("s_suppkey"), "left_semi"))
       .select(col("ps_partkey"),
         (col("ps_supplycost").cast("decimal(18,4)") * col("ps_qty_dec")).as("val_dec"))
       .groupBy(col("ps_partkey"))
@@ -578,9 +593,16 @@ object Analytics {
                           nation: DataFrame, region: DataFrame,
                           regionName: String = "EUROPE", namePrefix: String = "large",
                           from: String = "1997-01-01", until: String = "1998-01-01"): DataFrame = {
+    // r13: the watched-part semi-join pushed BELOW the fact aggregate
+    // (guide §3.2) — it used to apply only to the dominance rows, so the
+    // (part, supplier) exchange and the per-part total carried EVERY part.
+    // Per-part totals are within-partkey, so restricting the partkey
+    // domain before the aggregate leaves every surviving total identical.
     val shipped = lineitem
       .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
         col("l_shipdate") < lit(until).cast("timestamp"))
+      .join(broadcast(part.filter(col("p_name").startsWith(namePrefix))
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty_sp"))
       // (part, supplier)-cardinality frame with two consumers (the
@@ -590,8 +612,6 @@ object Analytics {
     val ptot = shipped.groupBy(col("l_partkey").as("tp_partkey"))
       .agg(sum(col("qty_sp")).as("qty_p"))
     val dominant = shipped
-      .join(broadcast(part.filter(col("p_name").startsWith(namePrefix))
-        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"), "left_semi")
       .join(ptot, col("l_partkey") === col("tp_partkey"))
       .filter(col("qty_sp") * 2 > col("qty_p"))
       .select(col("l_suppkey"))

@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Profiling harness for ONE declared query under bench-identical session
+  * settings, with DAGScheduler job-timing logs exposed so the per-job cost
+  * of iterative operators is readable. Not part of the driver contract.
+  * Usage: RunOne <sfDir> <key> [runs]   (stderr carries the job log)
+  */
+object RunOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val key = args(1)
+    val runs = if (args.length > 2) args(2).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.INFO)
+    sys.env.get("RUNONE_CONF").foreach { kvs =>
+      kvs.split(";").foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      }
+    }
+    val fn = graft.SparkEntry.queries(key)
+    for (i <- 1 to runs) {
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"RUNONE $key run=$i rows=$n time=$dt%.2f s")
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      System.gc()
+    }
+    spark.stop()
+  }
+}
