@@ -18,9 +18,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Parquet schemas are immutable per file path for the life of the
+    * process; without this, EVERY query construction re-runs schema
+    * inference (a footer-reading Spark job, ~40-100 ms) inside the timed
+    * region — ~2 jobs per key × 300 keys per bench sweep. This memoizes
+    * METADATA only (the StructType), never rows: every run still computes
+    * results from the parquet files. Keyed by full path so different SF
+    * dirs never collide. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   /** Lazy distributed scan of one table under the given scale-factor dir. */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
