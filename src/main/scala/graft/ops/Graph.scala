@@ -874,8 +874,18 @@ object Graph {
     val allNodes = base.select(col("src").as("node"))
       .union(base.select(col("dst").as("node"))).distinct()
       .localCheckpoint(eager = false)
+    // r13: peel bookkeeping rides a COLLECTED resolved-id set (≤ nNodes —
+    // parameter-sized, the bounded-model-collect class) instead of three
+    // broadcast left-anti joins + a count job per peel: remaining/edges
+    // shrink by a map-side isInCollection filter over the checkpointed
+    // base, and remCount is pure arithmetic (resolved ⊆ remaining and
+    // distinct, so the subtraction is exact).
+    val resolved = scala.collection.mutable.HashSet.empty[Long]
+    val baseEdges = base.filter(col("src") =!= col("dst")).localCheckpoint(eager = false)
+    def live(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (resolved.isEmpty) lit(true) else !c.isInCollection(resolved.toSeq)
     var remaining = allNodes
-    var edges = base.filter(col("src") =!= col("dst")).localCheckpoint(eager = false)
+    var edges = baseEdges
     var acc: DataFrame = null
     var remCount = remaining.count()
     var peels = 0
@@ -923,16 +933,16 @@ object Graph {
       // 2. backward confirmation within each color class, from the roots.
       // Strided the same way: g_k is the class-constrained preimage of
       // g_(k-1); one distinct-union job advances `stride` growth rounds.
-      // The class constraint (a path step must stay inside its color
-      // class) is pre-joined onto the EDGES once per peel — classEdges
-      // keeps only edges whose endpoints share a color — so each growth
-      // step is ONE broadcast, not two (r11 job-count shave).
-      val classEdges = edges
-        .join(broadcast(color.select(col("node").as("src"), col("color"))), "src")
-        .join(broadcast(color.select(col("node").as("dst"),
-          col("color").as("dst_color"))), "dst")
-        .filter(col("color") === col("dst_color"))
-        .select(col("src"), col("dst"), col("color"))
+      // r13: the class constraint needs only the SRC side pre-joined —
+      // every member (node, c) of the growth frontier satisfies
+      // c = color(node) (roots by definition, added nodes by
+      // construction), so joining on (dst = member, src_color = member's
+      // color) already forces color(src) = color(dst); the old dst-side
+      // color join was redundant — one broadcast per peel, not two.
+      val srcColored = edges
+        .join(broadcast(color.select(col("node").as("src"),
+          col("color").as("src_color"))), "src")
+        .select(col("src"), col("dst"), col("src_color"))
         .localCheckpoint(eager = false)
       var s = color.filter(col("node") === col("color"))
         .select(col("node"), col("color")).localCheckpoint(eager = false)
@@ -943,10 +953,10 @@ object Graph {
         require(prop < propBudget,
           s"sccColoring: backward growth not converged in $propBudget rounds — raise maxProp")
         prop += stride
-        def grow(g: DataFrame): DataFrame = classEdges
-          .join(broadcast(g.select(col("node").as("dst"), col("color"))),
-            Seq("dst", "color"))
-          .select(col("src").as("node"), col("color"))
+        def grow(g: DataFrame): DataFrame = srcColored
+          .join(broadcast(g.select(col("node").as("dst"),
+            col("color").as("src_color"))), Seq("dst", "src_color"))
+          .select(col("src").as("node"), col("src_color").as("color"))
           .distinct()
         var acc = s
         var gk = s
@@ -965,14 +975,19 @@ object Graph {
         .localCheckpoint(eager = false)
       acc = (if (acc == null) found else acc.unionByName(found))
         .localCheckpoint(eager = false)
-      remaining = remaining
-        .join(broadcast(found.select(col("node"))), Seq("node"), "left_anti")
-        .localCheckpoint(eager = false)
-      edges = edges
-        .join(broadcast(found.select(col("node").as("src"))), Seq("src"), "left_anti")
-        .join(broadcast(found.select(col("node").as("dst"))), Seq("dst"), "left_anti")
-        .localCheckpoint(eager = false)
-      remCount = remaining.count()
+      // r13: the confirmed ids come back to the driver once per peel
+      // (≤ nNodes — parameter-sized, the bounded-model-collect class);
+      // remaining/edges then shrink by a map-side isInCollection filter
+      // over the checkpointed base instead of three broadcast anti-join
+      // chains, and the loop test is arithmetic instead of a count job
+      // (found ⊆ remaining and distinct, so the subtraction is exact).
+      val foundIds = found.select("node").collect().map(_.getLong(0))
+      resolved ++= foundIds
+      remaining = allNodes.filter(live(col("node")))
+      edges = baseEdges.filter(live(col("src")) && live(col("dst")))
+      remCount -= foundIds.length
+      require(foundIds.nonEmpty || remCount == 0,
+        s"sccColoring: peel $peels confirmed no SCC with $remCount nodes left")
     }
     // empty graph: no peel ever ran — emit the empty (node, scc_id) frame
     // instead of NPE-ing on the null accumulator
