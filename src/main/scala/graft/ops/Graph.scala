@@ -930,45 +930,62 @@ object Graph {
         converged = nextCp.filter(col("chg")).count() == 0
         color = nextCp.select(col("node"), col("color"))
       }
-      // 2. backward confirmation within each color class, from the roots.
-      // Strided the same way: g_k is the class-constrained preimage of
-      // g_(k-1); one distinct-union job advances `stride` growth rounds.
-      // r13: the class constraint needs only the SRC side pre-joined —
-      // every member (node, c) of the growth frontier satisfies
-      // c = color(node) (roots by definition, added nodes by
-      // construction), so joining on (dst = member, src_color = member's
-      // color) already forces color(src) = color(dst); the old dst-side
-      // color join was redundant — one broadcast per peel, not two.
-      val srcColored = edges
-        .join(broadcast(color.select(col("node").as("src"),
-          col("color").as("src_color"))), "src")
-        .select(col("src"), col("dst"), col("src_color"))
-        .localCheckpoint(eager = false)
-      var s = color.filter(col("node") === col("color"))
-        .select(col("node"), col("color")).localCheckpoint(eager = false)
-      var sCount = s.count()
-      var grew = true
-      prop = 0
-      while (grew) {
-        require(prop < propBudget,
-          s"sccColoring: backward growth not converged in $propBudget rounds — raise maxProp")
-        prop += stride
-        def grow(g: DataFrame): DataFrame = srcColored
-          .join(broadcast(g.select(col("node").as("dst"),
-            col("color").as("src_color"))), Seq("dst", "src_color"))
-          .select(col("src").as("node"), col("src_color").as("color"))
-          .distinct()
-        var acc = s
-        var gk = s
-        for (_ <- 1 to stride) {
-          gk = grow(gk)
-          acc = acc.unionByName(gk)
+      // r13 EARLY EXIT: if the FIRST strided job already reported zero
+      // changes, color(v) = v for every remaining node (the init never
+      // moved), so every color class is a singleton and the backward
+      // growth provably adds nothing — grow joins on
+      // (dst = member, src_color = member's color) and with all colors
+      // equal to the node id that demands src = dst, excluded as a
+      // self-loop. Every remaining node IS its own SCC: skip the
+      // srcColored build and the whole backward loop. This is the
+      // common DAG-residue peel (after the big SCCs peel off, what's
+      // left is acyclic and used to pay ~4 jobs to confirm singletons).
+      val allSingletons = converged && prop == stride
+      var s: DataFrame = null
+      if (allSingletons) {
+        s = color // color(v) = v: each node is its own root and SCC
+      } else {
+        // 2. backward confirmation within each color class, from the
+        // roots. Strided the same way: g_k is the class-constrained
+        // preimage of g_(k-1); one distinct-union job advances `stride`
+        // growth rounds. r13: the class constraint needs only the SRC
+        // side pre-joined — every member (node, c) of the growth
+        // frontier satisfies c = color(node) (roots by definition,
+        // added nodes by construction), so joining on (dst = member,
+        // src_color = member's color) already forces
+        // color(src) = color(dst); the old dst-side color join was
+        // redundant — one broadcast per peel, not two.
+        val srcColored = edges
+          .join(broadcast(color.select(col("node").as("src"),
+            col("color").as("src_color"))), "src")
+          .select(col("src"), col("dst"), col("src_color"))
+          .localCheckpoint(eager = false)
+        s = color.filter(col("node") === col("color"))
+          .select(col("node"), col("color")).localCheckpoint(eager = false)
+        var sCount = s.count()
+        var grew = true
+        prop = 0
+        while (grew) {
+          require(prop < propBudget,
+            s"sccColoring: backward growth not converged in $propBudget rounds — raise maxProp")
+          prop += stride
+          def grow(g: DataFrame): DataFrame = srcColored
+            .join(broadcast(g.select(col("node").as("dst"),
+              col("color").as("src_color"))), Seq("dst", "src_color"))
+            .select(col("src").as("node"), col("src_color").as("color"))
+            .distinct()
+          var acc = s
+          var gk = s
+          for (_ <- 1 to stride) {
+            gk = grow(gk)
+            acc = acc.unionByName(gk)
+          }
+          val sNext = acc.distinct().localCheckpoint(eager = false)
+          val n = sNext.count()
+          grew = n > sCount
+          sCount = n
+          s = sNext
         }
-        val sNext = acc.distinct().localCheckpoint(eager = false)
-        val n = sNext.count()
-        grew = n > sCount
-        sCount = n
-        s = sNext
       }
       // 3. peel the confirmed SCCs
       val found = s.select(col("node"), col("color").as("scc_id"))
