@@ -865,6 +865,20 @@ object Graph {
     * scheduling, which a cluster amortizes but local mode pays. */
   def sccColoring(documents: DataFrame, nNodes: Int = 250, sparsity: Int = 2,
                   maxPeels: Int = 0, maxProp: Int = 0): DataFrame = {
+    val (acc, _) = sccColoringParts(documents, nNodes, sparsity, maxPeels, maxProp)
+    val sizes = acc.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
+    acc.join(broadcast(sizes), "scc_id")
+      .select(col("node"), col("scc_id"), col("scc_size"))
+      .orderBy("node")
+  }
+
+  /** The loop core shared by [[sccColoring]] and [[condensation]]:
+    * returns the UNSIZED, UNSORTED (node, scc_id) frame plus the
+    * checkpointed self-loop-free edge set, so the quotient composition
+    * neither re-derives the edge distinct nor pays the presentation
+    * sizes-join + global sort it immediately discards (r13). */
+  private[graft] def sccColoringParts(documents: DataFrame, nNodes: Int, sparsity: Int,
+                  maxPeels: Int, maxProp: Int): (DataFrame, DataFrame) = {
     val peelBudget = if (maxPeels > 0) maxPeels else 12 + 4 * math.max(1, nNodes / 250)
     val propBudget = if (maxProp > 0) maxProp else 24 * math.max(1, nNodes / 250)
     val base = documents.filter(col("doc_id") % sparsity === 0)
@@ -1010,10 +1024,7 @@ object Graph {
     // instead of NPE-ing on the null accumulator
     if (acc == null)
       acc = allNodes.select(col("node"), col("node").as("scc_id"))
-    val sizes = acc.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
-    acc.join(broadcast(sizes), "scc_id")
-      .select(col("node"), col("scc_id"), col("scc_size"))
-      .orderBy("node")
+    (acc, baseEdges)
   }
 
   /** SCC CONDENSATION DAG (r9) — the quotient graph over [[scc]]'s
@@ -1050,14 +1061,13 @@ object Graph {
     * only to pin a tighter contract. */
   def condensation(documents: DataFrame, nNodes: Int = 250, sparsity: Int = 2,
                    maxPeels: Int = 0, maxProp: Int = 0): DataFrame = {
-    val ids = sccColoring(documents, nNodes, sparsity, maxPeels, maxProp)
-      .select(col("node"), col("scc_id"))
-      .localCheckpoint(eager = false)
-    val e = documents.filter(col("doc_id") % sparsity === 0)
-      .select((col("doc_id") % nNodes).as("src"),
-        ((col("doc_id") * 31 + expr("doc_id div 7")) % nNodes).as("dst"))
-      .distinct()
-      .filter(col("src") =!= col("dst"))
+    // r13: ride the loop core directly — the quotient needs neither the
+    // scc_size join nor sccColoring's presentation sort, and the loop's
+    // checkpointed self-loop-free edge set IS the `e` this used to
+    // re-derive from documents (same filter ∘ distinct), so the edge
+    // distinct exchange runs once, not twice.
+    val (accIds, e) = sccColoringParts(documents, nNodes, sparsity, maxPeels, maxProp)
+    val ids = accIds.localCheckpoint(eager = false)
     e.join(broadcast(ids.select(col("node").as("src"), col("scc_id").as("scc_src"))), "src")
       .join(broadcast(ids.select(col("node").as("dst"), col("scc_id").as("scc_dst"))), "dst")
       .filter(col("scc_src") =!= col("scc_dst"))
