@@ -365,8 +365,20 @@ object Dedup {
           col("container_id") === col("m_contained"), "left_outer")
       .filter(col("m_contained").isNull || col("container_id") < col("contained_id"))
       .select(col("contained_id").as("doc_id")).distinct()
-    survivors.select(col("doc_id"), col("n_chars"))
-      .join(dropped, Seq("doc_id"), "left_anti")
+    // r13: checkpoint the METADATA-sized survivor frame (doc_id, n_chars —
+    // 16 bytes/row, the guide-§8 "decide with small rows" class) before
+    // the final anti join. Without it the optimizer pushes both the
+    // exact-dedup semi join and this anti join through docCorpus's
+    // three-source union, TRIPLICATING the exact-aggregate broadcast
+    // build and the whole mutual-pair aggregation in the final plan
+    // (3 × SortMergeJoin LeftAnti arms, 16 exchanges / 19 sorts — see
+    // plans/r13/pipeline_dedup_ordered_before.txt). The checkpoint
+    // truncates the union out of the join's lineage: one anti join, one
+    // drop-list evaluation. Join strategy stays AQE's call (broadcast at
+    // bench sizes, shuffle of 16-byte rows at 100 TB).
+    val sMeta = survivors.select(col("doc_id"), col("n_chars"))
+      .localCheckpoint(eager = false)
+    sMeta.join(dropped, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
 
@@ -1005,15 +1017,22 @@ object Dedup {
     while (!converged && round < iters) {
       val nbrs = edges.select(col("u").as("ctr"), col("v").as("nbr"))
         .unionByName(edges.select(col("v").as("ctr"), col("u").as("nbr")))
+      // r13: the two per-round min frames are NODE-bounded (one row per
+      // center) — broadcast them onto the edge-sized sides (the graph
+      // membership-broadcast doctrine: edges never shuffle for a join),
+      // so each round's only edge-sized exchanges are the two partial
+      // aggregates (map-side combined, node-sized output) and the final
+      // distinct. The intermediate `large.distinct()` is gone: duplicate
+      // (u,m) rows change neither min_v(large) nor the final edge SET
+      // (`next` ends in distinct) — it only cost a full exchange.
       val mins = nbrs.groupBy("ctr").agg(min(col("nbr")).as("mn"))
         .select(col("ctr"), least(col("mn"), col("ctr")).as("m"))
       // m ≤ ctr < nbr, so every emitted edge already points downward
-      val large = nbrs.join(mins, "ctr")
+      val large = nbrs.join(broadcast(mins), "ctr")
         .filter(col("nbr") > col("ctr"))
         .select(col("nbr").as("u"), col("m").as("v"))
-        .distinct()
       val mins2 = large.groupBy("u").agg(min(col("v")).as("m"))
-      val next = large.join(mins2, "u")
+      val next = large.join(broadcast(mins2), "u")
         .select(col("v").as("a"), col("m").as("b"))
         .unionByName(mins2.select(col("u").as("a"), col("m").as("b")))
         .filter(col("a") =!= col("b"))

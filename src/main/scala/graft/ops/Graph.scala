@@ -735,9 +735,25 @@ object Graph {
       .join(broadcast(members.select(col("node").as("dst"))), "dst")
       .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     var members = nodes.localCheckpoint(eager = false)
-    for (_ <- 1 to rounds)
+    // r13 early exit: each round's members are a SUBSET of the last
+    // (coreDeg groups over src∈members, dst∈members), so an unchanged
+    // COUNT means an unchanged SET means every remaining unrolled round
+    // is the identity — stop. Result-identical to the full unroll by
+    // induction; the count doubles as the checkpoint's materializing
+    // action (the components-loop discipline). sf0.1 converges in 1-2
+    // rounds, so this trades ~4 idle rounds (2 broadcast builds + an
+    // exchange each) for one count job per live round.
+    var mCount = members.count()
+    var converged = false
+    var round = 0
+    while (round < rounds && !converged) {
+      round += 1
       members = coreDeg(members).filter(col("deg") >= lit(k))
         .select("node").localCheckpoint(eager = false)
+      val n = members.count()
+      converged = n == mCount
+      mCount = n
+    }
     coreDeg(members)
       .select(col("node"), col("deg").cast("long").as("core_deg"))
       .orderBy("node")
