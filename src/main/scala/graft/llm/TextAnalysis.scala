@@ -381,18 +381,28 @@ object TextAnalysis {
     * chunk with its reassembled text and token count. Pure per-row
     * expansion (posexplode of slices) — embarrassingly parallel, no
     * shuffle before the deterministic output sort. */
-  def chunk(documents: DataFrame, chunkSize: Int = 32, overlap: Int = 8): DataFrame = {
+  def chunk(documents: DataFrame, chunkSize: Int = 32, overlap: Int = 8,
+            passthrough: Seq[String] = Nil): DataFrame = {
+    // r13 `passthrough`: doc-grain metadata columns (lang, quality, …)
+    // ride THROUGH the explode instead of being re-attached by a
+    // doc_id self-join afterwards — the join-back pattern re-evaluated
+    // the caller's whole upstream lineage a second time (in
+    // pipeline_quality_filter that included both score subtrees) and
+    // paid an extra exchange. Inner-join-on-unique-doc_id equivalence:
+    // each chunk row carries exactly its document's values. text_chunk
+    // (empty passthrough) is byte-identical to the r8 form.
     val stride = chunkSize - overlap
     val tok = TextOps.tokens(col("text"))
     val nChunks = ceil((size(tok) - lit(overlap)).cast("double") / stride).cast("int")
+    val extra = passthrough.map(col)
     documents
       .withColumn("tok", tok)
-      .select(col("doc_id"),
+      .select(col("doc_id") +: extra :+
         posexplode(transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1), i =>
-          slice(col("tok"), i * stride + 1, lit(chunkSize)))))
-      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+          slice(col("tok"), i * stride + 1, lit(chunkSize)))): _*)
+      .select(Seq(col("doc_id"), col("pos").cast("long").as("chunk_id"),
         concat_ws(" ", col("col")).as("chunk_text"),
-        size(col("col")).cast("long").as("n_tokens"))
+        size(col("col")).cast("long").as("n_tokens")) ++ extra: _*)
       .filter(col("n_tokens") > 0)
       .orderBy("doc_id", "chunk_id")
   }

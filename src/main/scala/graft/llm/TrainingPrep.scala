@@ -36,8 +36,12 @@ object TrainingPrep {
       .join(q, "doc_id")
       .join(lm, "doc_id")
       .filter(col("quality") >= minQuality && col("mean_bf") >= minMeanBf)
-    TextAnalysis.chunk(survivors.select(col("doc_id"), col("text")))
-      .join(survivors.select(col("doc_id"), col("lang"), col("quality")), "doc_id")
+    // r13: lang/quality ride through the chunker (chunk `passthrough`)
+    // — the old doc_id join-back re-evaluated the survivors lineage
+    // (BOTH score subtrees) a second time and paid an extra exchange
+    TextAnalysis.chunk(
+      survivors.select(col("doc_id"), col("text"), col("lang"), col("quality")),
+      passthrough = Seq("lang", "quality"))
       .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
         col("n_tokens"), col("lang"), col("quality"))
       .orderBy("doc_id", "chunk_id")
@@ -98,8 +102,10 @@ object TrainingPrep {
     * partition key is whatever sharding unit the trainer consumes
     * (lang × shard). */
   def packSequences(documents: DataFrame, maxTokens: Int = 256): DataFrame = {
-    val chunks = TextAnalysis.chunk(documents.select(col("doc_id"), col("text")))
-      .join(documents.select(col("doc_id"), col("lang")), "doc_id")
+    // r13: lang rides through the chunker (see chunk `passthrough`)
+    val chunks = TextAnalysis.chunk(
+      documents.select(col("doc_id"), col("text"), col("lang")),
+      passthrough = Seq("lang"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy("doc_id", "chunk_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -454,8 +460,11 @@ object TrainingPrep {
       when(col("lang") === "en", pmod(col("doc_id"), lit(10)) < 2)
         .otherwise(pmod(col("doc_id"), lit(10)) < 5))
     // 3. fixed-size overlapping token windows, tagged with language
-    TextAnalysis.chunk(sampled.select(col("doc_id"), col("text")))
-      .join(sampled.select(col("doc_id"), col("lang")), "doc_id")
+    //    (r13: lang rides through the chunker — the old doc_id join-back
+    //    re-evaluated the survivors lineage twice)
+    TextAnalysis.chunk(
+      sampled.select(col("doc_id"), col("text"), col("lang")),
+      passthrough = Seq("lang"))
       .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
         col("n_tokens"), col("lang"))
       .orderBy("doc_id", "chunk_id")
