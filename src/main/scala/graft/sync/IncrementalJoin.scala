@@ -42,23 +42,31 @@ object IncrementalJoin {
       Seq("name", "acctbal", "segment").map(c =>
         org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
 
-    val touched = changes.select(col("slno")).distinct()
+    // r13: the changeset feeds THREE consumers (touched keys, the patch
+    // map, inserts) — without a checkpoint the full-outer diff that
+    // produces it ran three times in one plan. Changesets are
+    // delta-sized by contract (the persisted artifact in a production
+    // nightly), so materializing once is the honest shape at any scale.
+    val ch = changes.localCheckpoint(eager = false)
+    val touched = ch.select(col("slno")).distinct()
     val kept = view.join(broadcast(touched), Seq("slno"), "left_anti")
 
-    val patches = changes.filter(col("op") === "update")
+    val patches = ch.filter(col("op") === "update")
       .groupBy(col("slno"))
       .agg(map_from_entries(collect_list(struct(col("col"), col("new_val")))).as("patch"))
     // rebuild ONLY the updated keys from the old snapshot + patch map;
-    // membership test (not coalesce) so an update-to-NULL sticks
+    // membership test (not coalesce) so an update-to-NULL sticks.
+    // r13: patches are changeset-sized — broadcast them so the old
+    // snapshot is never exchanged for this join.
     val patched = old.as("o")
-      .join(patches.as("u"), col("o.slno").cast("long") === col("u.slno"))
+      .join(broadcast(patches.as("u")), col("o.slno").cast("long") === col("u.slno"))
       .select(col("o.slno").cast("long").as("slno") +:
         Seq("name", "acctbal", "segment").map { c =>
           when(map_contains_key(col("u.patch"), c), element_at(col("u.patch"), c))
             .otherwise(col(s"o.$c").cast("string")).as(c)
         }: _*)
 
-    val inserts = changes.filter(col("op") === "insert")
+    val inserts = ch.filter(col("op") === "insert")
       .withColumn("img", from_json(col("new_val"), imgSchema))
       .select(col("slno"),
         col("img.name").as("name"), col("img.acctbal").as("acctbal"),
