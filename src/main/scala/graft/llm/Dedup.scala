@@ -1078,12 +1078,23 @@ object Dedup {
       .select(col("doc_id"),
         explode(graft.functions.TextExprs.wordShingles(TextOps.tokens(col("text")), k, distinct = false)).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("fp"))
-    val df = grams.groupBy("fp").agg(countDistinct(col("doc_id")).as("n_docs"))
-    grams.join(df, "fp")
+    // r13: collapse gram INSTANCES to the (fp, doc_id) grain once and
+    // lazily checkpoint that 16-byte-row frame — the old shape fed the
+    // raw gram explode (tokenize + shingle + hash over every document)
+    // into BOTH the df aggregate and the probe join, evaluating the
+    // expensive projection twice. Per-doc instance counts ride along as
+    // `npos`, so n_grams = Σ npos, the dup load = Σ npos·[n_docs > 1],
+    // and n_docs per fp = plain count over the collapsed grain (the old
+    // countDistinct's partial-dedupe phase, now shared).
+    val g3 = grams.groupBy(col("fp"), col("doc_id"))
+      .agg(count(lit(1)).as("npos"))
+      .localCheckpoint(eager = false)
+    val df = g3.groupBy("fp").agg(count(lit(1)).as("n_docs"))
+    g3.join(df, "fp")
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_grams"),
-        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+        sum(col("npos")).as("n_grams"),
+        sum(when(col("n_docs") > 1, col("npos")).otherwise(0L)).as("n_dup_grams"))
       .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
         (floor(col("n_dup_grams") * 10000.0 / col("n_grams") + 0.5) / 10000.0).as("dup_share"))
       .orderBy("doc_id")

@@ -336,31 +336,43 @@ object TextAnalysis {
     * tail of the frequency distribution, so the scrub anti-join
     * broadcasts it; reassembly is one doc_id-keyed shuffle. */
   def boilerplateScrub(documents: DataFrame, chunkWords: Int = 8,
-                       minDf: Long = 3L): DataFrame = {
+                       minDf: Long = 3L,
+                       passthrough: Seq[String] = Nil): DataFrame = {
     val tok = TextOps.tokens(col("text"))
     val nChunks = ceil(size(tok).cast("double") / chunkWords).cast("int")
+    val extra = passthrough.map(col)
     val chunks = documents
       .withColumn("tok", tok)
-      .select(col("doc_id"),
+      .select(col("doc_id") +: extra :+
         posexplode(transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1), i =>
-          concat_ws(" ", slice(col("tok"), i * chunkWords + 1, lit(chunkWords))))))
-      .select(col("doc_id"), col("pos").cast("long").as("cpos"), col("col").as("chunk"))
+          concat_ws(" ", slice(col("tok"), i * chunkWords + 1, lit(chunkWords))))): _*)
+      .select(col("doc_id") +: extra :+
+        col("pos").cast("long").as("cpos") :+ col("col").as("chunk"): _*)
       .filter(length(col("chunk")) > 0)
     val inst = chunks.withColumn("dg", md5(col("chunk")))
     val boiler = inst.select(col("dg"), col("doc_id")).distinct()
       .groupBy("dg").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf).select("dg")
-    val kept = inst.join(boiler, Seq("dg"), "left_anti")
-    val cleaned = kept.groupBy("doc_id").agg(
-      count(lit(1)).as("n_kept"),
-      concat_ws(" ",
-        transform(array_sort(collect_list(struct(col("cpos"), col("chunk")))),
-          x => x.getField("chunk"))).as("text_clean"))
-    val tot = inst.groupBy("doc_id").agg(count(lit(1)).as("n_total"))
-    tot.join(cleaned, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_total"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
+    // r13 one-pass reassembly: the old shape evaluated `inst` three
+    // times (df aggregate, anti-join arm, total-count arm) and joined
+    // two doc-grain aggregates back together. A LEFT join against the
+    // (tiny, broadcast) boilerplate set flags each instance instead,
+    // and ONE doc-keyed aggregate computes total/kept/reassembly
+    // together — collect_list skips the nulls the flag introduces, so
+    // kept-chunk reassembly, kept count (count over the same null
+    // pattern) and total count (count(1)) all read the flagged frame
+    // once. All-boiler docs reassemble to "" via concat_ws over the
+    // empty array, matching the old left-join coalesce exactly.
+    val flagged = inst.join(boiler.withColumn("boil", lit(1)), Seq("dg"), "left")
+    val keptStruct = when(col("boil").isNull, struct(col("cpos"), col("chunk")))
+    flagged.groupBy("doc_id", passthrough: _*).agg(
+        count(lit(1)).as("n_total"),
+        count(keptStruct).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(keptStruct)),
+            x => x.getField("chunk"))).as("text_clean"))
+      .select(col("doc_id") +: extra :+ col("n_total") :+ col("n_kept") :+
+        col("text_clean"): _*)
       .orderBy("doc_id")
   }
 

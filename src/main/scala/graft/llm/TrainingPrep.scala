@@ -426,10 +426,12 @@ object TrainingPrep {
     * (HostileInputSpec pins this; the oracle CTE chain agrees). */
   def curate(documents: DataFrame, minQuality: Double = 0.59,
              cap: Int = 10): DataFrame = {
-    val scrubbed = TextAnalysis.boilerplateScrub(documents)
-      .select(col("doc_id"), col("n_kept"), col("text_clean"))
+    // r13: `source` rides the scrub's doc-keyed aggregate (passthrough)
+    // instead of a join-back that re-scanned documents — the old inner
+    // join on the unique doc-grain key was pure column attachment.
+    val scrubbed = TextAnalysis.boilerplateScrub(documents, passthrough = Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_kept"), col("text_clean"))
     val scored = scrubbed
-      .join(documents.select(col("doc_id"), col("source")), "doc_id")
       .select(col("doc_id"), col("source"), col("n_kept"),
         TextAnalysis.qualityCol(col("text_clean")).as("quality"))
       .filter(col("quality") >= minQuality)

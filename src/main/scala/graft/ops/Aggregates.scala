@@ -790,12 +790,29 @@ object Aggregates {
     val freq = items.groupBy("pk").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minSupport).select("pk")
     val fitems = items.join(freq, Seq("pk"), "left_semi")
-    val pairs = fitems.select(col("ok"), col("pk").as("p1"))
-      .join(fitems.select(col("ok"), col("pk").as("p2")), "ok")
-      .filter(col("p1") < col("p2"))
-    pairs.groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+    basketPairSupports(fitems)
       .filter(col("support") >= minSupport)
       .orderBy(col("support").desc, col("p1"), col("p2"))
+  }
+
+  /** Shared pair-generation core of [[copurchasePairs]] / [[assocRules]]:
+    * (ok, pk) basket-item rows → (p1 < p2, support). r13: the old
+    * self-equi-join on the basket id cost two ok-keyed exchange+sort
+    * sides feeding a SortMergeJoin; collecting each basket to ONE sorted
+    * array and fanning pairs out with array HOFs does the same
+    * basket-bounded |basket|² expansion join-local after a SINGLE
+    * ok-keyed aggregate exchange. pk is distinct within a basket, so
+    * ordered-array positions (i < j) enumerate exactly the p1 < p2 pairs
+    * the join's inequality filter kept. */
+  private def basketPairSupports(fitems: DataFrame): DataFrame = {
+    val baskets = fitems.groupBy("ok")
+      .agg(sort_array(collect_list(col("pk"))).as("ps"))
+    baskets
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))), y =>
+          struct(x.as("p1"), y.as("p2")))))).as("pr"))
+      .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
   }
 
   /** ASSOCIATION RULES (r8) — the step after [[copurchasePairs]]:
@@ -825,11 +842,14 @@ object Aggregates {
     val freq = counts.filter(col("c") >= minSupport)
       .localCheckpoint(eager = false)
     val fitems = items.join(freq.select("pk"), Seq("pk"), "left_semi")
-    val pairs = fitems.select(col("ok"), col("pk").as("p1"))
-      .join(fitems.select(col("ok"), col("pk").as("p2")), "ok")
-      .filter(col("p1") < col("p2"))
-      .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+    // r13: the directed-rule union below consumes the mined pair frame
+    // TWICE; lazily checkpoint the (rare, support-filtered) pairs so the
+    // whole basket fan-out + support aggregate runs once — the HOF
+    // lambdas in the fan-out defeat exchange-reuse canonicalization, so
+    // without this the union arms re-mine from scratch
+    val pairs = basketPairSupports(fitems)
       .filter(col("support") >= minSupport)
+      .localCheckpoint(eager = false)
     val nb = items.select("ok").distinct().agg(count(lit(1)).as("n_baskets"))
     val directed = pairs
       .select(col("p1").as("ante"), col("p2").as("cons"), col("support"))

@@ -382,9 +382,14 @@ object Analytics {
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("okey_qty"))
       .filter(col("okey_qty") > minQty)
       .select(col("big_okey"))
-    customer
-      .join(orders, col("c_custkey") === col("o_custkey"))
+    // r13: semi-join ORDERS against the rare big-order keys BEFORE the
+    // customer join (inner ⋈ and left-semi on distinct keys commute) —
+    // the qualifying tail is tiny, so the customer join and the final
+    // lineitem probe both run broadcast-sized instead of exchanging the
+    // full customer⋈orders product first.
+    orders
       .join(big, col("o_orderkey") === col("big_okey"), "left_semi")
+      .join(customer, col("c_custkey") === col("o_custkey"))
       .join(lineitem.select(col("l_orderkey"), col("l_quantity")),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),

@@ -431,19 +431,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("text_boilerplate: the scrub anti-join broadcasts the boilerplate digest set") {
+  test("text_boilerplate: the scrub flag join broadcasts the boilerplate digest set") {
     // the df >= minDf digest set is the tiny tail of the chunk-frequency
     // distribution — if this join ever degrades to a shuffled SMJ the
     // whole chunk instance table reshuffles at 100 TB for a set that
-    // fits in one task broadcast
+    // fits in one task broadcast (r13: the anti-join became a LEFT
+    // OUTER flag join feeding the one-pass reassembly aggregate)
     val df = llm.TextAnalysis.boilerplateScrub(Tables.documents(spark, sfDir))
     df.collect()
     val nodes = PlanWalk.allNodes(df.queryExecution.executedPlan)
-    val antiBroadcast = nodes.exists { n =>
+    val flagBroadcast = nodes.exists { n =>
       n.getClass.getSimpleName == "BroadcastHashJoinExec" &&
-        n.toString.contains("LeftAnti")
+        n.toString.contains("LeftOuter")
     }
-    assert(antiBroadcast, nodes.map(_.nodeName).mkString("; "))
+    assert(flagBroadcast, nodes.map(_.nodeName).mkString("; "))
   }
 
   test("join_runtime_filter: selective dim injects a bloom filter into the fact scan") {
