@@ -117,9 +117,21 @@ object Warehouse {
           .toDF("plan_fp", "files_fp", "built_rows", "content_fp")
           .write.mode("overwrite").saveAsTable(metaName)
       }
-    } else source.foreach { df =>
+    } else {
+      // SERVE path (r13 hardening): the session caches each catalog
+      // table's file listing, so an EXTERNAL rewrite of the artifact
+      // directory (another JVM re-running the builder mid-session)
+      // poisons every later read with FAILED_READ_FILE — it took down
+      // 5 driver tests in r13. Refresh the cached listing for the
+      // artifact and every companion before anything reads them; the
+      // refresh is metadata-only (drops the cached relation; the next
+      // read re-lists a handful of local files), so the serve path
+      // stays scan-free.
+      (name +: metaName +: companions.map(_.toLowerCase(java.util.Locale.ROOT)))
+        .foreach(refreshIfExists(spark, _))
+      source.foreach { df =>
       if (spark.catalog.tableExists(metaName)) {
-        val m = spark.table(metaName).head()
+        val m = headWithStaleRetry(spark, metaName)
         val (planFp, filesFp) = sourceFingerprint(spark, df)
         if (m.getAs[String]("plan_fp") != planFp)
           throw new IllegalStateException(
@@ -132,9 +144,45 @@ object Warehouse {
             s"stale artifact '$name': its source files changed on disk since " +
             "the build (length/mtime mismatch). Rebuild under a new epoch.")
       }
+      }
     }
     name
   }
+
+  /** Refresh a table's cached file listing iff it is in the catalog.
+    * Metadata-only — invalidates the session's cached relation so the
+    * next read re-lists the warehouse directory. */
+  private def refreshIfExists(spark: SparkSession, name: String): Unit =
+    if (spark.catalog.tableExists(name)) spark.catalog.refreshTable(name)
+
+  /** A stale-listing read failure: the cached file listing named a file
+    * that no longer exists (Spark 4 wraps it as error class
+    * FAILED_READ_FILE.FILE_NOT_EXIST over a FileNotFoundException). */
+  private[graft] def isStaleRead(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists { t =>
+      t.isInstanceOf[java.io.FileNotFoundException] ||
+        Option(t.getMessage).exists(m =>
+          m.contains("FAILED_READ_FILE") || m.contains("FileNotFoundException"))
+    }
+
+  /** Serve-path point read with the refresh-and-retry-once contract:
+    * even a just-refreshed listing can go stale between refresh and
+    * read if the artifact is rewritten in that window — retry once
+    * after a second refresh, then fail LOUDLY (never the bare
+    * FAILED_READ_FILE that poisoned the r13 driver session). */
+  private def headWithStaleRetry(spark: SparkSession, name: String) =
+    try spark.table(name).head()
+    catch {
+      case e: Throwable if isStaleRead(e) =>
+        spark.catalog.refreshTable(name)
+        try spark.table(name).head()
+        catch {
+          case e2: Throwable => throw new IllegalStateException(
+            s"artifact '$name' unreadable even after refresh-and-retry: " +
+            "its warehouse directory is being rewritten or is gone. " +
+            "Rebuild the artifact (drop the table and re-run its ensure*).", e2)
+        }
+    }
 
   /** On-demand DEEP integrity check: rescan artifact `name` and compare
     * row count + content hash against the build-time meta row. Throws
@@ -146,7 +194,8 @@ object Warehouse {
     val name = rawName.toLowerCase(java.util.Locale.ROOT)
     val metaName = name + "_meta"
     if (!spark.catalog.tableExists(metaName)) return false
-    val m = spark.table(metaName).head()
+    refreshIfExists(spark, name); refreshIfExists(spark, metaName)
+    val m = headWithStaleRetry(spark, metaName)
     val (rows, contentFp) = contentFingerprint(spark.table(name))
     if (rows != m.getAs[Long]("built_rows") || contentFp != m.getAs[String]("content_fp"))
       throw new IllegalStateException(

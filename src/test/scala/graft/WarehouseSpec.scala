@@ -86,6 +86,48 @@ class WarehouseSpec extends SparkSpec {
     assert(e.getMessage.contains("content drift"), e.getMessage)
   }
 
+  test("serve path survives an external artifact rewrite behind a live session (r14)") {
+    // The r13 driver failure: another JVM rewrote the persisted BPE
+    // model's `_meta` directory mid-session; this session's catalog
+    // still held the OLD file listing, so every later read failed
+    // FAILED_READ_FILE.FILE_NOT_EXIST for the rest of the session.
+    // Simulate the rewrite at the FS level (same bytes, new paths —
+    // invisible to this session's cache) and require the serve path to
+    // refresh-and-serve instead of dying on the stale listing.
+    val docs = Tables.documents(spark, sfDir)
+    val name = Warehouse.ensure(spark, "wh_spec_extrewrite_e1", source = Some(docs)) { n =>
+      docs.groupBy(col("lang")).count().write.mode("overwrite").saveAsTable(n)
+    }
+    // read once so the session caches the artifact's file listing
+    // (the build itself also reads it for the content fingerprint);
+    // no serve-path call in between — ensure would refresh the cache,
+    // which is exactly the behavior under test below
+    assert(spark.table(name).count() > 0)
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(name, name + "_meta").foreach { t =>
+      val dir = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+      val fs = dir.getFileSystem(conf)
+      fs.listStatus(dir).filter(_.getPath.getName.startsWith("part-")).foreach { s =>
+        fs.rename(s.getPath,
+          new org.apache.hadoop.fs.Path(dir, "rewrite-" + s.getPath.getName))
+      }
+    }
+    // precondition: the stale cached listing really does poison a raw
+    // read (the r13 signature) — if Spark ever stops caching listings
+    // this assert flags that the scenario no longer exercises anything
+    val raw = intercept[Throwable] { spark.table(name).count() }
+    assert(Warehouse.isStaleRead(raw), s"expected stale-read failure, got $raw")
+    // the hardened serve path refreshes before reading: same source,
+    // same content — it must serve cleanly, and the artifact and its
+    // meta must both be readable afterwards
+    val served = Warehouse.ensure(spark, name, source = Some(docs)) { _ =>
+      fail("rebuild must not run: the artifact exists and is intact")
+    }
+    assert(spark.table(served).count() > 0)
+    assert(Warehouse.verifyContent(spark, served))
+  }
+
   test("retain: older epochs dropped with their companions, newest keepN keep serving") {
     val src = Tables.nation(spark, sfDir)
     def build(epoch: Long): String =
