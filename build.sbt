@@ -11,6 +11,22 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses ONE bare JSON line from the tail of
+// `sbt "runMain graft.Bench"`. sbt's default LoggedOutput prefixes every
+// forked-JVM stdout line with "[info] " and appends a "[success] Total
+// time" banner — BENCH_r01..r13 all came back parsed:null from exactly
+// that (the driver never consumed a single bench line in 13 rounds).
+// StdoutOutput passes the child's stdout through verbatim and
+// showSuccess=false drops the trailing banner, so the JSON line is the
+// last thing on stdout. Test logging is untouched: the driver parses
+// ScalaTest's "[info] Tests: ..." summary lines, which come from sbt's
+// own test-summary logger, not the forked JVM.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not a task — lint can't
+// see that (the banner demonstrably disappears); outputStrategy under
+// `run` also covers runMain (verified: the bench line comes through bare)
+Global / excludeLintKeys ++= Set(showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

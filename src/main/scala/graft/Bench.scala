@@ -3,7 +3,6 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Host-speed calibration probe (round-5 finding: identical jars
     // measured 55 vs 65 s total in different sessions — a UNIFORM 1.18x
     // per-query drift from host-level contention invisible to steal/load
@@ -29,22 +28,9 @@ object Bench {
     }
     val calib1 = Seq(probe(1), probe(1), probe(1)).sorted.apply(1)
     val calibAll = probe(Runtime.getRuntime.availableProcessors())
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      // Janino compile cache (spark.sql.codegen.cache.maxEntries, default
-      // 100): a 300-query suite with iterative operators generates far
-      // more than 100 codegen classes, so at the default every re-run of
-      // every query recompiles its whole-stage code — measured 2.2× on a
-      // 12-key subset (44.9 → 20.0 s) from this alone. Caches COMPILED
-      // CLASSES keyed by generated source, never data or results; the
-      // same setting serves any long-lived production driver re-running
-      // a query mix. Env-overridable, local default 5000.
-      .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
-      .getOrCreate()
+    // shared builder (Session.scala): master local[$SPARK_GRAFT_CPUS],
+    // shuffle partitions = cpus, UTC, no UI, suite-sized codegen cache
+    val spark = Session.build(cpusDefault = "4")
     spark.sparkContext.setLogLevel("WARN")
     // The three HygieneSpec-gated bounded-contract sites (diff_positional,
     // text_zipf, pipeline_length_histogram) emit hundreds of WindowExec
@@ -185,11 +171,19 @@ object Bench {
       try w.println(s"""{"total":$total,"n":${results.size},"runs":$runs,"calib_1t":${r2d(calib1)},"calib_allcore":${r2d(calibAll)},"sf":"$sfDir"$errJson$unstableJson,"queries":$fullJson}""")
       finally w.close()
     } catch { case _: Throwable => () }
+    // The one-line JSON must be the FINAL stdout line (the driver parses
+    // it from the last ~2KB of output): silence everything Spark might
+    // still log, stop the session FIRST so its shutdown messages land
+    // before the line, then print. build.sbt routes the forked JVM's
+    // stdout through unprefixed (StdoutOutput) and drops sbt's
+    // "[success]" banner — r01-r13 all came back parsed:null from the
+    // "[info] " prefix those put in front of / after this line.
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.stop()
     // stdout line size budget (driver tail limit, see above): fixed
     // headline subset + calib_1t (~20 bytes); it only grows further when
     // something FAILED. Anything per-query belongs in bench_full.json.
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"calib_1t":${r2d(calib1)},"queries":$qs,"sf":"$sfDir"$errJson}""")
     Console.flush()
-    spark.stop()
   }
 }
