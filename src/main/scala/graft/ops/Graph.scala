@@ -869,178 +869,103 @@ object Graph {
     * graph gets a wider budget without the caller re-deriving it; an
     * explicit positive value still pins the budget exactly (r11 ADVICE).
     *
-    * JOB-COUNT SHAPE (r11): both inner fixpoints advance STRIDE=3
-    * synchronous steps per Spark job. Forward: the exactly-k-step
-    * min-frames p1,p2,p3 are chained pushes (each referenced once — no
-    * exponential plan unfold) and color'=least(color,p1,p2,p3), which
-    * equals three synchronous min-propagation rounds because color
-    * after t rounds is the min over ≤t-step paths. Backward: g1,g2,g3
-    * are chained class-constrained preimages, s'=distinct(s∪g1∪g2∪g3).
-    * Same fixpoints, same answers, ~3× fewer scheduled jobs — the
-    * measured local cost of this operator was ~30 tiny jobs'
-    * scheduling, which a cluster amortizes but local mode pays. */
+    * BOUNDED-MODEL COLLECT (r14): the distributed peel/color loop is
+    * gone. The r13 profile showed the whole operator was driver/AQE
+    * orchestration-bound at bench scale (45 scheduled jobs summing
+    * <1 s inside a 4-5 s wall), and the model makes the loop
+    * unnecessary at ANY scale: the node space is the mod-`nNodes`
+    * residue ring and the distinct edge set is ≤ nNodes² — both
+    * PARAMETER-bounded, independent of corpus size. So the distributed
+    * work is exactly the part that touches data — one corpus-sized
+    * scan ending at the edge `distinct` — and the SCC fixpoint runs
+    * driver-side over the collected bounded edge set (iterative
+    * Tarjan, linear in the model, the same reference GraphSpec's r11
+    * property gate replays). This is the r13 peel-bookkeeping collect
+    * (already ≤ nNodes rows per peel) taken to its end: collect the
+    * whole model once instead of a slice per peel. At 100 TB the scan
+    * dominates and nothing here changes; at bench scale the ~45-job
+    * orchestration disappears. maxPeels/maxProp are retained for
+    * signature compatibility and ignored — Tarjan needs no cascade
+    * budget (it is exact and terminates in one pass). */
   def sccColoring(documents: DataFrame, nNodes: Int = 250, sparsity: Int = 2,
                   maxPeels: Int = 0, maxProp: Int = 0): DataFrame = {
-    val (acc, _) = sccColoringParts(documents, nNodes, sparsity, maxPeels, maxProp)
-    val sizes = acc.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
-    acc.join(broadcast(sizes), "scc_id")
-      .select(col("node"), col("scc_id"), col("scc_size"))
-      .orderBy("node")
+    val spark = documents.sparkSession
+    val (nodes, _, ids) = sccBoundedModel(documents, nNodes, sparsity)
+    val sizeOf = nodes.groupBy(ids).map { case (k, vs) => k -> vs.length.toLong }
+    import spark.implicits._
+    // nodes are pre-sorted and parallelize preserves element order, so
+    // the declared node-ascending row order needs no Spark sort
+    nodes.toSeq.map(v => (v, ids(v), sizeOf(ids(v))))
+      .toDF("node", "scc_id", "scc_size")
   }
 
-  /** The loop core shared by [[sccColoring]] and [[condensation]]:
-    * returns the UNSIZED, UNSORTED (node, scc_id) frame plus the
-    * checkpointed self-loop-free edge set, so the quotient composition
-    * neither re-derives the edge distinct nor pays the presentation
-    * sizes-join + global sort it immediately discards (r13). */
-  private[graft] def sccColoringParts(documents: DataFrame, nNodes: Int, sparsity: Int,
-                  maxPeels: Int, maxProp: Int): (DataFrame, DataFrame) = {
-    val peelBudget = if (maxPeels > 0) maxPeels else 12 + 4 * math.max(1, nNodes / 250)
-    val propBudget = if (maxProp > 0) maxProp else 24 * math.max(1, nNodes / 250)
-    val base = documents.filter(col("doc_id") % sparsity === 0)
+  /** The bounded SCC model shared by [[sccColoring]] and
+    * [[condensation]]: run the one DATA-sized job (scan → synthesized
+    * edge distinct, output ≤ nNodes² rows by the residue-ring
+    * parameter), collect it, and solve SCC driver-side with iterative
+    * Tarjan. Returns (nodes ascending, self-loop-free distinct edges,
+    * node → scc_id map) where scc_id is the component's minimum node —
+    * exactly [[scc]]'s `least(v, min{u : v ⇄ u})`. */
+  private[graft] def sccBoundedModel(documents: DataFrame, nNodes: Int, sparsity: Int)
+      : (Array[Long], Array[(Long, Long)], scala.collection.Map[Long, Long]) = {
+    val collected = documents.filter(col("doc_id") % sparsity === 0)
       .select((col("doc_id") % nNodes).as("src"),
         ((col("doc_id") * 31 + expr("doc_id div 7")) % nNodes).as("dst"))
       .distinct()
-    val allNodes = base.select(col("src").as("node"))
-      .union(base.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(eager = false)
-    // r13: peel bookkeeping rides a COLLECTED resolved-id set (≤ nNodes —
-    // parameter-sized, the bounded-model-collect class) instead of three
-    // broadcast left-anti joins + a count job per peel: remaining/edges
-    // shrink by a map-side isInCollection filter over the checkpointed
-    // base, and remCount is pure arithmetic (resolved ⊆ remaining and
-    // distinct, so the subtraction is exact).
-    val resolved = scala.collection.mutable.HashSet.empty[Long]
-    val baseEdges = base.filter(col("src") =!= col("dst")).localCheckpoint(eager = false)
-    def live(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      if (resolved.isEmpty) lit(true) else !c.isInCollection(resolved.toSeq)
-    var remaining = allNodes
-    var edges = baseEdges
-    var acc: DataFrame = null
-    var remCount = remaining.count()
-    var peels = 0
-    val stride = 3
-    while (remCount > 0) {
-      require(peels < peelBudget,
-        s"sccColoring: $remCount nodes unresolved after $peelBudget peels — raise maxPeels")
-      peels += 1
-      // 1. forward min-color fixpoint (color frame node-bounded, broadcast).
-      // Each job advances `stride` synchronous rounds: p_k is the min color
-      // over EXACTLY-k-step paths (chained pushes, each referenced once),
-      // and least(color, p1..pk) is the color after k rounds.
-      var color = remaining.select(col("node"), col("node").as("color"))
-        .localCheckpoint(eager = false)
-      var converged = false
-      var prop = 0
-      while (!converged) {
-        require(prop < propBudget,
-          s"sccColoring: color propagation not converged in $propBudget rounds — raise maxProp")
-        prop += stride
-        def push(c: DataFrame): DataFrame = edges
-          .join(broadcast(c.select(col("node").as("src"), col("color"))), "src")
-          .groupBy(col("dst").as("node")).agg(min(col("color")).as("color"))
-        // combine color and the exact-k-step frames by UNION + one
-        // min-aggregate — a join-free combine runs as one exchange
-        // stage, where a per-step left-outer join would spawn one
-        // auto-broadcast sub-job each (r11 job-count shave). c0 rides
-        // along (non-null only on the color rows) so the fixpoint test
-        // is a filter-count on the SAME materializing job.
-        var parts = color.select(col("node"), col("color"),
-          col("color").as("c0"))
-        var pk = color
-        for (_ <- 1 to stride) {
-          pk = push(pk)
-          parts = parts.unionByName(
-            pk.select(col("node"), col("color"), lit(null).cast("long").as("c0")))
-        }
-        val nextCp = parts.groupBy("node")
-          .agg(min(col("color")).as("color"), max(col("c0")).as("c0"))
-          .select(col("node"), col("color"), (col("color") < col("c0")).as("chg"))
-          .localCheckpoint(eager = false)
-        converged = nextCp.filter(col("chg")).count() == 0
-        color = nextCp.select(col("node"), col("color"))
+      .collect()
+    val edges = collected.iterator
+      .map(r => (r.getLong(0), r.getLong(1))).filter(e => e._1 != e._2).toArray
+    val nodes = collected.iterator
+      .flatMap(r => Iterator(r.getLong(0), r.getLong(1))).toArray.distinct.sorted
+    (nodes, edges, tarjanMinIds(nodes, edges))
+  }
+
+  /** Iterative Tarjan over the bounded model: scc_id(v) = min node id
+    * of v's component. Explicit work stack (no recursion — a chain of
+    * nNodes=10000 at the ScaleSmoke ladder's top rung would overflow
+    * the JVM stack), one pass, O(nodes + edges). */
+  private def tarjanMinIds(nodes: Array[Long],
+      edges: Array[(Long, Long)]): scala.collection.Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val index = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val onStack = scala.collection.mutable.Set.empty[Long]
+    val stack = scala.collection.mutable.Stack.empty[Long]
+    val comp = scala.collection.mutable.Map.empty[Long, Long]
+    var counter = 0
+    val empty = Array.empty[Long]
+    def strongconnect(v0: Long): Unit = {
+      val work = scala.collection.mutable.Stack.empty[(Long, Iterator[Long])]
+      def enter(v: Long): Unit = {
+        index(v) = counter; low(v) = counter; counter += 1
+        stack.push(v); onStack += v
+        work.push((v, adj.getOrElse(v, empty).iterator))
       }
-      // r13 EARLY EXIT: if the FIRST strided job already reported zero
-      // changes, color(v) = v for every remaining node (the init never
-      // moved), so every color class is a singleton and the backward
-      // growth provably adds nothing — grow joins on
-      // (dst = member, src_color = member's color) and with all colors
-      // equal to the node id that demands src = dst, excluded as a
-      // self-loop. Every remaining node IS its own SCC: skip the
-      // srcColored build and the whole backward loop. This is the
-      // common DAG-residue peel (after the big SCCs peel off, what's
-      // left is acyclic and used to pay ~4 jobs to confirm singletons).
-      val allSingletons = converged && prop == stride
-      var s: DataFrame = null
-      if (allSingletons) {
-        s = color // color(v) = v: each node is its own root and SCC
-      } else {
-        // 2. backward confirmation within each color class, from the
-        // roots. Strided the same way: g_k is the class-constrained
-        // preimage of g_(k-1); one distinct-union job advances `stride`
-        // growth rounds. r13: the class constraint needs only the SRC
-        // side pre-joined — every member (node, c) of the growth
-        // frontier satisfies c = color(node) (roots by definition,
-        // added nodes by construction), so joining on (dst = member,
-        // src_color = member's color) already forces
-        // color(src) = color(dst); the old dst-side color join was
-        // redundant — one broadcast per peel, not two.
-        val srcColored = edges
-          .join(broadcast(color.select(col("node").as("src"),
-            col("color").as("src_color"))), "src")
-          .select(col("src"), col("dst"), col("src_color"))
-          .localCheckpoint(eager = false)
-        s = color.filter(col("node") === col("color"))
-          .select(col("node"), col("color")).localCheckpoint(eager = false)
-        var sCount = s.count()
-        var grew = true
-        prop = 0
-        while (grew) {
-          require(prop < propBudget,
-            s"sccColoring: backward growth not converged in $propBudget rounds — raise maxProp")
-          prop += stride
-          def grow(g: DataFrame): DataFrame = srcColored
-            .join(broadcast(g.select(col("node").as("dst"),
-              col("color").as("src_color"))), Seq("dst", "src_color"))
-            .select(col("src").as("node"), col("src_color").as("color"))
-            .distinct()
-          var acc = s
-          var gk = s
-          for (_ <- 1 to stride) {
-            gk = grow(gk)
-            acc = acc.unionByName(gk)
+      enter(v0)
+      while (work.nonEmpty) {
+        val (v, it) = work.top
+        if (it.hasNext) {
+          val w = it.next()
+          if (!index.contains(w)) enter(w)
+          else if (onStack(w)) low(v) = math.min(low(v), index(w))
+        } else {
+          work.pop()
+          if (work.nonEmpty) {
+            val p = work.top._1
+            low(p) = math.min(low(p), low(v))
           }
-          val sNext = acc.distinct().localCheckpoint(eager = false)
-          val n = sNext.count()
-          grew = n > sCount
-          sCount = n
-          s = sNext
+          if (low(v) == index(v)) {
+            val members = scala.collection.mutable.Buffer.empty[Long]
+            var w = -1L
+            do { w = stack.pop(); onStack -= w; members += w } while (w != v)
+            val id = members.min
+            members.foreach(m => comp(m) = id)
+          }
         }
       }
-      // 3. peel the confirmed SCCs
-      val found = s.select(col("node"), col("color").as("scc_id"))
-        .localCheckpoint(eager = false)
-      acc = (if (acc == null) found else acc.unionByName(found))
-        .localCheckpoint(eager = false)
-      // r13: the confirmed ids come back to the driver once per peel
-      // (≤ nNodes — parameter-sized, the bounded-model-collect class);
-      // remaining/edges then shrink by a map-side isInCollection filter
-      // over the checkpointed base instead of three broadcast anti-join
-      // chains, and the loop test is arithmetic instead of a count job
-      // (found ⊆ remaining and distinct, so the subtraction is exact).
-      val foundIds = found.select("node").collect().map(_.getLong(0))
-      resolved ++= foundIds
-      remaining = allNodes.filter(live(col("node")))
-      edges = baseEdges.filter(live(col("src")) && live(col("dst")))
-      remCount -= foundIds.length
-      require(foundIds.nonEmpty || remCount == 0,
-        s"sccColoring: peel $peels confirmed no SCC with $remCount nodes left")
     }
-    // empty graph: no peel ever ran — emit the empty (node, scc_id) frame
-    // instead of NPE-ing on the null accumulator
-    if (acc == null)
-      acc = allNodes.select(col("node"), col("node").as("scc_id"))
-    (acc, baseEdges)
+    nodes.foreach(v => if (!index.contains(v)) strongconnect(v))
+    comp
   }
 
   /** SCC CONDENSATION DAG (r9) — the quotient graph over [[scc]]'s
@@ -1077,19 +1002,21 @@ object Graph {
     * only to pin a tighter contract. */
   def condensation(documents: DataFrame, nNodes: Int = 250, sparsity: Int = 2,
                    maxPeels: Int = 0, maxProp: Int = 0): DataFrame = {
-    // r13: ride the loop core directly — the quotient needs neither the
-    // scc_size join nor sccColoring's presentation sort, and the loop's
-    // checkpointed self-loop-free edge set IS the `e` this used to
-    // re-derive from documents (same filter ∘ distinct), so the edge
-    // distinct exchange runs once, not twice.
-    val (accIds, e) = sccColoringParts(documents, nNodes, sparsity, maxPeels, maxProp)
-    val ids = accIds.localCheckpoint(eager = false)
-    e.join(broadcast(ids.select(col("node").as("src"), col("scc_id").as("scc_src"))), "src")
-      .join(broadcast(ids.select(col("node").as("dst"), col("scc_id").as("scc_dst"))), "dst")
-      .filter(col("scc_src") =!= col("scc_dst"))
-      .groupBy("scc_src", "scc_dst")
-      .agg(count(lit(1)).as("n_links"))
-      .orderBy("scc_src", "scc_dst")
+    // r14: ride the bounded model directly (see [[sccColoring]]) — the
+    // collected self-loop-free edge set IS the quotient's input, so the
+    // two membership broadcasts + pair aggregate + sort the r13 shape
+    // still scheduled collapse into driver arithmetic over ≤ nNodes²
+    // rows; the only Spark job left is the data-sized edge distinct.
+    val spark = documents.sparkSession
+    val (_, edges, ids) = sccBoundedModel(documents, nNodes, sparsity)
+    import spark.implicits._
+    edges.iterator
+      .map { case (s, d) => (ids(s), ids(d)) }
+      .filter { case (a, b) => a != b }
+      .toSeq.groupBy(identity).view
+      .map { case ((a, b), links) => (a, b, links.size.toLong) }
+      .toSeq.sorted
+      .toDF("scc_src", "scc_dst", "n_links")
   }
 
   /** HOP-LIMITED CLOSENESS CENTRALITY (r8) — per host: how many hosts
