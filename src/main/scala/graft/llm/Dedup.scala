@@ -1025,20 +1025,16 @@ object Dedup {
       // distinct. The intermediate `large.distinct()` is gone: duplicate
       // (u,m) rows change neither min_v(large) nor the final edge SET
       // (`next` ends in distinct) — it only cost a full exchange.
-      val mins = nbrs.groupBy("ctr").agg(min(col("nbr")).as("mn"))
-        .select(col("ctr"), least(col("mn"), col("ctr")).as("m"))
-      // m ≤ ctr < nbr, so every emitted edge already points downward
-      val large = nbrs.join(broadcast(mins), "ctr")
-        .filter(col("nbr") > col("ctr"))
-        .select(col("nbr").as("u"), col("m").as("v"))
-      val mins2 = large.groupBy("u").agg(min(col("v")).as("m"))
-      val next = large.join(broadcast(mins2), "u")
-        .select(col("v").as("a"), col("m").as("b"))
-        .unionByName(mins2.select(col("u").as("a"), col("m").as("b")))
-        .filter(col("a") =!= col("b"))
-        .select(greatest(col("a"), col("b")).as("u"),
-          least(col("a"), col("b")).as("v"))
-        .distinct()
+      //
+      // r14 (r13 advice): node-bounded is DATA-dependent here, not
+      // parameter-bounded — the node set is the near-dup candidate
+      // population, so at the 100 TB design point a forced broadcast
+      // would OOM where AQE would have shuffled 16-byte rows. Gate the
+      // hint on the round's edge count, which the convergence
+      // fingerprint already computed (zero extra jobs): nodes ≤
+      // 2·edges, so ≤1e6 edges bounds both min frames well under the
+      // broadcast cap; larger graphs leave the strategy to AQE.
+      val next = starRound(nbrs, hintMins = edgeFp._1 <= starBroadcastMaxEdges)
         .localCheckpoint(eager = false)
       // unchanged edge set ⇒ star forest reached; detected by fingerprint
       // equality in the single job that also materializes the lazy
@@ -1052,6 +1048,43 @@ object Dedup {
     require(converged,
       s"large/small-star did not converge within $iters rounds")
     // star forest: u = non-root member, v = component root
+    starForestLabels(corpus, edges)
+  }
+
+  /** Edge-count bound under which [[starRound]]'s min frames get a
+    * broadcast hint: nodes ≤ 2·edges, so 1e6 edges bounds both frames
+    * by ~2e6 16-byte rows — comfortably under the broadcast cap. */
+  private[graft] val starBroadcastMaxEdges = 1000000L
+
+  /** One large-star/small-star round over the doubled neighbor view.
+    * `hintMins` pins the two node-bounded min frames to broadcast joins
+    * when the caller KNOWS they are small (gated on the round's edge
+    * count, which the convergence fingerprint already computed — zero
+    * extra jobs); past the gate the strategy is left to AQE, because at
+    * the 100 TB design point the node set is the near-dup candidate
+    * population — data-sized, where a forced broadcast would OOM and a
+    * shuffle of 16-byte rows is the right plan (r13 advice). Extracted
+    * so the spec can pin hint-iff-gated on the analyzed plan. */
+  private[graft] def starRound(nbrs: DataFrame, hintMins: Boolean): DataFrame = {
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (hintMins) broadcast(df) else df
+    val mins = nbrs.groupBy("ctr").agg(min(col("nbr")).as("mn"))
+      .select(col("ctr"), least(col("mn"), col("ctr")).as("m"))
+    // m ≤ ctr < nbr, so every emitted edge already points downward
+    val large = nbrs.join(maybeBroadcast(mins), "ctr")
+      .filter(col("nbr") > col("ctr"))
+      .select(col("nbr").as("u"), col("m").as("v"))
+    val mins2 = large.groupBy("u").agg(min(col("v")).as("m"))
+    large.join(maybeBroadcast(mins2), "u")
+      .select(col("v").as("a"), col("m").as("b"))
+      .unionByName(mins2.select(col("u").as("a"), col("m").as("b")))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct()
+  }
+
+  private def starForestLabels(corpus: DataFrame, edges: DataFrame): DataFrame = {
     val labels = edges.select(col("u").as("doc_id"), col("v").as("cluster"))
       .unionByName(edges.select(col("v").as("doc_id"), col("v").as("cluster")).distinct())
     val isolated = corpus.select(col("doc_id")).distinct()
