@@ -166,6 +166,71 @@ case class RollingFingerprint48(child: Expression)
     copy(child = c)
 }
 
+/** Fused SimHash: per-token rolling fingerprint (the packed two-fold
+  * 48-bit form, or the single house fold) + the per-bit sign-vote
+  * accumulation, in ONE compiled pass over the token array. The HOF
+  * formulation this replaces (`transform(tokens, fp)` then `bits` ×
+  * `aggregate(hs, ±1 vote fold)`) evaluated `bits`+1 interpreted array
+  * passes per row — 49 for the production 48-bit fingerprint (r14).
+  * Bit-identical by construction: same per-token helper, same vote
+  * arithmetic; parity with the HOF form is spec-pinned. NULL token
+  * arrays yield null — callers that relied on the HOF form's
+  * null-folds-to-0 coalesce at the call site. */
+case class SimhashBits(child: Expression, bits: Int, pack48: Boolean)
+  extends UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash_bits needs array<string>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_bits"
+
+  override def nullSafeEval(a: Any): Any =
+    TextExprs.simhashOf(a.asInstanceOf[ArrayData], bits, pack48)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, a => s"${TextExprs.RT}.simhashOf($a, $bits, $pack48)")
+
+  override protected def withNewChildInternal(c: Expression): SimhashBits = copy(child = c)
+}
+
+/** Fused shingle fingerprints: first-occurrence-ordered DISTINCT rolling
+  * fingerprints of the k-word shingles of a token array, one compiled
+  * pass, no intermediate shingle strings (the fold runs over the tokens'
+  * code points with the separator folded between — arithmetically
+  * identical to fingerprinting the concat-ws form). Replaces
+  * `array_distinct(transform(word_shingles(toks,k), rolling_fp))`, whose
+  * transform evaluated interpreted per shingle and which allocated every
+  * shingle string just to hash it (r14). Parity is spec-pinned. */
+case class ShingleFingerprints(child: Expression, k: Int,
+    mult: Long = 31L, modulus: Long = 1000000007L)
+  extends UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"shingle_fingerprints needs array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_fingerprints"
+
+  override def nullSafeEval(a: Any): Any =
+    TextExprs.shingleFingerprintsOf(a.asInstanceOf[ArrayData], k, mult, modulus)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"${TextExprs.RT}.shingleFingerprintsOf($a, $k, ${mult}L, ${modulus}L)")
+
+  override protected def withNewChildInternal(c: Expression): ShingleFingerprints =
+    copy(child = c)
+}
+
 object TextExprs {
 
   /** Fully-qualified name of this object for generated-code call sites. */
@@ -270,6 +335,68 @@ object TextExprs {
     ((a1 % 16777216L) << 24) | (a2 % 16777216L)
   }
 
+  /** Runtime body of [[SimhashBits]] — callable from generated code.
+    * Exactly the HOF formulation's arithmetic: per token h = fp48 (or
+    * the house fold), vote(b) += (bit b of h set ? +1 : -1); bit b of
+    * the result set iff vote(b) > 0. Empty arrays yield 0 (every vote
+    * sum is 0, no bit wins), matching the aggregate-fold form. */
+  def simhashOf(toks: ArrayData, bits: Int, pack48: Boolean): Long = {
+    val n = toks.numElements()
+    val votes = new Array[Int](bits)
+    var j = 0
+    while (j < n) {
+      val u = toks.getUTF8String(j)
+      val h = if (pack48) fingerprint48Of(u) else fingerprintOf(u)
+      var b = 0
+      while (b < bits) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < bits) { if (votes(b) > 0) fp |= 1L << b; b += 1 }
+    fp
+  }
+
+  /** Runtime body of [[ShingleFingerprints]] — callable from generated
+    * code. The fold over shingle p..p+k-1 runs over the member tokens'
+    * code points with the space separator (cp 32) folded between, which
+    * is arithmetically identical to folding over the concat-ws shingle
+    * string (code points of a concatenation = concatenation of code
+    * points). Distinct-on-fingerprint in first-occurrence order equals
+    * the string-distinct-then-fingerprint-then-array_distinct chain:
+    * both keep each fingerprint value once, at its first position. */
+  def shingleFingerprintsOf(toks: ArrayData, k: Int,
+      mult: Long, modulus: Long): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val strs = new Array[String](n)
+    var i = 0
+    while (i < n) { strs(i) = toks.getUTF8String(i).toString; i += 1 }
+    val out = new java.util.LinkedHashSet[Any](n - k + 1)
+    var p = 0
+    while (p <= n - k) {
+      var acc = 0L
+      var j = 0
+      while (j < k) {
+        if (j > 0) acc = (acc * mult + 32L) % modulus
+        val s = strs(p + j)
+        var ci = 0
+        while (ci < s.length) {
+          val cp = s.codePointAt(ci)
+          acc = (acc * mult + cp) % modulus
+          ci += Character.charCount(cp)
+        }
+        j += 1
+      }
+      out.add(acc)
+      p += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def wordShingles(tokens: Column, k: Int, distinct: Boolean = true): Column =
     SqlShim.column(WordShingles(SqlShim.expression(tokens), k, distinct))
 
@@ -284,4 +411,10 @@ object TextExprs {
 
   def minhashSig(shingles: Column, numHashes: Int): Column =
     SqlShim.column(MinHashSig(SqlShim.expression(shingles), numHashes))
+
+  def simhashBits(tokens: Column, bits: Int, pack48: Boolean): Column =
+    SqlShim.column(SimhashBits(SqlShim.expression(tokens), bits, pack48))
+
+  def shingleFingerprints(tokens: Column, k: Int): Column =
+    SqlShim.column(ShingleFingerprints(SqlShim.expression(tokens), k))
 }

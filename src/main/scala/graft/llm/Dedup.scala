@@ -825,15 +825,17 @@ object Dedup {
     if (sorted) proj.orderBy("doc_id") else proj
   }
 
-  /** Bit-vote fold shared by both simhash variants: bit b of the
-    * fingerprint is set iff Σ_tokens sign(bit b of hash(token)) > 0. */
-  private def simhashVotes(bits: Int): org.apache.spark.sql.Column =
-    (0 until bits).map { b =>
-      when(
-        aggregate(col("hs"), lit(0L), (s, h) =>
-          s + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0,
-        lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
+  /** Bit-vote SimHash shared by both variants: bit b of the fingerprint
+    * is set iff Σ_tokens sign(bit b of hash(token)) > 0. r14: ONE fused
+    * compiled pass (graft.functions.SimhashBits) — the previous HOF
+    * formulation (`transform(tokens, fp)` + `bits` × `aggregate` vote
+    * folds) evaluated 49 interpreted array passes per row for the
+    * production 48-bit form. coalesce(…, 0) mirrors that formulation's
+    * null-folds-to-0 on a null token array; parity with the HOF form is
+    * pinned in LlmOpsSpec. */
+  private def simhashVotes(tokens: org.apache.spark.sql.Column, bits: Int,
+      pack48: Boolean): org.apache.spark.sql.Column =
+    coalesce(graft.functions.TextExprs.simhashBits(tokens, bits, pack48), lit(0L))
 
   /** 48-bit SimHash fingerprint per document: bit b of the fingerprint is
     * set iff Σ_tokens sign(bit b of hash(token)) > 0. Computed wholly
@@ -860,9 +862,9 @@ object Dedup {
       require(bits >= 1 && bits <= 48,
         s"simhash token hash carries 48 bits; got bits=$bits")
       corpus
-        .withColumn("hs", transform(TextOps.tokens(col("text")),
-          t => graft.functions.TextExprs.rollingFingerprint48(t)))
-        .select(col("doc_id"), simhashVotes(bits).as("fingerprint"))
+        .select(col("doc_id"),
+          simhashVotes(TextOps.tokens(col("text")), bits, pack48 = true)
+            .as("fingerprint"))
         .orderBy("doc_id")
     }
 
@@ -877,9 +879,9 @@ object Dedup {
     require(bits >= 1 && bits <= 30,
       s"simhashOracle token hash carries 30 bits (fp < 1e9+7 < 2^30); got bits=$bits")
     corpus
-      .withColumn("hs", transform(TextOps.tokens(col("text")),
-        t => graft.functions.TextExprs.rollingFingerprint(t)))
-      .select(col("doc_id"), simhashVotes(bits).as("fingerprint"))
+      .select(col("doc_id"),
+        simhashVotes(TextOps.tokens(col("text")), bits, pack48 = false)
+          .as("fingerprint"))
       .orderBy("doc_id")
   }
 
@@ -1554,14 +1556,18 @@ object Dedup {
   def dedupFeatures(documents: DataFrame): DataFrame = {
     val corpus = graft.llm.Corpus.docCorpus(documents)
       .localCheckpoint(eager = false)
+    // r14: both feature columns are fused compiled one-pass expressions
+    // (shingle_fingerprints, simhash_bits) — the previous HOF chain
+    // (shingle strings → interpreted transform → array_distinct, plus 49
+    // interpreted array passes for the 48-bit vote fold) dominated this
+    // operator's single materializing job. Same values by construction;
+    // parity spec-pinned, oracle-checked at two SFs.
     val feats = corpus
-      .withColumn("hs", transform(TextOps.tokens(col("text")),
-        t => graft.functions.TextExprs.rollingFingerprint48(t)))
       .select(col("doc_id"),
-        array_distinct(transform(
-          TextOps.shingles(TextOps.tokens(col("text")), 3),
-          s => graft.functions.TextExprs.rollingFingerprint(s))).as("fps"),
-        simhashVotes(48).as("fp"), col("lang"), col("n_chars"))
+        graft.functions.TextExprs.shingleFingerprints(
+          TextOps.tokens(col("text")), 3).as("fps"),
+        simhashVotes(TextOps.tokens(col("text")), 48, pack48 = true).as("fp"),
+        col("lang"), col("n_chars"))
       .localCheckpoint(eager = false)
     minhashBandedCandidates(corpus)
       .join(feats.select(col("doc_id").as("a_id"), col("fps").as("a_fps"),

@@ -53,6 +53,54 @@ class LlmOpsSpec extends SparkSpec {
     assert(c1 === c2)
   }
 
+  test("fused simhash + shingle fingerprints match the HOF formulations bit-for-bit (r14)") {
+    // The r14 compiled one-pass expressions replace the interpreted HOF
+    // chains; the pre-r14 formulations are kept HERE as the independent
+    // reference — any arithmetic drift in the fused path fails this.
+    import org.apache.spark.sql.Column
+    val corpus = Corpus.docCorpus(documents)
+    val toks = llm.TextOps.tokens(col("text"))
+    def votesHof(bits: Int): Column = (0 until bits).map { b =>
+      when(
+        aggregate(col("hs"), lit(0L), (s, h) =>
+          s + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0,
+        lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    val hof48 = corpus
+      .withColumn("hs", transform(toks, t => functions.TextExprs.rollingFingerprint48(t)))
+      .select(col("doc_id"), votesHof(48).as("fp_hof"),
+        array_distinct(transform(llm.TextOps.shingles(toks, 3),
+          s => functions.TextExprs.rollingFingerprint(s))).as("fps_hof"))
+    val hof30 = corpus
+      .withColumn("hs", transform(toks, t => functions.TextExprs.rollingFingerprint(t)))
+      .select(col("doc_id"), votesHof(30).as("fp30_hof"))
+    val fused = corpus.select(col("doc_id"),
+      functions.TextExprs.simhashBits(toks, 48, pack48 = true).as("fp_f"),
+      functions.TextExprs.simhashBits(toks, 30, pack48 = false).as("fp30_f"),
+      functions.TextExprs.shingleFingerprints(toks, 3).as("fps_f"))
+    val rows = hof48.join(hof30, "doc_id").join(fused, "doc_id").collect()
+    assert(rows.length === corpus.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("fp_hof") === r.getAs[Long]("fp_f"), s"doc ${r.getLong(0)}")
+      assert(r.getAs[Long]("fp30_hof") === r.getAs[Long]("fp30_f"), s"doc ${r.getLong(0)}")
+      assert(r.getSeq[Long](r.fieldIndex("fps_hof")).toList ===
+        r.getSeq[Long](r.fieldIndex("fps_f")).toList, s"doc ${r.getLong(0)}")
+    }
+    // degenerate inputs: null tokens fold to 0 at the simhash call sites
+    // (coalesce) and to null in the raw expression; short docs yield
+    // empty shingle sets
+    import spark.implicits._
+    val edge = Seq((1L, "one two"), (2L, "solo"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val e = edge.select(
+      functions.TextExprs.shingleFingerprints(llm.TextOps.tokens(col("text")), 3).as("fps"),
+      functions.TextExprs.simhashBits(llm.TextOps.tokens(col("text")), 48, pack48 = true).as("fp"))
+      .collect()
+    assert(e(0).getSeq[Long](0).toList === Nil)
+    assert(e(1).getSeq[Long](0).toList === Nil)
+    assert(e(2).isNullAt(0) && e(2).isNullAt(1))
+  }
+
   test("simhash: near-dups within small hamming distance, random pairs far") {
     val fp = Dedup.simhash(Corpus.docCorpus(documents))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
