@@ -167,8 +167,13 @@ object Bench {
       // subset runs (SPARK_GRAFT_ONLY set — profiling/triage) must not
       // clobber the committed close artifact; they get a scratch file
       val artifact = if (only.isDefined) "bench_subset.json" else "bench_full.json"
+      // ambient-floor record (r13 verdict #8): alongside calib_1t (CPU
+      // clock), the MIN scan_parquet run is this close's I/O+scheduling
+      // floor — the next judge separates host waves from code with it
+      val scanFloor = results.collectFirst { case ("scan_parquet", raw) =>
+        s""","scan_parquet_floor":${r2d(raw.min)}""" }.getOrElse("")
       val w = new java.io.PrintWriter(artifact)
-      try w.println(s"""{"total":$total,"n":${results.size},"runs":$runs,"calib_1t":${r2d(calib1)},"calib_allcore":${r2d(calibAll)},"sf":"$sfDir"$errJson$unstableJson,"queries":$fullJson}""")
+      try w.println(s"""{"total":$total,"n":${results.size},"runs":$runs,"calib_1t":${r2d(calib1)},"calib_allcore":${r2d(calibAll)}$scanFloor,"sf":"$sfDir"$errJson$unstableJson,"queries":$fullJson}""")
       finally w.close()
     } catch { case _: Throwable => () }
     // The one-line JSON must be the FINAL stdout line (the driver parses

@@ -335,6 +335,14 @@ object TextAnalysis {
     * boilerplate digest set (df ≥ minDf) is by construction the tiny
     * tail of the frequency distribution, so the scrub anti-join
     * broadcasts it; reassembly is one doc_id-keyed shuffle. */
+  /** `passthrough` columns ride the chunker and come back on the output
+    * rows. They MUST be functionally dependent on doc_id (doc-grain
+    * metadata like `source`/`lang`): the reassembly aggregates at
+    * doc_id grain and carries each passthrough as max() inside that
+    * group (r14, from the r13 advice) — so a non-doc-grain column can
+    * no longer split a document's chunks into several output rows, but
+    * a caller passing one would get its per-doc max, which is probably
+    * not what they meant. */
   def boilerplateScrub(documents: DataFrame, chunkWords: Int = 8,
                        minDf: Long = 3L,
                        passthrough: Seq[String] = Nil): DataFrame = {
@@ -365,12 +373,17 @@ object TextAnalysis {
     // empty array, matching the old left-join coalesce exactly.
     val flagged = inst.join(boiler.withColumn("boil", lit(1)), Seq("dg"), "left")
     val keptStruct = when(col("boil").isNull, struct(col("cpos"), col("chunk")))
-    flagged.groupBy("doc_id", passthrough: _*).agg(
-        count(lit(1)).as("n_total"),
-        count(keptStruct).as("n_kept"),
-        concat_ws(" ",
-          transform(array_sort(collect_list(keptStruct)),
-            x => x.getField("chunk"))).as("text_clean"))
+    // doc_id-ONLY grouping grain (r14): passthrough columns aggregate as
+    // max() inside the doc group instead of joining the group key, so
+    // the output stays one row per document whatever the caller passes
+    // (doc-grain metadata is constant per group — max() is the value)
+    val aggs = passthrough.map(p => max(col(p)).as(p)) ++ Seq(
+      count(lit(1)).as("n_total"),
+      count(keptStruct).as("n_kept"),
+      concat_ws(" ",
+        transform(array_sort(collect_list(keptStruct)),
+          x => x.getField("chunk"))).as("text_clean"))
+    flagged.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id") +: extra :+ col("n_total") :+ col("n_kept") :+
         col("text_clean"): _*)
       .orderBy("doc_id")
